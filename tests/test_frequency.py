@@ -1,0 +1,59 @@
+"""F1 frequency-table quirk tests (whiteRRabbit.R:329-352)."""
+
+from __future__ import annotations
+
+from whiterrabbit_spark.config import ScanConfig
+from whiterrabbit_spark.frequency import value_frequencies
+
+
+def _freq(spark, values, **kw):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    cfg = ScanConfig(**kw)
+    return value_frequencies(df, cfg=cfg).collect()
+
+
+def test_min_cell_count_filter(spark):
+    vals = ["a"] * 10 + ["b"] * 5 + ["c"] * 4 + ["d"] * 1
+    rows = _freq(spark, vals, min_cell_count=5)
+    got = {r["value"]: r["count"] for r in rows}
+    assert got == {"a": 10, "b": 5}
+
+
+def test_percentage_denominator_is_displayed_rows_only(spark):
+    # W:344 quirk: percentage sums to 1.0 over the EMITTED rows, with
+    # filtered-out rare values excluded from the denominator.
+    vals = ["a"] * 10 + ["b"] * 10 + ["rare"] * 4
+    rows = _freq(spark, vals, min_cell_count=5)
+    assert abs(sum(r["percentage"] for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert abs(r["percentage"] - 0.5) < 1e-12  # 10/20, not 10/24
+
+
+def test_truncation_and_tiebreak(spark):
+    # counts: a,b tied at 6 ; c,d tied at 5 → order (count desc, value asc)
+    vals = ["b"] * 6 + ["a"] * 6 + ["d"] * 5 + ["c"] * 5
+    rows = _freq(spark, vals, min_cell_count=5, max_distinct_values=3)
+    assert [(r["value"], r["count"]) for r in rows] == [("a", 6), ("b", 6), ("c", 5)]
+    assert abs(sum(r["percentage"] for r in rows) - 1.0) < 1e-12
+
+
+def test_missing_and_empty_excluded(spark):
+    vals = ["a"] * 6 + ["", "", None, None]
+    rows = _freq(spark, vals)
+    assert {r["value"]: r["count"] for r in rows} == {"a": 6}
+
+
+def test_numeric_columns_included_dates_skipped(spark):
+    df = spark.createDataFrame(
+        [(1.0, "2023-01-01")] * 6,
+        "num double, d string",
+    ).selectExpr("num", "to_timestamp(d) AS d")
+    rows = value_frequencies(df, cfg=ScanConfig()).collect()
+    cols = {r["column_name"] for r in rows}
+    assert cols == {"num"}  # date col skipped (W:331), numeric included
+    assert rows[0]["value"] == "1.0"
+
+
+def test_rare_only_column_empty_table(spark):
+    rows = _freq(spark, ["a", "b", "c", "d"] * 1)
+    assert rows == []

@@ -1,0 +1,125 @@
+"""Type-inference parity tests.
+
+Vectors from the reference's own test suite
+(/root/reference/tests/testthat/test_robust_parse.R, T:5-38) plus every
+quirk branch from SURVEY.md §1.3 / FIXTURES.md B1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from whiterrabbit_spark.config import ScanConfig
+from whiterrabbit_spark.infer import infer_and_cast, infer_types
+
+CFG = ScanConfig()
+
+
+def _one_col(spark, values, name="v"):
+    return spark.createDataFrame([Row(**{name: v}) for v in values], f"{name} string")
+
+
+def test_numeric_clean_with_missing(spark):
+    # T:5-12 — ["1","2","3",NA,""] parses to double with NAs
+    df = _one_col(spark, ["1", "2", "3", None, ""])
+    typed, res = infer_and_cast(df, CFG)
+    assert res.decisions["v"] == "double"
+    vals = [r.v for r in typed.collect()]
+    assert vals[:3] == [1.0, 2.0, 3.0]
+    assert vals[3] is None and vals[4] is None  # "" folds to NULL post-cast
+
+
+def test_mostly_non_numeric_stays_string(spark):
+    # T:16-20 — ["a","b","1"] unchanged
+    df = _one_col(spark, ["a", "b", "1"])
+    res = infer_types(df, CFG)
+    assert res.decisions["v"] == "string"
+
+
+def test_iso_dates_become_timestamp(spark):
+    # T:24-30 — ISO dates → POSIXct (timestamp, UTC)
+    df = _one_col(spark, ["2023-01-01", "2023-06-15", "2023-12-31", "2024-02-29"])
+    typed, res = infer_and_cast(df, CFG)
+    assert res.decisions["v"] == "timestamp"
+    vals = sorted(r.v.strftime("%Y-%m-%d %H:%M:%S") for r in typed.collect())
+    assert vals[0] == "2023-01-01 00:00:00"
+
+
+def test_mixed_non_date_stays_string(spark):
+    # T:34-38 — ["notadate","2023-01-01"] (50% success < 0.8) unchanged
+    df = _one_col(spark, ["notadate", "2023-01-01"])
+    res = infer_types(df, CFG)
+    assert res.decisions["v"] == "string"
+
+
+def test_strict_numeric_revert(spark):
+    # W:154-159 — one bad value among many reverts the whole column
+    df = _one_col(spark, [str(i) for i in range(500)] + ["12x"])
+    res = infer_types(df, CFG)
+    assert res.decisions["v"] == "string"
+
+
+def test_numeric_wins_over_date(spark):
+    # W:275-279 — "20230101" compact dates type as double, never date
+    df = _one_col(spark, ["20230101", "20230215", "20231231"])
+    res = infer_types(df, CFG)
+    assert res.decisions["v"] == "double"
+
+
+def test_gappy_date_quirk(spark):
+    # W:199 — full-column success rate counts missing values in the
+    # denominator: 25% empty ⇒ can never type as date.
+    vals = ["2023-01-%02d" % (i % 28 + 1) if i % 4 else "" for i in range(400)]
+    df = _one_col(spark, vals)
+    res = infer_types(df, CFG)
+    assert res.decisions["v"] == "string"
+
+
+def test_gappy_date_under_20pct_ok(spark):
+    # 10% missing ⇒ 0.9 ≥ 0.8 ⇒ timestamp
+    vals = ["2023-01-%02d" % (i % 28 + 1) if i % 10 else "" for i in range(400)]
+    df = _one_col(spark, vals)
+    res = infer_types(df, CFG)
+    assert res.decisions["v"] == "timestamp"
+
+
+def test_us_datetime_format(spark):
+    df = _one_col(spark, ["03/15/2021 14:30:00", "12/01/2021 09:05:00"])
+    typed, res = infer_and_cast(df, CFG)
+    assert res.decisions["v"] == "timestamp"
+    got = {r.v.strftime("%Y-%m-%d %H:%M:%S") for r in typed.collect()}
+    assert got == {"2021-03-15 14:30:00", "2021-12-01 09:05:00"}
+
+
+def test_scientific_and_whitespace_numeric(spark):
+    df = _one_col(spark, ["1.5e3", " 42 ", "-7.25", "NaN"])
+    typed, res = infer_and_cast(df, CFG)
+    assert res.decisions["v"] == "double"
+    vals = [r.v for r in typed.collect()]
+    assert vals[0] == 1500.0 and vals[1] == 42.0 and vals[2] == -7.25
+
+
+def test_all_missing_column_unchanged(spark):
+    # W:143-145 / W:168-171 — no non-empty values ⇒ no-op
+    df = _one_col(spark, [None, "", None, ""])
+    res = infer_types(df, CFG)
+    assert res.decisions["v"] == "string"
+
+
+def test_below_gate_numeric(spark):
+    # 79% numeric < 0.8 gate ⇒ string (FIXTURES almost_num)
+    vals = [str(i) for i in range(79)] + ["x%d" % i for i in range(21)]
+    df = _one_col(spark, vals)
+    res = infer_types(df, CFG)
+    assert res.decisions["v"] == "string"
+
+
+def test_idempotent_on_typed(spark):
+    # applying inference to an already-parsed column is a no-op on values
+    df = _one_col(spark, ["1.5", "2.5", "3.5"])
+    typed, _ = infer_and_cast(df, CFG)
+    typed2, res2 = infer_and_cast(
+        typed.select(typed.v.cast("string").alias("v")), CFG
+    )
+    assert res2.decisions["v"] == "double"
+    assert sorted(r.v for r in typed2.collect()) == [1.5, 2.5, 3.5]

@@ -1,0 +1,103 @@
+"""Summary aggregation parity: stats vs DuckDB on the driver's testdata.
+
+DuckDB ``quantile_cont`` = R type-7 ``quantile`` = Spark exact
+``percentile`` (SURVEY §5), so the numeric stats are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+from whiterrabbit_spark.config import ScanConfig
+from whiterrabbit_spark.profile import all_empty_fields, profile_table
+
+CFG = ScanConfig()
+
+
+@pytest.fixture(scope="module")
+def lineitem_summary(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    summary, raw = profile_table(df, CFG, table_name="lineitem")
+    return {r["column_name"]: r.asDict() for r in summary.collect()}, raw
+
+
+def duck(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    return con.execute(sql).fetchone()
+
+
+def test_counts(lineitem_summary):
+    rows, _ = lineitem_summary
+    n, distinct = duck("SELECT count(*), count(DISTINCT l_orderkey) FROM lineitem")
+    r = rows["l_orderkey"]
+    assert r["total_count"] == n
+    assert r["distinct_count"] == distinct
+    assert r["missing_count"] == 0
+    assert r["non_missing_count"] == n
+
+
+def test_numeric_stats_match_duckdb(lineitem_summary):
+    rows, _ = lineitem_summary
+    exp = duck(
+        """SELECT min(l_quantity), max(l_quantity), avg(l_quantity),
+                  stddev_samp(l_quantity), quantile_cont(l_quantity, 0.5),
+                  quantile_cont(l_quantity, 0.25), quantile_cont(l_quantity, 0.75)
+           FROM lineitem"""
+    )
+    r = rows["l_quantity"]
+    got = (r["min_val"], r["max_val"], r["mean_val"], r["sd_val"],
+           r["median_val"], r["q1_val"], r["q3_val"])
+    for g, e in zip(got, exp):
+        assert abs(g - e) < 1e-9, (g, e)
+    assert abs(r["iqr_val"] - (exp[6] - exp[5])) < 1e-9
+
+
+def test_date_stats_match_duckdb(lineitem_summary):
+    rows, _ = lineitem_summary
+    earliest, latest = duck(
+        "SELECT strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'), "
+        "strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem"
+    )
+    r = rows["l_shipdate"]
+    assert r["earliest_val"] == earliest
+    assert r["latest_val"] == latest
+    assert r["median_date_val"] is not None
+    # numeric stat slots are NULL for date columns (reference W:355-376)
+    assert r["min_val"] is None and r["mean_val"] is None
+
+
+def test_string_columns_have_no_numeric_stats(lineitem_summary):
+    rows, _ = lineitem_summary
+    r = rows["l_returnflag"]
+    assert r["min_val"] is None and r["median_date_val"] is None
+    assert r["distinct_count"] == duck(
+        "SELECT count(DISTINCT l_returnflag) FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag <> ''"
+    )[0]
+
+
+def test_empty_vs_missing_and_all_empty(spark):
+    df = spark.createDataFrame(
+        [("", None, "x"), ("", None, ""), ("", None, None)],
+        "all_empty string, all_na string, mixed string",
+    )
+    summary, raw = profile_table(df, CFG, table_name="t")
+    rows = {r["column_name"]: r.asDict() for r in summary.collect()}
+    assert rows["all_empty"]["empty_count"] == 3
+    assert rows["all_empty"]["missing_count"] == 0
+    assert rows["all_na"]["missing_count"] == 3
+    assert rows["mixed"]["non_missing_count"] == 1
+    assert set(all_empty_fields(raw)) == {"all_empty", "all_na"}
+
+
+def test_stddev_n1_is_null(spark):
+    # W:370 — sd of a single value is NA; Spark stddev_samp → NULL
+    df = spark.createDataFrame([(1.0,)], "v double")
+    summary, _ = profile_table(df, CFG)
+    r = summary.collect()[0]
+    assert r["sd_val"] is None
+    assert r["min_val"] == 1.0

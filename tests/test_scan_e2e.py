@@ -1,0 +1,128 @@
+"""End-to-end folder scan over FIXTURES.md-style delimited inputs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from whiterrabbit_spark.config import ScanConfig
+from whiterrabbit_spark.report import write_tsv_report, write_xlsx_report
+from whiterrabbit_spark.scan import scan_file, scan_folder
+
+N = 400
+
+
+def _mixed_rows():
+    rng = random.Random(7)
+    rows = []
+    for i in range(N):
+        rows.append(
+            {
+                "id": str(i + 1),
+                "age": "" if i % 50 == 0 else ("NA" if i % 50 == 1 else str(18 + i % 70)),
+                "score": f"{rng.uniform(-10, 10):.3f}" if i % 100 else "1.5e3",
+                "almost_num": str(i) if i % 100 < 79 else f"x{i}",
+                "iso_date": f"2021-{i % 12 + 1:02d}-{i % 28 + 1:02d}",
+                "gappy_date": "" if i % 4 == 0 else f"2022-{i % 12 + 1:02d}-{i % 28 + 1:02d}",
+                "category": ["alpha", "beta", "gamma", "alpha", "alpha", "beta", "delta", "rare1"][i % 8] if i % 8 != 7 or i < 32 else "tail",
+                "all_empty": "",
+                "excluded_col": f"e{i}",
+            }
+        )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scanfix")
+    rows = _mixed_rows()
+    cols = list(rows[0].keys())
+    with open(d / "profile_mixed.tsv", "w") as fh:
+        fh.write("\t".join(cols) + "\n")
+        for r in rows:
+            fh.write("\t".join(r[c] for c in cols) + "\n")
+    with open(d / "tiny.tsv", "w") as fh:
+        fh.write("a\tb\n1\tx\n2\ty\n")
+    return str(d)
+
+
+def test_scan_folder_overview(spark, workdir):
+    cfg = ScanConfig(exclude_cols=("excluded_col",), max_rows=-1)
+    overview, results = scan_folder(spark, workdir, cfg)
+    ov = {r["file_name"]: r.asDict() for r in overview.collect()}
+    m = ov["profile_mixed.tsv"]
+    assert m["n_rows"] == N + 1           # header-inclusive quirk (W:222/W:439)
+    assert m["n_rows_checked"] == N
+    assert m["n_fields"] == 9             # excluded col still counted (W:293-304)
+    assert m["n_fields_empty"] == 1       # all_empty
+    assert ov["tiny.tsv"]["n_rows"] == 3
+    assert m["table"].startswith("File")
+
+
+def test_scan_types_and_summary(spark, workdir):
+    cfg = ScanConfig(exclude_cols=("excluded_col",), max_rows=-1)
+    res = scan_file(spark, f"{workdir}/profile_mixed.tsv", cfg)
+    t = res.inferred_types
+    assert t["id"] == "double"
+    assert t["age"] == "double"        # "" and literal NA fold to missing
+    assert t["score"] == "double"
+    assert t["almost_num"] == "string"  # 79% < 0.8 gate
+    assert t["iso_date"] == "timestamp"
+    assert t["gappy_date"] == "string"  # 25% empty ⇒ >20% missing quirk
+    assert t["category"] == "string"
+    summary = {r["column_name"]: r.asDict() for r in res.summary.collect()}
+    assert "excluded_col" not in summary  # X1 exclusion from emitted summary
+    assert summary["age"]["empty_count"] == 0     # folded into missing post-cast
+    assert summary["age"]["missing_count"] == 16  # 8 "" + 8 literal NA
+    assert summary["id"]["distinct_count"] == N
+    assert summary["iso_date"]["earliest_val"] is not None
+
+
+def test_scan_freq_present(spark, workdir):
+    cfg = ScanConfig(max_rows=-1)
+    res = scan_file(spark, f"{workdir}/profile_mixed.tsv", cfg)
+    freq = {(r["column_name"], r["value"]): r["count"] for r in res.frequencies.collect()}
+    assert any(k[0] == "category" for k in freq)
+    assert not any(k[0] == "iso_date" for k in freq)  # date cols skipped
+
+
+def test_sampling_caps_rows(spark, workdir):
+    cfg = ScanConfig(max_rows=100)
+    res = scan_file(spark, f"{workdir}/profile_mixed.tsv", cfg)
+    assert res.n_rows_checked == 100
+    assert res.total_rows == N + 1
+
+
+def test_report_sinks(spark, workdir, tmp_path):
+    cfg = ScanConfig(max_rows=-1)
+    overview, results = scan_folder(spark, workdir, cfg)
+    files = write_tsv_report(overview, results, str(tmp_path), "ScanReport")
+    names = {f.split("/")[-1] for f in files}
+    assert "ScanReport_Overview.tsv" in names
+    assert "ScanReport_File1_Summary.tsv" in names
+    assert "ScanReport_File1_Freq.tsv" in names
+    assert "ScanReport_File2_Freq.tsv" not in names  # tiny.tsv: all counts < 5
+    out = write_xlsx_report(overview, results, str(tmp_path), "ScanReport")
+    from whiterrabbit_spark.xlsx import read_sheet_names
+
+    names2 = read_sheet_names(out)
+    assert "Overview" in names2 and "File1" in names2
+    assert "File1freq" in names2 and "File2freq" not in names2
+
+
+def test_shift_dates_bounded(spark, workdir):
+    cfg = ScanConfig(max_rows=-1, shift_dates=True)
+    plain = scan_file(spark, f"{workdir}/profile_mixed.tsv", ScanConfig(max_rows=-1))
+    shifted = scan_file(spark, f"{workdir}/profile_mixed.tsv", cfg)
+    p = {r["column_name"]: r.asDict() for r in plain.summary.collect()}
+    s = {r["column_name"]: r.asDict() for r in shifted.summary.collect()}
+    import datetime as dt
+
+    fmt = "%Y-%m-%d %H:%M:%S"
+    for stat in ("earliest_val", "latest_val"):
+        delta = abs(
+            dt.datetime.strptime(p["iso_date"][stat], fmt)
+            - dt.datetime.strptime(s["iso_date"][stat], fmt)
+        )
+        assert delta <= dt.timedelta(days=5)

@@ -1,0 +1,72 @@
+"""C1 — CLI mirror of the reference (whiteRRabbit.R:29-91).
+
+Divergence (deliberate): the reference's ``--scan_field_values`` and
+``--random_sample`` are store_true flags defaulting to TRUE, so they can
+never be disabled (W:71-74, W:79-82). Here they are BooleanOptionalAction
+(``--no-scan-field-values`` works).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from whiterrabbit_spark.config import ScanConfig
+from whiterrabbit_spark.report import write_tsv_report, write_xlsx_report
+from whiterrabbit_spark.scan import scan_folder
+from whiterrabbit_spark.session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="whiterrabbit-spark",
+        description="PySpark-native scan-report profiler (whiteRRabbit-compatible surface)",
+    )
+    p.add_argument("-w", "--working-folder", required=True, help="Folder with input files")
+    p.add_argument("-d", "--delimiter", default="tab", choices=["tab", "comma"])
+    p.add_argument("-o", "--output-dir", default=".")
+    p.add_argument("-f", "--output-format", default="xlsx", choices=["xlsx", "tsv"])
+    p.add_argument("-m", "--max-rows", type=int, default=100_000, help="-1 for all")
+    p.add_argument("-x", "--max-distinct-values", type=int, default=1_000)
+    p.add_argument("-p", "--prefix", default="ScanReport")
+    p.add_argument("-c", "--cpus", type=int, default=None)
+    p.add_argument("-e", "--exclude-cols", default=None, help="comma-separated")
+    p.add_argument("-s", "--shift-dates", action="store_true", default=False)
+    p.add_argument("--scan-field-values", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--min-cell-count", type=int, default=5)
+    p.add_argument("--random-sample", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--approx", action="store_true", default=False,
+                   help="approximate distinct/percentiles for very large scans")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = ScanConfig(
+        delimiter=args.delimiter,
+        max_rows=args.max_rows,
+        max_distinct_values=args.max_distinct_values,
+        min_cell_count=args.min_cell_count,
+        exclude_cols=tuple((args.exclude_cols or "").split(",")) if args.exclude_cols else (),
+        shift_dates=args.shift_dates,
+        scan_field_values=args.scan_field_values,
+        random_sample=args.random_sample,
+        prefix=args.prefix,
+        output_format=args.output_format,
+        seed=args.seed,
+        approx=args.approx,
+    )
+    spark = get_spark(cpus=args.cpus)
+    overview, results = scan_folder(spark, args.working_folder, cfg)
+    if args.output_format == "xlsx":
+        out = write_xlsx_report(overview, results, args.output_dir, args.prefix)
+        print(f"Wrote Excel file: {out}")
+    else:
+        for f in write_tsv_report(overview, results, args.output_dir, args.prefix):
+            print(f"Wrote: {f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

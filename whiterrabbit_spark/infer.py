@@ -1,0 +1,236 @@
+"""Type inference: string columns → double / timestamp, as Spark aggregations.
+
+Re-expresses the reference's two parser gates (whiteRRabbit.R):
+
+* T1 ``robust_parse_numeric`` (W:139-161): sample ≤1000 non-empty values,
+  require ≥0.8 parse success, then parse the full column and REVERT if even
+  one new NA appears on a non-empty value (strict full pass).
+
+  The final outcome is provably equivalent to: **typed double iff the column
+  has ≥1 non-empty value and zero non-empty values fail the cast** —
+  if any non-empty value fails, either the 0.8 sample gate fails (→ string)
+  or the strict full pass reverts (→ string); if none fail, the sample rate
+  is 1.0 and the strict pass keeps the cast. We therefore evaluate the exact
+  rule with one full-column aggregate, and use the sampled gate only as a
+  scale optimization to skip hopeless columns early.
+
+* T2 ``robust_parse_date`` (W:164-204): same sampled gate, then a
+  full-column success-rate check — computed over ALL rows *including*
+  original NA/empty (W:199) — so a column with >20 % missing can never be
+  typed as date. Quirk preserved. lubridate's ``parse_date_time`` always
+  returns POSIXct, so every inferred date column is a TIMESTAMP (the
+  reference's Date branch at W:397 is unreachable).
+
+* Order quirk (W:275-279): numeric is attempted first — a ``"20230101"``
+  column types as double and never reaches the date parser.
+
+Divergences (documented, SURVEY §1.3): the reference samples unseeded →
+borderline columns type nondeterministically; we seed. R ``as.numeric``
+accepts hex literals ("0x10"); Spark's double cast does not (pathological,
+accepted gap).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from whiterrabbit_spark.config import ScanConfig
+
+# lubridate orders (whiteRRabbit.R:174-178), expanded to explicit Spark
+# datetime patterns. lubridate orders are separator-agnostic; we enumerate
+# '-', '/', '.' and (for Ymd) compact digit-only variants. Single-letter
+# pattern fields accept 1-2 digit months/days/hours like lubridate.
+# Order matters: first match wins, preserving the reference's preference
+# (e.g. mdY before dmy ⇒ "03/04/2021" = March 4).
+DATE_PATTERNS: tuple[str, ...] = (
+    # Ymd HMS
+    "y-M-d H:m:s", "y/M/d H:m:s", "y.M.d H:m:s", "yyyyMMddHHmmss",
+    # Ymd HM
+    "y-M-d H:m", "y/M/d H:m", "y.M.d H:m",
+    # Ymd
+    "y-M-d", "y/M/d", "y.M.d", "yyyyMMdd",
+    # YmdT (ISO 8601 'T' separator)
+    "y-M-d'T'H:m:s", "y/M/d'T'H:m:s",
+    # mdY HMS / HM / date-only
+    "M-d-y H:m:s", "M/d/y H:m:s",
+    "M-d-y H:m", "M/d/y H:m",
+    "M-d-y", "M/d/y",
+    # dmy HMS / HM / date-only
+    "d-M-y H:m:s", "d/M/y H:m:s",
+    "d-M-y H:m", "d/M/y H:m",
+    "d-M-y", "d/M/y",
+)
+
+
+def nonempty(c: Column) -> Column:
+    """Non-missing AND non-empty-string (reference W:143, W:168)."""
+    return c.isNotNull() & (c != "")
+
+
+def numeric_cast_expr(c: Column) -> Column:
+    """NULL-on-failure double parse (R as.numeric analog, W:149/W:154)."""
+    return F.trim(c).try_cast("double")
+
+
+def date_parse_expr(c: Column) -> Column:
+    """First-match-wins timestamp parse across the lubridate order list."""
+    trimmed = F.trim(c)
+    return F.coalesce(*[F.try_to_timestamp(trimmed, F.lit(p)) for p in DATE_PATTERNS])
+
+
+@dataclass
+class InferenceResult:
+    """Decision per column: 'string' | 'double' | 'timestamp'."""
+
+    decisions: dict[str, str]
+
+    def typed_columns(self, kind: str) -> list[str]:
+        return [c for c, k in self.decisions.items() if k == kind]
+
+
+def _chunk(seq: list, size: int) -> list[list]:
+    return [seq[i : i + size] for i in range(0, len(seq), size)]
+
+
+def _sample_gate(df: DataFrame, cols: list[str], cfg: ScanConfig) -> dict[str, dict]:
+    """Phase A: sampled success rates to shortlist candidate columns.
+
+    Reference W:146-151 / W:170-189 samples ≤1000 non-empty values per
+    column. We take one bounded head slice shared by all columns (one cheap
+    job instead of k, no full scan just to size a random fraction) and
+    compute per-column rates among its non-empty values. The gate is only a
+    shortlist: Phase B re-evaluates the exact rule on the full column, so
+    the head bias can only skip a column whose head is unrepresentative —
+    analogous to the reference's own nondeterministic borderline gate
+    (unseeded sample, W:148/W:173), but deterministic here.
+    """
+    # Oversample so mostly-empty columns still see enough non-empty values.
+    sample_df = df.select(cols).limit(cfg.inference_sample_size * 4)
+
+    out: dict[str, dict] = {}
+    for chunk in _chunk(cols, max(cfg.max_agg_exprs_per_job // 3, 1)):
+        exprs = []
+        for c in chunk:
+            col = F.col(c)
+            exprs.append(F.count(F.when(nonempty(col), 1)).alias(f"{c}__ne"))
+            exprs.append(
+                F.count(
+                    F.when(nonempty(col) & numeric_cast_expr(col).isNotNull(), 1)
+                ).alias(f"{c}__num_ok")
+            )
+            exprs.append(
+                F.count(
+                    F.when(nonempty(col) & date_parse_expr(col).isNotNull(), 1)
+                ).alias(f"{c}__date_ok")
+            )
+        row = sample_df.agg(*exprs).collect()[0].asDict()
+        for c in chunk:
+            out[c] = {
+                "ne": row[f"{c}__ne"],
+                "num_ok": row[f"{c}__num_ok"],
+                "date_ok": row[f"{c}__date_ok"],
+            }
+    return out
+
+
+def infer_types(df: DataFrame, cfg: ScanConfig | None = None) -> InferenceResult:
+    """Decide 'double' / 'timestamp' / 'string' for every string column.
+
+    Two-phase: a seeded sample gate shortlists candidates (scale
+    optimization, reference's sample gate W:146-151/W:170-189), then ONE
+    full-column aggregation job evaluates the exact rules:
+
+    * double  iff non-empty values exist and none fail ``try_cast(double)``
+      (equivalent to the reference's gate+strict-revert, see module doc)
+    * else timestamp iff parse-success over ALL rows (missing counted as
+      failures, quirk W:199) ≥ ``success_threshold``
+    """
+    cfg = cfg or ScanConfig()
+    string_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    decisions: dict[str, str] = {c: "string" for c in string_cols}
+    if not string_cols:
+        return InferenceResult(decisions)
+
+    gate = _sample_gate(df, string_cols, cfg)
+    thr = cfg.success_threshold
+    num_candidates = [
+        c for c in string_cols
+        if gate[c]["ne"] > 0 and gate[c]["num_ok"] / gate[c]["ne"] >= thr
+    ]
+    date_candidates = [
+        c for c in string_cols
+        if gate[c]["ne"] > 0 and gate[c]["date_ok"] / gate[c]["ne"] >= thr
+    ]
+    if not num_candidates and not date_candidates:
+        return InferenceResult(decisions)
+
+    # Phase B: one full-column pass for all surviving candidates.
+    full: dict[str, dict] = {}
+    probe_cols = sorted(set(num_candidates) | set(date_candidates))
+    for chunk in _chunk(probe_cols, max(cfg.max_agg_exprs_per_job // 3, 1)):
+        exprs = [F.count(F.lit(1)).alias("__total")]
+        for c in chunk:
+            col = F.col(c)
+            if c in num_candidates:
+                exprs.append(
+                    F.count(
+                        F.when(nonempty(col) & numeric_cast_expr(col).isNull(), 1)
+                    ).alias(f"{c}__num_fail")
+                )
+                exprs.append(F.count(F.when(nonempty(col), 1)).alias(f"{c}__ne"))
+            if c in date_candidates:
+                exprs.append(
+                    F.count(F.when(date_parse_expr(col).isNotNull(), 1)).alias(
+                        f"{c}__date_ok"
+                    )
+                )
+        row = df.select(chunk).agg(*exprs).collect()[0].asDict()
+        total = row["__total"]
+        for c in chunk:
+            d = full.setdefault(c, {"total": total})
+            d["num_fail"] = row.get(f"{c}__num_fail")
+            d["ne"] = row.get(f"{c}__ne")
+            d["date_ok"] = row.get(f"{c}__date_ok")
+
+    for c in string_cols:
+        f_ = full.get(c)
+        if f_ is None or f_["total"] == 0:
+            continue
+        # numeric first (order quirk W:275-279)
+        if (
+            c in num_candidates
+            and (f_["ne"] or 0) > 0
+            and f_["num_fail"] == 0
+        ):
+            decisions[c] = "double"
+            continue
+        if c in date_candidates and (f_["date_ok"] or 0) / f_["total"] >= thr:
+            decisions[c] = "timestamp"
+    return InferenceResult(decisions)
+
+
+def apply_types(df: DataFrame, result: InferenceResult) -> DataFrame:
+    """Cast decided columns in one projection (single scan downstream).
+
+    In a typed column, original "" values fold into NULL during the cast —
+    matching the reference, where as.numeric("") → NA and EmptyCount becomes
+    0 for typed columns (W:315-319).
+    """
+    cols = []
+    for f in df.schema.fields:
+        kind = result.decisions.get(f.name)
+        if kind == "double":
+            cols.append(numeric_cast_expr(F.col(f.name)).alias(f.name))
+        elif kind == "timestamp":
+            cols.append(date_parse_expr(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def infer_and_cast(df: DataFrame, cfg: ScanConfig | None = None) -> tuple[DataFrame, InferenceResult]:
+    res = infer_types(df, cfg)
+    return apply_types(df, res), res

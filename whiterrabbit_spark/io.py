@@ -1,0 +1,94 @@
+"""Source layer: folder discovery and all-string delimited reads.
+
+Reference semantics (whiteRRabbit.R):
+
+* S1 folder discovery (W:109-122): every ``*.tsv`` (delimiter=tab) or
+  ``*.csv`` (delimiter=comma) file directly in the working folder is one
+  table; no recursion; error when nothing matches.
+* S2 fast row count (W:207-216): ``wc -l`` — line count INCLUDING the header.
+  Spark analog: ``spark.read.text(path).count()`` — Catalyst optimizes a
+  count over a text scan to a parse-free row count.
+* S3 all-string scan (W:236 etc.): ``fread(..., colClasses="character")``.
+  Spark analog: explicit all-StringType schema (never inferSchema — Spark's
+  built-in inference has a different type lattice than the reference's
+  string/double/timestamp one, SURVEY §1.3).
+
+data.table::fread treats the literal string ``NA`` as missing by default
+(na.strings="NA"); we mirror that with ``nullValue="NA"`` so literal NA
+arrives as NULL, distinct from the empty string "".
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class NoInputFilesError(ValueError):
+    """No files matching the delimiter pattern (reference W:120-122)."""
+
+
+def discover_tables(working_folder: str, delimiter: str = "tab") -> list[tuple[str, str]]:
+    """Return [(table_name, path)] for each delimited file in the folder.
+
+    Reference W:109-122: non-recursive listing, ``\\.tsv$`` for tab /
+    ``\\.csv$`` for comma, error if empty. Table name = file basename
+    without extension (per-file identity is preserved: each file is profiled
+    as its own table, W:450-464).
+    """
+    if not os.path.isdir(working_folder):
+        raise ValueError(f"Working folder does not exist: {working_folder}")
+    ext = "tsv" if delimiter.lower() == "tab" else "csv"
+    paths = sorted(glob.glob(os.path.join(working_folder, f"*.{ext}")))
+    if not paths:
+        raise NoInputFilesError(
+            f"No input files found in {working_folder} matching *.{ext}"
+        )
+    return [(os.path.splitext(os.path.basename(p))[0], p) for p in paths]
+
+
+def count_lines(spark: SparkSession, path: str) -> int:
+    """Total line count including the header (reference W:207-216 ``wc -l``).
+
+    A count over ``spark.read.text`` never tokenizes fields — the analog of
+    the reference's no-parse ``wc -l`` shell-out.
+    """
+    return spark.read.text(path).count()
+
+
+def read_header(path: str, sep: str) -> list[str]:
+    """Read just the header line driver-side (one line of IO)."""
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        header = fh.readline().rstrip("\r\n")
+    return header.split(sep)
+
+
+def read_all_string(
+    spark: SparkSession, path: str, sep: str, null_value: str = "NA"
+) -> DataFrame:
+    """Delimited scan with every column forced to string (reference W:236).
+
+    The schema is built from the header so Spark never runs its own
+    inference pass; quote/escape pinned to ``"`` (fread-compatible for the
+    fixture corpus).
+    """
+    cols = read_header(path, sep)
+    schema = T.StructType([T.StructField(c, T.StringType(), True) for c in cols])
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("sep", sep)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", null_value)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Typed parquet read for the driver's testdata tables (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

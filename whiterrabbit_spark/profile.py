@@ -1,0 +1,215 @@
+"""Column profiling: the single-pass summary aggregation.
+
+Computes the reference's per-column statistics (whiteRRabbit.R:309-423):
+counts A1-A5 (W:313-327), numeric stats N1-N5 (W:354-376), date stats D1-D2
+(W:378-399), all-empty detection A6 (W:294-303) — for ALL columns of a table
+in ONE ``df.agg(...)`` pass (the reference iterates column-at-a-time over an
+in-memory table; at 100 TB we must not scan once per column — SURVEY §3.2).
+
+Semantics preserved:
+* strings distinguish NULL (missing) from "" (empty); typed columns fold ""
+  into missing during the cast, so EmptyCount=0 for typed columns
+  (W:313-326).
+* DistinctCount is exact over non-missing (and, for strings, non-empty)
+  values (W:327). ``cfg.approx`` switches to approx_count_distinct /
+  percentile_approx for 100 TB runs — exact is the correctness default.
+* Median/Q1/Q3 use exact linear-interpolation percentiles — Spark
+  ``percentile`` matches R type-7 ``quantile`` and DuckDB ``quantile_cont``
+  (W:368-374).
+* Median date: percentile over the epoch-seconds value, recast to timestamp
+  (W:387-398); fractional-second interpolation kept, then stringified.
+* Date stats stringified so the summary frame holds them in string columns
+  (W:418-420); format fixed to 'yyyy-MM-dd HH:mm:ss' (divergence: R
+  ``as.character`` drops a midnight time component; we always emit the full
+  timestamp — documented, goldens pin ours).
+
+Very wide tables: expressions are chunked into multiple agg jobs above
+``cfg.max_agg_exprs_per_job`` (SURVEY §4 — the only hand-rolled
+"optimizer" decision this engine needs).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from whiterrabbit_spark.config import ScanConfig
+from whiterrabbit_spark.infer import nonempty
+
+SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("data_type", T.StringType(), False),
+        T.StructField("total_count", T.LongType(), False),
+        T.StructField("non_missing_count", T.LongType(), False),
+        T.StructField("missing_count", T.LongType(), False),
+        T.StructField("empty_count", T.LongType(), False),
+        T.StructField("distinct_count", T.LongType(), False),
+        T.StructField("min_val", T.DoubleType(), True),
+        T.StructField("max_val", T.DoubleType(), True),
+        T.StructField("median_val", T.DoubleType(), True),
+        T.StructField("mean_val", T.DoubleType(), True),
+        T.StructField("sd_val", T.DoubleType(), True),
+        T.StructField("q1_val", T.DoubleType(), True),
+        T.StructField("q3_val", T.DoubleType(), True),
+        T.StructField("iqr_val", T.DoubleType(), True),
+        T.StructField("earliest_val", T.StringType(), True),
+        T.StructField("latest_val", T.StringType(), True),
+        T.StructField("median_date_val", T.StringType(), True),
+    ]
+)
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+# TimestampNTZType: Spark 4 reads parquet TIMESTAMP (isAdjustedToUTC=false)
+# as NTZ; in a UTC session it denotes the same instant.
+_DATE_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, _NUMERIC_TYPES)
+
+
+def _is_date(dt: T.DataType) -> bool:
+    return isinstance(dt, _DATE_TYPES)
+
+
+def _chunk(seq: list, size: int) -> list[list]:
+    return [seq[i : i + size] for i in range(0, len(seq), size)]
+
+
+def _column_exprs(name: str, dt: T.DataType, cfg: ScanConfig) -> list:
+    """Aggregate expressions for one column, aliased ``{name}__{stat}``."""
+    c = F.col(name)
+    a = lambda e, s: e.alias(f"{name}__{s}")  # noqa: E731
+    exprs = [a(F.count(F.when(c.isNull(), 1)), "missing")]
+
+    if isinstance(dt, T.StringType):
+        cond = nonempty(c)
+        exprs.append(a(F.count(F.when(c == "", 1)), "empty"))
+        exprs.append(a(F.count(F.when(cond, 1)), "non_missing"))
+        distinct_in = F.when(cond, c)
+    else:
+        exprs.append(a(F.count(c), "non_missing"))
+        distinct_in = c
+
+    if cfg.approx:
+        exprs.append(a(F.approx_count_distinct(distinct_in, cfg.approx_distinct_rsd), "distinct"))
+    else:
+        exprs.append(a(F.count_distinct(distinct_in), "distinct"))
+
+    if _is_numeric(dt):
+        d = c.cast("double")
+        exprs += [
+            a(F.min(d), "min"), a(F.max(d), "max"),
+            a(F.avg(d), "mean"), a(F.stddev_samp(d), "sd"),
+        ]
+        if cfg.approx:
+            acc = cfg.approx_percentile_accuracy
+            exprs.append(a(F.percentile_approx(d, [0.25, 0.5, 0.75], acc), "quartiles"))
+        else:
+            exprs.append(a(F.percentile(d, F.lit([0.25, 0.5, 0.75])), "quartiles"))
+    elif _is_date(dt):
+        ts = c.cast("timestamp")
+        epoch = ts.cast("double")  # epoch seconds with fraction
+        exprs += [a(F.min(ts), "earliest"), a(F.max(ts), "latest")]
+        if cfg.approx:
+            exprs.append(a(F.percentile_approx(epoch, 0.5, cfg.approx_percentile_accuracy), "median_epoch"))
+        else:
+            exprs.append(a(F.percentile(epoch, 0.5), "median_epoch"))
+    return exprs
+
+
+def _fmt_ts(spark: SparkSession, epoch_or_ts: Any) -> str | None:
+    """Driver-side timestamp → 'yyyy-MM-dd HH:mm:ss' (UTC session tz)."""
+    if epoch_or_ts is None:
+        return None
+    return epoch_or_ts.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def profile_table(
+    df: DataFrame,
+    cfg: ScanConfig | None = None,
+    table_name: str = "table",
+) -> tuple[DataFrame, dict[str, dict]]:
+    """One-pass profile of every column.
+
+    Returns ``(summary_df, per_column_raw)`` where ``summary_df`` follows
+    ``SUMMARY_SCHEMA`` (one row per column, reference's 18-column frame
+    W:402-422 in snake_case with a leading table_name) and
+    ``per_column_raw`` keeps the un-stringified aggregates (used by the
+    overview's all-empty-field detection, W:294-303, which must run over
+    ALL columns including excluded ones — exclusion is applied by the
+    caller when emitting, not here).
+    """
+    cfg = cfg or ScanConfig()
+    spark = df.sparkSession
+    fields = list(df.schema.fields)
+    total_alias = "__total"
+
+    raw: dict[str, dict] = {}
+    per_chunk = max(cfg.max_agg_exprs_per_job // 9, 1)
+    for chunk in _chunk(fields, per_chunk):
+        exprs = [F.count(F.lit(1)).alias(total_alias)]
+        for f in chunk:
+            exprs += _column_exprs(f.name, f.dataType, cfg)
+        row = df.agg(*exprs).collect()[0].asDict()
+        total = row[total_alias]
+        for f in chunk:
+            g = lambda s: row.get(f"{f.name}__{s}")  # noqa: E731
+            raw[f.name] = {
+                "dtype": f.dataType.simpleString(),
+                "total": total,
+                "missing": g("missing"),
+                "empty": g("empty") or 0,
+                "non_missing": g("non_missing"),
+                "distinct": g("distinct"),
+                "min": g("min"), "max": g("max"),
+                "mean": g("mean"), "sd": g("sd"),
+                "quartiles": g("quartiles"),
+                "earliest": g("earliest"), "latest": g("latest"),
+                "median_epoch": g("median_epoch"),
+            }
+
+    rows = []
+    for f in fields:
+        r = raw[f.name]
+        q = r["quartiles"]
+        q1, med, q3 = (q if q is not None else (None, None, None))
+        med_date = None
+        if r["median_epoch"] is not None:
+            # W:387-398: median of epoch seconds recast to timestamp;
+            # stringify driver-side (truncate fractional seconds).
+            import datetime as _dt
+
+            med_date = _dt.datetime.fromtimestamp(
+                r["median_epoch"], tz=_dt.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S")
+        rows.append(
+            (
+                table_name, f.name, r["dtype"],
+                r["total"], r["non_missing"], r["missing"], r["empty"],
+                r["distinct"],
+                r["min"], r["max"], med, r["mean"], r["sd"],
+                q1, q3,
+                (q3 - q1) if (q1 is not None and q3 is not None) else None,
+                _fmt_ts(spark, r["earliest"]), _fmt_ts(spark, r["latest"]),
+                med_date,
+            )
+        )
+    summary = spark.createDataFrame(rows, SUMMARY_SCHEMA)
+    return summary, raw
+
+
+def all_empty_fields(raw: dict[str, dict]) -> list[str]:
+    """Columns where every value is missing or empty (W:294-303)."""
+    return [
+        c for c, r in raw.items()
+        if (r["missing"] + (r["empty"] or 0)) == r["total"]
+    ]

@@ -1,0 +1,82 @@
+"""K1/K2 — report sinks (whiteRRabbit.R:483-534).
+
+Result frames are KB-scale (per-column rows), so sinks collect to the
+driver and write with pandas/openpyxl — the distributed work already
+happened in the scan jobs.
+
+Sheet/file naming parity:
+* xlsx: ``Overview`` sheet, one ``File{i}`` sheet per input, plus
+  ``File{i}freq`` when the frequency frame is non-empty (W:494-511); bold
+  header + frozen first row.
+* tsv: ``<prefix>_Overview.tsv``, ``<prefix>_File{i}_Summary.tsv``,
+  ``<prefix>_File{i}_Freq.tsv`` (W:515-531; the doc claims filename-based
+  names, the code uses File{i} — code wins).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+from whiterrabbit_spark.overview import FileScanResult
+
+
+def _to_pandas(df: DataFrame):
+    return df.toPandas()
+
+
+def write_tsv_report(
+    overview: DataFrame,
+    results: list[FileScanResult],
+    output_dir: str,
+    prefix: str = "ScanReport",
+) -> list[str]:
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+    p = os.path.join(output_dir, f"{prefix}_Overview.tsv")
+    _to_pandas(overview).to_csv(p, sep="\t", index=False)
+    written.append(p)
+    for i, r in enumerate(results):
+        tab = f"File{i + 1}"
+        p = os.path.join(output_dir, f"{prefix}_{tab}_Summary.tsv")
+        _to_pandas(r.summary).to_csv(p, sep="\t", index=False)
+        written.append(p)
+        if r.frequencies is not None:
+            freq_pd = _to_pandas(r.frequencies)
+            if len(freq_pd) > 0:
+                p = os.path.join(output_dir, f"{prefix}_{tab}_Freq.tsv")
+                freq_pd.to_csv(p, sep="\t", index=False)
+                written.append(p)
+    return written
+
+
+def _sheet_data(df: DataFrame) -> tuple[list[str], list[tuple]]:
+    header = list(df.columns)
+    rows = [tuple(r) for r in df.collect()]
+    return header, rows
+
+
+def write_xlsx_report(
+    overview: DataFrame,
+    results: list[FileScanResult],
+    output_dir: str,
+    prefix: str = "ScanReport",
+) -> str:
+    from whiterrabbit_spark.xlsx import write_xlsx
+
+    os.makedirs(output_dir, exist_ok=True)
+    sheets: list[tuple[str, list[str], list[tuple]]] = []
+    header, rows = _sheet_data(overview)
+    sheets.append(("Overview", header, rows))
+    for i, r in enumerate(results):
+        tab = f"File{i + 1}"
+        header, rows = _sheet_data(r.summary)
+        sheets.append((tab, header, rows))
+        if r.frequencies is not None:
+            fh, fr = _sheet_data(r.frequencies)
+            if fr:
+                sheets.append((f"{tab}freq", fh, fr))
+    out = os.path.join(output_dir, f"{prefix}.xlsx")
+    write_xlsx(out, sheets)
+    return out

@@ -1,0 +1,109 @@
+"""Scan orchestration — the reference's main pipeline, Spark-first.
+
+Per file (reference scan_file, whiteRRabbit.R:218-446):
+  1. parse-free line count (io.count_lines ≈ ``wc -l``, W:221-223)
+  2. all-string read (+ seeded exact-N sample when over max_rows, W:225-272)
+  3. type inference numeric→date (W:274-280)
+  4. optional ±5 day date shift (W:282-291)
+  5. ONE wide aggregation for all per-column stats incl. the pre-exclusion
+     all-empty-field scan (W:293-303, W:309-423)
+  6. one melted frequency job (W:329-352)
+
+Across files the reference loops sequentially (W:450-464) — its biggest
+scaling flaw. Here each file's jobs are submitted from a thread pool so
+independent file scans overlap on the cluster.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import SparkSession
+
+from whiterrabbit_spark import io as wio
+from whiterrabbit_spark.config import ScanConfig
+from whiterrabbit_spark.frequency import value_frequencies
+from whiterrabbit_spark.infer import infer_and_cast
+from whiterrabbit_spark.overview import FileScanResult, build_overview
+from whiterrabbit_spark.profile import all_empty_fields, profile_table
+from whiterrabbit_spark.sampling import exact_random_sample
+from whiterrabbit_spark.shift import shift_dates
+
+
+def scan_file(
+    spark: SparkSession, path: str, cfg: ScanConfig | None = None
+) -> FileScanResult:
+    cfg = cfg or ScanConfig()
+    total_lines = wio.count_lines(spark, path)
+    data_rows = total_lines - 1
+
+    df = wio.read_all_string(spark, path, cfg.sep)
+
+    if cfg.max_rows > 0 and cfg.random_sample and data_rows > cfg.max_rows:
+        df = exact_random_sample(df, cfg.max_rows, total_rows=data_rows, cfg=cfg)
+        # cache: the sampled frame feeds inference + profile + frequency;
+        # re-sampling per job would both re-read and re-randomize.
+        df = df.cache()
+        n_rows_checked = df.count()
+    else:
+        n_rows_checked = data_rows
+
+    typed, inference = infer_and_cast(df, cfg)
+    if cfg.shift_dates:
+        typed = shift_dates(typed, cfg)
+
+    summary_all, raw = profile_table(typed, cfg, table_name=os.path.basename(path))
+    n_fields = len(typed.columns)
+    n_fields_empty = len(all_empty_fields(raw))
+
+    # X1 exclusion: applied to emitted summaries only — AFTER the all-empty
+    # scan and field counts (quirk, W:293-304).
+    summary = summary_all
+    if cfg.excluded:
+        keep = [c for c in typed.columns if c not in cfg.excluded]
+        summary = summary_all.where(summary_all.column_name.isin(keep))
+        freq_source = typed.select(*keep)
+    else:
+        freq_source = typed
+
+    freq = (
+        value_frequencies(freq_source, cfg=cfg)
+        if cfg.scan_field_values
+        else None
+    )
+
+    return FileScanResult(
+        file_path=path,
+        file_name=os.path.basename(path),
+        total_rows=total_lines,
+        n_rows_checked=n_rows_checked,
+        n_fields=n_fields,
+        n_fields_empty=n_fields_empty,
+        summary=summary,
+        frequencies=freq,
+        inferred_types=inference.decisions,
+    )
+
+
+def scan_folder(
+    spark: SparkSession,
+    working_folder: str,
+    cfg: ScanConfig | None = None,
+    max_parallel_files: int = 4,
+):
+    """Profile every delimited file in a folder.
+
+    Returns ``(overview_df, [FileScanResult])`` ordered by file name (the
+    reference's list.files order, W:119).
+    """
+    cfg = cfg or ScanConfig()
+    tables = wio.discover_tables(working_folder, cfg.delimiter)
+    if max_parallel_files > 1 and len(tables) > 1:
+        with ThreadPoolExecutor(max_workers=max_parallel_files) as pool:
+            results = list(
+                pool.map(lambda t: scan_file(spark, t[1], cfg), tables)
+            )
+    else:
+        results = [scan_file(spark, path, cfg) for _, path in tables]
+    return build_overview(spark, results), results
