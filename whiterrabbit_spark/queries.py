@@ -1,0 +1,578 @@
+"""Query registry: every implemented operator as (Spark callable, DuckDB
+oracle SQL) pairs for the driver contract (__spark_entry__.py).
+
+Column names and rounding are kept identical on both sides — the driver's
+compare sorts columns by name and value-hashes, so every computed column is
+aliased the same in the Spark plan and the SQL text. Double-valued stats are
+rounded to 6 dp on both sides to absorb engine-order float noise.
+
+Reference-surface queries cite whiteRRabbit.R; extension queries implement
+SURVEY §7 / BASELINE.json north-star operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whiterrabbit_spark.config import ScanConfig
+from whiterrabbit_spark.extensions import dedup as X
+from whiterrabbit_spark.extensions import similarity as sim
+from whiterrabbit_spark.extensions import textstats as ts
+from whiterrabbit_spark.frequency import value_frequencies
+from whiterrabbit_spark.infer import infer_types
+from whiterrabbit_spark.io import read_parquet_table
+from whiterrabbit_spark.profile import profile_table
+
+CFG = ScanConfig(max_rows=-1)
+R = 6  # rounding digits for double stats
+
+# Testdata schemas (TESTDATA.md / FIXTURES.md §A) — used to enumerate
+# per-column oracle SQL and the overview field counts.
+TABLE_COLUMNS: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "lineitem": [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    ],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+NUMERIC_COLS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+    "part": ["p_partkey", "p_size", "p_retailprice"],
+    "supplier": ["s_suppkey", "s_nationkey", "s_acctbal"],
+    "events": ["event_id", "user_id", "value"],
+}
+
+STRING_COLS: dict[str, list[str]] = {
+    "customer": ["c_name", "c_mktsegment"],
+    "documents": ["text", "lang", "source"],
+}
+
+DATE_COLS: dict[str, str] = {
+    "lineitem": "l_shipdate",
+    "orders": "o_orderdate",
+    "events": "ts",
+}
+
+FREQ_TARGETS: list[tuple[str, str]] = [
+    ("customer", "c_mktsegment"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+    ("events", "event_type"),
+    ("part", "p_brand"),
+]
+
+
+# --------------------------------------------------------------------------
+# Reference-surface queries (SURVEY §2)
+# --------------------------------------------------------------------------
+
+def _summary_stats(table: str) -> Callable:
+    cols = NUMERIC_COLS[table]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_parquet_table(spark, sf_dir, table).select(*cols)
+        summary, _ = profile_table(df, CFG, table_name=table)
+        return summary.select(
+            "column_name",
+            "total_count", "non_missing_count", "missing_count", "distinct_count",
+            F.round("min_val", R).alias("min_val"),
+            F.round("max_val", R).alias("max_val"),
+            F.round("mean_val", R).alias("mean_val"),
+            F.round("sd_val", R).alias("sd_val"),
+            F.round("median_val", R).alias("median_val"),
+            F.round("q1_val", R).alias("q1_val"),
+            F.round("q3_val", R).alias("q3_val"),
+            F.round("iqr_val", R).alias("iqr_val"),
+        )
+
+    return run
+
+
+def _summary_stats_sql(table: str) -> str:
+    parts = []
+    for c in NUMERIC_COLS[table]:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       count(*) AS total_count,
+       count({c}) AS non_missing_count,
+       count(*) - count({c}) AS missing_count,
+       count(DISTINCT {c}) AS distinct_count,
+       round(min({c})::DOUBLE, {R}) AS min_val,
+       round(max({c})::DOUBLE, {R}) AS max_val,
+       round(avg({c}::DOUBLE), {R}) AS mean_val,
+       round(stddev_samp({c}::DOUBLE), {R}) AS sd_val,
+       round(quantile_cont({c}::DOUBLE, 0.5), {R}) AS median_val,
+       round(quantile_cont({c}::DOUBLE, 0.25), {R}) AS q1_val,
+       round(quantile_cont({c}::DOUBLE, 0.75), {R}) AS q3_val,
+       round(quantile_cont({c}::DOUBLE, 0.75) - quantile_cont({c}::DOUBLE, 0.25), {R}) AS iqr_val
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _counts(table: str) -> Callable:
+    cols = STRING_COLS[table]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_parquet_table(spark, sf_dir, table).select(*cols)
+        summary, _ = profile_table(df, CFG, table_name=table)
+        return summary.select(
+            "column_name", "total_count", "non_missing_count",
+            "missing_count", "empty_count", "distinct_count",
+        )
+
+    return run
+
+
+def _counts_sql(table: str) -> str:
+    parts = []
+    for c in STRING_COLS[table]:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       count(*) AS total_count,
+       count(CASE WHEN {c} IS NOT NULL AND {c} <> '' THEN 1 END) AS non_missing_count,
+       count(*) - count({c}) AS missing_count,
+       count(CASE WHEN {c} = '' THEN 1 END) AS empty_count,
+       count(DISTINCT CASE WHEN {c} <> '' THEN {c} END) AS distinct_count
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def _freq(table: str, column: str) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_parquet_table(spark, sf_dir, table).select(column)
+        out = value_frequencies(df, cfg=CFG)
+        return out.select(
+            "column_name", "value", "count",
+            F.round("percentage", R).alias("percentage"),
+        )
+
+    return run
+
+
+def _freq_sql(table: str, column: str) -> str:
+    return f"""
+WITH f AS (
+  SELECT {column}::VARCHAR AS value, count(*) AS cnt
+  FROM {table}
+  WHERE {column} IS NOT NULL AND {column}::VARCHAR <> ''
+  GROUP BY 1
+  HAVING count(*) >= {CFG.min_cell_count}
+), t AS (
+  SELECT value, cnt,
+         row_number() OVER (ORDER BY cnt DESC, value ASC) AS rn
+  FROM f
+), kept AS (
+  SELECT value, cnt FROM t WHERE rn <= {CFG.max_distinct_values}
+)
+SELECT '{column}' AS column_name, value, cnt AS count,
+       round(cnt / sum(cnt) OVER (), {R}) AS percentage
+FROM kept"""
+
+
+def _date_stats(table: str) -> Callable:
+    column = DATE_COLS[table]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_parquet_table(spark, sf_dir, table)
+        tsc = F.col(column).cast("timestamp")
+        return df.agg(
+            F.count(tsc).alias("n_dates"),
+            F.date_format(F.min(tsc), "yyyy-MM-dd HH:mm:ss").alias("earliest_val"),
+            F.date_format(F.max(tsc), "yyyy-MM-dd HH:mm:ss").alias("latest_val"),
+            F.round(F.percentile(tsc.cast("double"), F.lit(0.5)), R).alias("median_epoch"),
+        ).select(F.lit(column).alias("column_name"), "*")
+
+    return run
+
+
+def _date_stats_sql(table: str) -> str:
+    c = DATE_COLS[table]
+    return f"""
+SELECT '{c}' AS column_name,
+       count({c}) AS n_dates,
+       strftime(min({c}), '%Y-%m-%d %H:%M:%S') AS earliest_val,
+       strftime(max({c}), '%Y-%m-%d %H:%M:%S') AS latest_val,
+       round(quantile_cont(epoch({c}), 0.5), {R}) AS median_epoch
+FROM {table}"""
+
+
+def _overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for t in sorted(TABLE_COLUMNS):
+        df = read_parquet_table(spark, sf_dir, t)
+        rows.append((t, df.count(), len(df.columns)))
+    return spark.createDataFrame(
+        rows, "table_name string, n_rows long, n_fields long"
+    )
+
+
+def _overview_sql() -> str:
+    parts = [
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows, {len(cols)} AS n_fields FROM {t}"
+        for t, cols in sorted(TABLE_COLUMNS.items())
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _infer(table: str) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = read_parquet_table(spark, sf_dir, table)
+        stringified = df.select(
+            *[F.col(c).cast("string").alias(c) for c in df.columns]
+        )
+        res = infer_types(stringified, CFG)
+        return spark.createDataFrame(
+            sorted(res.decisions.items()),
+            "column_name string, inferred_type string",
+        )
+
+    return run
+
+
+# Oracle date chain: the stringified testdata only ever produces
+# 'yyyy-MM-dd HH:mm:ss' timestamps, so two formats decide identically to
+# the full Spark pattern list on these values.
+_ORACLE_DATE = "coalesce(try_strptime({v}, '%Y-%m-%d %H:%M:%S'), try_strptime({v}, '%Y-%m-%d'))"
+
+
+def _infer_sql(table: str) -> str:
+    parts = []
+    for c in TABLE_COLUMNS[table]:
+        v = f"{c}::VARCHAR"
+        date_ok = _ORACLE_DATE.format(v=v)
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+  CASE
+    WHEN count(CASE WHEN {v} IS NOT NULL AND {v} <> '' THEN 1 END) > 0
+         AND count(CASE WHEN {v} IS NOT NULL AND {v} <> ''
+                         AND try_cast(trim({v}) AS DOUBLE) IS NULL THEN 1 END) = 0
+      THEN 'double'
+    WHEN count(*) > 0
+         AND count(CASE WHEN {date_ok} IS NOT NULL THEN 1 END)::DOUBLE / count(*) >= {CFG.success_threshold}
+      THEN 'timestamp'
+    ELSE 'string'
+  END AS inferred_type
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Extension queries (SURVEY §7 / BASELINE.json north star)
+# --------------------------------------------------------------------------
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    return X.exact_duplicates(df, "text", "doc_id")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS representative_id,
+       count(*) AS dup_count
+FROM documents
+GROUP BY md5(text)"""
+
+
+def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    out = X.ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.5)
+    return out.select("id1", "id2", F.round("jaccard", R).alias("jaccard"))
+
+
+_NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes s1 ON id1 = s1.doc_id
+JOIN sizes s2 ON id2 = s2.doc_id
+WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5"""
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    out = X.minhash_dedup_pairs(df, "text", "doc_id", k=3, num_hashes=32,
+                                rows_per_band=2, threshold=0.5, seed=CFG.seed)
+    return out.select("id1", "id2", F.round("jaccard", R).alias("jaccard"))
+
+
+def _minhash_sql() -> str:
+    params = X._minhash_params(32, CFG.seed)
+    p = X.MERSENNE_P
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {j} AS band, concat_ws(',', m{2 * j}, m{2 * j + 1}) AS key FROM sigs"
+        for j in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS h FROM sh
+), sigs AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+), bands AS (
+{band_union}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT c.id1, c.id2, count(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id1, i.id2,
+       round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes s1 ON i.id1 = s1.doc_id
+JOIN sizes s2 ON i.id2 = s2.doc_id
+WHERE i.inter * 1.0 / (s1.n + s2.n - i.inter) >= 0.5"""
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    return X.simhash_near_pairs(df, "text", "doc_id", max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    votes = ",\n    ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {t}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 "
+        f"THEN {2 ** t}::BIGINT ELSE 0 END AS b{t}"
+        for t in range(X.SIMHASH_BITS)
+    )
+    total = " + ".join(f"b{t}" for t in range(X.SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok
+), agg AS (
+  SELECT doc_id, {votes}
+  FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, ({total}) AS simhash FROM agg
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+
+
+def _ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "embeddings")
+    q = df.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.cosine_topk(df, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", R).alias("cosine"), "rank"
+    )
+
+
+_ANN_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM c, q WHERE neighbor_id <> query_id
+), r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS "rank"
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, "rank"
+FROM r WHERE "rank" <= 5"""
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    out = ts.text_stats(df, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords",
+        F.round("punct_ratio", R).alias("punct_ratio"),
+        F.round("stopword_ratio", R).alias("stopword_ratio"),
+        F.round("mean_token_len", R).alias("mean_token_len"),
+    )
+
+
+def _text_stats_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in ts.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens,
+         len(string_split_regex(text, '{ts.PUNCT_CLASS}')) - 1 AS n_punct
+  FROM documents
+), w AS (
+  SELECT doc_id, n_chars, n_tokens, n_punct,
+         len(list_filter(toks, t -> t IN ({stop}))) AS n_stopwords
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(n_stopwords / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1), 6) AS mean_token_len
+FROM w"""
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    return ts.lang_id(df, "text", "doc_id")
+
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for lang, words in sorted(ts.LANG_MARKERS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(f"len(list_filter(toks, t -> t IN ({lst}))) AS s_{lang}")
+    langs = sorted(ts.LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    whens = "\n         ".join(
+        f"WHEN s_{la} = {g} THEN '{la}'" for la in langs
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), scored AS (
+  SELECT doc_id, {", ".join(score_cols)} FROM toks
+)
+SELECT doc_id,
+       CASE WHEN {g} <= 0 THEN 'und'
+         {whens}
+       END AS detected_lang,
+       greatest({g}, 0) AS marker_hits
+FROM scored"""
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    return ts.fingerprint(df, "text", "doc_id")
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents"""
+
+
+def _events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "events")
+    tsc = F.col("ts").cast("timestamp")
+    return (
+        df.groupBy(
+            F.window(tsc, "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), R).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "sum_value", "n_users",
+        )
+    )
+
+
+_EVENTS_ROLLUP_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
+    queries: dict[str, Callable] = {}
+    oracles: dict[str, str] = {}
+
+    for t in NUMERIC_COLS:
+        queries[f"summary_stats_{t}"] = _summary_stats(t)
+        oracles[f"summary_stats_{t}"] = _summary_stats_sql(t)
+    for t in STRING_COLS:
+        queries[f"counts_{t}"] = _counts(t)
+        oracles[f"counts_{t}"] = _counts_sql(t)
+    for t, c in FREQ_TARGETS:
+        queries[f"freq_{t}_{c}"] = _freq(t, c)
+        oracles[f"freq_{t}_{c}"] = _freq_sql(t, c)
+    for t in DATE_COLS:
+        queries[f"date_stats_{t}"] = _date_stats(t)
+        oracles[f"date_stats_{t}"] = _date_stats_sql(t)
+    queries["overview_tables"] = _overview
+    oracles["overview_tables"] = _overview_sql()
+    for t in ("lineitem", "events"):
+        queries[f"infer_types_{t}"] = _infer(t)
+        oracles[f"infer_types_{t}"] = _infer_sql(t)
+
+    queries["dedup_exact_documents"] = _dedup_exact
+    oracles["dedup_exact_documents"] = _DEDUP_EXACT_SQL
+    queries["dedup_ngram_jaccard_documents"] = _dedup_ngram
+    oracles["dedup_ngram_jaccard_documents"] = _NGRAM_SQL
+    queries["dedup_minhash_lsh_documents"] = _dedup_minhash
+    oracles["dedup_minhash_lsh_documents"] = _minhash_sql()
+    queries["dedup_simhash_documents"] = _dedup_simhash
+    oracles["dedup_simhash_documents"] = _simhash_sql()
+    queries["ann_cosine_topk_embeddings"] = _ann_cosine
+    oracles["ann_cosine_topk_embeddings"] = _ANN_SQL
+    queries["text_stats_documents"] = _text_stats
+    oracles["text_stats_documents"] = _text_stats_sql()
+    queries["lang_id_documents"] = _lang_id
+    oracles["lang_id_documents"] = _lang_id_sql()
+    queries["fingerprint_documents"] = _fingerprint
+    oracles["fingerprint_documents"] = _FINGERPRINT_SQL
+    queries["events_hourly_rollup"] = _events_rollup
+    oracles["events_hourly_rollup"] = _EVENTS_ROLLUP_SQL
+
+    return queries, oracles
