@@ -4,9 +4,10 @@
   (small side), the corpus streams once, per-query top-k via window
   row_number. Arithmetic is done in DOUBLE with a sequential left-fold so
   the DuckDB oracle (same fold order) reproduces values bit-compatibly.
-* ``random_hyperplane_ann`` — the scale path: 16 seeded random-hyperplane
-  sign bits bucket the corpus (one narrow shuffle); queries probe only
-  their own bucket (and optionally multiprobe neighbors). Recall is
+* ``random_hyperplane_ann`` — the scale path: L independent hash tables of
+  k seeded random-hyperplane sign bits (OR-amplification: a pair is a
+  candidate if it collides in ANY table — recall 1-(1-p^k)^L where
+  p = 1-θ/π). Candidates are scored exactly and ranked. Recall is
   validated against brute force in tests, not an oracle (approximate by
   design).
 
@@ -96,6 +97,20 @@ def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _table_buckets(vec: Column, dim: int, n_planes: int, n_tables: int, seed: int) -> Column:
+    """Array of (table, bucket) structs — one entry per hash table."""
+    entries = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        entries.append(
+            F.struct(
+                F.lit(t).alias("table"),
+                bucket_expr(vec, planes).alias("bucket"),
+            )
+        )
+    return F.array(*entries)
+
+
 def random_hyperplane_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -104,24 +119,34 @@ def random_hyperplane_ann(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's hyperplane
-    bucket, then exact cosine rank within it."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Approximate top-k: a corpus vector is a candidate for a query iff
+    they share a bucket in ANY of the L hash tables; candidates are scored
+    exactly and ranked. One narrow shuffle on (table, bucket); per-pair
+    dedup before scoring."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("cv"),
-        bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    )
+        F.explode(_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("tb"),
+    ).select("neighbor_id", "cv", "tb.table", "tb.bucket")
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("qv"),
-        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        F.explode(_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("tb"),
+    ).select("query_id", "qv", "tb.table", "tb.bucket")
+    cand = (
+        c.join(F.broadcast(q.drop("qv")), ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    joined = c.join(F.broadcast(q), "bucket").where(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.select(
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    scored = cand.join(F.broadcast(qv), "query_id").select(
         "query_id",
         "neighbor_id",
         (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),

@@ -1,0 +1,112 @@
+"""Streaming profiles — Structured Streaming over event-shaped sources.
+
+The reference is strictly batch (SURVEY §2 "not present"); this is the
+extension surface for continuously-arriving data: the same profiling
+aggregates expressed as watermarked event-time windows, so a scan report
+can be maintained over a stream instead of recomputed.
+
+Design: ``readStream`` → ``withWatermark`` → windowed groupBy aggregation →
+sink. All aggregates used are partial-aggregable (streaming state stays
+bounded per (window, key)); exact percentiles/distinct are replaced by
+their sketch forms (``approx_count_distinct``/``percentile_approx``) since
+unbounded exact state is not stream-safe — mirroring ``cfg.approx``
+batch mode, and the batch ``events_hourly_rollup`` query is the
+oracle-checked equivalent of the windowed aggregation here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(window, key) profile aggregates; works on both batch and
+    streaming DataFrames (same plan, different sink semantics)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.avg(value_col).alias("mean_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(key_col),
+            "n_events", "sum_value", "mean_value",
+            "min_value", "max_value", "approx_users",
+        )
+    )
+
+
+def stream_events_from_parquet(
+    spark: SparkSession,
+    directory: str,
+    glob: str = "events.parquet",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """File-source stream over parquet files in ``directory`` matching
+    ``glob`` (file streams require a directory base path). For the
+    driver's events table the nanosecond ``ts`` arrives as LONG (see
+    io._NANOS_TS_COLS) and is truncated to micros."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),  # nanos-as-long
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(directory)
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def run_stream_to_memory(
+    profiled: DataFrame, query_name: str, mode: str = "append"
+) -> None:
+    """Drain a (bounded) file stream into an in-memory table with
+    availableNow, blocking until complete — the test/driver harness path."""
+    q = (
+        profiled.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -520,6 +520,65 @@ def _events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing E2E: text → binary payload + metadata struct →
+    Arrow-batched mapInPandas stub decode. The oracle recomputes the
+    deterministic fake features arithmetically — what's being verified is
+    that the binary schema + batch plumbing produces exactly the declared
+    values (byte_mean is pytest-covered; SQL can't sum blob bytes)."""
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    media = mm.attach_binary_payload(docs, "text", "doc_id")
+    feats = mm.decode_stub_features(media)
+    return feats.select("media_id", "mime", "n_bytes", "fake_width", "fake_height")
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       'application/fake' AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       (octet_length(encode(text)) % 64) + 1 AS fake_width,
+       (octet_length(encode(text)) % 48) + 1 AS fake_height
+FROM documents"""
+
+
+def _streaming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming path: file stream → watermark → windowed
+    aggregation → memory sink (availableNow, complete mode), returned as a
+    batch frame. Oracle = the equivalent batch SQL."""
+    import uuid
+
+    from whiterrabbit_spark.extensions import streaming as st
+
+    src = st.stream_events_from_parquet(spark, sf_dir)
+    profiled = st.windowed_profile(src)
+    name = f"wrs_stream_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(profiled, name, mode="complete")
+    out = spark.table(name)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", R).alias("sum_value"),
+        F.round("mean_value", R).alias("mean_value"),
+        F.round("min_value", R).alias("min_value"),
+        F.round("max_value", R).alias("max_value"),
+    )
+
+
+_STREAMING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS mean_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY 1, 2"""
+
+
 _EVENTS_ROLLUP_SQL = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
@@ -574,5 +633,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["fingerprint_documents"] = _FINGERPRINT_SQL
     queries["events_hourly_rollup"] = _events_rollup
     oracles["events_hourly_rollup"] = _EVENTS_ROLLUP_SQL
+    queries["multimodal_features_documents"] = _multimodal
+    oracles["multimodal_features_documents"] = _MULTIMODAL_SQL
+    queries["streaming_windowed_profile_events"] = _streaming_profile
+    oracles["streaming_windowed_profile_events"] = _STREAMING_SQL
 
     return queries, oracles
