@@ -54,11 +54,18 @@ NUMERIC_COLS: dict[str, list[str]] = {
     "part": ["p_partkey", "p_size", "p_retailprice"],
     "supplier": ["s_suppkey", "s_nationkey", "s_acctbal"],
     "events": ["event_id", "user_id", "value"],
+    "customer": ["c_custkey", "c_nationkey", "c_acctbal"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "documents": ["doc_id", "n_chars"],
 }
 
 STRING_COLS: dict[str, list[str]] = {
     "customer": ["c_name", "c_mktsegment"],
     "documents": ["text", "lang", "source"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "part": ["p_name", "p_brand", "p_type"],
+    "events": ["event_type", "props"],
+    "region": ["r_name"],
 }
 
 DATE_COLS: dict[str, str] = {
@@ -70,9 +77,16 @@ DATE_COLS: dict[str, str] = {
 FREQ_TARGETS: list[tuple[str, str]] = [
     ("customer", "c_mktsegment"),
     ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"),
     ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
     ("events", "event_type"),
     ("part", "p_brand"),
+    ("part", "p_type"),
+    ("documents", "lang"),
+    # tiny-table edge: every count < min_cell_count=5 ⇒ empty frequency
+    # table on both engines (FIXTURES.md §A nation/region note)
+    ("region", "r_name"),
 ]
 
 
@@ -611,7 +625,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         oracles[f"date_stats_{t}"] = _date_stats_sql(t)
     queries["overview_tables"] = _overview
     oracles["overview_tables"] = _overview_sql()
-    for t in ("lineitem", "events"):
+    for t in ("lineitem", "events", "orders", "customer", "part",
+              "supplier", "nation", "region", "documents"):
         queries[f"infer_types_{t}"] = _infer(t)
         oracles[f"infer_types_{t}"] = _infer_sql(t)
 
