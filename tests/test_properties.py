@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) — SURVEY §5.4.
+
+The inference property checks the engine against an independent pure-Python
+model of the reference rule (whiteRRabbit.R:139-204): double iff ≥1
+non-empty value and none fail the float parse; else timestamp iff
+parse-success over ALL rows ≥ 0.8; else string.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from whiterrabbit_spark.config import ScanConfig
+from whiterrabbit_spark.frequency import value_frequencies
+from whiterrabbit_spark.infer import infer_and_cast, infer_types
+from whiterrabbit_spark.profile import profile_table
+
+CFG = ScanConfig(max_rows=-1)
+
+_num = st.one_of(
+    st.integers(-10**6, 10**6).map(str),
+    st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False).map(lambda f: f"{f:.4f}"),
+    st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False).map(lambda f: f"{f:.2e}"),
+)
+_word = st.from_regex(re.compile(r"[a-z]{1,8}"), fullmatch=True)
+_date = st.tuples(
+    st.integers(2000, 2030), st.integers(1, 12), st.integers(1, 28)
+).map(lambda t: f"{t[0]:04d}-{t[1]:02d}-{t[2]:02d}")
+_cell = st.one_of(_num, _word, _date, st.just(""), st.none())
+_column = st.lists(_cell, min_size=1, max_size=40)
+
+
+def _py_float_ok(v: str) -> bool:
+    s = v.strip()
+    if not s or s.lower() in ("inf", "+inf", "-inf", "infinity", "-infinity", "nan"):
+        # R/Spark accept these as doubles; keep the model aligned
+        return bool(s)
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
+def _model_decision(values: list[str | None]) -> str:
+    nonempty = [v for v in values if v is not None and v != ""]
+    if nonempty and all(_py_float_ok(v) for v in nonempty):
+        return "double"
+    date_ok = sum(1 for v in values if v is not None and _DATE_RE.match(v or ""))
+    if values and date_ok / len(values) >= 0.8:
+        # model only generates ISO dates; words/numerics never parse as dates
+        # (digit-only strings would be caught by the numeric rule first)
+        if not (nonempty and all(_py_float_ok(v) for v in nonempty)):
+            return "timestamp"
+    return "string"
+
+
+@pytest.mark.usefixtures("spark")
+class TestProperties:
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(values=_column)
+    def test_inference_matches_model(self, spark, values):
+        df = spark.createDataFrame([(v,) for v in values], "v string")
+        got = infer_types(df, CFG).decisions["v"]
+        assert got == _model_decision(values)
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(values=st.lists(_num, min_size=1, max_size=30))
+    def test_inference_idempotent(self, spark, values):
+        df = spark.createDataFrame([(v,) for v in values], "v string")
+        typed, res = infer_and_cast(df, CFG)
+        assert res.decisions["v"] == "double"
+        restrung = typed.selectExpr("cast(v as string) AS v")
+        typed2, res2 = infer_and_cast(restrung, CFG)
+        assert res2.decisions["v"] == "double"
+        assert sorted(r.v for r in typed.collect()) == sorted(
+            r.v for r in typed2.collect()
+        )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(values=st.lists(st.one_of(_word, st.just(""), st.none()), min_size=1, max_size=60))
+    def test_freq_invariants(self, spark, values):
+        df = spark.createDataFrame([(v,) for v in values], "v string")
+        cfg = ScanConfig(min_cell_count=2, max_distinct_values=5)
+        rows = value_frequencies(df, cfg=cfg).collect()
+        nonmissing = sum(1 for v in values if v)
+        assert sum(r["count"] for r in rows) <= nonmissing
+        assert all(r["count"] >= 2 for r in rows)
+        assert len(rows) <= 5
+        if rows:
+            assert abs(sum(r["percentage"] for r in rows) - 1.0) < 1e-9
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(values=_column)
+    def test_profile_count_invariants(self, spark, values):
+        df = spark.createDataFrame([(v,) for v in values], "v string")
+        summary, _ = profile_table(df, CFG)
+        r = summary.collect()[0]
+        assert r["total_count"] == len(values)
+        assert (
+            r["missing_count"] + r["empty_count"] + r["non_missing_count"]
+            == r["total_count"]
+        )
+        assert r["distinct_count"] <= max(r["non_missing_count"], 0)

@@ -2,48 +2,18 @@
 
 from __future__ import annotations
 
-import random
-
 import pytest
 
+from tests.fixture_data import N, write_fixture_folder
 from whiterrabbit_spark.config import ScanConfig
 from whiterrabbit_spark.report import write_tsv_report, write_xlsx_report
 from whiterrabbit_spark.scan import scan_file, scan_folder
-
-N = 400
-
-
-def _mixed_rows():
-    rng = random.Random(7)
-    rows = []
-    for i in range(N):
-        rows.append(
-            {
-                "id": str(i + 1),
-                "age": "" if i % 50 == 0 else ("NA" if i % 50 == 1 else str(18 + i % 70)),
-                "score": f"{rng.uniform(-10, 10):.3f}" if i % 100 else "1.5e3",
-                "almost_num": str(i) if i % 100 < 79 else f"x{i}",
-                "iso_date": f"2021-{i % 12 + 1:02d}-{i % 28 + 1:02d}",
-                "gappy_date": "" if i % 4 == 0 else f"2022-{i % 12 + 1:02d}-{i % 28 + 1:02d}",
-                "category": ["alpha", "beta", "gamma", "alpha", "alpha", "beta", "delta", "rare1"][i % 8] if i % 8 != 7 or i < 32 else "tail",
-                "all_empty": "",
-                "excluded_col": f"e{i}",
-            }
-        )
-    return rows
 
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):
     d = tmp_path_factory.mktemp("scanfix")
-    rows = _mixed_rows()
-    cols = list(rows[0].keys())
-    with open(d / "profile_mixed.tsv", "w") as fh:
-        fh.write("\t".join(cols) + "\n")
-        for r in rows:
-            fh.write("\t".join(r[c] for c in cols) + "\n")
-    with open(d / "tiny.tsv", "w") as fh:
-        fh.write("a\tb\n1\tx\n2\ty\n")
+    write_fixture_folder(d)
     return str(d)
 
 
