@@ -151,3 +151,63 @@ def test_multimodal_decode_plumbing(spark, docs):
         assert r.fake_height == (len(payload) % 48) + 1
         assert abs(r.byte_mean - sum(payload) / len(payload)) < 1e-9
         assert r.mime == "application/fake"
+
+
+def test_embedding_near_dup_lsh_recall(spark, emb):
+    """hyperplane_near_pairs (LSH scale path) vs exact all-pairs at the
+    registry threshold: emitted pairs are a subset with exact cosines, and
+    recall is high on this corpus (16 tables OR-amplified)."""
+    exact = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.cosine_near_pairs(emb, 0.4).collect()
+    }
+    lsh = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.hyperplane_near_pairs(emb, 0.4, dim=64).collect()
+    }
+    assert exact, "corpus should contain near-dup pairs at 0.4"
+    assert set(lsh) <= set(exact)
+    for pair, c in lsh.items():
+        assert abs(c - exact[pair]) < 1e-9
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.6, f"near-dup recall {recall}"
+
+
+def test_bpe_token_count_values(spark):
+    rows = [
+        ("hello world", 2, 2),
+        ("don't stop", 3, 2),           # don | 't | ' stop'
+        ("a,b,c", 5, 1),                # a , b , c
+        ("", 0, 0),
+        ("  ", 1, 0),                   # whitespace-only: one symbol run? no — spaces excluded
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, _, _ in rows], "text string"
+    ).select(
+        "text",
+        ts.bpe_token_count(F.col("text")).alias("bpe"),
+        ts.token_count(F.col("text")).alias("ws"),
+    )
+    got = {r.text: (r.bpe, r.ws) for r in df.collect()}
+    assert got["hello world"] == (2, 2)
+    assert got["don't stop"] == (3, 2)
+    assert got["a,b,c"] == (5, 1)
+    assert got[""] == (0, 0)
+    assert got["  "][1] == 0
+
+
+def test_quality_score_classes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house and that is the story of it all told"),
+            (2, ";;;;;;;;;;"),
+            (3, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ts.quality_score(df, "text", "doc_id").collect()}
+    assert rows[1].quality_class == "keep"
+    assert rows[2].quality_score < rows[1].quality_score
+    assert rows[3].length_score < 0.1
+    for r in rows.values():
+        assert 0.0 <= r.quality_score <= 1.0

@@ -77,7 +77,70 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (id1 < id2) with
+    cosine ≥ threshold.
+
+    Exact all-pairs is the correctness baseline — a broadcast self-join, so
+    the corpus streams once against an in-memory copy of the projected
+    (id, vec) side. Quadratic in rows: fine up to ~1e5 vectors; beyond that
+    use ``hyperplane_near_pairs`` (LSH-bucketed candidates, same scoring).
+    """
+    a = df.select(
+        F.col(id_col).alias("id1"), _to_double(F.col(vec_col)).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id2"), _to_double(F.col(vec_col)).alias("vb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("id1") < F.col("id2"))
+    return pairs.select(
+        "id1",
+        "id2",
+        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
+
+
+def hyperplane_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidate pairs are ids sharing a
+    random-hyperplane bucket in ANY of the L tables (one narrow shuffle on
+    (table, bucket)); candidates are scored exactly and filtered by the
+    cosine threshold. Approximate only in recall (a missed bucket collision
+    drops a pair); every emitted pair's cosine is exact."""
+    hashed = df.select(
+        F.col(id_col).alias("vid"),
+        _to_double(F.col(vec_col)).alias("v"),
+        F.explode(_table_buckets(F.col(vec_col), dim, n_planes, n_tables, seed)).alias("tb"),
+    ).select("vid", "v", "tb.table", "tb.bucket")
+    left = hashed.select(F.col("vid").alias("id1"), F.col("v").alias("va"), "table", "bucket")
+    right = hashed.select(F.col("vid").alias("id2"), F.col("v").alias("vb"), "table", "bucket")
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "va", "vb")
+        .dropDuplicates(["id1", "id2"])
+    )
+    return cand.select(
+        "id1",
+        "id2",
+        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     planes = []
     for _ in range(n_planes):
@@ -101,7 +164,7 @@ def _table_buckets(vec: Column, dim: int, n_planes: int, n_tables: int, seed: in
     """Array of (table, bucket) structs — one entry per hash table."""
     entries = []
     for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
         entries.append(
             F.struct(
                 F.lit(t).alias("table"),

@@ -67,6 +67,56 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer shape, restricted to the regex subset shared by
+# Java regex (Spark) and RE2 (DuckDB): contraction tails, letter runs,
+# digit runs, other-symbol runs — each with an optional leading space.
+BPE_TOKEN_RE = r"'(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish pretokenization regex (GPT-2 shaped).
+
+    Counts pretokenizer pieces, the unit a byte-pair encoder would merge
+    within — a far better LLM-token estimate than whitespace counting for
+    punctuation-heavy or contraction-heavy text."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Composite document-quality score in [0, 1] from length, punctuation,
+    and stopword signals (Gopher/C4-style rule-of-thumb filters, expressed
+    as smooth penalties instead of hard drops):
+
+    * length_score — 1 inside [50, 5000] chars, linear falloff outside;
+    * punct_score  — 1 - min(punct_ratio / 0.2, 1): symbol soup penalized;
+    * stop_score   — min(stopword_ratio / 0.1, 1): no stopwords ⇒ not prose.
+
+    score = 0.4·length + 0.3·punct + 0.3·stop, plus a keep/review/drop
+    class at 0.7 / 0.4. All JVM-side expressions."""
+    t = F.col(text_col)
+    nc = char_count(t).cast("double")
+    tc = token_count(t).cast("double")
+    length_score = F.when(nc < 50, nc / F.lit(50.0)).when(
+        nc > 5000, F.greatest(F.lit(0.0), 1 - (nc - 5000) / F.lit(5000.0))
+    ).otherwise(F.lit(1.0))
+    punct_ratio = punct_count(t) / F.greatest(nc, F.lit(1.0))
+    stop_ratio = stopword_count(t) / F.greatest(tc, F.lit(1.0))
+    punct_score = 1 - F.least(punct_ratio / F.lit(0.2), F.lit(1.0))
+    stop_score = F.least(stop_ratio / F.lit(0.1), F.lit(1.0))
+    score = 0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        length_score.alias("length_score"),
+        punct_score.alias("punct_score"),
+        stop_score.alias("stop_score"),
+        score.alias("quality_score"),
+        F.when(score >= 0.7, F.lit("keep"))
+        .when(score >= 0.4, F.lit("review"))
+        .otherwise(F.lit("drop"))
+        .alias("quality_class"),
+    )
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     toks = tokens(text)
     return {

@@ -603,6 +603,160 @@ FROM events
 GROUP BY 1, 2"""
 
 
+NEAR_DUP_COS_THRESHOLD = 0.4  # testdata embeddings cluster at ~0.4-0.51 cosine
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline.
+    (The LSH scale path is ann_hyperplane_lsh_embeddings' machinery —
+    hyperplane_near_pairs — recall-tested in tests/test_extensions.py.)"""
+    df = read_parquet_table(spark, sf_dir, "embeddings")
+    out = sim.cosine_near_pairs(df, NEAR_DUP_COS_THRESHOLD)
+    return out.select("id1", "id2", F.round("cosine", R).alias("cosine"))
+
+
+_EMB_NEAR_DUP_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), s AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id1, id2, round(cosine, 6) AS cosine
+FROM s WHERE cosine >= {NEAR_DUP_COS_THRESHOLD}"""
+
+
+ANN_LSH_PLANES = 4
+ANN_LSH_TABLES = 8
+ANN_LSH_SEED = 42
+EMB_DIM = 64
+
+
+def _ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the 100 TB path): OR-amplified random-hyperplane
+    candidate generation, exact scoring. Oracle-checkable because the seeded
+    plane constants are inlined into the SQL — DuckDB recomputes the same
+    sign-bit buckets, so candidate sets (and therefore top-k) agree exactly."""
+    df = read_parquet_table(spark, sf_dir, "embeddings")
+    q = df.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.random_hyperplane_ann(
+        df, q, dim=EMB_DIM, k=5,
+        n_planes=ANN_LSH_PLANES, n_tables=ANN_LSH_TABLES, seed=ANN_LSH_SEED,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", R).alias("cosine"), "rank"
+    )
+
+
+def _ann_hyperplane_sql() -> str:
+    branches = []
+    for t in range(ANN_LSH_TABLES):
+        planes = sim.hyperplanes(EMB_DIM, ANN_LSH_PLANES, ANN_LSH_SEED + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in p)}]) >= 0 "
+            f"THEN {2 ** i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        branches.append(f"SELECT vec_id, e, {t} AS tbl, ({bits})::BIGINT AS bucket FROM v")
+    hashed = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), h AS (
+{hashed}
+), q AS (
+  SELECT vec_id AS query_id, tbl, bucket FROM h WHERE vec_id < 10
+), cand AS (
+  SELECT DISTINCT h.vec_id AS neighbor_id, q.query_id
+  FROM h JOIN q ON h.tbl = q.tbl AND h.bucket = q.bucket
+  WHERE h.vec_id <> q.query_id
+), s AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(qv.e, nv.e) /
+         (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(nv.e, nv.e))) AS cosine
+  FROM cand c
+  JOIN v qv ON qv.vec_id = c.query_id
+  JOIN v nv ON nv.vec_id = c.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS "rank"
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, "rank"
+FROM r WHERE "rank" <= 5"""
+
+
+def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    out = ts.quality_score(df, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.round("length_score", R).alias("length_score"),
+        F.round("punct_score", R).alias("punct_score"),
+        F.round("stop_score", R).alias("stop_score"),
+        F.round("quality_score", R).alias("quality_score"),
+        "quality_class",
+    )
+
+
+def _quality_score_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in ts.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS nc,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END)::DOUBLE AS tc,
+         len(string_split_regex(text, '{ts.PUNCT_CLASS}')) - 1 AS np,
+         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t IN ({stop}))) AS ns
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN nc < 50 THEN nc / 50.0
+              WHEN nc > 5000 THEN greatest(0.0, 1 - (nc - 5000) / 5000.0)
+              ELSE 1.0 END AS length_score,
+         1 - least((np / greatest(nc, 1.0)) / 0.2, 1.0) AS punct_score,
+         least((ns / greatest(tc, 1.0)) / 0.1, 1.0) AS stop_score
+  FROM base
+), sc AS (
+  SELECT doc_id, length_score, punct_score, stop_score,
+         0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score AS quality_score
+  FROM s
+)
+SELECT doc_id,
+       round(length_score, 6) AS length_score,
+       round(punct_score, 6) AS punct_score,
+       round(stop_score, 6) AS stop_score,
+       round(quality_score, 6) AS quality_score,
+       CASE WHEN quality_score >= 0.7 THEN 'keep'
+            WHEN quality_score >= 0.4 THEN 'review'
+            ELSE 'drop' END AS quality_class
+FROM sc"""
+
+
+def _bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        ts.bpe_token_count(t).alias("n_bpe_tokens"),
+        ts.token_count(t).alias("n_ws_tokens"),
+    )
+
+
+_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{ts.BPE_TOKEN_RE.replace("'", "''")}')) AS n_bpe_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_ws_tokens
+FROM documents"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -640,6 +794,14 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["dedup_simhash_documents"] = _simhash_sql()
     queries["ann_cosine_topk_embeddings"] = _ann_cosine
     oracles["ann_cosine_topk_embeddings"] = _ANN_SQL
+    queries["ann_hyperplane_lsh_embeddings"] = _ann_hyperplane
+    oracles["ann_hyperplane_lsh_embeddings"] = _ann_hyperplane_sql()
+    queries["dedup_embedding_cosine_embeddings"] = _embedding_near_dup
+    oracles["dedup_embedding_cosine_embeddings"] = _EMB_NEAR_DUP_SQL
+    queries["quality_score_documents"] = _quality_score
+    oracles["quality_score_documents"] = _quality_score_sql()
+    queries["token_count_bpe_documents"] = _bpe_tokens
+    oracles["token_count_bpe_documents"] = _BPE_SQL
     queries["text_stats_documents"] = _text_stats
     oracles["text_stats_documents"] = _text_stats_sql()
     queries["lang_id_documents"] = _lang_id
