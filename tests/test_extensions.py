@@ -211,3 +211,50 @@ def test_quality_score_classes(spark):
     assert rows[3].length_score < 0.1
     for r in rows.values():
         assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_sessionize_stream_matches_batch(spark):
+    """Native session_window on the bounded stream (complete mode) produces
+    the same sessions as batch."""
+    events = read_parquet_table(spark, SF_DIR, "events")
+    batch = st.sessionize(events, gap="28800 seconds")
+    stream = st.stream_events_from_parquet(spark, SF_DIR)
+    prof = st.sessionize(stream, gap="28800 seconds")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(prof, name, mode="complete")
+    streamed = spark.table(name)
+
+    def key(rows):
+        return sorted(
+            (r.user_id, r.session_start, r.session_end, r.n_events,
+             round(r.sum_value, 6))
+            for r in rows
+        )
+
+    assert key(streamed.collect()) == key(batch.collect())
+
+
+def test_sessionize_stateful_emits_closed_sessions(spark):
+    """applyInPandasWithState sessionizer: emitted (closed) sessions ==
+    batch sessions minus each user's final (still-open) session."""
+    events = read_parquet_table(spark, SF_DIR, "events")
+    batch = st.sessionize(events, gap="28800 seconds").collect()
+    by_user = {}
+    for r in batch:
+        by_user.setdefault(r.user_id, []).append(r)
+    expected = set()
+    for u, rows in by_user.items():
+        rows.sort(key=lambda r: r.session_start)
+        for r in rows[:-1]:  # all but the open tail
+            expected.add((u, r.n_events, round(r.sum_value, 6)))
+
+    stream = st.stream_events_from_parquet(spark, SF_DIR)
+    out = st.sessionize_stateful(stream, gap_seconds=28800.0)
+    name = f"sesst_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(out, name, mode="append")
+    got = {
+        (r.user_id, r.n_events, round(r.sum_value, 6))
+        for r in spark.table(name).collect()
+    }
+    assert got == expected
+    assert expected, "corpus should produce closed sessions"

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from whiterrabbit_spark.config import ScanConfig
@@ -703,10 +703,12 @@ def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_score_sql() -> str:
+def _quality_core_sql() -> str:
+    """CTE chain ending in ``sc`` = (doc_id, *_score, quality_score,
+    quality_class), all unrounded — shared by the quality query and the
+    curation pipeline (which must aggregate unrounded scores)."""
     stop = ", ".join(f"'{w}'" for w in ts.STOPWORDS)
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id,
          length(text)::DOUBLE AS nc,
          (CASE WHEN trim(text) = '' THEN 0
@@ -725,17 +727,23 @@ WITH base AS (
   FROM base
 ), sc AS (
   SELECT doc_id, length_score, punct_score, stop_score,
-         0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score AS quality_score
+         0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score AS quality_score,
+         CASE WHEN 0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score >= 0.7 THEN 'keep'
+              WHEN 0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score >= 0.4 THEN 'review'
+              ELSE 'drop' END AS quality_class
   FROM s
-)
+)"""
+
+
+def _quality_score_sql() -> str:
+    return f"""
+WITH {_quality_core_sql()}
 SELECT doc_id,
        round(length_score, 6) AS length_score,
        round(punct_score, 6) AS punct_score,
        round(stop_score, 6) AS stop_score,
        round(quality_score, 6) AS quality_score,
-       CASE WHEN quality_score >= 0.7 THEN 'keep'
-            WHEN quality_score >= 0.4 THEN 'review'
-            ELSE 'drop' END AS quality_class
+       quality_class
 FROM sc"""
 
 
@@ -755,6 +763,111 @@ SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_ws_tokens
 FROM documents"""
+
+
+SESSION_GAP_S = 28_800  # 8h — events median inter-event gap is ~7.3h
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (native session_window). The oracle rebuilds
+    sessions with the independent lag + cumulative-sum construction, so this
+    cross-checks Spark's window-merging against first-principles SQL."""
+    from whiterrabbit_spark.extensions import streaming as st
+
+    df = read_parquet_table(spark, sf_dir, "events")
+    out = st.sessionize(df, gap=f"{SESSION_GAP_S} seconds")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.round("sum_value", R).alias("sum_value"),
+        "n_event_types",
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, value, event_type, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       count(DISTINCT event_type) AS n_event_types
+FROM s GROUP BY user_id, session_seq"""
+
+
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation: quality filter → language filter →
+    exact near-dup removal (fingerprint, keep lowest doc_id) → per-(lang,
+    quality_class) survivor stats. Exercises operator composition in one
+    Catalyst plan: the filters run in the scan stage, dedup is one shuffle
+    on the fingerprint, and the final rollup re-aggregates the survivors."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    q = ts.quality_score(docs, "text", "doc_id")
+    fp = ts.fingerprint(docs, "text", "doc_id")
+    lid = ts.lang_id(docs, "text", "doc_id")
+    joined = (
+        docs.select("doc_id", "n_chars")
+        .join(q.select("doc_id", "quality_score", "quality_class"), "doc_id")
+        .join(fp, "doc_id")
+        .join(lid.select("doc_id", "detected_lang"), "doc_id")
+        .where((F.col("quality_class") != "drop") & (F.col("detected_lang") != "und"))
+    )
+    wfp = Window.partitionBy("fingerprint").orderBy("doc_id")
+    survivors = (
+        joined.withColumn("__rn", F.row_number().over(wfp))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return survivors.groupBy("detected_lang", "quality_class").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), R).alias("avg_quality"),
+        F.round(F.avg("n_chars"), R).alias("avg_chars"),
+    )
+
+
+def _curation_pipeline_sql() -> str:
+    lang = _lang_id_sql().strip()
+    return f"""
+WITH {_quality_core_sql()},
+qual AS (SELECT doc_id, quality_score, quality_class FROM sc),
+lid AS ({lang}),
+fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+), joined AS (
+  SELECT d.doc_id, d.n_chars, q.quality_score, q.quality_class,
+         f.fingerprint, l.detected_lang
+  FROM documents d
+  JOIN qual q ON q.doc_id = d.doc_id
+  JOIN fp f ON f.doc_id = d.doc_id
+  JOIN lid l ON l.doc_id = d.doc_id
+  WHERE q.quality_class <> 'drop' AND l.detected_lang <> 'und'
+), survivors AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM joined
+  ) WHERE rn = 1
+)
+SELECT detected_lang, quality_class,
+       count(*) AS n_docs,
+       round(avg(quality_score), 6) AS avg_quality,
+       round(avg(n_chars), 6) AS avg_chars
+FROM survivors GROUP BY detected_lang, quality_class"""
 
 
 # --------------------------------------------------------------------------
@@ -802,6 +915,10 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["quality_score_documents"] = _quality_score_sql()
     queries["token_count_bpe_documents"] = _bpe_tokens
     oracles["token_count_bpe_documents"] = _BPE_SQL
+    queries["sessionize_events"] = _sessionize
+    oracles["sessionize_events"] = _SESSIONIZE_SQL
+    queries["curation_pipeline_documents"] = _curation_pipeline
+    oracles["curation_pipeline_documents"] = _curation_pipeline_sql()
     queries["text_stats_documents"] = _text_stats
     oracles["text_stats_documents"] = _text_stats_sql()
     queries["lang_id_documents"] = _lang_id
