@@ -82,6 +82,48 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
 
 
+def quality_exprs(t: Column) -> dict[str, Column]:
+    """Column-level quality features — composable into a single projection
+    (see ``curation_pipeline``: feature extraction must not re-scan or
+    self-join the corpus)."""
+    nc = char_count(t).cast("double")
+    tc = token_count(t).cast("double")
+    length_score = F.when(nc < 50, nc / F.lit(50.0)).when(
+        nc > 5000, F.greatest(F.lit(0.0), 1 - (nc - 5000) / F.lit(5000.0))
+    ).otherwise(F.lit(1.0))
+    punct_ratio = punct_count(t) / F.greatest(nc, F.lit(1.0))
+    stop_ratio = stopword_count(t) / F.greatest(tc, F.lit(1.0))
+    punct_score = 1 - F.least(punct_ratio / F.lit(0.2), F.lit(1.0))
+    stop_score = F.least(stop_ratio / F.lit(0.1), F.lit(1.0))
+    score = 0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score
+    return {
+        "length_score": length_score,
+        "punct_score": punct_score,
+        "stop_score": stop_score,
+        "quality_score": score,
+        "quality_class": F.when(score >= 0.7, F.lit("keep"))
+        .when(score >= 0.4, F.lit("review"))
+        .otherwise(F.lit("drop")),
+    }
+
+
+def lang_id_exprs(t: Column) -> tuple[Column, Column]:
+    """(detected_lang, marker_hits) columns — asc tie-break, 'und' on zero
+    hits."""
+    scores = lang_scores(t)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):
+        s = scores[lang]
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(s, best_score)
+    return best_lang, best_score
+
+
+def fingerprint_expr(t: Column) -> Column:
+    return F.md5(F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "))
+
+
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Composite document-quality score in [0, 1] from length, punctuation,
     and stopword signals (Gopher/C4-style rule-of-thumb filters, expressed
@@ -93,27 +135,10 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     score = 0.4·length + 0.3·punct + 0.3·stop, plus a keep/review/drop
     class at 0.7 / 0.4. All JVM-side expressions."""
-    t = F.col(text_col)
-    nc = char_count(t).cast("double")
-    tc = token_count(t).cast("double")
-    length_score = F.when(nc < 50, nc / F.lit(50.0)).when(
-        nc > 5000, F.greatest(F.lit(0.0), 1 - (nc - 5000) / F.lit(5000.0))
-    ).otherwise(F.lit(1.0))
-    punct_ratio = punct_count(t) / F.greatest(nc, F.lit(1.0))
-    stop_ratio = stopword_count(t) / F.greatest(tc, F.lit(1.0))
-    punct_score = 1 - F.least(punct_ratio / F.lit(0.2), F.lit(1.0))
-    stop_score = F.least(stop_ratio / F.lit(0.1), F.lit(1.0))
-    score = 0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score
+    q = quality_exprs(F.col(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        length_score.alias("length_score"),
-        punct_score.alias("punct_score"),
-        stop_score.alias("stop_score"),
-        score.alias("quality_score"),
-        F.when(score >= 0.7, F.lit("keep"))
-        .when(score >= 0.4, F.lit("review"))
-        .otherwise(F.lit("drop"))
-        .alias("quality_class"),
+        *[expr.alias(name) for name, expr in q.items()],
     )
 
 
@@ -129,15 +154,7 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Heuristic language ID: argmax of stopword hits, deterministic
     tie-break on language code ascending; 'und' (undetermined) when no
     marker hits at all."""
-    scores = lang_scores(F.col(text_col))
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    # ascending iteration + strict '>' ⇒ on ties the earlier (smaller) lang
-    # code is kept — deterministic asc tie-break.
-    for lang in sorted(scores):
-        s = scores[lang]
-        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
-        best_score = F.greatest(s, best_score)
+    best_lang, best_score = lang_id_exprs(F.col(text_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
         best_lang.alias("detected_lang"),
@@ -148,8 +165,7 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Document fingerprint: md5 over the whitespace-normalized, lowercased
     text — the cheap exact-dup key for normalized content."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.md5(normalized).alias("fingerprint"),
+        fingerprint_expr(F.col(text_col)).alias("fingerprint"),
     )

@@ -816,16 +816,19 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plan: the filters run in the scan stage, dedup is one shuffle
     on the fingerprint, and the final rollup re-aggregates the survivors."""
     docs = read_parquet_table(spark, sf_dir, "documents")
-    q = ts.quality_score(docs, "text", "doc_id")
-    fp = ts.fingerprint(docs, "text", "doc_id")
-    lid = ts.lang_id(docs, "text", "doc_id")
-    joined = (
-        docs.select("doc_id", "n_chars")
-        .join(q.select("doc_id", "quality_score", "quality_class"), "doc_id")
-        .join(fp, "doc_id")
-        .join(lid.select("doc_id", "detected_lang"), "doc_id")
-        .where((F.col("quality_class") != "drop") & (F.col("detected_lang") != "und"))
-    )
+    t = F.col("text")
+    q = ts.quality_exprs(t)
+    lang, _ = ts.lang_id_exprs(t)
+    # every feature is row-wise — ONE projection in the scan stage, no
+    # self-joins (each would re-scan the 100 TB corpus and shuffle on id)
+    joined = docs.select(
+        "doc_id",
+        "n_chars",
+        q["quality_score"].alias("quality_score"),
+        q["quality_class"].alias("quality_class"),
+        ts.fingerprint_expr(t).alias("fingerprint"),
+        lang.alias("detected_lang"),
+    ).where((F.col("quality_class") != "drop") & (F.col("detected_lang") != "und"))
     wfp = Window.partitionBy("fingerprint").orderBy("doc_id")
     survivors = (
         joined.withColumn("__rn", F.row_number().over(wfp))
