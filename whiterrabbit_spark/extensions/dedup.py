@@ -83,8 +83,9 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold (exact, via
-    inverted-index join). Output: (id1, id2, jaccard)."""
-    sh = _shingle_table(df, text_col, id_col, k)
+    inverted-index join). Output: (id1, id2, jaccard). Shingle table
+    persisted — it feeds the index join twice plus the size counts."""
+    sh = _shingle_table(df, text_col, id_col, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -128,15 +129,22 @@ def minhash_signatures(
     One explode + one groupBy; each min aggregate combines map-side, so the
     shuffle carries only (doc_id, 32 ints) per document.
     """
-    sh = _shingle_table(df, text_col, id_col, k).withColumn(
-        "h", md5_int60(F.col("shingle")) % MERSENNE_P
-    )
+    sh = _shingle_table(df, text_col, id_col, k)
+    return minhash_signatures_from_shingles(sh, num_hashes, seed)
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """Signatures from a prebuilt (doc_id, shingle) table — lets a caller
+    shingle once, persist, and reuse for both hashing and verification."""
+    hashed = sh.withColumn("h", md5_int60(F.col("shingle")) % MERSENNE_P)
     params = _minhash_params(num_hashes, seed)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MERSENNE_P).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -188,11 +196,16 @@ def minhash_dedup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash+LSH candidates, exact-Jaccard verified (the 100 TB dedup
-    path: the quadratic verify join runs only on LSH candidates)."""
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, seed)
-    cands = lsh_candidate_pairs(sigs, num_hashes, rows_per_band)
+    path: the quadratic verify join runs only on LSH candidates).
 
-    sh = _shingle_table(df, text_col, id_col, k)
+    The shingle table feeds four subplans (hashing, two verify sides, size
+    counts); it is persisted (memory-and-disk, spills at scale) so the
+    tokenize+shingle pass runs once, not four times. Left cached — Spark
+    evicts LRU; callers wanting deterministic release can unpersist after
+    materializing."""
+    sh = _shingle_table(df, text_col, id_col, k).persist()
+    sigs = minhash_signatures_from_shingles(sh, num_hashes, seed)
+    cands = lsh_candidate_pairs(sigs, num_hashes, rows_per_band)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("id1"), "shingle")
     b = sh.select(F.col("doc_id").alias("id2"), "shingle")
