@@ -258,3 +258,45 @@ def test_sessionize_stateful_emits_closed_sessions(spark):
     }
     assert got == expected
     assert expected, "corpus should produce closed sessions"
+
+
+def test_multimodal_resize_and_frames(spark, docs):
+    media = mm.attach_binary_payload(docs.limit(30), "text", "doc_id")
+    resized = mm.resize_stub(media, 8, 8)
+    rows = resized.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r.payload) == 64
+        assert r.meta.n_bytes == 64
+    frames = mm.sample_frames_stub(media, n_frames=4)
+    frows = frames.collect()
+    assert len(frows) == 120
+    per_media = {}
+    for r in frows:
+        per_media.setdefault(r.media_id, []).append(r.frame_idx)
+        assert r.n_bytes == len(r.frame_payload)
+    for idxs in per_media.values():
+        assert sorted(idxs) == [0, 1, 2, 3]
+    # resize composes with decode: same plumbing schema
+    feats = mm.decode_stub_features(resized)
+    assert feats.count() == 30
+
+
+def test_read_jsonl_roundtrip(spark, tmp_path):
+    import json as _json
+
+    from whiterrabbit_spark.io import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as fh:
+        for i in range(10):
+            fh.write(_json.dumps({"doc_id": i, "text": f"doc {i}", "score": i / 2}) + "\n")
+        fh.write("not json at all\n")
+    schema = "doc_id long, text string, score double, _corrupt_record string"
+    df = read_jsonl(spark, str(p), schema)
+    rows = df.collect()
+    assert len(rows) == 11
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(good) == 10 and len(bad) == 1
+    assert {r.doc_id for r in good} == set(range(10))

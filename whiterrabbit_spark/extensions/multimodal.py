@@ -102,3 +102,77 @@ def decode_stub_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(decode_batches, FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB resize: re-emit each payload truncated/zero-padded to
+    width×height bytes (a real implementation decodes, resamples, and
+    re-encodes — drop it into ``_resize_one``). Keeps the media schema so
+    resize stages compose: attach → resize → decode. Map-only, no shuffle.
+    """
+    target = width * height
+
+    def _resize_one(payload: bytes) -> bytes:
+        if len(payload) >= target:
+            return payload[:target]
+        return payload + b"\x00" * (target - len(payload))
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_resize_one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "meta": [
+                        {
+                            "mime": m["mime"],
+                            "source": m["source"],
+                            "n_bytes": len(r),
+                        }
+                        for m, r in zip(pdf["meta"], resized)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(resize_batches, MEDIA_SCHEMA)
+
+
+def sample_frames_stub(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """STUB frame sampler: treat the payload as a fake video and emit
+    ``n_frames`` evenly-spaced byte slices as frame rows — the 1→N fan-out
+    batch shape a real decoder (ffmpeg keyframe sampling) would produce.
+    Map-only; downstream per-frame feature extraction parallelizes over
+    the exploded rows."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                k = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    lo = min(i * k, len(b))
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[lo : lo + k])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_payload": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return media.mapInPandas(frame_batches, FRAME_SCHEMA)

@@ -109,3 +109,21 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
                 c, F.timestamp_micros(F.expr(f"{c} DIV 1000"))
             )
     return df
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """JSONL (one JSON object per line) source with an explicit schema —
+    the interchange format of LLM data pipelines. Schema is required:
+    Spark's JSON inference is a full extra pass over the data and yields a
+    drifting type lattice; at 100 TB the contract must be declared.
+    PERMISSIVE mode null-fills malformed lines instead of failing the scan;
+    include a ``_corrupt_record string`` field in the schema to capture
+    the raw bad lines."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
