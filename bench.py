@@ -63,9 +63,14 @@ def main() -> None:
         "events_hourly_rollup": queries["events_hourly_rollup"],
     }
 
-    # Warm the JVM/codegen path once so measured times reflect steady state,
-    # not first-job classloading.
+    # Warm the JVM/codegen and parquet-reader paths once so measured times
+    # reflect steady state, not first-job classloading: limit-1 reads touch
+    # footers + the vectorized reader, no query work is precomputed.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from whiterrabbit_spark.io import read_parquet_table
+
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        read_parquet_table(spark, SF_DIR, t).limit(1).collect()
 
     times: dict[str, float] = {}
     for name, fn in bench.items():

@@ -101,3 +101,36 @@ def test_stddev_n1_is_null(spark):
     r = summary.collect()[0]
     assert r["sd_val"] is None
     assert r["min_val"] == 1.0
+
+
+def test_approx_mode_within_tolerance(spark):
+    """The 100 TB switch: ScanConfig(approx=True) folds distinct+percentiles
+    into the single wide agg as sketches; results must track exact mode
+    (rsd=1% HLL, percentile_approx accuracy=10k)."""
+    from whiterrabbit_spark.io import read_parquet_table
+    from tests.conftest import SF_DIR
+
+    df = read_parquet_table(spark, SF_DIR, "lineitem")
+    exact, _ = profile_table(df, ScanConfig(max_rows=-1), table_name="t")
+    approx, _ = profile_table(df, ScanConfig(max_rows=-1, approx=True), table_name="t")
+    e = {r.column_name: r for r in exact.collect()}
+    a = {r.column_name: r for r in approx.collect()}
+    assert set(e) == set(a)
+    for c in e:
+        er, ar = e[c], a[c]
+        # counts are exact in both modes
+        assert (er.total_count, er.missing_count, er.empty_count) == (
+            ar.total_count, ar.missing_count, ar.empty_count
+        )
+        if er.distinct_count:
+            rel = abs(ar.distinct_count - er.distinct_count) / er.distinct_count
+            assert rel < 0.05, f"{c}: distinct off by {rel:.3f}"
+        for fld in ("median_val", "q1_val", "q3_val"):
+            ev, av = getattr(er, fld), getattr(ar, fld)
+            if ev is not None and av is not None and er.max_val != er.min_val:
+                span = er.max_val - er.min_val
+                # percentile_approx returns an order statistic (no type-7
+                # interpolation): on discrete domains the two can differ by
+                # one domain step, so scale tolerance with 1/distinct.
+                tol = max(0.02, 1.5 / max(er.distinct_count, 1))
+                assert abs(av - ev) / span < tol, f"{c}.{fld}: {ev} vs {av}"
