@@ -96,3 +96,44 @@ def test_shift_dates_bounded(spark, workdir):
             - dt.datetime.strptime(s["iso_date"][stat], fmt)
         )
         assert delta <= dt.timedelta(days=5)
+
+
+def test_header_only_file(spark, tmp_path):
+    """0-data-row file: profile emits one row per column with zero counts;
+    overview keeps the header-inclusive line count (n_rows=1)."""
+    p = tmp_path / "empty.tsv"
+    p.write_text("colA\tcolB\n")
+    res = scan_file(spark, str(p), ScanConfig())
+    assert res.total_rows == 1
+    assert res.n_rows_checked == 0
+    rows = {r.column_name: r for r in res.summary.collect()}
+    assert set(rows) == {"colA", "colB"}
+    for r in rows.values():
+        assert r.total_count == 0
+        assert r.distinct_count == 0
+    assert res.frequencies is not None
+    assert res.frequencies.count() == 0
+
+
+def test_quoted_and_unicode_fields(spark, tmp_path):
+    """Quoted fields with embedded delimiter/quotes and non-ASCII text
+    survive the pinned quote/escape options."""
+    p = tmp_path / "quoted.csv"
+    p.write_text(
+        'id,name,note\n'
+        '1,"Ann Arbor, MI","said ""hi"""\n'
+        '2,Ünïcødé ✓,plain\n'
+        '3,"multi word",café\n'
+    )
+    res = scan_file(spark, str(p), ScanConfig(delimiter="comma"))
+    rows = {r.column_name: r for r in res.summary.collect()}
+    assert rows["name"].total_count == 3
+    assert rows["name"].missing_count == 0
+    assert rows["name"].distinct_count == 3
+    assert rows["id"].data_type == "double"
+    # values parsed, not split mid-quote
+    from whiterrabbit_spark.io import read_all_string
+
+    vals = {r["name"] for r in read_all_string(spark, str(p), ",").collect()}
+    assert "Ann Arbor, MI" in vals
+    assert "Ünïcødé ✓" in vals
