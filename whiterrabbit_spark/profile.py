@@ -7,23 +7,23 @@ table in a fixed small number of scans (the reference iterates
 column-at-a-time over an in-memory table; at 100 TB we must not scan once
 per column — SURVEY §3.2).
 
-Execution shape (exact mode) — three jobs, each parallel in the final
-stage:
+Execution shape (exact mode) — two overlapped job sets:
 
 1. **Simple aggregates** (count/missing/empty/min/max/mean/sd): one
    ``df.agg`` over all columns. Every expression partial-aggregates
    map-side, so the final global reduce handles one tiny row per partition.
-2. **Exact distinct counts**: melt (column, value) → two-level groupBy.
-   A naive ``count_distinct`` per column in a global agg triggers Expand
-   (rows × columns) AND funnels all distinct values into the single final
-   task; the melt + re-aggregate shape dedups map-side and spreads columns
-   across tasks.
-3. **Exact percentiles** (median/Q1/Q3/median-date): melt numeric values →
-   ``groupBy(column).percentile(...)`` — one *group per column*, so each
-   column's value buffer lands on its own task instead of all columns
-   buffering in one global-agg task.
+2. **Exact distinct + exact percentiles, from one histogram per column**:
+   ``groupBy(value).count()`` (map-side dedup, single-column shuffle), then
+   distinct = histogram row count and median/Q1/Q3 =
+   ``percentile(value, p, frequency=count)`` — type-7 interpolation over
+   the expanded multiset, bit-identical to a percentile over raw rows, but
+   the final task buffers |distinct| entries instead of |rows|. One job
+   per column, thread-submitted; parquet column pruning keeps total IO at
+   one full-scan equivalent. (A naive multi-``count_distinct`` global agg
+   triggers Expand (rows × columns) and funnels everything into one final
+   task — avoided.)
 
-With ``cfg.approx`` (the 100 TB switch) jobs 2-3 fold back into job 1 as
+With ``cfg.approx`` (the 100 TB switch) job set 2 folds back into job 1 as
 ``approx_count_distinct`` / ``percentile_approx`` — everything
 partial-aggregable, one scan, no value buffering.
 
@@ -142,57 +142,56 @@ def _column_exprs(name: str, dt: T.DataType, cfg: ScanConfig) -> list:
     return exprs
 
 
-def _exact_distinct_counts(df: DataFrame, fields: list) -> dict[str, int]:
-    """Job set 2: per-column exact distinct over non-missing (and for
-    strings non-empty) values.
+def _exact_distinct_and_percentiles(
+    df: DataFrame, fields: list
+) -> tuple[dict[str, int], dict[str, list]]:
+    """Job set 2: per-column exact distinct count AND exact type-7
+    quartiles, both derived from one value histogram per column.
 
-    One two-level groupBy job per column, submitted concurrently from a
-    thread pool: parquet column pruning makes the k scans IO-equivalent to
-    one full scan, each shuffle carries a single typed column with map-side
-    dedup, and the k final reductions run in parallel — measured 4× faster
-    than a melt-based single job and free of the Expand/single-final-task
-    pathology of multi-count_distinct global aggs.
+    ``groupBy(value).count()`` dedups map-side (the shuffle carries one
+    typed column, partial-aggregated); the exact distinct is the histogram
+    row count, and the exact percentiles come from
+    ``percentile(value, p, frequency=count)`` over the histogram — the
+    type-7 interpolation over the expanded multiset, identical to a
+    percentile over the raw rows (verified against the raw form), but the
+    final task buffers |distinct values| entries instead of |rows|.
+    One job per column, submitted concurrently: parquet column pruning
+    makes the k scans IO-equivalent to one full scan. ``cfg.approx`` is
+    the single-scan sketch path for 100 TB runs.
     """
 
-    def one(f) -> tuple[str, int]:
+    def one(f) -> tuple[str, int, list | None]:
         c = F.col(f.name)
         cond = nonempty(c) if isinstance(f.dataType, T.StringType) else c.isNotNull()
-        n = (
-            df.select(f.name).where(cond)
-            .groupBy(f.name).agg(F.lit(1))
-            .select(F.count(F.lit(1)).alias("n"))
-            .collect()[0]["n"]
+        hist = (
+            df.select(c.alias("v")).where(cond)
+            .groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
         )
-        return f.name, n
+        aggs = [F.count(F.lit(1)).alias("distinct")]
+        if _is_numeric(f.dataType):
+            aggs.append(
+                F.percentile(
+                    F.col("v").cast("double"), F.lit([0.25, 0.5, 0.75]), F.col("cnt")
+                ).alias("q")
+            )
+        elif _is_date(f.dataType):
+            aggs.append(
+                F.percentile(
+                    F.col("v").cast("timestamp").cast("double"),
+                    F.lit([0.25, 0.5, 0.75]),
+                    F.col("cnt"),
+                ).alias("q")
+            )
+        row = hist.agg(*aggs).collect()[0].asDict()
+        q = row.get("q")
+        return f.name, row["distinct"], (list(q) if q is not None else None)
 
     with ThreadPoolExecutor(max_workers=min(len(fields), 12) or 1) as pool:
-        return dict(pool.map(one, fields))
-
-
-def _exact_percentiles(df: DataFrame, fields: list) -> dict[str, list]:
-    """Job set 3: exact type-7 quartiles per numeric column / median epoch
-    per date column — one global-agg job per column, thread-parallel (the
-    per-column final task is the exact-percentile floor; ``cfg.approx`` is
-    the 100 TB path)."""
-    targets = []
-    for f in fields:
-        c = F.col(f.name)
-        if _is_numeric(f.dataType):
-            targets.append((f.name, c.cast("double")))
-        elif _is_date(f.dataType):
-            targets.append((f.name, c.cast("timestamp").cast("double")))
-    if not targets:
-        return {}
-
-    def one(t) -> tuple[str, list]:
-        name, expr = t
-        q = df.agg(
-            F.percentile(expr, F.lit([0.25, 0.5, 0.75])).alias("q")
-        ).collect()[0]["q"]
-        return name, (list(q) if q is not None else None)
-
-    with ThreadPoolExecutor(max_workers=min(len(targets), 12) or 1) as pool:
-        return {k: v for k, v in pool.map(one, targets) if v is not None}
+        out = list(pool.map(one, fields))
+    return (
+        {name: d for name, d, _ in out},
+        {name: q for name, _, q in out if q is not None},
+    )
 
 
 def _fmt_ts(spark: SparkSession, epoch_or_ts: Any) -> str | None:
@@ -232,19 +231,18 @@ def profile_table(
 
     per_chunk = max(cfg.max_agg_exprs_per_job // 9, 1)
     chunks = _chunk(fields, per_chunk)
-    # Jobs 1 (per chunk), 2 and 3 are independent — overlap them so the
-    # cluster stays busy instead of running three serial barriers.
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    # Job set 1 (per chunk) and job set 2 (per-column histograms) are
+    # independent — overlap them so the cluster stays busy instead of
+    # running serial barriers.
+    with ThreadPoolExecutor(max_workers=2) as pool:
         fut_chunks = [pool.submit(run_chunk, ch) for ch in chunks]
-        fut_distinct = (
-            pool.submit(_exact_distinct_counts, df, fields) if not cfg.approx else None
-        )
-        fut_quarts = (
-            pool.submit(_exact_percentiles, df, fields) if not cfg.approx else None
+        fut_hist = (
+            pool.submit(_exact_distinct_and_percentiles, df, fields)
+            if not cfg.approx
+            else None
         )
         chunk_rows = [f.result() for f in fut_chunks]
-        distinct = fut_distinct.result() if fut_distinct else {}
-        quarts = fut_quarts.result() if fut_quarts else {}
+        distinct, quarts = fut_hist.result() if fut_hist else ({}, {})
 
     for chunk, row in zip(chunks, chunk_rows):
         total = row[total_alias]
