@@ -300,3 +300,39 @@ def test_read_jsonl_roundtrip(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert len(good) == 10 and len(bad) == 1
     assert {r.doc_id for r in good} == set(range(10))
+
+
+def test_hash_split_deterministic_and_partition_stable(spark, docs):
+    from whiterrabbit_spark.extensions import splits as sp
+
+    a = {r.doc_id: r.split for r in sp.hash_split(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in sp.hash_split(docs.repartition(17), "doc_id").collect()
+    }
+    assert a == b, "split must not depend on partitioning"
+    n = len(a)
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(a.values()).items()}
+    assert abs(frac.get("train", 0) - 0.8) < 0.05
+    assert abs(frac.get("val", 0) - 0.1) < 0.04
+    assert abs(frac.get("test", 0) - 0.1) < 0.04
+    # salt changes assignment
+    c = {r.doc_id: r.split for r in sp.hash_split(docs, "doc_id", salt="v2").collect()}
+    assert c != a
+
+
+def test_stratified_sample_seeded(spark, docs):
+    from whiterrabbit_spark.extensions import splits as sp
+
+    fr = {"en": 0.5, "de": 0.1, "fr": 0.1, "es": 0.1, "zh": 0.1}
+    s1 = sp.stratified_sample(docs, "lang", fr, seed=7)
+    s2 = sp.stratified_sample(docs, "lang", fr, seed=7)
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )
+    n_en_all = docs.where(F.col("lang") == "en").count()
+    n_en = s1.where(F.col("lang") == "en").count()
+    if n_en_all > 50:
+        assert 0.25 < n_en / n_en_all < 0.75

@@ -873,6 +873,38 @@ SELECT detected_lang, quality_class,
 FROM survivors GROUP BY detected_lang, quality_class"""
 
 
+def _dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 hash split of documents + per-split stats —
+    engine-independent assignment (md5 buckets), verified bit-identically
+    by the oracle."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = sp.hash_split(docs, "doc_id")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), R).alias("avg_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+_DATASET_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)::INT AS bucket
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+       min(doc_id) AS min_doc_id
+FROM s GROUP BY split"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -922,6 +954,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["sessionize_events"] = _SESSIONIZE_SQL
     queries["curation_pipeline_documents"] = _curation_pipeline
     oracles["curation_pipeline_documents"] = _curation_pipeline_sql()
+    queries["dataset_split_documents"] = _dataset_split
+    oracles["dataset_split_documents"] = _DATASET_SPLIT_SQL
     queries["text_stats_documents"] = _text_stats
     oracles["text_stats_documents"] = _text_stats_sql()
     queries["lang_id_documents"] = _lang_id
