@@ -58,8 +58,12 @@ def main() -> None:
         "freq_orders": freq_query("orders"),
         "dedup_minhash_lsh": queries["dedup_minhash_lsh_documents"],
         "dedup_simhash": queries["dedup_simhash_documents"],
+        "dedup_embedding_cosine": queries["dedup_embedding_cosine_embeddings"],
         "ann_cosine_topk": queries["ann_cosine_topk_embeddings"],
+        "ann_hyperplane_lsh": queries["ann_hyperplane_lsh_embeddings"],
         "text_stats": queries["text_stats_documents"],
+        "curation_pipeline": queries["curation_pipeline_documents"],
+        "sessionize": queries["sessionize_events"],
         "events_hourly_rollup": queries["events_hourly_rollup"],
     }
 

@@ -336,3 +336,17 @@ def test_stratified_sample_seeded(spark, docs):
     n_en = s1.where(F.col("lang") == "en").count()
     if n_en_all > 50:
         assert 0.25 < n_en / n_en_all < 0.75
+
+
+def test_blocked_cosine_matches_fold(spark, emb):
+    """Blocked GEMM near-dup == sequential-fold near-dup (same pair set,
+    values within BLAS-vs-fold float noise)."""
+    fold = {(r.id1, r.id2): r.cosine for r in sim.cosine_near_pairs(emb, 0.4).collect()}
+    blk = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.cosine_near_pairs_blocked(emb, 0.4).collect()
+    }
+    assert set(fold) == set(blk)
+    assert fold, "corpus should contain pairs"
+    for k, v in fold.items():
+        assert abs(v - blk[k]) < 1e-12

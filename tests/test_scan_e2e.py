@@ -137,3 +137,22 @@ def test_quoted_and_unicode_fields(spark, tmp_path):
     vals = {r["name"] for r in read_all_string(spark, str(p), ",").collect()}
     assert "Ann Arbor, MI" in vals
     assert "Ünïcødé ✓" in vals
+
+
+def test_multiline_quoted_newlines(spark, tmp_path):
+    p = tmp_path / "ml.csv"
+    p.write_text(
+        'id,note\n'
+        '1,"line one\nline two"\n'
+        '2,simple\n'
+    )
+    res = scan_file(spark, str(p), ScanConfig(delimiter="comma", multiline=True))
+    rows = {r.column_name: r for r in res.summary.collect()}
+    assert rows["note"].total_count == 2
+    assert rows["id"].data_type == "double"
+    from whiterrabbit_spark.io import read_all_string
+
+    vals = {r["note"] for r in read_all_string(spark, str(p), ",", multiline=True).collect()}
+    assert "line one\nline two" in vals
+    # raw-line overview quirk preserved: wc -l counts 4 lines
+    assert res.total_rows == 4

@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--approx", action="store_true", default=False,
                    help="approximate distinct/percentiles for very large scans")
+    p.add_argument("--multiline", action="store_true", default=False,
+                   help="parse quoted embedded newlines (costs file splittability)")
     return p
 
 
@@ -56,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         output_format=args.output_format,
         seed=args.seed,
         approx=args.approx,
+        multiline=args.multiline,
     )
     spark = get_spark(cpus=args.cpus)
     overview, results = scan_folder(spark, args.working_folder, cfg)

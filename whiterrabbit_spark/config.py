@@ -40,6 +40,10 @@ class ScanConfig:
     inference_sample_size: int = 1_000  # W:147, W:172
 
     # Engine-only knobs (no reference analog)
+    multiline: bool = False             # quoted embedded newlines (fread
+                                        # handles them implicitly; Spark
+                                        # needs multiLine, which costs file
+                                        # splittability — off by default)
     seed: int = 42
     approx: bool = False                # True → sketch algorithms at scale
     approx_percentile_accuracy: int = 10_000

@@ -68,13 +68,20 @@ def read_header(path: str, sep: str) -> list[str]:
 
 
 def read_all_string(
-    spark: SparkSession, path: str, sep: str, null_value: str = "NA"
+    spark: SparkSession,
+    path: str,
+    sep: str,
+    null_value: str = "NA",
+    multiline: bool = False,
 ) -> DataFrame:
     """Delimited scan with every column forced to string (reference W:236).
 
     The schema is built from the header so Spark never runs its own
     inference pass; quote/escape pinned to ``"`` (fread-compatible for the
-    fixture corpus).
+    fixture corpus). ``multiline=True`` parses quoted embedded newlines
+    (fread's implicit behavior) at the cost of file splittability — like
+    the reference's ``wc -l``, ``count_lines`` still counts raw lines, so
+    overview N_rows over-counts multiline records on both engines.
     """
     cols = read_header(path, sep)
     schema = T.StructType([T.StructField(c, T.StringType(), True) for c in cols])
@@ -86,6 +93,7 @@ def read_all_string(
         .option("escape", '"')
         .option("nullValue", null_value)
         .option("mode", "PERMISSIVE")
+        .option("multiLine", multiline)
         .csv(path)
     )
 

@@ -607,11 +607,13 @@ NEAR_DUP_COS_THRESHOLD = 0.4  # testdata embeddings cluster at ~0.4-0.51 cosine
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact all-pairs baseline.
-    (The LSH scale path is ann_hyperplane_lsh_embeddings' machinery —
-    hyperplane_near_pairs — recall-tested in tests/test_extensions.py.)"""
+    """Embedding-cosine near-duplicate pairs — exact, via the blocked
+    numpy-GEMM applyInPandas path (27× the per-pair expression form; BLAS
+    vs fold differs ~1e-16, absorbed by the 6-dp rounding both engines
+    apply). The LSH candidate-pruning variant is hyperplane_near_pairs,
+    recall-tested in tests/test_extensions.py."""
     df = read_parquet_table(spark, sf_dir, "embeddings")
-    out = sim.cosine_near_pairs(df, NEAR_DUP_COS_THRESHOLD)
+    out = sim.cosine_near_pairs_blocked(df, NEAR_DUP_COS_THRESHOLD)
     return out.select("id1", "id2", F.round("cosine", R).alias("cosine"))
 
 

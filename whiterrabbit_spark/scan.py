@@ -38,7 +38,7 @@ def scan_file(
     total_lines = wio.count_lines(spark, path)
     data_rows = total_lines - 1
 
-    df = wio.read_all_string(spark, path, cfg.sep)
+    df = wio.read_all_string(spark, path, cfg.sep, multiline=cfg.multiline)
 
     if cfg.max_rows > 0 and cfg.random_sample and data_rows > cfg.max_rows:
         df = exact_random_sample(df, cfg.max_rows, total_rows=data_rows, cfg=cfg)
