@@ -57,3 +57,35 @@ def test_numeric_columns_included_dates_skipped(spark):
 def test_rare_only_column_empty_table(spark):
     rows = _freq(spark, ["a", "b", "c", "d"] * 1)
     assert rows == []
+
+
+def test_wide_table_melt_fallback_matches_branches(spark):
+    """>64 columns triggers the melt plan; results must match the
+    per-column branch plan exactly."""
+    import whiterrabbit_spark.frequency as freq
+
+    n_cols = 70
+    rows = []
+    for i in range(40):
+        rows.append(tuple(f"v{(i + j) % 3}" for j in range(n_cols)))
+    cols = [f"c{j}" for j in range(n_cols)]
+    df = spark.createDataFrame(rows, ", ".join(f"{c} string" for c in cols))
+    cfg = ScanConfig(min_cell_count=5, max_distinct_values=10)
+    wide = value_frequencies(df, cfg=cfg)
+    assert len(cols) > freq._MELT_THRESHOLD
+
+    def key(out):
+        return sorted(
+            (r["column_name"], r["value"], r["count"], round(r["percentage"], 9))
+            for r in out.collect()
+        )
+
+    # force the branch path on the same data for comparison
+    old = freq._MELT_THRESHOLD
+    freq._MELT_THRESHOLD = 1_000
+    try:
+        branches = value_frequencies(df, cfg=cfg)
+        assert key(wide) == key(branches)
+    finally:
+        freq._MELT_THRESHOLD = old
+    assert key(wide), "expected non-empty frequency output"
