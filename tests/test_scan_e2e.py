@@ -156,3 +156,14 @@ def test_multiline_quoted_newlines(spark, tmp_path):
     assert "line one\nline two" in vals
     # raw-line overview quirk preserved: wc -l counts 4 lines
     assert res.total_rows == 4
+
+
+def test_duplicate_header_names(spark, tmp_path):
+    p = tmp_path / "dup.tsv"
+    p.write_text("x\ty\tx\n1\ta\t9\n2\tb\t8\n")
+    res = scan_file(spark, str(p), ScanConfig())
+    rows = {r.column_name: r for r in res.summary.collect()}
+    assert set(rows) == {"x", "y", "x_2"}
+    assert rows["x"].data_type == "double"
+    assert rows["x_2"].data_type == "double"
+    assert rows["x_2"].max_val == 9.0

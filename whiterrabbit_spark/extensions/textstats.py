@@ -1,9 +1,13 @@
 """Text analysis operators for training-data pipelines.
 
-All expressions are JVM-side built-ins (regexp/array functions) — no Python
-UDFs — so they stay inside whole-stage codegen and scan 100 TB at parquet
-speed. Regex literals are kept to the syntax subset shared by Java regex
-(Spark) and RE2 (DuckDB) so the oracle recomputes them identically.
+All expressions are JVM-side built-ins (regexp/array functions) — no
+Python UDFs, no serialization hops. The split/regexp parts run inside
+whole-stage codegen; the higher-order lambdas (``F.filter`` over token
+arrays) evaluate as interpreted JVM expressions — still map-side and
+shuffle-free, the documented cost of keeping token-equality semantics the
+DuckDB oracle can reproduce exactly (``list_filter`` + ``IN``). Regex
+literals are kept to the syntax subset shared by Java regex (Spark) and
+RE2 (DuckDB) so the oracle recomputes them identically.
 """
 
 from __future__ import annotations

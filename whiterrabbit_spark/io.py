@@ -61,10 +61,21 @@ def count_lines(spark: SparkSession, path: str) -> int:
 
 
 def read_header(path: str, sep: str) -> list[str]:
-    """Read just the header line driver-side (one line of IO)."""
+    """Read just the header line driver-side (one line of IO).
+
+    Duplicate column names are made unique with ``_2``, ``_3``… suffixes
+    (fread similarly auto-renames duplicates; Spark would otherwise fail
+    on ambiguous references in every downstream select)."""
     with open(path, encoding="utf-8", errors="replace") as fh:
         header = fh.readline().rstrip("\r\n")
-    return header.split(sep)
+    cols = header.split(sep)
+    seen: dict[str, int] = {}
+    out = []
+    for c in cols:
+        n = seen.get(c, 0) + 1
+        seen[c] = n
+        out.append(c if n == 1 else f"{c}_{n}")
+    return out
 
 
 def read_all_string(
