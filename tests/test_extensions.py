@@ -350,3 +350,24 @@ def test_blocked_cosine_matches_fold(spark, emb):
     assert fold, "corpus should contain pairs"
     for k, v in fold.items():
         assert abs(v - blk[k]) < 1e-12
+
+
+def test_streaming_parquet_sink_checkpointed(spark, tmp_path):
+    """Windowed profile → parquet sink with checkpoint: append mode emits
+    only watermark-finalized windows; a restart with the same checkpoint
+    reprocesses nothing (exactly-once)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = st.stream_events_from_parquet(spark, SF_DIR)
+    prof = st.windowed_profile(src)
+    st.run_stream_to_parquet(prof, out, ckpt)
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 > 0, "watermark-finalized windows should have been emitted"
+    assert set(first.columns) >= {
+        "window_start", "window_end", "event_type", "n_events", "sum_value"
+    }
+    # second run, same checkpoint: no new input ⇒ no new rows
+    src2 = st.stream_events_from_parquet(spark, SF_DIR)
+    st.run_stream_to_parquet(st.windowed_profile(src2), out, ckpt)
+    assert spark.read.parquet(out).count() == n1

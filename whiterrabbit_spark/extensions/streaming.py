@@ -213,3 +213,25 @@ def sessionize_stateful(stream: DataFrame, gap_seconds: float) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def run_stream_to_parquet(
+    profiled: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    mode: str = "append",
+) -> None:
+    """Drain a (bounded) stream to parquet with checkpointing — the
+    production sink shape: exactly-once via the checkpoint's offset/commit
+    log, restartable, partitioned output. availableNow processes the
+    backlog and terminates (a deployment would omit the trigger and run
+    continuously)."""
+    q = (
+        profiled.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
