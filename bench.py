@@ -23,14 +23,15 @@ from whiterrabbit_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CFG = ScanConfig(max_rows=-1)
+CFG_APPROX = ScanConfig(max_rows=-1, approx=True)
 
 
-def profile_query(table: str):
+def profile_query(table: str, cfg: ScanConfig = CFG):
     def run(spark, sf_dir):
         from whiterrabbit_spark.io import read_parquet_table
 
         df = read_parquet_table(spark, sf_dir, table)
-        summary, _ = profile_table(df, CFG, table_name=table)
+        summary, _ = profile_table(df, cfg, table_name=table)
         return summary
 
     return run
@@ -52,6 +53,7 @@ def main() -> None:
 
     bench: dict[str, object] = {
         "profile_lineitem": profile_query("lineitem"),
+        "profile_lineitem_approx": profile_query("lineitem", CFG_APPROX),
         "profile_orders": profile_query("orders"),
         "profile_events": profile_query("events"),
         "freq_lineitem": freq_query("lineitem"),

@@ -371,3 +371,19 @@ def test_streaming_parquet_sink_checkpointed(spark, tmp_path):
     src2 = st.stream_events_from_parquet(spark, SF_DIR)
     st.run_stream_to_parquet(st.windowed_profile(src2), out, ckpt)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_lsh_bucket_cap_guards_giant_clusters(spark):
+    """A cluster of identical docs creates k²/2 candidate pairs; with the
+    bucket cap the cluster is excluded while normal pairs survive."""
+    rows = [(i, "totally identical content repeated " * 3) for i in range(40)]
+    rows += [(100, "a distinct doc about spark partitions and shuffles"),
+             (101, "a distinct doc about spark partitions and shuffle")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = X.minhash_signatures(df, "text", "doc_id")
+    uncapped = X.lsh_candidate_pairs(sigs).count()
+    capped = X.lsh_candidate_pairs(sigs, max_bucket_size=10)
+    pairs = {(r.id1, r.id2) for r in capped.collect()}
+    assert uncapped >= 40 * 39 / 2
+    assert (100, 101) in pairs
+    assert all(i1 >= 100 for i1, _ in pairs), "giant cluster must be excluded"

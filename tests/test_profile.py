@@ -124,7 +124,8 @@ def test_approx_mode_within_tolerance(spark):
         )
         if er.distinct_count:
             rel = abs(ar.distinct_count - er.distinct_count) / er.distinct_count
-            assert rel < 0.05, f"{c}: distinct off by {rel:.3f}"
+            # HLL++ rsd default is 0.05 ⇒ 3σ bound
+            assert rel < 0.15, f"{c}: distinct off by {rel:.3f}"
         for fld in ("median_val", "q1_val", "q3_val"):
             ev, av = getattr(er, fld), getattr(ar, fld)
             if ev is not None and av is not None and er.max_val != er.min_val:

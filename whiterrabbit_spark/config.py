@@ -46,8 +46,10 @@ class ScanConfig:
                                         # splittability — off by default)
     seed: int = 42
     approx: bool = False                # True → sketch algorithms at scale
-    approx_percentile_accuracy: int = 10_000
-    approx_distinct_rsd: float = 0.01
+    approx_percentile_accuracy: int = 2_000
+    # 5% rsd: HLL++ update cost cliffs ~10× somewhere below 2% rsd (register
+    # array falls out of cache); 5% is ample for profiling overviews.
+    approx_distinct_rsd: float = 0.05
     max_agg_exprs_per_job: int = 1_500  # chunk very wide tables (SURVEY §4)
     round_digits: int = 6               # stat rounding for stable comparisons
 

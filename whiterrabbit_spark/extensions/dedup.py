@@ -148,10 +148,21 @@ def minhash_signatures_from_shingles(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 32, rows_per_band: int = 2
+    signatures: DataFrame,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of the signature become a
-    candidate pair. Output: distinct (id1, id2)."""
+    candidate pair. Output: distinct (id1, id2).
+
+    ``max_bucket_size`` is the giant-cluster guard for scale runs: a band
+    bucket holding k docs emits k²/2 pairs, so one cluster of 10⁵ exact
+    near-identical docs would explode the join. Buckets above the cap are
+    dropped from candidate generation — such clusters are exact/near-exact
+    duplicates that the fingerprint pass (``textstats.fingerprint`` /
+    ``exact_duplicates``) already collapses for a linear cost. Off (None)
+    by default to keep the oracle-checked exact semantics."""
     n_bands = num_hashes // rows_per_band
     band_rows = F.array(
         *[
@@ -171,6 +182,15 @@ def lsh_candidate_pairs(
     bands = signatures.select(
         F.col("doc_id"), F.explode(band_rows).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
+        bands = (
+            bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
