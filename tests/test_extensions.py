@@ -387,3 +387,19 @@ def test_lsh_bucket_cap_guards_giant_clusters(spark):
     assert uncapped >= 40 * 39 / 2
     assert (100, 101) in pairs
     assert all(i1 >= 100 for i1, _ in pairs), "giant cluster must be excluded"
+
+
+def test_pandas_buckets_match_expression_form(spark, emb):
+    """numpy-matmul bucket assignment == fold-expression buckets."""
+    expr = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.explode(sim._table_buckets(F.col("embedding"), 64, 4, 8, 42)).alias("tb"),
+    ).select("vid", "tb.table", "tb.bucket")
+    e = {(r.vid, r.table): r.bucket for r in expr.collect()}
+    p = {
+        (r.vid, r.table): r.bucket
+        for r in sim.hyperplane_buckets_pandas(
+            emb, 64, "vid", n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert e == p
