@@ -167,3 +167,17 @@ def test_duplicate_header_names(spark, tmp_path):
     assert rows["x"].data_type == "double"
     assert rows["x_2"].data_type == "double"
     assert rows["x_2"].max_val == 9.0
+
+
+def test_empty_field_vs_na_literal(spark, tmp_path):
+    """fread semantics at the read layer (W:313-319): unquoted empty field
+    → "" (EmptyCount), literal NA → NULL (MissingCount). Spark's csv parser
+    folds both to NULL by default — the engine must keep them distinct."""
+    p = tmp_path / "na.tsv"
+    p.write_text("k\tv\n1\t\n2\tNA\n3\tx\n4\t\n")
+    res = scan_file(spark, str(p), ScanConfig())
+    r = {x.column_name: x for x in res.summary.collect()}["v"]
+    assert r.empty_count == 2
+    assert r.missing_count == 1
+    assert r.non_missing_count == 1
+    assert r.distinct_count == 1

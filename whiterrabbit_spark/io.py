@@ -96,17 +96,31 @@ def read_all_string(
     """
     cols = read_header(path, sep)
     schema = T.StructType([T.StructField(c, T.StringType(), True) for c in cols])
-    return (
+    # Spark's univocity parser yields NULL for an unquoted empty field no
+    # matter how nullValue/emptyValue are set; fread yields "" (the
+    # EmptyCount-vs-MissingCount distinction, W:313-319). Read with a
+    # sentinel nullValue so nothing else maps to NULL in the parser, then
+    # remap per column: parser-NULL (truly empty field) -> "", literal na
+    # string -> NULL. Pure scan-stage projection, no extra pass.
+    raw = (
         spark.read.schema(schema)
         .option("header", True)
         .option("sep", sep)
         .option("quote", '"')
         .option("escape", '"')
-        .option("nullValue", null_value)
+        .option("nullValue", " __WRS_NO_NULL__ ")
         .option("mode", "PERMISSIVE")
         .option("multiLine", multiline)
         .csv(path)
     )
+    fixed = [
+        F.when(F.col(c).isNull(), F.lit(""))
+        .when(F.col(c) == null_value, F.lit(None))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in cols
+    ]
+    return raw.select(*fixed)
 
 
 # Columns written as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
