@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="approximate distinct/percentiles for very large scans")
     p.add_argument("--multiline", action="store_true", default=False,
                    help="parse quoted embedded newlines (costs file splittability)")
+    p.add_argument("--parallel-files", type=int, default=4,
+                   help="concurrent per-file scan jobs (reference scans sequentially)")
     return p
 
 
@@ -61,7 +63,9 @@ def main(argv: list[str] | None = None) -> int:
         multiline=args.multiline,
     )
     spark = get_spark(cpus=args.cpus)
-    overview, results = scan_folder(spark, args.working_folder, cfg)
+    overview, results = scan_folder(
+        spark, args.working_folder, cfg, max_parallel_files=args.parallel_files
+    )
     if args.output_format == "xlsx":
         out = write_xlsx_report(overview, results, args.output_dir, args.prefix)
         print(f"Wrote Excel file: {out}")
