@@ -51,6 +51,10 @@ class ScanConfig:
     # array falls out of cache); 5% is ample for profiling overviews.
     approx_distinct_rsd: float = 0.05
     max_agg_exprs_per_job: int = 1_500  # chunk very wide tables (SURVEY §4)
+    # below this many rows, the exact distinct+percentile pass collapses to
+    # one melt job (job-scheduling overhead beats per-column scans on tiny
+    # files — the many-small-files folder case)
+    small_table_rows: int = 200_000
     round_digits: int = 6               # stat rounding for stable comparisons
 
     @property

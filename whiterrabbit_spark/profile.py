@@ -194,6 +194,63 @@ def _exact_distinct_and_percentiles(
     )
 
 
+def _exact_distinct_and_percentiles_melt(
+    df: DataFrame, fields: list
+) -> tuple[dict[str, int], dict[str, list]]:
+    """Small-table variant of the histogram pass: ONE job for all columns.
+
+    Melts every column to (column, string_value, double_value) structs,
+    two-level-groups to the per-column value histogram, then aggregates
+    distinct counts + weighted type-7 percentiles per column group. Same
+    results as the per-column form (stringified doubles/timestamps are
+    canonical, so distinct-on-string == distinct-on-value); chosen below
+    ``ScanConfig.small_table_rows``. On local[32] the two forms measure
+    equal (the folder scan is scheduling-bound either way); the win is on
+    real clusters where per-job scheduling latency is 5-10× local — this
+    path submits ~5 jobs per small file instead of 4+n_cols.
+    """
+    entries = []
+    for f in fields:
+        c = F.col(f.name)
+        if _is_numeric(f.dataType):
+            cond, dv = c.isNotNull(), c.cast("double")
+        elif _is_date(f.dataType):
+            cond, dv = c.isNotNull(), c.cast("timestamp").cast("double")
+        elif isinstance(f.dataType, T.StringType):
+            cond, dv = nonempty(c), F.lit(None).cast("double")
+        else:
+            cond, dv = c.isNotNull(), F.lit(None).cast("double")
+        entries.append(
+            F.when(
+                cond,
+                F.struct(
+                    F.lit(f.name).alias("c"),
+                    c.cast("string").alias("sv"),
+                    dv.alias("dv"),
+                ),
+            )
+        )
+    melted = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .where(F.col("e").isNotNull())
+        .select("e.c", "e.sv", "e.dv")
+    )
+    hist = melted.groupBy("c", "sv").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("dv").alias("dv")
+    )
+    rows = hist.groupBy("c").agg(
+        F.count(F.lit(1)).alias("distinct"),
+        F.percentile(F.col("dv"), F.lit([0.25, 0.5, 0.75]), F.col("cnt")).alias("q"),
+    ).collect()
+    distinct = {f.name: 0 for f in fields}
+    quarts: dict[str, list] = {}
+    for r in rows:
+        distinct[r["c"]] = r["distinct"]
+        if r["q"] is not None:
+            quarts[r["c"]] = list(r["q"])
+    return distinct, quarts
+
+
 def _fmt_ts(spark: SparkSession, epoch_or_ts: Any) -> str | None:
     """Driver-side timestamp → 'yyyy-MM-dd HH:mm:ss' (UTC session tz)."""
     if epoch_or_ts is None:
@@ -205,6 +262,7 @@ def profile_table(
     df: DataFrame,
     cfg: ScanConfig | None = None,
     table_name: str = "table",
+    row_hint: int | None = None,
 ) -> tuple[DataFrame, dict[str, dict]]:
     """One-pass profile of every column.
 
@@ -236,11 +294,12 @@ def profile_table(
     # running serial barriers.
     with ThreadPoolExecutor(max_workers=2) as pool:
         fut_chunks = [pool.submit(run_chunk, ch) for ch in chunks]
-        fut_hist = (
-            pool.submit(_exact_distinct_and_percentiles, df, fields)
-            if not cfg.approx
-            else None
+        hist_fn = (
+            _exact_distinct_and_percentiles_melt
+            if (row_hint is not None and row_hint <= cfg.small_table_rows)
+            else _exact_distinct_and_percentiles
         )
+        fut_hist = pool.submit(hist_fn, df, fields) if not cfg.approx else None
         chunk_rows = [f.result() for f in fut_chunks]
         distinct, quarts = fut_hist.result() if fut_hist else ({}, {})
 

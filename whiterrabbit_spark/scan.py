@@ -53,7 +53,9 @@ def scan_file(
     if cfg.shift_dates:
         typed = shift_dates(typed, cfg)
 
-    summary_all, raw = profile_table(typed, cfg, table_name=os.path.basename(path))
+    summary_all, raw = profile_table(
+        typed, cfg, table_name=os.path.basename(path), row_hint=n_rows_checked
+    )
     n_fields = len(typed.columns)
     n_fields_empty = len(all_empty_fields(raw))
 
