@@ -403,3 +403,22 @@ def test_pandas_buckets_match_expression_form(spark, emb):
         ).collect()
     }
     assert e == p
+
+
+def test_cosine_topk_blocked_matches_exact(spark, emb):
+    """Blocked-GEMM top-k == fold-expression top-k (same neighbor sets per
+    query, cosines within float noise)."""
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fold = {}
+    for r in sim.cosine_topk(emb, q, k=5).collect():
+        fold.setdefault(r.query_id, {})[r.neighbor_id] = r.cosine
+    blk = {}
+    for r in sim.cosine_topk_blocked(emb, q, k=5).collect():
+        blk.setdefault(r.query_id, {})[r.neighbor_id] = r.cosine
+    assert set(fold) == set(blk)
+    for qid in fold:
+        assert set(fold[qid]) == set(blk[qid]), f"query {qid} neighbor set"
+        for nid, c in fold[qid].items():
+            assert abs(c - blk[qid][nid]) < 1e-12
