@@ -409,11 +409,14 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
 
 def _ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k via the blocked-GEMM scan (map-only over
+    the corpus; the fold-expression form cosine_topk is the
+    parity-reference, tested equal)."""
     df = read_parquet_table(spark, sf_dir, "embeddings")
     q = df.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = sim.cosine_topk(df, q, k=5)
+    out = sim.cosine_topk_blocked(df, q, k=5)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", R).alias("cosine"), "rank"
     )
