@@ -422,3 +422,21 @@ def test_cosine_topk_blocked_matches_exact(spark, emb):
         assert set(fold[qid]) == set(blk[qid]), f"query {qid} neighbor set"
         for nid, c in fold[qid].items():
             assert abs(c - blk[qid][nid]) < 1e-12
+
+
+def test_winnow_fingerprints_detect_shared_substrings(spark):
+    """Winnowing guarantee: docs sharing a substring of ≥ w+k-1 chars share
+    at least one fingerprint; disjoint docs share none (w.h.p.)."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"prefix one {shared} suffix alpha"),
+        (2, f"completely different start {shared} and another end"),
+        (3, "unrelated content about spark shuffle partitions entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in ts.winnow_fingerprints(df, "text", "doc_id").collect():
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert fps[1] & fps[2], "docs sharing a long substring must share fingerprints"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])

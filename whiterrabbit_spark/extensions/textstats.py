@@ -173,3 +173,50 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("doc_id"),
         fingerprint_expr(F.col(text_col)).alias("fingerprint"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    character k-gram of the whitespace-normalized text, slide a window of
+    w consecutive k-gram hashes, keep each window's minimum — a ~1/w
+    subsample of positions that is robust to insertions/reordering (any
+    shared substring ≥ w+k-1 chars yields a shared fingerprint).
+
+    Rolling-hash note: Karp-Rabin rolling is an O(1)-per-position
+    *computation* trick; the fingerprint set is defined by the k-gram hash
+    values, which we compute via md5→int so the DuckDB oracle reproduces
+    them bit-identically. Selection is a windowed running-min partitioned
+    per doc — one shuffle on doc_id.
+
+    Output: distinct (doc_id, fingerprint) rows.
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
+                lambda i: F.struct(i.alias("pos"), norm.substr(i, F.lit(k)).alias("g")),
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.pos", "e.g")
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        hashed.withColumn("wmin", F.min("h").over(win))
+        .where(F.col("h") == F.col("wmin"))
+        .select("doc_id", F.col("h").alias("fingerprint"))
+        .distinct()
+    )

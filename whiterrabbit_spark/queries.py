@@ -910,6 +910,45 @@ SELECT split, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
 FROM s GROUP BY split"""
 
 
+def _winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash + window-min selection) fingerprints,
+    aggregated per doc for a compact result: count + xor-fold of the
+    selected hashes (order-insensitive set digest both engines compute)."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    fps = ts.winnow_fingerprints(docs, "text", "doc_id")
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum(F.col("fingerprint") % 1000003).alias("fp_sum"),
+        F.min("fingerprint").alias("fp_min"),
+    )
+
+
+_WINNOW_SQL = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i.pos,
+         substr(t, i.pos, 5) AS g
+  FROM norm, LATERAL unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i(pos)
+), hashed AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM grams
+), winnowed AS (
+  SELECT DISTINCT doc_id, h AS fingerprint
+  FROM (
+    SELECT doc_id, h,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+    FROM hashed
+  ) WHERE h = wmin
+)
+SELECT doc_id, count(*) AS n_fingerprints,
+       sum(fingerprint % 1000003)::BIGINT AS fp_sum, min(fingerprint) AS fp_min
+FROM winnowed GROUP BY doc_id"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -965,6 +1004,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["text_stats_documents"] = _text_stats_sql()
     queries["lang_id_documents"] = _lang_id
     oracles["lang_id_documents"] = _lang_id_sql()
+    queries["winnow_fingerprint_documents"] = _winnow
+    oracles["winnow_fingerprint_documents"] = _WINNOW_SQL
     queries["fingerprint_documents"] = _fingerprint
     oracles["fingerprint_documents"] = _FINGERPRINT_SQL
     queries["events_hourly_rollup"] = _events_rollup
