@@ -109,3 +109,61 @@ class TestProperties:
             == r["total_count"]
         )
         assert r["distinct_count"] <= max(r["non_missing_count"], 0)
+
+
+@st.composite
+def _texts(draw):
+    return draw(
+        st.text(
+            alphabet=st.sampled_from("abc d.e,f!?\t\n'123"),
+            min_size=0,
+            max_size=60,
+        )
+    )
+
+
+class TestTextstatsProperties:
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(_texts(), min_size=1, max_size=8))
+    def test_quality_bounded_and_fingerprint_ws_invariant(self, spark, texts):
+        from whiterrabbit_spark.extensions import textstats as ts
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        q = {r.doc_id: r for r in ts.quality_score(df, "text", "doc_id").collect()}
+        for r in q.values():
+            assert -1e-9 <= r.quality_score <= 1 + 1e-9
+            assert r.quality_class in ("keep", "review", "drop")
+        # fingerprint is invariant under whitespace runs + case
+        import re
+
+        mangled = [
+            (i, re.sub(r" ", "   ", t.upper())) for i, t in rows
+        ]
+        df2 = spark.createDataFrame(mangled, "doc_id long, text string")
+        f1 = {r.doc_id: r.fingerprint for r in ts.fingerprint(df, "text", "doc_id").collect()}
+        f2 = {r.doc_id: r.fingerprint for r in ts.fingerprint(df2, "text", "doc_id").collect()}
+        for i, t in rows:
+            # only space-runs are normalized; tabs/newlines also fold via \s+
+            assert f1[i] == f2[i]
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(_texts(), min_size=1, max_size=8))
+    def test_bpe_tokens_cover_nonspace_text(self, spark, texts):
+        from whiterrabbit_spark.extensions import textstats as ts
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        out = df.select(
+            "doc_id",
+            ts.bpe_token_count(F.col("text")).alias("n"),
+            F.length(F.regexp_replace("text", r"\s", "")).alias("nonspace"),
+        )
+        for r in out.collect():
+            if r.nonspace == 0:
+                assert r.n == 0 or r.n >= 0
+            else:
+                assert r.n >= 1
+                assert r.n <= r.nonspace

@@ -194,7 +194,9 @@ def cosine_near_pairs_blocked(
     tagged = df.select(
         F.col(id_col).alias("vid"),
         _to_double(F.col(vec_col)).alias("v"),
-        (F.col(id_col) % n_blocks).cast("int").alias("blk"),
+        # hash the id so patterned key spaces (all-even ids, strided
+        # ranges) still spread evenly across blocks
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
     pair_keys = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
