@@ -440,3 +440,23 @@ def test_winnow_fingerprints_detect_shared_substrings(spark):
     assert fps[1] & fps[2], "docs sharing a long substring must share fingerprints"
     assert not (fps[1] & fps[3])
     assert not (fps[2] & fps[3])
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF-flat ANN: top-1 recall vs brute force. This corpus is weakly
+    clustered (max pairwise cosine ~0.5), so neighbors straddle list
+    boundaries — measured recall 0.45/0.55/0.80 at n_probe 2/4/8 of 16
+    lists; the test pins the probe-8 point of that dial."""
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(emb, q, k=1).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(emb, q, k=1, n_probe=8).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.6, f"IVF top-1 recall {recall}"

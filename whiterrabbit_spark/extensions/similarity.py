@@ -395,3 +395,84 @@ def random_hyperplane_ann(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat ANN: a seeded k-means coarse quantizer (Spark MLlib)
+    partitions the corpus into ``n_lists`` inverted lists; each query
+    exactly scores only the ``n_probe`` lists whose centroids are nearest —
+    the complementary ANN family to random-hyperplane LSH (data-adaptive
+    partitions vs data-oblivious projections; recall degrades for points
+    near list boundaries, controlled by n_probe).
+
+    Shapes: one MLlib fit (its own jobs), one map-side list assignment over
+    the corpus, a broadcast join on list id, GEMM-free exact scoring on
+    candidates. Approximate by design → recall-tested, not oracle-checked.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def _unit(arr: Column) -> Column:
+        v = _to_double(arr)
+        n = _norm(v)
+        return F.transform(v, lambda x: x / n)
+
+    # normalize first: L2 on unit vectors is monotone in cosine, so the
+    # quantizer partitions by the metric actually being searched
+    # (spherical k-means)
+    train = corpus.select(array_to_vector(_unit(F.col(vec_col))).alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    centers = [list(map(float, c)) for c in km.clusterCenters()]
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        """Array of the n nearest list ids by squared L2 to each centroid."""
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            _unit(vec),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("list_id"),
+                )
+                for i, c in enumerate(centers)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n)["list_id"]
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("cv"),
+        nearest_lists(F.col(vec_col), 1)[0].alias("list_id"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qv"),
+        F.explode(nearest_lists(F.col(vec_col), n_probe)).alias("list_id"),
+    )
+    scored = c.join(F.broadcast(q), "list_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
