@@ -1,19 +1,30 @@
 """Similarity search over embedding columns (array<float>).
 
-* ``cosine_topk`` — exact brute-force top-k: the query set is broadcast
-  (small side), the corpus streams once, per-query top-k via window
-  row_number. Arithmetic is done in DOUBLE with a sequential left-fold so
-  the DuckDB oracle (same fold order) reproduces values bit-compatibly.
-* ``random_hyperplane_ann`` — the scale path: L independent hash tables of
-  k seeded random-hyperplane sign bits (OR-amplification: a pair is a
-  candidate if it collides in ANY table — recall 1-(1-p^k)^L where
-  p = 1-θ/π). Candidates are scored exactly and ranked. Recall is
-  validated against brute force in tests, not an oracle (approximate by
-  design).
+Exact forms (every emitted score is a true cosine):
 
-At 100 TB the brute-force path is a broadcast-join scan — no shuffle of
-the corpus at all — and the ANN path turns top-k into a bucket-local
-problem. Neither collects vectors to the driver.
+* ``cosine_topk`` — fold-expression brute force; deterministic left-fold
+  summation the DuckDB oracle reproduces bit-compatibly. The parity
+  reference for the fast forms.
+* ``cosine_topk_blocked`` — the production brute force: broadcast query
+  matrix, corpus streamed through ``mapInPandas`` BLAS matmuls with
+  per-batch top-k prefilter. Map-only over the corpus.
+* ``cosine_near_pairs`` / ``cosine_near_pairs_blocked`` — all-pairs ≥
+  threshold; fold-expression baseline vs blocked-GEMM ``applyInPandas``
+  (~27× faster, one shuffle, two blocks of vectors per task).
+
+Approximate forms (candidate pruning; every *emitted* score still exact;
+recall is the dial, validated in tests):
+
+* ``random_hyperplane_ann`` / ``hyperplane_near_pairs`` — L tables of k
+  seeded sign-bit projections, OR-amplified (recall 1-(1-p^k)^L,
+  p = 1-θ/π); numpy-vectorized bucket assignment, bit-identical to the
+  expression form. Data-oblivious ⇒ oracle-checkable with the plane
+  constants inlined into SQL.
+* ``ivf_topk`` — spherical k-means inverted lists (MLlib), probe the
+  n_probe nearest lists. Data-adaptive ⇒ recall-tested, not oracled.
+
+None of these collect corpus vectors to the driver; query sets (small by
+definition) broadcast.
 """
 
 from __future__ import annotations
