@@ -460,3 +460,27 @@ def test_ivf_topk_recall(spark, emb):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.6, f"IVF top-1 recall {recall}"
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    """Streamed duplicated events → one output row per event_id."""
+    import pyspark.sql.functions as SF
+
+    events = read_parquet_table(spark, SF_DIR, "events").limit(500)
+    doubled = events.unionByName(events)
+    src_dir = str(tmp_path / "src")
+    doubled.write.parquet(src_dir)
+    stream = spark.readStream.schema(doubled.schema).parquet(src_dir)
+    out = st.dedup_stream(stream)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table(name)
+    n_ids = events.select("event_id").distinct().count()
+    assert got.count() == n_ids
+    assert got.select("event_id").distinct().count() == n_ids
+    # batch path
+    assert st.dedup_stream(doubled).count() == n_ids

@@ -181,3 +181,11 @@ def test_empty_field_vs_na_literal(spark, tmp_path):
     assert r.missing_count == 1
     assert r.non_missing_count == 1
     assert r.distinct_count == 1
+
+
+def test_bom_header_stripped(spark, tmp_path):
+    p = tmp_path / "bom.tsv"
+    p.write_bytes("﻿id\tname\n1\ta\n2\tb\n".encode("utf-8"))
+    res = scan_file(spark, str(p), ScanConfig())
+    cols = {r.column_name for r in res.summary.collect()}
+    assert cols == {"id", "name"}, cols

@@ -235,3 +235,21 @@ def run_stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: first occurrence of each key wins;
+    the state store keeps one entry per key seen, and the watermark bounds
+    it — keys older than the watermark are evicted, so duplicate arrivals
+    within the lateness horizon dedup and state stays finite (the
+    unbounded-state hazard of naive stream dedup). Batch frames get the
+    plain dropDuplicates."""
+    keys = key_cols or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])

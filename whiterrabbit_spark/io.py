@@ -66,7 +66,7 @@ def read_header(path: str, sep: str) -> list[str]:
     Duplicate column names are made unique with ``_2``, ``_3``… suffixes
     (fread similarly auto-renames duplicates; Spark would otherwise fail
     on ambiguous references in every downstream select)."""
-    with open(path, encoding="utf-8", errors="replace") as fh:
+    with open(path, encoding="utf-8-sig", errors="replace") as fh:
         header = fh.readline().rstrip("\r\n")
     cols = header.split(sep)
     seen: dict[str, int] = {}
