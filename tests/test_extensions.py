@@ -484,3 +484,17 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     assert got.select("event_id").distinct().count() == n_ids
     # batch path
     assert st.dedup_stream(doubled).count() == n_ids
+
+
+def test_extension_ops_handle_empty_inputs(spark):
+    """Empty corpus / query set must yield empty results, not crash."""
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    assert X.exact_duplicates(docs, "text", "doc_id").count() == 0
+    assert X.minhash_dedup_pairs(docs, "text", "doc_id").count() == 0
+    assert X.simhash_near_pairs(docs, "text", "doc_id").count() == 0
+    assert ts.winnow_fingerprints(docs, "text", "doc_id").count() == 0
+    assert sim.cosine_near_pairs_blocked(emb, 0.4).count() == 0
+    assert sim.hyperplane_near_pairs(emb, 0.4, dim=64).count() == 0
+    assert sim.cosine_topk_blocked(emb, q).count() == 0

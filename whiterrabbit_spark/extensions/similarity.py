@@ -137,6 +137,9 @@ def cosine_topk_blocked(
     import pandas as pd
 
     qrows = queries.select(query_id_col, vec_col).collect()
+    out_schema = "query_id long, neighbor_id long, cosine double, rank int"
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
