@@ -498,3 +498,17 @@ def test_extension_ops_handle_empty_inputs(spark):
     assert sim.cosine_near_pairs_blocked(emb, 0.4).count() == 0
     assert sim.hyperplane_near_pairs(emb, 0.4, dim=64).count() == 0
     assert sim.cosine_topk_blocked(emb, q).count() == 0
+
+
+def test_minhash_pandas_signatures_match_expression(spark, docs):
+    """Map-only numpy MinHash signatures == expression-form signatures,
+    bit for bit (same ASCII tokenization, md5 hash, permutation params)."""
+    a = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in X.minhash_signatures(docs, "text", "doc_id").collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in X.minhash_signatures_pandas(docs, "text", "doc_id").collect()
+    }
+    assert a == b

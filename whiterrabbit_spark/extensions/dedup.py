@@ -133,6 +133,65 @@ def minhash_signatures(
     return minhash_signatures_from_shingles(sh, num_hashes, seed)
 
 
+def minhash_signatures_pandas(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Map-only MinHash signatures: tokenize → shingle → md5 → 32
+    permutation-minima per doc, all inside one Arrow batch pass — no
+    shingle explode, no groupBy shuffle (the expression form shuffles
+    |shingles| rows to build the same 32 ints/doc). Bit-identical to
+    ``minhash_signatures``: same ASCII-whitespace split (Java/RE2 ``\\s``
+    is ASCII), same md5→60-bit→mod-p hash, same (a,b) params.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    params = np.array(_minhash_params(num_hashes, seed), dtype=np.uint64)
+    a_vec, b_vec = params[:, 0], params[:, 1]
+    ws = re.compile(r"\s+", re.ASCII)
+    p = np.uint64(MERSENNE_P)
+
+    def sigs(batches):
+        import hashlib
+
+        for pdf in batches:
+            ids, rows = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(text.strip().lower())
+                n = max(len(toks) - (k - 1), 1)
+                sh = {" ".join(toks[i : i + k]) for i in range(n)}
+                hs = np.array(
+                    [
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                        for s in sh
+                    ],
+                    dtype=np.uint64,
+                ) % p
+                # (n_shingles, num_hashes) permuted hashes → column minima.
+                # p = 2^31-1, so a*h + b < 2^62 + 2^31 fits uint64 exactly.
+                perm = (hs[:, None] * a_vec + b_vec) % p
+                ids.append(did)
+                rows.append(perm.min(axis=0))
+            out = pd.DataFrame(
+                np.array(rows, dtype=np.int64) if rows else np.empty((0, num_hashes)),
+                columns=[f"m{i}" for i in range(num_hashes)],
+            )
+            out.insert(0, "doc_id", ids)
+            yield out
+
+    schema = "doc_id long, " + ", ".join(f"m{i} long" for i in range(num_hashes))
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(sigs, schema)
+
+
 def minhash_signatures_from_shingles(
     sh: DataFrame, num_hashes: int = 32, seed: int = 42
 ) -> DataFrame:

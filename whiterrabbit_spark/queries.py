@@ -578,7 +578,11 @@ def _streaming_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
         F.round("sum_value", R).alias("sum_value"),
-        F.round("mean_value", R).alias("mean_value"),
+        # mean derived from the rounded sum: raw avg differs from DuckDB's
+        # in summation order, and at sf0.1 one group's mean lands exactly
+        # on a 6-dp rounding boundary — deriving from agreed quantities
+        # makes the comparison deterministic at every scale
+        F.round(F.round(F.col("sum_value"), R) / F.col("n_events"), R).alias("mean_value"),
         F.round("min_value", R).alias("min_value"),
         F.round("max_value", R).alias("max_value"),
     )
@@ -589,7 +593,7 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wind
        event_type,
        count(*) AS n_events,
        round(sum(value), 6) AS sum_value,
-       round(avg(value), 6) AS mean_value,
+       round(round(sum(value), 6) / count(*), 6) AS mean_value,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value
 FROM events
