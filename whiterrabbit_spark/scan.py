@@ -49,6 +49,13 @@ def scan_file(
     else:
         n_rows_checked = data_rows
 
+    # A small delimited file arrives as one input split; every downstream
+    # aggregation would then run single-threaded. Fan small inputs out to
+    # the cluster's parallelism (no-op at scale, where splits >> cores).
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par and n_rows_checked > 10_000:
+        df = df.repartition(par)
+
     typed, inference = infer_and_cast(df, cfg)
     if cfg.shift_dates:
         typed = shift_dates(typed, cfg)
