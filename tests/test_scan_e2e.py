@@ -189,3 +189,16 @@ def test_bom_header_stripped(spark, tmp_path):
     res = scan_file(spark, str(p), ScanConfig())
     cols = {r.column_name for r in res.summary.collect()}
     assert cols == {"id", "name"}, cols
+
+
+def test_ragged_rows(spark, tmp_path):
+    """Short rows: absent trailing fields read as empty strings (fread
+    fill=TRUE behavior for character columns); long rows: extras dropped."""
+    p = tmp_path / "ragged.tsv"
+    p.write_text("a\tb\tc\n1\tx\ty\n2\tx\n3\tx\ty\tEXTRA\n")
+    res = scan_file(spark, str(p), ScanConfig())
+    rows = {r.column_name: r for r in res.summary.collect()}
+    assert rows["c"].total_count == 3
+    assert rows["c"].empty_count == 1       # row 2's absent field
+    assert rows["c"].missing_count == 0
+    assert rows["a"].data_type == "double"
