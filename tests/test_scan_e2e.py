@@ -202,3 +202,26 @@ def test_ragged_rows(spark, tmp_path):
     assert rows["c"].empty_count == 1       # row 2's absent field
     assert rows["c"].missing_count == 0
     assert rows["a"].data_type == "double"
+
+
+def test_xlsx_is_valid_ooxml(spark, workdir, tmp_path):
+    """The hand-rolled xlsx (no openpyxl in this env) must be a valid zip
+    of well-formed XML parts with the declared sheet inventory."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    cfg = ScanConfig(max_rows=-1)
+    overview, results = scan_folder(spark, workdir, cfg)
+    path = write_xlsx_report(overview, results, str(tmp_path), "V")
+    z = zipfile.ZipFile(path)
+    assert z.testzip() is None
+    names = z.namelist()
+    assert "[Content_Types].xml" in names and "xl/workbook.xml" in names
+    for n in names:
+        if n.endswith(".xml"):
+            ET.fromstring(z.read(n))
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    sheets = [s.get("name") for s in wb.findall(".//m:sheet", ns)]
+    assert sheets[0] == "Overview"
+    assert any(s.startswith("File") for s in sheets[1:])
