@@ -61,6 +61,13 @@ def scan_file(
     typed, inference = infer_and_cast(df, cfg)
     if cfg.shift_dates:
         typed = shift_dates(typed, cfg)
+    if "timestamp" in inference.decisions.values() and cfg.max_rows <= 0:
+        # Full-scan mode with inferred date columns: the multi-pattern
+        # parse projection would re-evaluate in every downstream job
+        # (profile job sets + frequency); pay it once. memory-and-disk,
+        # spills; the sampled path (the 100 TB default) caches its ≤
+        # max_rows frame above instead.
+        typed = typed.persist()
 
     summary_all, raw = profile_table(
         typed, cfg, table_name=os.path.basename(path), row_hint=n_rows_checked
