@@ -225,3 +225,28 @@ def test_xlsx_is_valid_ooxml(spark, workdir, tmp_path):
     sheets = [s.get("name") for s in wb.findall(".//m:sheet", ns)]
     assert sheets[0] == "Overview"
     assert any(s.startswith("File") for s in sheets[1:])
+
+
+def test_profile_jsonl_source(spark, tmp_path):
+    """Source interop: a JSONL corpus profiles through the same engine
+    path as delimited/parquet tables."""
+    import json as _json
+
+    from whiterrabbit_spark.io import read_jsonl
+    from whiterrabbit_spark.profile import profile_table
+
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as fh:
+        for i in range(100):
+            fh.write(_json.dumps({
+                "doc_id": i,
+                "text": f"document number {i}",
+                "score": i / 10.0,
+            }) + "\n")
+    df = read_jsonl(spark, str(p), "doc_id long, text string, score double")
+    summary, _ = profile_table(df, ScanConfig(max_rows=-1), table_name="docs.jsonl")
+    rows = {r.column_name: r for r in summary.collect()}
+    assert rows["score"].total_count == 100
+    assert rows["score"].max_val == 9.9
+    assert abs(rows["score"].median_val - 4.95) < 1e-9
+    assert rows["doc_id"].distinct_count == 100
