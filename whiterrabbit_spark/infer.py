@@ -127,12 +127,16 @@ def _sample_gate(df: DataFrame, cols: list[str], cfg: ScanConfig) -> dict[str, d
         df.select(cols).limit(cfg.inference_sample_size * 4).repartition(par).cache()
     )
 
-    # The date gate expression is a len(DATE_PATTERNS)-branch coalesce; a
-    # single agg over hundreds of such trees exceeds codegen method limits
-    # and evaluates interpreted on one task. Small chunks submitted from a
-    # thread pool restore codegen AND overlap the jobs — measured 3.5× on
-    # a 300-column table.
-    def one_chunk(chunk: list[str]) -> dict[str, dict]:
+    # Round 1 (cheap): non-empty + numeric-cast rates for every column.
+    # Round 2 (expensive, len(DATE_PATTERNS)-branch coalesce per column):
+    # ONLY for columns the numeric gate did not capture — numeric-first
+    # precedence (W:275-279) means a numeric winner never consults the
+    # date parser, so skipping it is semantics-free and removes the date
+    # expressions for numeric-heavy tables entirely. Both rounds chunk
+    # small (a single agg over hundreds of coalesce trees exceeds codegen
+    # method limits and evaluates interpreted) and run thread-parallel —
+    # measured 3.5× on a 300-column table.
+    def num_chunk(chunk: list[str]) -> dict[str, dict]:
         exprs = []
         for c in chunk:
             col = F.col(c)
@@ -142,30 +146,35 @@ def _sample_gate(df: DataFrame, cols: list[str], cfg: ScanConfig) -> dict[str, d
                     F.when(nonempty(col) & numeric_cast_expr(col).isNotNull(), 1)
                 ).alias(f"{c}__num_ok")
             )
-            exprs.append(
-                F.count(
-                    F.when(nonempty(col) & date_parse_expr(col).isNotNull(), 1)
-                ).alias(f"{c}__date_ok")
-            )
         row = sample_df.select(chunk).agg(*exprs).collect()[0].asDict()
         return {
-            c: {
-                "ne": row[f"{c}__ne"],
-                "num_ok": row[f"{c}__num_ok"],
-                "date_ok": row[f"{c}__date_ok"],
-            }
+            c: {"ne": row[f"{c}__ne"], "num_ok": row[f"{c}__num_ok"], "date_ok": 0}
             for c in chunk
         }
 
-    chunks = _chunk(cols, _GATE_COLS_PER_JOB)
+    def date_chunk(chunk: list[str]) -> dict[str, int]:
+        exprs = [
+            F.count(
+                F.when(nonempty(F.col(c)) & date_parse_expr(F.col(c)).isNotNull(), 1)
+            ).alias(f"{c}__date_ok")
+            for c in chunk
+        ]
+        row = sample_df.select(chunk).agg(*exprs).collect()[0].asDict()
+        return {c: row[f"{c}__date_ok"] for c in chunk}
+
     out: dict[str, dict] = {}
     try:
-        if len(chunks) > 1:
-            with ThreadPoolExecutor(max_workers=min(len(chunks), 8)) as pool:
-                for d in pool.map(one_chunk, chunks):
-                    out.update(d)
-        else:
-            out.update(one_chunk(cols))
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for d in pool.map(num_chunk, _chunk(cols, _GATE_COLS_PER_JOB * 8)):
+                out.update(d)
+            thr = cfg.success_threshold
+            date_cols = [
+                c for c in cols
+                if not (out[c]["ne"] > 0 and out[c]["num_ok"] / out[c]["ne"] >= thr)
+            ]
+            for d in pool.map(date_chunk, _chunk(date_cols, _GATE_COLS_PER_JOB)):
+                for c, v in d.items():
+                    out[c]["date_ok"] = v
     finally:
         sample_df.unpersist()
     return out
