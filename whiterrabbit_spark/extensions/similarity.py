@@ -199,8 +199,6 @@ def cosine_near_pairs_blocked(
     order differs from a sequential fold at ~1e-15 relative; results are
     exact to the 6-dp rounding every consumer applies.
     """
-    import itertools
-
     import numpy as np
     import pandas as pd
 
