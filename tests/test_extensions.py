@@ -512,3 +512,130 @@ def test_minhash_pandas_signatures_match_expression(spark, docs):
         for r in X.minhash_signatures_pandas(docs, "text", "doc_id").collect()
     }
     assert a == b
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right ≤ left time per key, inclusive ties,
+    NULL when no prior right row, tolerance nulls out stale matches."""
+    from whiterrabbit_spark.extensions import joins as J
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"),
+         (1, "2024-01-01 12:00:00", "b"),
+         (2, "2024-01-01 09:00:00", "c")],
+        "user_id int, ts string, tag string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 1.0),
+         (1, "2024-01-01 10:00:00", 2.0),   # tie with left @10:00 → matches
+         (1, "2024-01-01 11:00:00", 3.0),
+         (2, "2024-01-01 09:30:00", 4.0)],  # after left @09:00 → no match
+        "user_id int, ts string, v double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "v")
+
+    out = {r["tag"]: r for r in J.asof_join(
+        left, right, time_col="ts", by="user_id"
+    ).collect()}
+    assert out["a"]["right_v"] == 2.0      # inclusive at equal ts
+    assert out["b"]["right_v"] == 3.0
+    assert out["c"]["right_v"] is None
+    assert out["c"]["right_ts"] is None
+
+    tol = {r["tag"]: r for r in J.asof_join(
+        left, right, time_col="ts", by="user_id", tolerance_s=1800
+    ).collect()}
+    assert tol["a"]["right_v"] == 2.0      # gap 0 ≤ 30 min: kept
+    assert tol["b"]["right_v"] is None     # gap 1 h > 30 min: nulled
+    assert tol["b"]["right_ts"] is None
+
+
+def test_repetition_signals_match_groupby_form(spark):
+    """Map-only sorted-run-length top-bigram == explode+groupBy mode count,
+    plus hand-checked values on crafted docs."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the cat sat mat"),
+         (2, "a a a a"),
+         (3, "all distinct words here"),
+         (4, "single"),
+         (5, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ts.repetition_signals(
+        docs, "text", "doc_id"
+    ).collect()}
+    # doc 2: bigrams [a a, a a, a a] → top count 3, frac 1.0; 1 distinct/4 tokens
+    assert got[2]["top_bigram_count"] == 3
+    assert got[2]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_token_frac"] == 0.75
+    # doc 1: "the cat" and "cat sat" each appear twice → top count 2
+    assert got[1]["top_bigram_count"] == 2
+    assert got[3]["dup_token_frac"] == 0.0
+    assert got[4]["top_bigram_count"] == 0
+    assert got[5]["n_tokens"] == 0 and got[5]["dup_token_frac"] == 0.0
+
+    # parity with the shuffle-based construction
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                ts.token_count(F.col("text")) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ts.tokens(F.col("text"))) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(ts.tokens(F.col("text")), i),
+                        F.element_at(ts.tokens(F.col("text")), i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    grouped = (
+        toks.groupBy("doc_id", "bigram").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top"))
+    )
+    for r in grouped.collect():
+        assert got[r["doc_id"]]["top_bigram_count"] == r["top"]
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    """Chunks cover the full text; stripping the overlap from every chunk
+    after the first reconstructs the document exactly."""
+    from whiterrabbit_spark.extensions import chunking as ck
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 310), (2, "abc"), (3, ""), (4, "y" * 200), (5, "z" * 201)],
+        "doc_id long, text string",
+    )
+    out = ck.chunk_documents(
+        docs, "text", "doc_id", chunk_chars=200, overlap_chars=50
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        rebuilt = rows[0]["chunk_text"] + "".join(
+            r["chunk_text"][50:] for r in rows[1:]
+        )
+        assert rebuilt == originals[doc_id]
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["chunk_start"] - prev["chunk_start"] == 150
+    assert len(by_doc[1]) == 3   # 310 chars → starts 1,151,301
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_chars"] == 0
+    assert len(by_doc[4]) == 2   # start 151 covers chars 151-200 tail overlap
+    with pytest.raises(ValueError):
+        ck.chunk_documents(docs, "text", "doc_id", chunk_chars=10, overlap_chars=10)
+
+
+def test_embedding_stats_values(spark):
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in sim.embedding_stats(emb).collect()}
+    assert got[1]["l2_norm"] == 5.0 and got[1]["dim"] == 2
+    assert got[1]["vec_mean"] == 3.5
+    assert got[2]["l2_norm"] == 0.0
+    assert got[3]["vec_min"] == -1.0 and got[3]["vec_max"] == 1.0

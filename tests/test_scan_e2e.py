@@ -250,3 +250,65 @@ def test_profile_jsonl_source(spark, tmp_path):
     assert rows["score"].max_val == 9.9
     assert abs(rows["score"].median_val - 4.95) < 1e-9
     assert rows["doc_id"].distinct_count == 100
+
+
+def test_scan_jsonl_folder(spark, tmp_path):
+    """JSONL folder profiles through the same pipeline: first-record keys
+    become columns, values arrive stringified, inference types them, JSON
+    null counts as missing."""
+    import json
+
+    d = tmp_path / "jl"
+    d.mkdir()
+    rows = [
+        {"id": i, "score": i * 1.5, "day": f"2024-01-{(i % 9) + 1:02d}",
+         "tag": f"t{i % 3}", "note": None if i % 5 == 0 else "ok"}
+        for i in range(1, 41)
+    ]
+    (d / "data.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    cfg = ScanConfig(source_format="jsonl", max_rows=-1)
+    overview, results = scan_folder(spark, str(d), cfg)
+    ov = overview.collect()[0]
+    assert ov["n_rows"] == 40          # every line a record, no header quirk
+    assert ov["n_rows_checked"] == 40
+    r = results[0]
+    assert r.inferred_types["id"] == "double"
+    assert r.inferred_types["score"] == "double"
+    assert r.inferred_types["day"] == "timestamp"
+    assert r.inferred_types["tag"] == "string"
+    summ = {x["column_name"]: x for x in r.summary.collect()}
+    assert summ["note"]["missing_count"] == 8
+    assert summ["id"]["min_val"] == 1.0 and summ["id"]["max_val"] == 40.0
+
+
+def test_scan_parquet_folder(spark, tmp_path):
+    """Parquet folder: schema is authoritative (no inference), stats match
+    the typed columns, N_rows is the row count (no header line)."""
+    import shutil
+
+    d = tmp_path / "pq"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/nation.parquet", d / "nation.parquet")
+    shutil.copy("/root/testdata/sf0.001/region.parquet", d / "region.parquet")
+    cfg = ScanConfig(source_format="parquet", max_rows=-1)
+    overview, results = scan_folder(spark, str(d), cfg)
+    by_name = {r.file_name: r for r in results}
+    assert set(by_name) == {"nation.parquet", "region.parquet"}
+    nation = by_name["nation.parquet"]
+    assert nation.total_rows == 25
+    types = nation.inferred_types
+    assert types["n_name"] == "string"
+    assert types["n_nationkey"] in ("bigint", "int", "long")
+    summ = {x["column_name"]: x for x in nation.summary.collect()}
+    assert summ["n_nationkey"]["min_val"] == 0.0
+    assert summ["n_nationkey"]["max_val"] == 24.0
+    assert summ["n_regionkey"]["distinct_count"] == 5
+
+
+def test_discover_tables_bad_format(tmp_path):
+    import pytest as _pytest
+
+    from whiterrabbit_spark.io import discover_tables
+
+    with _pytest.raises(ValueError, match="Unknown source_format"):
+        discover_tables(str(tmp_path), source_format="orc")

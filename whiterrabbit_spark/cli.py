@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parse quoted embedded newlines (costs file splittability)")
     p.add_argument("--parallel-files", type=int, default=4,
                    help="concurrent per-file scan jobs (reference scans sequentially)")
+    p.add_argument("--source-format", default="delimited",
+                   choices=["delimited", "jsonl", "parquet"],
+                   help="input folder type (reference supports delimited only; "
+                        "parquet profiles with its own schema, no inference)")
     return p
 
 
@@ -61,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
         seed=args.seed,
         approx=args.approx,
         multiline=args.multiline,
+        source_format=args.source_format,
     )
     spark = get_spark(cpus=args.cpus)
     overview, results = scan_folder(

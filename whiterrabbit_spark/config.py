@@ -40,6 +40,13 @@ class ScanConfig:
     inference_sample_size: int = 1_000  # W:147, W:172
 
     # Engine-only knobs (no reference analog)
+    source_format: str = "delimited"    # 'delimited' | 'jsonl' | 'parquet'
+                                        # — the reference reads only
+                                        # tsv/csv (W:109-116); jsonl and
+                                        # parquet folders profile through
+                                        # the same pipeline (parquet skips
+                                        # string-typed inference: its
+                                        # schema is authoritative)
     multiline: bool = False             # quoted embedded newlines (fread
                                         # handles them implicitly; Spark
                                         # needs multiLine, which costs file

@@ -1,0 +1,111 @@
+"""Temporal join operators for event-shaped data.
+
+The reference has no joins at all (SURVEY §2 "not present" — files are
+profiled independently, whiteRRabbit.R:450-464); an as-of join is the
+canonical temporal operator a training-data/event pipeline needs that
+Spark also lacks as a built-in. Implemented Spark-first as the
+union + partitioned running-state form:
+
+    tag left/right rows → union → one shuffle on the equality keys →
+    running ``last(right payload, ignorenulls)`` ordered by event time →
+    keep left rows.
+
+This is the scalable shape for 100 TB: exactly ONE shuffle on the `by`
+keys (AQE handles skewed keys), no range-explosion join, no per-key
+driver loop, and the window's running state is O(1) per row (Spark's
+``last`` over ``rowsBetween(unboundedPreceding, currentRow)`` is a
+streaming accumulator, not a buffered frame). The naive alternative —
+``left JOIN right ON by AND r.ts <= l.ts`` + ``row_number`` — explodes to
+|left| × |right-per-key| intermediate rows; at 2k events/user/day that is
+4M rows per user-day before the rank filter. Avoided by construction.
+
+DuckDB's native ``ASOF JOIN`` recomputes the same semantics first-
+principles in the oracle (queries.py), so the window construction is
+cross-checked against an independent engine's dedicated operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__wrs_is_left"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    time_col: str,
+    by: list[str] | str,
+    tolerance_s: int | None = None,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the latest right row
+    with ``right.time_col <= left.time_col`` within the same ``by`` group
+    (inclusive at equal timestamps — pandas ``merge_asof`` /  DuckDB
+    ``ASOF JOIN`` default). Unmatched left rows keep NULL right columns.
+
+    ``right`` must be unique per (by, time_col) — pre-aggregate it if not;
+    with duplicate right timestamps the winner among equals would be
+    plan-order-dependent, so this precondition keeps the operator
+    deterministic.
+
+    ``tolerance_s``: optional maximum allowed ``left.time - right.time``
+    in seconds; matches older than the tolerance are nulled out (pandas
+    ``merge_asof(tolerance=...)`` semantics).
+
+    Non-key right columns come back as ``{right_prefix}{col}``.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    payload_cols = [c for c in right.columns if c not in by and c != time_col]
+
+    l_tagged = left.select(
+        *by,
+        F.col(time_col).cast("timestamp").alias(time_col),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in left.columns if c not in by and c != time_col],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}")
+          for c in payload_cols],
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(time_col).cast("timestamp").alias(time_col),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by and c != time_col],
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in payload_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Right rows (side=0) sort before left rows (side=1) at equal time ⇒
+    # a right row exactly at the left timestamp is visible to it.
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(time_col, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def running(col: Column) -> Column:
+        return F.last(F.when(F.col(_SIDE) == 0, col), ignorenulls=True).over(w)
+
+    matched_time = running(F.col(time_col)).alias(f"{right_prefix}{time_col}")
+    out = unioned.withColumn("__m_time", matched_time)
+    for c in payload_cols:
+        out = out.withColumn(f"__m_{c}", running(F.col(f"{right_prefix}{c}")))
+
+    out = out.where(F.col(_SIDE) == 1)
+    in_tol = F.lit(True)
+    if tolerance_s is not None:
+        gap = F.unix_timestamp(F.col(time_col)) - F.unix_timestamp(F.col("__m_time"))
+        in_tol = gap <= F.lit(tolerance_s)
+
+    keep = [
+        *by,
+        time_col,
+        *[c for c in left.columns if c not in by and c != time_col],
+        F.when(in_tol, F.col("__m_time")).alias(f"{right_prefix}{time_col}"),
+        *[F.when(in_tol, F.col(f"__m_{c}")).alias(f"{right_prefix}{c}")
+          for c in payload_cols],
+    ]
+    return out.select(*keep)

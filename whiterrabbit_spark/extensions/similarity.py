@@ -53,6 +53,31 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def embedding_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector sanity/QA stats for an embedding column: dimension, L2
+    norm, component mean/min/max. The zero-norm and wrong-dim rows these
+    surface are the standard data bugs ahead of ANN indexing (a zero
+    vector makes cosine undefined; mixed dims break GEMM batching).
+
+    All row-wise array expressions (fold / array_min / array_max) — fused
+    into the scan, no shuffle. Summation is the same deterministic left
+    fold as ``_dot``, so an independent engine (DuckDB ``list_*``) agrees
+    bit-for-bit before rounding.
+    """
+    v = _to_double(F.col(vec_col))
+    mean = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size(v)
+    return df.select(
+        F.col(id_col),
+        F.size(v).alias("dim"),
+        _norm(v).alias("l2_norm"),
+        mean.alias("vec_mean"),
+        F.array_min(v).alias("vec_min"),
+        F.array_max(v).alias("vec_max"),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -175,6 +175,70 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a sorted array == the
+    count of the most frequent element — computed as a single left fold
+    (``F.aggregate``), entirely map-side.
+
+    This is the shuffle-free form of "mode frequency": the obvious
+    ``explode → groupBy(doc_id, gram) → max(count)`` costs a full shuffle
+    of every n-gram occurrence (at 100 TB, a shuffle ~ the corpus size);
+    sorting within the row and run-length-scanning is O(tokens·log tokens)
+    per document with zero data movement. Parity between the two forms is
+    pinned in tests/test_extensions.py.
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    * ``dup_token_frac`` — fraction of tokens that are repeats of an
+      earlier token (1 − distinct/total); word-salad ≈ high.
+    * ``top_bigram_count`` / ``top_bigram_frac`` — occurrences of the most
+      frequent word bigram and its share of all bigrams ("the the the"
+      boilerplate detector; Gopher filters at top-2-gram frac > 0.2).
+
+    Every signal is a row-wise expression over the token array (split /
+    array_distinct / sort + run-length fold) — no explode, no shuffle;
+    the whole operator is a projection fused into the scan stage.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = token_count(t)
+    n_distinct = F.when(n_tok == 0, F.lit(0)).otherwise(F.size(F.array_distinct(toks)))
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bigrams = F.size(bigrams)
+    top_count = _max_run_length(F.array_sort(bigrams))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        ((n_tok - n_distinct) / F.greatest(n_tok, F.lit(1))).alias("dup_token_frac"),
+        top_count.alias("top_bigram_count"),
+        (top_count / F.greatest(n_bigrams, F.lit(1))).alias("top_bigram_frac"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str, id_col: str, k: int = 5, w: int = 4
 ) -> DataFrame:

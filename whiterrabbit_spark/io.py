@@ -32,17 +32,25 @@ class NoInputFilesError(ValueError):
     """No files matching the delimiter pattern (reference W:120-122)."""
 
 
-def discover_tables(working_folder: str, delimiter: str = "tab") -> list[tuple[str, str]]:
-    """Return [(table_name, path)] for each delimited file in the folder.
+def discover_tables(
+    working_folder: str, delimiter: str = "tab", source_format: str = "delimited"
+) -> list[tuple[str, str]]:
+    """Return [(table_name, path)] for each input file in the folder.
 
     Reference W:109-122: non-recursive listing, ``\\.tsv$`` for tab /
     ``\\.csv$`` for comma, error if empty. Table name = file basename
     without extension (per-file identity is preserved: each file is profiled
-    as its own table, W:450-464).
+    as its own table, W:450-464). ``source_format`` extends the same
+    contract beyond the reference to ``*.jsonl`` / ``*.parquet`` folders.
     """
     if not os.path.isdir(working_folder):
         raise ValueError(f"Working folder does not exist: {working_folder}")
-    ext = "tsv" if delimiter.lower() == "tab" else "csv"
+    if source_format == "delimited":
+        ext = "tsv" if delimiter.lower() == "tab" else "csv"
+    elif source_format in ("jsonl", "parquet"):
+        ext = source_format
+    else:
+        raise ValueError(f"Unknown source_format: {source_format}")
     paths = sorted(glob.glob(os.path.join(working_folder, f"*.{ext}")))
     if not paths:
         raise NoInputFilesError(
@@ -142,6 +150,27 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
                 c, F.timestamp_micros(F.expr(f"{c} DIV 1000"))
             )
     return df
+
+
+def read_jsonl_all_string(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL scan with every field read as string — the profiling-pipeline
+    entry for JSONL folders, mirroring the all-string delimited scan (S3):
+    field names come from the FIRST record (one line of driver IO, the
+    analog of a delimited header), values arrive stringified (Spark's JSON
+    reader renders scalars into declared StringType fields), then the
+    normal inference pass types them. JSON ``null`` / absent keys → NULL
+    (JSONL has a real null — no NA-literal remap as in delimited reads).
+    """
+    import json
+
+    with open(path, encoding="utf-8-sig", errors="replace") as fh:
+        first = fh.readline()
+    try:
+        cols = list(json.loads(first).keys())
+    except (json.JSONDecodeError, AttributeError) as exc:
+        raise ValueError(f"First line of {path} is not a JSON object") from exc
+    schema = T.StructType([T.StructField(c, T.StringType(), True) for c in cols])
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
 
 def read_jsonl(

@@ -953,6 +953,139 @@ SELECT doc_id, count(*) AS n_fingerprints,
 FROM winnowed GROUP BY doc_id"""
 
 
+def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each purchase event picks up the latest
+    preceding 'view' event of the same user. Spark side is the
+    union + one-shuffle running-window operator (extensions/joins.py);
+    the oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — two independent
+    constructions of the same temporal-join semantics."""
+    from whiterrabbit_spark.extensions import joins as J
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = J.asof_join(purchases, views, time_col="ts", by="user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.round("right_view_value", R).alias("view_value"),
+        # truncate both instants to whole seconds (Spark ts→long floors)
+        (F.col("ts").cast("long") - F.col("right_ts").cast("long")).alias("gap_s"),
+    )
+
+
+_ASOF_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, max(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       round(v.view_value, 6) AS view_value,
+       (floor(epoch(p.ts)) - floor(epoch(v.ts)))::BIGINT AS gap_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"""
+
+
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    out = ts.repetition_signals(df, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("dup_token_frac", R).alias("dup_token_frac"),
+        "top_bigram_count",
+        F.round("top_bigram_frac", R).alias("top_bigram_frac"),
+    )
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS w,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens
+  FROM documents
+), bg AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE n_tokens >= 2
+), topb AS (
+  SELECT doc_id, max(cnt) AS top_bigram_count, sum(cnt) AS n_bigrams
+  FROM (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens,
+       round((t.n_tokens - CASE WHEN t.n_tokens = 0 THEN 0 ELSE len(list_distinct(t.w)) END)
+             * 1.0 / greatest(t.n_tokens, 1), 6) AS dup_token_frac,
+       coalesce(tb.top_bigram_count, 0) AS top_bigram_count,
+       round(coalesce(tb.top_bigram_count, 0) * 1.0
+             / greatest(coalesce(tb.n_bigrams, 0), 1), 6) AS top_bigram_frac
+FROM toks t LEFT JOIN topb tb USING (doc_id)"""
+
+
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 50
+
+
+def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whiterrabbit_spark.extensions import chunking as ck
+
+    df = read_parquet_table(spark, sf_dir, "documents")
+    out = ck.chunk_documents(
+        df, "text", "doc_id",
+        chunk_chars=CHUNK_CHARS, overlap_chars=CHUNK_OVERLAP,
+    )
+    return out.select(
+        "doc_id", "chunk_idx", "chunk_start", "n_chunk_chars",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+_CHUNK_SQL = f"""
+SELECT doc_id,
+       ((pos - 1) // {CHUNK_CHARS - CHUNK_OVERLAP})::INT AS chunk_idx,
+       pos::INT AS chunk_start,
+       length(substr(text, pos, {CHUNK_CHARS})) AS n_chunk_chars,
+       md5(substr(text, pos, {CHUNK_CHARS})) AS chunk_md5
+FROM documents,
+     unnest(generate_series(1, greatest(length(text), 1),
+                            {CHUNK_CHARS - CHUNK_OVERLAP})) AS t(pos)"""
+
+
+def _embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "embeddings")
+    out = sim.embedding_stats(df)
+    return out.select(
+        "vec_id", "dim",
+        F.round("l2_norm", R).alias("l2_norm"),
+        F.round("vec_mean", R).alias("vec_mean"),
+        F.round("vec_min", R).alias("vec_min"),
+        F.round("vec_max", R).alias("vec_max"),
+    )
+
+
+_EMB_STATS_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+)
+SELECT vec_id, len(e) AS dim,
+       round(sqrt(list_dot_product(e, e)), 6) AS l2_norm,
+       round(list_sum(e) / len(e), 6) AS vec_mean,
+       round(list_min(e), 6) AS vec_min,
+       round(list_max(e), 6) AS vec_max
+FROM v"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1018,5 +1151,13 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["multimodal_features_documents"] = _MULTIMODAL_SQL
     queries["streaming_windowed_profile_events"] = _streaming_profile
     oracles["streaming_windowed_profile_events"] = _STREAMING_SQL
+    queries["asof_join_events"] = _asof_join
+    oracles["asof_join_events"] = _ASOF_SQL
+    queries["repetition_signals_documents"] = _repetition
+    oracles["repetition_signals_documents"] = _REPETITION_SQL
+    queries["chunk_documents"] = _chunk_docs
+    oracles["chunk_documents"] = _CHUNK_SQL
+    queries["embedding_stats_embeddings"] = _embedding_stats
+    oracles["embedding_stats_embeddings"] = _EMB_STATS_SQL
 
     return queries, oracles

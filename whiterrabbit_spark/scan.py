@@ -35,10 +35,25 @@ def scan_file(
     spark: SparkSession, path: str, cfg: ScanConfig | None = None
 ) -> FileScanResult:
     cfg = cfg or ScanConfig()
-    total_lines = wio.count_lines(spark, path)
-    data_rows = total_lines - 1
-
-    df = wio.read_all_string(spark, path, cfg.sep, multiline=cfg.multiline)
+    fmt = cfg.source_format
+    if fmt == "parquet":
+        # Typed columnar source: schema is authoritative — no all-string
+        # read, no inference pass. Row count replaces the line count
+        # (parquet footers make this metadata-only, the columnar analog of
+        # the reference's parse-free ``wc -l``); no header line exists, so
+        # the reference's header-in-N_rows quirk does not apply.
+        df = spark.read.parquet(path)
+        total_lines = df.count()
+        data_rows = total_lines
+    elif fmt == "jsonl":
+        # Every line is a record (no header): N_rows == line count.
+        total_lines = wio.count_lines(spark, path)
+        data_rows = total_lines
+        df = wio.read_jsonl_all_string(spark, path)
+    else:
+        total_lines = wio.count_lines(spark, path)
+        data_rows = total_lines - 1
+        df = wio.read_all_string(spark, path, cfg.sep, multiline=cfg.multiline)
 
     if cfg.max_rows > 0 and cfg.random_sample and data_rows > cfg.max_rows:
         df = exact_random_sample(df, cfg.max_rows, total_rows=data_rows, cfg=cfg)
@@ -58,10 +73,22 @@ def scan_file(
     if n_rows_checked > 10_000 and df.rdd.getNumPartitions() == 1:
         df = df.repartition(spark.sparkContext.defaultParallelism)
 
-    typed, inference = infer_and_cast(df, cfg)
+    if fmt == "parquet":
+        from whiterrabbit_spark.infer import InferenceResult
+
+        typed = df
+        inference = InferenceResult(
+            decisions={f.name: f.dataType.simpleString() for f in df.schema.fields}
+        )
+    else:
+        typed, inference = infer_and_cast(df, cfg)
     if cfg.shift_dates:
         typed = shift_dates(typed, cfg)
-    if "timestamp" in inference.decisions.values() and cfg.max_rows <= 0:
+    if (
+        fmt != "parquet"  # typed parquet scans re-read cheaply; no reparse to amortize
+        and "timestamp" in inference.decisions.values()
+        and cfg.max_rows <= 0
+    ):
         # Full-scan mode with inferred date columns: the multi-pattern
         # parse projection would re-evaluate in every downstream job
         # (profile job sets + frequency); pay it once. memory-and-disk,
@@ -116,7 +143,7 @@ def scan_folder(
     reference's list.files order, W:119).
     """
     cfg = cfg or ScanConfig()
-    tables = wio.discover_tables(working_folder, cfg.delimiter)
+    tables = wio.discover_tables(working_folder, cfg.delimiter, cfg.source_format)
     if max_parallel_files > 1 and len(tables) > 1:
         with ThreadPoolExecutor(max_workers=max_parallel_files) as pool:
             results = list(
