@@ -639,3 +639,26 @@ def test_embedding_stats_values(spark):
     assert got[1]["vec_mean"] == 3.5
     assert got[2]["l2_norm"] == 0.0
     assert got[3]["vec_min"] == -1.0 and got[3]["vec_max"] == 1.0
+
+
+def test_hash_stratified_sample_nested_and_deterministic(spark, docs):
+    """Hash-threshold stratified sampling: deterministic across runs, and
+    monotone — a smaller fraction's rows nest inside a larger fraction's."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    small = {r["doc_id"] for r in sp.hash_stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.2}
+    ).collect()}
+    big = {r["doc_id"] for r in sp.hash_stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.6}
+    ).collect()}
+    again = {r["doc_id"] for r in sp.hash_stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.2}
+    ).collect()}
+    assert small == again
+    assert small <= big
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert 0 < len(big) < n_en
+    # dropped strata yield nothing
+    only_en = sp.hash_stratified_sample(docs, "lang", "doc_id", {"en": 1.0})
+    assert only_en.where(F.col("lang") != "en").count() == 0

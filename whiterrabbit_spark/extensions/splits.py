@@ -62,3 +62,31 @@ def stratified_sample(
     """Seeded per-stratum sample (Bernoulli per row — approximate counts,
     exact-in-expectation; deterministic for a fixed seed + partitioning)."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    buckets: int = SPLIT_BUCKETS,
+) -> DataFrame:
+    """Per-stratum sampling by stable hash threshold instead of RNG:
+    a row is kept iff ``hash_bucket(id) < fraction[stratum]·buckets``.
+
+    Unlike ``stratified_sample`` (Bernoulli RNG — resample changes rows),
+    the kept set is a pure function of the row key: re-runs, engines, and
+    repartitionings agree row-for-row, membership is computable per row in
+    isolation, and supersampling is monotone (raising a fraction only adds
+    rows — the property training-data ablations need so smaller samples
+    nest inside bigger ones). Map-side expression, no shuffle.
+
+    Strata missing from ``fractions`` are dropped (sampleBy semantics).
+    """
+    bucket = hash_bucket_expr(F.col(id_col), salt, buckets)
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = (F.col(strata_col) == stratum) & (bucket < int(round(frac * buckets)))
+        expr = cond if expr is None else expr | cond
+    return df.where(expr if expr is not None else F.lit(False))

@@ -1062,6 +1062,34 @@ FROM documents,
                             {CHUNK_CHARS - CHUNK_OVERLAP})) AS t(pos)"""
 
 
+STRAT_FRACTIONS = {"en": 0.3, "de": 0.5, "fr": 1.0}  # zh/es: dropped strata
+
+
+def _strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sample — membership is a
+    pure function of doc_id, so the oracle reproduces the EXACT row set
+    (not just expected counts, which is all an RNG sampler can pin)."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = sp.hash_stratified_sample(docs, "lang", "doc_id", STRAT_FRACTIONS)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _strat_sample_sql() -> str:
+    keeps = " OR ".join(
+        f"(lang = '{s}' AND bucket < {int(round(f * 10000))})"
+        for s, f in STRAT_FRACTIONS.items()
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000)::INT AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM b WHERE {keeps}"""
+
+
 def _embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_parquet_table(spark, sf_dir, "embeddings")
     out = sim.embedding_stats(df)
@@ -1159,5 +1187,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["chunk_documents"] = _CHUNK_SQL
     queries["embedding_stats_embeddings"] = _embedding_stats
     oracles["embedding_stats_embeddings"] = _EMB_STATS_SQL
+    queries["stratified_sample_documents"] = _strat_sample
+    oracles["stratified_sample_documents"] = _strat_sample_sql()
 
     return queries, oracles
