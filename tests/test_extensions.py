@@ -662,3 +662,77 @@ def test_hash_stratified_sample_nested_and_deterministic(spark, docs):
     # dropped strata yield nothing
     only_en = sp.hash_stratified_sample(docs, "lang", "doc_id", {"en": 1.0})
     assert only_en.where(F.col("lang") != "en").count() == 0
+
+
+def test_range_join_buckets_matches_naive(spark):
+    """Bucketized range join == naive equi-join + range filter, including
+    boundary semantics (gap 0 kept, gap == window dropped, bucket-crossing
+    pairs found)."""
+    from whiterrabbit_spark.extensions import joins as J
+
+    left = spark.createDataFrame(
+        [(1, 1000.0, "L1"), (1, 1299.0, "L2"), (2, 500.0, "L3")],
+        "user_id int, epoch double, tag string",
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        # 700→gap 300 (== window, dropped for L1); 701→gap 299 (kept)
+        # 1000→gap 0 (kept); 1299.5 after L1 (dropped), gap 0.5 before L2? no — before L2 it IS ≤: 1299.0-1299.5 < 0 dropped
+        [(1, 700.0, 10.0), (1, 701.0, 20.0), (1, 1000.0, 30.0),
+         (1, 1250.0, 40.0), (2, 499.0, 50.0)],
+        "user_id int, epoch double, v double",
+    ).select("user_id", F.timestamp_seconds("epoch").alias("ts"), "v")
+
+    out = J.range_join_buckets(
+        left, right, time_col="ts", by="user_id", window_s=300
+    )
+    got = {(r["tag"], r["right_v"]) for r in out.collect()}
+    expected = {
+        ("L1", 20.0),   # gap 299 < 300 (crosses a bucket boundary)
+        ("L1", 30.0),   # gap 0 inclusive
+        ("L2", 30.0),   # 1299-1000 = 299
+        ("L2", 40.0),   # 1299-1250 = 49
+        ("L3", 50.0),   # 500-499 = 1
+    }
+    assert got == expected
+
+    # parity with the naive form on a random-ish slice of real events
+    from whiterrabbit_spark.io import read_parquet_table
+
+    events = read_parquet_table(spark, SF_DIR, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), "value"
+    )
+    bucketed = J.range_join_buckets(
+        errors, clicks.withColumnRenamed("cts", "ts"),
+        time_col="ts", by="user_id", window_s=21_600,
+    )
+    gap = F.col("ts").cast("double") - F.col("cts").cast("double")
+    naive = errors.join(clicks, "user_id").where((gap >= 0) & (gap < 21_600))
+    assert bucketed.count() == naive.count()
+
+
+def test_connected_components_clusters(spark):
+    """Label propagation finds the true components: a path, a triangle, an
+    isolated edge — and the pair→cluster summary is right."""
+    from whiterrabbit_spark.extensions.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        # path 1-2-3-4, triangle 10-11-12, edge 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id1 long, id2 long",
+    )
+    cc = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert {cc[1], cc[2], cc[3], cc[4]} == {1}
+    assert {cc[10], cc[11], cc[12]} == {10}
+    assert {cc[20], cc[21]} == {20}
+
+    summary = {r["cluster_id"]: r for r in dedup_clusters(edges).collect()}
+    assert summary[1]["cluster_size"] == 4 and summary[1]["max_member_id"] == 4
+    assert summary[10]["cluster_size"] == 3
+    assert summary[20]["representative_id"] == 20

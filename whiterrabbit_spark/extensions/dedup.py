@@ -371,3 +371,83 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list — turns near-dup
+    PAIRS into dedup CLUSTERS (the step after any of the pair generators
+    above: keep min-id per component, drop the rest).
+
+    Algorithm: iterative label propagation — every node starts labeled
+    with itself; each round takes the min of its own and its neighbors'
+    labels; converges in O(diameter) rounds. Near-dup graphs are
+    small-diameter (clusters of rewrites of one source), so this
+    terminates in a handful of shuffles; each round is one equi-join +
+    groupBy, both partitioned on the node id. ``localCheckpoint`` truncates
+    the growing lineage each round (without it, round k replays rounds
+    1..k-1 — quadratic). For web-scale graphs with long chains, swap in
+    the large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce"), which contracts paths doubly-logarithmically;
+    same join/groupBy building blocks.
+
+    Returns (node, cluster_id) — cluster_id = min node id in the component.
+    Nodes = every id appearing in ``edges`` (singletons never enter a pair
+    list; callers union them back if needed).
+
+    Raises after ``max_iter`` rounds without convergence rather than
+    returning silently-wrong labels.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "id1", dst: str = "id2"
+) -> DataFrame:
+    """Cluster near-dup pairs and summarize: one row per component with its
+    canonical (min-id) representative and size — the driver table for a
+    keep-one-per-cluster dedup pass."""
+    cc = connected_components(pairs, src, dst)
+    return cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("representative_id"),
+        F.max("node").alias("max_member_id"),
+    )

@@ -32,6 +32,60 @@ from pyspark.sql import functions as F
 _SIDE = "__wrs_is_left"
 
 
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    time_col: str,
+    by: list[str] | str,
+    window_s: int,
+    right_prefix: str = "right_",
+) -> DataFrame:
+    """Range join: every (left, right) pair within the same ``by`` group
+    with ``0 <= left.time − right.time < window_s`` (right event strictly
+    precedes-or-equals left, within the lookback window).
+
+    Implemented as a **bucketized equi-join**: both sides bin their
+    timestamps into ``window_s``-wide epochs; a qualifying right row can
+    only be in the left row's bucket or the one before, so the right side
+    is duplicated into (b, b+1) tags and the join becomes pure equality on
+    ``(by, bucket)`` + a residual filter. This keeps Spark on a shuffled
+    hash/sort-merge equi-join with bounded fan-out (≤ 2× right), instead
+    of the equality-only-on-``by`` join whose per-group cross product
+    explodes quadratically (2k events/user/day ⇒ 4M candidate pairs per
+    user-day before a range filter; bucketing bounds candidates to the
+    two adjacent windows). The oracle recomputes pairs with a plain
+    inequality join — feasible for DuckDB at test scale, which is exactly
+    the plan shape this operator exists to avoid at 100 TB.
+
+    Output: left rows × matched right rows, right payload columns prefixed.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    # fractional epoch seconds: bucket and filter at full (microsecond)
+    # timestamp precision
+    epoch = F.col(time_col).cast("timestamp").cast("double")
+    bucket = F.floor(epoch / F.lit(window_s)).cast("bigint")
+
+    l_b = left.withColumn("__bucket", bucket)
+    payload = [c for c in right.columns if c not in by and c != time_col]
+    r_b = (
+        right.withColumn("__rb", bucket)
+        .withColumn("__bucket", F.explode(F.array(F.col("__rb"), F.col("__rb") + 1)))
+        .select(
+            *by,
+            "__bucket",
+            F.col(time_col).alias(f"{right_prefix}{time_col}"),
+            *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
+        )
+    )
+    gap = epoch - F.col(f"{right_prefix}{time_col}").cast("timestamp").cast("double")
+    return (
+        l_b.join(r_b, on=[*by, "__bucket"])
+        .where((gap >= 0) & (gap < window_s))
+        .drop("__bucket")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -1062,6 +1062,77 @@ FROM documents,
                             {CHUNK_CHARS - CHUNK_OVERLAP})) AS t(pos)"""
 
 
+RANGE_WINDOW_S = 21_600  # 6 h lookback — events are sparse per user (TESTDATA)
+
+
+def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketized equi-join: click context within the 6 h
+    before each error, per user. Aggregated per error event so the result
+    stays compact; the oracle recomputes pairs with the plain inequality
+    join this operator avoids at scale."""
+    from whiterrabbit_spark.extensions import joins as J
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = J.range_join_buckets(
+        errors, clicks, time_col="ts", by="user_id", window_s=RANGE_WINDOW_S
+    )
+    return out.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_context"),
+        F.round(F.sum("right_value"), R).alias("sum_context_value"),
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+SELECT l.event_id,
+       count(*) AS n_context,
+       round(sum(r.value), 6) AS sum_context_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'error' AND r.event_type = 'click'
+ AND epoch(l.ts) - epoch(r.ts) >= 0
+ AND epoch(l.ts) - epoch(r.ts) < {RANGE_WINDOW_S}
+GROUP BY 1"""
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → clusters: iterative min-label propagation
+    (connected components) over the simhash pair graph. The oracle walks
+    the same graph with a DuckDB RECURSIVE CTE — an independent
+    construction of reachability."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    pairs = X.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+    return X.dedup_clusters(pairs)
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_simhash_sql()}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+cc AS (
+  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id,
+       count(*) AS cluster_size,
+       min(node) AS representative_id,
+       max(node) AS max_member_id
+FROM cc GROUP BY cluster_id"""
+
+
 STRAT_FRACTIONS = {"en": 0.3, "de": 0.5, "fr": 1.0}  # zh/es: dropped strata
 
 
@@ -1189,5 +1260,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["embedding_stats_embeddings"] = _EMB_STATS_SQL
     queries["stratified_sample_documents"] = _strat_sample
     oracles["stratified_sample_documents"] = _strat_sample_sql()
+    queries["range_join_events"] = _range_join
+    oracles["range_join_events"] = _RANGE_JOIN_SQL
+    queries["dedup_clusters_documents"] = _dedup_clusters
+    oracles["dedup_clusters_documents"] = _dedup_clusters_sql()
 
     return queries, oracles
