@@ -736,3 +736,29 @@ def test_connected_components_clusters(spark):
     assert summary[1]["cluster_size"] == 4 and summary[1]["max_member_id"] == 4
     assert summary[10]["cluster_size"] == 3
     assert summary[20]["representative_id"] == 20
+
+
+def test_pack_shards_matches_single_window(spark):
+    """Distributed prefix-sum packing == the single-window global cumsum
+    (the form that cannot scale), on weights that exercise partition
+    boundaries; budget respected except single-row overflows."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = {r["doc_id"]: r["shard_id"] for r in sp.pack_shards(
+        df, "doc_id", "w", budget=500.0, num_partitions=7
+    ).collect()}
+
+    cum = 0.0
+    expected: dict[int, int] = {}
+    shard_tot: dict[int, float] = {}
+    for i, w in rows:
+        expected[i] = int(cum // 500.0)
+        shard_tot[expected[i]] = shard_tot.get(expected[i], 0.0) + w
+        cum += w
+    assert out == expected
+    # every shard except possibly the ones with a boundary-straddling row
+    # stays under budget + max row weight
+    assert all(t < 500.0 + 109 for t in shard_tot.values())
+    assert len(set(out.values())) > 5  # actually packed into many shards

@@ -1,4 +1,4 @@
-"""Dataset splitting / sampling for training pipelines.
+"""Dataset splitting / sampling / packing for training pipelines.
 
 * ``hash_split`` — deterministic train/val/test assignment from a stable
   hash of the row key: reproducible across runs, clusters, and engines
@@ -6,12 +6,16 @@
   is computable in isolation — the properties a 100 TB training pipeline
   needs from a split. Pure map-side expression, no shuffle.
 * ``stratified_sample`` — per-stratum Bernoulli sampling via
-  ``DataFrame.sampleBy`` (seeded): rebalancing class mixes at scan speed.
+  ``DataFrame.sampleBy`` (seeded); ``hash_stratified_sample`` — the
+  deterministic hash-threshold form with nested subsamples.
+* ``pack_shards`` — contiguous token-budget sharding via a DISTRIBUTED
+  prefix sum (range partition → local cumsum → driver offsets), never a
+  single-partition global window.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SPLIT_BUCKETS = 10_000
@@ -62,6 +66,75 @@ def stratified_sample(
     """Seeded per-stratum sample (Bernoulli per row — approximate counts,
     exact-in-expectation; deterministic for a fixed seed + partitioning)."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: float,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign rows, in ``id_col`` order, to contiguous shards of ~``budget``
+    total weight: ``shard_id = floor(running_total_before_row / budget)`` —
+    the deterministic sharding step that turns a curated corpus into
+    ~equal-token training shards (a row straddling a boundary belongs to
+    the shard where it starts).
+
+    The running total is a **distributed prefix sum** — the naive form
+    (``sum().over(Window.orderBy(id))``) funnels the whole table through
+    ONE partition (Spark warns: "No Partition Defined for Window") and is
+    exactly what must not happen at 100 TB. Instead:
+
+    1. ``repartitionByRange(id)`` — contiguous, ordered key ranges (one
+       shuffle, the only one);
+    2. per-partition local prefix sums (window partitioned by
+       ``spark_partition_id`` — parallel, partition-local);
+    3. per-partition totals → driver (one row per partition, KB) →
+       exclusive prefix offsets joined back as a broadcast map.
+
+    Global running total = partition offset + local prefix sum. Output:
+    input columns + ``shard_id``.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # localCheckpoint pins the computed partitions: the totals job below
+    # and the returned frame MUST see identical partition ids, but a
+    # recomputed plan may not reproduce them — AQE is free to coalesce the
+    # range shuffle differently per execution (observed at sf0.1: offsets
+    # keyed to one run's __pid applied to another run's partitions). Also
+    # saves the second computation of the shuffle + window.
+    local = ranged.withColumn(
+        "__local_cum", F.sum(F.col(weight_col).cast("double")).over(w)
+    ).localCheckpoint()
+    # Range partitions are index-ordered by key range, so the exclusive
+    # prefix over partition totals (driver-side, one row per partition)
+    # is the partition's global offset.
+    totals = {
+        r["__pid"]: r["t"]
+        for r in local.groupBy("__pid").agg(F.max("__local_cum").alias("t")).collect()
+    }
+    offsets, acc = {}, 0.0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("__pid"),
+    )
+    start = offset_expr + F.col("__local_cum") - F.col(weight_col).cast("double")
+    return local.withColumn(
+        "shard_id", F.floor(start / F.lit(float(budget))).cast("int")
+    ).drop("__pid", "__local_cum")
 
 
 def hash_stratified_sample(

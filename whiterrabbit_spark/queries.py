@@ -1133,6 +1133,38 @@ SELECT cluster_id,
 FROM cc GROUP BY cluster_id"""
 
 
+PACK_BUDGET = 2048  # tokens per training shard
+
+
+def _pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing via distributed prefix sum. Weights are
+    integer token counts, so the distributed partial sums and the oracle's
+    sequential window cumsum agree exactly (integer-valued doubles —
+    no float-order divergence)."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", ts.bpe_token_count(F.col("text")).alias("n_tokens")
+    )
+    out = sp.pack_shards(weighted, "doc_id", "n_tokens", budget=PACK_BUDGET)
+    return out.select("doc_id", "n_tokens", "shard_id")
+
+
+_PACK_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{ts.BPE_TOKEN_RE.replace("'", "''")}')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM w
+)
+SELECT doc_id, n_tokens, floor(start_off / {PACK_BUDGET}.0)::INT AS shard_id
+FROM c"""
+
+
 STRAT_FRACTIONS = {"en": 0.3, "de": 0.5, "fr": 1.0}  # zh/es: dropped strata
 
 
@@ -1264,5 +1296,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["range_join_events"] = _RANGE_JOIN_SQL
     queries["dedup_clusters_documents"] = _dedup_clusters
     oracles["dedup_clusters_documents"] = _dedup_clusters_sql()
+    queries["pack_shards_documents"] = _pack_shards
+    oracles["pack_shards_documents"] = _PACK_SQL
 
     return queries, oracles
