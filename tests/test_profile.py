@@ -135,3 +135,34 @@ def test_approx_mode_within_tolerance(spark):
                 # one domain step, so scale tolerance with 1/distinct.
                 tol = max(0.02, 1.5 / max(er.distinct_count, 1))
                 assert abs(av - ev) / span < tol, f"{c}.{fld}: {ev} vs {av}"
+
+
+def test_profile_table_grouped_shapes_and_approx(spark):
+    """Grouped profile: long format (groups × value cols), stats match a
+    hand computation; approx mode returns the same shape with
+    near-identical percentiles."""
+    import math
+
+    from whiterrabbit_spark.config import ScanConfig
+    from whiterrabbit_spark.profile import profile_table_grouped
+
+    df = spark.createDataFrame(
+        [("a", 1.0, None), ("a", 2.0, 10.0), ("a", 3.0, 20.0),
+         ("b", 10.0, 5.0)],
+        "g string, x double, y double",
+    )
+    out = profile_table_grouped(df, "g", ["x", "y"])
+    rows = {(r["g"], r["column_name"]): r for r in out.collect()}
+    assert set(rows) == {("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")}
+    ax = rows[("a", "x")]
+    assert ax["total_count"] == 3 and ax["non_missing_count"] == 3
+    assert ax["mean_val"] == 2.0 and ax["median_val"] == 2.0
+    assert math.isclose(ax["sd_val"], 1.0)
+    ay = rows[("a", "y")]
+    assert ay["missing_count"] == 1 and ay["q1_val"] == 12.5  # type-7 over (10,20)
+    bx = rows[("b", "x")]
+    assert bx["sd_val"] is None  # n=1 sample sd is NULL (N4 parity)
+
+    approx = profile_table_grouped(df, "g", ["x"], ScanConfig(approx=True))
+    arow = {r["g"]: r for r in approx.collect()}
+    assert abs(arow["a"]["median_val"] - 2.0) <= 1.0

@@ -361,6 +361,64 @@ def profile_table(
     return summary, raw
 
 
+def profile_table_grouped(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_cols: list[str],
+    cfg: ScanConfig | None = None,
+) -> DataFrame:
+    """Per-group column profile — the reference's summary statistics
+    (whiteRRabbit.R:354-376) computed per group key instead of per table,
+    the segmented-profiling form a partitioned 100 TB lake needs (stats
+    per tenant / per day / per source).
+
+    ONE ``groupBy(keys).agg(...)`` over every value column — partial
+    aggregation absorbs group locality map-side, a single shuffle on the
+    group keys. Exact type-7 percentiles buffer per-(group, column) value
+    lists in the final aggregate (the documented exact-mode cost);
+    ``cfg.approx`` swaps in ``percentile_approx`` sketches for constant
+    memory. Output is long format: one row per (group, value column).
+    """
+    cfg = cfg or ScanConfig()
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    aggs = []
+    for c in value_cols:
+        d = F.col(c).cast("double")
+        if cfg.approx:
+            q = F.percentile_approx(d, [0.25, 0.5, 0.75], cfg.approx_percentile_accuracy)
+        else:
+            q = F.percentile(d, F.lit([0.25, 0.5, 0.75]))
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__total"),
+            F.count(d).alias(f"{c}__n"),
+            F.min(d).alias(f"{c}__min"),
+            F.max(d).alias(f"{c}__max"),
+            F.avg(d).alias(f"{c}__mean"),
+            F.stddev_samp(d).alias(f"{c}__sd"),
+            q.alias(f"{c}__q"),
+        ]
+    g = df.groupBy(*group_cols).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__total").alias("total_count"),
+            F.col(f"{c}__n").alias("non_missing_count"),
+            (F.col(f"{c}__total") - F.col(f"{c}__n")).alias("missing_count"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__mean").alias("mean_val"),
+            F.col(f"{c}__sd").alias("sd_val"),
+            F.col(f"{c}__q")[0].alias("q1_val"),
+            F.col(f"{c}__q")[1].alias("median_val"),
+            F.col(f"{c}__q")[2].alias("q3_val"),
+        )
+        for c in value_cols
+    ]
+    return g.select(
+        *group_cols, F.explode(F.array(*structs)).alias("s")
+    ).select(*group_cols, "s.*")
+
+
 def all_empty_fields(raw: dict[str, dict]) -> list[str]:
     """Columns where every value is missing or empty (W:294-303)."""
     return [

@@ -1133,6 +1133,45 @@ SELECT cluster_id,
 FROM cc GROUP BY cluster_id"""
 
 
+def _grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group profile: events value/user_id stats segmented by
+    event_type — one grouped wide agg, single shuffle."""
+    from whiterrabbit_spark.profile import profile_table_grouped
+
+    df = read_parquet_table(spark, sf_dir, "events")
+    out = profile_table_grouped(df, "event_type", ["value", "user_id"], CFG)
+    return out.select(
+        "event_type", "column_name", "total_count", "non_missing_count",
+        "missing_count",
+        F.round("min_val", R).alias("min_val"),
+        F.round("max_val", R).alias("max_val"),
+        F.round("mean_val", R).alias("mean_val"),
+        F.round("sd_val", R).alias("sd_val"),
+        F.round("q1_val", R).alias("q1_val"),
+        F.round("median_val", R).alias("median_val"),
+        F.round("q3_val", R).alias("q3_val"),
+    )
+
+
+def _grouped_profile_sql() -> str:
+    parts = []
+    for c in ("value", "user_id"):
+        parts.append(f"""
+SELECT event_type, '{c}' AS column_name,
+       count(*) AS total_count,
+       count({c}) AS non_missing_count,
+       count(*) - count({c}) AS missing_count,
+       round(min({c})::DOUBLE, {R}) AS min_val,
+       round(max({c})::DOUBLE, {R}) AS max_val,
+       round(avg({c}::DOUBLE), {R}) AS mean_val,
+       round(stddev_samp({c}::DOUBLE), {R}) AS sd_val,
+       round(quantile_cont({c}::DOUBLE, 0.25), {R}) AS q1_val,
+       round(quantile_cont({c}::DOUBLE, 0.5), {R}) AS median_val,
+       round(quantile_cont({c}::DOUBLE, 0.75), {R}) AS q3_val
+FROM events GROUP BY event_type""")
+    return "\nUNION ALL\n".join(parts)
+
+
 PACK_BUDGET = 2048  # tokens per training shard
 
 
@@ -1298,5 +1337,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["dedup_clusters_documents"] = _dedup_clusters_sql()
     queries["pack_shards_documents"] = _pack_shards
     oracles["pack_shards_documents"] = _PACK_SQL
+    queries["grouped_profile_events"] = _grouped_profile
+    oracles["grouped_profile_events"] = _grouped_profile_sql()
 
     return queries, oracles
