@@ -762,3 +762,32 @@ def test_pack_shards_matches_single_window(spark):
     # stays under budget + max row weight
     assert all(t < 500.0 + 109 for t in shard_tot.values())
     assert len(set(out.values())) > 5  # actually packed into many shards
+
+
+def test_new_ops_handle_empty_inputs(spark):
+    """asof/range/pack/cc/chunk on empty frames: empty results, no crash
+    (pack's offset map and cc's propagation loop are the risky paths)."""
+    from whiterrabbit_spark.extensions import chunking as ck
+    from whiterrabbit_spark.extensions import joins as J
+    from whiterrabbit_spark.extensions import splits as sp
+    from whiterrabbit_spark.extensions.dedup import connected_components
+
+    empty_ev = spark.createDataFrame([], "user_id long, ts timestamp, v double")
+    out = J.asof_join(
+        empty_ev.select("user_id", "ts"),
+        empty_ev.select("user_id", "ts", "v"),
+        time_col="ts", by="user_id",
+    )
+    assert out.count() == 0 and "right_v" in out.columns
+    assert J.range_join_buckets(
+        empty_ev.select("user_id", "ts"),
+        empty_ev.select("user_id", "ts", "v"),
+        time_col="ts", by="user_id", window_s=60,
+    ).count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, w long, text string")
+    packed = sp.pack_shards(empty_docs.select("doc_id", "w"), "doc_id", "w", 100.0)
+    assert packed.count() == 0 and "shard_id" in packed.columns
+    assert connected_components(
+        spark.createDataFrame([], "id1 long, id2 long")
+    ).count() == 0
+    assert ck.chunk_documents(empty_docs, "text", "doc_id").count() == 0

@@ -167,3 +167,76 @@ class TestTextstatsProperties:
             else:
                 assert r.n >= 1
                 assert r.n <= r.nonspace
+
+
+@pytest.mark.usefixtures("spark")
+class TestTemporalAndPackingProperties:
+    """Model-checked properties for the temporal joins and shard packing:
+    each operator is replayed by an independent pure-Python model over the
+    same randomized inputs."""
+
+    _events = st.lists(
+        st.tuples(
+            st.integers(0, 3),                 # user/key
+            st.integers(0, 10_000),            # epoch seconds
+            st.integers(0, 100),               # payload
+        ),
+        min_size=1, max_size=60,
+    )
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(rows=_events)
+    def test_asof_matches_model(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        from whiterrabbit_spark.extensions import joins as J
+
+        left_rows = rows[::2]
+        right_rows = rows[1::2]
+        # right must be unique per (key, ts): keep max payload
+        rmap: dict[tuple[int, int], int] = {}
+        for u, t, v in right_rows:
+            rmap[(u, t)] = max(rmap.get((u, t), -1), v)
+        if not rmap:
+            return
+        left = spark.createDataFrame(
+            [(u, t, i) for i, (u, t, _) in enumerate(left_rows)],
+            "u long, epoch long, idx long",
+        ).select("u", F.timestamp_seconds("epoch").alias("ts"), "idx")
+        right = spark.createDataFrame(
+            [(u, t, v) for (u, t), v in rmap.items()],
+            "u long, epoch long, v long",
+        ).select("u", F.timestamp_seconds("epoch").alias("ts"), "v")
+
+        got = {
+            r["idx"]: (r["right_v"])
+            for r in J.asof_join(left, right, time_col="ts", by="u").collect()
+        }
+        for i, (u, t, _) in enumerate(left_rows):
+            cands = [(rt, v) for (ru, rt), v in rmap.items() if ru == u and rt <= t]
+            expect = max(cands)[1] if cands else None
+            assert got[i] == expect
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        rows=st.lists(st.integers(1, 200), min_size=1, max_size=80),
+        budget=st.integers(50, 400),
+    )
+    def test_pack_shards_matches_model(self, spark, rows, budget):
+        from whiterrabbit_spark.extensions import splits as sp
+
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(rows)], "doc_id long, w long"
+        )
+        got = {
+            r["doc_id"]: r["shard_id"]
+            for r in sp.pack_shards(df, "doc_id", "w", float(budget), 5).collect()
+        }
+        cum = 0
+        for i, w in enumerate(rows):
+            assert got[i] == cum // budget
+            cum += w
+        # shard ids are nondecreasing and contiguous from 0
+        seq = [got[i] for i in range(len(rows))]
+        assert seq[0] == 0
+        assert all(a <= b <= a + max(rows) // budget + 1 for a, b in zip(seq, seq[1:]))
