@@ -791,3 +791,47 @@ def test_new_ops_handle_empty_inputs(spark):
         spark.createDataFrame([], "id1 long, id2 long")
     ).count() == 0
     assert ck.chunk_documents(empty_docs, "text", "doc_id").count() == 0
+
+
+def test_streaming_frequencies_match_batch_f1(spark):
+    """Streaming running counts + the batch finishing pass reproduce the
+    batch frequency operator exactly (threshold, top-K order, displayed-set
+    percentage), and the windowed variant respects event-time windows."""
+    from whiterrabbit_spark.config import ScanConfig
+    from whiterrabbit_spark.frequency import value_frequencies
+
+    events = read_parquet_table(spark, SF_DIR, "events")
+
+    stream = st.stream_events_from_parquet(spark, SF_DIR)
+    counts = st.streaming_frequencies(stream, "event_type")
+    name = f"freqs_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(counts, name, mode="complete")
+    finished = st.finish_frequency_table(spark.table(name))
+
+    batch = value_frequencies(
+        events.select("event_type"), cfg=ScanConfig(max_rows=-1)
+    )
+    got = sorted(
+        (r["value"], r["count"], round(r["percentage"], 9))
+        for r in finished.collect()
+    )
+    want = sorted(
+        (r["value"], r["count"], round(r["percentage"], 9))
+        for r in batch.collect()
+    )
+    assert got == want
+
+    windowed = st.streaming_frequencies(
+        st.stream_events_from_parquet(spark, SF_DIR), "event_type", window="1 hour"
+    )
+    wname = f"freqw_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(windowed, wname, mode="complete")
+    wrows = spark.table(wname)
+    assert wrows.count() > 0
+    # windowed counts re-sum to the global counts
+    resum = {
+        r["value"]: r["total"]
+        for r in wrows.groupBy("value").agg(F.sum("count").alias("total")).collect()
+    }
+    glob = {r["value"]: r["count"] for r in spark.table(name).collect()}
+    assert resum == glob

@@ -65,6 +65,65 @@ def windowed_profile(
     )
 
 
+def streaming_frequencies(
+    df: DataFrame,
+    column: str,
+    min_cell_count: int = 5,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    window: str | None = None,
+) -> DataFrame:
+    """The reference's value-frequency operator (F1, whiteRRabbit.R:329-352)
+    maintained over a stream: running counts per value — global (complete
+    mode; the full-history frequency table the batch report emits) or per
+    event-time window when ``window`` is given (watermarked, append-safe,
+    bounded state).
+
+    The ``count >= min_cell_count`` floor and display-set percentage are
+    NOT applied in-stream: a filter on a running aggregate would drop
+    state it later needs (a value below the floor now may cross it with
+    more data), and the percentage denominator is defined over the emitted
+    set. Both are finishing touches on the sink table —
+    ``finish_frequency_table`` applies them batch-side, reusing the exact
+    reference semantics (threshold → top-K → displayed-set denominator).
+    """
+    src = df
+    keys = [F.col(column).alias("value")]
+    if df.isStreaming and window is not None:
+        src = df.withWatermark(ts_col, watermark)
+        keys = [F.window(F.col(ts_col), window).alias("w")] + keys
+    cond = F.col(column).isNotNull() & (F.col(column).cast("string") != "")
+    out = src.where(cond).groupBy(*keys).agg(F.count(F.lit(1)).alias("count"))
+    if df.isStreaming and window is not None:
+        out = out.select(
+            F.col("w.start").alias("window_start"), "value", "count"
+        )
+    return out
+
+
+def finish_frequency_table(
+    counts: DataFrame,
+    min_cell_count: int = 5,
+    max_distinct_values: int = 1_000,
+) -> DataFrame:
+    """Batch finishing pass over a (value, count) sink table: the
+    reference's threshold → top-K (count DESC, value ASC) → percentage
+    over the DISPLAYED set (the F1 denominator quirk, W:344)."""
+    from pyspark.sql import Window
+
+    kept = counts.where(F.col("count") >= min_cell_count)
+    w = Window.orderBy(F.col("count").desc(), F.col("value").asc())
+    topk = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_distinct_values)
+        .drop("__rn")
+    )
+    return topk.withColumn(
+        "percentage",
+        F.col("count") / F.sum("count").over(Window.partitionBy()),
+    )
+
+
 def stream_events_from_parquet(
     spark: SparkSession,
     directory: str,
