@@ -312,3 +312,18 @@ def test_discover_tables_bad_format(tmp_path):
 
     with _pytest.raises(ValueError, match="Unknown source_format"):
         discover_tables(str(tmp_path), source_format="orc")
+
+
+def test_scan_parquet_sampling_caps_rows(spark, tmp_path):
+    import shutil
+
+    d = tmp_path / "pqs"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/lineitem.parquet", d / "lineitem.parquet")
+    cfg = ScanConfig(source_format="parquet", max_rows=500)
+    overview, results = scan_folder(spark, str(d), cfg)
+    r = results[0]
+    assert r.n_rows_checked == 500
+    assert r.total_rows > 500            # full row count still reported
+    summ = {x["column_name"]: x for x in r.summary.collect()}
+    assert summ["l_orderkey"]["total_count"] == 500
