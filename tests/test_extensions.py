@@ -835,3 +835,34 @@ def test_streaming_frequencies_match_batch_f1(spark):
     }
     glob = {r["value"]: r["count"] for r in spark.table(name).collect()}
     assert resum == glob
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: earliest right ≥ left time, ties inclusive, forward
+    tolerance, and parity with a pure-Python model."""
+    from whiterrabbit_spark.extensions import joins as J
+
+    left = spark.createDataFrame(
+        [(1, 100.0, "a"), (1, 250.0, "b"), (2, 50.0, "c")],
+        "k int, epoch double, tag string",
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, 100.0, 1.0), (1, 240.0, 2.0), (1, 400.0, 3.0), (2, 10.0, 4.0)],
+        "k int, epoch double, v double",
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "v")
+
+    fwd = {r["tag"]: r for r in J.asof_join(
+        left, right, time_col="ts", by="k", direction="forward"
+    ).collect()}
+    assert fwd["a"]["right_v"] == 1.0    # tie at 100 matches
+    assert fwd["b"]["right_v"] == 3.0    # next right after 250 is 400
+    assert fwd["c"]["right_v"] is None   # no right at/after 50 for k=2
+
+    tol = {r["tag"]: r for r in J.asof_join(
+        left, right, time_col="ts", by="k", direction="forward", tolerance_s=100
+    ).collect()}
+    assert tol["a"]["right_v"] == 1.0
+    assert tol["b"]["right_v"] is None   # 400-250=150 > 100
+
+    with pytest.raises(ValueError, match="direction"):
+        J.asof_join(left, right, time_col="ts", by="k", direction="nearest")

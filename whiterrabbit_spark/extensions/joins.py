@@ -93,24 +93,30 @@ def asof_join(
     time_col: str,
     by: list[str] | str,
     tolerance_s: int | None = None,
+    direction: str = "backward",
     right_prefix: str = "right_",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the latest right row
-    with ``right.time_col <= left.time_col`` within the same ``by`` group
-    (inclusive at equal timestamps — pandas ``merge_asof`` /  DuckDB
-    ``ASOF JOIN`` default). Unmatched left rows keep NULL right columns.
+    """As-of join: for each left row, attach the nearest right row in the
+    same ``by`` group — ``direction="backward"`` (default) takes the latest
+    right with ``right.time <= left.time``; ``"forward"`` takes the
+    earliest right with ``right.time >= left.time``. Ties at equal
+    timestamps match in both directions (pandas ``merge_asof`` / DuckDB
+    ``ASOF JOIN`` semantics). Unmatched left rows keep NULL right columns.
 
     ``right`` must be unique per (by, time_col) — pre-aggregate it if not;
     with duplicate right timestamps the winner among equals would be
     plan-order-dependent, so this precondition keeps the operator
     deterministic.
 
-    ``tolerance_s``: optional maximum allowed ``left.time - right.time``
-    in seconds; matches older than the tolerance are nulled out (pandas
+    ``tolerance_s``: optional maximum allowed gap in seconds (backward:
+    ``left.time − right.time``; forward: ``right.time − left.time``);
+    matches farther than the tolerance are nulled out (pandas
     ``merge_asof(tolerance=...)`` semantics).
 
     Non-key right columns come back as ``{right_prefix}{col}``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by = [by] if isinstance(by, str) else list(by)
     payload_cols = [c for c in right.columns if c not in by and c != time_col]
 
@@ -132,16 +138,31 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    # Right rows (side=0) sort before left rows (side=1) at equal time ⇒
-    # a right row exactly at the left timestamp is visible to it.
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(time_col, _SIDE)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # Ties: the right row must fall inside the left row's frame at equal
+    # time. Backward frame ends at currentRow ⇒ right (side 0) sorts
+    # BEFORE left (side 1); forward frame starts at currentRow ⇒ left
+    # sorts before right (side descending). The running aggregate is the
+    # frame-edge value: last-so-far looking back, first-to-come looking
+    # forward — O(1) running state either way.
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(time_col).asc(), F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
 
-    def running(col: Column) -> Column:
-        return F.last(F.when(F.col(_SIDE) == 0, col), ignorenulls=True).over(w)
+        def running(col: Column) -> Column:
+            return F.last(F.when(F.col(_SIDE) == 0, col), ignorenulls=True).over(w)
+
+    else:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(time_col).asc(), F.col(_SIDE).desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+
+        def running(col: Column) -> Column:
+            return F.first(F.when(F.col(_SIDE) == 0, col), ignorenulls=True).over(w)
 
     matched_time = running(F.col(time_col)).alias(f"{right_prefix}{time_col}")
     out = unioned.withColumn("__m_time", matched_time)
@@ -151,7 +172,8 @@ def asof_join(
     out = out.where(F.col(_SIDE) == 1)
     in_tol = F.lit(True)
     if tolerance_s is not None:
-        gap = F.unix_timestamp(F.col(time_col)) - F.unix_timestamp(F.col("__m_time"))
+        signed = F.unix_timestamp(F.col(time_col)) - F.unix_timestamp(F.col("__m_time"))
+        gap = signed if direction == "backward" else -signed
         in_tol = gap <= F.lit(tolerance_s)
 
     keep = [
