@@ -1,0 +1,84 @@
+"""Physical-plan shape regression tests.
+
+PLANS.md documents the plan each headline operator SHOULD compile to at
+100 TB (pruned scans, no avoidable shuffles, distributed top-K); these
+tests pin the load-bearing properties so a refactor that silently
+introduces a shuffle, widens a scan, or collapses a projection into a
+Python hop fails CI instead of surfacing as a 100× regression on a
+cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR
+from whiterrabbit_spark.queries import build_registry
+
+QUERIES, _ = build_registry()
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _shuffles(plan: str) -> int:
+    # each Exchange appears once in the tree and once in the details
+    # section of formatted mode; count tree occurrences only
+    return len(re.findall(r"\n\s*[+:\-|]*\s*\(\d+\) Exchange", plan)) or len(
+        re.findall(r"Exchange hashpartitioning", plan)
+    ) // 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_stats_documents", "repetition_signals_documents",
+     "chunk_documents", "embedding_stats_embeddings",
+     "fingerprint_documents", "quality_score_documents",
+     "token_count_bpe_documents", "lang_id_documents"],
+)
+def test_document_projections_are_shuffle_free(spark, name):
+    """Row-wise document/embedding operators must stay map-only: no
+    Exchange of any kind in the plan."""
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan, f"{name} gained a shuffle"
+    assert "Scan parquet" in plan
+
+
+@pytest.mark.parametrize(
+    "name, col",
+    [("freq_lineitem_l_returnflag", "l_returnflag"),
+     ("freq_events_event_type", "event_type")],
+)
+def test_frequency_uses_distributed_topk_and_prunes(spark, name, col):
+    """F1 compiles to TakeOrderedAndProject (per-partition heaps, no global
+    sort) and the scan reads ONLY the profiled column."""
+    plan = _plan(spark, name)
+    assert "TakeOrderedAndProject" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).split(":")[0] == col, f"scan not pruned: {m}"
+
+
+def test_curation_pipeline_single_scan(spark):
+    """The composed pipeline must read the corpus ONCE — feature extraction
+    as one scan-stage projection, never per-feature self-joins."""
+    plan = _plan(spark, "curation_pipeline_documents")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_embedding_near_dup_broadcasts(spark):
+    """The brute-force near-dup self-join must broadcast, not shuffle, the
+    corpus sides."""
+    plan = _plan(spark, "dedup_embedding_cosine_embeddings")
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_frequency_pushes_filters(spark):
+    plan = _plan(spark, "freq_lineitem_l_returnflag")
+    assert "PushedFilters: [IsNotNull(l_returnflag)" in plan
