@@ -865,4 +865,40 @@ def test_asof_join_forward_direction(spark):
     assert tol["b"]["right_v"] is None   # 400-250=150 > 100
 
     with pytest.raises(ValueError, match="direction"):
-        J.asof_join(left, right, time_col="ts", by="k", direction="nearest")
+        J.asof_join(left, right, time_col="ts", by="k", direction="sideways")
+
+
+def test_asof_join_nearest_direction(spark):
+    """Nearest as-of: smaller absolute gap wins, backward breaks ties,
+    duplicate left rows stay 1:1 with their matches."""
+    from whiterrabbit_spark.extensions import joins as J
+
+    left = spark.createDataFrame(
+        [(1, 100.0, "fwd-closer"), (1, 200.0, "tie"), (1, 300.0, "bwd-only"),
+         (2, 50.0, "none"), (1, 100.0, "fwd-closer")],  # deliberate duplicate
+        "k int, epoch double, tag string",
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, 90.0, 1.0), (1, 105.0, 2.0),    # gaps 10 vs 5 → forward
+         (1, 195.0, 3.0), (1, 205.0, 4.0),   # gaps 5 vs 5 → backward
+         (1, 250.0, 5.0)],                   # only backward for t=300
+        "k int, epoch double, v double",
+    ).select("k", F.timestamp_seconds("epoch").alias("ts"), "v")
+
+    rows = J.asof_join(
+        left, right, time_col="ts", by="k", direction="nearest"
+    ).collect()
+    assert len(rows) == 5                    # duplicates preserved 1:1
+    got = {}
+    for r in rows:
+        got.setdefault(r["tag"], []).append(r["right_v"])
+    assert got["fwd-closer"] == [2.0, 2.0]
+    assert got["tie"] == [3.0]
+    assert got["bwd-only"] == [5.0]
+    assert got["none"] == [None]
+
+    tol = {r["tag"]: r["right_v"] for r in J.asof_join(
+        left, right, time_col="ts", by="k", direction="nearest", tolerance_s=10
+    ).collect()}
+    assert tol["bwd-only"] is None           # gap 50 > 10
+    assert tol["tie"] == 3.0

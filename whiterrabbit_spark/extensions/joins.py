@@ -32,6 +32,61 @@ from pyspark.sql import functions as F
 _SIDE = "__wrs_is_left"
 
 
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    time_col: str,
+    by: list[str] | str,
+    tolerance_s: int | None,
+    right_prefix: str,
+) -> DataFrame:
+    """Nearest-direction as-of: run the backward and forward passes and
+    keep, per left row, the match with the smaller absolute gap —
+    backward wins exact ties (pandas ``merge_asof(direction='nearest')``).
+    Costs the two windowed passes over the same shuffled partitioning;
+    AQE reuses the exchange."""
+    by_list = [by] if isinstance(by, str) else list(by)
+    payload = [c for c in right.columns if c not in by_list and c != time_col]
+    # A synthetic row id keys the two passes back together (duplicate left
+    # rows must not cross-join); monotonically_increasing_id is
+    # nondeterministic across recomputations, so pin it with a checkpoint
+    # before both passes consume it.
+    keyed = left.withColumn(
+        "__row_id", F.monotonically_increasing_id()
+    ).localCheckpoint()
+    bwd = asof_join(
+        keyed, right, time_col=time_col, by=by,
+        tolerance_s=tolerance_s, direction="backward", right_prefix="__b_",
+    )
+    fwd = asof_join(
+        keyed, right, time_col=time_col, by=by,
+        tolerance_s=tolerance_s, direction="forward", right_prefix="__f_",
+    )
+    join_keys = [*by_list, time_col, "__row_id",
+                 *[c for c in left.columns if c not in by_list and c != time_col]]
+    both = bwd.join(fwd, on=join_keys)
+    t = F.col(time_col).cast("timestamp").cast("double")
+    b_gap = t - F.col(f"__b_{time_col}").cast("timestamp").cast("double")
+    f_gap = F.col(f"__f_{time_col}").cast("timestamp").cast("double") - t
+    use_bwd = F.col(f"__b_{time_col}").isNotNull() & (
+        F.col(f"__f_{time_col}").isNull() | (b_gap <= f_gap)
+    )
+    out_cols = [
+        *[k for k in join_keys if k != "__row_id"],
+        F.when(use_bwd, F.col(f"__b_{time_col}"))
+        .otherwise(F.col(f"__f_{time_col}"))
+        .alias(f"{right_prefix}{time_col}"),
+        *[
+            F.when(use_bwd, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(f"{right_prefix}{c}")
+            for c in payload
+        ],
+    ]
+    return both.select(*out_cols)
+
+
 def range_join_buckets(
     left: DataFrame,
     right: DataFrame,
@@ -99,9 +154,11 @@ def asof_join(
     """As-of join: for each left row, attach the nearest right row in the
     same ``by`` group — ``direction="backward"`` (default) takes the latest
     right with ``right.time <= left.time``; ``"forward"`` takes the
-    earliest right with ``right.time >= left.time``. Ties at equal
-    timestamps match in both directions (pandas ``merge_asof`` / DuckDB
-    ``ASOF JOIN`` semantics). Unmatched left rows keep NULL right columns.
+    earliest right with ``right.time >= left.time``; ``"nearest"`` takes
+    whichever of the two is closer (backward wins exact ties). Ties at
+    equal timestamps match in both directions (pandas ``merge_asof`` /
+    DuckDB ``ASOF JOIN`` semantics). Unmatched left rows keep NULL right
+    columns.
 
     ``right`` must be unique per (by, time_col) — pre-aggregate it if not;
     with duplicate right timestamps the winner among equals would be
@@ -115,8 +172,16 @@ def asof_join(
 
     Non-key right columns come back as ``{right_prefix}{col}``.
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right,
+            time_col=time_col, by=by,
+            tolerance_s=tolerance_s, right_prefix=right_prefix,
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by = [by] if isinstance(by, str) else list(by)
     payload_cols = [c for c in right.columns if c not in by and c != time_col]
 
