@@ -610,6 +610,80 @@ FROM events
 GROUP BY 1, 2"""
 
 
+def _events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (event_type → day → grand total) in ONE pass:
+    Spark's ROLLUP compiles to a single scan + Expand (one input row feeds
+    every grouping level's partial aggregate) — the multi-granularity
+    summary a time-series store materializes, without re-scanning per
+    level. grouping() flags distinguish subtotal rows from data rows."""
+    df = read_parquet_table(spark, sf_dir, "events")
+    day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    out = (
+        df.select(F.col("event_type"), day.alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), R).alias("sum_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+        )
+    )
+    # subtotal rows carry NULL group keys; sentinel them so result
+    # comparators (which sort rows) never order NULL against a string —
+    # the grouping() flags remain the semantic marker
+    return out.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        F.coalesce("day", F.lit("(all)")).alias("day"),
+        "n_events", "sum_value", "g_type", "g_day",
+    )
+
+
+_MULTI_ROLLUP_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(strftime(ts, '%Y-%m-%d'), '(all)') AS day,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       grouping(event_type) AS g_type,
+       grouping(strftime(ts, '%Y-%m-%d')) AS g_day
+FROM events
+GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))"""
+
+
+MOVING_N = 5  # trailing-window length (rows)
+
+
+def _moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing moving stats over the event stream — bounded-frame
+    window functions (rowsBetween −4..0): one shuffle on user_id, O(frame)
+    state per row. Row-count frames (not time ranges) keep the frame
+    deterministic under duplicate timestamps."""
+    df = read_parquet_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp"), F.col("event_id"))
+        .rowsBetween(-(MOVING_N - 1), Window.currentRow)
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), R).alias("moving_avg"),
+        F.round(F.min("value").over(w), R).alias("moving_min"),
+        F.round(F.max("value").over(w), R).alias("moving_max"),
+        F.count(F.lit(1)).over(w).alias("frame_rows"),
+    )
+
+
+_MOVING_SQL = f"""
+SELECT event_id, user_id,
+       round(avg(value) OVER w, 6) AS moving_avg,
+       round(min(value) OVER w, 6) AS moving_min,
+       round(max(value) OVER w, 6) AS moving_max,
+       count(*) OVER w AS frame_rows
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {MOVING_N - 1} PRECEDING AND CURRENT ROW)"""
+
+
 NEAR_DUP_COS_THRESHOLD = 0.4  # testdata embeddings cluster at ~0.4-0.51 cosine
 
 
@@ -1339,5 +1413,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["pack_shards_documents"] = _PACK_SQL
     queries["grouped_profile_events"] = _grouped_profile
     oracles["grouped_profile_events"] = _grouped_profile_sql()
+    queries["events_multi_rollup"] = _events_multi_rollup
+    oracles["events_multi_rollup"] = _MULTI_ROLLUP_SQL
+    queries["moving_stats_events"] = _moving_stats
+    oracles["moving_stats_events"] = _MOVING_SQL
 
     return queries, oracles
