@@ -373,6 +373,38 @@ def simhash_near_pairs(
     )
 
 
+def novel_documents(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-snapshot novelty: rows of ``new_df`` whose normalized content
+    fingerprint does not appear in ``seen_df`` — the incremental-ingest
+    dedup step (today's crawl against the already-trained corpus).
+
+    LEFT ANTI join on the md5 fingerprint: Catalyst broadcasts the seen
+    side when it fits (the common shape: a fingerprint set is ~3% of its
+    corpus' bytes) and falls back to a shuffled anti-join when it doesn't;
+    either way no row of ``new_df`` is ever duplicated or carried past the
+    match test. Returns (doc_id, fingerprint).
+    """
+    fp = md5_expr_normalized
+    new_fp = new_df.select(
+        F.col(id_col).alias("doc_id"), fp(F.col(text_col)).alias("fingerprint")
+    )
+    seen_fp = seen_df.select(fp(F.col(text_col)).alias("fingerprint")).distinct()
+    return new_fp.join(seen_fp, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+def md5_expr_normalized(text: Column) -> Column:
+    """Whitespace-normalized lowercase md5 (same normalization as
+    textstats.fingerprint_expr — the shared content key)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id1",

@@ -1278,6 +1278,34 @@ SELECT doc_id, n_tokens, floor(start_off / {PACK_BUDGET}.0)::INT AS shard_id
 FROM c"""
 
 
+def _novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest novelty: the newer half of documents (doc_id
+    above the midpoint — scale-invariant split) anti-joined against the
+    older half's fingerprint set (broadcast anti-join)."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    split = docs.agg((F.max("doc_id") / 2).alias("m")).collect()[0]["m"]
+    seen = docs.where(F.col("doc_id") < split)
+    new = docs.where(F.col("doc_id") >= split)
+    return X.novel_documents(new, seen)
+
+
+_NOVEL_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+), s AS (
+  SELECT max(doc_id) / 2.0 AS split FROM documents
+)
+SELECT n.doc_id, n.fingerprint
+FROM fp n, s
+WHERE n.doc_id >= s.split
+  AND NOT EXISTS (
+    SELECT 1 FROM fp o, s
+    WHERE o.doc_id < s.split AND o.fingerprint = n.fingerprint
+  )"""
+
+
 STRAT_FRACTIONS = {"en": 0.3, "de": 0.5, "fr": 1.0}  # zh/es: dropped strata
 
 
@@ -1417,5 +1445,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["events_multi_rollup"] = _MULTI_ROLLUP_SQL
     queries["moving_stats_events"] = _moving_stats
     oracles["moving_stats_events"] = _MOVING_SQL
+    queries["novel_documents"] = _novel_docs
+    oracles["novel_documents"] = _NOVEL_SQL
 
     return queries, oracles
