@@ -40,7 +40,8 @@ def _shuffles(plan: str) -> int:
     ["text_stats_documents", "repetition_signals_documents",
      "chunk_documents", "embedding_stats_embeddings",
      "fingerprint_documents", "quality_score_documents",
-     "token_count_bpe_documents", "lang_id_documents"],
+     "token_count_bpe_documents", "lang_id_documents",
+     "stratified_sample_documents"],
 )
 def test_document_projections_are_shuffle_free(spark, name):
     """Row-wise document/embedding operators must stay map-only: no
