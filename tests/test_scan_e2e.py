@@ -327,3 +327,31 @@ def test_scan_parquet_sampling_caps_rows(spark, tmp_path):
     assert r.total_rows > 500            # full row count still reported
     summ = {x["column_name"]: x for x in r.summary.collect()}
     assert summ["l_orderkey"]["total_count"] == 500
+
+
+def test_scan_orc_folder_and_parquet_sink(spark, tmp_path):
+    """ORC folder profiles like parquet (typed, no inference); the parquet
+    report sink emits three readable datasets with per-file tags."""
+    src = tmp_path / "orcsrc"
+    out = tmp_path / "rep"
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").write.orc(
+        str(src / "nation.orc")
+    )
+    cfg = ScanConfig(source_format="orc", max_rows=-1)
+    overview, results = scan_folder(spark, str(src), cfg)
+    r = results[0]
+    assert r.total_rows == 25
+    assert r.inferred_types["n_name"] == "string"
+    summ = {x["column_name"]: x for x in r.summary.collect()}
+    assert summ["n_regionkey"]["distinct_count"] == 5
+
+    from whiterrabbit_spark.report import write_parquet_report
+
+    paths = write_parquet_report(overview, results, str(out), "Scan")
+    assert len(paths) == 3
+    ov = spark.read.parquet(str(out / "Scan_overview"))
+    assert ov.count() == 1
+    summary = spark.read.parquet(str(out / "Scan_summary"))
+    assert summary.count() == 3          # nation has 3 columns
+    freqs = spark.read.parquet(str(out / "Scan_frequencies"))
+    assert "table_name" in freqs.columns

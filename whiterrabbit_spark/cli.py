@@ -25,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", "--working-folder", required=True, help="Folder with input files")
     p.add_argument("-d", "--delimiter", default="tab", choices=["tab", "comma"])
     p.add_argument("-o", "--output-dir", default=".")
-    p.add_argument("-f", "--output-format", default="xlsx", choices=["xlsx", "tsv"])
+    p.add_argument("-f", "--output-format", default="xlsx",
+                   choices=["xlsx", "tsv", "parquet"])
     p.add_argument("-m", "--max-rows", type=int, default=100_000, help="-1 for all")
     p.add_argument("-x", "--max-distinct-values", type=int, default=1_000)
     p.add_argument("-p", "--prefix", default="ScanReport")
@@ -43,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--parallel-files", type=int, default=4,
                    help="concurrent per-file scan jobs (reference scans sequentially)")
     p.add_argument("--source-format", default="delimited",
-                   choices=["delimited", "jsonl", "parquet"],
+                   choices=["delimited", "jsonl", "parquet", "orc"],
                    help="input folder type (reference supports delimited only; "
                         "parquet profiles with its own schema, no inference)")
     return p
@@ -74,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.output_format == "xlsx":
         out = write_xlsx_report(overview, results, args.output_dir, args.prefix)
         print(f"Wrote Excel file: {out}")
+    elif args.output_format == "parquet":
+        from whiterrabbit_spark.report import write_parquet_report
+
+        for f in write_parquet_report(overview, results, args.output_dir, args.prefix):
+            print(f"Wrote: {f}")
     else:
         for f in write_tsv_report(overview, results, args.output_dir, args.prefix):
             print(f"Wrote: {f}")

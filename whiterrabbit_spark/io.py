@@ -47,7 +47,7 @@ def discover_tables(
         raise ValueError(f"Working folder does not exist: {working_folder}")
     if source_format == "delimited":
         ext = "tsv" if delimiter.lower() == "tab" else "csv"
-    elif source_format in ("jsonl", "parquet"):
+    elif source_format in ("jsonl", "parquet", "orc"):
         ext = source_format
     else:
         raise ValueError(f"Unknown source_format: {source_format}")

@@ -80,3 +80,42 @@ def write_xlsx_report(
     out = os.path.join(output_dir, f"{prefix}.xlsx")
     write_xlsx(out, sheets)
     return out
+
+
+def write_parquet_report(
+    overview: DataFrame,
+    results: list[FileScanResult],
+    output_dir: str,
+    prefix: str = "ScanReport",
+) -> list[str]:
+    """Machine-readable sink (no reference analog): the three result
+    relations as parquet datasets — ``<prefix>_overview/``,
+    ``<prefix>_summary/``, ``<prefix>_frequencies/`` — with summaries and
+    frequencies unioned across files and tagged by source table, so a
+    downstream pipeline reads the whole scan report as three typed tables
+    instead of parsing per-file TSV/xlsx. Written via Spark (stays
+    distributed; result frames are small but the sink composes with
+    cluster filesystems)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+
+    def sink(df: DataFrame, name: str) -> None:
+        p = os.path.join(output_dir, f"{prefix}_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        written.append(p)
+
+    sink(overview, "overview")
+    summaries = [r.summary for r in results]
+    sink(reduce(lambda a, b: a.unionByName(b), summaries), "summary")
+    freqs = [
+        r.frequencies.withColumn("table_name", F.lit(r.file_name))
+        for r in results
+        if r.frequencies is not None
+    ]
+    if freqs:
+        sink(reduce(lambda a, b: a.unionByName(b), freqs), "frequencies")
+    return written

@@ -36,13 +36,14 @@ def scan_file(
 ) -> FileScanResult:
     cfg = cfg or ScanConfig()
     fmt = cfg.source_format
-    if fmt == "parquet":
-        # Typed columnar source: schema is authoritative — no all-string
+    if fmt in ("parquet", "orc"):
+        # Typed columnar sources: schema is authoritative — no all-string
         # read, no inference pass. Row count replaces the line count
-        # (parquet footers make this metadata-only, the columnar analog of
-        # the reference's parse-free ``wc -l``); no header line exists, so
-        # the reference's header-in-N_rows quirk does not apply.
-        df = spark.read.parquet(path)
+        # (column-store footer/stripe metadata makes this metadata-only,
+        # the columnar analog of the reference's parse-free ``wc -l``); no
+        # header line exists, so the reference's header-in-N_rows quirk
+        # does not apply.
+        df = spark.read.orc(path) if fmt == "orc" else spark.read.parquet(path)
         total_lines = df.count()
         data_rows = total_lines
     elif fmt == "jsonl":
@@ -73,7 +74,7 @@ def scan_file(
     if n_rows_checked > 10_000 and df.rdd.getNumPartitions() == 1:
         df = df.repartition(spark.sparkContext.defaultParallelism)
 
-    if fmt == "parquet":
+    if fmt in ("parquet", "orc"):
         from whiterrabbit_spark.infer import InferenceResult
 
         typed = df
@@ -85,7 +86,7 @@ def scan_file(
     if cfg.shift_dates:
         typed = shift_dates(typed, cfg)
     if (
-        fmt != "parquet"  # typed parquet scans re-read cheaply; no reparse to amortize
+        fmt not in ("parquet", "orc")  # typed columnar scans re-read cheaply; no reparse to amortize
         and "timestamp" in inference.decisions.values()
         and cfg.max_rows <= 0
     ):
