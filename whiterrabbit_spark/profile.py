@@ -419,6 +419,60 @@ def profile_table_grouped(
     ).select(*group_cols, "s.*")
 
 
+def equi_width_histogram(
+    df: DataFrame, column: str, bins: int = 20
+) -> DataFrame:
+    """Equi-width value histogram for a numeric column — the
+    distribution-shape view the reference's scalar stats (min/max/quartiles)
+    flatten away. Two jobs: a min/max bounds pass (tiny partial agg), then
+    ONE groupBy on the bucket index — both fully partial-aggregable, output
+    ≤ ``bins`` rows regardless of input size.
+
+    Bucket = ``floor((v − min) / width)`` clamped so the max value lands in
+    the last bin; a constant column yields one bin holding every row.
+    """
+    c = F.col(column).cast("double")
+    row = df.agg(F.min(c).alias("lo"), F.max(c).alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    spark = df.sparkSession
+    if lo is None:
+        return spark.createDataFrame(
+            [], "bucket int, bucket_lo double, bucket_hi double, n_rows long"
+        )
+    width = (hi - lo) / bins if hi > lo else 1.0
+    bucket = F.least(
+        F.floor((c - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+    ).cast("int")
+    return (
+        df.where(c.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("bucket_hi"),
+            "n_rows",
+        )
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations across numeric columns in ONE
+    aggregation pass (every ``corr`` co-moment partial-aggregates
+    map-side — one scan, one tiny shuffle, k·(k−1)/2 outputs), long
+    format ``(col_a, col_b, corr)`` with ``col_a < col_b``."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = [
+        F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"{a}__{b}")
+        for a, b in pairs
+    ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    return df.sparkSession.createDataFrame(
+        [(a, b, row[f"{a}__{b}"]) for a, b in pairs],
+        "col_a string, col_b string, corr double",
+    )
+
+
 def all_empty_fields(raw: dict[str, dict]) -> list[str]:
     """Columns where every value is missing or empty (W:294-303)."""
     return [

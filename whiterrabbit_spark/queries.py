@@ -1246,6 +1246,70 @@ FROM events GROUP BY event_type""")
     return "\nUNION ALL\n".join(parts)
 
 
+HIST_BINS = 20
+
+
+def _histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice: bounds pass + one bucket
+    groupBy. Both engines compute identical IEEE double bucket arithmetic,
+    so bucket assignment matches bit-for-bit."""
+    from whiterrabbit_spark.profile import equi_width_histogram
+
+    df = read_parquet_table(spark, sf_dir, "lineitem")
+    out = equi_width_histogram(df, "l_extendedprice", HIST_BINS)
+    return out.select(
+        "bucket",
+        F.round("bucket_lo", R).alias("bucket_lo"),
+        F.round("bucket_hi", R).alias("bucket_hi"),
+        "n_rows",
+    )
+
+
+_HIST_SQL = f"""
+WITH b AS (
+  SELECT min(l_extendedprice::DOUBLE) AS lo, max(l_extendedprice::DOUBLE) AS hi
+  FROM lineitem
+), w AS (
+  SELECT lo, hi,
+         CASE WHEN hi > lo THEN (hi - lo) / {HIST_BINS} ELSE 1.0 END AS width
+  FROM b
+), bucketed AS (
+  SELECT least(floor((l_extendedprice::DOUBLE - w.lo) / w.width),
+               {HIST_BINS - 1})::INT AS bucket
+  FROM lineitem, w
+  WHERE l_extendedprice IS NOT NULL
+)
+SELECT bucket,
+       round(w.lo + bucket * w.width, 6) AS bucket_lo,
+       round(w.lo + (bucket + 1) * w.width, 6) AS bucket_hi,
+       count(*) AS n_rows
+FROM bucketed, w
+GROUP BY bucket, w.lo, w.width"""
+
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from whiterrabbit_spark.profile import corr_matrix
+
+    df = read_parquet_table(spark, sf_dir, "lineitem")
+    out = corr_matrix(df, CORR_COLS)
+    return out.select("col_a", "col_b", F.round("corr", R).alias("corr"))
+
+
+def _corr_sql() -> str:
+    pairs = [
+        (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1:]
+    ]
+    parts = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"round(corr({a}::DOUBLE, {b}::DOUBLE), 6) AS corr FROM lineitem"
+        for a, b in pairs
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 PACK_BUDGET = 2048  # tokens per training shard
 
 
@@ -1447,5 +1511,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["moving_stats_events"] = _MOVING_SQL
     queries["novel_documents"] = _novel_docs
     oracles["novel_documents"] = _NOVEL_SQL
+    queries["histogram_lineitem"] = _histogram
+    oracles["histogram_lineitem"] = _HIST_SQL
+    queries["corr_matrix_lineitem"] = _corr
+    oracles["corr_matrix_lineitem"] = _corr_sql()
 
     return queries, oracles
