@@ -456,6 +456,60 @@ def equi_width_histogram(
     )
 
 
+def iqr_outlier_counts(df: DataFrame, cols: list[str], k: float = 1.5) -> DataFrame:
+    """Tukey-fence outlier profile per numeric column: count of values
+    outside ``[Q1 − k·IQR, Q3 + k·IQR]`` — the standard data-quality flag
+    scalar summaries hide. Two jobs: one agg for all columns' exact type-7
+    quartiles, then one agg counting fence violations for all columns
+    (both single-scan, partial-aggregable; fences are plan literals in the
+    second pass). Output: (column_name, fence_lo, fence_hi, n_below,
+    n_above, n_rows)."""
+    qs = df.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), F.lit([0.25, 0.75])).alias(c)
+            for c in cols
+        ]
+    ).collect()[0].asDict()
+    fences: dict[str, tuple[float, float] | None] = {}
+    for c in cols:
+        q = qs[c]
+        if q is None or q[0] is None:
+            fences[c] = None
+            continue
+        iqr = q[1] - q[0]
+        fences[c] = (q[0] - k * iqr, q[1] + k * iqr)
+    aggs = []
+    for c in cols:
+        f = fences[c]
+        d = F.col(c).cast("double")
+        if f is None:
+            aggs += [F.lit(0).alias(f"{c}__below"), F.lit(0).alias(f"{c}__above"),
+                     F.count(d).alias(f"{c}__n")]
+        else:
+            aggs += [
+                F.count(F.when(d < F.lit(f[0]), 1)).alias(f"{c}__below"),
+                F.count(F.when(d > F.lit(f[1]), 1)).alias(f"{c}__above"),
+                F.count(d).alias(f"{c}__n"),
+            ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = [
+        (
+            c,
+            fences[c][0] if fences[c] else None,
+            fences[c][1] if fences[c] else None,
+            row[f"{c}__below"],
+            row[f"{c}__above"],
+            row[f"{c}__n"],
+        )
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "column_name string, fence_lo double, fence_hi double, "
+        "n_below long, n_above long, n_rows long",
+    )
+
+
 def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     """Pairwise Pearson correlations across numeric columns in ONE
     aggregation pass (every ``corr`` co-moment partial-aggregates

@@ -1287,6 +1287,46 @@ FROM bucketed, w
 GROUP BY bucket, w.lo, w.width"""
 
 
+OUTLIER_COLS = ["o_totalprice", "o_custkey"]
+
+
+def _outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts on orders — quartile pass then fence-count
+    pass, both single-scan aggs. Fences rounded 6dp on both sides (they are
+    derived doubles; the counts use the unrounded fences on both engines
+    via identical quantile arithmetic)."""
+    from whiterrabbit_spark.profile import iqr_outlier_counts
+
+    df = read_parquet_table(spark, sf_dir, "orders")
+    out = iqr_outlier_counts(df, OUTLIER_COLS)
+    return out.select(
+        "column_name",
+        F.round("fence_lo", R).alias("fence_lo"),
+        F.round("fence_hi", R).alias("fence_hi"),
+        "n_below", "n_above", "n_rows",
+    )
+
+
+def _outliers_sql() -> str:
+    parts = []
+    for c in OUTLIER_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       round(q1 - 1.5 * (q3 - q1), 6) AS fence_lo,
+       round(q3 + 1.5 * (q3 - q1), 6) AS fence_hi,
+       (SELECT count(*) FROM orders
+         WHERE {c}::DOUBLE < q1 - 1.5 * (q3 - q1)) AS n_below,
+       (SELECT count(*) FROM orders
+         WHERE {c}::DOUBLE > q3 + 1.5 * (q3 - q1)) AS n_above,
+       (SELECT count({c}) FROM orders) AS n_rows
+FROM (
+  SELECT quantile_cont({c}::DOUBLE, 0.25) AS q1,
+         quantile_cont({c}::DOUBLE, 0.75) AS q3
+  FROM orders
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -1515,5 +1555,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["histogram_lineitem"] = _HIST_SQL
     queries["corr_matrix_lineitem"] = _corr
     oracles["corr_matrix_lineitem"] = _corr_sql()
+    queries["outlier_counts_orders"] = _outliers
+    oracles["outlier_counts_orders"] = _outliers_sql()
 
     return queries, oracles
