@@ -527,6 +527,57 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def profile_drift(
+    df_a: DataFrame, df_b: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Profile drift between two snapshots of the same schema — the
+    monitoring use of a profiler: per numeric column, each side's
+    missing-rate/mean/sd plus the deltas, so a pipeline can alert on
+    distribution shift between yesterday's and today's partition without
+    hand-diffing scan reports.
+
+    One single-scan agg per side (2 jobs total, both partial-aggregable),
+    joined driver-side — never a row-level join between snapshots (at
+    100 TB the snapshots need not even share keys).
+    """
+    def side(df: DataFrame) -> dict:
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for c in cols:
+            d = F.col(c).cast("double")
+            aggs += [
+                F.count(d).alias(f"{c}__n"),
+                F.avg(d).alias(f"{c}__mean"),
+                F.stddev_samp(d).alias(f"{c}__sd"),
+            ]
+        return df.agg(*aggs).collect()[0].asDict()
+
+    a, b = side(df_a), side(df_b)
+
+    def rate(row: dict, c: str) -> float | None:
+        t = row["__total"]
+        return (t - row[f"{c}__n"]) / t if t else None
+
+    rows = []
+    for c in cols:
+        ma, mb = a[f"{c}__mean"], b[f"{c}__mean"]
+        ra, rb = rate(a, c), rate(b, c)
+        rows.append(
+            (
+                c, ra, rb,
+                (rb - ra) if (ra is not None and rb is not None) else None,
+                ma, mb,
+                (mb - ma) if (ma is not None and mb is not None) else None,
+                a[f"{c}__sd"], b[f"{c}__sd"],
+            )
+        )
+    return df_a.sparkSession.createDataFrame(
+        rows,
+        "column_name string, missing_rate_a double, missing_rate_b double, "
+        "missing_rate_delta double, mean_a double, mean_b double, "
+        "mean_delta double, sd_a double, sd_b double",
+    )
+
+
 def all_empty_fields(raw: dict[str, dict]) -> list[str]:
     """Columns where every value is missing or empty (W:294-303)."""
     return [

@@ -1287,6 +1287,58 @@ FROM bucketed, w
 GROUP BY bucket, w.lo, w.width"""
 
 
+DRIFT_COLS = ["o_totalprice", "o_custkey"]
+
+
+def _drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile drift between the two halves of orders (o_orderkey below/at
+    the midpoint — a scale-invariant stand-in for two daily partitions)."""
+    from whiterrabbit_spark.profile import profile_drift
+
+    df = read_parquet_table(spark, sf_dir, "orders")
+    split = df.agg((F.max("o_orderkey") / 2).alias("m")).collect()[0]["m"]
+    a = df.where(F.col("o_orderkey") < split)
+    b = df.where(F.col("o_orderkey") >= split)
+    out = profile_drift(a, b, DRIFT_COLS)
+    return out.select(
+        "column_name",
+        F.round("missing_rate_a", R).alias("missing_rate_a"),
+        F.round("missing_rate_b", R).alias("missing_rate_b"),
+        F.round("mean_a", R).alias("mean_a"),
+        F.round("mean_b", R).alias("mean_b"),
+        F.round("mean_delta", R).alias("mean_delta"),
+        F.round("sd_a", R).alias("sd_a"),
+        F.round("sd_b", R).alias("sd_b"),
+    )
+
+
+def _drift_sql() -> str:
+    parts = []
+    for c in DRIFT_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       round((a_total - a_n) * 1.0 / a_total, 6) AS missing_rate_a,
+       round((b_total - b_n) * 1.0 / b_total, 6) AS missing_rate_b,
+       round(a_mean, 6) AS mean_a,
+       round(b_mean, 6) AS mean_b,
+       round(b_mean - a_mean, 6) AS mean_delta,
+       round(a_sd, 6) AS sd_a,
+       round(b_sd, 6) AS sd_b
+FROM (
+  SELECT
+    count(CASE WHEN o_orderkey < split THEN 1 END) AS a_total,
+    count(CASE WHEN o_orderkey >= split THEN 1 END) AS b_total,
+    count(CASE WHEN o_orderkey < split THEN {c} END) AS a_n,
+    count(CASE WHEN o_orderkey >= split THEN {c} END) AS b_n,
+    avg(CASE WHEN o_orderkey < split THEN {c}::DOUBLE END) AS a_mean,
+    avg(CASE WHEN o_orderkey >= split THEN {c}::DOUBLE END) AS b_mean,
+    stddev_samp(CASE WHEN o_orderkey < split THEN {c}::DOUBLE END) AS a_sd,
+    stddev_samp(CASE WHEN o_orderkey >= split THEN {c}::DOUBLE END) AS b_sd
+  FROM orders, (SELECT max(o_orderkey) / 2.0 AS split FROM orders) s
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 OUTLIER_COLS = ["o_totalprice", "o_custkey"]
 
 
@@ -1557,5 +1609,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corr_matrix_lineitem"] = _corr_sql()
     queries["outlier_counts_orders"] = _outliers
     oracles["outlier_counts_orders"] = _outliers_sql()
+    queries["profile_drift_orders"] = _drift
+    oracles["profile_drift_orders"] = _drift_sql()
 
     return queries, oracles
