@@ -166,3 +166,61 @@ def test_profile_table_grouped_shapes_and_approx(spark):
     approx = profile_table_grouped(df, "g", ["x"], ScanConfig(approx=True))
     arow = {r["g"]: r for r in approx.collect()}
     assert abs(arow["a"]["median_val"] - 2.0) <= 1.0
+
+
+def test_equi_width_histogram_edges(spark):
+    """Max value lands in the last bin; constant column -> one bin; all-null
+    column -> empty frame with declared schema."""
+    from whiterrabbit_spark.profile import equi_width_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
+    h = {r["bucket"]: r for r in equi_width_histogram(df, "v", bins=10).collect()}
+    assert len(h) == 10
+    assert sum(r["n_rows"] for r in h.values()) == 101
+    assert h[9]["n_rows"] == 11          # 90..100 inclusive of the max
+    assert h[0]["bucket_lo"] == 0.0 and h[9]["bucket_hi"] == 100.0
+
+    const = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    hc = equi_width_histogram(const, "v", bins=10).collect()
+    assert len(hc) == 1 and hc[0]["n_rows"] == 2
+
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    hn = equi_width_histogram(nulls, "v")
+    assert hn.count() == 0
+    assert "bucket_lo" in hn.columns
+
+
+def test_corr_matrix_values(spark):
+    import math
+
+    from whiterrabbit_spark.profile import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, 1.0)],
+        "a double, b double, c double",
+    )
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_matrix(
+        df, ["a", "b", "c"]
+    ).collect()}
+    assert math.isclose(got[("a", "b")], 1.0)
+    assert -1.0 <= got[("a", "c")] <= 1.0
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_iqr_outliers_and_drift(spark):
+    from whiterrabbit_spark.profile import iqr_outlier_counts, profile_drift
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [10, 11, 12, 13, 14, 1000]] + [(None,)],
+        "v double",
+    )
+    out = iqr_outlier_counts(df, ["v"]).collect()[0]
+    assert out["n_above"] == 1 and out["n_below"] == 0
+    assert out["n_rows"] == 6
+
+    a = spark.createDataFrame([(1.0,), (2.0,), (None,)], "v double")
+    b = spark.createDataFrame([(3.0,), (5.0,)], "v double")
+    d = profile_drift(a, b, ["v"]).collect()[0]
+    assert d["mean_a"] == 1.5 and d["mean_b"] == 4.0 and d["mean_delta"] == 2.5
+    assert abs(d["missing_rate_a"] - 1 / 3) < 1e-12
+    assert d["missing_rate_b"] == 0.0
