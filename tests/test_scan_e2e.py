@@ -355,3 +355,36 @@ def test_scan_orc_folder_and_parquet_sink(spark, tmp_path):
     assert summary.count() == 3          # nation has 3 columns
     freqs = spark.read.parquet(str(out / "Scan_frequencies"))
     assert "table_name" in freqs.columns
+
+
+def test_scan_gzip_tsv_and_malformed_jsonl(spark, tmp_path):
+    """Gzipped delimited inputs profile transparently (header read, line
+    count, inference); malformed JSONL lines null-fill instead of failing
+    the scan."""
+    import gzip
+    import json
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    lines = ["id\tval"] + [f"{i}\t{i * 2}" for i in range(1, 31)]
+    with gzip.open(d / "t.tsv.gz", "wt") as fh:
+        fh.write("\n".join(lines) + "\n")
+    overview, results = scan_folder(spark, str(d), ScanConfig(max_rows=-1))
+    r = results[0]
+    assert r.total_rows == 31            # header-inclusive quirk holds
+    assert r.inferred_types["id"] == "double"
+    summ = {x["column_name"]: x for x in r.summary.collect()}
+    assert summ["val"]["max_val"] == 60.0
+
+    j = tmp_path / "badjl"
+    j.mkdir()
+    rows = [json.dumps({"a": i, "b": f"x{i}"}) for i in range(10)]
+    rows.insert(5, "{not valid json")
+    (j / "data.jsonl").write_text("\n".join(rows) + "\n")
+    cfg = ScanConfig(source_format="jsonl", max_rows=-1)
+    _, jres = scan_folder(spark, str(j), cfg)
+    jr = jres[0]
+    assert jr.total_rows == 11
+    summ = {x["column_name"]: x for x in jr.summary.collect()}
+    assert summ["a"]["missing_count"] == 1   # the malformed line
+    assert summ["a"]["non_missing_count"] == 10

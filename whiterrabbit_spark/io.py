@@ -51,12 +51,20 @@ def discover_tables(
         ext = source_format
     else:
         raise ValueError(f"Unknown source_format: {source_format}")
-    paths = sorted(glob.glob(os.path.join(working_folder, f"*.{ext}")))
+    patterns = [f"*.{ext}"]
+    if source_format in ("delimited", "jsonl"):
+        # Spark's text/csv/json readers decompress *.gz transparently
+        # (gzip is unsplittable — one task per file, the same granularity
+        # the per-file profiling pipeline already uses)
+        patterns.append(f"*.{ext}.gz")
+    paths = sorted(
+        p for pat in patterns for p in glob.glob(os.path.join(working_folder, pat))
+    )
     if not paths:
         raise NoInputFilesError(
-            f"No input files found in {working_folder} matching *.{ext}"
+            f"No input files found in {working_folder} matching {patterns}"
         )
-    return [(os.path.splitext(os.path.basename(p))[0], p) for p in paths]
+    return [(os.path.basename(p).split(".")[0], p) for p in paths]
 
 
 def count_lines(spark: SparkSession, path: str) -> int:
@@ -68,13 +76,23 @@ def count_lines(spark: SparkSession, path: str) -> int:
     return spark.read.text(path).count()
 
 
+def _open_text(path: str):
+    """Driver-side text open, gzip-aware (matches Spark's transparent
+    .gz handling on the scan side)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rt", encoding="utf-8-sig", errors="replace")
+    return open(path, encoding="utf-8-sig", errors="replace")
+
+
 def read_header(path: str, sep: str) -> list[str]:
     """Read just the header line driver-side (one line of IO).
 
     Duplicate column names are made unique with ``_2``, ``_3``… suffixes
     (fread similarly auto-renames duplicates; Spark would otherwise fail
     on ambiguous references in every downstream select)."""
-    with open(path, encoding="utf-8-sig", errors="replace") as fh:
+    with _open_text(path) as fh:
         header = fh.readline().rstrip("\r\n")
     cols = header.split(sep)
     seen: dict[str, int] = {}
@@ -163,7 +181,7 @@ def read_jsonl_all_string(spark: SparkSession, path: str) -> DataFrame:
     """
     import json
 
-    with open(path, encoding="utf-8-sig", errors="replace") as fh:
+    with _open_text(path) as fh:
         first = fh.readline()
     try:
         cols = list(json.loads(first).keys())
