@@ -311,7 +311,7 @@ def test_discover_tables_bad_format(tmp_path):
     from whiterrabbit_spark.io import discover_tables
 
     with _pytest.raises(ValueError, match="Unknown source_format"):
-        discover_tables(str(tmp_path), source_format="orc")
+        discover_tables(str(tmp_path), source_format="avro")
 
 
 def test_scan_parquet_sampling_caps_rows(spark, tmp_path):

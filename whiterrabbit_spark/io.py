@@ -64,7 +64,13 @@ def discover_tables(
         raise NoInputFilesError(
             f"No input files found in {working_folder} matching {patterns}"
         )
-    return [(os.path.basename(p).split(".")[0], p) for p in paths]
+    def table_name(p: str) -> str:
+        name = os.path.basename(p)
+        if name.endswith(".gz"):
+            name = name[: -len(".gz")]
+        return os.path.splitext(name)[0]  # dots inside the stem survive
+
+    return [(table_name(p), p) for p in paths]
 
 
 def count_lines(spark: SparkSession, path: str) -> int:
