@@ -1287,6 +1287,74 @@ FROM bucketed, w
 GROUP BY bucket, w.lo, w.width"""
 
 
+def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary of the documents corpus in ONE enriched scan +
+    one aggregation (plus the exact-distinct fingerprint job): volume
+    (docs/chars/BPE tokens), language spread, quality-class mix, and the
+    exact-duplicate rate — the one-row overview a training-data curator
+    reads before anything else."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = ts.quality_exprs(t)
+    lang, _ = ts.lang_id_exprs(t)
+    enriched = docs.select(
+        "doc_id",
+        "n_chars",
+        ts.bpe_token_count(t).alias("n_bpe"),
+        q["quality_class"].alias("qc"),
+        lang.alias("lang"),
+        ts.fingerprint_expr(t).alias("fp"),
+    )
+    row = enriched.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count(F.when(F.col("qc") == "keep", 1)).alias("n_keep"),
+        F.count(F.when(F.col("qc") == "review", 1)).alias("n_review"),
+        F.count(F.when(F.col("qc") == "drop", 1)).alias("n_drop"),
+        F.count_distinct("fp").alias("n_unique"),
+    ).collect()[0]
+    dup_rate = (
+        round(1 - row["n_unique"] / row["n_docs"], R) if row["n_docs"] else 0.0
+    )
+    return spark.createDataFrame(
+        [(row["n_docs"], row["total_chars"], row["total_bpe_tokens"],
+          row["n_langs"], row["n_keep"], row["n_review"], row["n_drop"],
+          row["n_unique"], dup_rate)],
+        "n_docs long, total_chars long, total_bpe_tokens long, n_langs long, "
+        "n_keep long, n_review long, n_drop long, n_unique long, dup_rate double",
+    )
+
+
+def _corpus_report_sql() -> str:
+    lang = _lang_id_sql().strip()
+    bpe = ts.BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+WITH {_quality_core_sql()},
+lid AS ({lang}),
+enriched AS (
+  SELECT d.doc_id, d.n_chars,
+         len(regexp_extract_all(d.text, '{bpe}')) AS n_bpe,
+         q.quality_class AS qc,
+         l.detected_lang AS lang,
+         md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents d
+  JOIN sc q ON q.doc_id = d.doc_id
+  JOIN lid l ON l.doc_id = d.doc_id
+)
+SELECT count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       sum(n_bpe) AS total_bpe_tokens,
+       count(DISTINCT lang) AS n_langs,
+       count(CASE WHEN qc = 'keep' THEN 1 END) AS n_keep,
+       count(CASE WHEN qc = 'review' THEN 1 END) AS n_review,
+       count(CASE WHEN qc = 'drop' THEN 1 END) AS n_drop,
+       count(DISTINCT fp) AS n_unique,
+       round(1 - count(DISTINCT fp) * 1.0 / count(*), 6) AS dup_rate
+FROM enriched"""
+
+
 DRIFT_COLS = ["o_totalprice", "o_custkey"]
 
 
@@ -1611,5 +1679,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["outlier_counts_orders"] = _outliers_sql()
     queries["profile_drift_orders"] = _drift
     oracles["profile_drift_orders"] = _drift_sql()
+    queries["corpus_report_documents"] = _corpus_report
+    oracles["corpus_report_documents"] = _corpus_report_sql()
 
     return queries, oracles
