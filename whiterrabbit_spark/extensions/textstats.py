@@ -239,6 +239,49 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF —
+    keyword extraction over a corpus.
+
+    Plan shape (the scalable decomposition):
+    1. explode tokens → TF per (doc, term): one shuffle, partial counts
+       map-side;
+    2. document frequency per term from the TF table (``count(*)`` per
+       term — no second corpus scan);
+    3. DF joins back BROADCAST (a vocabulary is tiny next to its corpus),
+       so scoring is map-side over the TF table;
+    4. top-k per doc via ``row_number`` bounded-frame window
+       (``WindowGroupLimit`` pushes the limit into the sort).
+
+    score = tf · ln(n_docs / (1 + df)); ties break on term ascending.
+    ``ln`` is IEEE-identical across engines, so the oracle reproduces
+    scores bit-for-bit before rounding.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(tokens(F.col(text_col)), lambda t: t != "")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id", "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / (1 + F.col("df")))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str, id_col: str, k: int = 5, w: int = 4
 ) -> DataFrame:

@@ -1355,6 +1355,42 @@ SELECT count(*) AS n_docs,
 FROM enriched"""
 
 
+TFIDF_K = 3
+
+
+def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_parquet_table(spark, sf_dir, "documents")
+    out = ts.tfidf_top_terms(df, "text", "doc_id", k=TFIDF_K)
+    return out.select(
+        "doc_id", "term", F.round("tfidf", R).alias("tfidf"), "rank"
+    )
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*)::DOUBLE AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(n.n_docs / (1 + dfreq.df)) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS "rank"
+  FROM scored
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, "rank"
+FROM ranked WHERE "rank" <= {TFIDF_K}"""
+
+
 DRIFT_COLS = ["o_totalprice", "o_custkey"]
 
 
@@ -1681,5 +1717,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["profile_drift_orders"] = _drift_sql()
     queries["corpus_report_documents"] = _corpus_report
     oracles["corpus_report_documents"] = _corpus_report_sql()
+    queries["tfidf_top_terms_documents"] = _tfidf
+    oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
 
     return queries, oracles
