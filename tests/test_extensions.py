@@ -902,3 +902,31 @@ def test_asof_join_nearest_direction(spark):
     ).collect()}
     assert tol["bwd-only"] is None           # gap 50 > 10
     assert tol["tie"] == 3.0
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static broadcast join: per-micro-batch map-side enrichment
+    of the event stream with a derived user dimension, then a windowed
+    rollup — results equal the same plan run in batch."""
+    events = read_parquet_table(spark, SF_DIR, "events")
+    dim = events.groupBy("user_id").agg(
+        F.min("event_type").alias("user_class")
+    )
+
+    batch = (
+        st.enrich_stream(events, dim, "user_id")
+        .groupBy("user_class")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s"))
+    )
+
+    stream = st.stream_events_from_parquet(spark, SF_DIR)
+    enriched = st.enrich_stream(stream, dim, "user_id")
+    assert enriched.isStreaming
+    agg = enriched.groupBy("user_class").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s")
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(agg, name, mode="complete")
+    got = sorted(tuple(r) for r in spark.table(name).collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want

@@ -124,6 +124,19 @@ def finish_frequency_table(
     )
 
 
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a stream against a batch
+    dimension table. The static side is broadcast — each micro-batch joins
+    map-side with no stream-side shuffle and no join state (unlike
+    stream-stream joins, nothing is buffered; the dimension is re-resolved
+    per micro-batch, so dimension updates between batches are picked up).
+    The standard shape for attaching user/tenant/product attributes to an
+    event stream before windowed aggregation."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
 def stream_events_from_parquet(
     spark: SparkSession,
     directory: str,
