@@ -1,0 +1,76 @@
+"""Scale-technique demonstrations with plan/parity evidence: salting for
+skewed aggregation keys and bucketing for shuffle-free co-located joins —
+the two hand-applied data-layout techniques the engine's docs promise for
+100 TB (AQE and partial aggregation cover the rest automatically).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_salted_counts_match_direct(spark):
+    """Two-stage salted count == direct groupBy count on a 90%-one-value
+    skewed column."""
+    from whiterrabbit_spark.frequency import salted_value_counts
+
+    df = spark.range(200_000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.concat(F.lit("cold_"), (F.col("id") % 500).cast("string"))
+        ).alias("k")
+    )
+    direct = {r["value"]: r["count"] for r in df.groupBy(F.col("k").alias("value"))
+              .agg(F.count(F.lit(1)).alias("count")).collect()}
+    salted = {r["value"]: r["count"] for r in
+              salted_value_counts(df, "k", salt_buckets=16).collect()}
+    assert salted == direct
+    assert salted["hot"] == 180_000
+
+
+@pytest.fixture()
+def bucketed_tables(spark):
+    # warehouse dir is a static conf — use the session default; DROP TABLE
+    # removes the files afterwards
+    a = f"ba_{uuid.uuid4().hex[:8]}"
+    b = f"bb_{uuid.uuid4().hex[:8]}"
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("x")
+    )
+    right = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("y")
+    )
+    (left.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(a))
+    (right.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(b))
+    yield a, b
+    spark.sql(f"DROP TABLE IF EXISTS {a}")
+    spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    """Two tables bucketed on the join key join WITHOUT any Exchange —
+    bucket layout replaces the shuffle (the co-located join the docs
+    promise for repeatedly-joined 100 TB tables); result parity against
+    the shuffled join of the raw frames."""
+    a, b = bucketed_tables
+    # force the sort-merge path (a 10k-row side would broadcast, hiding
+    # the bucket layout this test demonstrates)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(a).join(spark.table(b), "k")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 10_000
+        s = joined.agg(F.sum(F.col("x") + F.col("y"))).collect()[0][0]
+        # sum(2k + 3k) over k in [0, 10000)
+        assert s == 5 * (10_000 * 9_999) // 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

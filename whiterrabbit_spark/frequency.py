@@ -120,3 +120,32 @@ def _melt_counts(df: DataFrame, columns: list[str], cfg: ScanConfig) -> DataFram
         .where(F.col("__rn") <= cfg.max_distinct_values)
         .drop("__rn")
     )
+
+
+def salted_value_counts(
+    df: DataFrame, column: str, salt_buckets: int = 32
+) -> DataFrame:
+    """Two-stage salted count for pathologically skewed key columns:
+    ``groupBy(value, salt) → partial counts → groupBy(value) → re-sum``.
+
+    Spark's hash aggregation already absorbs skew map-side (every mapper
+    pre-aggregates its hot keys before the shuffle), so the ONE-stage form
+    is right for almost all data — this operator exists for the residual
+    case where a single value dominates so many map partitions that its
+    final-stage reducer becomes the straggler (billions of rows of one
+    value across thousands of mappers: the reduce side receives one
+    partial count per mapper, all routed to one task). Salting fans that
+    single reducer's input across ``salt_buckets`` tasks, at the cost of a
+    second (tiny) shuffle over ≤ distinct×buckets rows.
+
+    Same result as ``groupBy(value).count()`` — parity-tested; plug into
+    ``finish_frequency_table``-style postprocessing for the full F1 shape.
+    """
+    salted = (
+        df.select(F.col(column).alias("value"))
+        .where(F.col("value").isNotNull() & (F.col("value").cast("string") != ""))
+        .withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+        .groupBy("value", "__salt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return salted.groupBy("value").agg(F.sum("cnt").alias("count"))
