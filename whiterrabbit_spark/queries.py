@@ -1071,6 +1071,49 @@ SELECT p.event_id, p.user_id,
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"""
 
 
+def _asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase picks up the EARLIEST subsequent
+    'signup' event of the same user (e.g. conversion attribution). Oracle
+    is DuckDB ASOF with the inequality flipped."""
+    from whiterrabbit_spark.extensions import joins as J
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    out = J.asof_join(
+        purchases, signups, time_col="ts", by="user_id", direction="forward"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.round("right_signup_value", R).alias("signup_value"),
+        (F.col("right_ts").cast("long") - F.col("ts").cast("long")).alias("gap_s"),
+    )
+
+
+_ASOF_FWD_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, max(value) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       round(v.signup_value, 6) AS signup_value,
+       (floor(epoch(v.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts"""
+
+
 def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_parquet_table(spark, sf_dir, "documents")
     out = ts.repetition_signals(df, "text", "doc_id")
@@ -1685,6 +1728,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["streaming_windowed_profile_events"] = _STREAMING_SQL
     queries["asof_join_events"] = _asof_join
     oracles["asof_join_events"] = _ASOF_SQL
+    queries["asof_join_forward_events"] = _asof_join_forward
+    oracles["asof_join_forward_events"] = _ASOF_FWD_SQL
     queries["repetition_signals_documents"] = _repetition
     oracles["repetition_signals_documents"] = _REPETITION_SQL
     queries["chunk_documents"] = _chunk_docs
