@@ -74,3 +74,21 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         assert s == 5 * (10_000 * 9_999) // 2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_approx_heavy_hitters_finds_frequent_values(spark):
+    """Two-pass heavy hitters: every value above the support threshold is
+    returned with its EXACT count; sub-support noise values are not."""
+    from whiterrabbit_spark.frequency import approx_heavy_hitters
+
+    df = spark.range(100_000).select(
+        F.when(F.col("id") % 100 < 40, "a")
+        .when(F.col("id") % 100 < 70, "b")
+        .when(F.col("id") % 100 < 90, "c")
+        .otherwise(F.concat(F.lit("noise_"), (F.col("id") % 9973).cast("string")))
+        .alias("k")
+    )
+    got = {r["value"]: r["count"] for r in
+           approx_heavy_hitters(df, "k", support=0.05).collect()}
+    assert got["a"] == 40_000 and got["b"] == 30_000 and got["c"] == 20_000
+    assert all(not v.startswith("noise_") for v in got)

@@ -149,3 +149,36 @@ def salted_value_counts(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return salted.groupBy("value").agg(F.sum("cnt").alias("count"))
+
+
+def approx_heavy_hitters(
+    df: DataFrame, column: str, support: float = 0.01
+) -> DataFrame:
+    """Frequent-values table for columns whose full histogram is too big to
+    shuffle — the 100 TB fallback for F1 on high-cardinality keys.
+
+    Classic two-pass heavy hitters:
+    1. candidate generation via ``df.stat.freqItems`` (Karp-Papadimitriou-
+       Shenker streaming sketch: single pass, fixed 1/support counters per
+       partition, merged associatively — a superset of every value with
+       frequency > support is guaranteed, with possible false positives);
+    2. exact counts for the candidate set only: one filtered scan +
+       groupBy over ≤ 1/support values, dropping candidates that fall
+       below ``support × total`` (false-positive cleanup).
+
+    Versus the exact form (``groupBy(value)``), the shuffle carries at
+    most 1/support rows per partition instead of the full distinct set.
+    Output: (value, count) for every value with frequency ≥ support,
+    exact counts, sorted consumers' side.
+    """
+    total = df.count()
+    cands = df.stat.freqItems([column], support).collect()[0][0]
+    if not cands:
+        return df.sparkSession.createDataFrame([], "value string, count long")
+    exact = (
+        df.where(F.col(column).isin(list(cands)))
+        .groupBy(F.col(column).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= support * total)
+    )
+    return exact
