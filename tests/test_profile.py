@@ -224,3 +224,36 @@ def test_iqr_outliers_and_drift(spark):
     assert d["mean_a"] == 1.5 and d["mean_b"] == 4.0 and d["mean_delta"] == 2.5
     assert abs(d["missing_rate_a"] - 1 / 3) < 1e-12
     assert d["missing_rate_b"] == 0.0
+
+
+def test_mergeable_profile_sketches(spark):
+    """Profiling two halves separately and merging == profiling the whole:
+    counts/sums/min/max/mean exact, HLL distinct within the sketch's
+    relative error."""
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.io import read_parquet_table
+    from whiterrabbit_spark.profile import merge_profile_sketches, profile_sketch
+
+    df = read_parquet_table(spark, "/root/testdata/sf0.01", "orders")
+    cols = ["o_totalprice", "o_custkey"]
+    split = df.agg((F.max("o_orderkey") / 2)).collect()[0][0]
+    a = profile_sketch(df.where(F.col("o_orderkey") < split), cols)
+    b = profile_sketch(df.where(F.col("o_orderkey") >= split), cols)
+    merged = {r["column_name"]: r for r in merge_profile_sketches(a, b).collect()}
+
+    whole = df.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count("o_totalprice").alias("n"),
+        F.avg(F.col("o_totalprice").cast("double")).alias("mean"),
+        F.min(F.col("o_totalprice").cast("double")).alias("mn"),
+        F.max(F.col("o_totalprice").cast("double")).alias("mx"),
+        F.count_distinct("o_custkey").alias("cd"),
+    ).collect()[0]
+    m = merged["o_totalprice"]
+    assert m["total_count"] == whole["total"]
+    assert m["non_missing_count"] == whole["n"]
+    assert m["min_val"] == whole["mn"] and m["max_val"] == whole["mx"]
+    assert abs(m["mean_val"] - whole["mean"]) < 1e-6
+    est = merged["o_custkey"]["approx_distinct"]
+    assert abs(est - whole["cd"]) / whole["cd"] < 0.05  # HLL default rsd ~1.6%

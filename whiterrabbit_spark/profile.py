@@ -578,6 +578,76 @@ def profile_drift(
     )
 
 
+def profile_sketch(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Mergeable profile of a table slice: one row per column carrying
+    count/missing/sum/min/max plus a Datasketches HLL sketch of the
+    distinct values (``hll_sketch_agg``) — every field either adds or
+    unions, so slices profiled at different times COMBINE without
+    rescanning (``merge_profile_sketches``).
+
+    This is incremental profiling for a partitioned lake: profile each
+    daily partition once when it lands, keep the per-partition sketch rows
+    (KB each), and answer "stats for any date range" by merging sketches —
+    never re-reading data. The reference (and our batch profile) recompute
+    from scratch per run; at 100 TB recomputation is the cost that matters.
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        d = col.cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__total"),
+            F.count(col).alias(f"{c}__n"),
+            F.sum(d).alias(f"{c}__sum"),
+            F.min(d).alias(f"{c}__min"),
+            F.max(d).alias(f"{c}__max"),
+            F.hll_sketch_agg(col.cast("string")).alias(f"{c}__hll"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__total").alias("total_count"),
+            F.col(f"{c}__n").alias("non_missing_count"),
+            F.col(f"{c}__sum").alias("sum_val"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.col(f"{c}__hll").alias("hll"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def merge_profile_sketches(*sketch_frames: DataFrame) -> DataFrame:
+    """Combine ``profile_sketch`` outputs from disjoint slices into the
+    whole's profile: counts/sums add, min/max fold, HLL sketches union
+    (``hll_union_agg``) — approx distinct for the union WITHOUT rescanning
+    any slice. Derived mean is exact (sum/count)."""
+    from functools import reduce
+
+    allrows = reduce(lambda a, b: a.unionByName(b), sketch_frames)
+    return (
+        allrows.groupBy("column_name")
+        .agg(
+            F.sum("total_count").alias("total_count"),
+            F.sum("non_missing_count").alias("non_missing_count"),
+            F.sum("sum_val").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+            F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct"),
+        )
+        .withColumn(
+            "mean_val",
+            F.when(
+                F.col("non_missing_count") > 0,
+                F.col("sum_val") / F.col("non_missing_count"),
+            ),
+        )
+    )
+
+
 def all_empty_fields(raw: dict[str, dict]) -> list[str]:
     """Columns where every value is missing or empty (W:294-303)."""
     return [
