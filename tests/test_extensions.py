@@ -930,3 +930,50 @@ def test_stream_static_enrichment_matches_batch(spark):
     got = sorted(tuple(r) for r in spark.table(name).collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+def test_decontaminate_splits_corpus(spark):
+    """Planted contamination: doc c1 copies a benchmark doc verbatim, c2
+    shares nothing. clean/contaminated must partition the corpus, keep
+    zero-overlap docs, and carry exact overlap fractions."""
+    from whiterrabbit_spark.extensions import decontam as dc
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # verbatim
+            (2, "one two three four five six seven eight nine"),   # disjoint
+            (3, "alpha beta gamma delta epsilon nope nope nope"),  # partial
+        ],
+        ["doc_id", "text"],
+    )
+    clean, contaminated = dc.decontaminate(
+        corpus, bench, "text", "doc_id", k=5, threshold=0.5
+    )
+    bad = {r.doc_id: r for r in contaminated.collect()}
+    assert set(bad) == {1}
+    assert bad[1].overlap_frac == 1.0 and bad[1].n_shingles == 4
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+    # the stats frame keeps zero-overlap docs (keep-list semantics)
+    stats = dc.contamination_stats(corpus, bench, "text", "doc_id", k=5)
+    by_id = {r.doc_id: r for r in stats.collect()}
+    assert by_id[2].n_overlap == 0 and by_id[2].n_shingles == 5
+    assert by_id[3].n_overlap == 1  # one shared 5-gram prefix
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, docs):
+    """The benchmark shingle table must reach the join as a broadcast —
+    at 100 TB the corpus side cannot shuffle for an MB-scale eval set."""
+    from whiterrabbit_spark.extensions import decontam as dc
+
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    stats = dc.contamination_stats(corpus, bench)
+    plan = stats._sc._jvm.PythonSQLUtils.explainString(
+        stats._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1665,6 +1665,45 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs outside src0 whose 5-gram overlap
+    with the src0 'benchmark' set crosses the drop threshold. The
+    benchmark shingle table broadcasts; corpus text never shuffles
+    (extensions/decontam.py scale notes)."""
+    from whiterrabbit_spark.extensions import decontam as dc
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    _, contaminated = dc.decontaminate(
+        corpus, bench, "text", "doc_id", k=5, threshold=0.3
+    )
+    return contaminated.select(
+        "doc_id", "n_shingles", "n_overlap",
+        F.round("overlap_frac", R).alias("overlap_frac"),
+    )
+
+
+_DECONTAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(w)-4, 1))) AS t(i)
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+), stats AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         count(*) FILTER (shingle IN (SELECT shingle FROM bench)) AS n_overlap
+  FROM sh WHERE source <> 'src0' GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_overlap,
+       round(n_overlap * 1.0 / n_shingles, 6) AS overlap_frac
+FROM stats
+WHERE n_overlap * 1.0 / n_shingles >= 0.3"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -1764,5 +1803,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["decontaminate_documents"] = _decontam
+    oracles["decontaminate_documents"] = _DECONTAM_SQL
 
     return queries, oracles
