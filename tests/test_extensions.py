@@ -977,3 +977,44 @@ def test_decontaminate_benchmark_side_broadcasts(spark, docs):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mixture_flattens_and_nests(spark, docs):
+    """τ=2 mixture: the smallest domain keeps everything, kept counts
+    track n^0.5 (±hash-threshold granularity), and raising alpha only
+    adds rows (nested subsamples — the ablation property)."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    n = {r["lang"]: r["n"] for r in
+         docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_min = min(n.values())
+
+    out = sp.temperature_mixture(docs, "lang", "doc_id", alpha=0.5)
+    kept = {r["lang"]: r["k"] for r in
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("k")).collect()}
+    smallest = min(n, key=n.get)
+    assert kept[smallest] == n[smallest]
+    for lang, nd in n.items():
+        expect = (n_min / nd) ** 0.5 * nd
+        assert abs(kept.get(lang, 0) - expect) <= max(4.0, 0.25 * expect), (
+            lang, kept.get(lang), expect)
+
+    ids_half = {r.doc_id for r in out.select("doc_id").collect()}
+    ids_more = {r.doc_id for r in
+                sp.temperature_mixture(docs, "lang", "doc_id", alpha=0.8)
+                .select("doc_id").collect()}
+    assert ids_half <= ids_more
+    assert len(ids_more) > len(ids_half)
+
+
+def test_temperature_mixture_is_map_side(spark, docs):
+    """The corpus must not shuffle: rates arrive by broadcast join and the
+    keep decision is a scan-stage filter."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    out = sp.temperature_mixture(docs, "lang", "doc_id")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -137,6 +137,56 @@ def pack_shards(
     ).drop("__pid", "__local_cum")
 
 
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "",
+    buckets: int = SPLIT_BUCKETS,
+) -> DataFrame:
+    """Temperature-flattened domain mixture: downsample each domain so the
+    kept counts follow ``m_d ∝ n_d^alpha`` (alpha = 1/τ < 1 flattens the
+    head — the multilingual/multi-source rebalancing step of training-data
+    pipelines), keeping as much data as possible under rates ≤ 1: the
+    smallest domain keeps everything, a domain k× larger keeps rate
+    ``(n_min/n_d)^(1-alpha)``.
+
+    Membership is a deterministic hash threshold (same md5 machinery as
+    ``hash_stratified_sample``): re-runs and engines agree row-for-row,
+    and raising alpha only adds rows per domain (nested subsamples).
+
+    Default alpha=0.5 is chosen deliberately: the rate is then
+    ``sqrt(n_min/n_d)``, and IEEE-754 division and sqrt are both
+    correctly-rounded, so any engine (Spark, DuckDB, numpy) computes the
+    bit-identical threshold — arbitrary ``pow`` is only faithfully
+    rounded and may differ in the last ulp across libms. Non-default
+    alphas are supported but cross-engine exactness is then ~1 ulp.
+
+    Plan shape: one O(domains)-row count agg, broadcast back; the keep
+    decision is a map-side filter — the corpus never shuffles.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("__min_n"))
+    if alpha == 0.5:
+        rate = F.sqrt(F.col("__min_n") / F.col("__n"))
+    else:
+        rate = F.pow(F.col("__min_n") / F.col("__n"), 1.0 - alpha)
+    rates = (
+        counts.crossJoin(F.broadcast(min_n))
+        .select(
+            domain_col,
+            F.floor(rate * buckets).cast("bigint").alias("__keep_below"),
+        )
+    )
+    bucket = hash_bucket_expr(F.col(id_col), salt, buckets)
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .where(bucket < F.col("__keep_below"))
+        .drop("__keep_below")
+    )
+
+
 def hash_stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -1704,6 +1704,31 @@ FROM stats
 WHERE n_overlap * 1.0 / n_shingles >= 0.3"""
 
 
+def _temp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture (τ=2): kept counts follow
+    sqrt(n_lang); membership is an md5 hash threshold so the oracle
+    reproduces the exact row set (splits.temperature_mixture)."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = sp.temperature_mixture(docs, "lang", "doc_id", alpha=0.5)
+    return out.select("doc_id", "lang", "source")
+
+
+_TEMP_MIX_SQL = """
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), m AS (
+  SELECT min(n) AS mn FROM c
+), r AS (
+  SELECT lang, CAST(floor(sqrt(mn::DOUBLE / n) * 10000) AS BIGINT) AS keep_below
+  FROM c, m
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN r USING (lang)
+WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000) < keep_below"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -1805,5 +1830,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
     queries["decontaminate_documents"] = _decontam
     oracles["decontaminate_documents"] = _DECONTAM_SQL
+    queries["temperature_mixture_documents"] = _temp_mixture
+    oracles["temperature_mixture_documents"] = _TEMP_MIX_SQL
 
     return queries, oracles
