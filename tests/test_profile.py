@@ -257,3 +257,34 @@ def test_mergeable_profile_sketches(spark):
     assert abs(m["mean_val"] - whole["mean"]) < 1e-6
     est = merged["o_custkey"]["approx_distinct"]
     assert abs(est - whole["cd"]) / whole["cd"] < 0.05  # HLL default rsd ~1.6%
+
+
+def test_psi_drift_zero_for_identical_and_large_for_shift(spark):
+    """PSI ≈ 0 when ref == cur; a planted location shift scores far above
+    the 0.25 'shifted' rule of thumb; out-of-range current values clamp
+    into the edge bin instead of vanishing."""
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.profile import psi_drift
+
+    ref = spark.range(0, 2000).select(
+        (F.col("id") % 100).cast("double").alias("x"),
+        F.col("id").cast("double").alias("y"),
+    )
+    same = {r["column_name"]: r["psi"] for r in
+            psi_drift(ref, ref, ["x", "y"]).collect()}
+    assert abs(same["x"]) < 1e-9 and abs(same["y"]) < 1e-9
+
+    shifted = ref.select((F.col("x") + 80.0).alias("x"), "y")
+    drift = {r["column_name"]: r["psi"] for r in
+             psi_drift(ref, shifted, ["x", "y"]).collect()}
+    assert drift["x"] > 0.25      # mass moved across bins
+    assert abs(drift["y"]) < 1e-9  # untouched column stays stable
+
+    # everything out of range on the current side → all mass clamps into
+    # the top edge bin; PSI is finite (eps guard), not NaN/inf
+    far = ref.select((F.col("x") + 1e6).alias("x"), "y")
+    d2 = {r["column_name"]: r["psi"] for r in
+          psi_drift(ref, far, ["x"]).collect()}
+    import math
+    assert math.isfinite(d2["x"]) and d2["x"] > 1.0

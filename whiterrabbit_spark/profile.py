@@ -54,7 +54,7 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -575,6 +575,88 @@ def profile_drift(
         "column_name string, missing_rate_a double, missing_rate_b double, "
         "missing_rate_delta double, mean_a double, mean_b double, "
         "mean_delta double, sd_a double, sd_b double",
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per numeric column between a reference
+    and a current snapshot — the binned-distribution drift measure
+    (PSI = Σ (p−q)·ln(p/q) over equi-width bins; rule of thumb: <0.1
+    stable, >0.25 shifted). Complements ``profile_drift`` (scalar deltas):
+    PSI catches shape changes a matched mean/sd can hide.
+
+    Bin edges come from the REFERENCE side's min/max (the monitoring
+    convention — current values outside the reference range clamp into the
+    edge bins, so emerging out-of-range mass is visible in bins 0/n−1).
+    Empty-bin proportions floor at ``eps`` on both sides, the standard
+    guard that keeps ln finite.
+
+    Plan shape: one tiny bounds agg on ref, then ONE melt→groupBy job per
+    side for ALL columns' bin counts (shuffle carries ≤ cols×bins rows
+    after partial agg), joined on (column, bucket) — O(cols·bins) rows,
+    independent of input size. Never a row-level join between snapshots.
+    """
+    bounds = ref.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"{c}__lo"),
+                F.max(F.col(c).cast("double")).alias(f"{c}__hi"),
+            )
+        ]
+    ).collect()[0].asDict()
+
+    def bucketed_counts(df: DataFrame, side: str) -> DataFrame:
+        entries = []
+        for c in cols:
+            lo, hi = bounds[f"{c}__lo"], bounds[f"{c}__hi"]
+            if lo is None:
+                continue
+            width = (hi - lo) / bins if hi > lo else 1.0
+            v = F.col(c).cast("double")
+            bucket = F.least(
+                F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+                F.lit(bins - 1),
+            ).cast("int")
+            entries.append(
+                F.when(
+                    v.isNotNull(),
+                    F.struct(F.lit(c).alias("column_name"), bucket.alias("bucket")),
+                )
+            )
+        if not entries:
+            return ref.sparkSession.createDataFrame(
+                [], f"column_name string, bucket int, {side} long"
+            )
+        melted = df.select(
+            F.explode(F.array(*entries)).alias("e")
+        ).select("e.column_name", "e.bucket").where(F.col("column_name").isNotNull())
+        return melted.groupBy("column_name", "bucket").agg(
+            F.count(F.lit(1)).alias(side)
+        )
+
+    p = bucketed_counts(ref, "n_ref")
+    q = bucketed_counts(cur, "n_cur")
+    joined = p.join(q, ["column_name", "bucket"], "full_outer").select(
+        "column_name",
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = Window.partitionBy("column_name")
+    pp = F.greatest(F.col("n_ref") / F.sum("n_ref").over(tot), F.lit(eps))
+    qq = F.greatest(F.col("n_cur") / F.sum("n_cur").over(tot), F.lit(eps))
+    return (
+        joined.withColumn("__c", (pp - qq) * F.log(pp / qq))
+        .groupBy("column_name")
+        .agg(F.sum("__c").alias("psi"))
     )
 
 

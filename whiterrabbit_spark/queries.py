@@ -1729,6 +1729,65 @@ FROM documents d JOIN r USING (lang)
 WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000) < keep_below"""
 
 
+PSI_COLS = ["o_totalprice", "o_custkey", "o_orderkey"]
+
+
+def _psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution drift between the older and newer halves of orders
+    (split at the o_orderdate epoch midpoint — scale-invariant). Bin edges
+    from the reference (older) half; see profile.psi_drift."""
+    from whiterrabbit_spark.profile import psi_drift
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    ep = F.col("o_orderdate").cast("timestamp").cast("double")
+    mid = orders.agg(
+        ((F.min(ep) + F.max(ep)) / 2.0).alias("m")
+    ).collect()[0]["m"]
+    ref = orders.where(ep < F.lit(mid))
+    cur = orders.where(ep >= F.lit(mid))
+    out = psi_drift(ref, cur, PSI_COLS, bins=10)
+    return out.select("column_name", F.round("psi", R).alias("psi"))
+
+
+def _psi_sql() -> str:
+    parts = []
+    for c in PSI_COLS:
+        parts.append(f"""
+{c}_bounds AS (
+  SELECT min({c}::DOUBLE) AS lo, max({c}::DOUBLE) AS hi FROM tagged WHERE is_ref
+), {c}_cnt AS (
+  SELECT CAST(least(greatest(floor(({c}::DOUBLE - lo) /
+           (CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1.0 END)), 0), 9) AS INT) AS bucket,
+         count(*) FILTER (is_ref) AS n_ref,
+         count(*) FILTER (NOT is_ref) AS n_cur
+  FROM tagged, {c}_bounds WHERE {c} IS NOT NULL GROUP BY 1
+), {c}_pq AS (
+  SELECT greatest(n_ref / (SELECT sum(n_ref) FROM {c}_cnt), 1e-6) AS p,
+         greatest(n_cur / (SELECT sum(n_cur) FROM {c}_cnt), 1e-6) AS q
+  FROM {c}_cnt
+)""")
+        # noqa: E501 — generated SQL mirrors profile.psi_drift arithmetic
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, round(sum((p - q) * ln(p / q)), {R}) AS psi"
+        f" FROM {c}_pq"
+        for c in PSI_COLS
+    )
+    return (
+        """
+WITH s AS (
+  SELECT (epoch(min(o_orderdate)) + epoch(max(o_orderdate))) / 2.0 AS mid
+  FROM orders
+), tagged AS (
+  SELECT o_totalprice, o_custkey, o_orderkey,
+         epoch(o_orderdate) < (SELECT mid FROM s) AS is_ref
+  FROM orders
+), """
+        + ", ".join(parts)
+        + "\n"
+        + selects
+    )
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -1832,5 +1891,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["decontaminate_documents"] = _DECONTAM_SQL
     queries["temperature_mixture_documents"] = _temp_mixture
     oracles["temperature_mixture_documents"] = _TEMP_MIX_SQL
+    queries["psi_drift_orders"] = _psi_drift
+    oracles["psi_drift_orders"] = _psi_sql()
 
     return queries, oracles
