@@ -83,3 +83,15 @@ def test_embedding_near_dup_broadcasts(spark):
 def test_frequency_pushes_filters(spark):
     plan = _plan(spark, "freq_lineitem_l_returnflag")
     assert "PushedFilters: [IsNotNull(l_returnflag)" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """Per-group top-k must compile to WindowGroupLimit (map-side k-row
+    pruning per group BEFORE the exchange) and exactly one shuffle — not
+    a global sort or an unpruned window."""
+    plan = _plan(spark, "topk_quality_per_lang_documents")
+    assert "WindowGroupLimit" in plan
+    assert _shuffles(plan) == 1
+    # the load-bearing half: the PARTIAL group-limit prunes map-side,
+    # before the exchange
+    assert re.search(r"WindowGroupLimit[\s\S]{0,400}?row_number\(\), 5, Partial", plan)

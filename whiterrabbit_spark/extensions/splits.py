@@ -137,6 +137,30 @@ def pack_shards(
     ).drop("__pid", "__local_cum")
 
 
+def top_k_per_group(
+    df: DataFrame, group_col: str, order_cols: list[Column], k: int
+) -> DataFrame:
+    """Keep the top-``k`` rows of each group under a total order — the
+    per-domain selection step of a curation pipeline (e.g. best-scoring
+    documents per language/source under a per-domain budget).
+
+    ``order_cols`` must be a TOTAL order (append a unique id as the final
+    tie-break) or the kept set is nondeterministic.
+
+    Compiles to one shuffle on ``group_col`` with Spark's
+    ``WindowGroupLimit`` pushdown: each map task pre-prunes its partition
+    to k rows per group BEFORE the exchange, so the shuffle carries
+    O(groups·k) rows per task, not the full table — the property that
+    makes per-group selection viable at 100 TB (plan-pinned in tests).
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     domain_col: str,

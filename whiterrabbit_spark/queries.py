@@ -1788,6 +1788,40 @@ WITH s AS (
     )
 
 
+def _topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language curation budget: the 5 best documents per lang by
+    quality score (tie-break doc_id asc). WindowGroupLimit prunes each
+    map partition to k rows per group before the shuffle
+    (splits.top_k_per_group)."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    q = ts.quality_exprs(F.col("text"))
+    scored = docs.select(
+        "doc_id", "lang", q["quality_score"].alias("quality_score")
+    )
+    out = sp.top_k_per_group(
+        scored, "lang",
+        [F.desc("quality_score"), F.asc("doc_id")], k=5,
+    )
+    return out.select(
+        "doc_id", "lang", F.round("quality_score", R).alias("quality_score")
+    )
+
+
+def _topk_quality_sql() -> str:
+    return f"""
+WITH {_quality_core_sql()},
+ranked AS (
+  SELECT d.doc_id, d.lang, sc.quality_score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY sc.quality_score DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+)
+SELECT doc_id, lang, round(quality_score, {R}) AS quality_score
+FROM ranked WHERE rn <= 5"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -1893,5 +1927,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["temperature_mixture_documents"] = _TEMP_MIX_SQL
     queries["psi_drift_orders"] = _psi_drift
     oracles["psi_drift_orders"] = _psi_sql()
+    queries["topk_quality_per_lang_documents"] = _topk_quality
+    oracles["topk_quality_per_lang_documents"] = _topk_quality_sql()
 
     return queries, oracles
