@@ -1018,3 +1018,37 @@ def test_temperature_mixture_is_map_side(spark, docs):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_redaction_semantics(spark):
+    """Synthetic PII fixtures: each category is counted and replaced, the
+    sequential order resolves overlaps deterministically, and DuckDB's
+    RE2 engine reproduces the redacted text byte-for-byte (the property
+    the registry oracle relies on)."""
+    import duckdb
+
+    rows = [
+        (1, "contact bob.smith+x@ex-ample.co.uk or 555-123-4567 now"),
+        (2, "ssn 123-45-6789 ip 10.0.255.1 plain 1234-5678"),
+        (3, "no pii here at all"),
+        (4, "two mails a@b.io c@d.org and phone 800.555.1212"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in ts.redact_pii(df, "text", "doc_id").collect()}
+
+    assert got[1].n_email == 1 and got[1].n_phone == 1
+    assert got[1].redacted == "contact <EMAIL> or <PHONE> now"
+    assert got[2].n_ssn == 1 and got[2].n_ip == 1 and got[2].n_phone == 0
+    assert got[2].redacted == "ssn <SSN> ip <IP> plain 1234-5678"
+    assert got[3].redacted == rows[2][1]  # untouched passthrough
+    assert got[4].n_email == 2 and got[4].n_phone == 1
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id INT, txt VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    expr = "txt"
+    for _, pat, token in ts.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    duck = dict(con.execute(f"SELECT doc_id, {expr} FROM t").fetchall())
+    for i, _ in rows:
+        assert duck[i] == got[i].redacted, i

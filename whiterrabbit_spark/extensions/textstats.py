@@ -128,6 +128,47 @@ def fingerprint_expr(t: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(t)), r"\s+", " "))
 
 
+# PII patterns, restricted to the Java-regex ∩ RE2 subset (no lookaround,
+# no backreferences) so Spark and the DuckDB oracle match identically.
+# Applied in list order — earlier categories consume their text before
+# later ones run (email before phone, SSN before phone, so `a@1-555` style
+# overlaps resolve deterministically).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii_exprs(t: Column) -> dict[str, Column]:
+    """``n_<category>`` match counts plus ``redacted`` text with every
+    match replaced by its placeholder. Pure map-side regexp expressions —
+    codegen'd, shuffle-free, and identical under RE2 (oracle-checkable).
+
+    Counts are taken on the text as each pattern sees it (after earlier
+    categories redacted), matching the sequential-replacement semantics a
+    single-pass scrubber has.
+    """
+    out: dict[str, Column] = {}
+    cur = t
+    for name, pat, token in PII_PATTERNS:
+        out[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    out["redacted"] = cur
+    return out
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per document: PII category counts + redacted text."""
+    e = redact_pii_exprs(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[e[f"n_{n}"].alias(f"n_{n}") for n, _, _ in PII_PATTERNS],
+        e["redacted"].alias("redacted"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Composite document-quality score in [0, 1] from length, punctuation,
     and stopword signals (Gopher/C4-style rule-of-thumb filters, expressed

@@ -1822,6 +1822,36 @@ SELECT doc_id, lang, round(quality_score, {R}) AS quality_score
 FROM ranked WHERE rn <= 5"""
 
 
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents: per-category match counts + md5 of the
+    redacted text. The corpus here contains no PII, so this pins the
+    passthrough/zero-count path end-to-end; the redaction semantics
+    themselves are pinned by synthetic fixtures in test_extensions."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = ts.redact_pii(docs, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_ssn", "n_phone",
+        F.md5("redacted").alias("redacted_fp"),
+    )
+
+
+def _pii_sql() -> str:
+    ctes, prev, carried = [], "r0", ""
+    for i, (name, pat, token) in enumerate(ts.PII_PATTERNS, start=1):
+        ctes.append(
+            f"r{i} AS (SELECT doc_id,{carried} len(regexp_extract_all(t, '{pat}')) AS n_{name},"
+            f" regexp_replace(t, '{pat}', '{token}', 'g') AS t FROM {prev})"
+        )
+        prev = f"r{i}"
+        carried += f" n_{name},"
+    cols = ", ".join(f"n_{name}" for name, _, _ in ts.PII_PATTERNS)
+    return (
+        "\nWITH r0 AS (SELECT doc_id, text AS t FROM documents),\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {cols}, md5(t) AS redacted_fp FROM {prev}"
+    )
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -1929,5 +1959,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["psi_drift_orders"] = _psi_sql()
     queries["topk_quality_per_lang_documents"] = _topk_quality
     oracles["topk_quality_per_lang_documents"] = _topk_quality_sql()
+    queries["pii_redact_documents"] = _pii_redact
+    oracles["pii_redact_documents"] = _pii_sql()
 
     return queries, oracles
