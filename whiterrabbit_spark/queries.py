@@ -1852,6 +1852,55 @@ def _pii_sql() -> str:
     )
 
 
+def _star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue rollup (TPC-H Q5-shaped): revenue per nation per
+    order year across lineitem ⋈ orders ⋈ customer ⋈ nation. Exercises
+    multi-way join planning: nation broadcasts explicitly; customer is
+    left to AQE (auto-broadcast at test scale, shuffled hash/SMJ once it
+    outgrows the threshold at 100 TB); the two big facts join on their
+    natural key.
+
+    Revenue is summed in integer fixed-point (price-cents × discount-pct)
+    — double summation is accumulation-order-dependent, and a ~1e8 group
+    sum needs rel-error 5e-15 to hash-match at 6 dp; integer sums are
+    exact on both engines.
+    """
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    nation = read_parquet_table(spark, sf_dir, "nation")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("order_year"),
+        )
+        .agg(
+            (F.sum(rev_e4) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_STAR_SQL = """
+SELECT n.n_name AS nation,
+       CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -1961,5 +2010,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["topk_quality_per_lang_documents"] = _topk_quality_sql()
     queries["pii_redact_documents"] = _pii_redact
     oracles["pii_redact_documents"] = _pii_sql()
+    queries["star_rollup_revenue"] = _star_rollup
+    oracles["star_rollup_revenue"] = _STAR_SQL
 
     return queries, oracles
