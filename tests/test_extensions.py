@@ -1052,3 +1052,43 @@ def test_pii_redaction_semantics(spark):
     duck = dict(con.execute(f"SELECT doc_id, {expr} FROM t").fetchall())
     for i, _ in rows:
         assert duck[i] == got[i].redacted, i
+
+
+def test_funnel_greedy_semantics(spark):
+    """Hand-built sequences: in-order completion counts, out-of-order
+    does not, same-timestamp pairs do not chain (strict >), and
+    completion times are the greedy earliest chain."""
+    import datetime as dt
+
+    from whiterrabbit_spark.extensions import sequences as sq
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: clean v(1) -> c(2) -> p(3)
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: purchase BEFORE click: v(1) -> p(2) -> c(4): stops at click
+        (2, t(1), "view"), (2, t(2), "purchase"), (2, t(4), "click"),
+        # u3: click at SAME ts as view: strict > rejects the chain
+        (3, t(5), "view"), (3, t(5), "click"),
+        # u4: never views
+        (4, t(1), "click"), (4, t(2), "purchase"),
+        # u5: view then later second click chain completes via greedy:
+        # v(1), c(0) ignored (before view), c(7), p(9)
+        (5, t(1), "view"), (5, t(0), "click"), (5, t(7), "click"), (5, t(9), "purchase"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    times = {r.user_id: r for r in sq.funnel_completion_times(
+        events, ["view", "click", "purchase"]).collect()}
+    assert times[1].steps_completed == 3
+    assert times[2].steps_completed == 2   # view, then click@4; purchase@2 < click
+    assert times[3].steps_completed == 1
+    assert times[4].steps_completed == 0
+    assert times[5].steps_completed == 3 and times[5].t_click == t(7).replace(
+        tzinfo=dt.timezone.utc).timestamp()
+
+    report = {r.step_name: r for r in sq.funnel_report(
+        events, ["view", "click", "purchase"]).collect()}
+    assert report["view"].n_users == 4
+    assert report["click"].n_users == 3
+    assert report["purchase"].n_users == 2
+    assert report["purchase"].conversion_from_prev == 2 / 3

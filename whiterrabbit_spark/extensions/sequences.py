@@ -1,0 +1,97 @@
+"""Ordered event-sequence analytics (funnels) over event streams.
+
+Not in the reference surface (whiteRRabbit.R profiles one flat table at a
+time; no per-entity ordering exists — SURVEY §2 "not present"); this is a
+BASELINE.json-style pipeline extension for event/telemetry tables.
+
+Scale shape
+-----------
+A funnel is an ORDER-dependent per-user fold — the naive forms are a
+per-step self-join chain (k shuffles) or a sessionized sort + imperative
+scan (Python state). Instead the whole funnel runs in ONE groupBy(user):
+each step's candidate timestamps are gathered with a conditional
+``collect_list`` (partial-aggregable), and the greedy earliest-completion
+fold is a map-side chain of ``array_min(filter(...))`` over those arrays —
+O(events-per-user) memory per group, one Exchange total, no Python.
+Same-timestamp step pairs do NOT chain (strict >), so results are
+deterministic under any executor order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_completion_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per user: epoch time each funnel step was first completed under
+    greedy earliest-completion semantics (step i counts only strictly
+    after the completion of step i−1), plus ``steps_completed``.
+
+    Returns (user_col, t_step1..t_stepK as double epochs, steps_completed).
+    """
+    ep = F.col(ts_col).cast("timestamp").cast("double")
+    aggs = [
+        F.collect_list(F.when(F.col(type_col) == s, ep)).alias(f"__a{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = events.groupBy(user_col).agg(*aggs)
+
+    t_prev: Column | None = None
+    t_cols: list[Column] = []
+    for i, _ in enumerate(steps):
+        arr = F.col(f"__a{i}")
+        if t_prev is None:
+            t = F.array_min(arr)
+        else:
+            prev = t_prev
+            t = F.array_min(F.filter(arr, lambda x: x > prev))
+        t_cols.append(t)
+        t_prev = t
+
+    completed = F.lit(0)
+    for i in range(len(steps)):
+        completed = F.when(t_cols[i].isNotNull(), F.lit(i + 1)).otherwise(completed)
+    # t_cols[i] non-null implies all earlier non-null (greedy chain), so
+    # scanning ascending and keeping the last non-null index is correct.
+
+    return per_user.select(
+        F.col(user_col),
+        *[t_cols[i].alias(f"t_{s}") for i, s in enumerate(steps)],
+        completed.alias("steps_completed"),
+    )
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Classic funnel table: one row per step with the number of users
+    whose greedy completion reached at least that step and the conversion
+    rate from the previous step. O(steps) rows out regardless of scale."""
+    times = funnel_completion_times(events, steps, user_col, ts_col, type_col)
+    row = times.agg(
+        *[
+            F.sum((F.col("steps_completed") >= i + 1).cast("long")).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    ).collect()[0]
+    counts = [row[f"n{i}"] for i in range(len(steps))]
+    data = []
+    for i, s in enumerate(steps):
+        prev = counts[i - 1] if i else None
+        rate = (counts[i] / prev) if prev else (1.0 if i == 0 else None)
+        data.append((i + 1, s, counts[i], rate))
+    return events.sparkSession.createDataFrame(
+        data,
+        "step int, step_name string, n_users long, conversion_from_prev double",
+    )

@@ -1901,6 +1901,54 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1, 2"""
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy earliest-completion funnel over events (view→click→purchase):
+    one groupBy(user) + map-side array fold — no per-step join chain
+    (extensions/sequences.py)."""
+    from whiterrabbit_spark.extensions import sequences as sq
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    out = sq.funnel_report(events, FUNNEL_STEPS)
+    return out.select(
+        "step", "step_name", "n_users",
+        F.round("conversion_from_prev", R).alias("conversion_from_prev"),
+    )
+
+
+def _funnel_sql() -> str:
+    s0, s1, s2 = FUNNEL_STEPS
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         list(epoch(ts)) FILTER (event_type = '{s0}') AS a0,
+         list(epoch(ts)) FILTER (event_type = '{s1}') AS a1,
+         list(epoch(ts)) FILTER (event_type = '{s2}') AS a2
+  FROM events GROUP BY 1
+), f0 AS (
+  SELECT user_id, a1, a2, list_min(a0) AS t0 FROM per_user
+), f1 AS (
+  SELECT user_id, a2, t0, list_min(list_filter(a1, x -> x > t0)) AS t1 FROM f0
+), f2 AS (
+  SELECT user_id, t0, t1, list_min(list_filter(a2, x -> x > t1)) AS t2 FROM f1
+), c AS (
+  SELECT count(*) FILTER (t0 IS NOT NULL) AS n1,
+         count(*) FILTER (t1 IS NOT NULL) AS n2,
+         count(*) FILTER (t2 IS NOT NULL) AS n3
+  FROM f2
+)
+SELECT 1 AS step, '{s0}' AS step_name, n1 AS n_users,
+       round(1.0, {R}) AS conversion_from_prev FROM c
+UNION ALL
+SELECT 2, '{s1}', n2,
+       CASE WHEN n1 = 0 THEN NULL ELSE round(n2 * 1.0 / n1, {R}) END FROM c
+UNION ALL
+SELECT 3, '{s2}', n3,
+       CASE WHEN n2 = 0 THEN NULL ELSE round(n3 * 1.0 / n2, {R}) END FROM c"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -2012,5 +2060,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["pii_redact_documents"] = _pii_sql()
     queries["star_rollup_revenue"] = _star_rollup
     oracles["star_rollup_revenue"] = _STAR_SQL
+    queries["funnel_events"] = _funnel
+    oracles["funnel_events"] = _funnel_sql()
 
     return queries, oracles
