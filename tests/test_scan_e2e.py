@@ -388,3 +388,38 @@ def test_scan_gzip_tsv_and_malformed_jsonl(spark, tmp_path):
     summ = {x["column_name"]: x for x in jr.summary.collect()}
     assert summ["a"]["missing_count"] == 1   # the malformed line
     assert summ["a"]["non_missing_count"] == 10
+
+
+def test_scan_txt_corpus_folder(spark, tmp_path):
+    """Raw .txt corpora profile as single-column line-per-record tables:
+    no header (N_rows == line count), text stays string, a numeral-only
+    file types as double, and .txt.gz decompresses transparently."""
+    import gzip
+
+    d = tmp_path / "txtsrc"
+    d.mkdir()
+    (d / "prose.txt").write_text(
+        "the quick brown fox\n" * 10 + "lazy dog lines\n" * 20
+    )
+    with gzip.open(d / "nums.txt.gz", "wt") as fh:
+        fh.write("\n".join(str(i * 1.5) for i in range(40)) + "\n")
+
+    cfg = ScanConfig(source_format="txt", max_rows=-1)
+    overview, results = scan_folder(spark, str(d), cfg)
+    by_name = {r.file_name: r for r in results}
+
+    prose = by_name["prose.txt"]
+    assert prose.total_rows == 30 and prose.n_rows_checked == 30
+    assert prose.inferred_types == {"text": "string"}
+    summ = {x["column_name"]: x for x in prose.summary.collect()}
+    assert summ["text"]["distinct_count"] == 2
+    freq = {x["value"]: x["count"] for x in prose.frequencies.collect()}
+    assert freq["lazy dog lines"] == 20 and freq["the quick brown fox"] == 10
+
+    nums = by_name["nums.txt.gz"]
+    assert nums.inferred_types == {"text": "double"}
+    nsumm = nums.summary.collect()[0]
+    assert nsumm["min_val"] == 0.0 and nsumm["max_val"] == 58.5
+
+    ov = {r["file_name"]: r for r in overview.collect()}
+    assert ov["prose.txt"]["n_rows"] == 30  # no header line to count

@@ -44,7 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--parallel-files", type=int, default=4,
                    help="concurrent per-file scan jobs (reference scans sequentially)")
     p.add_argument("--source-format", default="delimited",
-                   choices=["delimited", "jsonl", "parquet", "orc"],
+                   choices=["delimited", "jsonl", "parquet", "orc", "txt"],
                    help="input folder type (reference supports delimited only; "
                         "parquet profiles with its own schema, no inference)")
     return p

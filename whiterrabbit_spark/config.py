@@ -40,7 +40,7 @@ class ScanConfig:
     inference_sample_size: int = 1_000  # W:147, W:172
 
     # Engine-only knobs (no reference analog)
-    source_format: str = "delimited"    # 'delimited' | 'jsonl' | 'parquet' | 'orc'
+    source_format: str = "delimited"    # 'delimited' | 'jsonl' | 'parquet' | 'orc' | 'txt'
                                         # — the reference reads only
                                         # tsv/csv (W:109-116); jsonl and
                                         # parquet folders profile through

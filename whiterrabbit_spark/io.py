@@ -41,18 +41,19 @@ def discover_tables(
     ``\\.csv$`` for comma, error if empty. Table name = file basename
     without extension (per-file identity is preserved: each file is profiled
     as its own table, W:450-464). ``source_format`` extends the same
-    contract beyond the reference to ``*.jsonl`` / ``*.parquet`` folders.
+    contract beyond the reference to ``*.jsonl`` / ``*.parquet`` /
+    ``*.txt`` (raw line-per-record corpus) folders.
     """
     if not os.path.isdir(working_folder):
         raise ValueError(f"Working folder does not exist: {working_folder}")
     if source_format == "delimited":
         ext = "tsv" if delimiter.lower() == "tab" else "csv"
-    elif source_format in ("jsonl", "parquet", "orc"):
+    elif source_format in ("jsonl", "parquet", "orc", "txt"):
         ext = source_format
     else:
         raise ValueError(f"Unknown source_format: {source_format}")
     patterns = [f"*.{ext}"]
-    if source_format in ("delimited", "jsonl"):
+    if source_format in ("delimited", "jsonl", "txt"):
         # Spark's text/csv/json readers decompress *.gz transparently
         # (gzip is unsplittable — one task per file, the same granularity
         # the per-file profiling pipeline already uses)

@@ -46,6 +46,14 @@ def scan_file(
         df = spark.read.orc(path) if fmt == "orc" else spark.read.parquet(path)
         total_lines = df.count()
         data_rows = total_lines
+    elif fmt == "txt":
+        # Raw corpus: every line is one record with a single string
+        # column ``text`` (the training-pipeline ingest shape). No header;
+        # inference still runs, so a file of numerals types as double —
+        # consistent with the engine's infer-from-data model.
+        total_lines = wio.count_lines(spark, path)
+        data_rows = total_lines
+        df = spark.read.text(path).withColumnRenamed("value", "text")
     elif fmt == "jsonl":
         # Every line is a record (no header): N_rows == line count.
         total_lines = wio.count_lines(spark, path)
