@@ -1092,3 +1092,26 @@ def test_funnel_greedy_semantics(spark):
     assert report["click"].n_users == 3
     assert report["purchase"].n_users == 2
     assert report["purchase"].conversion_from_prev == 2 / 3
+
+
+def test_funnel_stateful_stream_matches_batch(spark):
+    """The O(1)-state streaming funnel must agree with the batch
+    array-fold on every user's steps_completed over the events stream."""
+    import uuid as _uuid
+
+    from whiterrabbit_spark.extensions import sequences as sq
+
+    steps = ["view", "click", "purchase"]
+    batch_events = read_parquet_table(spark, SF_DIR, "events")
+    want = {
+        r.user_id: r.steps_completed
+        for r in sq.funnel_completion_times(batch_events, steps).collect()
+    }
+
+    stream = st.stream_events_from_parquet(spark, SF_DIR)
+    out = sq.funnel_stateful(stream, steps)
+    assert out.isStreaming
+    name = f"funnel_{_uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(out, name, mode="update")
+    got = {r.user_id: r.steps_completed for r in spark.table(name).collect()}
+    assert got == want

@@ -68,6 +68,56 @@ def funnel_completion_times(
     )
 
 
+def funnel_stateful(
+    stream: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming funnel with CONSTANT per-user state.
+
+    The batch fold gathers each user's per-step timestamp arrays —
+    O(events-per-user) memory, fine for bounded batches, wrong shape for
+    an unbounded stream. Greedy earliest-completion is order-monotone, so
+    an in-order scan needs only ``(stage, t_prev)``: advance when the next
+    event matches ``steps[stage]`` strictly after ``t_prev``. That pair is
+    the entire state ``applyInPandasWithState`` keeps per user — O(1), not
+    O(events) — and each micro-batch emits the user's updated
+    ``steps_completed`` (update semantics).
+
+    In-order delivery is assumed per user within the stream (the standard
+    caveat for stateful sequence ops; a watermark+buffer variant would
+    reorder within the lateness horizon).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_steps = len(steps)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        if state.exists:
+            stage, t_prev = state.get
+        else:
+            stage, t_prev = 0, float("-inf")
+        for ts, et in zip(rows[ts_col], rows[type_col]):
+            t = ts.timestamp()
+            if stage < n_steps and et == steps[stage] and t > t_prev:
+                stage, t_prev = stage + 1, t
+        state.update((stage, t_prev))
+        yield pd.DataFrame({user_col: [key[0]], "steps_completed": [stage]})
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        f"{user_col} long, steps_completed int",
+        "stage int, t_prev double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def funnel_report(
     events: DataFrame,
     steps: list[str],
