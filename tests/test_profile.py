@@ -288,3 +288,51 @@ def test_psi_drift_zero_for_identical_and_large_for_shift(spark):
           psi_drift(ref, far, ["x"]).collect()}
     import math
     assert math.isfinite(d2["x"]) and d2["x"] > 1.0
+
+
+def test_value_entropy_edges(spark):
+    """Uniform column → H = ln(k), norm 1; constant column → H = 0 with
+    undefined (null) norm; skew lowers entropy; empties excluded."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.profile import value_entropy
+
+    df = spark.range(0, 900).select(
+        (F.col("id") % 3).cast("string").alias("uniform"),
+        F.lit("only").alias("constant"),
+        F.when(F.col("id") % 10 < 9, "hot").otherwise("cold").alias("skewed"),
+        F.when(F.col("id") % 3 == 0, "").otherwise("x").alias("with_empty"),
+    )
+    got = {r.column_name: r for r in value_entropy(
+        df, ["uniform", "constant", "skewed", "with_empty"]).collect()}
+    assert abs(got["uniform"].entropy - math.log(3)) < 1e-12
+    assert abs(got["uniform"].entropy_norm - 1.0) < 1e-12
+    assert got["constant"].entropy == 0.0
+    assert got["constant"].entropy_norm is None
+    expect = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
+    assert abs(got["skewed"].entropy - expect) < 1e-12
+    # "" excluded: with_empty has one retained value → zero entropy
+    assert got["with_empty"].distinct_count == 1
+    assert got["with_empty"].entropy == 0.0
+
+
+def test_cramers_v_edges(spark):
+    """Perfect association → V = 1; independence → V ≈ 0; a constant
+    column → NULL (min(r−1,k−1)=0)."""
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.profile import cramers_v
+
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 4).cast("string").alias("a"),
+        ((F.col("id") % 4) * 10).cast("string").alias("a_copy"),
+        (F.col("id") % 5).cast("string").alias("indep"),
+        F.lit("c").alias("const"),
+    )
+    got = {(r.col_a, r.col_b): r for r in cramers_v(
+        df, [("a", "a_copy"), ("a", "indep"), ("a", "const")]).collect()}
+    assert abs(got[("a", "a_copy")].cramers_v - 1.0) < 1e-12
+    assert abs(got[("a", "indep")].cramers_v) < 1e-9  # exact independence
+    assert got[("a", "const")].cramers_v is None

@@ -578,6 +578,120 @@ def profile_drift(
     )
 
 
+def value_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (nats) of each column's value distribution, over
+    non-missing non-empty values — the uncertainty/cardinality-shape
+    signal scalar profiles miss (a 1000-distinct column can be 99 %
+    one value: high DistinctCount, near-zero entropy). Also emits the
+    normalized form H/ln(distinct) ∈ [0,1] (1 = uniform; null for a
+    single-valued column where it is undefined).
+
+    ONE melt→groupBy job for every requested column (same single-scan
+    shape as psi_drift): the shuffle carries per-(column, value) partial
+    counts, the entropy fold is an O(distinct) agg on top.
+    """
+    entries = [
+        F.when(
+            F.col(c).isNotNull() & (F.col(c).cast("string") != ""),
+            F.struct(F.lit(c).alias("column_name"),
+                     F.col(c).cast("string").alias("value")),
+        )
+        for c in cols
+    ]
+    melted = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.column_name", "e.value")
+        .where(F.col("column_name").isNotNull())
+    )
+    counts = melted.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("column_name")
+    p = F.col("n") / F.sum("n").over(tot)
+    return (
+        counts.withColumn("__h", -p * F.log(p))
+        .groupBy("column_name")
+        .agg(
+            F.sum("__h").alias("entropy"),
+            F.count(F.lit(1)).alias("distinct_count"),
+        )
+        .select(
+            "column_name",
+            "entropy",
+            "distinct_count",
+            F.when(
+                F.col("distinct_count") > 1,
+                F.col("entropy") / F.log(F.col("distinct_count").cast("double")),
+            ).alias("entropy_norm"),
+        )
+    )
+
+
+def cramers_v(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Cramér's V association for categorical column pairs — the
+    categorical complement of ``corr_matrix``: V = sqrt(χ² / (n·min(r−1,
+    k−1))) ∈ [0,1] from the pair's contingency table. Rows with a NULL on
+    either side are excluded (standard contingency convention); a pair
+    where either column is constant has no defined V (min(r−1,k−1)=0) and
+    yields NULL.
+
+    One groupBy per pair on the pair's cells (shuffle carries O(cells)
+    partial counts); marginals/expected counts are window sums OVER the
+    tiny cell frame, never a second scan of the data. Marginal products
+    are cast to double before multiplying so the arithmetic is identical
+    on engines whose integer overflow behavior differs.
+    """
+    outs = []
+    for a, b in pairs:
+        cells = (
+            df.where(F.col(a).isNotNull() & F.col(b).isNotNull())
+            .groupBy(F.col(a).cast("string").alias("a"),
+                     F.col(b).cast("string").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wa, wb, wt = (Window.partitionBy("a"), Window.partitionBy("b"),
+                      Window.partitionBy())
+        e = (
+            F.sum("n").over(wa).cast("double")
+            * F.sum("n").over(wb)
+            / F.sum("n").over(wt)
+        )
+        # χ² sums over ALL r×k cells, including never-observed ones (o=0
+        # contributes e). groupBy only materializes observed cells — the
+        # right thing at scale (the level cross-product can be huge) — so
+        # the empty-cell mass is recovered from Σ_all e = n:
+        # χ² = Σ_obs (o−e)²/e + (n − Σ_obs e).
+        stats = (
+            cells.withColumn("__chi", (F.col("n") - e) * (F.col("n") - e) / e)
+            .withColumn("__e", e)
+            .agg(
+                (F.sum("__chi") + (F.sum("n") - F.sum("__e"))).alias("chi2"),
+                F.count_distinct("a").alias("r"),
+                F.count_distinct("b").alias("k"),
+                F.sum("n").alias("n_rows"),
+            )
+            .select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                "n_rows",
+                "chi2",
+                F.when(
+                    F.least(F.col("r") - 1, F.col("k") - 1) > 0,
+                    F.sqrt(
+                        F.col("chi2")
+                        / (F.col("n_rows")
+                           * F.least(F.col("r") - 1, F.col("k") - 1))
+                    ),
+                ).alias("cramers_v"),
+            )
+        )
+        outs.append(stats)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def psi_drift(
     ref: DataFrame,
     cur: DataFrame,

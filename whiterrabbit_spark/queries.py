@@ -1949,6 +1949,103 @@ SELECT 3, '{s2}', n3,
        CASE WHEN n2 = 0 THEN NULL ELSE round(n3 * 1.0 / n2, {R}) END FROM c"""
 
 
+ENTROPY_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+def _entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution Shannon entropy per orders column
+    (profile.value_entropy): one melt→groupBy scan for all columns."""
+    from whiterrabbit_spark.profile import value_entropy
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = value_entropy(orders, ENTROPY_COLS)
+    return out.select(
+        "column_name",
+        F.round("entropy", R).alias("entropy"),
+        "distinct_count",
+        F.round("entropy_norm", R).alias("entropy_norm"),
+    )
+
+
+def _entropy_sql() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS value FROM orders"
+        f" WHERE {c} IS NOT NULL AND CAST({c} AS VARCHAR) <> ''"
+        for c in ENTROPY_COLS
+    )
+    return f"""
+WITH melted AS ({branches}),
+counts AS (
+  SELECT column_name, value, count(*) AS n FROM melted GROUP BY 1, 2
+), probs AS (
+  SELECT column_name,
+         n / sum(n) OVER (PARTITION BY column_name) AS p
+  FROM counts
+), h AS (
+  SELECT column_name, sum(-p * ln(p)) AS entropy, count(*) AS distinct_count
+  FROM probs GROUP BY column_name
+)
+SELECT column_name, round(entropy, {R}) AS entropy, distinct_count,
+       CASE WHEN distinct_count > 1
+            THEN round(entropy / ln(distinct_count::DOUBLE), {R}) END AS entropy_norm
+FROM h"""
+
+
+CRAMER_PAIRS = {
+    "orders": [("o_orderstatus", "o_orderpriority")],
+    "lineitem": [("l_returnflag", "l_linestatus")],
+}
+
+
+def _cramers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V categorical association (profile.cramers_v) across the
+    registered pairs of orders and lineitem."""
+    from whiterrabbit_spark.profile import cramers_v
+
+    outs = []
+    for table, pairs in CRAMER_PAIRS.items():
+        df = read_parquet_table(spark, sf_dir, table)
+        outs.append(
+            cramers_v(df, pairs).select(
+                F.lit(table).alias("table_name"), "col_a", "col_b", "n_rows",
+                F.round("chi2", R).alias("chi2"),
+                F.round("cramers_v", R).alias("cramers_v"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _cramers_sql() -> str:
+    parts = []
+    for table, pairs in CRAMER_PAIRS.items():
+        for a, b in pairs:
+            parts.append(f"""
+SELECT '{table}' AS table_name, '{a}' AS col_a, '{b}' AS col_b,
+       n_rows, round(chi2, {R}) AS chi2,
+       CASE WHEN least(r - 1, k - 1) > 0
+            THEN round(sqrt(chi2 / (n_rows * least(r - 1, k - 1))), {R})
+       END AS cramers_v
+FROM (
+  SELECT sum((n - e) * (n - e) / e) + (sum(n) - sum(e)) AS chi2,
+         count(DISTINCT a) AS r, count(DISTINCT k_b) AS k, sum(n) AS n_rows
+  FROM (
+    SELECT a, k_b, n,
+           sum(n) OVER (PARTITION BY a)::DOUBLE
+             * sum(n) OVER (PARTITION BY k_b) / sum(n) OVER () AS e
+    FROM (
+      SELECT CAST({a} AS VARCHAR) AS a, CAST({b} AS VARCHAR) AS k_b,
+             count(*) AS n
+      FROM {table}
+      WHERE {a} IS NOT NULL AND {b} IS NOT NULL GROUP BY 1, 2
+    )
+  )
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -2062,5 +2159,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["star_rollup_revenue"] = _STAR_SQL
     queries["funnel_events"] = _funnel
     oracles["funnel_events"] = _funnel_sql()
+    queries["value_entropy_orders"] = _entropy
+    oracles["value_entropy_orders"] = _entropy_sql()
+    queries["cramers_v_pairs"] = _cramers
+    oracles["cramers_v_pairs"] = _cramers_sql()
 
     return queries, oracles
