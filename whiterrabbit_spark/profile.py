@@ -767,10 +767,23 @@ def psi_drift(
     tot = Window.partitionBy("column_name")
     pp = F.greatest(F.col("n_ref") / F.sum("n_ref").over(tot), F.lit(eps))
     qq = F.greatest(F.col("n_cur") / F.sum("n_cur").over(tot), F.lit(eps))
+    # binned KS companion: max |CDF_ref − CDF_cur| over the bin edges —
+    # cumulative window over the same O(cols·bins) frame, no extra scan.
+    # (No eps floor: CDFs are exact; eps only guards the PSI log.)
+    cum = (
+        Window.partitionBy("column_name")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf_gap = F.abs(
+        F.sum("n_ref").over(cum) / F.sum("n_ref").over(tot)
+        - F.sum("n_cur").over(cum) / F.sum("n_cur").over(tot)
+    )
     return (
         joined.withColumn("__c", (pp - qq) * F.log(pp / qq))
+        .withColumn("__gap", cdf_gap)
         .groupBy("column_name")
-        .agg(F.sum("__c").alias("psi"))
+        .agg(F.sum("__c").alias("psi"), F.max("__gap").alias("ks_binned"))
     )
 
 

@@ -1746,7 +1746,11 @@ def _psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = orders.where(ep < F.lit(mid))
     cur = orders.where(ep >= F.lit(mid))
     out = psi_drift(ref, cur, PSI_COLS, bins=10)
-    return out.select("column_name", F.round("psi", R).alias("psi"))
+    return out.select(
+        "column_name",
+        F.round("psi", R).alias("psi"),
+        F.round("ks_binned", R).alias("ks_binned"),
+    )
 
 
 def _psi_sql() -> str:
@@ -1763,13 +1767,17 @@ def _psi_sql() -> str:
   FROM tagged, {c}_bounds WHERE {c} IS NOT NULL GROUP BY 1
 ), {c}_pq AS (
   SELECT greatest(n_ref / (SELECT sum(n_ref) FROM {c}_cnt), 1e-6) AS p,
-         greatest(n_cur / (SELECT sum(n_cur) FROM {c}_cnt), 1e-6) AS q
+         greatest(n_cur / (SELECT sum(n_cur) FROM {c}_cnt), 1e-6) AS q,
+         abs(sum(n_ref) OVER (ORDER BY bucket) * 1.0
+               / (SELECT sum(n_ref) FROM {c}_cnt)
+             - sum(n_cur) OVER (ORDER BY bucket) * 1.0
+               / (SELECT sum(n_cur) FROM {c}_cnt)) AS gap
   FROM {c}_cnt
 )""")
         # noqa: E501 — generated SQL mirrors profile.psi_drift arithmetic
     selects = "\nUNION ALL\n".join(
-        f"SELECT '{c}' AS column_name, round(sum((p - q) * ln(p / q)), {R}) AS psi"
-        f" FROM {c}_pq"
+        f"SELECT '{c}' AS column_name, round(sum((p - q) * ln(p / q)), {R}) AS psi,"
+        f" round(max(gap), {R}) AS ks_binned FROM {c}_pq"
         for c in PSI_COLS
     )
     return (
