@@ -1115,3 +1115,45 @@ def test_funnel_stateful_stream_matches_batch(spark):
     st.run_stream_to_memory(out, name, mode="update")
     got = {r.user_id: r.steps_completed for r in spark.table(name).collect()}
     assert got == want
+
+
+def test_dedup_stream_within_watermark_collapses_shifted_repeats(spark, tmp_path):
+    """Replayed events whose retry carries a LATER event time (within the
+    watermark) must collapse under dropDuplicatesWithinWatermark — the
+    case (key, ts)-keyed dedup_stream keeps as distinct rows."""
+    import pyspark.sql.functions as SF
+
+    events = read_parquet_table(spark, SF_DIR, "events").limit(300)
+    shifted = events.withColumn(
+        "ts", (SF.col("ts").cast("timestamp") + SF.expr("INTERVAL 5 MINUTES"))
+    ).select(*events.columns)
+    base = events.withColumn("ts", SF.col("ts").cast("timestamp"))
+    doubled = base.unionByName(shifted)
+    src_dir = str(tmp_path / "src_wm")
+    doubled.write.parquet(src_dir)
+    stream = spark.readStream.schema(doubled.schema).parquet(src_dir)
+
+    n_ids = events.select("event_id").distinct().count()
+
+    out = st.dedup_stream_within_watermark(stream, watermark="2 hours")
+    name = f"dedupwm_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert spark.table(name).count() == n_ids
+
+    # the (key, ts)-keyed variant keeps both arrivals — the gap this
+    # operator exists to close
+    out2 = st.dedup_stream(stream)
+    name2 = f"dedupts_{uuid.uuid4().hex[:8]}"
+    q2 = (
+        out2.writeStream.format("memory").queryName(name2)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    assert spark.table(name2).count() == 2 * n_ids
+
+    # batch fallback collapses on the key alone
+    assert st.dedup_stream_within_watermark(doubled).count() == n_ids

@@ -325,3 +325,26 @@ def dedup_stream(
     if not events.isStreaming:
         return events.dropDuplicates(keys)
     return events.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+
+
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming dedup where duplicate arrivals carry DIFFERENT event
+    times (retries, at-least-once replays with fresh timestamps) —
+    ``dedup_stream`` keys on (key, ts) and so keeps such repeats.
+    ``dropDuplicatesWithinWatermark`` keys on the content key alone and
+    collapses any repeat that lands within the watermark delay of the
+    first arrival; state per key is evicted once the watermark passes it,
+    so state stays bounded without requiring exact-timestamp equality.
+
+    Batch frames fall back to plain ``dropDuplicates`` on the keys (batch
+    has no lateness horizon — all repeats collapse).
+    """
+    keys = key_cols or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
