@@ -1008,16 +1008,17 @@ def test_temperature_mixture_flattens_and_nests(spark, docs):
 
 
 def test_temperature_mixture_is_map_side(spark, docs):
-    """The corpus must not shuffle: rates arrive by broadcast join and the
-    keep decision is a scan-stage filter."""
+    """The corpus must not shuffle OR join: thresholds are inlined as a
+    literal map (rates derive from the already-collected O(domains)
+    counts), so the keep decision is a pure scan-stage filter."""
     from whiterrabbit_spark.extensions import splits as sp
 
     out = sp.temperature_mixture(docs, "lang", "doc_id")
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
     )
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
 
 
 def test_pii_redaction_semantics(spark):

@@ -187,28 +187,39 @@ def temperature_mixture(
     rounded and may differ in the last ulp across libms. Non-default
     alphas are supported but cross-engine exactness is then ~1 ulp.
 
-    Plan shape: one O(domains)-row count agg, broadcast back; the keep
-    decision is a map-side filter — the corpus never shuffles.
+    Plan shape: ONE O(domains)-row count agg (a single-column scan),
+    rates computed driver-side from the exact integer counts (Python
+    sqrt/division are the same correctly-rounded IEEE ops the engines
+    use), thresholds inlined as a literal map — the main pass is a pure
+    map-side filter: no join, no broadcast table, no second scan of the
+    corpus. (The previous join-back form cost two extra column scans and
+    a broadcast join for information that is O(domains) integers.)
     """
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
-    min_n = counts.agg(F.min("__n").alias("__min_n"))
-    if alpha == 0.5:
-        rate = F.sqrt(F.col("__min_n") / F.col("__n"))
-    else:
-        rate = F.pow(F.col("__min_n") / F.col("__n"), 1.0 - alpha)
-    rates = (
-        counts.crossJoin(F.broadcast(min_n))
-        .select(
-            domain_col,
-            F.floor(rate * buckets).cast("bigint").alias("__keep_below"),
-        )
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    n_min = min(counts.values())
+    import math
+
+    thresholds = {
+        # math.sqrt is correctly-rounded IEEE (matches SQL sqrt exactly);
+        # `** 0.5` would go through libm pow, which is only faithfully
+        # rounded — the same reason alpha=0.5 is the bit-exact default.
+        d: int(math.sqrt(n_min / n) * buckets) if alpha == 0.5
+        else int((n_min / n) ** (1.0 - alpha) * buckets)
+        for d, n in counts.items()
+    }
+    keep_below = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(thresholds.items()) for x in kv]),
+        F.col(domain_col),
     )
     bucket = hash_bucket_expr(F.col(id_col), salt, buckets)
-    return (
-        df.join(F.broadcast(rates), domain_col)
-        .where(bucket < F.col("__keep_below"))
-        .drop("__keep_below")
-    )
+    return df.where(bucket < keep_below)
 
 
 def hash_stratified_sample(
