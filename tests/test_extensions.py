@@ -1158,3 +1158,32 @@ def test_dedup_stream_within_watermark_collapses_shifted_repeats(spark, tmp_path
 
     # batch fallback collapses on the key alone
     assert st.dedup_stream_within_watermark(doubled).count() == n_ids
+
+
+def test_decontaminate_shuffle_join_fallback_matches_broadcast(spark, docs):
+    """broadcast_bench=False (benchmark too big to broadcast) must produce
+    identical stats via a shuffle join on the shingle key."""
+    from pyspark.sql import functions as F2
+
+    from whiterrabbit_spark.extensions import decontam as dc
+
+    bench = docs.where(F2.col("source") == "src0")
+    corpus = docs.where(F2.col("source") != "src0")
+    a = {(r.doc_id, r.n_shingles, r.n_overlap) for r in
+         dc.contamination_stats(corpus, bench).collect()}
+    b = {(r.doc_id, r.n_shingles, r.n_overlap) for r in
+         dc.contamination_stats(corpus, bench, broadcast_bench=False).collect()}
+    assert a == b
+    # without the forced hint, Catalyst still auto-broadcasts a small
+    # side (correct); suppress the threshold to pin the giant-benchmark
+    # plan: the hit-test degrades to a shuffle join, not a failure
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = dc.contamination_stats(corpus, bench, broadcast_bench=False)
+        ptxt = plan._sc._jvm.PythonSQLUtils.explainString(
+            plan._jdf.queryExecution(), "formatted")
+        assert "BroadcastHashJoin" not in ptxt
+        assert "SortMergeJoin" in ptxt or "ShuffledHashJoin" in ptxt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

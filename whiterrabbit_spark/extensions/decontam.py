@@ -48,6 +48,7 @@ def contamination_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Per-document overlap of ``corpus`` n-grams with ``bench`` n-grams.
 
@@ -55,14 +56,21 @@ def contamination_stats(
     ``id_col, n_shingles, n_overlap, overlap_frac`` — every doc is kept
     (zero-overlap docs have n_overlap = 0) so the frame doubles as a
     keep/drop list.
+
+    ``broadcast_bench=False`` is the escape hatch for a benchmark whose
+    shingle table outgrows the broadcast threshold (a union of many eval
+    suites): the hit-test becomes a shuffle join on the shingle key —
+    the corpus side then shuffles its (id, shingle) pairs once, which is
+    still O(shingles) small rows, never the text.
     """
     bsh = benchmark_shingles(bench, text_col, k)
     sh = corpus.select(
         F.col(id_col),
         F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"),
     )
+    marked = bsh.withColumn("_hit", F.lit(1))
     hits = sh.join(
-        F.broadcast(bsh.withColumn("_hit", F.lit(1))), "shingle", "left"
+        F.broadcast(marked) if broadcast_bench else marked, "shingle", "left"
     )
     return hits.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),
