@@ -1187,3 +1187,38 @@ def test_decontaminate_shuffle_join_fallback_matches_broadcast(spark, docs):
         assert "SortMergeJoin" in ptxt or "ShuffledHashJoin" in ptxt
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_weighted_sample_bias_determinism_and_plan(spark):
+    """A-ES sample: inclusion tracks weight (heavy rows ~9× the rate of
+    light rows at w-ratio 9), the kept set is repartition-invariant,
+    nonpositive weights are excluded, and the plan is a distributed
+    top-n (TakeOrderedAndProject), not a global sort."""
+    from pyspark.sql import functions as F2
+
+    from whiterrabbit_spark.extensions import splits as sp
+
+    df = spark.range(0, 20000).select(
+        F2.col("id").alias("doc_id"),
+        F2.when(F2.col("id") % 2 == 0, 9.0).otherwise(1.0).alias("w"),
+    )
+    out = sp.weighted_sample(df, "doc_id", "w", n=2000)
+    rows = out.collect()
+    assert len(rows) == 2000
+    heavy = sum(1 for r in rows if r.w == 9.0)
+    # E[heavy] ≈ 2000·0.9 = 1800 (without-replacement depletion pulls it
+    # slightly down); allow a wide deterministic band
+    assert 1600 <= heavy <= 1950, heavy
+
+    again = sp.weighted_sample(df.repartition(7), "doc_id", "w", n=2000)
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in rows}
+
+    with_bad = df.withColumn(
+        "w", F2.when(F2.col("doc_id") < 10000, F2.lit(-1.0)).otherwise(F2.col("w"))
+    )
+    kept = sp.weighted_sample(with_bad, "doc_id", "w", n=20000).collect()
+    assert all(r.doc_id >= 10000 for r in kept)
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "TakeOrderedAndProject" in plan

@@ -137,6 +137,47 @@ def pack_shards(
     ).drop("__pid", "__local_cum")
 
 
+WEIGHTED_U_BUCKETS = 1 << 20
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``n`` rows,
+    P(row) ∝ weight — Efraimidis–Spirakis A-ES: each row gets key
+    ``u^(1/w)`` for uniform u, and the global top-n keys are the sample.
+    Equivalently (and numerically safer) rank by ``ln(u)/w`` descending.
+
+    u comes from the engine's md5 machinery instead of an RNG, so the
+    selected set is a pure function of (id, salt): re-runs, engines, and
+    partitionings agree row-for-row — same contract as
+    ``hash_stratified_sample``, with weights. Rows with weight ≤ 0 or
+    NULL are excluded (zero inclusion probability).
+
+    Plan shape: map-side key computation + global top-n, which compiles
+    to ``TakeOrderedAndProject`` — per-partition heaps of n rows merged
+    on the driver, never a global sort. Ties (measure-zero on continuous
+    keys) break by id for cross-engine determinism.
+    """
+    u = (
+        hash_bucket_expr(F.col(id_col), salt, WEIGHTED_U_BUCKETS)
+        .cast("double") + 0.5
+    ) / WEIGHTED_U_BUCKETS
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__es_key", key)
+        .orderBy(F.desc("__es_key"), F.asc(id_col))
+        .limit(n)
+        .drop("__es_key")
+    )
+
+
 def top_k_per_group(
     df: DataFrame, group_col: str, order_cols: list[Column], k: int
 ) -> DataFrame:

@@ -2054,6 +2054,29 @@ FROM (
     return "\nUNION ALL\n".join(parts)
 
 
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus subsample (Efraimidis–Spirakis over md5
+    uniforms, splits.weighted_sample): 100 docs, P ∝ n_chars."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = sp.weighted_sample(docs, "doc_id", "n_chars", n=100)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+_WEIGHTED_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1048576)
+              ::DOUBLE + 0.5) / 1048576)
+           / n_chars::DOUBLE AS es_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, n_chars FROM keyed
+ORDER BY es_key DESC, doc_id ASC LIMIT 100"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
@@ -2171,5 +2194,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["value_entropy_orders"] = _entropy_sql()
     queries["cramers_v_pairs"] = _cramers
     oracles["cramers_v_pairs"] = _cramers_sql()
+    queries["weighted_sample_documents"] = _weighted_sample
+    oracles["weighted_sample_documents"] = _WEIGHTED_SQL
 
     return queries, oracles
