@@ -1222,3 +1222,48 @@ def test_weighted_sample_bias_determinism_and_plan(spark):
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_write_curated_partition_layout_and_pruning(spark, docs, tmp_path):
+    """Curated sink: hive layout by (split, lang), one file per partition
+    dir, lossless round-trip, and a lang filter on the read-back prunes
+    partitions at the file index (PartitionFilters, before data IO)."""
+    import glob as _glob
+
+    from whiterrabbit_spark.extensions import sink as sk
+    from whiterrabbit_spark.extensions import splits as sp
+
+    curated = sp.hash_split(docs, "doc_id")
+    out = str(tmp_path / "corpus")
+    sk.write_curated(curated, out, ["split", "lang"])
+
+    dirs = sorted(_glob.glob(out + "/split=*/lang=*"))
+    assert dirs, "expected hive-partitioned directories"
+    for d in dirs:
+        assert len(_glob.glob(d + "/*.parquet")) == 1  # small-file control
+
+    back = sk.read_curated(spark, out)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(curated.columns)
+
+    filtered = back.where(F.col("lang") == "en").where(F.col("split") == "train")
+    plan = filtered._sc._jvm.PythonSQLUtils.explainString(
+        filtered._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(lang" in plan or "lang#" in plan.split("PartitionFilters")[1][:200]
+
+    want = curated.where(
+        (F.col("lang") == "en") & (F.col("split") == "train")
+    ).count()
+    assert filtered.count() == want
+
+    # max_records_per_file re-splits oversized partition values
+    out2 = str(tmp_path / "corpus2")
+    sk.write_curated(curated, out2, ["lang"], max_records_per_file=40)
+    per_lang = {r["lang"]: r["n"] for r in
+                curated.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for d in sorted(_glob.glob(out2 + "/lang=*")):
+        lang = d.rsplit("=", 1)[1]
+        n_files = len(_glob.glob(d + "/*.parquet"))
+        import math as _math
+        assert n_files == _math.ceil(per_lang[lang] / 40), (lang, n_files)
