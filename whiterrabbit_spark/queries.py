@@ -684,6 +684,42 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN {MOVING_N - 1} PRECEDING AND CURRENT ROW)"""
 
 
+RANGE_FRAME_S = 3600
+
+
+def _range_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing ONE-HOUR stats — a RANGE (event-time interval)
+    frame, the time-based complement of `_moving_stats`' ROWS frame: the
+    frame is every event in [t−3600 s, t], however many rows that is.
+    Same single shuffle on user_id; per-row state is O(frame) with frame
+    size set by event density, not a constant. Epochs are floored to whole
+    seconds so the integer range arithmetic is engine-identical."""
+    df = read_parquet_table(spark, sf_dir, "events")
+    ep = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ep)
+        .rangeBetween(-RANGE_FRAME_S, Window.currentRow)
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), R).alias("hour_sum"),
+        F.max("value").over(w).alias("hour_max"),
+        F.count(F.lit(1)).over(w).alias("hour_events"),
+    )
+
+
+_RANGE_MOVING_SQL = f"""
+SELECT event_id, user_id,
+       round(sum(value) OVER w, {R}) AS hour_sum,
+       max(value) OVER w AS hour_max,
+       count(*) OVER w AS hour_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN {RANGE_FRAME_S} PRECEDING AND CURRENT ROW)"""
+
+
 NEAR_DUP_COS_THRESHOLD = 0.4  # testdata embeddings cluster at ~0.4-0.51 cosine
 
 
@@ -2196,5 +2232,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["cramers_v_pairs"] = _cramers_sql()
     queries["weighted_sample_documents"] = _weighted_sample
     oracles["weighted_sample_documents"] = _WEIGHTED_SQL
+    queries["range_moving_stats_events"] = _range_moving_stats
+    oracles["range_moving_stats_events"] = _RANGE_MOVING_SQL
 
     return queries, oracles
