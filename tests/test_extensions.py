@@ -323,6 +323,31 @@ def test_hash_split_deterministic_and_partition_stable(spark, docs):
     assert c != a
 
 
+def test_cluster_safe_split_never_straddles(spark, docs):
+    """Every near-dup cluster must land wholly inside one split — the
+    invariant that makes the split leakage-safe — and singletons must get
+    exactly the plain hash_split assignment."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    pairs = X.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+    labels = X.connected_components(pairs)
+    out = sp.cluster_safe_split(docs, "doc_id", labels)
+    straddlers = (
+        out.groupBy("group_key")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    clustered = {r.node for r in labels.collect()}
+    plain = {r.doc_id: r.split for r in sp.hash_split(docs, "doc_id").collect()}
+    safe = {r.doc_id: r.split for r in out.collect()}
+    assert safe.keys() == plain.keys()  # left join keeps every doc exactly once
+    for doc_id, split in safe.items():
+        if doc_id not in clustered:
+            assert split == plain[doc_id]
+
+
 def test_stratified_sample_seeded(spark, docs):
     from whiterrabbit_spark.extensions import splits as sp
 

@@ -60,6 +60,37 @@ def hash_split(
     )
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    labels: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    buckets: int = SPLIT_BUCKETS,
+) -> DataFrame:
+    """Leakage-safe split: every member of a near-dup cluster lands in the
+    SAME split, so train/test contamination through rewrites or mirrors is
+    impossible by construction. ``labels`` is (node, cluster_id) from
+    ``dedup.connected_components``; rows absent from it are singletons and
+    split by their own id.
+
+    The split key is ``coalesce(cluster_id, id)`` fed through the same
+    md5-bucket expression as ``hash_split`` — deterministic, engine-portable,
+    and computable per-row once the label join lands. The label table only
+    contains docs that appear in a near-dup pair, a tiny fraction of the
+    corpus, so it is broadcast — the 100 TB corpus never shuffles. (If the
+    dup graph ever outgrew broadcast range, drop the hint and this becomes
+    a plain equi-join on the already-bucketable id column.)
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    lab = labels.select(F.col("node").alias(id_col), "cluster_id")
+    joined = df.join(F.broadcast(lab), id_col, "left")
+    key = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return joined.withColumn("group_key", key).withColumn(
+        "split", hash_split_expr(F.col("group_key"), weights, salt, buckets)
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
 ) -> DataFrame:

@@ -720,6 +720,94 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN {RANGE_FRAME_S} PRECEDING AND CURRENT ROW)"""
 
 
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week, counted
+    in each subsequent week, with retention as a fraction of the cohort.
+
+    Plan: ONE shuffle on user_id carrying a per-user week SET (state bounded
+    by lifetime weeks, not events), then an aggregation over the tiny
+    (cohort, offset) frame. The naive per-user min-week + re-join
+    construction the oracle uses would shuffle the event table twice."""
+    df = read_parquet_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    per_user = (
+        df.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("wk")).alias("wks"))
+    )
+    ex = per_user.select(
+        F.col("wks")[0].alias("cohort_wk"), F.explode("wks").alias("wk")
+    )
+    cnt = ex.groupBy(
+        "cohort_wk",
+        (F.datediff("wk", "cohort_wk") / 7).cast("long").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    cohort_size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_users"))
+    ).over(Window.partitionBy("cohort_wk"))
+    return cnt.select(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users") / cohort_size, R).alias("retention"),
+    )
+
+
+_COHORT_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+), fw AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+), cnt AS (
+  SELECT f.cohort_wk, (u.wk - f.cohort_wk) // 7 AS week_offset,
+         count(*) AS n_users
+  FROM uw u JOIN fw f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+       week_offset, n_users,
+       round(n_users * 1.0 /
+             max(CASE WHEN week_offset = 0 THEN n_users END)
+               OVER (PARTITION BY cohort_wk), {R}) AS retention
+FROM cnt"""
+
+
+def _active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day distinct active users (DAU/WAU) per day.
+
+    Exact sliding-window COUNT DISTINCT doesn't decompose over frames, so
+    the scale-safe construction is: dedup to user-day pairs (the one big
+    shuffle, map-side partial), fan each pair out to the ≤7 window-ends it
+    supports (explode on the already-deduped frame, ×7 not ×events), and
+    count distinct per window end. Day-level aggregates are tiny; AQE
+    broadcasts the final DAU⋈WAU join."""
+    df = read_parquet_table(spark, sf_dir, "events")
+    ud = df.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    expl = (
+        ud.select("user_id", "d", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"))
+        .select("user_id", F.expr("date_add(d, x)").alias("wend"))
+    )
+    wau = expl.groupBy("wend").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, dau.d == wau.wend).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"), "dau", "wau"
+    )
+
+
+_ACTIVE_USERS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), dau AS (
+  SELECT d, count(*) AS dau FROM ud GROUP BY d
+), expl AS (
+  SELECT user_id, d + t.range::INT AS wend FROM ud CROSS JOIN range(7) t
+), wau AS (
+  SELECT wend, count(DISTINCT user_id) AS wau FROM expl GROUP BY wend
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON wau.wend = dau.d"""
+
+
 NEAR_DUP_COS_THRESHOLD = 0.4  # testdata embeddings cluster at ~0.4-0.51 cosine
 
 
@@ -1020,6 +1108,63 @@ WITH b AS (
   FROM b
 )
 SELECT split, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+       min(doc_id) AS min_doc_id
+FROM s GROUP BY split"""
+
+
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split: near-dup clusters (simhash pairs
+    → connected components) are assigned to a split as a UNIT, so a rewrite
+    of a training doc can never leak into test. Split key =
+    coalesce(cluster_id, doc_id) through the same md5 buckets as
+    `dataset_split_documents`; the label table (only docs in some near-dup
+    pair) broadcasts, the corpus never shuffles."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    pairs = X.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+    labels = X.connected_components(pairs)
+    out = sp.cluster_safe_split(docs, "doc_id", labels)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("group_key").alias("n_groups"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _leakage_safe_split_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_simhash_sql()}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+cc AS (
+  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+),
+keyed AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS gkey
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+),
+b AS (
+  SELECT doc_id, gkey,
+         (('0x' || substr(md5(gkey::VARCHAR), 1, 15))::BIGINT % 10000)::INT AS bucket
+  FROM keyed
+),
+s AS (
+  SELECT doc_id, gkey,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT gkey) AS n_groups,
        min(doc_id) AS min_doc_id
 FROM s GROUP BY split"""
 
@@ -2234,5 +2379,11 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["weighted_sample_documents"] = _WEIGHTED_SQL
     queries["range_moving_stats_events"] = _range_moving_stats
     oracles["range_moving_stats_events"] = _RANGE_MOVING_SQL
+    queries["cohort_retention_events"] = _cohort_retention
+    oracles["cohort_retention_events"] = _COHORT_SQL
+    queries["active_users_events"] = _active_users
+    oracles["active_users_events"] = _ACTIVE_USERS_SQL
+    queries["leakage_safe_split_documents"] = _leakage_safe_split
+    oracles["leakage_safe_split_documents"] = _leakage_safe_split_sql()
 
     return queries, oracles
