@@ -808,6 +808,81 @@ SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau
 FROM dau JOIN wau ON wau.wend = dau.d"""
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event_type crosstab via `pivot` with an EXPLICIT value list —
+    Spark then plans ONE groupBy(day) with conditional counts (no extra
+    distinct-values job, no second shuffle), identical in shape to the
+    oracle's manual conditional aggregation. At scale an unlisted pivot
+    would first run a distinct over 100 TB just to learn the column set."""
+    df = read_parquet_table(spark, sf_dir, "events")
+    out = (
+        df.withColumn("day", F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    cols = [F.col("day")] + [
+        F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES
+    ]
+    return out.select(*cols)
+
+
+_EVENT_PIVOT_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       {conds}
+FROM events GROUP BY 1""".format(
+    conds=",\n       ".join(
+        f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+)
+
+
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov bigram counts):
+    lag(event_type) over (user, time) then count pairs. One shuffle on
+    user_id for the window; the pair frame that feeds the final groupBy is
+    |types|² -bounded per user batch, so the second aggregation is cheap.
+    Transition probability is row-normalized within each source state."""
+    df = read_parquet_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = df.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    cnt = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / row_total, R).alias("p_transition"),
+    )
+
+
+_EVENT_TRANSITIONS_SQL = f"""
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+), cnt AS (
+  SELECT prev_type, next_type, count(*) AS n_transitions
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       round(n_transitions * 1.0 /
+             sum(n_transitions) OVER (PARTITION BY prev_type), {R})
+         AS p_transition
+FROM cnt"""
+
+
 NEAR_DUP_COS_THRESHOLD = 0.4  # testdata embeddings cluster at ~0.4-0.51 cosine
 
 
@@ -2385,5 +2460,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["active_users_events"] = _ACTIVE_USERS_SQL
     queries["leakage_safe_split_documents"] = _leakage_safe_split
     oracles["leakage_safe_split_documents"] = _leakage_safe_split_sql()
+    queries["event_pivot_events"] = _event_pivot
+    oracles["event_pivot_events"] = _EVENT_PIVOT_SQL
+    queries["event_transitions_events"] = _event_transitions
+    oracles["event_transitions_events"] = _EVENT_TRANSITIONS_SQL
 
     return queries, oracles
