@@ -144,28 +144,31 @@ def stream_events_from_parquet(
     schema: T.StructType | None = None,
 ) -> DataFrame:
     """File-source stream over parquet files in ``directory`` matching
-    ``glob`` (file streams require a directory base path). For the
-    driver's events table the nanosecond ``ts`` arrives as LONG (see
-    io._NANOS_TS_COLS) and is truncated to micros."""
+    ``glob`` (file streams require a directory base path). File streams
+    require a declared schema, and the on-disk ``ts`` representation has
+    two valid generations (TIMESTAMP(NANOS) read as LONG under the legacy
+    conf, vs plain TIMESTAMP micros) — so the schema is taken from a batch
+    footer read of the same files, and the nanos→micros truncation is
+    applied only when ``ts`` actually arrives as bigint."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
-        schema = T.StructType(
-            [
-                T.StructField("event_id", T.LongType()),
-                T.StructField("ts", T.LongType()),  # nanos-as-long
-                T.StructField("user_id", T.LongType()),
-                T.StructField("event_type", T.StringType()),
-                T.StructField("value", T.DoubleType()),
-                T.StructField("props", T.StringType()),
-            ]
+        schema = (
+            spark.read.option("pathGlobFilter", glob)
+            .parquet(directory)
+            .schema
         )
     df = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", glob)
         .parquet(directory)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (with local tz); the session tz is
+        # pinned to UTC so this cast is value-preserving.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

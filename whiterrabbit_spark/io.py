@@ -156,10 +156,15 @@ def read_all_string(
     return raw.select(*fixed)
 
 
-# Columns written as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-# timestamp type and refuses them unless the legacy conf maps them to LONG;
-# we then truncate nanos→micros exactly (integer DIV), matching DuckDB's
-# TIMESTAMP_NS → TIMESTAMP conversion.
+# Event-time columns with two valid on-disk generations in the driver's
+# testdata: parquet TIMESTAMP(NANOS) — Spark has no nanosecond timestamp
+# type and refuses it unless the legacy conf maps it to LONG, after which
+# we truncate nanos→micros exactly (integer DIV, matching DuckDB's
+# TIMESTAMP_NS → TIMESTAMP conversion) — and plain TIMESTAMP micros with
+# isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ. Both are
+# normalized to TIMESTAMP (ltz): the session tz is pinned to UTC, so the
+# NTZ→LTZ cast is value-preserving, and downstream event-time operators
+# (watermarks, double casts, window frames) get one consistent type.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -170,10 +175,13 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"{c} DIV 1000"))
             )
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
