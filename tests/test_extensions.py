@@ -1292,3 +1292,98 @@ def test_write_curated_partition_layout_and_pruning(spark, docs, tmp_path):
         n_files = len(_glob.glob(d + "/*.parquet"))
         import math as _math
         assert n_files == _math.ceil(per_lang[lang] / 40), (lang, n_files)
+
+
+def test_line_dedup_semantics_and_idempotence(spark):
+    """Corpus-global line dedup keeps each duplicated line only at its
+    first (id, pos) occurrence, always keeps blank lines, survives null
+    text, and is idempotent."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the same boilerplate\nunique one\n\nfooter line"),
+            (2, "the same boilerplate\nunique two\nfooter line"),
+            (3, "unique three\nfooter line"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.line_dedup(docs).collect()}
+    assert out[1].text == "the same boilerplate\nunique one\n\nfooter line"
+    assert out[1].n_removed == 0
+    assert out[2].text == "unique two"
+    assert out[2].n_removed == 2
+    assert out[3].text == "unique three"
+    assert out[3].n_removed == 1
+    assert out[4].text == "" and out[4].n_lines == 1
+    second = (
+        X.line_dedup(X.line_dedup(docs))
+        .agg(F.sum("n_removed"))
+        .collect()[0][0]
+    )
+    assert second == 0
+
+
+def test_dup_ngram_stats_counts(spark):
+    """Duplicate-shingle fractions: a doc sharing every shingle with
+    another scores 1.0; a doc with unique text scores 0; counts are over
+    per-doc DISTINCT shingles."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d"),
+            (3, "p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.dup_ngram_stats(docs, k=3).collect()}
+    assert out[1].n_shingles == 2 and out[1].dup_frac == 1.0
+    assert out[2].dup_frac == 1.0
+    assert out[3].n_shingles == 3 and out[3].dup_frac == 0.0
+
+
+def test_bloom_decontam_superset_of_exact(spark, docs):
+    """Bloom contamination stats: never undercounts overlap (one-sided
+    error); at the default table size it is exactly the broadcast-join
+    result on this corpus; a deliberately tiny table still only ADDS
+    false-positive overlap."""
+    from whiterrabbit_spark.extensions import decontam as dc
+
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    exact = {
+        r.doc_id: (r.n_shingles, r.n_overlap)
+        for r in dc.contamination_stats(corpus, bench, k=5).collect()
+    }
+    bloom = {
+        r.doc_id: (r.n_shingles, r.n_overlap)
+        for r in dc.contamination_stats_bloom(corpus, bench, k=5).collect()
+    }
+    assert bloom == exact  # deterministic hashes, ample table ⇒ no FPs
+    tiny = {
+        r.doc_id: r.n_overlap
+        for r in dc.contamination_stats_bloom(
+            corpus, bench, k=5, n_bits=1 << 10
+        ).collect()
+    }
+    assert all(tiny[d] >= exact[d][1] for d in exact)
+
+
+def test_semantic_dedup_drops_planted_clones(spark, emb):
+    """SemDeDup: exact clones of an existing vector are dropped (max_sim
+    ~1 against the kept original); at an unattainable threshold nothing
+    drops."""
+    first_id = emb.select(F.min("vec_id")).collect()[0][0]
+    base = emb.where(F.col("vec_id") == first_id)
+    planted = emb.unionByName(
+        base.select(F.lit(100001).alias("vec_id"), "embedding", "label")
+    ).unionByName(
+        base.select(F.lit(100002).alias("vec_id"), "embedding", "label")
+    )
+    res = sim.semantic_dedup(planted, threshold=0.95).collect()
+    by_id = {r.vec_id: r for r in res}
+    assert len(res) == emb.count() + 2
+    assert not by_id[100001].keep and by_id[100001].max_sim > 0.999
+    assert not by_id[100002].keep
+    assert by_id[first_id].keep
+    none_dropped = sim.semantic_dedup(emb, threshold=1.5).collect()
+    assert all(r.keep for r in none_dropped)

@@ -23,7 +23,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
@@ -396,6 +396,101 @@ def novel_documents(
     seen_fp = seen_df.select(fp(F.col(text_col)).alias("fingerprint")).distinct()
     return new_fp.join(seen_fp, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-global exact line deduplication (the C4/CCNet boilerplate
+    scrub): any line occurring more than once ACROSS the corpus is kept
+    only at its first occurrence — smallest ``(id, position)`` — and
+    removed everywhere else; lines shorter than ``min_chars`` after trim
+    (blank separators and other structure) are always kept. Extension
+    beyond the reference surface (profiling only, whiteRRabbit.R:309-423
+    has no content rewriting).
+
+    Returns one row per input document: ``(id, text, n_lines, n_removed)``
+    with ``text`` reassembled in original line order. Idempotent — a
+    second pass removes nothing.
+
+    Shapes: explode → ONE shuffle on the line digest (window rank decides
+    the surviving occurrence) → one groupBy(id) shuffle to reassemble.
+    Both shuffles move O(total lines); no join, no driver state. At 100 TB
+    the digest shuffle is the cost — lines hash-distribute evenly (no skew
+    key unless one line dominates the corpus, in which case the rank
+    window on that digest is the natural salting candidate).
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter)
+        ).alias("_pos", "_line"),
+    )
+    w = Window.partitionBy(F.md5("_line")).orderBy("_id", "_pos")
+    flagged = lines.withColumn(
+        "_keep",
+        (F.length(F.trim("_line")) < min_chars)
+        | (F.row_number().over(w) == 1),
+    )
+    kept_struct = F.array_sort(
+        F.collect_list(
+            F.when(F.col("_keep"), F.struct("_pos", "_line"))
+        )
+    )
+    return (
+        flagged.groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.array_join(
+                F.transform(kept_struct, lambda s: s["_line"]), delimiter
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
+        )
+    )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Inter-document duplication score (the RefinedWeb/Gopher-style
+    corpus-level repetition signal, complementing the intra-document
+    ``textstats.repetition_signals``): for each document, the fraction of
+    its DISTINCT word k-gram shingles that also appear in at least
+    ``min_docs - 1`` other documents. Documents substantially assembled
+    from corpus-common text score high and are filter candidates.
+
+    Returns ``(doc_id, n_shingles, n_dup_shingles, dup_frac)``.
+
+    Shapes: one explode + ONE shuffle on the shingle (a count window over
+    the shingle partition gives each occurrence its document frequency —
+    per-doc shingles are distinct, so partition size == document
+    frequency), then a map-side-combinable groupBy(doc) back to O(docs)
+    rows. No self-join: the window reads the shingle table once where a
+    groupBy+join would shuffle it twice.
+    """
+    sh = _shingle_table(df, text_col, id_col, k)
+    doc_freq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("_df", doc_freq)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") >= min_docs).cast("long")).alias(
+                "n_dup_shingles"
+            ),
+        )
+        .withColumn(
+            "dup_frac", F.col("n_dup_shingles") / F.col("n_shingles")
+        )
     )
 
 

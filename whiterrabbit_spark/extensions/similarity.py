@@ -513,3 +513,111 @@ def ivf_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): spherical k-means partitions the corpus into
+    semantic clusters, then WITHIN each cluster a deterministic greedy
+    sweep (ascending id) drops every item whose cosine similarity to an
+    already-kept item is ≥ ``threshold``. Near-duplicate *meaning* — not
+    near-duplicate text — so it removes paraphrases exact/MinHash dedup
+    cannot see. Cross-cluster duplicates are missed by design; that
+    residual is bounded by the recall tests, like every approximate form
+    in this module.
+
+    Returns ``(id_col, cluster_id, keep, max_sim)`` for every input row —
+    ``max_sim`` is the similarity to the kept item that caused a drop
+    (NaN for kept rows).
+
+    Shapes: one MLlib fit (sampled at real scale — the quantizer needs
+    thousands of points per cluster, not the corpus), one map-side cluster
+    assignment, ONE shuffle on cluster_id into ``applyInPandas``, greedy
+    sweep as numpy GEMV per candidate against the kept block. Cluster size
+    is the memory bound: at 100 TB raise ``n_clusters`` so ~|corpus|/k
+    vectors fit per task (SemDeDup itself runs k=50 000 on LAION-scale)
+    and the per-cluster cost drops quadratically while the shuffle stays
+    one pass of (id, vector) pairs.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
+
+    def _unit(arr: Column) -> Column:
+        v = _to_double(arr)
+        n = _norm(v)
+        return F.transform(v, lambda x: x / n)
+
+    train = df.select(array_to_vector(_unit(F.col(vec_col))).alias("features"))
+    km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    centers = [list(map(float, c)) for c in km.clusterCenters()]
+
+    def nearest_center(vec: Column) -> Column:
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            _unit(vec),
+                            F.array(*[F.lit(x) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("cluster_id"),
+                )
+                for i, c in enumerate(centers)
+            ]
+        )
+        return F.array_sort(dists)[0]["cluster_id"]
+
+    assigned = df.select(
+        F.col(id_col),
+        _unit(F.col(vec_col)).alias("_uv"),
+        nearest_center(F.col(vec_col)).alias("cluster_id"),
+    )
+    id_field = assigned.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("cluster_id", T.IntegerType()),
+            T.StructField("keep", T.BooleanType()),
+            T.StructField("max_sim", T.DoubleType()),
+        ]
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        mat = np.vstack(pdf["_uv"].to_numpy())
+        n = len(pdf)
+        keep = np.ones(n, dtype=bool)
+        max_sim = np.full(n, np.nan)
+        kept_rows: list[int] = [0] if n else []
+        for i in range(1, n):
+            sims = mat[kept_rows] @ mat[i]
+            hi = float(sims.max()) if len(sims) else -1.0
+            if hi >= threshold:
+                keep[i] = False
+                max_sim[i] = hi
+            else:
+                kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster_id": pdf["cluster_id"].astype("int32"),
+                "keep": keep,
+                "max_sim": max_sim,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(sweep, out_schema)

@@ -1921,6 +1921,36 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document duplicate-shingle fraction (corpus-duplication
+    signal): one shingle-partition count window + one groupBy(doc) —
+    dedup.dup_ngram_stats scale notes."""
+    from whiterrabbit_spark.extensions import dedup as dd
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = dd.dup_ngram_stats(docs, "text", "doc_id", k=5, min_docs=2)
+    return out.select(
+        "doc_id", "n_shingles", "n_dup_shingles",
+        F.round("dup_frac", R).alias("dup_frac"),
+    )
+
+
+_DUP_NGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(w)-4, 1))) AS t(i)
+), freq AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+)
+SELECT doc_id, count(*) AS n_shingles,
+       count(*) FILTER (df >= 2) AS n_dup_shingles,
+       round((count(*) FILTER (df >= 2)) * 1.0 / count(*), 6) AS dup_frac
+FROM freq GROUP BY 1"""
+
+
 def _decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs outside src0 whose 5-gram overlap
     with the src0 'benchmark' set crosses the drop threshold. The
@@ -2432,6 +2462,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["dup_ngram_stats_documents"] = _dup_ngram_stats
+    oracles["dup_ngram_stats_documents"] = _DUP_NGRAM_SQL
     queries["decontaminate_documents"] = _decontam
     oracles["decontaminate_documents"] = _DECONTAM_SQL
     queries["temperature_mixture_documents"] = _temp_mixture
