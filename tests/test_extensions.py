@@ -1387,3 +1387,25 @@ def test_semantic_dedup_drops_planted_clones(spark, emb):
     assert by_id[first_id].keep
     none_dropped = sim.semantic_dedup(emb, threshold=1.5).collect()
     assert all(r.keep for r in none_dropped)
+
+
+def test_unigram_logppl_math(spark):
+    """Additive-smoothing math verified by hand: corpus a a b / b c gives
+    N=5, V=3, denom=6.5; unseen tokens in cross-corpus scoring get the
+    alpha mass 0.5/6.5."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in ts.unigram_logppl(docs).collect()}
+    p_ab = 2.5 / 6.5
+    p_c = 1.5 / 6.5
+    assert out[1].n_tokens == 3
+    assert abs(out[1].avg_neg_logp - (-math.log(p_ab))) < 1e-12
+    expect2 = -(math.log(p_ab) + math.log(p_c)) / 2
+    assert abs(out[2].avg_neg_logp - expect2) < 1e-12
+    assert abs(out[2].perplexity - math.exp(expect2)) < 1e-9
+    unseen = spark.createDataFrame([(9, "z z")], "doc_id long, text string")
+    got = ts.unigram_logppl(unseen, train_df=docs).collect()[0]
+    assert abs(got.avg_neg_logp - (-math.log(0.5 / 6.5))) < 1e-12

@@ -368,3 +368,59 @@ def winnow_fingerprints(
         .select("doc_id", F.col("h").alias("fingerprint"))
         .distinct()
     )
+
+
+def unigram_logppl(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    train_df: DataFrame | None = None,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Unigram-LM perplexity scoring (the CCNet/Wikipedia-LM quality-filter
+    family, reduced to its distributable core): fit an additive-smoothed
+    unigram model p(t) = (count(t) + α) / (N + α·V) on ``train_df`` (the
+    corpus itself when None — self-perplexity flags out-of-distribution
+    documents), then score every document by the mean negative log
+    probability of its token occurrences and its exp, the perplexity.
+    Low perplexity ≈ in-distribution/common text, high ≈ gibberish or
+    domain outliers; both tails are standard filter candidates. A KenLM
+    5-gram model is the production upgrade — the Spark shape (broadcast
+    model, map-side scoring, one groupBy) is identical.
+
+    Returns ``(id_col, n_tokens, avg_neg_logp, perplexity)``.
+
+    Shapes: LM fit is one explode + groupBy(token) — O(tokens) shuffle
+    collapsing to O(vocab); N and V collect as two scalars (inlined
+    literals). Scoring joins the token stream against the O(vocab) count
+    table — broadcast by default (a unigram vocab is MB-scale even at
+    100 TB; ``broadcast_lm=False`` falls back to a shuffle join for
+    pathological vocabularies), then ONE map-side-combinable
+    groupBy(doc). Unseen tokens (cross-corpus scoring) get the α-mass via
+    the LEFT join's coalesce.
+    """
+    train = train_df if train_df is not None else df
+    lm = (
+        train.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    n_total, vocab = lm.agg(F.sum("_c"), F.count(F.lit(1))).first()
+    denom = float(n_total) + alpha * float(vocab)
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    joined = toks.join(F.broadcast(lm) if broadcast_lm else lm, "tok", "left")
+    neg_logp = -F.log(
+        (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(alpha)) / F.lit(denom)
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(neg_logp).alias("avg_neg_logp"),
+        )
+        .withColumn("perplexity", F.exp(F.col("avg_neg_logp")))
+    )

@@ -1921,6 +1921,42 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-perplexity under an additive-smoothed unigram LM fit on the
+    corpus (textstats.unigram_logppl). The perplexity column is exp of the
+    ROUNDED mean so both engines exponentiate the identical double —
+    1-ulp ln/exp divergence cannot cross a rounding boundary at 3 digits
+    of a 1e3-scale value."""
+    from whiterrabbit_spark.extensions import textstats as tx
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = tx.unigram_logppl(docs, "text", "doc_id", alpha=0.5)
+    rounded = F.round("avg_neg_logp", R)
+    return out.select(
+        "doc_id", "n_tokens",
+        rounded.alias("avg_neg_logp"),
+        F.round(F.exp(rounded), 3).alias("perplexity"),
+    )
+
+
+_UNIGRAM_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), lm AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), tot AS (
+  SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM lm
+), scored AS (
+  SELECT t.doc_id, -ln((lm.c + 0.5) / (tot.n + 0.5 * tot.v)) AS nlp
+  FROM toks t JOIN lm USING (tok), tot
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(nlp), 6) AS avg_neg_logp,
+       round(exp(round(avg(nlp), 6)), 3) AS perplexity
+FROM scored GROUP BY 1"""
+
+
 def _dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-document duplicate-shingle fraction (corpus-duplication
     signal): one shingle-partition count window + one groupBy(doc) —
@@ -2462,6 +2498,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["unigram_perplexity_documents"] = _unigram_ppl
+    oracles["unigram_perplexity_documents"] = _UNIGRAM_PPL_SQL
     queries["dup_ngram_stats_documents"] = _dup_ngram_stats
     oracles["dup_ngram_stats_documents"] = _DUP_NGRAM_SQL
     queries["decontaminate_documents"] = _decontam
