@@ -1409,3 +1409,53 @@ def test_unigram_logppl_math(spark):
     unseen = spark.createDataFrame([(9, "z z")], "doc_id long, text string")
     got = ts.unigram_logppl(unseen, train_df=docs).collect()[0]
     assert abs(got.avg_neg_logp - (-math.log(0.5 / 6.5))) < 1e-12
+
+
+def test_zordered_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering keeps parquet min/max stats selective in EVERY
+    clustered dimension: a predicate on the second dimension alone admits
+    a strict subset of files, where a single-column-sorted layout admits
+    all of them; rows round-trip unchanged."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from whiterrabbit_spark.extensions.sink import write_zordered
+
+    ev = read_parquet_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value"
+    )
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "lin")
+    write_zordered(ev, zpath, ["user_id", "value"], n_files=8)
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def admitting(path, vlo):
+        n_admit, n_files = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            vmax = max(
+                md.row_group(i).column(2).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            n_files += 1
+            if vmax >= vlo:
+                n_admit += 1
+        return n_admit, n_files
+
+    vlo = ev.selectExpr("percentile(value, 0.97)").collect()[0][0]
+    z_admit, z_files = admitting(zpath, vlo)
+    l_admit, l_files = admitting(lpath, vlo)
+    assert z_files == 8 and l_files == 8
+    assert z_admit < l_admit, (
+        "z-order must prune the value-only predicate strictly better "
+        f"than the user-sorted layout ({z_admit} vs {l_admit})"
+    )
+    zrows = sorted(
+        r.event_id for r in spark.read.parquet(zpath).collect()
+    )
+    assert zrows == sorted(r.event_id for r in ev.collect())
