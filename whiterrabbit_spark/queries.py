@@ -1921,6 +1921,35 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global line dedup (dedup.line_dedup). The driver's documents
+    are single-line, so here the operator degenerates to doc-level
+    first-occurrence dedup — which makes the keep-first-(id,pos) rule and
+    the reassembly exactly SQL-expressible; multi-line semantics are
+    pinned by unit tests."""
+    from whiterrabbit_spark.extensions import dedup as dd
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return dd.line_dedup(docs, "text", "doc_id")
+
+
+_LINE_DEDUP_SQL = """
+WITH l AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+), flags AS (
+  SELECT doc_id, text,
+         (rn = 1 OR length(trim(text)) < 1) AS keep
+  FROM l
+)
+SELECT doc_id,
+       CASE WHEN keep THEN text ELSE '' END AS text,
+       1::BIGINT AS n_lines,
+       CASE WHEN keep THEN 0 ELSE 1 END::BIGINT AS n_removed
+FROM flags"""
+
+
 def _unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-perplexity under an additive-smoothed unigram LM fit on the
     corpus (textstats.unigram_logppl). The perplexity column is exp of the
@@ -2498,6 +2527,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["line_dedup_documents"] = _line_dedup
+    oracles["line_dedup_documents"] = _LINE_DEDUP_SQL
     queries["unigram_perplexity_documents"] = _unigram_ppl
     oracles["unigram_perplexity_documents"] = _UNIGRAM_PPL_SQL
     queries["dup_ngram_stats_documents"] = _dup_ngram_stats
