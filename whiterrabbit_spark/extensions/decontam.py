@@ -161,13 +161,12 @@ def contamination_stats_bloom(
 
     hashed = corpus.select(
         F.col(id_col),
-        F.coalesce(
-            F.transform(
-                shingles_expr(F.col(text_col), k), lambda s: md5_int60(s)
-            ),
-            F.array().cast("array<bigint>"),
+        F.transform(
+            shingles_expr(F.col(text_col), k), lambda s: md5_int60(s)
         ).alias("_hashes"),
-    )
+        # null-text docs are dropped, matching the exact form (whose
+        # explode eliminates them) — parity is the contract here
+    ).where(F.col("_hashes").isNotNull())
     id_field = hashed.schema[id_col]
     out_schema = T.StructType(
         [

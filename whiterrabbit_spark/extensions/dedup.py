@@ -425,17 +425,31 @@ def line_dedup(
     key unless one line dominates the corpus, in which case the rank
     window on that digest is the natural salting candidate).
     """
+    import re
+
     lines = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), delimiter)
+            # split() takes a Java regex; the delimiter is a literal
+            # (array_join on the way back treats it as one), so escape it
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(delimiter))
         ).alias("_pos", "_line"),
     )
-    w = Window.partitionBy(F.md5("_line")).orderBy("_id", "_pos")
+    # Trivial lines (blank separators and anything under min_chars) are
+    # kept unconditionally, so their rank is irrelevant — and blank lines
+    # are the most duplicated line in any real corpus, which would make
+    # md5('') the guaranteed hot window partition. They get a per-row
+    # partition key instead (size-1 partitions), keeping the whole pass a
+    # single scan + single window shuffle with no hot key.
+    trivial = F.length(F.trim("_line")) < min_chars
+    pkey = F.when(
+        trivial,
+        F.md5(F.concat_ws("\x00", F.col("_id").cast("string"),
+                          F.col("_pos").cast("string"))),
+    ).otherwise(F.md5("_line"))
+    w = Window.partitionBy(pkey).orderBy("_id", "_pos")
     flagged = lines.withColumn(
-        "_keep",
-        (F.length(F.trim("_line")) < min_chars)
-        | (F.row_number().over(w) == 1),
+        "_keep", trivial | (F.row_number().over(w) == 1)
     )
     kept_struct = F.array_sort(
         F.collect_list(

@@ -53,6 +53,15 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _unit(arr: Column) -> Column:
+    """L2-normalized double vector; an all-zero vector stays all-zero
+    (guarded denominator) instead of going NaN and poisoning k-means
+    fits / cosine sweeps downstream."""
+    v = _to_double(arr)
+    n = F.greatest(_norm(v), F.lit(1e-300))
+    return F.transform(v, lambda x: x / n)
+
+
 def embedding_stats(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
@@ -459,11 +468,6 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    def _unit(arr: Column) -> Column:
-        v = _to_double(arr)
-        n = _norm(v)
-        return F.transform(v, lambda x: x / n)
-
     # normalize first: L2 on unit vectors is monotone in cosine, so the
     # quantizer partitions by the metric actually being searched
     # (spherical k-means)
@@ -552,39 +556,19 @@ def semantic_dedup(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import types as T
 
-    def _unit(arr: Column) -> Column:
-        v = _to_double(arr)
-        n = _norm(v)
-        return F.transform(v, lambda x: x / n)
-
-    train = df.select(array_to_vector(_unit(F.col(vec_col))).alias("features"))
-    km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
-    centers = [list(map(float, c)) for c in km.clusterCenters()]
-
-    def nearest_center(vec: Column) -> Column:
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            _unit(vec),
-                            F.array(*[F.lit(x) for x in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(i).alias("cluster_id"),
-                )
-                for i, c in enumerate(centers)
-            ]
-        )
-        return F.array_sort(dists)[0]["cluster_id"]
-
-    assigned = df.select(
+    featurized = df.select(
         F.col(id_col),
         _unit(F.col(vec_col)).alias("_uv"),
-        nearest_center(F.col(vec_col)).alias("cluster_id"),
+        array_to_vector(_unit(F.col(vec_col))).alias("features"),
+    )
+    km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(featurized)
+    # assignment via the fitted model (JVM-side, O(k·d) per row) — an
+    # inlined-centers expression tree would not compile at the 50k
+    # clusters the docstring's scale note calls for
+    assigned = km.transform(featurized).select(
+        F.col(id_col),
+        "_uv",
+        F.col(km.getPredictionCol()).alias("cluster_id"),
     )
     id_field = assigned.schema[id_col]
     out_schema = T.StructType(

@@ -105,12 +105,14 @@ def write_zordered(
     ~1 GB each.
     """
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    # one approxQuantile job computes every dimension's cutpoints — one
+    # full scan total, not one per column
+    all_cuts = df.select(
+        *[F.col(c).cast("double").alias(c) for c in zorder_cols]
+    ).stat.approxQuantile(zorder_cols, probs, 0.001)
     ranked = df
     rank_cols = []
-    for c in zorder_cols:
-        cuts = df.select(F.col(c).cast("double").alias(c)).stat.approxQuantile(
-            c, probs, 0.001
-        )
+    for c, cuts in zip(zorder_cols, all_cuts):
         rc = f"_zr_{c}"
         cut_arr = F.array(*[F.lit(float(x)) for x in sorted(set(cuts))])
         ranked = ranked.withColumn(

@@ -150,13 +150,31 @@ def stream_events_from_parquet(
     conf, vs plain TIMESTAMP micros) — so the schema is taken from a batch
     footer read of the same files, and the nanos→micros truncation is
     applied only when ``ts`` actually arrives as bigint."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
-        schema = (
-            spark.read.option("pathGlobFilter", glob)
-            .parquet(directory)
-            .schema
-        )
+        try:
+            schema = (
+                spark.read.option("pathGlobFilter", glob)
+                .parquet(directory)
+                .schema
+            )
+        except AnalysisException:
+            # no matching files yet — the normal start state for a file
+            # stream. Fall back to the driver's documented events schema
+            # (ts as watermark-ready TIMESTAMP) so the stream can be
+            # defined before the first producer write lands.
+            schema = T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("props", T.StringType()),
+                ]
+            )
     df = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", glob)

@@ -389,7 +389,10 @@ def unigram_logppl(
     5-gram model is the production upgrade — the Spark shape (broadcast
     model, map-side scoring, one groupBy) is identical.
 
-    Returns ``(id_col, n_tokens, avg_neg_logp, perplexity)``.
+    Returns ``(id_col, n_tokens, avg_neg_logp, perplexity)``. Documents
+    with NULL text have no token rows and are absent from the output
+    (same on the DuckDB oracle side) — callers using the frame as a
+    keep/drop score table should treat missing ids as unscorable.
 
     Shapes: LM fit is one explode + groupBy(token) — O(tokens) shuffle
     collapsing to O(vocab); N and V collect as two scalars (inlined
@@ -405,6 +408,9 @@ def unigram_logppl(
         train.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("_c"))
+        # persisted: the N/V action below and the scoring join both read
+        # it — without this the O(tokens) fit shuffle runs twice
+        .persist()
     )
     n_total, vocab = lm.agg(F.sum("_c"), F.count(F.lit(1))).first()
     denom = float(n_total) + alpha * float(vocab)
