@@ -300,3 +300,80 @@ def test_temperature_mixture_rates_monotone(spark, counts):
         assert kept.get(dom, 0) <= n
     smallest = min(n_by_dom, key=lambda d: (n_by_dom[d], d))
     assert kept.get(smallest, 0) == n_by_dom[smallest]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "", "  ", "x y"]),
+            min_size=0,
+            max_size=5,
+        ).map(lambda ls: "\n".join(ls)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_line_dedup_matches_model(spark, docs):
+    """line_dedup against a pure-Python model: first (id, pos) occurrence
+    of each non-trivial line survives, trivial (blank after trim) lines
+    always survive, reassembly preserves order."""
+    from whiterrabbit_spark.extensions.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in line_dedup(df).collect()}
+
+    seen: set[str] = set()
+    for i, t in enumerate(docs):
+        lines = t.split("\n")
+        kept, removed = [], 0
+        for ln in lines:
+            if len(ln.strip()) < 1:
+                kept.append(ln)
+            elif ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+            else:
+                removed += 1
+        assert got[i].text == "\n".join(kept), (i, docs)
+        assert got[i].n_lines == len(lines)
+        assert got[i].n_removed == removed
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dup_ngram_stats_matches_model(spark, docs):
+    """dup_ngram_stats against a pure-Python model over tiny vocabularies
+    (the worst case for shingle collisions)."""
+    from whiterrabbit_spark.extensions.dedup import dup_ngram_stats
+
+    k = 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+
+    def shingles(t: str) -> set[str]:
+        w = t.split()
+        n = max(len(w) - (k - 1), 1)
+        return {" ".join(w[i : i + k]) for i in range(n)}
+
+    sets = {i: shingles(t) for i, t in enumerate(docs)}
+    freq: dict[str, int] = {}
+    for ss in sets.values():
+        for sh in ss:
+            freq[sh] = freq.get(sh, 0) + 1
+    got = {r.doc_id: r for r in dup_ngram_stats(df, k=k).collect()}
+    for i, ss in sets.items():
+        dup = sum(1 for sh in ss if freq[sh] >= 2)
+        assert got[i].n_shingles == len(ss)
+        assert got[i].n_dup_shingles == dup
