@@ -336,3 +336,37 @@ def test_cramers_v_edges(spark):
     assert abs(got[("a", "a_copy")].cramers_v - 1.0) < 1e-12
     assert abs(got[("a", "indep")].cramers_v) < 1e-9  # exact independence
     assert got[("a", "const")].cramers_v is None
+
+
+def test_winsorize_and_normalize(spark):
+    """Winsorize clamps to the exact type-7 quantiles; zscore/minmax match
+    hand math; degenerate (constant) columns map to 0.0 not NaN; NULLs
+    pass through."""
+    import math
+
+    from whiterrabbit_spark.profile import normalize_columns, winsorize
+
+    df = spark.createDataFrame(
+        [(float(i), 5.0, None if i == 3 else float(i)) for i in range(1, 11)],
+        "x double, const double, withnull double",
+    )
+    w = winsorize(df, ["x"], lo=0.25, hi=0.75)
+    xs = sorted(r.x for r in w.collect())
+    # type-7 quartiles of 1..10 are 3.25 / 7.75
+    assert xs[0] == 3.25 and xs[-1] == 7.75
+
+    z = {r.x: r for r in normalize_columns(df, ["x", "const"]).collect()}
+    mu, sd = 5.5, math.sqrt(sum((i - 5.5) ** 2 for i in range(1, 11)) / 9)
+    # zscore rewrites columns in place; key by the untouched withnull col
+    zrows = normalize_columns(df, ["x", "const"]).collect()
+    for r in zrows:
+        assert r.const == 0.0
+    got = sorted(r.x for r in zrows)
+    expect = sorted((i - mu) / sd for i in range(1, 11))
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, expect))
+
+    mm = normalize_columns(df, ["x"], method="minmax").collect()
+    vals = sorted(r.x for r in mm)
+    assert vals[0] == 0.0 and vals[-1] == 1.0
+    nn = normalize_columns(df, ["withnull"]).collect()
+    assert sum(1 for r in nn if r.withnull is None) == 1

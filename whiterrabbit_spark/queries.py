@@ -1921,6 +1921,35 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile tail clamping of lineitem amounts (profile.winsorize):
+    one exact-percentile agg (type-7, the oracle-agreed definition) +
+    a map-side least/greatest clamp."""
+    from whiterrabbit_spark.profile import winsorize
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = winsorize(li, ["l_quantity", "l_extendedprice"], lo=0.05, hi=0.95)
+    return out.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_quantity", R).alias("qty_w"),
+        F.round("l_extendedprice", R).alias("price_w"),
+    )
+
+
+_WINSORIZE_SQL = """
+WITH q AS (
+  SELECT quantile_cont(l_quantity, 0.05) AS ql_q,
+         quantile_cont(l_quantity, 0.95) AS qh_q,
+         quantile_cont(l_extendedprice, 0.05) AS ql_p,
+         quantile_cont(l_extendedprice, 0.95) AS qh_p
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round(least(greatest(l_quantity, ql_q), qh_q), 6) AS qty_w,
+       round(least(greatest(l_extendedprice, ql_p), qh_p), 6) AS price_w
+FROM lineitem, q"""
+
+
 def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global line dedup (dedup.line_dedup). The driver's documents
     are single-line, so here the operator degenerates to doc-level
@@ -2527,6 +2556,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["winsorize_lineitem"] = _winsorize
+    oracles["winsorize_lineitem"] = _WINSORIZE_SQL
     queries["line_dedup_documents"] = _line_dedup
     oracles["line_dedup_documents"] = _LINE_DEDUP_SQL
     queries["unigram_perplexity_documents"] = _unigram_ppl
