@@ -423,3 +423,54 @@ def test_scan_txt_corpus_folder(spark, tmp_path):
 
     ov = {r["file_name"]: r for r in overview.collect()}
     assert ov["prose.txt"]["n_rows"] == 30  # no header line to count
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    """The curation CLI composes quality → dedup → decontam → split over a
+    corpus with planted duplicates and a contaminated doc, writes a
+    split-partitioned parquet corpus, and reports per-stage counts."""
+    import json
+
+    from whiterrabbit_spark import curate as cu
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and that is a fine "
+        "sentence with the usual words in it repeated the usual way. "
+    ) * 3
+    rows = [(i, good + f"unique tail {i}") for i in range(10)]
+    rows.append((100, rows[0][1]))          # exact duplicate of doc 0
+    rows.append((101, "x" * 10))            # low quality (too short, no stopwords)
+    bench_text = "held out evaluation question about the capital of france answer paris"
+    rows.append((102, good + bench_text))   # contaminated
+    corpus_path = str(tmp_path / "corpus")
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(corpus_path)
+    spark.createDataFrame(
+        [(0, bench_text)], "qid long, text string"
+    ).write.parquet(bench_path)
+
+    out = str(tmp_path / "curated")
+    report = str(tmp_path / "report.json")
+    rc = cu.main([
+        "-i", corpus_path, "-o", out,
+        "--steps", "quality,dedup,decontam,split",
+        "--bench", bench_path,
+        "--overlap-threshold", "0.1",
+        "--report", report,
+    ])
+    assert rc == 0
+    rep = json.loads(open(report).read())
+    assert rep["counts"]["input"] == 13
+    assert rep["counts"]["quality"] == 12          # doc 101 dropped
+    assert rep["counts"]["dedup"] == 11            # doc 100 collapsed into 0
+    assert rep["counts"]["decontam"] == 10         # doc 102 dropped
+    assert rep["counts"]["split"] == 10
+
+    back = spark.read.parquet(out)
+    assert sorted(r.doc_id for r in back.collect()) == list(range(10))
+    assert set(back.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"
+    }
+    # split dirs are hive keys
+    import os
+    assert any(d.startswith("split=") for d in os.listdir(out))

@@ -1,0 +1,198 @@
+"""Curation-pipeline CLI — the user surface of the training-data half.
+
+The profiling CLI (`cli.py`) mirrors the reference's scan-report surface
+(whiteRRabbit.R:29-91); this command composes the extension operators into
+the standard corpus-curation pass a training pipeline runs before
+tokenization:
+
+    python -m whiterrabbit_spark.curate \
+        -i corpus_parquet/ -o curated/ \
+        --steps quality,dedup,decontam,split \
+        --bench eval_set.parquet --min-quality 0.4 \
+        --weights train=0.9,val=0.05,test=0.05 --partition-by split
+
+Every step is the already-tested operator (quality_exprs filter map-side;
+exact dedup keeps each content digest's minimum-id representative via one
+digest window; decontamination broadcasts the benchmark's shingles so the
+corpus never shuffles text; the split is the deterministic md5-bucket
+expression) — the CLI only sequences them into ONE composed DataFrame
+plan, so Catalyst fuses the map-side stages into the scan and the whole
+pipeline costs its shuffling steps, not its step count. The curated
+corpus lands as hive-partitioned parquet through ``sink.write_curated``.
+
+``--report`` additionally emits per-stage surviving-row counts as JSON;
+counting forces one action per stage, so it is an explicit opt-in rather
+than the default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STEPS = ("quality", "dedup", "decontam", "split")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="whiterrabbit-spark-curate",
+        description="Compose quality filter, dedup, decontamination and "
+        "splitting into one curated-corpus write",
+    )
+    p.add_argument("-i", "--input", required=True,
+                   help="corpus parquet (file or directory)")
+    p.add_argument("-o", "--output", required=True,
+                   help="output directory (hive-partitioned parquet)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--steps", default="quality,dedup,split",
+                   help=f"ordered comma-subset of {','.join(STEPS)}")
+    p.add_argument("--min-quality", type=float, default=0.4,
+                   help="drop docs with quality_score below this")
+    p.add_argument("--bench", default=None,
+                   help="benchmark/eval parquet for decontam step")
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--overlap-threshold", type=float, default=0.3)
+    p.add_argument("--weights", default="train=0.8,val=0.1,test=0.1",
+                   help="split weights, name=frac comma list")
+    p.add_argument("--salt", default="", help="split hash salt")
+    p.add_argument("--partition-by", default=None,
+                   help="comma list; defaults to 'split' when splitting")
+    p.add_argument("--max-records-per-file", type=int, default=None)
+    p.add_argument("--report", default=None,
+                   help="write per-stage row counts to this JSON file")
+    p.add_argument("-c", "--cpus", type=int, default=None)
+    return p
+
+
+def _parse_weights(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        name, _, frac = part.partition("=")
+        if not frac:
+            raise ValueError(f"bad weight spec {part!r} (want name=frac)")
+        out[name.strip()] = float(frac)
+    total = sum(out.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split weights sum to {total}, want 1.0")
+    return out
+
+
+def curate(
+    spark: SparkSession,
+    corpus: DataFrame,
+    steps: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.4,
+    bench: DataFrame | None = None,
+    shingle_k: int = 5,
+    overlap_threshold: float = 0.3,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+    count_stages: bool = False,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Apply the selected curation steps in order; returns the surviving
+    corpus (original columns, plus ``quality_score`` after quality and
+    ``split`` after split) and, when ``count_stages``, the per-stage
+    surviving row counts."""
+    from whiterrabbit_spark.extensions import splits as sp
+    from whiterrabbit_spark.extensions.decontam import contamination_stats
+    from whiterrabbit_spark.extensions.textstats import quality_exprs
+
+    unknown = [s for s in steps if s not in STEPS]
+    if unknown:
+        raise ValueError(f"unknown curation steps: {unknown}")
+    counts: dict[str, int] = {}
+    if count_stages:
+        counts["input"] = corpus.count()
+    df = corpus
+    for step in steps:
+        if step == "quality":
+            # map-side projection + filter; fuses into the scan stage
+            df = df.withColumn(
+                "quality_score", quality_exprs(F.col(text_col))["quality_score"]
+            ).where(F.col("quality_score") >= min_quality)
+        elif step == "dedup":
+            # exact content dedup keeping the minimum-id representative:
+            # one digest-window shuffle, no join back to the corpus
+            w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        elif step == "decontam":
+            if bench is None:
+                raise ValueError("decontam step requires a benchmark frame")
+            stats = contamination_stats(df, bench, text_col, id_col, shingle_k)
+            dirty = stats.where(
+                F.col("overlap_frac") >= overlap_threshold
+            ).select(id_col)
+            df = df.join(dirty, id_col, "left_anti")
+        elif step == "split":
+            df = sp.hash_split(df, id_col, weights, salt)
+        if count_stages:
+            counts[step] = df.count()
+    return df, counts
+
+
+def main(argv: list[str] | None = None) -> int:
+    from whiterrabbit_spark.extensions.sink import write_curated
+    from whiterrabbit_spark.session import get_spark
+
+    args = build_parser().parse_args(argv)
+    steps = [s.strip() for s in args.steps.split(",") if s.strip()]
+    spark = get_spark(cpus=args.cpus)
+    corpus = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.bench) if args.bench else None
+    if "decontam" in steps and bench is None:
+        print("error: --bench is required for the decontam step",
+              file=sys.stderr)
+        return 2
+
+    df, counts = curate(
+        spark,
+        corpus,
+        steps,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_quality=args.min_quality,
+        bench=bench,
+        shingle_k=args.shingle_k,
+        overlap_threshold=args.overlap_threshold,
+        weights=_parse_weights(args.weights),
+        salt=args.salt,
+        count_stages=args.report is not None,
+    )
+
+    partition_cols = (
+        [c.strip() for c in args.partition_by.split(",")]
+        if args.partition_by
+        else (["split"] if "split" in steps else [])
+    )
+    if partition_cols:
+        write_curated(df, args.output, partition_cols,
+                      max_records_per_file=args.max_records_per_file)
+    else:
+        writer = df.write.mode("overwrite")
+        if args.max_records_per_file:
+            writer = writer.option(
+                "maxRecordsPerFile", args.max_records_per_file
+            )
+        writer.parquet(args.output)
+    print(f"Wrote curated corpus: {args.output}")
+
+    if args.report is not None:
+        with open(args.report, "w") as fh:
+            json.dump({"steps": steps, "counts": counts}, fh)
+        print(f"Wrote report: {args.report}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
