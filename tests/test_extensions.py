@@ -1459,3 +1459,25 @@ def test_zordered_layout_prunes_both_dimensions(spark, tmp_path):
         r.event_id for r in spark.read.parquet(zpath).collect()
     )
     assert zrows == sorted(r.event_id for r in ev.collect())
+
+
+def test_pmi_collocations_math(spark):
+    """PMI verified by hand over occurrence counts: corpus (x y), (x y),
+    (z y), (z w) gives N=4, left x=2/z=2, right y=3/w=1."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "z y"), (4, "z w")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.w1, r.w2): r
+        for r in ts.pmi_collocations(docs, min_count=1, top_k=10).collect()
+    }
+    assert out[("x", "y")].pair_count == 2
+    assert abs(out[("x", "y")].pmi - math.log(4 * 2 / (2 * 3))) < 1e-12
+    assert abs(out[("z", "y")].pmi - math.log(4 * 1 / (2 * 3))) < 1e-12
+    assert abs(out[("z", "w")].pmi - math.log(4 * 1 / (2 * 1))) < 1e-12
+    # highest-PMI pair first
+    first = ts.pmi_collocations(docs, min_count=1, top_k=1).collect()[0]
+    assert (first.w1, first.w2) == ("z", "w")

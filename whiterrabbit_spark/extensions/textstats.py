@@ -12,7 +12,7 @@ RE2 (DuckDB) so the oracle recomputes them identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit language
@@ -430,3 +430,62 @@ def unigram_logppl(
         )
         .withColumn("perplexity", F.exp(F.col("avg_neg_logp")))
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the corpus's
+    ``top_k`` adjacent word pairs by PMI = ln(N·c_xy / (c_x·c_y)) among
+    bigrams occurring at least ``min_count`` times — the standard
+    phrase/term-of-art extractor (word2vec-phrases, Gensim ``Phrases``)
+    over occurrence counts, not per-doc distinct sets.
+
+    Returns ``(w1, w2, pair_count, pmi)``, PMI descending.
+
+    Shapes: ONE explode+groupBy job over bigram occurrences (O(tokens)
+    shuffle with map-side combine → O(distinct bigrams) rows); unigram
+    counts derive from the bigram frame itself (sum over each side) —
+    the corpus is scanned once. The min_count HAVING runs before the
+    top-k, and the final ordering is a distributed
+    ``TakeOrderedAndProject`` over the O(distinct bigrams) frame. N (total
+    bigram occurrences) folds in as a window total over the counted frame,
+    never a second corpus pass.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n),
+        F.slice(toks, 2, n),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = df.select(F.explode(bigrams).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    counted = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    total = Window.partitionBy()
+    left = Window.partitionBy("w1")
+    right = Window.partitionBy("w2")
+    scored = counted.select(
+        "w1", "w2", "pair_count",
+        F.log(
+            F.sum("pair_count").over(total).cast("double")
+            * F.col("pair_count")
+            / (
+                F.sum("pair_count").over(left).cast("double")
+                * F.sum("pair_count").over(right).cast("double")
+            )
+        ).alias("pmi"),
+    ).where(F.col("pair_count") >= min_count)
+    # top-k cut orders on PMI rounded to 6dp with a lexical tie-break, so
+    # the ranking is reproducible cross-engine (a last-ulp ln() divergence
+    # cannot reorder the cut)
+    return scored.orderBy(
+        F.desc(F.round("pmi", 6)), F.asc("w1"), F.asc("w2")
+    ).limit(top_k)

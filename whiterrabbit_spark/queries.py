@@ -1921,6 +1921,41 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI collocations over adjacent word pairs with count >= 5
+    (textstats.pmi_collocations): one bigram groupBy job; unigram totals
+    come from windows over the counted frame, never a second corpus
+    scan."""
+    from whiterrabbit_spark.extensions import textstats as tx
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = tx.pmi_collocations(docs, "text", "doc_id", min_count=5, top_k=100)
+    return out.select("w1", "w2", "pair_count", F.round("pmi", R).alias("pmi"))
+
+
+_PMI_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), bg AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM toks, unnest(generate_series(1, greatest(len(w)-1, 0))) AS t(i)
+), counted AS (
+  SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY 1, 2
+), scored AS (
+  SELECT w1, w2, pair_count,
+         ln(sum(pair_count) OVER () * pair_count * 1.0
+            / (sum(pair_count) OVER (PARTITION BY w1)
+               * sum(pair_count) OVER (PARTITION BY w2))) AS pmi
+  FROM counted
+)
+SELECT w1, w2, pair_count, round(pmi, 6) AS pmi
+FROM scored
+WHERE pair_count >= 5
+ORDER BY round(pmi, 6) DESC, w1 ASC, w2 ASC
+LIMIT 100"""
+
+
 def _winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile tail clamping of lineitem amounts (profile.winsorize):
     one exact-percentile agg (type-7, the oracle-agreed definition) +
@@ -2556,6 +2591,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["pmi_collocations_documents"] = _pmi
+    oracles["pmi_collocations_documents"] = _PMI_SQL
     queries["winsorize_lineitem"] = _winsorize
     oracles["winsorize_lineitem"] = _WINSORIZE_SQL
     queries["line_dedup_documents"] = _line_dedup
