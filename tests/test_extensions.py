@@ -1481,3 +1481,37 @@ def test_pmi_collocations_math(spark):
     # highest-PMI pair first
     first = ts.pmi_collocations(docs, min_count=1, top_k=1).collect()[0]
     assert (first.w1, first.w2) == ("z", "w")
+
+
+def test_jsonl_shards_roundtrip(spark, docs, tmp_path):
+    """JSONL-shard sink: gzip shards, shard count pinned by n_shards,
+    typed read-back reproduces the rows."""
+    import glob
+
+    from whiterrabbit_spark.extensions.sink import write_jsonl_shards
+
+    sel = docs.select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(sel, out, n_shards=3)
+    files = glob.glob(out + "/part-*.txt.gz")
+    assert len(files) == 3
+    back = spark.read.json(out)
+    assert back.count() == sel.count()
+    a = {(r.doc_id, r.lang, r.n_chars) for r in sel.collect()}
+    b = {(r.doc_id, r.lang, r.n_chars) for r in back.collect()}
+    assert a == b
+
+
+def test_vocab_coverage_curve(spark):
+    """Coverage curve sums the top-V mass: ranks are 1..V, cum_frac is
+    nondecreasing and ends at the top-V occurrence share."""
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    rows = ts.vocab_coverage(docs, top_v=3).orderBy("rank").collect()
+    assert [r.token for r in rows] == ["a", "b", "c"]
+    assert [r["count"] for r in rows] == [4, 3, 1]
+    assert abs(rows[-1].cum_frac - 8 / 9) < 1e-12
+    assert all(
+        rows[i].cum_frac <= rows[i + 1].cum_frac for i in range(len(rows) - 1)
+    )

@@ -87,8 +87,8 @@ def write_zordered(
     directory granularity) cannot give. The same technique Delta/Iceberg
     expose as OPTIMIZE ZORDER BY, built from Spark primitives:
 
-    1. per-column quantile RANK via ``ntile(2^bits)`` (equi-depth, so
-       skewed columns still spread across the curve),
+    1. per-column equi-depth quantile RANK (so skewed columns still
+       spread across the curve),
     2. bit-interleave the ranks into one BIGINT (``zorder_value``),
     3. ``repartitionByRange(n_files, z)`` — contiguous curve segments per
        file — plus ``sortWithinPartitions(z)`` for tight row-group stats.
@@ -131,3 +131,35 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+    n_shards: int | None = None,
+    compress: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Training-ready JSONL export: every row serialized with ``to_json``
+    (struct of all columns) and written as sharded ``.txt[.gz]`` files —
+    the interchange format tokenizer/packing stages consume. Shard size is
+    bounded from above by ``max_records_per_file`` (the writer's own
+    splitter) and shard count pinned by ``n_shards`` (a repartition —
+    round-robin, so shards are size-balanced); gzip per shard keeps files
+    independently decompressable.
+
+    Serialization is JVM-side (``to_json`` inside codegen); the only
+    shuffle is the optional repartition. The inverse reader is
+    ``io.read_jsonl`` (all-string profiling entry) or a typed
+    ``spark.read.json``.
+    """
+    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    if n_shards:
+        out = out.repartition(n_shards)
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.text(path)

@@ -489,3 +489,51 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc(F.round("pmi", 6)), F.asc("w1"), F.asc("w2")
     ).limit(top_k)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 1000,
+) -> DataFrame:
+    """Vocabulary builder with coverage curve (the tokenizer-prep
+    question: "how much of the corpus does a V-word vocabulary cover?"):
+    the ``top_v`` most frequent tokens with rank, occurrence count, corpus
+    frequency, and the cumulative covered fraction.
+
+    Returns ``(rank, token, count, frac, cum_frac)``, rank ascending —
+    ``cum_frac`` at rank V is the coverage a V-entry vocab achieves; the
+    remainder is the OOV rate.
+
+    Shapes: one explode+groupBy(token) job (O(tokens) shuffle with
+    map-side combine → O(vocab) rows); the total folds in as a window
+    over the counted frame; the top-V cut is a distributed
+    ``TakeOrderedAndProject``; only the ≤V-row cut frame passes through
+    the single-partition ranking window (bounded by construction, the
+    pack_shards rule). Ties break lexically for a reproducible cut.
+    """
+    counted = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    with_total = counted.withColumn(
+        "_total", F.sum("count").over(Window.partitionBy())
+    )
+    cut = with_total.orderBy(
+        F.desc("count"), F.asc("token")
+    ).limit(top_v)
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return cut.select(
+        F.row_number().over(w).alias("rank"),
+        "token",
+        "count",
+        (F.col("count") / F.col("_total")).alias("frac"),
+        (
+            F.sum("count").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            / F.col("_total")
+        ).alias("cum_frac"),
+    )

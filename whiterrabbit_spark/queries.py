@@ -1921,6 +1921,40 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1000 vocabulary with coverage curve (textstats.vocab_coverage):
+    one token groupBy; only the ≤V-row cut passes the ranking window.
+    Integer counts ⇒ the cumulative fractions are bit-identical."""
+    from whiterrabbit_spark.extensions import textstats as tx
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = tx.vocab_coverage(docs, "text", "doc_id", top_v=1000)
+    return out.select(
+        "rank", "token", "count",
+        F.round("frac", R).alias("frac"),
+        F.round("cum_frac", R).alias("cum_frac"),
+    )
+
+
+_VOCAB_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), counted AS (
+  SELECT token, count(*) AS count FROM toks GROUP BY 1
+), total AS (
+  SELECT sum(count)::DOUBLE AS t FROM counted
+), cut AS (
+  SELECT token, count FROM counted ORDER BY count DESC, token ASC LIMIT 1000
+)
+SELECT row_number() OVER (ORDER BY count DESC, token ASC) AS rank,
+       token, count,
+       round(count / t, 6) AS frac,
+       round(sum(count) OVER (ORDER BY count DESC, token ASC
+                              ROWS UNBOUNDED PRECEDING) / t, 6) AS cum_frac
+FROM cut, total"""
+
+
 def _pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 PMI collocations over adjacent word pairs with count >= 5
     (textstats.pmi_collocations): one bigram groupBy job; unigram totals
@@ -2591,6 +2625,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["vocab_coverage_documents"] = _vocab_coverage
+    oracles["vocab_coverage_documents"] = _VOCAB_SQL
     queries["pmi_collocations_documents"] = _pmi
     oracles["pmi_collocations_documents"] = _PMI_SQL
     queries["winsorize_lineitem"] = _winsorize
