@@ -474,3 +474,33 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     # split dirs are hive keys
     import os
     assert any(d.startswith("split=") for d in os.listdir(out))
+
+
+def test_curate_cli_near_dedup(spark, tmp_path):
+    """--dedup near collapses paraphrase-level near-duplicates (high
+    Jaccard, different digests) that exact mode keeps."""
+    from whiterrabbit_spark import curate as cu
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and that is a fine "
+        "long sentence with the usual words appearing in the usual way "
+        "for a quality filter to like it very much indeed today "
+    ) * 2
+    rows = [
+        (0, base + "original ending of the document"),
+        (1, base + "slightly different ending of the document"),  # near-dup of 0
+        (2, "completely different text about spark dataframes and shuffles "
+            "that is long enough to pass the quality filter with the usual "
+            "english stopwords the and of to a in is that " * 3),
+    ]
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(corpus_path)
+    out = str(tmp_path / "curated")
+    report = str(tmp_path / "rep.json")
+    rc = cu.main([
+        "-i", corpus_path, "-o", out,
+        "--steps", "dedup", "--dedup", "near", "--report", report,
+    ])
+    assert rc == 0
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [0, 2], kept

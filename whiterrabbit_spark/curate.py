@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help=f"ordered comma-subset of {','.join(STEPS)}")
     p.add_argument("--min-quality", type=float, default=0.4,
                    help="drop docs with quality_score below this")
+    p.add_argument("--dedup", default="exact", choices=["exact", "near"],
+                   help="exact = content-digest; near = MinHash-LSH pairs "
+                        "+ connected components, one doc kept per cluster")
+    p.add_argument("--jaccard-threshold", type=float, default=0.5,
+                   help="near-dedup similarity threshold")
     p.add_argument("--bench", default=None,
                    help="benchmark/eval parquet for decontam step")
     p.add_argument("--shingle-k", type=int, default=5)
@@ -89,6 +94,8 @@ def curate(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_quality: float = 0.4,
+    dedup_mode: str = "exact",
+    jaccard_threshold: float = 0.5,
     bench: DataFrame | None = None,
     shingle_k: int = 5,
     overlap_threshold: float = 0.3,
@@ -118,14 +125,33 @@ def curate(
                 "quality_score", quality_exprs(F.col(text_col))["quality_score"]
             ).where(F.col("quality_score") >= min_quality)
         elif step == "dedup":
-            # exact content dedup keeping the minimum-id representative:
-            # one digest-window shuffle, no join back to the corpus
-            w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
-            df = (
-                df.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            if dedup_mode == "near":
+                # MinHash-LSH pairs → connected components → keep each
+                # cluster's min-id representative. Exact dups are also
+                # near-dups at any threshold, so this subsumes exact mode;
+                # the label table holds only docs that appear in a pair.
+                from whiterrabbit_spark.extensions.dedup import (
+                    connected_components,
+                    minhash_dedup_pairs,
+                )
+
+                pairs = minhash_dedup_pairs(
+                    df, text_col, id_col, threshold=jaccard_threshold
+                )
+                labels = connected_components(pairs)
+                drop = labels.where(
+                    F.col("node") != F.col("cluster_id")
+                ).select(F.col("node").alias(id_col))
+                df = df.join(drop, id_col, "left_anti")
+            else:
+                # exact content dedup keeping the minimum-id
+                # representative: one digest-window shuffle, no join back
+                w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+                df = (
+                    df.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
         elif step == "decontam":
             if bench is None:
                 raise ValueError("decontam step requires a benchmark frame")
@@ -162,6 +188,8 @@ def main(argv: list[str] | None = None) -> int:
         text_col=args.text_col,
         id_col=args.id_col,
         min_quality=args.min_quality,
+        dedup_mode=args.dedup,
+        jaccard_threshold=args.jaccard_threshold,
         bench=bench,
         shingle_k=args.shingle_k,
         overlap_threshold=args.overlap_threshold,
