@@ -448,13 +448,14 @@ def pmi_collocations(
     Returns ``(w1, w2, pair_count, pmi)``, PMI descending.
 
     Shapes: ONE explode+groupBy job over bigram occurrences (O(tokens)
-    shuffle with map-side combine → O(distinct bigrams) rows); unigram
-    counts derive from the bigram frame itself (sum over each side) —
-    the corpus is scanned once. The min_count HAVING runs before the
-    top-k, and the final ordering is a distributed
-    ``TakeOrderedAndProject`` over the O(distinct bigrams) frame. N (total
-    bigram occurrences) folds in as a window total over the counted frame,
-    never a second corpus pass.
+    shuffle with map-side combine → O(distinct bigrams) rows, persisted);
+    unigram counts derive from the bigram frame itself via PARTITIONED
+    windows on each side — the corpus is scanned once. N (total bigram
+    occurrences) is a scalar: it collects from one agg over the counted
+    frame and inlines as a literal — never an unpartitioned window, which
+    would funnel every distinct bigram through one task. The min_count
+    HAVING runs before the top-k, and the final ordering is a distributed
+    ``TakeOrderedAndProject`` over the O(distinct bigrams) frame.
     """
     toks = tokens(F.col(text_col))
     n = F.greatest(F.size(toks) - 1, F.lit(0))
@@ -468,14 +469,14 @@ def pmi_collocations(
     )
     counted = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("pair_count")
-    )
-    total = Window.partitionBy()
+    ).persist()
+    total_n = counted.agg(F.sum("pair_count")).first()[0] or 0
     left = Window.partitionBy("w1")
     right = Window.partitionBy("w2")
     scored = counted.select(
         "w1", "w2", "pair_count",
         F.log(
-            F.sum("pair_count").over(total).cast("double")
+            F.lit(float(total_n))
             * F.col("pair_count")
             / (
                 F.sum("pair_count").over(left).cast("double")
@@ -507,33 +508,32 @@ def vocab_coverage(
     remainder is the OOV rate.
 
     Shapes: one explode+groupBy(token) job (O(tokens) shuffle with
-    map-side combine → O(vocab) rows); the total folds in as a window
-    over the counted frame; the top-V cut is a distributed
-    ``TakeOrderedAndProject``; only the ≤V-row cut frame passes through
-    the single-partition ranking window (bounded by construction, the
-    pack_shards rule). Ties break lexically for a reproducible cut.
+    map-side combine → O(vocab) rows, persisted); the corpus total is a
+    scalar collected from one agg and inlined as a literal (an
+    unpartitioned window here would funnel the whole vocabulary through
+    one task); the top-V cut is a distributed ``TakeOrderedAndProject``;
+    only the ≤V-row cut frame passes through the single-partition ranking
+    window (bounded by construction, the pack_shards rule). Ties break
+    lexically for a reproducible cut.
     """
     counted = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
+        .persist()
     )
-    with_total = counted.withColumn(
-        "_total", F.sum("count").over(Window.partitionBy())
-    )
-    cut = with_total.orderBy(
-        F.desc("count"), F.asc("token")
-    ).limit(top_v)
+    total = counted.agg(F.sum("count")).first()[0] or 0
+    cut = counted.orderBy(F.desc("count"), F.asc("token")).limit(top_v)
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     return cut.select(
         F.row_number().over(w).alias("rank"),
         "token",
         "count",
-        (F.col("count") / F.col("_total")).alias("frac"),
+        (F.col("count") / F.lit(float(total))).alias("frac"),
         (
             F.sum("count").over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
-            / F.col("_total")
+            / F.lit(float(total))
         ).alias("cum_frac"),
     )
