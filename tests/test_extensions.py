@@ -1515,3 +1515,26 @@ def test_vocab_coverage_curve(spark):
     assert all(
         rows[i].cum_frac <= rows[i + 1].cum_frac for i in range(len(rows) - 1)
     )
+
+
+def test_normalize_text_unicode_forms(spark):
+    """NFC unifies composed/decomposed encodings of the same glyphs; NFKC
+    additionally folds width/compatibility variants; nulls pass through."""
+    docs = spark.createDataFrame(
+        [
+            (1, "Café  Test"),          # precomposed é
+            (2, "Café  Test"),         # e + combining acute
+            (3, None),
+            (4, "Ａwide ﬁsh"),      # fullwidth A, fi ligature
+        ],
+        "doc_id long, text string",
+    )
+    nfc = {r.doc_id: r.norm_text for r in ts.normalize_text(docs).collect()}
+    assert nfc[1] == nfc[2] == "café test"
+    assert nfc[3] is None
+    assert nfc[4] == "ａwide ﬁsh"   # NFC keeps compatibility chars
+    nfkc = {
+        r.doc_id: r.norm_text
+        for r in ts.normalize_text(docs, form="NFKC").collect()
+    }
+    assert nfkc[4] == "awide fish"

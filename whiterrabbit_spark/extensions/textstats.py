@@ -537,3 +537,48 @@ def vocab_coverage(
             / F.lit(float(total))
         ).alias("cum_frac"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Unicode text normalization — the canonicalization pass run before
+    any hash-based dedup so that composed/decomposed encodings of the
+    same glyphs (é as U+00E9 vs e+U+0301), width variants (NFKC), and
+    whitespace/case noise produce identical fingerprints.
+
+    Returns ``(id_col, norm_text)``.
+
+    The Unicode normalization itself is the ONE text op here with no JVM
+    built-in, so it is a declared slow path: an Arrow-batched pandas UDF
+    over stdlib ``unicodedata`` — map-side, shuffle-free, vectorized
+    transfer (the multimodal-module pattern). Case folding and whitespace
+    collapse stay JVM-side expressions applied after it. The DuckDB
+    oracle reproduces the chain with ``nfc_normalize`` (NFC only — NFKC
+    is unit-pinned instead).
+    """
+    import unicodedata
+
+    import pandas as pd
+
+    def _norm_fn(s):
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    # real annotation objects: the module-wide postponed-annotations mode
+    # would otherwise hand pyspark unresolvable string hints
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = F.pandas_udf(_norm_fn, "string")
+
+    out = _norm(F.col(text_col))
+    if lowercase:
+        out = F.lower(out)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return df.select(F.col(id_col), out.alias("norm_text"))

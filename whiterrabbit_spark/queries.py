@@ -1921,6 +1921,23 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (textstats.normalize_text): NFC via an
+    Arrow-batched pandas UDF (no JVM built-in exists), case/whitespace
+    folding JVM-side; DuckDB mirrors with nfc_normalize."""
+    from whiterrabbit_spark.extensions import textstats as tx
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return tx.normalize_text(docs, "text", "doc_id")
+
+
+_NORMALIZE_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
+         AS norm_text
+FROM documents"""
+
+
 def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1000 vocabulary with coverage curve (textstats.vocab_coverage):
     one token groupBy; only the ≤V-row cut passes the ranking window.
@@ -2625,6 +2642,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["normalize_text_documents"] = _normalize_text
+    oracles["normalize_text_documents"] = _NORMALIZE_SQL
     queries["vocab_coverage_documents"] = _vocab_coverage
     oracles["vocab_coverage_documents"] = _VOCAB_SQL
     queries["pmi_collocations_documents"] = _pmi
