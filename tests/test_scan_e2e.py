@@ -504,3 +504,26 @@ def test_curate_cli_near_dedup(spark, tmp_path):
     assert rc == 0
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [0, 2], kept
+
+
+def test_curate_cli_normalize_step(spark, tmp_path):
+    """--steps normalize,dedup: composed/decomposed encodings of the same
+    text become exact duplicates and collapse; text is rewritten in
+    canonical form."""
+    from whiterrabbit_spark import curate as cu
+
+    rows = [
+        (0, "Café  du  Monde"),             # precomposed, double spaces
+        (1, "Café du Monde"),              # combining accent
+        (2, "something entirely different"),
+    ]
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(corpus_path)
+    out = str(tmp_path / "curated")
+    rc = cu.main([
+        "-i", corpus_path, "-o", out, "--steps", "normalize,dedup",
+    ])
+    assert rc == 0
+    back = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert sorted(back) == [0, 2]
+    assert back[0] == "café du monde"

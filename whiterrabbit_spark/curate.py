@@ -34,7 +34,7 @@ import sys
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-STEPS = ("quality", "dedup", "decontam", "split")
+STEPS = ("normalize", "quality", "dedup", "decontam", "split")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -119,7 +119,14 @@ def curate(
         counts["input"] = corpus.count()
     df = corpus
     for step in steps:
-        if step == "quality":
+        if step == "normalize":
+            # Unicode NFC + case/whitespace canonicalization IN PLACE, so
+            # every later hash (dedup digests, decontam shingles, split
+            # buckets) sees canonical text. Map-side; no shuffle.
+            from whiterrabbit_spark.extensions.textstats import normalize_expr
+
+            df = df.withColumn(text_col, normalize_expr(F.col(text_col)))
+        elif step == "quality":
             # map-side projection + filter; fuses into the scan stage
             df = df.withColumn(
                 "quality_score", quality_exprs(F.col(text_col))["quality_score"]

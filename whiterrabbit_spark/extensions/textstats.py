@@ -539,6 +539,35 @@ def vocab_coverage(
     )
 
 
+def normalize_expr(
+    text: Column,
+    form: str = "NFC",
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> Column:
+    """The normalization chain as a reusable Column (see
+    :func:`normalize_text` for semantics/shape): unicodedata pandas UDF,
+    then JVM-side case/whitespace folding."""
+    import unicodedata
+
+    import pandas as pd
+
+    def _norm_fn(s):
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    # real annotation objects: the module-wide postponed-annotations mode
+    # would otherwise hand pyspark unresolvable string hints
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    out = F.pandas_udf(_norm_fn, "string")(text)
+    if lowercase:
+        out = F.lower(out)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",
@@ -562,23 +591,9 @@ def normalize_text(
     oracle reproduces the chain with ``nfc_normalize`` (NFC only — NFKC
     is unit-pinned instead).
     """
-    import unicodedata
-
-    import pandas as pd
-
-    def _norm_fn(s):
-        return s.map(
-            lambda x: unicodedata.normalize(form, x) if x is not None else None
-        )
-
-    # real annotation objects: the module-wide postponed-annotations mode
-    # would otherwise hand pyspark unresolvable string hints
-    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    _norm = F.pandas_udf(_norm_fn, "string")
-
-    out = _norm(F.col(text_col))
-    if lowercase:
-        out = F.lower(out)
-    if collapse_ws:
-        out = F.trim(F.regexp_replace(out, r"\s+", " "))
-    return df.select(F.col(id_col), out.alias("norm_text"))
+    return df.select(
+        F.col(id_col),
+        normalize_expr(
+            F.col(text_col), form, lowercase, collapse_ws
+        ).alias("norm_text"),
+    )
