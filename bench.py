@@ -67,6 +67,13 @@ def main() -> None:
         "curation_pipeline": queries["curation_pipeline_documents"],
         "sessionize": queries["sessionize_events"],
         "events_hourly_rollup": queries["events_hourly_rollup"],
+        # added later in round 1 (absent from earlier BENCH_r records;
+        # BASELINE.md documents their bands separately)
+        "line_dedup": queries["line_dedup_documents"],
+        "dup_ngram_stats": queries["dup_ngram_stats_documents"],
+        "unigram_perplexity": queries["unigram_perplexity_documents"],
+        "pmi_collocations": queries["pmi_collocations_documents"],
+        "vocab_coverage": queries["vocab_coverage_documents"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so
