@@ -1538,3 +1538,31 @@ def test_normalize_text_unicode_forms(spark):
         for r in ts.normalize_text(docs, form="NFKC").collect()
     }
     assert nfkc[4] == "awide fish"
+
+
+def test_extract_json_fields_malformed_and_missing(spark):
+    """from_json extraction: typed values out, NULL for missing keys and
+    malformed documents (PERMISSIVE degradation, never a job failure)."""
+    from whiterrabbit_spark.extensions.semistructured import (
+        extract_json_fields,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "name": "a"}'),
+            (2, '{"name": "b"}'),
+            (3, "not json at all"),
+            (4, None),
+        ],
+        "id long, props string",
+    )
+    out = {
+        r.id: (r.k, r.name)
+        for r in extract_json_fields(
+            df, "props", {"k": "int", "name": "string"}
+        ).collect()
+    }
+    assert out[1] == (7, "a")
+    assert out[2] == (None, "b")
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)

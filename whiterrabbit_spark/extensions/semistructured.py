@@ -1,0 +1,62 @@
+"""Semi-structured (JSON-string) column operators.
+
+Event/telemetry tables carry a free-form JSON properties column next to
+the typed columns (the driver's ``events.props``); profiling and rollups
+need those fields extracted WITHOUT a Python-side parse. Extraction is
+``from_json`` with a declared field schema — a JVM ``JsonToStructs``
+expression inside whole-stage codegen, map-side and shuffle-free; the
+reference has no JSON surface at all (whiteRRabbit.R reads delimited text
+only), so this is a north-star extension.
+
+Scale notes: extraction composes into the scan stage (one pass, column-
+pruned to the JSON column + keys); a rollup over extracted fields is the
+standard partial-aggregable groupBy. Malformed JSON yields NULL fields
+(PERMISSIVE mode), so corrupt rows degrade to missing values, not job
+failures — the right default for 100 TB of telemetry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def extract_json_fields(
+    df: DataFrame,
+    json_col: str,
+    fields: dict[str, str],
+    prefix: str = "",
+) -> DataFrame:
+    """Project typed fields out of a JSON-string column: ``fields`` maps
+    field name → Spark type DDL (e.g. ``{"k": "int"}``). Appends one
+    typed column per field (``prefix + name``); all original columns are
+    kept. Missing keys and malformed documents become NULL."""
+    schema = ", ".join(f"{name} {ddl}" for name, ddl in fields.items())
+    parsed = F.from_json(F.col(json_col), schema)
+    out = df
+    for name in fields:
+        out = out.withColumn(prefix + name, parsed[name])
+    return out
+
+
+def json_field_rollup(
+    df: DataFrame,
+    json_col: str,
+    field: str,
+    field_type: str,
+    group_col: str,
+) -> DataFrame:
+    """Typed rollup over one JSON field per group: count, non-null count,
+    min/max/avg, exact distinct — the profiling summary for a
+    semi-structured column. One extraction pass fused into the scan, one
+    partial-aggregable groupBy shuffle, O(groups) rows out."""
+    extracted = extract_json_fields(df, json_col, {field: field_type}, "_j_")
+    v = F.col(f"_j_{field}")
+    return extracted.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(v).alias("n_present"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+        F.avg(v).alias("avg_val"),
+        F.countDistinct(v).alias("distinct_vals"),
+    )

@@ -1921,6 +1921,32 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed rollup of the JSON props.k field per event_type
+    (semistructured.json_field_rollup): from_json extraction fused into
+    the scan, one groupBy."""
+    from whiterrabbit_spark.extensions.semistructured import json_field_rollup
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    out = json_field_rollup(ev, "props", "k", "int", "event_type")
+    return out.select(
+        "event_type", "n_rows", "n_present", "min_val", "max_val",
+        F.round("avg_val", R).alias("avg_val"), "distinct_vals",
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(CAST(props->>'k' AS INTEGER)) AS n_present,
+       min(CAST(props->>'k' AS INTEGER)) AS min_val,
+       max(CAST(props->>'k' AS INTEGER)) AS max_val,
+       round(avg(CAST(props->>'k' AS INTEGER)), 6) AS avg_val,
+       count(DISTINCT CAST(props->>'k' AS INTEGER)) AS distinct_vals
+FROM events
+GROUP BY 1"""
+
+
 def _normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode canonicalization (textstats.normalize_text): NFC via an
     Arrow-batched pandas UDF (no JVM built-in exists), case/whitespace
@@ -2642,6 +2668,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["json_props_rollup_events"] = _json_props_rollup
+    oracles["json_props_rollup_events"] = _JSON_PROPS_SQL
     queries["normalize_text_documents"] = _normalize_text
     oracles["normalize_text_documents"] = _NORMALIZE_SQL
     queries["vocab_coverage_documents"] = _vocab_coverage
