@@ -1921,6 +1921,35 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score feature scaling of l_quantity (the oracle-pinned form of
+    profile.normalize_columns): both engines standardize against the
+    ROUNDED (6dp) mean/stddev so a last-ulp aggregation divergence cannot
+    leak into the per-row outputs — the derive-from-agreed-rounded-stats
+    pattern the profile means use."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    mu, sd = li.agg(
+        F.round(F.avg("l_quantity"), R), F.round(F.stddev_samp("l_quantity"), R)
+    ).first()
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(
+            (F.col("l_quantity") - F.lit(float(mu))) / F.lit(float(sd)), R
+        ).alias("qty_z"),
+    )
+
+
+_ZSCORE_SQL = """
+WITH s AS (
+  SELECT round(avg(l_quantity), 6) AS mu,
+         round(stddev_samp(l_quantity), 6) AS sd
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round((l_quantity - mu) / sd, 6) AS qty_z
+FROM lineitem, s"""
+
+
 def _json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed rollup of the JSON props.k field per event_type
     (semistructured.json_field_rollup): from_json extraction fused into
@@ -2668,6 +2697,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["zscore_lineitem"] = _zscore
+    oracles["zscore_lineitem"] = _ZSCORE_SQL
     queries["json_props_rollup_events"] = _json_props_rollup
     oracles["json_props_rollup_events"] = _JSON_PROPS_SQL
     queries["normalize_text_documents"] = _normalize_text
