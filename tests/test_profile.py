@@ -370,3 +370,26 @@ def test_winsorize_and_normalize(spark):
     assert vals[0] == 0.0 and vals[-1] == 1.0
     nn = normalize_columns(df, ["withnull"]).collect()
     assert sum(1 for r in nn if r.withnull is None) == 1
+
+
+def test_winsorize_null_and_degenerate_edges(spark):
+    """NULLs survive winsorization untouched (Spark least/greatest skip
+    nulls — the when-chain must not fabricate the lower quantile);
+    all-NULL columns pass through; a single-value column z-scores to 0.0,
+    not NaN (stddev_samp returns NaN, not NULL, for n=1)."""
+    import math
+
+    from whiterrabbit_spark.profile import normalize_columns, winsorize
+
+    df = spark.createDataFrame(
+        [(None, None), (1.0, None), (2.0, None), (100.0, None)],
+        "x double, allnull double",
+    )
+    w = winsorize(df, ["x", "allnull"], lo=0.25, hi=0.75)
+    xs = [r.x for r in w.collect()]
+    assert xs.count(None) == 1, "NULL must stay NULL, not become the quantile"
+    assert all(r.allnull is None for r in w.collect())
+
+    one = spark.createDataFrame([(5.0,)], "y double")
+    z = normalize_columns(one, ["y"]).collect()[0].y
+    assert z == 0.0 and not math.isnan(z)

@@ -31,7 +31,7 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STEPS = ("normalize", "quality", "dedup", "decontam", "split")
@@ -88,7 +88,6 @@ def _parse_weights(spec: str) -> dict[str, float]:
 
 
 def curate(
-    spark: SparkSession,
     corpus: DataFrame,
     steps: list[str],
     text_col: str = "text",
@@ -189,7 +188,6 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     df, counts = curate(
-        spark,
         corpus,
         steps,
         text_col=args.text_col,

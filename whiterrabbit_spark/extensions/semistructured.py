@@ -30,13 +30,19 @@ def extract_json_fields(
     """Project typed fields out of a JSON-string column: ``fields`` maps
     field name → Spark type DDL (e.g. ``{"k": "int"}``). Appends one
     typed column per field (``prefix + name``); all original columns are
-    kept. Missing keys and malformed documents become NULL."""
+    kept. Missing keys and malformed documents become NULL.
+
+    The document parses ONCE: one ``from_json`` lands in an intermediate
+    struct column that every field projects from (per-field ``from_json``
+    copies would each get their schema pruned to a single field —
+    non-identical expressions CSE cannot merge, re-tokenizing the JSON
+    once per field)."""
     schema = ", ".join(f"{name} {ddl}" for name, ddl in fields.items())
-    parsed = F.from_json(F.col(json_col), schema)
-    out = df
+    tmp = f"_{json_col}_parsed"
+    out = df.withColumn(tmp, F.from_json(F.col(json_col), schema))
     for name in fields:
-        out = out.withColumn(prefix + name, parsed[name])
-    return out
+        out = out.withColumn(prefix + name, F.col(tmp)[name])
+    return out.drop(tmp)
 
 
 def json_field_rollup(

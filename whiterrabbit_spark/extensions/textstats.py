@@ -435,7 +435,6 @@ def unigram_logppl(
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_count: int = 5,
     top_k: int = 100,
 ) -> DataFrame:
@@ -467,6 +466,9 @@ def pmi_collocations(
     pairs = df.select(F.explode(bigrams).alias("bg")).select(
         F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
+    # persisted across the in-function total agg AND the caller's
+    # evaluation of the returned plan; O(distinct bigrams) rows, left
+    # cached for the session like the minhash shingle table (LRU-evicted)
     counted = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("pair_count")
     ).persist()
@@ -495,7 +497,6 @@ def pmi_collocations(
 def vocab_coverage(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     top_v: int = 1000,
 ) -> DataFrame:
     """Vocabulary builder with coverage curve (the tokenizer-prep
@@ -516,6 +517,8 @@ def vocab_coverage(
     window (bounded by construction, the pack_shards rule). Ties break
     lexically for a reproducible cut.
     """
+    # persisted across the total agg and the caller's evaluation;
+    # O(vocab) rows, left cached for the session (LRU-evicted)
     counted = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")

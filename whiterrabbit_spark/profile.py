@@ -51,6 +51,7 @@ Very wide tables: expressions are chunked into multiple agg jobs above
 
 from __future__ import annotations
 
+import math
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
@@ -903,12 +904,17 @@ def winsorize(
     ).first()
     out = df
     for c in cols:
+        if qs[c] is None:
+            continue  # empty / all-NULL column: nothing to clamp
         ql, qh = qs[c]
+        # when-chain, NOT least(greatest(...)): Spark's least/greatest
+        # SKIP null arguments, which would fabricate ql for NULL values;
+        # NULL comparisons fall through to otherwise() untouched
         out = out.withColumn(
             c,
-            F.least(
-                F.greatest(F.col(c), F.lit(float(ql))), F.lit(float(qh))
-            ),
+            F.when(F.col(c) < float(ql), F.lit(float(ql)))
+            .when(F.col(c) > float(qh), F.lit(float(qh)))
+            .otherwise(F.col(c)),
         )
     return out
 
@@ -932,7 +938,9 @@ def normalize_columns(
         out = df
         for c in cols:
             mu, sd = stats[f"m_{c}"], stats[f"s_{c}"]
-            if sd is None or sd == 0.0:
+            # stddev_samp of a single value is NaN in Spark (not NULL),
+            # so the degenerate guard must test NaN too
+            if sd is None or sd == 0.0 or math.isnan(sd):
                 expr = F.when(F.col(c).isNotNull(), F.lit(0.0))
             else:
                 expr = (F.col(c) - F.lit(float(mu))) / F.lit(float(sd))

@@ -2000,7 +2000,7 @@ def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whiterrabbit_spark.extensions import textstats as tx
 
     docs = read_parquet_table(spark, sf_dir, "documents")
-    out = tx.vocab_coverage(docs, "text", "doc_id", top_v=1000)
+    out = tx.vocab_coverage(docs, "text", top_v=1000)
     return out.select(
         "rank", "token", "count",
         F.round("frac", R).alias("frac"),
@@ -2035,7 +2035,7 @@ def _pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from whiterrabbit_spark.extensions import textstats as tx
 
     docs = read_parquet_table(spark, sf_dir, "documents")
-    out = tx.pmi_collocations(docs, "text", "doc_id", min_count=5, top_k=100)
+    out = tx.pmi_collocations(docs, "text", min_count=5, top_k=100)
     return out.select("w1", "w2", "pair_count", F.round("pmi", R).alias("pmi"))
 
 
