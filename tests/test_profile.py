@@ -393,3 +393,25 @@ def test_winsorize_null_and_degenerate_edges(spark):
     one = spark.createDataFrame([(5.0,)], "y double")
     z = normalize_columns(one, ["y"]).collect()[0].y
     assert z == 0.0 and not math.isnan(z)
+
+
+def test_fk_coverage_orphans_and_nulls(spark):
+    """FK coverage with planted violations: a NULL FK and an unknown key
+    both count as orphans; unreferenced parents counted; duplicate child
+    keys counted per-row."""
+    from whiterrabbit_spark.profile import fk_coverage
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame(
+        [(10,), (20,), (30,)], "pk long"
+    )
+    row = fk_coverage(child, parent, "fk", "pk").collect()[0]
+    assert row.n_child == 5
+    assert row.n_parent == 3
+    assert row.n_child_orphans == 2          # fk=99 and fk=NULL
+    assert row.n_parent_unreferenced == 1    # pk=30
+    assert abs(row.orphan_frac - 0.4) < 1e-12
+    assert abs(row.referenced_frac - 2 / 3) < 1e-12

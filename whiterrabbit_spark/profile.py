@@ -963,3 +963,76 @@ def normalize_columns(
             out = out.withColumn(c, expr)
         return out
     raise ValueError(f"unknown normalization method: {method}")
+
+
+def fk_coverage(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Cross-table referential-integrity profile — the data-quality check
+    the reference's single-table scans cannot express (whiteRRabbit.R
+    profiles files independently; its OHDSI siblings ship this as the
+    Data Quality Dashboard FK checks): how well a child table's foreign
+    key resolves against a parent, and how much of the parent is actually
+    referenced.
+
+    Returns ONE row: ``n_child, n_parent, n_child_orphans`` (child rows
+    whose key has no parent — broken references), ``n_parent_unreferenced``
+    (parent rows no child points at — dead dimension entries),
+    ``orphan_frac, referenced_frac``. NULL child keys count as orphans
+    (a NULL FK cannot resolve).
+
+    Shapes: both directions reduce to distinct-key frames before any
+    join — the child side aggregates to (key, count) first, so the joins
+    move O(distinct keys), never O(rows); each side then collapses to a
+    one-row agg. Catalyst broadcasts whichever distinct-key frame fits.
+    """
+    ck = F.col(child_key)
+    # NULL FKs are excluded here and counted separately below — keeping
+    # them in the grouped frame would double-count them as orphans
+    child_keys = (
+        child.where(ck.isNotNull())
+        .groupBy(ck.alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    parent_keys = parent.select(F.col(parent_key).alias("_k")).distinct()
+    joined = child_keys.join(
+        parent_keys.withColumn("_hit", F.lit(1)), "_k", "left"
+    )
+    child_side = joined.agg(
+        F.sum("_n").alias("n_child"),
+        F.sum(F.when(F.col("_hit").isNull(), F.col("_n")).otherwise(0)).alias(
+            "n_child_orphans"
+        ),
+    )
+    ref_side = parent_keys.join(
+        child_keys.select("_k").withColumn("_ref", F.lit(1)), "_k", "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_parent_nonnull"),
+        F.sum(F.coalesce(F.col("_ref"), F.lit(0))).alias("n_parent_referenced"),
+    )
+    n_parent = parent.count()
+    null_child = child.where(ck.isNull()).count()
+    c = child_side.first()
+    r = ref_side.first()
+    n_child = (c["n_child"] or 0) + null_child
+    orphans = (c["n_child_orphans"] or 0) + null_child
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_child,
+                n_parent,
+                orphans,
+                n_parent - (r["n_parent_referenced"] or 0),
+                float(orphans) / n_child if n_child else 0.0,
+                float(r["n_parent_referenced"] or 0) / n_parent
+                if n_parent
+                else 0.0,
+            )
+        ],
+        "n_child long, n_parent long, n_child_orphans long, "
+        "n_parent_unreferenced long, orphan_frac double, referenced_frac double",
+    )

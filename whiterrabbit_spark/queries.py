@@ -1921,6 +1921,55 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profile of orders.o_custkey against
+    customer.c_custkey (profile.fk_coverage): distinct-key-frame joins,
+    one row out."""
+    from whiterrabbit_spark.profile import fk_coverage
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    customer = read_parquet_table(spark, sf_dir, "customer")
+    out = fk_coverage(orders, customer, "o_custkey", "c_custkey")
+    return out.select(
+        "n_child", "n_parent", "n_child_orphans", "n_parent_unreferenced",
+        F.round("orphan_frac", R).alias("orphan_frac"),
+        F.round("referenced_frac", R).alias("referenced_frac"),
+    )
+
+
+_FK_COVERAGE_SQL = """
+WITH ck AS (
+  SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1
+), pk AS (
+  SELECT DISTINCT c_custkey AS k FROM customer
+), child_side AS (
+  SELECT coalesce(sum(n), 0) AS n_child,
+         coalesce(sum(CASE WHEN pk.k IS NULL THEN n ELSE 0 END), 0)
+           AS n_child_orphans
+  FROM ck LEFT JOIN pk USING (k)
+  WHERE ck.k IS NOT NULL
+), nulls AS (
+  SELECT count(*) AS n_null FROM orders WHERE o_custkey IS NULL
+), ref_side AS (
+  SELECT count(*) AS n_parent,
+         count(ck.k) AS n_referenced
+  FROM pk LEFT JOIN (SELECT DISTINCT k FROM ck WHERE k IS NOT NULL) ck
+    USING (k)
+), parent_total AS (
+  SELECT count(*) AS n_parent_rows FROM customer
+)
+SELECT child_side.n_child + nulls.n_null AS n_child,
+       parent_total.n_parent_rows AS n_parent,
+       child_side.n_child_orphans + nulls.n_null AS n_child_orphans,
+       parent_total.n_parent_rows - ref_side.n_referenced
+         AS n_parent_unreferenced,
+       round((child_side.n_child_orphans + nulls.n_null) * 1.0
+             / (child_side.n_child + nulls.n_null), 6) AS orphan_frac,
+       round(ref_side.n_referenced * 1.0 / parent_total.n_parent_rows, 6)
+         AS referenced_frac
+FROM child_side, nulls, ref_side, parent_total"""
+
+
 def _zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score feature scaling of l_quantity (the oracle-pinned form of
     profile.normalize_columns): both engines standardize against the
@@ -2697,6 +2746,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["fk_coverage_orders_customer"] = _fk_coverage
+    oracles["fk_coverage_orders_customer"] = _FK_COVERAGE_SQL
     queries["zscore_lineitem"] = _zscore
     oracles["zscore_lineitem"] = _ZSCORE_SQL
     queries["json_props_rollup_events"] = _json_props_rollup
