@@ -415,3 +415,21 @@ def test_fk_coverage_orphans_and_nulls(spark):
     assert row.n_parent_unreferenced == 1    # pk=30
     assert abs(row.orphan_frac - 0.4) < 1e-12
     assert abs(row.referenced_frac - 2 / 3) < 1e-12
+
+
+def test_functional_dependency_detection(spark):
+    """FD holds exactly when every lhs maps to one rhs; NULL rhs is a
+    distinct value; NULL lhs is its own group."""
+    from whiterrabbit_spark.profile import functional_dependency
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "c"), (None, "d"), (3, None)],
+        "l int, r string",
+    )
+    row = functional_dependency(df, "l", "r").collect()[0]
+    assert row.n_groups == 4
+    assert row.n_violating_groups == 1      # l=2 -> {b, c}
+    assert row.max_rhs_per_lhs == 2
+    assert not row.fd_holds
+    ok = functional_dependency(df.where("l is null or l <> 2"), "l", "r")
+    assert ok.collect()[0].fd_holds

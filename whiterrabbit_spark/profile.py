@@ -1036,3 +1036,32 @@ def fk_coverage(
         "n_child long, n_parent long, n_child_orphans long, "
         "n_parent_unreferenced long, orphan_frac double, referenced_frac double",
     )
+
+
+def functional_dependency(
+    df: DataFrame,
+    lhs: str,
+    rhs: str,
+) -> DataFrame:
+    """Approximate functional-dependency check lhs → rhs (the
+    Metanome/profiling-suite question "does A determine B?"): one row with
+    ``n_groups`` (distinct lhs), ``n_violating_groups`` (lhs values mapped
+    to >1 distinct rhs), ``max_rhs_per_lhs``, and ``fd_holds``. NULLs
+    participate as ordinary values (NULL lhs is one group; NULL rhs one
+    value — the pragmatic profiling convention).
+
+    Shapes: one groupBy(lhs) with an exact countDistinct(rhs) per group —
+    a single shuffle whose partial aggregation dedups (lhs, rhs) pairs
+    map-side — then a one-row agg over the O(distinct lhs) frame.
+    """
+    per_group = df.groupBy(F.col(lhs).alias("_l")).agg(
+        F.count_distinct(
+            F.coalesce(F.col(rhs).cast("string"), F.lit("\0NULL"))
+        ).alias("_nr")
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("_nr") > 1).cast("long")).alias("n_violating_groups"),
+        F.max("_nr").alias("max_rhs_per_lhs"),
+        (F.max("_nr") <= 1).alias("fd_holds"),
+    )

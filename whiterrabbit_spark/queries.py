@@ -1921,6 +1921,46 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _fd_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate pairs
+    (profile.functional_dependency): one groupBy(lhs) + count_distinct
+    per pair. o_orderkey→o_custkey holds (PK); c_nationkey→c_mktsegment
+    does not."""
+    from whiterrabbit_spark.profile import functional_dependency
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    customer = read_parquet_table(spark, sf_dir, "customer")
+    a = functional_dependency(orders, "o_orderkey", "o_custkey").select(
+        F.lit("o_orderkey->o_custkey").alias("fd"), "*"
+    )
+    b = functional_dependency(customer, "c_nationkey", "c_mktsegment").select(
+        F.lit("c_nationkey->c_mktsegment").alias("fd"), "*"
+    )
+    return a.unionByName(b)
+
+
+_FD_SQL = """
+WITH a AS (
+  SELECT count(DISTINCT coalesce(CAST(o_custkey AS VARCHAR), chr(1) || 'NULL'))
+           AS nr, o_orderkey
+  FROM orders GROUP BY o_orderkey
+), b AS (
+  SELECT count(DISTINCT coalesce(c_mktsegment, chr(1) || 'NULL')) AS nr,
+         c_nationkey
+  FROM customer GROUP BY c_nationkey
+)
+SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS n_groups,
+       coalesce(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END), 0)
+         AS n_violating_groups,
+       max(nr) AS max_rhs_per_lhs, max(nr) <= 1 AS fd_holds
+FROM a
+UNION ALL
+SELECT 'c_nationkey->c_mktsegment', count(*),
+       coalesce(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END), 0),
+       max(nr), max(nr) <= 1
+FROM b"""
+
+
 def _fk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profile of orders.o_custkey against
     customer.c_custkey (profile.fk_coverage): distinct-key-frame joins,
@@ -2746,6 +2786,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["functional_dependencies"] = _fd_checks
+    oracles["functional_dependencies"] = _FD_SQL
     queries["fk_coverage_orders_customer"] = _fk_coverage
     oracles["fk_coverage_orders_customer"] = _FK_COVERAGE_SQL
     queries["zscore_lineitem"] = _zscore
