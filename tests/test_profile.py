@@ -433,3 +433,19 @@ def test_functional_dependency_detection(spark):
     assert not row.fd_holds
     ok = functional_dependency(df.where("l is null or l <> 2"), "l", "r")
     assert ok.collect()[0].fd_holds
+
+
+def test_mad_outlier_counts_hand_math(spark):
+    """MAD verified by hand: values 1..9 plus a planted 1000 — median 5.5,
+    MAD 2.5, and only the planted point crosses 3·1.4826·MAD."""
+    from whiterrabbit_spark.profile import mad_outlier_counts
+
+    vals = [float(i) for i in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = mad_outlier_counts(df, ["x"]).collect()[0]
+    assert row.median_val == 5.5
+    assert row.mad == 2.5
+    assert row.n_outliers == 1
+    allnull = spark.createDataFrame([(None,), (None,)], "y double")
+    r2 = mad_outlier_counts(allnull, ["y"]).collect()[0]
+    assert r2.median_val is None and r2.n_outliers == 0

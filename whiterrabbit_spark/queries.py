@@ -1921,6 +1921,40 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier counts on orders amounts
+    (profile.mad_outlier_counts): exact percentiles agree bit-identically
+    across engines (type-7 parity), and the threshold multiplication
+    k*1.4826*mad associates left in both, so per-row comparisons are
+    cross-engine exact."""
+    from whiterrabbit_spark.profile import mad_outlier_counts
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = mad_outlier_counts(orders, ["o_totalprice"], k=3.0)
+    return out.select(
+        "column",
+        F.round("median_val", R).alias("median_val"),
+        F.round("mad", R).alias("mad"),
+        "n_outliers",
+    )
+
+
+_MAD_SQL = """
+WITH m AS (
+  SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders
+), d AS (
+  SELECT quantile_cont(abs(o_totalprice - m.med), 0.5) AS mad, m.med AS med
+  FROM orders, m GROUP BY m.med
+)
+SELECT 'o_totalprice' AS column,
+       round(d.med, 6) AS median_val,
+       round(d.mad, 6) AS mad,
+       sum(CASE WHEN abs(o_totalprice - d.med) > 3.0 * 1.4826 * d.mad
+                THEN 1 ELSE 0 END) AS n_outliers
+FROM orders, d
+GROUP BY d.med, d.mad"""
+
+
 def _fd_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency discovery over candidate pairs
     (profile.functional_dependency): one groupBy(lhs) + count_distinct
@@ -2786,6 +2820,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["mad_outliers_orders"] = _mad_outliers
+    oracles["mad_outliers_orders"] = _MAD_SQL
     queries["functional_dependencies"] = _fd_checks
     oracles["functional_dependencies"] = _FD_SQL
     queries["fk_coverage_orders_customer"] = _fk_coverage
