@@ -1566,3 +1566,25 @@ def test_extract_json_fields_malformed_and_missing(spark):
     assert out[2] == (None, "b")
     assert out[3] == (None, None)
     assert out[4] == (None, None)
+
+
+def test_edit_distance_pairs_semantics(spark):
+    """Levenshtein verify keeps character-level near-dups and drops
+    candidate pairs whose distance exceeds the threshold; emitted
+    distances are exact."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),   # dist 3
+            (3, "the quick brown fox leaps over the sleepy cat today"),
+            (4, "completely unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id1, r.id2): r.edit_distance
+        for r in X.edit_distance_pairs(
+            docs, max_dist=5, jaccard_floor=0.2
+        ).collect()
+    }
+    assert out == {(1, 2): 3}

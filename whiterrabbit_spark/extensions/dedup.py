@@ -592,3 +592,41 @@ def dedup_clusters(
         F.min("node").alias("representative_id"),
         F.max("node").alias("max_member_id"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 20,
+    k: int = 3,
+    jaccard_floor: float = 0.3,
+) -> DataFrame:
+    """Edit-distance verified near-duplicate pairs: candidates come from
+    the shingle inverted index (word k-gram Jaccard ≥ ``jaccard_floor`` —
+    a low bar that exists only to bound the quadratic verify), then each
+    candidate pair is scored with the built-in ``levenshtein`` and kept
+    when the distance is ≤ ``max_dist``. Character-level edits are the
+    near-dup signal Jaccard-of-word-shingles is blind to (typo farms,
+    OCR noise, small in-place edits that keep most shingles intact).
+
+    Returns ``(id1, id2, jaccard, edit_distance)``.
+
+    Shapes: the shingle join machinery of :func:`ngram_jaccard_pairs`
+    (its scale caveats apply verbatim — LSH is the candidate generator at
+    100 TB); the verify adds two id-equi-joins to re-attach the texts —
+    O(candidate pairs) rows carrying text — and the JVM ``levenshtein``
+    takes ``max_dist`` as a threshold, turning the O(n·m) DP into
+    O(n·max_dist) with early exit.
+    """
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, k, jaccard_floor)
+    t1 = df.select(F.col(id_col).alias("id1"), F.col(text_col).alias("_t1"))
+    t2 = df.select(F.col(id_col).alias("id2"), F.col(text_col).alias("_t2"))
+    dist = F.levenshtein("_t1", "_t2", max_dist)
+    return (
+        pairs.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn("edit_distance", dist)
+        .where(F.col("edit_distance") >= 0)  # -1 = threshold exceeded
+        .select("id1", "id2", "jaccard", "edit_distance")
+    )

@@ -1921,6 +1921,50 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verified near-dup pairs (dedup.edit_distance_pairs):
+    Jaccard-banded candidates, threshold-accelerated JVM levenshtein;
+    DuckDB's unit-cost levenshtein reproduces the distances exactly."""
+    from whiterrabbit_spark.extensions import dedup as dd
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = dd.edit_distance_pairs(
+        docs, "text", "doc_id", max_dist=20, k=3, jaccard_floor=0.3
+    )
+    return out.select(
+        "id1", "id2", F.round("jaccard", R).alias("jaccard"), "edit_distance"
+    )
+
+
+_EDIT_DIST_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT id1, id2,
+         round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+  FROM pairs
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.3
+)
+SELECT c.id1, c.id2, c.jaccard,
+       levenshtein(d1.text, d2.text) AS edit_distance
+FROM cand c
+JOIN documents d1 ON d1.doc_id = c.id1
+JOIN documents d2 ON d2.doc_id = c.id2
+WHERE levenshtein(d1.text, d2.text) <= 20"""
+
+
 def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAD-based robust outlier counts on orders amounts
     (profile.mad_outlier_counts): exact percentiles agree bit-identically
@@ -2820,6 +2864,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["edit_distance_pairs_documents"] = _edit_distance_pairs
+    oracles["edit_distance_pairs_documents"] = _EDIT_DIST_SQL
     queries["mad_outliers_orders"] = _mad_outliers
     oracles["mad_outliers_orders"] = _MAD_SQL
     queries["functional_dependencies"] = _fd_checks
