@@ -449,3 +449,20 @@ def test_mad_outlier_counts_hand_math(spark):
     allnull = spark.createDataFrame([(None,), (None,)], "y double")
     r2 = mad_outlier_counts(allnull, ["y"]).collect()[0]
     assert r2.median_val is None and r2.n_outliers == 0
+
+
+def test_fk_coverage_duplicate_parent_keys(spark):
+    """Parent metrics are ROW-based: a duplicated dimension key whose key
+    is referenced counts both parent rows as referenced; an unreferenced
+    duplicate counts both rows unreferenced."""
+    from whiterrabbit_spark.profile import fk_coverage
+
+    child = spark.createDataFrame([(1, 10)], "id long, fk long")
+    parent = spark.createDataFrame(
+        [(10,), (10,), (30,), (30,)], "pk long"
+    )
+    row = fk_coverage(child, parent, "fk", "pk").collect()[0]
+    assert row.n_parent == 4
+    assert row.n_parent_unreferenced == 2      # both pk=30 rows
+    assert abs(row.referenced_frac - 0.5) < 1e-12
+    assert row.n_child_orphans == 0

@@ -37,7 +37,15 @@ def extract_json_fields(
     copies would each get their schema pruned to a single field —
     non-identical expressions CSE cannot merge, re-tokenizing the JSON
     once per field)."""
-    schema = ", ".join(f"{name} {ddl}" for name, ddl in fields.items())
+    clash = [prefix + n for n in fields if prefix + n in df.columns]
+    if clash:
+        raise ValueError(
+            f"extracted field(s) {clash} collide with existing columns; "
+            "pass a prefix"
+        )
+    # backtick-quoted DDL: field names that are reserved words or contain
+    # special characters must not break the schema parse
+    schema = ", ".join(f"`{name}` {ddl}" for name, ddl in fields.items())
     tmp = f"_{json_col}_parsed"
     out = df.withColumn(tmp, F.from_json(F.col(json_col), schema))
     for name in fields:

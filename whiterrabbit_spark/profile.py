@@ -978,47 +978,40 @@ def fk_coverage(
     key resolves against a parent, and how much of the parent is actually
     referenced.
 
-    Returns ONE row: ``n_child, n_parent, n_child_orphans`` (child rows
-    whose key has no parent — broken references), ``n_parent_unreferenced``
-    (parent rows no child points at — dead dimension entries),
-    ``orphan_frac, referenced_frac``. NULL child keys count as orphans
-    (a NULL FK cannot resolve).
+    Returns ONE row: ``n_child, n_parent, n_child_orphans`` (child ROWS
+    whose key has no parent — broken references; NULL FKs count here, a
+    NULL FK cannot resolve), ``n_parent_unreferenced`` (parent ROWS no
+    child points at — dead dimension entries; both sides are ROW counts,
+    so duplicated parent keys are profiled faithfully),
+    ``orphan_frac, referenced_frac``.
 
-    Shapes: both directions reduce to distinct-key frames before any
-    join — the child side aggregates to (key, count) first, so the joins
-    move O(distinct keys), never O(rows); each side then collapses to a
-    one-row agg. Catalyst broadcasts whichever distinct-key frame fits.
+    Shapes: each table is scanned ONCE into a (key, row-count) frame —
+    the NULL-key groups ride along (nulls never join, so they surface as
+    orphans / unreferenced naturally) — then one FULL OUTER equi-join of
+    the two O(distinct keys) frames and a one-row agg. No row-level join,
+    no extra count() scans; Catalyst broadcasts the smaller key frame.
     """
-    ck = F.col(child_key)
-    # NULL FKs are excluded here and counted separately below — keeping
-    # them in the grouped frame would double-count them as orphans
-    child_keys = (
-        child.where(ck.isNotNull())
-        .groupBy(ck.alias("_k"))
-        .agg(F.count(F.lit(1)).alias("_n"))
+    child_keys = child.groupBy(
+        F.col(child_key).alias("_ck")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    parent_keys = parent.groupBy(
+        F.col(parent_key).alias("_pk")
+    ).agg(F.count(F.lit(1)).alias("_pn"))
+    j = child_keys.join(
+        parent_keys, child_keys["_ck"] == parent_keys["_pk"], "full"
     )
-    parent_keys = parent.select(F.col(parent_key).alias("_k")).distinct()
-    joined = child_keys.join(
-        parent_keys.withColumn("_hit", F.lit(1)), "_k", "left"
-    )
-    child_side = joined.agg(
-        F.sum("_n").alias("n_child"),
-        F.sum(F.when(F.col("_hit").isNull(), F.col("_n")).otherwise(0)).alias(
-            "n_child_orphans"
-        ),
-    )
-    ref_side = parent_keys.join(
-        child_keys.select("_k").withColumn("_ref", F.lit(1)), "_k", "left"
-    ).agg(
-        F.count(F.lit(1)).alias("n_parent_nonnull"),
-        F.sum(F.coalesce(F.col("_ref"), F.lit(0))).alias("n_parent_referenced"),
-    )
-    n_parent = parent.count()
-    null_child = child.where(ck.isNull()).count()
-    c = child_side.first()
-    r = ref_side.first()
-    n_child = (c["n_child"] or 0) + null_child
-    orphans = (c["n_child_orphans"] or 0) + null_child
+    r = j.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_child"),
+        F.coalesce(F.sum("_pn"), F.lit(0)).alias("n_parent"),
+        F.coalesce(
+            F.sum(F.when(F.col("_pn").isNull(), F.col("_n"))), F.lit(0)
+        ).alias("n_child_orphans"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n").isNull(), F.col("_pn"))), F.lit(0)
+        ).alias("n_parent_unreferenced"),
+    ).first()
+    n_child, n_parent = r["n_child"], r["n_parent"]
+    orphans, unref = r["n_child_orphans"], r["n_parent_unreferenced"]
     spark = child.sparkSession
     return spark.createDataFrame(
         [
@@ -1026,11 +1019,9 @@ def fk_coverage(
                 n_child,
                 n_parent,
                 orphans,
-                n_parent - (r["n_parent_referenced"] or 0),
+                unref,
                 float(orphans) / n_child if n_child else 0.0,
-                float(r["n_parent_referenced"] or 0) / n_parent
-                if n_parent
-                else 0.0,
+                float(n_parent - unref) / n_parent if n_parent else 0.0,
             )
         ],
         "n_child long, n_parent long, n_child_orphans long, "
@@ -1061,9 +1052,13 @@ def functional_dependency(
     )
     return per_group.agg(
         F.count(F.lit(1)).alias("n_groups"),
-        F.sum((F.col("_nr") > 1).cast("long")).alias("n_violating_groups"),
-        F.max("_nr").alias("max_rhs_per_lhs"),
-        (F.max("_nr") <= 1).alias("fd_holds"),
+        # coalesced so an empty/all-filtered input reports the vacuous
+        # FD (0 violations, holds) instead of NULLs
+        F.coalesce(
+            F.sum((F.col("_nr") > 1).cast("long")), F.lit(0)
+        ).alias("n_violating_groups"),
+        F.coalesce(F.max("_nr"), F.lit(0)).alias("max_rhs_per_lhs"),
+        F.coalesce(F.max("_nr") <= 1, F.lit(True)).alias("fd_holds"),
     )
 
 
@@ -1093,7 +1088,11 @@ def mad_outlier_counts(
     live = [c for c in cols if meds[c] is not None]
     mads = df.agg(
         *[
-            F.expr(f"percentile(abs({c} - {float(meds[c])!r}), 0.5)").alias(c)
+            # Column expressions, not f-string SQL: repr() of a NaN/inf
+            # median would produce unparseable 'nan'/'inf' identifiers
+            F.percentile(
+                F.abs(F.col(c) - F.lit(float(meds[c]))), F.lit(0.5)
+            ).alias(c)
             for c in live
         ]
     ).first() if live else {}

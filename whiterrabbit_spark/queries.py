@@ -2059,33 +2059,22 @@ _FK_COVERAGE_SQL = """
 WITH ck AS (
   SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1
 ), pk AS (
-  SELECT DISTINCT c_custkey AS k FROM customer
-), child_side AS (
-  SELECT coalesce(sum(n), 0) AS n_child,
-         coalesce(sum(CASE WHEN pk.k IS NULL THEN n ELSE 0 END), 0)
-           AS n_child_orphans
-  FROM ck LEFT JOIN pk USING (k)
-  WHERE ck.k IS NOT NULL
-), nulls AS (
-  SELECT count(*) AS n_null FROM orders WHERE o_custkey IS NULL
-), ref_side AS (
-  SELECT count(*) AS n_parent,
-         count(ck.k) AS n_referenced
-  FROM pk LEFT JOIN (SELECT DISTINCT k FROM ck WHERE k IS NOT NULL) ck
-    USING (k)
-), parent_total AS (
-  SELECT count(*) AS n_parent_rows FROM customer
+  SELECT c_custkey AS k, count(*) AS pn FROM customer GROUP BY 1
+), j AS (
+  SELECT ck.n AS n, pk.pn AS pn
+  FROM ck FULL JOIN pk ON ck.k = pk.k
 )
-SELECT child_side.n_child + nulls.n_null AS n_child,
-       parent_total.n_parent_rows AS n_parent,
-       child_side.n_child_orphans + nulls.n_null AS n_child_orphans,
-       parent_total.n_parent_rows - ref_side.n_referenced
+SELECT coalesce(sum(n), 0) AS n_child,
+       coalesce(sum(pn), 0) AS n_parent,
+       coalesce(sum(CASE WHEN pn IS NULL THEN n END), 0) AS n_child_orphans,
+       coalesce(sum(CASE WHEN n IS NULL THEN pn END), 0)
          AS n_parent_unreferenced,
-       round((child_side.n_child_orphans + nulls.n_null) * 1.0
-             / (child_side.n_child + nulls.n_null), 6) AS orphan_frac,
-       round(ref_side.n_referenced * 1.0 / parent_total.n_parent_rows, 6)
-         AS referenced_frac
-FROM child_side, nulls, ref_side, parent_total"""
+       round(coalesce(sum(CASE WHEN pn IS NULL THEN n END), 0) * 1.0
+             / coalesce(sum(n), 0), 6) AS orphan_frac,
+       round((coalesce(sum(pn), 0)
+              - coalesce(sum(CASE WHEN n IS NULL THEN pn END), 0)) * 1.0
+             / coalesce(sum(pn), 0), 6) AS referenced_frac
+FROM j"""
 
 
 def _zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2132,14 +2121,20 @@ def _json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JSON_PROPS_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(props->>'k' AS INTEGER) END AS k
+  FROM events
+)
 SELECT event_type,
        count(*) AS n_rows,
-       count(CAST(props->>'k' AS INTEGER)) AS n_present,
-       min(CAST(props->>'k' AS INTEGER)) AS min_val,
-       max(CAST(props->>'k' AS INTEGER)) AS max_val,
-       round(avg(CAST(props->>'k' AS INTEGER)), 6) AS avg_val,
-       count(DISTINCT CAST(props->>'k' AS INTEGER)) AS distinct_vals
-FROM events
+       count(k) AS n_present,
+       min(k) AS min_val,
+       max(k) AS max_val,
+       round(avg(k), 6) AS avg_val,
+       count(DISTINCT k) AS distinct_vals
+FROM x
 GROUP BY 1"""
 
 
