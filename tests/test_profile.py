@@ -466,3 +466,40 @@ def test_fk_coverage_duplicate_parent_keys(spark):
     assert row.n_parent_unreferenced == 2      # both pk=30 rows
     assert abs(row.referenced_frac - 0.5) < 1e-12
     assert row.n_child_orphans == 0
+
+
+def test_check_constraints_verdicts(spark):
+    """Each constraint kind flags exactly its planted violation; passing
+    constraints report observed metrics; NULLs are not in_set/matches
+    violations."""
+    from whiterrabbit_spark.profile import check_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, -5.0, "A", "ok-1"),
+            (2, None, 3.0, "B", "bad"),
+            (2, 30, 7.0, "C", None),
+        ],
+        "k long, fk long, amt double, status string, code string",
+    )
+    out = {
+        r.name: r
+        for r in check_constraints(
+            df,
+            [
+                {"kind": "unique", "column": "k"},
+                {"kind": "not_null", "column": "fk"},
+                {"kind": "min_ge", "column": "amt", "value": 0.0},
+                {"kind": "max_le", "column": "amt", "value": 100.0},
+                {"kind": "in_set", "column": "status", "values": ["A", "B"]},
+                {"kind": "matches", "column": "code",
+                 "pattern": "^ok-[0-9]+$"},
+            ],
+        ).collect()
+    }
+    assert not out["unique(k)"].passed and out["unique(k)"].observed == 1.0
+    assert not out["not_null(fk)"].passed
+    assert not out["min_ge(amt)"].passed and out["min_ge(amt)"].observed == -5.0
+    assert out["max_le(amt)"].passed
+    assert not out["in_set(status)"].passed and out["in_set(status)"].observed == 1.0
+    assert not out["matches(code)"].passed and out["matches(code)"].observed == 1.0

@@ -1120,3 +1120,82 @@ def mad_outlier_counts(
     return spark.createDataFrame(
         rows, "column string, median_val double, mad double, n_outliers long"
     )
+
+
+def check_constraints(
+    df: DataFrame,
+    constraints: list[dict],
+) -> DataFrame:
+    """Declarative data-quality constraint checking (the Deequ /
+    Great-Expectations pattern, reduced to its distributable core): every
+    constraint compiles to ONE aggregate expression, ALL constraints
+    evaluate in a single ``df.agg`` scan, and the result is a small
+    verdict frame ``(name, column, kind, observed, passed)``.
+
+    Supported kinds (``constraints`` items are dicts):
+
+    * ``{"kind": "not_null", "column": c}`` — observed = null count
+    * ``{"kind": "unique", "column": c}`` — observed = duplicate rows
+      (non-null count − exact distinct count)
+    * ``{"kind": "min_ge", "column": c, "value": v}`` — observed = min
+    * ``{"kind": "max_le", "column": c, "value": v}`` — observed = max
+    * ``{"kind": "in_set", "column": c, "values": [...]}`` — observed =
+      rows outside the set (NULLs are not violations; pair with not_null)
+    * ``{"kind": "matches", "column": c, "pattern": r}`` — observed =
+      non-matching rows (Java∩RE2 regex subset, oracle-checkable)
+
+    ``name`` defaults to ``kind(column)``. Shapes: one agg job; every
+    expression partial-aggregates except ``unique``'s exact
+    count_distinct (one Expand per distinct column — keep unique checks
+    to key columns, or swap in approx_count_distinct at 100 TB the usual
+    way). Verdicts are O(constraints) rows assembled driver-side.
+    """
+    exprs = []
+    for i, c in enumerate(constraints):
+        kind, col = c["kind"], c["column"]
+        v = F.col(col)
+        if kind == "not_null":
+            e = F.count(F.when(v.isNull(), 1)).cast("double")
+        elif kind == "unique":
+            e = (F.count(v) - F.count_distinct(v)).cast("double")
+        elif kind == "min_ge":
+            e = F.min(v).cast("double")
+        elif kind == "max_le":
+            e = F.max(v).cast("double")
+        elif kind == "in_set":
+            e = F.count(
+                F.when(v.isNotNull() & ~v.isin(*c["values"]), 1)
+            ).cast("double")
+        elif kind == "matches":
+            e = F.count(
+                F.when(v.isNotNull() & ~v.rlike(c["pattern"]), 1)
+            ).cast("double")
+        else:
+            raise ValueError(f"unknown constraint kind: {kind}")
+        exprs.append(e.alias(f"_c{i}"))
+    row = df.agg(*exprs).first()
+
+    verdicts = []
+    for i, c in enumerate(constraints):
+        kind, col = c["kind"], c["column"]
+        obs = row[f"_c{i}"]
+        if kind in ("not_null", "unique", "in_set", "matches"):
+            passed = (obs or 0.0) == 0.0
+        elif kind == "min_ge":
+            passed = obs is not None and obs >= c["value"]
+        else:  # max_le
+            passed = obs is not None and obs <= c["value"]
+        verdicts.append(
+            (
+                c.get("name", f"{kind}({col})"),
+                col,
+                kind,
+                float(obs) if obs is not None else None,
+                bool(passed),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        verdicts,
+        "name string, column string, kind string, observed double, "
+        "passed boolean",
+    )

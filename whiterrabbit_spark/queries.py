@@ -1921,6 +1921,62 @@ FROM v"""
 # Registry
 # --------------------------------------------------------------------------
 
+def _check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite over orders in ONE agg scan
+    (profile.check_constraints): nullability, key uniqueness, value
+    bounds, domain membership, and a regex shape check."""
+    from whiterrabbit_spark.profile import check_constraints
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return check_constraints(
+        orders,
+        [
+            {"kind": "not_null", "column": "o_custkey"},
+            {"kind": "unique", "column": "o_orderkey"},
+            {"kind": "min_ge", "column": "o_totalprice", "value": 0.0},
+            {"kind": "max_le", "column": "o_totalprice", "value": 1e9},
+            {"kind": "in_set", "column": "o_orderstatus",
+             "values": ["O", "F", "P"]},
+            {"kind": "matches", "column": "o_orderpriority",
+             "pattern": "^[1-5]-[A-Z]+$"},
+        ],
+    )
+
+
+_CHECK_SQL = """
+WITH m AS (
+  SELECT count(CASE WHEN o_custkey IS NULL THEN 1 END)::DOUBLE AS c0,
+         (count(o_orderkey) - count(DISTINCT o_orderkey))::DOUBLE AS c1,
+         min(o_totalprice)::DOUBLE AS c2,
+         max(o_totalprice)::DOUBLE AS c3,
+         count(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('O','F','P')
+                    THEN 1 END)::DOUBLE AS c4,
+         count(CASE WHEN o_orderpriority IS NOT NULL
+                     AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+                    THEN 1 END)::DOUBLE AS c5
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'not_null(o_custkey)' AS name, 'o_custkey' AS column,
+         'not_null' AS kind, c0 AS observed, c0 = 0 AS passed FROM m
+  UNION ALL
+  SELECT 'unique(o_orderkey)', 'o_orderkey', 'unique', c1, c1 = 0 FROM m
+  UNION ALL
+  SELECT 'min_ge(o_totalprice)', 'o_totalprice', 'min_ge', c2,
+         c2 >= 0.0 FROM m
+  UNION ALL
+  SELECT 'max_le(o_totalprice)', 'o_totalprice', 'max_le', c3,
+         c3 <= 1e9 FROM m
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)', 'o_orderstatus', 'in_set', c4,
+         c4 = 0 FROM m
+  UNION ALL
+  SELECT 'matches(o_orderpriority)', 'o_orderpriority', 'matches', c5,
+         c5 = 0 FROM m
+)"""
+
+
 def _edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verified near-dup pairs (dedup.edit_distance_pairs):
     Jaccard-banded candidates, threshold-accelerated JVM levenshtein;
@@ -2859,6 +2915,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles["corpus_report_documents"] = _corpus_report_sql()
     queries["tfidf_top_terms_documents"] = _tfidf
     oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
+    queries["check_constraints_orders"] = _check_constraints
+    oracles["check_constraints_orders"] = _CHECK_SQL
     queries["edit_distance_pairs_documents"] = _edit_distance_pairs
     oracles["edit_distance_pairs_documents"] = _EDIT_DIST_SQL
     queries["mad_outliers_orders"] = _mad_outliers
