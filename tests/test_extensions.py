@@ -1588,3 +1588,26 @@ def test_edit_distance_pairs_semantics(spark):
         ).collect()
     }
     assert out == {(1, 2): 3}
+
+
+def test_stream_to_curated_lands_partitioned_batches(spark, tmp_path):
+    """foreachBatch sink: the drained stream lands hive-partitioned with
+    a _batch_id column, and contents match the batch read."""
+    import os
+
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    src = st.stream_events_from_parquet(spark, SF_DIR)
+    q = st.stream_to_curated(
+        src.withColumn("etype", F.col("event_type")),
+        out, ["etype"], ckpt,
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    batch = read_parquet_table(spark, SF_DIR, "events")
+    assert back.count() == batch.count()
+    assert "_batch_id" in back.columns
+    assert any(d.startswith("etype=") for d in os.listdir(out))
+    a = sorted(r.event_id for r in back.collect())
+    b = sorted(r.event_id for r in batch.collect())
+    assert a == b

@@ -369,3 +369,46 @@ def dedup_stream_within_watermark(
     if not events.isStreaming:
         return events.dropDuplicates(keys)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_to_curated(
+    stream: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    checkpoint: str,
+    query_name: str = "curated_sink",
+    available_now: bool = True,
+):
+    """Streaming ingestion into the curated-corpus layout: a
+    ``foreachBatch`` sink that lands every micro-batch as hive-partitioned
+    parquet through the same small-file-controlled writer the batch
+    pipeline uses (``sink.write_curated`` semantics in append mode).
+
+    Exactly-once comes from the checkpoint: Structured Streaming replays
+    a failed batch with the SAME batch_id, and the ``_batch_id`` column
+    written with each row makes replays idempotent for a downstream
+    reader that dedups on it (parquet append alone is at-least-once; a
+    transactional table format upgrades this to true exactly-once with
+    the identical foreachBatch shape). Returns the started query; the
+    default ``available_now`` trigger drains the source and stops — the
+    backfill/test mode — while ``available_now=False`` runs continuously.
+    """
+    from pyspark.sql import functions as FN
+
+    def _land(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", FN.lit(batch_id))
+            .repartition(*[FN.col(c) for c in partition_cols])
+            .write.mode("append")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_land)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
