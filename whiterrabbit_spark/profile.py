@@ -1163,6 +1163,10 @@ def check_constraints(
         elif kind == "max_le":
             e = F.max(v).cast("double")
         elif kind == "in_set":
+            if not c["values"]:
+                raise ValueError(
+                    f"in_set constraint on {col!r} needs a non-empty values list"
+                )
             e = F.count(
                 F.when(v.isNotNull() & ~v.isin(*c["values"]), 1)
             ).cast("double")
