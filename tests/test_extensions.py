@@ -1611,3 +1611,26 @@ def test_stream_to_curated_lands_partitioned_batches(spark, tmp_path):
     a = sorted(r.event_id for r in back.collect())
     b = sorted(r.event_id for r in batch.collect())
     assert a == b
+
+
+def test_dynamic_overwrite_replay_is_idempotent(spark, tmp_path):
+    """The stream sink's replay mechanism: rewriting the same _batch_id
+    partition under dynamic partition overwrite replaces it instead of
+    appending, so a replayed batch cannot duplicate rows."""
+    from whiterrabbit_spark.extensions.sink import write_curated
+
+    out = str(tmp_path / "cur")
+    batch = spark.createDataFrame(
+        [(1, "a", 7), (2, "b", 7)], "id long, etype string, _batch_id long"
+    )
+    other = spark.createDataFrame(
+        [(3, "a", 8)], "id long, etype string, _batch_id long"
+    )
+    opts = {"partitionOverwriteMode": "dynamic"}
+    write_curated(batch, out, ["etype", "_batch_id"], mode="overwrite", options=opts)
+    write_curated(other, out, ["etype", "_batch_id"], mode="overwrite", options=opts)
+    # replay of batch 7 (same rows, same partitions)
+    write_curated(batch, out, ["etype", "_batch_id"], mode="overwrite", options=opts)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert sorted(r.id for r in back.collect()) == [1, 2, 3]

@@ -503,3 +503,25 @@ def test_check_constraints_verdicts(spark):
     assert out["max_le(amt)"].passed
     assert not out["in_set(status)"].passed and out["in_set(status)"].observed == 1.0
     assert not out["matches(code)"].passed and out["matches(code)"].observed == 1.0
+
+
+def test_check_constraints_edges(spark):
+    """Empty suite returns an empty verdict frame; empty input passes
+    bounds vacuously; None in an in_set list is rejected loudly."""
+    import pytest as pt
+
+    from whiterrabbit_spark.profile import check_constraints
+
+    df = spark.createDataFrame([(1.0,)], "x double").where("x < 0")  # empty
+    empty_suite = check_constraints(df, [])
+    assert empty_suite.count() == 0
+    assert empty_suite.columns == ["name", "column", "kind", "observed", "passed"]
+    vac = check_constraints(
+        df, [{"kind": "min_ge", "column": "x", "value": 0.0}]
+    ).collect()[0]
+    assert vac.passed and vac.observed is None
+    with pt.raises(ValueError, match="None-free"):
+        check_constraints(
+            spark.createDataFrame([("A",)], "s string"),
+            [{"kind": "in_set", "column": "s", "values": ["A", None]}],
+        )

@@ -28,6 +28,7 @@ def write_curated(
     partition_cols: list[str],
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
+    options: dict[str, str] | None = None,
 ) -> None:
     """Write ``df`` as hive-partitioned parquet under ``path``.
 
@@ -43,6 +44,8 @@ def write_curated(
     writer = arranged.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
     writer.partitionBy(*partition_cols).parquet(path)
 
 

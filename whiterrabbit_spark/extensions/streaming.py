@@ -376,32 +376,35 @@ def stream_to_curated(
     path: str,
     partition_cols: list[str],
     checkpoint: str,
+    max_records_per_file: int | None = None,
     query_name: str = "curated_sink",
     available_now: bool = True,
 ):
     """Streaming ingestion into the curated-corpus layout: a
-    ``foreachBatch`` sink that lands every micro-batch as hive-partitioned
-    parquet through the same small-file-controlled writer the batch
-    pipeline uses (``sink.write_curated`` semantics in append mode).
+    ``foreachBatch`` sink where every micro-batch lands through the batch
+    pipeline's small-file-controlled writer (``sink.write_curated`` — one
+    shared implementation, including the ``max_records_per_file`` dial).
 
-    Exactly-once comes from the checkpoint: Structured Streaming replays
-    a failed batch with the SAME batch_id, and the ``_batch_id`` column
-    written with each row makes replays idempotent for a downstream
-    reader that dedups on it (parquet append alone is at-least-once; a
-    transactional table format upgrades this to true exactly-once with
-    the identical foreachBatch shape). Returns the started query; the
-    default ``available_now`` trigger drains the source and stops — the
-    backfill/test mode — while ``available_now=False`` runs continuously.
+    Exactly-once with plain parquet: Structured Streaming replays a
+    failed batch under the SAME batch_id, and ``_batch_id`` is a
+    PARTITION column written with dynamic partition overwrite — a replay
+    rewrites exactly the ``.../_batch_id=N`` partitions it wrote before,
+    so duplicates cannot accumulate (a blind append with ``_batch_id`` as
+    a data column would only be at-least-once). Returns the started
+    query; the default ``available_now`` trigger drains the source and
+    stops — the backfill/test mode — while ``available_now=False`` runs
+    continuously.
     """
-    from pyspark.sql import functions as FN
+    from whiterrabbit_spark.extensions.sink import write_curated
 
     def _land(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("_batch_id", FN.lit(batch_id))
-            .repartition(*[FN.col(c) for c in partition_cols])
-            .write.mode("append")
-            .partitionBy(*partition_cols)
-            .parquet(path)
+        write_curated(
+            batch_df.withColumn("_batch_id", F.lit(batch_id)),
+            path,
+            partition_cols + ["_batch_id"],
+            max_records_per_file=max_records_per_file,
+            mode="overwrite",
+            options={"partitionOverwriteMode": "dynamic"},
         )
 
     writer = (

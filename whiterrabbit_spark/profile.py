@@ -1163,9 +1163,12 @@ def check_constraints(
         elif kind == "max_le":
             e = F.max(v).cast("double")
         elif kind == "in_set":
-            if not c["values"]:
+            if not c["values"] or any(x is None for x in c["values"]):
+                # SQL IN with a NULL element makes NOT IN unknown for
+                # every out-of-set row — violations would silently read 0
                 raise ValueError(
-                    f"in_set constraint on {col!r} needs a non-empty values list"
+                    f"in_set constraint on {col!r} needs a non-empty, "
+                    "None-free values list (pair with not_null instead)"
                 )
             e = F.count(
                 F.when(v.isNotNull() & ~v.isin(*c["values"]), 1)
@@ -1177,6 +1180,12 @@ def check_constraints(
         else:
             raise ValueError(f"unknown constraint kind: {kind}")
         exprs.append(e.alias(f"_c{i}"))
+    verdict_schema = (
+        "name string, column string, kind string, observed double, "
+        "passed boolean"
+    )
+    if not exprs:
+        return df.sparkSession.createDataFrame([], verdict_schema)
     row = df.agg(*exprs).first()
 
     verdicts = []
@@ -1186,9 +1195,11 @@ def check_constraints(
         if kind in ("not_null", "unique", "in_set", "matches"):
             passed = (obs or 0.0) == 0.0
         elif kind == "min_ge":
-            passed = obs is not None and obs >= c["value"]
+            # NULL min/max = no values at all ⇒ vacuous pass, consistent
+            # with the count-based kinds on an empty input
+            passed = obs is None or obs >= c["value"]
         else:  # max_le
-            passed = obs is not None and obs <= c["value"]
+            passed = obs is None or obs <= c["value"]
         verdicts.append(
             (
                 c.get("name", f"{kind}({col})"),
@@ -1198,8 +1209,4 @@ def check_constraints(
                 bool(passed),
             )
         )
-    return df.sparkSession.createDataFrame(
-        verdicts,
-        "name string, column string, kind string, observed double, "
-        "passed boolean",
-    )
+    return df.sparkSession.createDataFrame(verdicts, verdict_schema)
