@@ -600,6 +600,44 @@ FROM events
 GROUP BY 1, 2"""
 
 
+def _streaming_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL Structured Streaming correctness row: file stream →
+    running value counts (complete mode, bounded state: one row per
+    distinct value) → memory sink → batch finishing pass applying the
+    reference's F1 semantics (threshold → top-K → displayed-set
+    percentage denominator, whiteRRabbit.R:329-352). Oracle = the same F1
+    pipeline in batch SQL — stream and batch must converge to the
+    identical frequency table once the source is exhausted."""
+    import uuid
+
+    from whiterrabbit_spark.extensions import streaming as st
+
+    src = st.stream_events_from_parquet(spark, sf_dir)
+    counts = st.streaming_frequencies(src, "event_type")
+    name = f"wrs_streamfreq_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(counts, name, mode="complete")
+    out = st.finish_frequency_table(spark.table(name), min_cell_count=5)
+    return out.select(
+        "value", "count", F.round("percentage", R).alias("percentage")
+    )
+
+
+_STREAMING_FREQ_SQL = """
+WITH cnt AS (
+  SELECT event_type AS value, count(*) AS count
+  FROM events
+  WHERE event_type IS NOT NULL AND event_type <> ''
+  GROUP BY 1
+), kept AS (
+  SELECT value, count,
+         row_number() OVER (ORDER BY count DESC, value ASC) AS rn
+  FROM cnt WHERE count >= 5
+)
+SELECT value, count,
+       round(count * 1.0 / sum(count) OVER (), 6) AS percentage
+FROM kept WHERE rn <= 1000"""
+
+
 _EVENTS_ROLLUP_SQL = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
@@ -887,11 +925,13 @@ NEAR_DUP_COS_THRESHOLD = 0.4  # testdata embeddings cluster at ~0.4-0.51 cosine
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs — exact, via the blocked
-    numpy-GEMM applyInPandas path (27× the per-pair expression form; BLAS
-    vs fold differs ~1e-16, absorbed by the 6-dp rounding both engines
-    apply). The LSH candidate-pruning variant is hyperplane_near_pairs,
-    recall-tested in tests/test_extensions.py."""
+    """Embedding-cosine near-duplicate pairs — EXACT BASELINE, via the
+    blocked numpy-GEMM applyInPandas path (27× the per-pair expression
+    form; BLAS vs fold differs ~1e-16, absorbed by the 6-dp rounding both
+    engines apply). O(n²) block replication by design: use only as the
+    correctness yardstick at <=1e5 vectors. The scale path (the entry a
+    100 TB user should run) is ``hyperplane_near_pairs_embeddings`` —
+    LSH-bucketed candidates, exact scoring, no all-pairs stage."""
     df = read_parquet_table(spark, sf_dir, "embeddings")
     out = sim.cosine_near_pairs_blocked(df, NEAR_DUP_COS_THRESHOLD)
     return out.select("id1", "id2", F.round("cosine", R).alias("cosine"))
@@ -970,6 +1010,53 @@ WITH v AS (
 )
 SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, "rank"
 FROM r WHERE "rank" <= 5"""
+
+
+def _hyperplane_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, 100 TB scale path: random-hyperplane LSH
+    candidate generation (one narrow shuffle on (table, bucket)), exact
+    cosine scoring of candidates only — no O(n²) block replication.
+    Oracle-checkable because the seeded plane constants are inlined into
+    the SQL, so DuckDB reproduces the identical candidate set; every
+    emitted pair's cosine is exact on both sides."""
+    df = read_parquet_table(spark, sf_dir, "embeddings")
+    out = sim.hyperplane_near_pairs(
+        df, NEAR_DUP_COS_THRESHOLD, dim=EMB_DIM,
+        n_planes=ANN_LSH_PLANES, n_tables=ANN_LSH_TABLES, seed=ANN_LSH_SEED,
+    )
+    return out.select("id1", "id2", F.round("cosine", R).alias("cosine"))
+
+
+def _hyperplane_near_pairs_sql() -> str:
+    branches = []
+    for t in range(ANN_LSH_TABLES):
+        planes = sim.hyperplanes(EMB_DIM, ANN_LSH_PLANES, ANN_LSH_SEED + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in p)}]) >= 0 "
+            f"THEN {2 ** i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        branches.append(f"SELECT vec_id, e, {t} AS tbl, ({bits})::BIGINT AS bucket FROM v")
+    hashed = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), h AS (
+{hashed}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM h a JOIN h b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+), s AS (
+  SELECT c.id1, c.id2,
+         list_dot_product(av.e, bv.e) /
+         (sqrt(list_dot_product(av.e, av.e)) * sqrt(list_dot_product(bv.e, bv.e))) AS cosine
+  FROM cand c
+  JOIN v av ON av.vec_id = c.id1
+  JOIN v bv ON bv.vec_id = c.id2
+)
+SELECT id1, id2, round(cosine, 6) AS cosine
+FROM s WHERE cosine >= {NEAR_DUP_COS_THRESHOLD}"""
 
 
 def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2817,163 +2904,117 @@ ORDER BY es_key DESC, doc_id ASC LIMIT 100"""
 
 
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
+    """Registry order IS the driver's verification order: the correctness
+    harness signs the first ~50 entries per round, in insertion order.
+    Round 1 signed the original first 50 (profiling families + the first
+    13 extensions — see CORRECTNESS_r01.json). This round therefore leads
+    with the 50 highest-risk entries that have never had a driver-signed
+    row, then the 7 close variants of a prefix sibling, then everything
+    round 1 already signed (kept registered so the pytest oracle mirror —
+    tests/test_entry_oracle.py — still exercises the full surface)."""
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
 
+    def add(name: str, fn: Callable, sql: str | None) -> None:
+        queries[name] = fn
+        if sql is not None:
+            oracles[name] = sql
+
+    # --- Block 1: never driver-checked (50 entries — the verification
+    # prefix). Judge-flagged high-risk operators first.
+    add("asof_join_events", _asof_join, _ASOF_SQL)
+    add("star_rollup_revenue", _star_rollup, _STAR_SQL)
+    add("funnel_events", _funnel, _funnel_sql())
+    add("line_dedup_documents", _line_dedup, _LINE_DEDUP_SQL)
+    add("dedup_clusters_documents", _dedup_clusters, _dedup_clusters_sql())
+    add("pack_shards_documents", _pack_shards, _PACK_SQL)
+    add("hyperplane_near_pairs_embeddings", _hyperplane_near_pairs,
+        _hyperplane_near_pairs_sql())
+    add("streaming_frequencies_events", _streaming_frequencies,
+        _STREAMING_FREQ_SQL)
+    add("range_join_events", _range_join, _RANGE_JOIN_SQL)
+    add("grouped_profile_events", _grouped_profile, _grouped_profile_sql())
+    add("moving_stats_events", _moving_stats, _MOVING_SQL)
+    add("events_hourly_rollup", _events_rollup, _EVENTS_ROLLUP_SQL)
+    add("cohort_retention_events", _cohort_retention, _COHORT_SQL)
+    add("active_users_events", _active_users, _ACTIVE_USERS_SQL)
+    add("event_pivot_events", _event_pivot, _EVENT_PIVOT_SQL)
+    add("event_transitions_events", _event_transitions, _EVENT_TRANSITIONS_SQL)
+    add("json_props_rollup_events", _json_props_rollup, _JSON_PROPS_SQL)
+    add("multimodal_features_documents", _multimodal, _MULTIMODAL_SQL)
+    add("lang_id_documents", _lang_id, _lang_id_sql())
+    add("winnow_fingerprint_documents", _winnow, _WINNOW_SQL)
+    add("repetition_signals_documents", _repetition, _REPETITION_SQL)
+    add("chunk_documents", _chunk_docs, _CHUNK_SQL)
+    add("embedding_stats_embeddings", _embedding_stats, _EMB_STATS_SQL)
+    add("stratified_sample_documents", _strat_sample, _strat_sample_sql())
+    add("novel_documents", _novel_docs, _NOVEL_SQL)
+    add("histogram_lineitem", _histogram, _HIST_SQL)
+    add("corr_matrix_lineitem", _corr, _corr_sql())
+    add("outlier_counts_orders", _outliers, _outliers_sql())
+    add("profile_drift_orders", _drift, _drift_sql())
+    add("corpus_report_documents", _corpus_report, _corpus_report_sql())
+    add("tfidf_top_terms_documents", _tfidf, _TFIDF_SQL)
+    add("check_constraints_orders", _check_constraints, _CHECK_SQL)
+    add("edit_distance_pairs_documents", _edit_distance_pairs, _EDIT_DIST_SQL)
+    add("functional_dependencies", _fd_checks, _FD_SQL)
+    add("fk_coverage_orders_customer", _fk_coverage, _FK_COVERAGE_SQL)
+    add("normalize_text_documents", _normalize_text, _NORMALIZE_SQL)
+    add("vocab_coverage_documents", _vocab_coverage, _VOCAB_SQL)
+    add("pmi_collocations_documents", _pmi, _PMI_SQL)
+    add("winsorize_lineitem", _winsorize, _WINSORIZE_SQL)
+    add("unigram_perplexity_documents", _unigram_ppl, _UNIGRAM_PPL_SQL)
+    add("dup_ngram_stats_documents", _dup_ngram_stats, _DUP_NGRAM_SQL)
+    add("decontaminate_documents", _decontam, _DECONTAM_SQL)
+    add("temperature_mixture_documents", _temp_mixture, _TEMP_MIX_SQL)
+    add("topk_quality_per_lang_documents", _topk_quality, _topk_quality_sql())
+    add("pii_redact_documents", _pii_redact, _pii_sql())
+    add("value_entropy_orders", _entropy, _entropy_sql())
+    add("cramers_v_pairs", _cramers, _cramers_sql())
+    add("weighted_sample_documents", _weighted_sample, _WEIGHTED_SQL)
+    add("leakage_safe_split_documents", _leakage_safe_split,
+        _leakage_safe_split_sql())
+    add("streaming_windowed_profile_events", _streaming_profile, _STREAMING_SQL)
+
+    # --- Block 2: never driver-checked, but each a close variant of a
+    # Block-1 sibling (forward asof ~ backward asof, zscore ~ winsorize,
+    # range window ~ rows window, ...). First in line for the next round.
+    add("asof_join_forward_events", _asof_join_forward, _ASOF_FWD_SQL)
+    add("zscore_lineitem", _zscore, _ZSCORE_SQL)
+    add("events_multi_rollup", _events_multi_rollup, _MULTI_ROLLUP_SQL)
+    add("range_moving_stats_events", _range_moving_stats, _RANGE_MOVING_SQL)
+    add("psi_drift_orders", _psi_drift, _psi_sql())
+    add("mad_outliers_orders", _mad_outliers, _MAD_SQL)
+    add("fingerprint_documents", _fingerprint, _FINGERPRINT_SQL)
+
+    # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
+    # original order, kept for the full-registry pytest mirror.
     for t in NUMERIC_COLS:
-        queries[f"summary_stats_{t}"] = _summary_stats(t)
-        oracles[f"summary_stats_{t}"] = _summary_stats_sql(t)
+        add(f"summary_stats_{t}", _summary_stats(t), _summary_stats_sql(t))
     for t in STRING_COLS:
-        queries[f"counts_{t}"] = _counts(t)
-        oracles[f"counts_{t}"] = _counts_sql(t)
+        add(f"counts_{t}", _counts(t), _counts_sql(t))
     for t, c in FREQ_TARGETS:
-        queries[f"freq_{t}_{c}"] = _freq(t, c)
-        oracles[f"freq_{t}_{c}"] = _freq_sql(t, c)
+        add(f"freq_{t}_{c}", _freq(t, c), _freq_sql(t, c))
     for t in DATE_COLS:
-        queries[f"date_stats_{t}"] = _date_stats(t)
-        oracles[f"date_stats_{t}"] = _date_stats_sql(t)
-    queries["overview_tables"] = _overview
-    oracles["overview_tables"] = _overview_sql()
+        add(f"date_stats_{t}", _date_stats(t), _date_stats_sql(t))
+    add("overview_tables", _overview, _overview_sql())
     for t in ("lineitem", "events", "orders", "customer", "part",
               "supplier", "nation", "region", "documents"):
-        queries[f"infer_types_{t}"] = _infer(t)
-        oracles[f"infer_types_{t}"] = _infer_sql(t)
-
-    queries["dedup_exact_documents"] = _dedup_exact
-    oracles["dedup_exact_documents"] = _DEDUP_EXACT_SQL
-    queries["dedup_ngram_jaccard_documents"] = _dedup_ngram
-    oracles["dedup_ngram_jaccard_documents"] = _NGRAM_SQL
-    queries["dedup_minhash_lsh_documents"] = _dedup_minhash
-    oracles["dedup_minhash_lsh_documents"] = _minhash_sql()
-    queries["dedup_simhash_documents"] = _dedup_simhash
-    oracles["dedup_simhash_documents"] = _simhash_sql()
-    queries["ann_cosine_topk_embeddings"] = _ann_cosine
-    oracles["ann_cosine_topk_embeddings"] = _ANN_SQL
-    queries["ann_hyperplane_lsh_embeddings"] = _ann_hyperplane
-    oracles["ann_hyperplane_lsh_embeddings"] = _ann_hyperplane_sql()
-    queries["dedup_embedding_cosine_embeddings"] = _embedding_near_dup
-    oracles["dedup_embedding_cosine_embeddings"] = _EMB_NEAR_DUP_SQL
-    queries["quality_score_documents"] = _quality_score
-    oracles["quality_score_documents"] = _quality_score_sql()
-    queries["token_count_bpe_documents"] = _bpe_tokens
-    oracles["token_count_bpe_documents"] = _BPE_SQL
-    queries["sessionize_events"] = _sessionize
-    oracles["sessionize_events"] = _SESSIONIZE_SQL
-    queries["curation_pipeline_documents"] = _curation_pipeline
-    oracles["curation_pipeline_documents"] = _curation_pipeline_sql()
-    queries["dataset_split_documents"] = _dataset_split
-    oracles["dataset_split_documents"] = _DATASET_SPLIT_SQL
-    queries["text_stats_documents"] = _text_stats
-    oracles["text_stats_documents"] = _text_stats_sql()
-    queries["lang_id_documents"] = _lang_id
-    oracles["lang_id_documents"] = _lang_id_sql()
-    queries["winnow_fingerprint_documents"] = _winnow
-    oracles["winnow_fingerprint_documents"] = _WINNOW_SQL
-    queries["fingerprint_documents"] = _fingerprint
-    oracles["fingerprint_documents"] = _FINGERPRINT_SQL
-    queries["events_hourly_rollup"] = _events_rollup
-    oracles["events_hourly_rollup"] = _EVENTS_ROLLUP_SQL
-    queries["multimodal_features_documents"] = _multimodal
-    oracles["multimodal_features_documents"] = _MULTIMODAL_SQL
-    queries["streaming_windowed_profile_events"] = _streaming_profile
-    oracles["streaming_windowed_profile_events"] = _STREAMING_SQL
-    queries["asof_join_events"] = _asof_join
-    oracles["asof_join_events"] = _ASOF_SQL
-    queries["asof_join_forward_events"] = _asof_join_forward
-    oracles["asof_join_forward_events"] = _ASOF_FWD_SQL
-    queries["repetition_signals_documents"] = _repetition
-    oracles["repetition_signals_documents"] = _REPETITION_SQL
-    queries["chunk_documents"] = _chunk_docs
-    oracles["chunk_documents"] = _CHUNK_SQL
-    queries["embedding_stats_embeddings"] = _embedding_stats
-    oracles["embedding_stats_embeddings"] = _EMB_STATS_SQL
-    queries["stratified_sample_documents"] = _strat_sample
-    oracles["stratified_sample_documents"] = _strat_sample_sql()
-    queries["range_join_events"] = _range_join
-    oracles["range_join_events"] = _RANGE_JOIN_SQL
-    queries["dedup_clusters_documents"] = _dedup_clusters
-    oracles["dedup_clusters_documents"] = _dedup_clusters_sql()
-    queries["pack_shards_documents"] = _pack_shards
-    oracles["pack_shards_documents"] = _PACK_SQL
-    queries["grouped_profile_events"] = _grouped_profile
-    oracles["grouped_profile_events"] = _grouped_profile_sql()
-    queries["events_multi_rollup"] = _events_multi_rollup
-    oracles["events_multi_rollup"] = _MULTI_ROLLUP_SQL
-    queries["moving_stats_events"] = _moving_stats
-    oracles["moving_stats_events"] = _MOVING_SQL
-    queries["novel_documents"] = _novel_docs
-    oracles["novel_documents"] = _NOVEL_SQL
-    queries["histogram_lineitem"] = _histogram
-    oracles["histogram_lineitem"] = _HIST_SQL
-    queries["corr_matrix_lineitem"] = _corr
-    oracles["corr_matrix_lineitem"] = _corr_sql()
-    queries["outlier_counts_orders"] = _outliers
-    oracles["outlier_counts_orders"] = _outliers_sql()
-    queries["profile_drift_orders"] = _drift
-    oracles["profile_drift_orders"] = _drift_sql()
-    queries["corpus_report_documents"] = _corpus_report
-    oracles["corpus_report_documents"] = _corpus_report_sql()
-    queries["tfidf_top_terms_documents"] = _tfidf
-    oracles["tfidf_top_terms_documents"] = _TFIDF_SQL
-    queries["check_constraints_orders"] = _check_constraints
-    oracles["check_constraints_orders"] = _CHECK_SQL
-    queries["edit_distance_pairs_documents"] = _edit_distance_pairs
-    oracles["edit_distance_pairs_documents"] = _EDIT_DIST_SQL
-    queries["mad_outliers_orders"] = _mad_outliers
-    oracles["mad_outliers_orders"] = _MAD_SQL
-    queries["functional_dependencies"] = _fd_checks
-    oracles["functional_dependencies"] = _FD_SQL
-    queries["fk_coverage_orders_customer"] = _fk_coverage
-    oracles["fk_coverage_orders_customer"] = _FK_COVERAGE_SQL
-    queries["zscore_lineitem"] = _zscore
-    oracles["zscore_lineitem"] = _ZSCORE_SQL
-    queries["json_props_rollup_events"] = _json_props_rollup
-    oracles["json_props_rollup_events"] = _JSON_PROPS_SQL
-    queries["normalize_text_documents"] = _normalize_text
-    oracles["normalize_text_documents"] = _NORMALIZE_SQL
-    queries["vocab_coverage_documents"] = _vocab_coverage
-    oracles["vocab_coverage_documents"] = _VOCAB_SQL
-    queries["pmi_collocations_documents"] = _pmi
-    oracles["pmi_collocations_documents"] = _PMI_SQL
-    queries["winsorize_lineitem"] = _winsorize
-    oracles["winsorize_lineitem"] = _WINSORIZE_SQL
-    queries["line_dedup_documents"] = _line_dedup
-    oracles["line_dedup_documents"] = _LINE_DEDUP_SQL
-    queries["unigram_perplexity_documents"] = _unigram_ppl
-    oracles["unigram_perplexity_documents"] = _UNIGRAM_PPL_SQL
-    queries["dup_ngram_stats_documents"] = _dup_ngram_stats
-    oracles["dup_ngram_stats_documents"] = _DUP_NGRAM_SQL
-    queries["decontaminate_documents"] = _decontam
-    oracles["decontaminate_documents"] = _DECONTAM_SQL
-    queries["temperature_mixture_documents"] = _temp_mixture
-    oracles["temperature_mixture_documents"] = _TEMP_MIX_SQL
-    queries["psi_drift_orders"] = _psi_drift
-    oracles["psi_drift_orders"] = _psi_sql()
-    queries["topk_quality_per_lang_documents"] = _topk_quality
-    oracles["topk_quality_per_lang_documents"] = _topk_quality_sql()
-    queries["pii_redact_documents"] = _pii_redact
-    oracles["pii_redact_documents"] = _pii_sql()
-    queries["star_rollup_revenue"] = _star_rollup
-    oracles["star_rollup_revenue"] = _STAR_SQL
-    queries["funnel_events"] = _funnel
-    oracles["funnel_events"] = _funnel_sql()
-    queries["value_entropy_orders"] = _entropy
-    oracles["value_entropy_orders"] = _entropy_sql()
-    queries["cramers_v_pairs"] = _cramers
-    oracles["cramers_v_pairs"] = _cramers_sql()
-    queries["weighted_sample_documents"] = _weighted_sample
-    oracles["weighted_sample_documents"] = _WEIGHTED_SQL
-    queries["range_moving_stats_events"] = _range_moving_stats
-    oracles["range_moving_stats_events"] = _RANGE_MOVING_SQL
-    queries["cohort_retention_events"] = _cohort_retention
-    oracles["cohort_retention_events"] = _COHORT_SQL
-    queries["active_users_events"] = _active_users
-    oracles["active_users_events"] = _ACTIVE_USERS_SQL
-    queries["leakage_safe_split_documents"] = _leakage_safe_split
-    oracles["leakage_safe_split_documents"] = _leakage_safe_split_sql()
-    queries["event_pivot_events"] = _event_pivot
-    oracles["event_pivot_events"] = _EVENT_PIVOT_SQL
-    queries["event_transitions_events"] = _event_transitions
-    oracles["event_transitions_events"] = _EVENT_TRANSITIONS_SQL
+        add(f"infer_types_{t}", _infer(t), _infer_sql(t))
+    add("dedup_exact_documents", _dedup_exact, _DEDUP_EXACT_SQL)
+    add("dedup_ngram_jaccard_documents", _dedup_ngram, _NGRAM_SQL)
+    add("dedup_minhash_lsh_documents", _dedup_minhash, _minhash_sql())
+    add("dedup_simhash_documents", _dedup_simhash, _simhash_sql())
+    add("ann_cosine_topk_embeddings", _ann_cosine, _ANN_SQL)
+    add("ann_hyperplane_lsh_embeddings", _ann_hyperplane, _ann_hyperplane_sql())
+    add("dedup_embedding_cosine_embeddings", _embedding_near_dup,
+        _EMB_NEAR_DUP_SQL)
+    add("quality_score_documents", _quality_score, _quality_score_sql())
+    add("token_count_bpe_documents", _bpe_tokens, _BPE_SQL)
+    add("sessionize_events", _sessionize, _SESSIONIZE_SQL)
+    add("curation_pipeline_documents", _curation_pipeline,
+        _curation_pipeline_sql())
+    add("dataset_split_documents", _dataset_split, _DATASET_SPLIT_SQL)
+    add("text_stats_documents", _text_stats, _text_stats_sql())
 
     return queries, oracles
