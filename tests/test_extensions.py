@@ -1323,6 +1323,28 @@ def test_line_dedup_semantics_and_idempotence(spark):
     assert second == 0
 
 
+def test_line_dedup_hot_digest_adversarial(spark):
+    """Adversarial skew fixture: ONE boilerplate line appears in 50% of
+    documents (the corpus-wide hot digest PLANS.md names as the scale
+    hazard). The salted first-occurrence aggregation must still pick the
+    global-minimum (id, pos) occurrence and strip every other copy —
+    correctness under the exact distribution the salting exists for."""
+    n = 400
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            rows.append((i, f"SUBSCRIBE TO OUR NEWSLETTER\nbody {i}"))
+        else:
+            rows.append((i, f"body {i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in X.line_dedup(docs).collect()}
+    # doc 0 holds the first (id, pos) occurrence; all other even docs lose it
+    assert out[0].text == "SUBSCRIBE TO OUR NEWSLETTER\nbody 0"
+    removed = [i for i in range(n) if out[i].n_removed > 0]
+    assert removed == list(range(2, n, 2))
+    assert all(out[i].text == f"body {i}" for i in range(2, n, 2))
+
+
 def test_dup_ngram_stats_counts(spark):
     """Duplicate-shingle fractions: a doc sharing every shingle with
     another scores 1.0; a doc with unique text scores 0; counts are over

@@ -95,3 +95,16 @@ def test_topk_per_group_uses_window_group_limit(spark):
     # the load-bearing half: the PARTIAL group-limit prunes map-side,
     # before the exchange
     assert re.search(r"WindowGroupLimit[\s\S]{0,400}?row_number\(\), 5, Partial", plan)
+
+
+def test_line_dedup_has_no_window_partition(spark):
+    """The line-dedup survivor decision must compile to partial-aggregable
+    groupBys + a join — never a rank window partitioned by the line
+    digest. A window partition is un-splittable: one boilerplate line
+    duplicated across half the corpus funnels its every occurrence into a
+    single task. The salted min-aggregate form keeps map-side combine in
+    play and leaves the residual hot-key join to AQE skew splitting."""
+    plan = _plan(spark, "line_dedup_documents")
+    assert "(1) Window" not in plan and "\n Window" not in plan
+    assert re.search(r"\(\d+\) Window\b", plan) is None, "rank window came back"
+    assert "partial_min" in plan or re.search(r"HashAggregate.*min", plan)

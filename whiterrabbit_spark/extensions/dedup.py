@@ -418,14 +418,21 @@ def line_dedup(
     with ``text`` reassembled in original line order. Idempotent — a
     second pass removes nothing.
 
-    Shapes: explode → ONE shuffle on the line digest (window rank decides
-    the surviving occurrence) → one groupBy(id) shuffle to reassemble.
-    Both shuffles move O(total lines); no join, no driver state. At 100 TB
-    the digest shuffle is the cost — lines hash-distribute evenly (no skew
-    key unless one line dominates the corpus, in which case the rank
-    window on that digest is the natural salting candidate).
+    Shapes (hot-digest safe): explode → salted first-occurrence
+    aggregation → winner join → groupBy(id) reassembly. The surviving
+    occurrence per digest is found with TWO partial-aggregable groupBys
+    instead of a rank window: ``min(struct(id, pos))`` per
+    ``(digest, salt)`` where salt = hash(id, pos) mod n_salts (map-side
+    combine bounds the shuffle to n_map_partitions × n_salts rows per
+    digest, however hot), then the global min over the ≤n_salts
+    candidates. Rows then join back to their digest's winner — a join,
+    not a window, so one boilerplate line duplicated across half the
+    corpus is split by AQE skew-join instead of funneling into a single
+    un-splittable window partition (the round-1 plan's documented hazard).
     """
     import re
+
+    n_salts = 32
 
     lines = df.select(
         F.col(id_col).alias("_id"),
@@ -436,20 +443,28 @@ def line_dedup(
         ).alias("_pos", "_line"),
     )
     # Trivial lines (blank separators and anything under min_chars) are
-    # kept unconditionally, so their rank is irrelevant — and blank lines
-    # are the most duplicated line in any real corpus, which would make
-    # md5('') the guaranteed hot window partition. They get a per-row
-    # partition key instead (size-1 partitions), keeping the whole pass a
-    # single scan + single window shuffle with no hot key.
+    # kept unconditionally — and blank lines are the most duplicated line
+    # in any real corpus, which would make md5('') the guaranteed hot key.
+    # They get a per-row digest instead (size-1 groups) so the whole pass
+    # stays skew-free even before salting.
     trivial = F.length(F.trim("_line")) < min_chars
-    pkey = F.when(
+    digest = F.when(
         trivial,
         F.md5(F.concat_ws("\x00", F.col("_id").cast("string"),
                           F.col("_pos").cast("string"))),
     ).otherwise(F.md5("_line"))
-    w = Window.partitionBy(pkey).orderBy("_id", "_pos")
-    flagged = lines.withColumn(
-        "_keep", trivial | (F.row_number().over(w) == 1)
+    lines = lines.withColumn("_digest", digest).withColumn(
+        "_salt", F.pmod(F.xxhash64("_id", "_pos"), F.lit(n_salts))
+    )
+    salted_first = lines.groupBy("_digest", "_salt").agg(
+        F.min(F.struct("_id", "_pos")).alias("_first")
+    )
+    winner = salted_first.groupBy("_digest").agg(F.min("_first").alias("_first"))
+    flagged = lines.join(winner, "_digest").withColumn(
+        "_keep",
+        trivial
+        | ((F.col("_id") == F.col("_first._id"))
+           & (F.col("_pos") == F.col("_first._pos"))),
     )
     kept_struct = F.array_sort(
         F.collect_list(
