@@ -525,3 +525,41 @@ def test_check_constraints_edges(spark):
             spark.createDataFrame([("A",)], "s string"),
             [{"kind": "in_set", "column": "s", "values": ["A", None]}],
         )
+
+
+def test_auto_approx_flips_above_row_threshold(spark):
+    """The tri-state approx default: exact at or below the row threshold
+    (oracle parity), sample+sketch above it (the 100 TB default-plan
+    guard). Pinned by forcing a tiny threshold and checking the winsorize
+    clamp literals come from the sketch path yet stay within 2% of exact
+    quantiles; profile_table's resolver flips cfg.approx the same way."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.config import ScanConfig
+    from whiterrabbit_spark.profile import (
+        _resolve_approx, mad_outlier_counts, winsorize,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 1000).cast("double").alias("v")
+    )
+
+    # resolver: auto → exact below, sketch above
+    cfg = ScanConfig()
+    assert _resolve_approx(df, cfg, row_hint=10_000).approx is False
+    small = dataclasses.replace(cfg, auto_approx_rows=1_000)
+    assert _resolve_approx(df, small, row_hint=10_000).approx is True
+    # explicit modes pass through untouched
+    assert _resolve_approx(df, dataclasses.replace(cfg, approx=True)).approx is True
+    assert _resolve_approx(df, dataclasses.replace(cfg, approx=False)).approx is False
+
+    exact = winsorize(df, ["v"], lo=0.1, hi=0.9)
+    sketch = winsorize(df, ["v"], lo=0.1, hi=0.9, auto_approx_rows=1_000)
+    lo_e, hi_e = exact.agg(F.min("v"), F.max("v")).first()
+    lo_s, hi_s = sketch.agg(F.min("v"), F.max("v")).first()
+    assert abs(lo_s - lo_e) <= 0.02 * 1000 and abs(hi_s - hi_e) <= 0.02 * 1000
+
+    m = mad_outlier_counts(df, ["v"], auto_approx_rows=1_000).collect()[0]
+    assert abs(m.median_val - 499.5) <= 20

@@ -37,8 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-cell-count", type=int, default=5)
     p.add_argument("--random-sample", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--approx", action="store_true", default=False,
-                   help="approximate distinct/percentiles for very large scans")
+    ap = p.add_mutually_exclusive_group()
+    ap.add_argument("--approx", dest="approx", action="store_true", default=None,
+                    help="force approximate distinct/percentiles (default: auto "
+                         "— exact up to 5M rows per file, sketches above)")
+    ap.add_argument("--exact", dest="approx", action="store_false",
+                    help="force exact distinct/percentiles at any scale")
     p.add_argument("--multiline", action="store_true", default=False,
                    help="parse quoted embedded newlines (costs file splittability)")
     p.add_argument("--parallel-files", type=int, default=4,

@@ -13,6 +13,11 @@ deliberate and documented:
 * ``approx`` — scale switch the reference doesn't need (in-memory tool):
   exact percentiles / countDistinct for correctness parity, approximate
   sketches (percentile_approx, approx_count_distinct, HLL) for 100 TB runs.
+  Tri-state: ``None`` (the default) auto-selects — exact at or below
+  ``auto_approx_rows``, sketches above it — so the default plan never
+  carries the exact-percentile single-reducer buffer into a 100 TB run;
+  ``True``/``False`` force one mode (oracle runs pin ``False`` semantics
+  implicitly by being far below the threshold).
 """
 
 from __future__ import annotations
@@ -52,7 +57,13 @@ class ScanConfig:
                                         # needs multiLine, which costs file
                                         # splittability — off by default)
     seed: int = 42
-    approx: bool = False                # True → sketch algorithms at scale
+    # True → sketches; False → exact; None → AUTO (exact ≤ auto_approx_rows)
+    approx: bool | None = None
+    # Auto threshold: the exact percentile path buffers one column's values
+    # (or their distinct multiset) in a single reducer — measured ~170 s at
+    # 2 cols × 20M rows vs ~4 s for the sketch (BASELINE.md). 5M rows keeps
+    # exact well under that cliff while every oracle/test SF stays exact.
+    auto_approx_rows: int = 5_000_000
     approx_percentile_accuracy: int = 2_000
     # 5% rsd: HLL++ update cost cliffs ~10× somewhere below 2% rsd (register
     # array falls out of cache); 5% is ample for profiling overviews.

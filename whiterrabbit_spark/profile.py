@@ -51,11 +51,12 @@ Very wide tables: expressions are chunked into multiple agg jobs above
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -259,6 +260,23 @@ def _fmt_ts(spark: SparkSession, epoch_or_ts: Any) -> str | None:
     return epoch_or_ts.strftime("%Y-%m-%d %H:%M:%S")
 
 
+def _resolve_approx(
+    df: DataFrame, cfg: ScanConfig, row_hint: int | None = None
+) -> ScanConfig:
+    """Resolve the tri-state ``cfg.approx`` to a concrete mode: explicit
+    True/False pass through; ``None`` (auto) picks exact at or below
+    ``cfg.auto_approx_rows`` and sketches above — so the default plan's
+    exact-percentile single-reducer buffer can never ride into a
+    billion-row run. Uses ``row_hint`` when the caller already counted
+    (the scan pipeline always has); otherwise one ``count()`` job, which
+    is a metadata read on parquet and a parse-free scan on CSV —
+    milliseconds against the 100× it guards."""
+    if cfg.approx is not None:
+        return cfg
+    n = row_hint if row_hint is not None else df.count()
+    return dataclasses.replace(cfg, approx=n > cfg.auto_approx_rows)
+
+
 def profile_table(
     df: DataFrame,
     cfg: ScanConfig | None = None,
@@ -276,6 +294,7 @@ def profile_table(
     caller when emitting, not here).
     """
     cfg = cfg or ScanConfig()
+    cfg = _resolve_approx(df, cfg, row_hint)
     spark = df.sparkSession
     fields = list(df.schema.fields)
     total_alias = "__total"
@@ -378,9 +397,12 @@ def profile_table_grouped(
     group keys. Exact type-7 percentiles buffer per-(group, column) value
     lists in the final aggregate (the documented exact-mode cost);
     ``cfg.approx`` swaps in ``percentile_approx`` sketches for constant
-    memory. Output is long format: one row per (group, value column).
+    memory (auto-resolved above ``cfg.auto_approx_rows`` rows, like the
+    table profile). Output is long format: one row per (group, value
+    column).
     """
     cfg = cfg or ScanConfig()
+    cfg = _resolve_approx(df, cfg)
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     aggs = []
     for c in value_cols:
@@ -866,13 +888,21 @@ def all_empty_fields(raw: dict[str, dict]) -> list[str]:
     ]
 
 
+# Rows the approx-quantile paths sample down to before sketching: at 1M
+# values the sampling error on a 1st/99th-percentile rank is ~1e-4 —
+# far inside the sketch accuracy — and the sketch insert cost stops
+# scaling with the corpus.
+_APPROX_SAMPLE_ROWS = 1_000_000
+
+
 def winsorize(
     df: DataFrame,
     cols: list[str],
     lo: float = 0.01,
     hi: float = 0.99,
-    approx: bool = False,
+    approx: bool | None = None,
     accuracy: int = 10_000,
+    auto_approx_rows: int = 5_000_000,
 ) -> DataFrame:
     """Quantile winsorization (tail clamping) of numeric feature columns:
     values below the ``lo`` / above the ``hi`` exact type-7 quantile are
@@ -885,18 +915,31 @@ def winsorize(
     map-side least/greatest — no join, no second shuffle, NULLs pass
     through untouched.
 
-    ``approx=False`` (the oracle-parity default) is EXACT type-7 — which
-    buffers the column in one reducer, the documented exact-percentile
-    floor (measured: 20M rows ≈ 170 s). ``approx=True`` is the 100 TB
-    switch (same flag pattern as the profile): ``approx_percentile`` is
-    a partial-aggregable sketch, constant memory per task (measured:
-    same 20M rows ≈ 2 s); tail quantiles move by at most the sketch
-    accuracy, which only shifts WHERE outliers clamp, not whether the
-    operator is well-defined.
+    ``approx=False`` is EXACT type-7 — which buffers the column in one
+    reducer, the documented exact-percentile floor (measured: 20M rows ≈
+    170 s). ``approx=True`` is the 100 TB switch: a seeded 1M-row sample
+    feeds an ``approx_percentile`` sketch — both stages partial-aggregable,
+    constant memory per task (measured: same 20M rows ≈ 2 s; tail
+    estimates within ~0.2% of exact — sampling error ~1e-4 of rank plus
+    sketch accuracy — which only shifts WHERE outliers clamp, not whether
+    the operator is well-defined; the sketch alone, un-sampled, pays
+    ~13 s of GK-summary inserts on 40M high-cardinality doubles).
+    The DEFAULT (``approx=None``) auto-selects: exact at or below
+    ``auto_approx_rows`` (every oracle/test SF — parity preserved),
+    sample+sketch above it, so the default call survives a 100×
+    scale-up without the single-reducer cliff.
     """
+    n = df.count()
+    if approx is None:
+        approx = n > auto_approx_rows
+    src = df
+    if approx:
+        frac = min(1.0, _APPROX_SAMPLE_ROWS / max(n, 1))
+        if frac < 1.0:
+            src = df.sample(frac, seed=42)
     fn = "approx_percentile" if approx else "percentile"
     acc = f", {accuracy}" if approx else ""
-    qs = df.agg(
+    qs = src.agg(
         *[
             F.expr(f"{fn}({c}, array({lo}, {hi}){acc})").alias(c)
             for c in cols
@@ -1066,6 +1109,9 @@ def mad_outlier_counts(
     df: DataFrame,
     cols: list[str],
     k: float = 3.0,
+    approx: bool | None = None,
+    accuracy: int = 10_000,
+    auto_approx_rows: int = 5_000_000,
 ) -> DataFrame:
     """Robust outlier counts by median absolute deviation: a value is an
     outlier when ``|x − median| > k · 1.4826 · MAD`` (1.4826 scales MAD
@@ -1076,23 +1122,40 @@ def mad_outlier_counts(
     Returns one row per column: ``(column, median_val, mad, n_outliers)``.
 
     Shapes: two aggregation passes (the deviation median needs the value
-    median as a literal): each is one exact-percentile agg over all
-    requested columns (single-reducer value buffer per column — the
-    documented exact-percentile floor; at 100 TB substitute
-    ``approx_percentile`` exactly as :func:`winsorize` does), plus one
-    counting agg. Output is O(cols).
+    median as a literal), each one percentile agg over all requested
+    columns, plus one counting agg. Output is O(cols). Exact medians
+    buffer a column per reducer (the documented exact-percentile floor);
+    the DEFAULT (``approx=None``) auto-substitutes the seeded-sample +
+    ``approx_percentile`` sketch above ``auto_approx_rows`` rows, exactly
+    as :func:`winsorize` does (medians are CENTRAL quantiles — sampling
+    error there is even smaller than at the winsorize tails), keeping
+    every oracle/test SF exact. The outlier COUNT always runs over the
+    full frame — it is a cheap codegen sum, only the quantile literals
+    are estimated.
     """
-    meds = df.agg(
-        *[F.expr(f"percentile({c}, 0.5)").alias(c) for c in cols]
+    n = df.count()
+    if approx is None:
+        approx = n > auto_approx_rows
+    src = df
+    if approx:
+        frac = min(1.0, _APPROX_SAMPLE_ROWS / max(n, 1))
+        if frac < 1.0:
+            src = df.sample(frac, seed=42)
+
+    def med(col: Column) -> Column:
+        if approx:
+            return F.percentile_approx(col, F.lit(0.5), F.lit(accuracy))
+        return F.percentile(col, F.lit(0.5))
+
+    meds = src.agg(
+        *[med(F.col(c)).alias(c) for c in cols]
     ).first()
     live = [c for c in cols if meds[c] is not None]
-    mads = df.agg(
+    mads = src.agg(
         *[
             # Column expressions, not f-string SQL: repr() of a NaN/inf
             # median would produce unparseable 'nan'/'inf' identifiers
-            F.percentile(
-                F.abs(F.col(c) - F.lit(float(meds[c]))), F.lit(0.5)
-            ).alias(c)
+            med(F.abs(F.col(c) - F.lit(float(meds[c])))).alias(c)
             for c in live
         ]
     ).first() if live else {}
