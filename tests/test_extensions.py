@@ -1656,3 +1656,65 @@ def test_dynamic_overwrite_replay_is_idempotent(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 3
     assert sorted(r.id for r in back.collect()) == [1, 2, 3]
+
+
+def test_curate_exact_dedup_passes_null_text_through(spark):
+    """md5(NULL) is NULL: without a per-row partition key every null-text
+    doc would share one window partition and all but one be dropped as
+    'duplicates'. Null text must pass through dedup untouched."""
+    from whiterrabbit_spark.curate import curate
+
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    out, _ = curate(docs, ["dedup"])
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5]
+
+
+def test_extract_json_fields_tmp_name_collision(spark):
+    """A pre-existing column named like the parse intermediate must
+    survive extraction instead of being silently dropped."""
+    from whiterrabbit_spark.extensions.semistructured import extract_json_fields
+
+    df = spark.createDataFrame(
+        [('{"k": 7}', "keepme")], "props string, _props_parsed string"
+    )
+    out = extract_json_fields(df, "props", {"k": "int"})
+    r = out.collect()[0]
+    assert r.k == 7 and r._props_parsed == "keepme"
+
+
+def test_jsonl_shards_emit_explicit_nulls(spark, tmp_path):
+    """An all-null column must survive the JSONL round trip (to_json's
+    default would omit it per-row and the read-back loses the column)."""
+    import glob as _glob
+    import gzip
+    import json as _json
+
+    from whiterrabbit_spark.extensions.sink import write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, dead string"
+    )
+    path = str(tmp_path / "jl")
+    write_jsonl_shards(df, path, n_shards=1)
+    lines = []
+    for f in _glob.glob(path + "/*.txt.gz"):
+        with gzip.open(f, "rt") as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == 2
+    assert all("dead" in _json.loads(ln) for ln in lines)
+
+
+def test_unigram_logppl_empty_training_corpus(spark):
+    """Fitting on an empty corpus must not raise; scoring degrades to
+    perplexity 1 (p=1 under the alpha-only denominator)."""
+    from whiterrabbit_spark.extensions import textstats as ts
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = ts.unigram_logppl(docs, train_df=empty).collect()
+    assert len(out) == 1 and abs(out[0].perplexity - 1.0) < 1e-9
+    assert ts.release_caches() >= 1

@@ -151,8 +151,18 @@ def curate(
                 df = df.join(drop, id_col, "left_anti")
             else:
                 # exact content dedup keeping the minimum-id
-                # representative: one digest-window shuffle, no join back
-                w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+                # representative: one digest-window shuffle, no join back.
+                # md5(NULL) is NULL — without a per-row key every
+                # null-text doc would share one window partition and all
+                # but the min-id one would be dropped as "duplicates";
+                # null text is absence of content, not equal content, so
+                # those rows pass through untouched (size-1 partitions,
+                # same trick as line_dedup's trivial-line salt).
+                pkey = F.when(
+                    F.col(text_col).isNull(),
+                    F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+                ).otherwise(F.md5(F.col(text_col)))
+                w = Window.partitionBy(pkey).orderBy(id_col)
                 df = (
                     df.withColumn("_rn", F.row_number().over(w))
                     .where(F.col("_rn") == 1)

@@ -47,6 +47,10 @@ def extract_json_fields(
     # special characters must not break the schema parse
     schema = ", ".join(f"`{name}` {ddl}" for name, ddl in fields.items())
     tmp = f"_{json_col}_parsed"
+    while tmp in df.columns:
+        # an existing column with the intermediate's name would be
+        # silently overwritten and then dropped — disambiguate instead
+        tmp += "_"
     out = df.withColumn(tmp, F.from_json(F.col(json_col), schema))
     for name in fields:
         out = out.withColumn(prefix + name, F.col(tmp)[name])

@@ -157,7 +157,15 @@ def write_jsonl_shards(
     ``io.read_jsonl`` (all-string profiling entry) or a typed
     ``spark.read.json``.
     """
-    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    # ignoreNullFields=false: to_json's default drops null-valued fields
+    # per row, so an all-null column would vanish from the export and a
+    # typed read-back would lose it — emit explicit nulls for a
+    # schema-faithful round trip
+    out = df.select(
+        F.to_json(
+            F.struct(*df.columns), {"ignoreNullFields": "false"}
+        ).alias("value")
+    )
     if n_shards:
         out = out.repartition(n_shards)
     writer = out.write.mode(mode)

@@ -161,10 +161,19 @@ def stream_events_from_parquet(
                 .schema
             )
         except AnalysisException:
-            # no matching files yet — the normal start state for a file
+            # No matching files yet — the normal start state for a file
             # stream. Fall back to the driver's documented events schema
             # (ts as watermark-ready TIMESTAMP) so the stream can be
             # defined before the first producer write lands.
+            # LIMITATION (deliberate): a pre-creation stream supports only
+            # the TIMESTAMP micros/ntz generations. No single declared
+            # schema can also admit the legacy nanos-as-LONG generation —
+            # declaring ts TIMESTAMP mismatches a later INT64(NANOS) file,
+            # and declaring it LONG would equally mismatch a later
+            # TIMESTAMP(MICROS) file. Producers still writing the legacy
+            # nanos layout must land one file first (footer sniffing then
+            # picks the right branch below) or pass ``schema=`` explicitly
+            # with ts as LongType.
             schema = T.StructType(
                 [
                     T.StructField("event_id", T.LongType()),

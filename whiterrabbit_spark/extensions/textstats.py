@@ -30,6 +30,29 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 PUNCT_CLASS = r"[.,;:!?]"
 STOPWORDS = LANG_MARKERS["en"]
 
+# Persisted intermediates (unigram LM, bigram counts, vocab counts) are
+# registered here: the returned plans still read them after the building
+# function exits, so they cannot unpersist inline. Long-running sessions
+# that re-fit models call release_caches() between runs instead of
+# relying on LRU eviction.
+_SESSION_CACHES: list[DataFrame] = []
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    _SESSION_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate this module has cached (safe while
+    downstream plans exist — they recompute). Returns the number
+    released."""
+    n = 0
+    while _SESSION_CACHES:
+        _SESSION_CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 def tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
@@ -404,16 +427,19 @@ def unigram_logppl(
     the LEFT join's coalesce.
     """
     train = train_df if train_df is not None else df
-    lm = (
+    lm = _register_cache(
+        # persisted (session-released via release_caches()): the N/V
+        # action below and the scoring join both read it — without this
+        # the O(tokens) fit shuffle runs twice
         train.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("_c"))
-        # persisted: the N/V action below and the scoring join both read
-        # it — without this the O(tokens) fit shuffle runs twice
-        .persist()
     )
     n_total, vocab = lm.agg(F.sum("_c"), F.count(F.lit(1))).first()
-    denom = float(n_total) + alpha * float(vocab)
+    # empty training corpus: V=0 makes Laplace degenerate — fall back to
+    # denom=alpha so every token scores p=alpha/alpha=1 (ppl 1) instead
+    # of raising on float(None) / dividing by zero
+    denom = float(n_total or 0) + alpha * float(vocab or 0) or alpha
 
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
@@ -467,11 +493,11 @@ def pmi_collocations(
         F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
     # persisted across the in-function total agg AND the caller's
-    # evaluation of the returned plan; O(distinct bigrams) rows, left
-    # cached for the session like the minhash shingle table (LRU-evicted)
-    counted = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("pair_count")
-    ).persist()
+    # evaluation of the returned plan; O(distinct bigrams) rows, released
+    # via release_caches()
+    counted = _register_cache(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    )
     total_n = counted.agg(F.sum("pair_count")).first()[0] or 0
     left = Window.partitionBy("w1")
     right = Window.partitionBy("w2")
@@ -518,12 +544,11 @@ def vocab_coverage(
     lexically for a reproducible cut.
     """
     # persisted across the total agg and the caller's evaluation;
-    # O(vocab) rows, left cached for the session (LRU-evicted)
-    counted = (
+    # O(vocab) rows, released via release_caches()
+    counted = _register_cache(
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
-        .persist()
     )
     total = counted.agg(F.sum("count")).first()[0] or 0
     cut = counted.orderBy(F.desc("count"), F.asc("token")).limit(top_v)
