@@ -123,3 +123,30 @@ def test_idempotent_on_typed(spark):
     )
     assert res2.decisions["v"] == "double"
     assert sorted(r.v for r in typed2.collect()) == [1.5, 2.5, 3.5]
+
+
+def test_hex_numeric_parity(spark):
+    """R as.numeric (strtod) accepts hex integers — whiteRRabbit.R:139-161
+    types a hex-ID column numeric where plain CAST AS DOUBLE would leave
+    it string. The regexp-gated conv branch restores parity: the column
+    types double with the strtod values."""
+    df = _one_col(spark, ["0x10", "0X1f", "-0xA", "+0x2", "255", ""])
+    typed, res = infer_and_cast(df, CFG)
+    assert res.decisions["v"] == "double"
+    vals = [r.v for r in typed.collect()]
+    assert vals[:5] == [16.0, 31.0, -10.0, 2.0, 255.0]
+
+
+def test_hex_numeric_remaining_divergences(spark):
+    """Pinned divergences from R: >15 hex digits (conv's exact range —
+    R keeps parsing toward 1.8e19) fails our parse, so a column of huge
+    hex literals stays string; hex FLOATS (0x1.8p3) parse in BOTH engines
+    (Java parseDouble accepts the p-exponent form)."""
+    huge = _one_col(spark, ["0xFFFFFFFFFFFFFFFF"] * 5)
+    _, res = infer_and_cast(huge, CFG)
+    assert res.decisions["v"] == "string"
+
+    floats = _one_col(spark, ["0x1.8p3", "0x1.0p1", "0x2.0p2"])
+    typed, res2 = infer_and_cast(floats, CFG)
+    assert res2.decisions["v"] == "double"
+    assert [r.v for r in typed.collect()] == [12.0, 2.0, 8.0]

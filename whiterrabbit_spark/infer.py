@@ -81,9 +81,27 @@ def nonempty(c: Column) -> Column:
     return c.isNotNull() & (c != "")
 
 
+_HEX_RE = r"^[+-]?0[xX][0-9a-fA-F]{1,15}$"
+
+
 def numeric_cast_expr(c: Column) -> Column:
-    """NULL-on-failure double parse (R as.numeric analog, W:149/W:154)."""
-    return F.trim(c).try_cast("double")
+    """NULL-on-failure double parse (R as.numeric analog, W:149/W:154).
+
+    R ``as.numeric`` (strtod) additionally accepts hex integers
+    (``"0x10"`` → 16) which ``CAST AS DOUBLE`` rejects — the SURVEY §1.3
+    parity gap. A regexp-gated ``conv`` branch closes it: the ``when``
+    short-circuits so plain values pay one rlike, and all expressions are
+    codegen JVM built-ins. (C99 hex FLOATS like ``0x1.8p3`` already
+    parse: Java's parseDouble accepts them — it was only p-exponent-less
+    hex integers that failed.) Deliberately bounded at 15 hex digits
+    (conv's exact range; R keeps parsing toward Inf) — pinned as the
+    remaining divergence in tests/test_infer.py."""
+    t = F.trim(c)
+    mag = F.conv(F.regexp_extract(t, r"0[xX]([0-9a-fA-F]+)", 1), 16, 10)
+    signed_hex = F.when(
+        t.startswith("-"), -mag.try_cast("double")
+    ).otherwise(mag.try_cast("double"))
+    return F.when(t.rlike(_HEX_RE), signed_hex).otherwise(t.try_cast("double"))
 
 
 def date_parse_expr(c: Column) -> Column:

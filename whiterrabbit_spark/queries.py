@@ -273,7 +273,9 @@ SELECT '{c}' AS column_name,
   CASE
     WHEN count(CASE WHEN {v} IS NOT NULL AND {v} <> '' THEN 1 END) > 0
          AND count(CASE WHEN {v} IS NOT NULL AND {v} <> ''
-                         AND try_cast(trim({v}) AS DOUBLE) IS NULL THEN 1 END) = 0
+                         AND try_cast(trim({v}) AS DOUBLE) IS NULL
+                         AND NOT regexp_matches(trim({v}), '^[+-]?0[xX][0-9a-fA-F]{{1,15}}$')
+                    THEN 1 END) = 0
       THEN 'double'
     WHEN count(*) > 0
          AND count(CASE WHEN {date_ok} IS NOT NULL THEN 1 END)::DOUBLE / count(*) >= {CFG.success_threshold}
