@@ -150,3 +150,44 @@ def test_hex_numeric_remaining_divergences(spark):
     typed, res2 = infer_and_cast(floats, CFG)
     assert res2.decisions["v"] == "double"
     assert [r.v for r in typed.collect()] == [12.0, 2.0, 8.0]
+
+
+def test_wide_melt_path_matches_chunked(spark):
+    # The >wide_infer_cols melt path (O(1)-in-width plans) must type every
+    # column exactly as the per-column chunked path, including the edge
+    # branches: all-empty, >20%-missing date quirk, hex numerics, and
+    # numeric-over-date precedence.
+    rows = []
+    for i in range(40):
+        rows.append(
+            Row(
+                num=str(i * 1.5),
+                hexv=f"0x{i:x}",
+                date="2021-0%d-1%d" % (i % 9 + 1, i % 9),
+                gappy_date="2021-01-02" if i < 30 else None,  # 25% missing
+                mixed="7" if i % 2 else "x",
+                empty=None,
+                ymd_num="20210102",  # numeric wins over compact date
+                txt="alpha",
+            )
+        )
+    schema = ("num string, hexv string, date string, gappy_date string, "
+              "mixed string, empty string, ymd_num string, txt string")
+    df = spark.createDataFrame(rows, schema)
+    chunked = infer_types(df, ScanConfig())
+    melted = infer_types(df, ScanConfig(wide_infer_cols=2))
+    assert melted.decisions == chunked.decisions
+    assert melted.decisions["num"] == "double"
+    assert melted.decisions["hexv"] == "double"
+    assert melted.decisions["date"] == "timestamp"
+    assert melted.decisions["gappy_date"] == "string"  # >20% missing quirk
+    assert melted.decisions["mixed"] == "string"
+    assert melted.decisions["empty"] == "string"
+    assert melted.decisions["ymd_num"] == "double"
+    assert melted.decisions["txt"] == "string"
+
+
+def test_wide_melt_path_empty_table(spark):
+    df = spark.createDataFrame([], "a string, b string, c string")
+    res = infer_types(df, ScanConfig(wide_infer_cols=1))
+    assert res.decisions == {"a": "string", "b": "string", "c": "string"}

@@ -312,7 +312,7 @@ def profile_table(
     # Job set 1 (per chunk) and job set 2 (per-column histograms) are
     # independent — overlap them so the cluster stays busy instead of
     # running serial barriers.
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=min(len(chunks) + 1, 8)) as pool:
         fut_chunks = [pool.submit(run_chunk, ch) for ch in chunks]
         hist_fn = (
             _exact_distinct_and_percentiles_melt

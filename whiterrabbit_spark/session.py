@@ -33,6 +33,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # A single mid-size file otherwise splits into max(bytes/128MB,
+        # defaultParallelism/openCost) tasks — often fewer than cores; on a
+        # cluster the same floor keeps small folder scans from bottling on
+        # a handful of executors.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # ANSI off: the engine's inference casts rely on NULL-on-failure
