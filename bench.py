@@ -70,6 +70,9 @@ def main() -> None:
         # added later in round 1 (absent from earlier BENCH_r records;
         # BASELINE.md documents their bands separately)
         "line_dedup": queries["line_dedup_documents"],
+        # round 2: the scale-path embedding near-dup (banded hyperplane
+        # LSH, no O(n^2) block replication)
+        "hyperplane_near_pairs": queries["hyperplane_near_pairs_embeddings"],
         "dup_ngram_stats": queries["dup_ngram_stats_documents"],
         "unigram_perplexity": queries["unigram_perplexity_documents"],
         "pmi_collocations": queries["pmi_collocations_documents"],
@@ -114,6 +117,43 @@ def main() -> None:
         "runs_per_query": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # Mechanical round-over-round comparison (VERDICT r1 #9): per-query
+    # baselines live in BENCH_BASELINE.json — prior-round repo-best plus
+    # the BASELINE.md reference band. Emit the ratio vs repo-best for
+    # every query the file knows; a ratio drifting past ~1.5 on a quiet
+    # host is a regression, not noise. The file is only rewritten when
+    # SPARK_GRAFT_UPDATE_BASELINE=1 (records new bests, keeps bands).
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+    try:
+        with open(base_path) as fh:
+            base = json.load(fh)
+    except (OSError, ValueError):
+        base = None
+    if base and base.get("sf") == out["sf"]:
+        ratios = {
+            q: round(t / base["queries"][q]["best_s"], 2)
+            for q, t in times.items()
+            if q in base["queries"] and base["queries"][q]["best_s"] > 0
+        }
+        out["vs_repo_best"] = ratios
+        if ratios:
+            import math
+
+            out["vs_repo_best_geomean"] = round(
+                math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 3
+            )
+        if os.environ.get("SPARK_GRAFT_UPDATE_BASELINE") == "1":
+            for q, t in times.items():
+                ent = base["queries"].setdefault(
+                    q, {"baseline_band_s": None, "best_s": t, "best_round": None}
+                )
+                if t < ent["best_s"]:
+                    ent["best_s"] = t
+            with open(base_path, "w") as fh:
+                json.dump(base, fh, indent=1)
+
     print(json.dumps(out))
     spark.stop()
 
