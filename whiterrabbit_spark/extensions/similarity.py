@@ -307,15 +307,28 @@ def hyperplane_near_pairs(
     hashed = hyperplane_buckets_pandas(
         df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed
     )
-    left = hashed.select(F.col("vid").alias("id1"), F.col("v").alias("va"), "table", "bucket")
-    right = hashed.select(F.col("vid").alias("id2"), F.col("v").alias("vb"), "table", "bucket")
+    # Candidate generation and dedup run on BARE ids: the (table, bucket)
+    # self-join and the pair-dedup shuffle 2 longs per candidate instead of
+    # two dim-wide vectors (~64x less shuffle payload at dim=64). Vectors
+    # are fetched once per SURVIVING pair from the n-row vector table —
+    # two id-equi-joins Catalyst can broadcast when the corpus side fits,
+    # and plain shuffle-hash otherwise.
+    buckets = hashed.select("vid", "table", "bucket")
     cand = (
-        left.join(right, ["table", "bucket"])
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "va", "vb")
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["table", "bucket"])
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
-    return cand.select(
+    vecs = df.select(
+        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
+    )
+    scored = (
+        cand.join(vecs.select(F.col("vid").alias("id1"), F.col("v").alias("va")), "id1")
+        .join(vecs.select(F.col("vid").alias("id2"), F.col("v").alias("vb")), "id2")
+    )
+    return scored.select(
         "id1",
         "id2",
         (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
