@@ -1718,3 +1718,88 @@ def test_unigram_logppl_empty_training_corpus(spark):
     out = ts.unigram_logppl(docs, train_df=empty).collect()
     assert len(out) == 1 and abs(out[0].perplexity - 1.0) < 1e-9
     assert ts.release_caches() >= 1
+
+
+def test_multimodal_real_codecs_gated(spark, docs):
+    """Without the optional libs, the real-codec entry points fail fast
+    with a clear ImportError (and the stub paths remain available)."""
+    import pytest
+
+    media = mm.attach_binary_payload(docs.limit(3), "text", "doc_id")
+    if not mm.HAS_PIL:
+        with pytest.raises(ImportError, match="Pillow"):
+            mm.decode_image_features(media)
+        with pytest.raises(ImportError, match="Pillow"):
+            mm.resize_images(media, 8, 8)
+    if not mm.HAS_SOUNDFILE:
+        with pytest.raises(ImportError, match="soundfile"):
+            mm.decode_audio_features(media)
+
+
+def test_multimodal_real_image_decode(spark):
+    """Real-codec path: runs only where Pillow is installed (skips cleanly
+    in codec-free containers). Generates a PNG in-process, round-trips it
+    through decode_image_features and resize_images."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from pyspark.sql import Row
+
+    def png_bytes(w, h, color):
+        img = PIL_Image.new("RGB", (w, h), color)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    payloads = [(1, png_bytes(10, 4, (0, 0, 0))), (2, png_bytes(6, 8, (255, 255, 255))), (3, b"not an image")]
+    media = spark.createDataFrame(
+        [
+            Row(
+                media_id=i,
+                payload=p,
+                meta=Row(mime="image/png", source="test", n_bytes=len(p)),
+            )
+            for i, p in payloads
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = {r.media_id: r for r in mm.decode_image_features(media).collect()}
+    assert (feats[1].width, feats[1].height) == (10, 4)
+    assert feats[1].pixel_mean == 0.0
+    assert (feats[2].width, feats[2].height) == (6, 8)
+    assert feats[2].pixel_mean == 255.0
+    assert feats[3].width is None  # corrupt payload -> NULL features, no task failure
+
+    resized = {r.media_id: r for r in mm.resize_images(media, 5, 5).collect()}
+    rf = {
+        r.media_id: r
+        for r in mm.decode_image_features(
+            spark.createDataFrame(list(resized.values()), mm.MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert (rf[1].width, rf[1].height) == (5, 5)
+    assert bytes(resized[3].payload) == b"not an image"  # pass-through
+
+
+def test_multimodal_real_audio_decode(spark):
+    """Real audio path — skips cleanly where soundfile is absent."""
+    import pytest
+
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    buf = io.BytesIO()
+    rate, samples = 8000, np.zeros(1600, dtype=np.float64)
+    sf.write(buf, samples, rate, format="WAV")
+    p = buf.getvalue()
+    media = spark.createDataFrame(
+        [Row(media_id=1, payload=p, meta=Row(mime="audio/wav", source="t", n_bytes=len(p)))],
+        mm.MEDIA_SCHEMA,
+    )
+    r = mm.decode_audio_features(media).collect()[0]
+    assert r.sample_rate == 8000 and r.n_samples == 1600 and r.rms == 0.0

@@ -104,6 +104,179 @@ def decode_stub_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode_batches, FEATURES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real codecs — OPTIONAL dependencies, gated at import. The container this
+# engine is developed in ships neither Pillow nor soundfile, so these paths
+# raise a clear error when the lib is absent and the tests skip cleanly
+# (pytest.importorskip). The stub paths above stay the oracle/default.
+
+try:  # pragma: no cover - exercised only where Pillow is installed
+    import PIL.Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+try:  # pragma: no cover - exercised only where soundfile is installed
+    import soundfile  # noqa: F401
+
+    HAS_SOUNDFILE = True
+except ImportError:
+    HAS_SOUNDFILE = False
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+        T.StructField("pixel_mean", T.DoubleType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """REAL image decode (Pillow): width/height/mode + grayscale pixel
+    mean per payload. Same Arrow ``mapInPandas`` shape as the stub —
+    map-only, partitioning preserved, the codec runs vectorized per batch
+    inside the Python worker. Raises ImportError at plan time when Pillow
+    is not installed (install ``pillow`` to enable; the stub path
+    ``decode_stub_features`` needs no extra deps). Undecodable payloads
+    yield NULL width/height/mode/pixel_mean rather than failing the task —
+    at corpus scale a fraction of corrupt media is a certainty."""
+    if not HAS_PIL:
+        raise ImportError(
+            "decode_image_features requires Pillow; use decode_stub_features "
+            "for the dependency-free plumbing path"
+        )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        for pdf in batches:
+            rows = {k: [] for k in ("width", "height", "mode", "pixel_mean")}
+            for p in pdf["payload"]:
+                try:
+                    img = Image.open(io.BytesIO(bytes(p)))
+                    arr = np.asarray(img.convert("L"), dtype=np.float64)
+                    rows["width"].append(img.width)
+                    rows["height"].append(img.height)
+                    rows["mode"].append(img.mode)
+                    rows["pixel_mean"].append(float(arr.mean()) if arr.size else None)
+                except Exception:
+                    for k in rows:
+                        rows[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    **rows,
+                }
+            )
+
+    return media.mapInPandas(decode_batches, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int, fmt: str = "PNG") -> DataFrame:
+    """REAL image resize (Pillow): decode → resample (bilinear) →
+    re-encode as ``fmt``. Keeps MEDIA_SCHEMA so it composes with decode /
+    frame-sample stages exactly like ``resize_stub``. Undecodable payloads
+    pass through unchanged (their meta keeps the original byte count)."""
+    if not HAS_PIL:
+        raise ImportError("resize_images requires Pillow; use resize_stub instead")
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                raw = bytes(p)
+                try:
+                    img = Image.open(io.BytesIO(raw)).resize(
+                        (width, height), Image.BILINEAR
+                    )
+                    buf = io.BytesIO()
+                    img.save(buf, format=fmt)
+                    raw = buf.getvalue()
+                    mime = f"image/{fmt.lower()}"
+                except Exception:
+                    mime = m["mime"]
+                payloads.append(raw)
+                metas.append(
+                    {"mime": mime, "source": m["source"], "n_bytes": len(raw)}
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads, "meta": metas}
+            )
+
+    return media.mapInPandas(resize_batches, MEDIA_SCHEMA)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode (soundfile): sample rate / length / channels +
+    RMS amplitude per payload. Same map-only Arrow shape as the image
+    path; undecodable payloads yield NULL features."""
+    if not HAS_SOUNDFILE:
+        raise ImportError(
+            "decode_audio_features requires soundfile; use "
+            "decode_stub_features for the dependency-free plumbing path"
+        )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        for pdf in batches:
+            rows = {k: [] for k in ("sample_rate", "n_samples", "n_channels", "rms")}
+            for p in pdf["payload"]:
+                try:
+                    data, rate = sf.read(io.BytesIO(bytes(p)), always_2d=True)
+                    rows["sample_rate"].append(int(rate))
+                    rows["n_samples"].append(int(data.shape[0]))
+                    rows["n_channels"].append(int(data.shape[1]))
+                    rows["rms"].append(
+                        float(np.sqrt((data.astype(np.float64) ** 2).mean()))
+                        if data.size
+                        else None
+                    )
+                except Exception:
+                    for k in rows:
+                        rows[k].append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    **rows,
+                }
+            )
+
+    return media.mapInPandas(decode_batches, AUDIO_FEATURES_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
