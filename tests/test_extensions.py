@@ -1803,3 +1803,69 @@ def test_multimodal_real_audio_decode(spark):
     )
     r = mm.decode_audio_features(media).collect()[0]
     assert r.sample_rate == 8000 and r.n_samples == 1600 and r.rms == 0.0
+
+
+def test_cap_per_group(spark, docs):
+    from whiterrabbit_spark.extensions import splits as sp
+
+    capped = sp.cap_per_group(docs, "source", "doc_id", cap=5)
+    by_src = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    orig = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in by_src.items():
+        assert n == min(orig[src], 5)
+    # deterministic: same kept set on re-run
+    ids1 = sorted(r.doc_id for r in capped.collect())
+    ids2 = sorted(r.doc_id for r in sp.cap_per_group(docs, "source", "doc_id", cap=5).collect())
+    assert ids1 == ids2
+    # salt changes the kept subset (for groups larger than the cap)
+    salted = sorted(
+        r.doc_id for r in sp.cap_per_group(docs, "source", "doc_id", cap=5, salt="x").collect()
+    )
+    if any(n > 5 for n in orig.values()):
+        assert salted != ids1
+
+
+def test_cap_per_group_plan_window_group_limit(spark, docs):
+    from whiterrabbit_spark.extensions import splits as sp
+
+    plan = sp.cap_per_group(docs, "source", "doc_id", cap=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_table_diff_summary(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.diff import table_diff_summary
+
+    old = spark.createDataFrame(
+        [Row(k=1, a="x", b=1.0), Row(k=2, a="y", b=2.0), Row(k=3, a="z", b=None)]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=1.0),      # unchanged
+            Row(k=3, a="z", b=3.0),      # changed: b NULL -> 3.0
+            Row(k=4, a="w", b=4.0),      # added
+        ]
+    )  # k=2 removed
+    m = {r.metric: r.n for r in table_diff_summary(old, new, "k").collect()}
+    assert m == {
+        "added": 1, "removed": 1, "changed": 1, "unchanged": 1,
+        "col_changed:a": 0, "col_changed:b": 1,
+    }
+
+
+def test_table_diff_key_only(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.diff import table_diff_summary
+
+    old = spark.createDataFrame([Row(k=1), Row(k=2)])
+    new = spark.createDataFrame([Row(k=2), Row(k=3)])
+    m = {r.metric: r.n for r in table_diff_summary(old, new, "k").collect()}
+    assert m == {"added": 1, "removed": 1, "changed": 0, "unchanged": 1}

@@ -563,3 +563,36 @@ def test_auto_approx_flips_above_row_threshold(spark):
 
     m = mad_outlier_counts(df, ["v"], auto_approx_rows=1_000).collect()[0]
     assert abs(m.median_val - 499.5) <= 20
+
+
+def test_equi_depth_histogram(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import equi_depth_histogram
+
+    df = spark.createDataFrame([Row(v=float(i)) for i in range(1, 101)] + [Row(v=None)])
+    h = {r.bucket: r for r in equi_depth_histogram(df, "v", bins=4).collect()}
+    assert sum(r.n_rows for r in h.values()) == 100
+    # quartile cuts of 1..100 are 25.75/50.5/75.25 -> 25/25/25/25 split
+    assert [h[b].n_rows for b in sorted(h)] == [25, 25, 25, 25]
+    assert h[0].bucket_lo == 1.0 and h[3].bucket_hi == 100.0
+    # empty / constant columns
+    empty = spark.createDataFrame([], "v double")
+    assert equi_depth_histogram(empty, "v", bins=4).count() == 0
+    const = spark.createDataFrame([Row(v=7.0)] * 10)
+    ch = equi_depth_histogram(const, "v", bins=4).collect()
+    assert len(ch) == 1 and ch[0].n_rows == 10
+
+
+def test_ecdf_lookup(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import ecdf_lookup
+
+    df = spark.createDataFrame(
+        [Row(v=1.0), Row(v=1.0), Row(v=2.0), Row(v=5.0), Row(v=None)]
+    )
+    rows = sorted(ecdf_lookup(df, "v").collect(), key=lambda r: r.v)
+    assert [(r.v, round(r.cume_dist, 6)) for r in rows] == [
+        (1.0, 0.5), (2.0, 0.75), (5.0, 1.0),
+    ]

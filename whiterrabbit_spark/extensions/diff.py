@@ -1,0 +1,91 @@
+"""Snapshot diff profiling: what changed between two versions of a table.
+
+The reference is a point-in-time profiler (whiteRRabbit.R profiles one
+folder); production pipelines re-profile every snapshot and need the
+DELTA: rows added / removed / modified, and which columns drive the
+modifications. ``table_diff`` computes that in one key-equi-join:
+
+* added    — key present only in the new snapshot
+* removed  — key present only in the old snapshot
+* changed  — key in both, any compared column differs (NULL-safe)
+* unchanged — key in both, all compared columns equal
+
+Scale shape: ONE full-outer shuffle join on the key (both sides
+partition by key — at 100 TB this is the minimum data movement any
+row-level diff needs), then a map-side flat aggregation to O(columns)
+output rows. Column comparisons use null-safe equality (``<=>``), so
+NULL→value and value→NULL both count as changes. No window functions,
+no driver-side data.
+
+``table_diff_summary`` returns one row per metric; per-column change
+counts ride along as ``col_changed:<name>`` metrics so the output stays
+a tall (metric, n) frame with a stable schema for any input width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """(metric, n) frame: added / removed / changed / unchanged row counts
+    plus ``col_changed:<c>`` per compared column (counted over rows
+    present in BOTH snapshots)."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c != key_col and c in set(old.columns)
+        ]
+
+    o = old.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("__k"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    joined = o.join(n, "__k", "full_outer")
+
+    in_both = F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull()
+    col_diff = {
+        c: in_both & ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        for c in compare_cols
+    }
+    any_diff = None
+    for e in col_diff.values():
+        any_diff = e if any_diff is None else (any_diff | e)
+    if any_diff is None:  # key-only table
+        any_diff = F.lit(False)
+
+    aggs = [
+        F.count(F.when(F.col("__in_old").isNull(), 1)).alias("added"),
+        F.count(F.when(F.col("__in_new").isNull(), 1)).alias("removed"),
+        F.count(F.when(any_diff, 1)).alias("changed"),
+        F.count(F.when(in_both & ~any_diff, 1)).alias("unchanged"),
+    ] + [
+        F.count(F.when(e, 1)).alias(f"col_changed:{c}") for c, e in col_diff.items()
+    ]
+    wide = joined.agg(*aggs)
+
+    # melt the single wide row to the tall stable-schema frame
+    metrics = [f.name for f in wide.schema.fields]
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"), F.col(m).cast("long").alias("n")
+                    )
+                    for m in metrics
+                ]
+            )
+        ).alias("e")
+    ).select("e.metric", "e.n")

@@ -320,3 +320,30 @@ def hash_stratified_sample(
         cond = (F.col(strata_col) == stratum) & (bucket < int(round(frac * buckets)))
         expr = cond if expr is None else expr | cond
     return df.where(expr if expr is not None else F.lit(False))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "",
+) -> DataFrame:
+    """Cap each group at ``cap`` rows, chosen by a deterministic pseudo-
+    random order — the per-domain document cap of web-corpus curation
+    (e.g. "at most N pages per host", C4/RefinedWeb-style), where the
+    kept subset must be reproducible across runs and engines.
+
+    Selection order is ``md5(id + salt)`` (ties broken by id), so the
+    kept set is a uniform-without-replacement sample of each group that
+    any engine reproduces bit-identically — no RNG state, no dependence
+    on partitioning. Same single-shuffle ``WindowGroupLimit`` shape as
+    ``top_k_per_group``: map tasks pre-prune to ``cap`` rows per group
+    before the exchange, so a pathologically hot group (one host = half
+    the corpus) contributes O(cap) rows per map task to the shuffle, not
+    its full mass.
+    """
+    order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    return top_k_per_group(
+        df, group_col, [order_key.asc(), F.col(id_col).asc()], cap
+    )

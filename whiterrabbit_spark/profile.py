@@ -1273,3 +1273,85 @@ def check_constraints(
             )
         )
     return df.sparkSession.createDataFrame(verdicts, verdict_schema)
+
+
+def equi_depth_histogram(df: DataFrame, column: str, bins: int = 10) -> DataFrame:
+    """Equi-depth (quantile-bin) histogram: cut points at the exact type-7
+    percentiles ``i/bins``, bucket = number of cuts strictly below the
+    value. Complements ``equi_width_histogram`` — equal-population bins
+    expose distribution shape where equal-width bins collapse under
+    outliers.
+
+    Scale shape: cut points come from the weighted-percentile-over-
+    histogram trick (``groupBy(v) → percentile(v, probs, cnt)`` — the
+    final task buffers |distinct| entries, not |rows|, same as the exact
+    profile path), then ONE partial-aggregable groupBy on the bucket
+    index with the cuts inlined as plan literals. Output ≤ ``bins`` rows.
+    Heavy ties can leave some buckets empty (their mass sits in the
+    neighbor holding the tied cut) — the emitted frame only contains
+    non-empty buckets.
+    """
+    c = F.col(column).cast("double")
+    probs = [i / bins for i in range(1, bins)]
+    hist = (
+        df.select(c.alias("v")).where(F.col("v").isNotNull())
+        .groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    row = hist.agg(
+        F.percentile(F.col("v"), F.lit(probs), F.col("cnt")).alias("q"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    spark = df.sparkSession
+    if row["lo"] is None:
+        return spark.createDataFrame(
+            [], "bucket int, bucket_lo double, bucket_hi double, n_rows long"
+        )
+    cuts = [float(x) for x in row["q"]]
+    edges = [float(row["lo"])] + cuts + [float(row["hi"])]
+    bucket = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + F.when(c > F.lit(cut), 1).otherwise(0)
+    bucket = bucket.cast("int")
+    edge_lo = F.array(*[F.lit(e) for e in edges[:-1]])
+    edge_hi = F.array(*[F.lit(e) for e in edges[1:]])
+    return (
+        df.where(c.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            F.element_at(edge_lo, F.col("bucket") + 1).alias("bucket_lo"),
+            F.element_at(edge_hi, F.col("bucket") + 1).alias("bucket_hi"),
+            "n_rows",
+        )
+    )
+
+
+def ecdf_lookup(df: DataFrame, column: str) -> DataFrame:
+    """Exact empirical CDF as a (v, cume_dist) lookup table — the
+    percentile-rank transform (feature scaling, drift comparison) without
+    ever sorting the raw rows globally.
+
+    The naive form — ``cume_dist().over(Window.orderBy(v))`` — funnels
+    every ROW through one reducer. This one runs cume_dist over the value
+    HISTOGRAM: ``groupBy(v).count`` (one partial-aggregable shuffle over
+    distinct values), then the cumulative sum over the histogram with a
+    range-partitioned window — ``Window.orderBy`` on a frame that is
+    already one row per distinct value. For profiling-scale cardinalities
+    the histogram is tiny; join the result back to the fact table
+    (broadcast when it fits) to attach per-row ranks.
+    """
+    hist = (
+        df.select(F.col(column).cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = F.sum("cnt").over(Window.partitionBy())
+    cume = F.sum("cnt").over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hist.select(
+        "v", (cume / total).alias("cume_dist")
+    )

@@ -2905,6 +2905,151 @@ SELECT doc_id, lang, n_chars FROM keyed
 ORDER BY es_key DESC, doc_id ASC LIMIT 100"""
 
 
+def _cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (C4/RefinedWeb-style "≤N pages per host"):
+    deterministic md5-ordered keep-set, one WindowGroupLimit shuffle
+    (splits.cap_per_group)."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return sp.cap_per_group(docs, "source", "doc_id", cap=40).select(
+        "doc_id", "source", "lang"
+    )
+
+
+_CAP_PER_SOURCE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source, lang FROM ranked WHERE rn <= 40"""
+
+
+def _table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff profile (extensions.diff.table_diff_summary): orders
+    vs a deterministically perturbed 'next snapshot' (keys %97 deleted,
+    %89 repriced, %101 re-keyed as additions). One full-outer key join +
+    flat agg; output is O(columns)."""
+    from whiterrabbit_spark.extensions.diff import table_diff_summary
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    surviving = old.where(k % 97 != 0)
+    modified = surviving.withColumn(
+        "o_totalprice",
+        F.when(k % 89 == 0, F.col("o_totalprice") + 10.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    additions = old.where(k % 101 == 0).select(
+        (k + 1_000_000_000).alias("o_orderkey"), "o_orderstatus", "o_totalprice"
+    )
+    new = modified.unionByName(additions)
+    return table_diff_summary(old, new, "o_orderkey").orderBy("metric")
+
+
+_TABLE_DIFF_SQL = """
+WITH old_t AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), new_t AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+), j AS (
+  SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+         (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL) AS in_both,
+         (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+          AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) AS d_status,
+         (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+          AND o.o_totalprice IS DISTINCT FROM n.o_totalprice) AS d_price
+  FROM old_t o FULL OUTER JOIN new_t n ON o.o_orderkey = n.o_orderkey
+), m AS (
+  SELECT count(*) FILTER (ok IS NULL) AS added,
+         count(*) FILTER (nk IS NULL) AS removed,
+         count(*) FILTER (d_status OR d_price) AS changed,
+         count(*) FILTER (in_both AND NOT (d_status OR d_price)) AS unchanged,
+         count(*) FILTER (d_status) AS c_status,
+         count(*) FILTER (d_price) AS c_price
+  FROM j
+)
+SELECT metric, n FROM (
+  SELECT 'added' AS metric, added AS n FROM m
+  UNION ALL SELECT 'removed', removed FROM m
+  UNION ALL SELECT 'changed', changed FROM m
+  UNION ALL SELECT 'unchanged', unchanged FROM m
+  UNION ALL SELECT 'col_changed:o_orderstatus', c_status FROM m
+  UNION ALL SELECT 'col_changed:o_totalprice', c_price FROM m
+) ORDER BY metric"""
+
+
+def _equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of l_extendedprice
+    (profile.equi_depth_histogram): exact type-7 cuts from the weighted
+    histogram trick, then one partial-aggregable bucket groupBy."""
+    from whiterrabbit_spark.profile import equi_depth_histogram
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = equi_depth_histogram(li, "l_extendedprice", bins=10)
+    return out.select(
+        "bucket",
+        F.round("bucket_lo", 4).alias("bucket_lo"),
+        F.round("bucket_hi", 4).alias("bucket_hi"),
+        "n_rows",
+    ).orderBy("bucket")
+
+
+_EQUI_DEPTH_SQL = """
+WITH c AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts,
+         min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), b AS (
+  SELECT len(list_filter((SELECT cuts FROM c), x -> l_extendedprice > x))
+           AS bucket
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT bucket,
+       round(list_prepend((SELECT lo FROM c), (SELECT cuts FROM c))[bucket + 1], 4)
+         AS bucket_lo,
+       round(list_append((SELECT cuts FROM c), (SELECT hi FROM c))[bucket + 1], 4)
+         AS bucket_hi,
+       count(*) AS n_rows
+FROM b GROUP BY bucket ORDER BY bucket"""
+
+
+def _ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ECDF lookup for o_totalprice (profile.ecdf_lookup): cume_dist
+    over the value HISTOGRAM, never a per-row global sort."""
+    from whiterrabbit_spark.profile import ecdf_lookup
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = ecdf_lookup(orders, "o_totalprice")
+    return out.select(
+        F.round("v", 6).alias("v"), F.round("cume_dist", 6).alias("cume_dist")
+    )
+
+
+_ECDF_SQL = """
+WITH h AS (
+  SELECT o_totalprice AS v, count(*) AS cnt
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+)
+SELECT round(v, 6) AS v,
+       round((sum(cnt) OVER (ORDER BY v))::DOUBLE
+             / (sum(cnt) OVER ())::DOUBLE, 6) AS cume_dist
+FROM h"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -2988,6 +3133,12 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("psi_drift_orders", _psi_drift, _psi_sql())
     add("mad_outliers_orders", _mad_outliers, _MAD_SQL)
     add("fingerprint_documents", _fingerprint, _FINGERPRINT_SQL)
+    # --- Block 1.6: new in round 2 (never driver-checked; next round's
+    # verification prefix picks these up after the 7 above).
+    add("cap_per_source_documents", _cap_per_source, _CAP_PER_SOURCE_SQL)
+    add("table_diff_orders", _table_diff, _TABLE_DIFF_SQL)
+    add("equi_depth_hist_lineitem", _equi_depth_hist, _EQUI_DEPTH_SQL)
+    add("ecdf_orders", _ecdf, _ECDF_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
