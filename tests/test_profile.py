@@ -596,3 +596,30 @@ def test_ecdf_lookup(spark):
     assert [(r.v, round(r.cume_dist, 6)) for r in rows] == [
         (1.0, 0.5), (2.0, 0.75), (5.0, 1.0),
     ]
+
+
+def test_key_skew_report(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import key_skew_report
+
+    rows = [Row(k=1) for _ in range(70)] + [Row(k=2) for _ in range(20)] + \
+           [Row(k=3) for _ in range(5)] + [Row(k=None) for _ in range(5)]
+    df = spark.createDataFrame(rows)
+    m = {r.metric: r.value for r in key_skew_report(df, "k", top_k=2).collect()}
+    assert m["n_rows"] == 100.0
+    assert m["n_keys"] == 3.0
+    assert m["null_share"] == 0.05
+    assert m["max_count"] == 70.0
+    assert m["top1_share"] == 0.7
+    assert m["top2_share"] == 0.9
+    assert m["cv_count"] > 0.5  # heavily skewed
+
+
+def test_key_skew_report_empty(spark):
+    from whiterrabbit_spark.profile import key_skew_report
+
+    df = spark.createDataFrame([], "k long")
+    m = {r.metric: r.value for r in key_skew_report(df, "k").collect()}
+    assert m["n_rows"] == 0.0 and m["n_keys"] == 0.0
+    assert m["top1_share"] is None

@@ -1355,3 +1355,59 @@ def ecdf_lookup(df: DataFrame, column: str) -> DataFrame:
     return hist.select(
         "v", (cume / total).alias("cume_dist")
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join/groupBy-key skew profile — the statistic to read BEFORE
+    shuffling 100 TB on a key: if one key holds a material share of the
+    rows, that key's reducer is the job's straggler (the fix is salting
+    or AQE skew-join, but only if you know to apply it).
+
+    Metrics (tall ``(metric, value)`` frame):
+    ``n_rows``, ``n_keys``, ``null_share`` (NULL keys hash together —
+    the classic accidental hot key), ``max_count``/``avg_count``,
+    ``cv_count`` (coefficient of variation of per-key counts),
+    ``top1_share``/``top{k}_share`` (row mass in the heaviest keys).
+
+    Plan: ONE ``groupBy(key)`` histogram (map-side combine), then a flat
+    aggregation over it plus a distributed ``TakeOrderedAndProject``
+    top-k — no global sort, no per-row window; output is O(1).
+    """
+    key = F.col(key_col)
+    hist = df.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = hist.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_keys"),
+        F.coalesce(F.sum(F.when(F.col("k").isNull(), F.col("cnt"))), F.lit(0)).alias(
+            "null_rows"
+        ),
+        F.max("cnt").alias("max_count"),
+        F.avg("cnt").alias("avg_count"),
+        F.stddev_pop("cnt").alias("sd_count"),
+    ).collect()[0]
+    top = [
+        r["cnt"]
+        # nulls-last matches ANSI/DuckDB ASC ordering (Spark's bare asc is
+        # nulls-first), so a NULL key tying at the top_k boundary can't
+        # make engines pick different keys
+        for r in hist.orderBy(F.col("cnt").desc(), F.col("k").asc_nulls_last())
+        .limit(top_k)
+        .collect()
+    ]
+    n_rows = stats["n_rows"] or 0
+    out = [
+        ("n_rows", float(n_rows)),
+        ("n_keys", float(stats["n_keys"] or 0)),
+        ("null_share", (stats["null_rows"] / n_rows) if n_rows else None),
+        ("max_count", float(stats["max_count"]) if stats["max_count"] is not None else None),
+        ("avg_count", float(stats["avg_count"]) if stats["avg_count"] is not None else None),
+        (
+            "cv_count",
+            (stats["sd_count"] / stats["avg_count"])
+            if stats["avg_count"]
+            else None,
+        ),
+        ("top1_share", (top[0] / n_rows) if top and n_rows else None),
+        (f"top{top_k}_share", (sum(top) / n_rows) if top and n_rows else None),
+    ]
+    return df.sparkSession.createDataFrame(out, "metric string, value double")

@@ -2905,6 +2905,101 @@ SELECT doc_id, lang, n_chars FROM keyed
 ORDER BY es_key DESC, doc_id ASC LIMIT 100"""
 
 
+def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL Structured Streaming correctness row — the CUSTOM
+    stateful operator surface (applyInPandasWithState): streaming
+    sessionizer emitting a session the moment a later event closes it.
+    With a bounded single-file source the emitted set is exactly the
+    batch sessions minus each user's final (still-open-at-EOF) session —
+    deterministic, so the oracle rebuilds it first-principles in SQL
+    (lag + cumulative-sum sessions, drop each user's last)."""
+    import uuid
+
+    from whiterrabbit_spark.extensions import streaming as st
+
+    src = st.stream_events_from_parquet(spark, sf_dir)
+    out = st.sessionize_stateful(src, gap_seconds=float(SESSION_GAP_S))
+    name = f"wrs_streamsess_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(out, name, mode="append")
+    t = spark.table(name)
+    return t.select(
+        "user_id",
+        F.date_format(
+            F.timestamp_seconds("session_start"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("session_start"),
+        F.date_format(
+            F.timestamp_seconds("session_end"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("session_end"),
+        "n_events",
+        F.round("sum_value", R).alias("sum_value"),
+    )
+
+
+_STREAMING_SESSIONIZE_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM o
+), g AS (
+  SELECT user_id, session_seq,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+         count(*) AS n_events,
+         round(sum(value), 6) AS sum_value,
+         max(session_seq) OVER (PARTITION BY user_id) AS last_seq
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM g WHERE session_seq < last_seq"""
+
+
+def _key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of orders.o_custkey
+    (profile.key_skew_report): one groupBy(key) histogram + flat agg +
+    distributed top-k — the pre-shuffle skew diagnostic."""
+    from whiterrabbit_spark.profile import key_skew_report
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = key_skew_report(orders, "o_custkey", top_k=10)
+    return out.select("metric", F.round("value", 6).alias("value"))
+
+
+_KEY_SKEW_SQL = """
+WITH h AS (
+  SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1
+), s AS (
+  SELECT sum(cnt) AS n_rows,
+         count(*) FILTER (k IS NOT NULL) AS n_keys,
+         coalesce(sum(cnt) FILTER (k IS NULL), 0) AS null_rows,
+         max(cnt) AS max_count,
+         avg(cnt) AS avg_count,
+         stddev_pop(cnt) AS sd_count
+  FROM h
+), t AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, k ASC) AS rn FROM h
+)
+SELECT metric, round(value, 6) AS value FROM (
+  SELECT 'n_rows' AS metric, n_rows::DOUBLE AS value FROM s
+  UNION ALL SELECT 'n_keys', n_keys::DOUBLE FROM s
+  UNION ALL SELECT 'null_share', null_rows::DOUBLE / n_rows FROM s
+  UNION ALL SELECT 'max_count', max_count::DOUBLE FROM s
+  UNION ALL SELECT 'avg_count', avg_count FROM s
+  UNION ALL SELECT 'cv_count', sd_count / avg_count FROM s
+  UNION ALL SELECT 'top1_share',
+    (SELECT sum(cnt) FROM t WHERE rn <= 1)::DOUBLE / (SELECT n_rows FROM s)
+  UNION ALL SELECT 'top10_share',
+    (SELECT sum(cnt) FROM t WHERE rn <= 10)::DOUBLE / (SELECT n_rows FROM s)
+)"""
+
+
 def _cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (C4/RefinedWeb-style "≤N pages per host"):
     deterministic md5-ordered keep-set, one WindowGroupLimit shuffle
@@ -3135,10 +3230,13 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("fingerprint_documents", _fingerprint, _FINGERPRINT_SQL)
     # --- Block 1.6: new in round 2 (never driver-checked; next round's
     # verification prefix picks these up after the 7 above).
+    add("streaming_sessionize_events", _streaming_sessionize,
+        _STREAMING_SESSIONIZE_SQL)
     add("cap_per_source_documents", _cap_per_source, _CAP_PER_SOURCE_SQL)
     add("table_diff_orders", _table_diff, _TABLE_DIFF_SQL)
     add("equi_depth_hist_lineitem", _equi_depth_hist, _EQUI_DEPTH_SQL)
     add("ecdf_orders", _ecdf, _ECDF_SQL)
+    add("key_skew_orders", _key_skew, _KEY_SKEW_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
