@@ -1869,3 +1869,48 @@ def test_table_diff_key_only(spark):
     new = spark.createDataFrame([Row(k=2), Row(k=3)])
     m = {r.metric: r.n for r in table_diff_summary(old, new, "k").collect()}
     assert m == {"added": 1, "removed": 1, "changed": 0, "unchanged": 1}
+
+
+def test_heuristic_filters_fixture(spark):
+    """Gopher/C4 rules on a crafted fixture — each gate individually
+    discriminates (the synthetic corpus has no punctuation, so the
+    registry query exercises only the degenerate path)."""
+    from pyspark.sql import Row
+
+    good = ("the cat and the dog have been seen with many others. "
+            "that was fine. all of them left. " + "word " * 50)
+    rows = [
+        Row(doc_id=1, text=good),                                  # passes all
+        Row(doc_id=2, text="short text. one. two."),               # too few words
+        Row(doc_id=3, text=good + " lorem ipsum"),                 # bad phrase
+        Row(doc_id=4, text=("a " * 120).strip()),                  # mwl too low, no sentences
+        Row(doc_id=5, text=good + " ###### ## # # # # # # # # # # # # #"),  # symbols
+        Row(doc_id=6, text=""),                                    # empty
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in ts.heuristic_filters(df, "text", "doc_id").collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].word_count < 50
+    assert not out[3].keep and out[3].has_bad_phrase
+    assert not out[4].keep and out[4].n_sentences == 0
+    assert not out[5].keep and out[5].symbol_ratio > 0.1
+    assert not out[6].keep and out[6].word_count == 0
+
+
+def test_curate_cap_step(spark, docs):
+    import pytest
+
+    from whiterrabbit_spark.curate import curate
+
+    out, counts = curate(
+        docs, ["quality", "cap"], min_quality=0.0,
+        cap_per_source=3, group_col="source", count_stages=True,
+    )
+    per_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_src and all(n <= 3 for n in per_src.values())
+    assert counts["cap"] <= counts["quality"]
+    with pytest.raises(ValueError, match="cap step"):
+        curate(docs, ["cap"])

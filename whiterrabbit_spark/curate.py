@@ -34,7 +34,7 @@ import sys
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-STEPS = ("normalize", "quality", "dedup", "decontam", "split")
+STEPS = ("normalize", "quality", "dedup", "decontam", "cap", "split")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="benchmark/eval parquet for decontam step")
     p.add_argument("--shingle-k", type=int, default=5)
     p.add_argument("--overlap-threshold", type=float, default=0.3)
+    p.add_argument("--cap-per-source", type=int, default=None,
+                   help="max docs kept per --group-col value (cap step)")
+    p.add_argument("--group-col", default="source",
+                   help="domain/host column for the cap step")
     p.add_argument("--weights", default="train=0.8,val=0.1,test=0.1",
                    help="split weights, name=frac comma list")
     p.add_argument("--salt", default="", help="split hash salt")
@@ -100,6 +104,8 @@ def curate(
     overlap_threshold: float = 0.3,
     weights: dict[str, float] | None = None,
     salt: str = "",
+    cap_per_source: int | None = None,
+    group_col: str = "source",
     count_stages: bool = False,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Apply the selected curation steps in order; returns the surviving
@@ -176,6 +182,15 @@ def curate(
                 F.col("overlap_frac") >= overlap_threshold
             ).select(id_col)
             df = df.join(dirty, id_col, "left_anti")
+        elif step == "cap":
+            # per-domain document cap (deterministic md5 keep-set; one
+            # WindowGroupLimit shuffle — a hot domain contributes O(cap)
+            # rows per map task, see splits.cap_per_group)
+            if not cap_per_source:
+                raise ValueError("cap step requires cap_per_source")
+            df = sp.cap_per_group(
+                df, group_col, id_col, cap_per_source, salt=salt
+            )
         elif step == "split":
             df = sp.hash_split(df, id_col, weights, salt)
         if count_stages:
@@ -210,6 +225,8 @@ def main(argv: list[str] | None = None) -> int:
         overlap_threshold=args.overlap_threshold,
         weights=_parse_weights(args.weights),
         salt=args.salt,
+        cap_per_source=args.cap_per_source,
+        group_col=args.group_col,
         count_stages=args.report is not None,
     )
 

@@ -625,3 +625,85 @@ def normalize_text(
             F.col(text_col), form, lowercase, collapse_ws
         ).alias("norm_text"),
     )
+
+
+# Gopher (Rae et al. 2021, table A1) + C4 (Raffel et al. 2020 §2.2)
+# heuristic document filters. Thresholds are the published defaults.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORD_HITS = 2
+C4_MIN_SENTENCES = 3
+C4_BAD_PHRASES = ("lorem ipsum", "javascript", "cookie policy", "terms of use")
+# Gopher's stopword-presence rule uses a tiny common-word list, not the
+# full stopword set: the document must contain ≥2 DISTINCT of these.
+GOPHER_COMMON_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def heuristic_filter_exprs(t: Column) -> dict[str, Column]:
+    """Per-document Gopher+C4 heuristic quality signals, all JVM
+    built-ins (map-only, codegen):
+
+    * ``word_count`` / ``mean_word_len`` — Gopher length gates;
+    * ``symbol_ratio`` — (# + …) per word (Gopher symbol-to-word rule);
+    * ``n_sentences`` — terminal-punctuation count (C4's "≥3 sentences"
+      proxy: sentence segmentation without a model IS terminal-punct
+      counting);
+    * ``stopword_hits`` — distinct common-word presence (Gopher);
+    * ``has_bad_phrase`` — C4 blocklist containment;
+    * ``keep`` — conjunction of all gates.
+    """
+    toks = tokens(t)
+    wc = token_count(t)
+    # characters inside words = total minus whitespace
+    word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    mwl = word_chars / F.greatest(wc, F.lit(1))
+    symbols = F.regexp_count(t, F.lit("#")) + F.regexp_count(t, F.lit(r"\.\.\."))
+    symbol_ratio = symbols / F.greatest(wc, F.lit(1))
+    n_sentences = F.regexp_count(t, F.lit("[.!?]"))
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in GOPHER_COMMON_WORDS]))
+    )
+    low = F.lower(t)
+    bad = None
+    for p in C4_BAD_PHRASES:
+        c = low.contains(p)
+        bad = c if bad is None else (bad | c)
+    keep = (
+        (wc >= GOPHER_MIN_WORDS)
+        & (wc <= GOPHER_MAX_WORDS)
+        & (mwl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (n_sentences >= C4_MIN_SENTENCES)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+        & ~bad
+    )
+    return {
+        "word_count": wc,
+        "mean_word_len": mwl,
+        "symbol_ratio": symbol_ratio,
+        "n_sentences": n_sentences,
+        "stopword_hits": stop_hits,
+        "has_bad_phrase": bad,
+        "keep": keep,
+    }
+
+
+def heuristic_filters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher+C4 document filter flags — ONE map-only projection fused
+    into the scan (no shuffle; composes with any downstream dedup/split
+    stage in the same stage)."""
+    e = heuristic_filter_exprs(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        e["word_count"].alias("word_count"),
+        e["mean_word_len"].alias("mean_word_len"),
+        e["symbol_ratio"].alias("symbol_ratio"),
+        e["n_sentences"].alias("n_sentences"),
+        e["stopword_hits"].alias("stopword_hits"),
+        e["has_bad_phrase"].alias("has_bad_phrase"),
+        e["keep"].alias("keep"),
+    )

@@ -2961,6 +2961,63 @@ SELECT user_id, session_start, session_end, n_events, sum_value
 FROM g WHERE session_seq < last_seq"""
 
 
+def _heuristic_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher+C4 heuristic quality filter flags
+    (textstats.heuristic_filters): the published web-corpus rule set as
+    one map-only projection."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = ts.heuristic_filters(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        "word_count",
+        F.round("mean_word_len", R).alias("mean_word_len"),
+        F.round("symbol_ratio", R).alias("symbol_ratio"),
+        "n_sentences",
+        "stopword_hits",
+        "has_bad_phrase",
+        "keep",
+    )
+
+
+def _heuristic_filters_sql() -> str:
+    common = ", ".join(f"'{w}'" for w in ts.GOPHER_COMMON_WORDS)
+    bad = " OR ".join(
+        f"position('{p}' IN lower(text)) > 0" for p in ts.C4_BAD_PHRASES
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END
+           AS wc,
+         length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+         len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+         len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+                            [{common}])) AS stop_hits,
+         ({bad}) AS has_bad_phrase
+  FROM documents
+), m AS (
+  SELECT doc_id, wc, n_sentences, stop_hits, has_bad_phrase,
+         word_chars::DOUBLE / greatest(wc, 1) AS mwl,
+         symbols::DOUBLE / greatest(wc, 1) AS sym_ratio
+  FROM b
+)
+SELECT doc_id, wc AS word_count,
+       round(mwl, 6) AS mean_word_len,
+       round(sym_ratio, 6) AS symbol_ratio,
+       n_sentences, stop_hits AS stopword_hits, has_bad_phrase,
+       (wc >= {ts.GOPHER_MIN_WORDS} AND wc <= {ts.GOPHER_MAX_WORDS}
+        AND mwl >= {ts.GOPHER_MIN_MEAN_WORD_LEN}
+        AND mwl <= {ts.GOPHER_MAX_MEAN_WORD_LEN}
+        AND sym_ratio <= {ts.GOPHER_MAX_SYMBOL_RATIO}
+        AND n_sentences >= {ts.C4_MIN_SENTENCES}
+        AND stop_hits >= {ts.GOPHER_MIN_STOPWORD_HITS}
+        AND NOT has_bad_phrase) AS keep
+FROM m"""
+
+
 def _key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profile of orders.o_custkey
     (profile.key_skew_report): one groupBy(key) histogram + flat agg +
@@ -3237,6 +3294,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("equi_depth_hist_lineitem", _equi_depth_hist, _EQUI_DEPTH_SQL)
     add("ecdf_orders", _ecdf, _ECDF_SQL)
     add("key_skew_orders", _key_skew, _KEY_SKEW_SQL)
+    add("heuristic_filters_documents", _heuristic_filters,
+        _heuristic_filters_sql())
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.

@@ -38,6 +38,11 @@ def get_spark(
         # cluster the same floor keeps small folder scans from bottling on
         # a handful of executors.
         .config("spark.sql.files.minPartitionNum", str(cpus))
+        # Bare count()/min/max on parquet (e.g. the auto-approx row-count
+        # probe) resolve from footer metadata instead of scanning rows;
+        # Spark falls back to a normal scan whenever pushdown doesn't
+        # apply (filters, nested fields).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # ANSI off: the engine's inference casts rely on NULL-on-failure
