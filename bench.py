@@ -73,6 +73,13 @@ def main() -> None:
         # round 2: the scale-path embedding near-dup (banded hyperplane
         # LSH, no O(n^2) block replication)
         "hyperplane_near_pairs": queries["hyperplane_near_pairs_embeddings"],
+        # round 2 additions: WindowGroupLimit cap, full-outer snapshot
+        # diff, map-only heuristic filters, histogram-derived quantile ops
+        "cap_per_source": queries["cap_per_source_documents"],
+        "table_diff": queries["table_diff_orders"],
+        "heuristic_filters": queries["heuristic_filters_documents"],
+        "equi_depth_hist": queries["equi_depth_hist_lineitem"],
+        "key_skew": queries["key_skew_orders"],
         "dup_ngram_stats": queries["dup_ngram_stats_documents"],
         "unigram_perplexity": queries["unigram_perplexity_documents"],
         "pmi_collocations": queries["pmi_collocations_documents"],

@@ -108,3 +108,41 @@ def test_line_dedup_has_no_window_partition(spark):
     assert "(1) Window" not in plan and "\n Window" not in plan
     assert re.search(r"\(\d+\) Window\b", plan) is None, "rank window came back"
     assert "partial_min" in plan or re.search(r"HashAggregate.*min", plan)
+
+
+def test_heuristic_filters_map_only(spark):
+    plan = _plan(spark, "heuristic_filters_documents")
+    assert "Exchange" not in plan, "heuristic filters gained a shuffle"
+    assert "Scan parquet" in plan
+
+
+def test_cap_per_source_window_group_limit(spark):
+    """The per-domain cap must keep the map-side WindowGroupLimit
+    pre-prune (hot domains contribute O(cap) rows per map task)."""
+    plan = _plan(spark, "cap_per_source_documents")
+    assert "WindowGroupLimit" in plan
+    assert re.search(r"WindowGroupLimit[\s\S]{0,600}?Partial", plan), (
+        "cap lost its Partial (map-side) WindowGroupLimit phase"
+    )
+
+
+def test_table_diff_single_join_flat_agg(spark):
+    """Snapshot diff = exactly one shuffle join (full outer on the key)
+    plus the flat aggregation — no windows, no extra Exchanges beyond
+    the two join inputs + the single-row agg."""
+    plan = _plan(spark, "table_diff_orders")
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "Window" not in plan
+    # formatted mode lists each node in the tree and the details section —
+    # count numbered detail headers only
+    joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan))
+    assert joins == 1, f"expected one shuffle join, saw {joins}"
+
+
+def test_equi_depth_partial_aggregable(spark):
+    """Bucketing groupBy must partial-aggregate map-side (HashAggregate
+    pairs) and never sort globally."""
+    plan = _plan(spark, "equi_depth_hist_lineitem")
+    assert "HashAggregate" in plan
+    # the only Sort allowed is the final presentation orderBy on ≤bins rows
+    assert "TakeOrderedAndProject" in plan or plan.count("Sort") <= 2
