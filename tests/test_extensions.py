@@ -1914,3 +1914,43 @@ def test_curate_cap_step(spark, docs):
     assert counts["cap"] <= counts["quality"]
     with pytest.raises(ValueError, match="cap step"):
         curate(docs, ["cap"])
+
+
+def test_ivf_persistent_index(spark, emb, tmp_path):
+    """Build-once/query-many IVF index: directory layout, partition-pruned
+    probe scans, and recall vs brute force on the same corpus."""
+    from whiterrabbit_spark.extensions import similarity as sim
+
+    idx = str(tmp_path / "ivf_idx")
+    centers = sim.ivf_build_index(emb, idx, n_lists=8, seed=7)
+    assert len(centers) == 8
+    import os
+
+    part_dirs = [d for d in os.listdir(f"{idx}/lists") if d.startswith("list_id=")]
+    assert 1 <= len(part_dirs) <= 8
+
+    queries = emb.limit(5).selectExpr("vec_id as query_id", "embedding")
+    out = sim.ivf_query_index(spark, idx, queries, k=3, n_probe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan, (
+        "probe scan must prune list partitions at the directory level"
+    )
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    assert got, "index query returned no neighbors"
+
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sim.cosine_topk(emb, queries, k=3).collect()
+    }
+    hits = sum(1 for key, n in exact.items() if got.get(key) == n or n in {
+        v for (q, _), v in got.items() if q == key[0]
+    })
+    assert hits / len(exact) >= 0.5, f"recall too low: {hits}/{len(exact)}"
+
+    # in-memory ivf_topk with the same params should agree with the
+    # persistent path (same quantizer seed, same probe count)
+    mem = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sim.ivf_topk(emb, queries, k=3, n_lists=8, n_probe=4, seed=7).collect()
+    }
+    assert mem == got

@@ -32,7 +32,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -456,6 +456,151 @@ def random_hyperplane_ann(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def fit_spherical_centers(
+    corpus: DataFrame,
+    vec_col: str,
+    n_lists: int,
+    seed: int,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Seeded spherical k-means coarse quantizer (Spark MLlib), shared by
+    the in-memory IVF search and the persistent index builder.
+
+    Vectors are L2-normalized first: squared L2 on unit vectors is
+    monotone in cosine, so the quantizer partitions by the metric being
+    searched. At real scale pass ``sample_fraction`` — the quantizer
+    needs thousands of points per centroid, not the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus
+    if sample_fraction is not None:
+        train = corpus.sample(fraction=sample_fraction, seed=seed)
+    feats = train.select(array_to_vector(_unit(F.col(vec_col))).alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    return [list(map(float, c)) for c in km.clusterCenters()]
+
+
+def nearest_lists_expr(vec: Column, centers: list[list[float]], n: int) -> Column:
+    """Array of the ``n`` nearest list ids by squared L2 of the unit
+    vector to each centroid — a pure fold expression (map-side,
+    codegen), no UDF."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        _unit(vec),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    return F.slice(F.array_sort(dists), 1, n)["list_id"]
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Build a PERSISTENT IVF index: build once, query many — the serving
+    shape for similarity search over a static corpus.
+
+    Layout (plain parquet, no engine-private format):
+
+    * ``{out_dir}/centroids`` — (list_id, centroid array), ``n_lists``
+      rows;
+    * ``{out_dir}/lists`` — (id, vector) hive-partitioned BY ``list_id``,
+      so a query that probes p lists reads exactly p partitions
+      (directory-level pruning: the other ``n_lists − p`` never touch
+      IO — the on-disk analog of an inverted list).
+
+    Index build is one MLlib fit (sampled at scale) + ONE map-side
+    assignment pass + the partitioned write's shuffle on list_id.
+    Returns the centroid list."""
+    centers = fit_spherical_centers(
+        corpus, vec_col, n_lists, seed, sample_fraction=sample_fraction
+    )
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "list_id int, centroid array<double>"
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        _to_double(F.col(vec_col)).alias("v"),
+        nearest_lists_expr(F.col(vec_col), centers, 1)[0].alias("list_id"),
+    )
+    # one file per list: each inverted list reads as one contiguous unit
+    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{out_dir}/lists")
+    return centers
+
+
+def ivf_query_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a persistent IVF index built by ``ivf_build_index``.
+
+    The centroid table (``n_lists`` rows) collects to the driver; each
+    query's ``n_probe`` nearest lists come from the same fold expression
+    used at build time. The union of probed list ids becomes a LITERAL
+    ``isin`` predicate, so the lists scan prunes to those hive partitions
+    at the directory level (plan shows ``PartitionFilters``) — IO is
+    proportional to probed lists, not corpus size. Candidates join the
+    (broadcast) query batch on list_id and are scored exactly; per-query
+    top-k via window."""
+    centers_rows = sorted(
+        spark.read.parquet(f"{index_dir}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    centers = [list(r["centroid"]) for r in centers_rows]
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("qv"),
+        F.explode(
+            nearest_lists_expr(F.col(vec_col), centers, n_probe)
+        ).alias("list_id"),
+    )
+    # serving batches are small: collecting O(queries × n_probe) list ids
+    # is what makes directory-level pruning possible (isin needs literals)
+    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    lists = spark.read.parquet(f"{index_dir}/lists").where(
+        F.col("list_id").isin(probed)
+    )
+    scored = lists.join(F.broadcast(q), "list_id").where(
+        F.col("id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("v"))
+         / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -478,36 +623,10 @@ def ivf_topk(
     the corpus, a broadcast join on list id, GEMM-free exact scoring on
     candidates. Approximate by design → recall-tested, not oracle-checked.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # normalize first: L2 on unit vectors is monotone in cosine, so the
-    # quantizer partitions by the metric actually being searched
-    # (spherical k-means)
-    train = corpus.select(array_to_vector(_unit(F.col(vec_col))).alias("features"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
-    centers = [list(map(float, c)) for c in km.clusterCenters()]
+    centers = fit_spherical_centers(corpus, vec_col, n_lists, seed)
 
     def nearest_lists(vec: Column, n: int) -> Column:
-        """Array of the n nearest list ids by squared L2 to each centroid."""
-        dists = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            _unit(vec),
-                            F.array(*[F.lit(x) for x in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(i).alias("list_id"),
-                )
-                for i, c in enumerate(centers)
-            ]
-        )
-        return F.slice(F.array_sort(dists), 1, n)["list_id"]
+        return nearest_lists_expr(vec, centers, n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
