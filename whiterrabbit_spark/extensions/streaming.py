@@ -424,3 +424,58 @@ def stream_to_curated(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Stream-stream INNER join with a time bound — the attribution
+    pattern (each ``right_type`` event joined to every same-user
+    ``left_type`` event in the preceding ``within`` interval).
+
+    On streams both sides carry watermarks and the time-range predicate,
+    which is what lets Spark BOUND THE JOIN STATE: a buffered left row
+    can be evicted once the right watermark passes ``left.ts + within``
+    (without the range condition the state store grows forever — the
+    stream-stream join failure mode). On batch frames the identical plan
+    is a plain equi-join + range filter, so stream and batch converge on
+    a bounded source — correctness is checked against that batch form.
+
+    One shuffle on the join key per side; output keys: (user, left event
+    id, right event id).
+    """
+    lt, rt = F.col(f"l_{ts_col}"), F.col(f"r_{ts_col}")
+    l = left.where(F.col("event_type") == left_type).select(
+        F.col(user_col).alias("user_id"),
+        F.col("event_id").alias("l_event_id"),
+        F.col(ts_col).alias(f"l_{ts_col}"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.where(F.col("event_type") == right_type).select(
+        F.col(user_col).alias("r_user_id"),
+        F.col("event_id").alias("r_event_id"),
+        F.col(ts_col).alias(f"r_{ts_col}"),
+        F.col("value").alias("r_value"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark(f"l_{ts_col}", watermark)
+    if right.isStreaming:
+        r = r.withWatermark(f"r_{ts_col}", watermark)
+    cond = (
+        (F.col("user_id") == F.col("r_user_id"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        "user_id", "l_event_id", "r_event_id",
+        F.col(f"l_{ts_col}").alias("l_ts"),
+        F.col(f"r_{ts_col}").alias("r_ts"),
+        "l_value", "r_value",
+    )

@@ -1282,11 +1282,12 @@ def equi_depth_histogram(df: DataFrame, column: str, bins: int = 10) -> DataFram
     expose distribution shape where equal-width bins collapse under
     outliers.
 
-    Scale shape: cut points come from the weighted-percentile-over-
-    histogram trick (``groupBy(v) → percentile(v, probs, cnt)`` — the
-    final task buffers |distinct| entries, not |rows|, same as the exact
-    profile path), then ONE partial-aggregable groupBy on the bucket
-    index with the cuts inlined as plan literals. Output ≤ ``bins`` rows.
+    Scale shape: ONE scan. The value histogram (``groupBy(v).count`` —
+    map-side combine, the only data-sized shuffle) is persisted and
+    reused twice: cut points via ``percentile(v, probs, cnt)`` (the final
+    task buffers |distinct| entries, not |rows|), then bucket counts by
+    aggregating the HISTOGRAM rows (≤ |distinct|) against the literal
+    cuts — the raw table is never rescanned. Output ≤ ``bins`` rows.
     Heavy ties can leave some buckets empty (their mass sits in the
     neighbor holding the tied cut) — the emitted frame only contains
     non-empty buckets.
@@ -1296,36 +1297,45 @@ def equi_depth_histogram(df: DataFrame, column: str, bins: int = 10) -> DataFram
     hist = (
         df.select(c.alias("v")).where(F.col("v").isNotNull())
         .groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    row = hist.agg(
-        F.percentile(F.col("v"), F.lit(probs), F.col("cnt")).alias("q"),
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
-    ).collect()[0]
-    spark = df.sparkSession
-    if row["lo"] is None:
+    ).persist()
+    try:
+        row = hist.agg(
+            F.percentile(F.col("v"), F.lit(probs), F.col("cnt")).alias("q"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        ).collect()[0]
+        spark = df.sparkSession
+        if row["lo"] is None:
+            return spark.createDataFrame(
+                [], "bucket int, bucket_lo double, bucket_hi double, n_rows long"
+            )
+        cuts = [float(x) for x in row["q"]]
+        edges = [float(row["lo"])] + cuts + [float(row["hi"])]
+        v = F.col("v")
+        bucket = F.lit(0)
+        for cut in cuts:
+            bucket = bucket + F.when(v > F.lit(cut), 1).otherwise(0)
+        bucket = bucket.cast("int")
+        edge_lo = F.array(*[F.lit(e) for e in edges[:-1]])
+        edge_hi = F.array(*[F.lit(e) for e in edges[1:]])
+        out = (
+            hist.groupBy(bucket.alias("bucket"))
+            .agg(F.sum("cnt").alias("n_rows"))
+            .select(
+                "bucket",
+                F.element_at(edge_lo, F.col("bucket") + 1).alias("bucket_lo"),
+                F.element_at(edge_hi, F.col("bucket") + 1).alias("bucket_hi"),
+                "n_rows",
+            )
+        )
+        # materialize before unpersist so the returned frame doesn't
+        # recompute the histogram scan lazily after the cache is gone
+        rows = out.collect()
         return spark.createDataFrame(
-            [], "bucket int, bucket_lo double, bucket_hi double, n_rows long"
+            rows, "bucket int, bucket_lo double, bucket_hi double, n_rows long"
         )
-    cuts = [float(x) for x in row["q"]]
-    edges = [float(row["lo"])] + cuts + [float(row["hi"])]
-    bucket = F.lit(0)
-    for cut in cuts:
-        bucket = bucket + F.when(c > F.lit(cut), 1).otherwise(0)
-    bucket = bucket.cast("int")
-    edge_lo = F.array(*[F.lit(e) for e in edges[:-1]])
-    edge_hi = F.array(*[F.lit(e) for e in edges[1:]])
-    return (
-        df.where(c.isNotNull())
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .select(
-            "bucket",
-            F.element_at(edge_lo, F.col("bucket") + 1).alias("bucket_lo"),
-            F.element_at(edge_hi, F.col("bucket") + 1).alias("bucket_hi"),
-            "n_rows",
-        )
-    )
+    finally:
+        hist.unpersist()
 
 
 def ecdf_lookup(df: DataFrame, column: str) -> DataFrame:

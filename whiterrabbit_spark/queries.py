@@ -3057,6 +3057,47 @@ SELECT metric, round(value, 6) AS value FROM (
 )"""
 
 
+def _streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth REAL Structured Streaming correctness row — STREAM-STREAM
+    inner join with a time-range bound (the state-bounding predicate):
+    every purchase joined to the same user's clicks in the preceding
+    hour, both sides file streams. Inner-join matches emit as found, so
+    a bounded source converges to the batch join — the oracle."""
+    import uuid
+
+    from whiterrabbit_spark.extensions import streaming as st
+
+    l_src = st.stream_events_from_parquet(spark, sf_dir)
+    r_src = st.stream_events_from_parquet(spark, sf_dir)
+    joined = st.stream_stream_attribution_join(l_src, r_src)
+    name = f"wrs_streamjoin_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(joined, name, mode="append")
+    t = spark.table(name)
+    return t.select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("l_ts"),
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("r_ts"),
+        F.round("l_value", R).alias("l_value"),
+        F.round("r_value", R).alias("r_value"),
+    )
+
+
+_STREAMING_JOIN_SQL = """
+SELECT l.user_id,
+       l.event_id AS l_event_id,
+       r.event_id AS r_event_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts,
+       round(l.value, 6) AS l_value,
+       round(r.value, 6) AS r_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR"""
+
+
 def _cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (C4/RefinedWeb-style "≤N pages per host"):
     deterministic md5-ordered keep-set, one WindowGroupLimit shuffle
@@ -3289,6 +3330,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # verification prefix picks these up after the 7 above).
     add("streaming_sessionize_events", _streaming_sessionize,
         _STREAMING_SESSIONIZE_SQL)
+    add("streaming_join_events", _streaming_join, _STREAMING_JOIN_SQL)
     add("cap_per_source_documents", _cap_per_source, _CAP_PER_SOURCE_SQL)
     add("table_diff_orders", _table_diff, _TABLE_DIFF_SQL)
     add("equi_depth_hist_lineitem", _equi_depth_hist, _EQUI_DEPTH_SQL)
