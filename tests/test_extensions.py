@@ -1954,3 +1954,18 @@ def test_ivf_persistent_index(spark, emb, tmp_path):
         for r in sim.ivf_topk(emb, queries, k=3, n_lists=8, n_probe=4, seed=7).collect()
     }
     assert mem == got
+
+
+def test_table_diff_duplicate_key_guard(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.diff import table_diff_summary
+
+    old = spark.createDataFrame([Row(k=1, a="x"), Row(k=1, a="y")])
+    new = spark.createDataFrame([Row(k=1, a="x")])
+    with pytest.raises(ValueError, match="duplicate"):
+        table_diff_summary(old, new, "k", check_unique_keys=True)
+    # without the check the join silently fans out — documented behavior
+    m = {r.metric: r.n for r in table_diff_summary(old, new, "k").collect()}
+    assert m["changed"] + m["unchanged"] == 2  # the double-count the guard exists for

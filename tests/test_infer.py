@@ -191,3 +191,12 @@ def test_wide_melt_path_empty_table(spark):
     df = spark.createDataFrame([], "a string, b string, c string")
     res = infer_types(df, ScanConfig(wide_infer_cols=1))
     assert res.decisions == {"a": "string", "b": "string", "c": "string"}
+
+
+def test_hex_numeric_leading_zeros(spark):
+    # review fix: the 15-significant-digit bound must not count leading
+    # zeros — fixed-width zero-padded hex ids are in conv's range
+    df = _one_col(spark, ["0x0000000000000010", "0x10", "0x0", "-0x0ff"])
+    typed, res = infer_and_cast(df, CFG)
+    assert res.decisions["v"] == "double"
+    assert [r.v for r in typed.collect()] == [16.0, 16.0, 0.0, -255.0]

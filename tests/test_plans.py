@@ -69,7 +69,7 @@ def test_curation_pipeline_single_scan(spark):
     """The composed pipeline must read the corpus ONCE — feature extraction
     as one scan-stage projection, never per-feature self-joins."""
     plan = _plan(spark, "curation_pipeline_documents")
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) (?:Batch)?Scan parquet", plan)) == 1
 
 
 def test_embedding_near_dup_broadcasts(spark):
@@ -140,9 +140,14 @@ def test_table_diff_single_join_flat_agg(spark):
 
 
 def test_equi_depth_partial_aggregable(spark):
-    """Bucketing groupBy must partial-aggregate map-side (HashAggregate
-    pairs) and never sort globally."""
+    """After the single-scan rework the returned frame is O(bins)
+    driver-materialized rows (LocalTableScan, like funnel/profile report
+    frames) — the data-sized work ran in the persisted-histogram jobs,
+    and re-evaluating the result must NOT rescan the corpus."""
     plan = _plan(spark, "equi_depth_hist_lineitem")
-    assert "HashAggregate" in plan
-    # the only Sort allowed is the final presentation orderBy on ≤bins rows
-    assert "TakeOrderedAndProject" in plan or plan.count("Sort") <= 2
+    assert (
+        "LocalTableScan" in plan
+        or "LocalRelation" in plan
+        or "ExistingRDD" in plan
+    )
+    assert "parquet" not in plan, "result frame re-scans the corpus"

@@ -33,10 +33,30 @@ def table_diff_summary(
     new: DataFrame,
     key_col: str,
     compare_cols: list[str] | None = None,
+    check_unique_keys: bool = False,
 ) -> DataFrame:
     """(metric, n) frame: added / removed / changed / unchanged row counts
     plus ``col_changed:<c>`` per compared column (counted over rows
-    present in BOTH snapshots)."""
+    present in BOTH snapshots).
+
+    ``key_col`` must be UNIQUE within each snapshot: a key duplicated m×n
+    times across the two sides fans out in the full-outer join and every
+    metric double-counts it. Pass ``check_unique_keys=True`` to pay one
+    extra aggregation per side and fail fast with the offending counts
+    instead — worth it exactly when diffing the kind of dirty snapshot
+    where duplicated keys are plausible."""
+    if check_unique_keys:
+        for side, frame in (("old", old), ("new", new)):
+            r = frame.agg(
+                F.count(key_col).alias("n"),
+                F.count_distinct(key_col).alias("d"),
+            ).collect()[0]
+            if r["n"] != r["d"]:
+                raise ValueError(
+                    f"table_diff_summary: {side} snapshot has duplicate "
+                    f"{key_col!r} values ({r['n']} rows, {r['d']} distinct) — "
+                    "metrics would double-count; dedup the snapshot first"
+                )
     if compare_cols is None:
         compare_cols = [
             c for c in new.columns if c != key_col and c in set(old.columns)

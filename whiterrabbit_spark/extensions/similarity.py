@@ -304,16 +304,18 @@ def hyperplane_near_pairs(
     (table, bucket)); candidates are scored exactly and filtered by the
     cosine threshold. Approximate only in recall (a missed bucket collision
     drops a pair); every emitted pair's cosine is exact."""
-    hashed = hyperplane_buckets_pandas(
-        df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed
-    )
     # Candidate generation and dedup run on BARE ids: the (table, bucket)
     # self-join and the pair-dedup shuffle 2 longs per candidate instead of
-    # two dim-wide vectors (~64x less shuffle payload at dim=64). Vectors
-    # are fetched once per SURVIVING pair from the n-row vector table —
-    # two id-equi-joins Catalyst can broadcast when the corpus side fits,
-    # and plain shuffle-hash otherwise.
-    buckets = hashed.select("vid", "table", "bucket")
+    # two dim-wide vectors (~64x less shuffle payload at dim=64), and the
+    # bucketing UDF itself omits vectors (include_vec=False — Spark can't
+    # prune inside mapInPandas output). Vectors are fetched once per
+    # SURVIVING pair from the n-row vector table — two id-equi-joins
+    # Catalyst can broadcast when the corpus side fits, and plain
+    # shuffle-hash otherwise.
+    buckets = hyperplane_buckets_pandas(
+        df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
+        include_vec=False,
+    )
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["table", "bucket"])
@@ -378,12 +380,19 @@ def hyperplane_buckets_pandas(
     n_planes: int = 4,
     n_tables: int = 16,
     seed: int = 42,
+    include_vec: bool = True,
 ) -> DataFrame:
-    """(id, vec, table, bucket) rows — one per hash table — with the sign
-    bits computed by one numpy matmul per Arrow batch instead of per-row
-    interpreted fold expressions (~100× on wide corpora; sign agreement
-    with the fold form holds except for |dot| ≲ 1e-15 boundary cases,
-    parity-tested). Map-only: bucketing adds no shuffle."""
+    """(id[, vec], table, bucket) rows — one per hash table — with the
+    sign bits computed by one numpy matmul per Arrow batch instead of
+    per-row interpreted fold expressions (~100× on wide corpora; sign
+    agreement with the fold form holds except for |dot| ≲ 1e-15 boundary
+    cases, parity-tested). Map-only: bucketing adds no shuffle.
+
+    ``include_vec=False`` omits the vector column from the UDF output:
+    Spark cannot prune columns INSIDE a mapInPandas, so a caller that
+    only needs (id, table, bucket) — candidate generation in
+    ``hyperplane_near_pairs`` — would otherwise pay n_tables Arrow
+    copies of every vector just to drop them."""
     import numpy as np
     import pandas as pd
 
@@ -401,18 +410,17 @@ def hyperplane_buckets_pandas(
             signs = (m @ flat.T >= 0).reshape(len(pdf), n_tables, n_planes)
             buckets = signs @ weights  # (n, n_tables)
             n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    out_id: np.repeat(pdf[id_col].to_numpy(), n_tables),
-                    "v": [v for v in pdf[vec_col] for _ in range(n_tables)],
-                    "table": np.tile(np.arange(n_tables), n),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
+            out = {out_id: np.repeat(pdf[id_col].to_numpy(), n_tables)}
+            if include_vec:
+                out["v"] = [v for v in pdf[vec_col] for _ in range(n_tables)]
+            out["table"] = np.tile(np.arange(n_tables), n)
+            out["bucket"] = buckets.reshape(-1)
+            yield pd.DataFrame(out)
 
+    vec_field = "v array<double>, " if include_vec else ""
     return df.select(id_col, vec_col).mapInPandas(
         assign,
-        f"{out_id} long, v array<double>, table int, bucket long",
+        f"{out_id} long, {vec_field}table int, bucket long",
     )
 
 

@@ -81,7 +81,7 @@ def nonempty(c: Column) -> Column:
     return c.isNotNull() & (c != "")
 
 
-_HEX_RE = r"^[+-]?0[xX][0-9a-fA-F]{1,15}$"
+_HEX_RE = r"^[+-]?0[xX]0*[0-9a-fA-F]{1,15}$"
 
 
 def numeric_cast_expr(c: Column) -> Column:
@@ -97,7 +97,7 @@ def numeric_cast_expr(c: Column) -> Column:
     (conv's exact range; R keeps parsing toward Inf) — pinned as the
     remaining divergence in tests/test_infer.py."""
     t = F.trim(c)
-    mag = F.conv(F.regexp_extract(t, r"0[xX]([0-9a-fA-F]+)", 1), 16, 10)
+    mag = F.conv(F.regexp_extract(t, r"0[xX]0*([0-9a-fA-F]+)", 1), 16, 10)
     signed_hex = F.when(
         t.startswith("-"), -mag.try_cast("double")
     ).otherwise(mag.try_cast("double"))

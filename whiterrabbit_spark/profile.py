@@ -895,6 +895,28 @@ def all_empty_fields(raw: dict[str, dict]) -> list[str]:
 _APPROX_SAMPLE_ROWS = 1_000_000
 
 
+def _auto_approx_source(
+    df: DataFrame, approx: bool | None, auto_approx_rows: int
+) -> tuple[bool, DataFrame]:
+    """Resolve the tri-state approx flag and (for the approx path) the
+    seeded sample source. The row count — only needed to auto-decide and
+    to size the sample — is NOT computed when the caller pinned
+    ``approx=False``: the exact path runs zero extra jobs, same as before
+    the auto switch existed (on parquet the count that does run is a
+    near-IO-free empty-projection scan)."""
+    if approx is False:
+        return False, df
+    n = df.count()
+    if approx is None:
+        approx = n > auto_approx_rows
+    src = df
+    if approx:
+        frac = min(1.0, _APPROX_SAMPLE_ROWS / max(n, 1))
+        if frac < 1.0:
+            src = df.sample(frac, seed=42)
+    return approx, src
+
+
 def winsorize(
     df: DataFrame,
     cols: list[str],
@@ -929,14 +951,7 @@ def winsorize(
     sample+sketch above it, so the default call survives a 100×
     scale-up without the single-reducer cliff.
     """
-    n = df.count()
-    if approx is None:
-        approx = n > auto_approx_rows
-    src = df
-    if approx:
-        frac = min(1.0, _APPROX_SAMPLE_ROWS / max(n, 1))
-        if frac < 1.0:
-            src = df.sample(frac, seed=42)
+    approx, src = _auto_approx_source(df, approx, auto_approx_rows)
     fn = "approx_percentile" if approx else "percentile"
     acc = f", {accuracy}" if approx else ""
     qs = src.agg(
@@ -1133,14 +1148,7 @@ def mad_outlier_counts(
     full frame — it is a cheap codegen sum, only the quantile literals
     are estimated.
     """
-    n = df.count()
-    if approx is None:
-        approx = n > auto_approx_rows
-    src = df
-    if approx:
-        frac = min(1.0, _APPROX_SAMPLE_ROWS / max(n, 1))
-        if frac < 1.0:
-            src = df.sample(frac, seed=42)
+    approx, src = _auto_approx_source(df, approx, auto_approx_rows)
 
     def med(col: Column) -> Column:
         if approx:

@@ -274,7 +274,7 @@ SELECT '{c}' AS column_name,
     WHEN count(CASE WHEN {v} IS NOT NULL AND {v} <> '' THEN 1 END) > 0
          AND count(CASE WHEN {v} IS NOT NULL AND {v} <> ''
                          AND try_cast(trim({v}) AS DOUBLE) IS NULL
-                         AND NOT regexp_matches(trim({v}), '^[+-]?0[xX][0-9a-fA-F]{{1,15}}$')
+                         AND NOT regexp_matches(trim({v}), '^[+-]?0[xX]0*[0-9a-fA-F]{{1,15}}$')
                     THEN 1 END) = 0
       THEN 'double'
     WHEN count(*) > 0

@@ -38,10 +38,14 @@ def get_spark(
         # cluster the same floor keeps small folder scans from bottling on
         # a handful of executors.
         .config("spark.sql.files.minPartitionNum", str(cpus))
-        # Bare count()/min/max on parquet (e.g. the auto-approx row-count
-        # probe) resolve from footer metadata instead of scanning rows;
-        # Spark falls back to a normal scan whenever pushdown doesn't
-        # apply (filters, nested fields).
+        # Parquet reads via DSv2 (dropped from useV1SourceList) so that
+        # aggregate pushdown actually engages — under the v1 default the
+        # conf below is a silent no-op. Bare count()/min/max (e.g. the
+        # auto-approx row-count probe) then resolve from footer metadata
+        # (plan shows PushedAggregation); Spark falls back to a normal
+        # scan whenever pushdown doesn't apply (filters, nested fields).
+        # File WRITES are unaffected (always the v1 writer path).
+        .config("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
