@@ -14,8 +14,16 @@ from whiterrabbit_spark.queries import build_registry
 QUERIES, ORACLES = build_registry()
 
 
+# Declared rows-only registry entries (driver records the weaker
+# rows-only check): data-adaptive/approximate ops with no meaningful SQL
+# equivalent. Keep this list SHORT and deliberate — everything else must
+# carry a DuckDB oracle.
+ROWS_ONLY = {"ann_ivf_index_embeddings"}
+
+
 def test_every_query_has_an_oracle():
-    assert set(QUERIES) == set(ORACLES)
+    assert set(QUERIES) - ROWS_ONLY == set(ORACLES)
+    assert ROWS_ONLY <= set(QUERIES) and not (ROWS_ONLY & set(ORACLES))
 
 
 def test_coverage_doc_mentions_every_query():

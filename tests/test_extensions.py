@@ -1969,3 +1969,25 @@ def test_table_diff_duplicate_key_guard(spark):
     # without the check the join silently fans out — documented behavior
     m = {r.metric: r.n for r in table_diff_summary(old, new, "k").collect()}
     assert m["changed"] + m["unchanged"] == 2  # the double-count the guard exists for
+
+
+def test_script_profile_fixture(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=1, text="hello world"),
+        Row(doc_id=2, text="\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"),
+        Row(doc_id=3, text="\u4f60\u597d\u4e16\u754c"),
+        Row(doc_id=4, text="hello \u043c\u0438\u0440 123"),
+        Row(doc_id=5, text="!!! ..."),
+        Row(doc_id=6, text="\uc548\ub155\ud558\uc138\uc694"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in ts.script_profile(df, "text", "doc_id").collect()}
+    assert out[1].dominant_script == "latin" and out[1].latin_frac > 0.9
+    assert out[2].dominant_script == "cyrillic"
+    assert out[3].dominant_script == "cjk" and out[3].cjk_frac == 1.0
+    assert out[4].dominant_script == "latin"  # 5 latin > 3 cyrillic
+    assert out[4].digit_frac > 0
+    assert out[5].dominant_script == "other"
+    assert out[6].dominant_script == "hangul" and out[6].hangul_frac == 1.0

@@ -486,7 +486,15 @@ def fit_spherical_centers(
     if sample_fraction is not None:
         train = corpus.sample(fraction=sample_fraction, seed=seed)
     feats = train.select(array_to_vector(_unit(F.col(vec_col))).alias("features"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    # cache the feature frame through the fit: MLlib's internal RDD cache
+    # NPEs on uncached DSv2-columnar-backed vector rows (null buffer
+    # elided in the batch accessor) — materializing via the SQL cache
+    # sidesteps it, and the fit reads the input maxIter times anyway
+    feats = feats.cache()
+    try:
+        km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    finally:
+        feats.unpersist()
     return [list(map(float, c)) for c in km.clusterCenters()]
 
 
@@ -701,6 +709,8 @@ def semantic_dedup(
         _unit(F.col(vec_col)).alias("_uv"),
         array_to_vector(_unit(F.col(vec_col))).alias("features"),
     )
+    # cached through fit+transform: see fit_spherical_centers (DSv2 NPE)
+    featurized = featurized.cache()
     km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(featurized)
     # assignment via the fitted model (JVM-side, O(k·d) per row) — an
     # inlined-centers expression tree would not compile at the 50k

@@ -707,3 +707,55 @@ def heuristic_filters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         e["has_bad_phrase"].alias("has_bad_phrase"),
         e["keep"].alias("keep"),
     )
+
+
+# Explicit codepoint ranges (identical by construction across engines —
+# Unicode script property names vary between regex engines, raw ranges
+# don't). Deliberately the major blocks only: a script profiler for
+# corpus routing, not a full Unicode classifier.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z",
+    "cyrillic": "\u0400-\u04FF",
+    "greek": "\u0370-\u03FF",
+    "arabic": "\u0600-\u06FF",
+    "devanagari": "\u0900-\u097F",
+    "cjk": "\u4E00-\u9FFF",
+    "hangul": "\uAC00-\uD7AF",
+    "digit": "0-9",
+}
+
+
+def script_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document writing-script profile: the fraction of characters in
+    each major Unicode block plus the dominant script — the
+    multilingual-corpus routing signal (language-ID models are per-script;
+    mixed-script documents are a known spam/boilerplate marker).
+
+    One map-only projection of ``regexp_count`` per block (JVM codegen,
+    fused into the scan). ``dominant_script`` is the argmax with a fixed
+    tie order (the SCRIPT_RANGES declaration order), 'other' when no
+    block matches any character."""
+    t = F.col(text_col)
+    total = F.greatest(F.length(t), F.lit(1))
+    fracs = {
+        name: F.regexp_count(t, F.lit(f"[{rng}]")) / total
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"{n}_frac").alias("f"), F.lit(-i).alias("ni"))
+            for i, n in enumerate(SCRIPT_RANGES)
+        ]
+    )
+    names = F.array(*[F.lit(n) for n in SCRIPT_RANGES])
+    best = F.array_max(pairs)  # struct compare: max f, then max ni — ties
+    # resolve to the FIRST declared block (a first-wins CASE chain in SQL)
+    dominant = F.when(best["f"] > 0, F.element_at(names, -best["ni"] + 1)).otherwise(
+        F.lit("other")
+    )
+    out = df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        *[e.alias(f"{n}_frac") for n, e in fracs.items()],
+    )
+    return out.withColumn("dominant_script", dominant)
