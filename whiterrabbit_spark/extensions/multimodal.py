@@ -48,6 +48,55 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+_EXT_MIME = {
+    "png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg",
+    "gif": "image/gif", "bmp": "image/bmp", "webp": "image/webp",
+    "wav": "audio/wav", "mp3": "audio/mpeg", "flac": "audio/flac",
+    "ogg": "audio/ogg", "mp4": "video/mp4", "mkv": "video/x-matroska",
+    "webm": "video/webm",
+}
+
+
+def read_media_folder(
+    spark, path: str, glob: str = "*", recursive: bool = False
+) -> DataFrame:
+    """Ingest a folder of media files into MEDIA_SCHEMA via Spark's
+    built-in ``binaryFile`` source — the real on-ramp for the multimodal
+    family (attach_binary_payload synthesizes payloads for tests).
+
+    Each file becomes one row: payload = raw bytes, media_id = a stable
+    64-bit hash of the file path (xxhash64 — deterministic across runs
+    and engines), mime inferred from the extension (``application/
+    octet-stream`` when unknown). The source is distributed (files split
+    across tasks, though each FILE is read whole by one task — binary
+    payloads don't split), supports pushdown of path globs, and
+    composes directly with decode/resize/frame-sample stages.
+
+    At 100 TB-of-media scale the same schema would be backed by parquet
+    with the bytes inlined (small media) or by (path, offset) references
+    resolved inside the decode UDF (large media) — this reader is the
+    small-file ingestion path that builds those tables."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    mime_expr = F.lit("application/octet-stream")
+    for e, m in _EXT_MIME.items():
+        mime_expr = F.when(ext == e, F.lit(m)).otherwise(mime_expr)
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            mime_expr.alias("mime"),
+            F.col("path").alias("source"),
+            F.col("length").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def attach_binary_payload(
     df: DataFrame, text_col: str, id_col: str, mime: str = "application/fake"
 ) -> DataFrame:
