@@ -2251,6 +2251,43 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem, s"""
 
 
+def _robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) scaling of l_quantity — outlier-insensitive
+    standardization (a heavy-tailed feature's mean/sd are dominated by
+    its tail; median/IQR aren't). Same derive-from-agreed-rounded-stats
+    pattern as zscore, with the quartiles from the weighted-percentile-
+    over-histogram trick (final task buffers |distinct|, not |rows|)."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(F.col("l_quantity").cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = hist.agg(
+        F.percentile(F.col("v"), F.lit([0.25, 0.5, 0.75]), F.col("cnt")).alias("q")
+    ).first()["q"]
+    q1, med, q3 = (round(float(x), R) for x in q)
+    iqr = round(q3 - q1, R)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(
+            (F.col("l_quantity") - F.lit(med)) / F.lit(iqr), R
+        ).alias("qty_robust"),
+    )
+
+
+_ROBUST_SCALE_SQL = """
+WITH s AS (
+  SELECT round(quantile_cont(l_quantity, 0.5), 6) AS med,
+         round(round(quantile_cont(l_quantity, 0.75), 6)
+               - round(quantile_cont(l_quantity, 0.25), 6), 6) AS iqr
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       round((l_quantity - med) / iqr, 6) AS qty_robust
+FROM lineitem, s"""
+
+
 def _json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed rollup of the JSON props.k field per event_type
     (semistructured.json_field_rollup): from_json extraction fused into
@@ -3407,6 +3444,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _heuristic_filters_sql())
     add("script_profile_documents", _script_profile, _script_profile_sql())
     add("ann_ivf_index_embeddings", _ann_ivf_index, None)
+    add("robust_scale_lineitem", _robust_scale, _ROBUST_SCALE_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
