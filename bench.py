@@ -80,6 +80,9 @@ def main() -> None:
         "heuristic_filters": queries["heuristic_filters_documents"],
         "equi_depth_hist": queries["equi_depth_hist_lineitem"],
         "key_skew": queries["key_skew_orders"],
+        "script_profile": queries["script_profile_documents"],
+        "robust_scale": queries["robust_scale_lineitem"],
+        "ecdf": queries["ecdf_orders"],
         "dup_ngram_stats": queries["dup_ngram_stats_documents"],
         "unigram_perplexity": queries["unigram_perplexity_documents"],
         "pmi_collocations": queries["pmi_collocations_documents"],
