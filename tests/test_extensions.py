@@ -2014,3 +2014,31 @@ def test_read_media_folder(spark, tmp_path):
     # composes with the decode stage
     feats = mm.decode_stub_features(df)
     assert feats.count() == 3
+
+
+def test_bigram_logppl_semantics(spark):
+    """Interpolated bigram LM: a doc made of common in-corpus bigrams
+    scores lower perplexity than one of never-seen pairs; short/empty
+    docs are absent; cross-corpus scoring exercises the backoff."""
+    from pyspark.sql import Row
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text="the cat sat on the mat") for i in range(10)]
+        + [Row(doc_id=100, text="zebra quark")]
+    )
+    score = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat"),        # common bigrams
+            Row(doc_id=2, text="mat zebra the"),       # unseen bigrams
+            Row(doc_id=3, text="single"),              # <2 tokens -> absent
+            Row(doc_id=4, text=""),                    # empty -> absent
+            Row(doc_id=5, text="wholly novel tokens"), # backoff-only
+        ]
+    )
+    out = {r.doc_id: r for r in ts.bigram_logppl(score, train_df=train).collect()}
+    assert set(out) == {1, 2, 5}
+    assert out[1].n_bigrams == 2
+    assert out[1].perplexity < out[2].perplexity < out[5].perplexity
+    # self-fit: common-phrase docs at low perplexity
+    self_out = ts.bigram_logppl(train).collect()
+    assert all(r.perplexity > 0 for r in self_out)

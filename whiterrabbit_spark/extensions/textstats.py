@@ -759,3 +759,92 @@ def script_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         *[e.alias(f"{n}_frac") for n, e in fracs.items()],
     )
     return out.withColumn("dominant_script", dominant)
+
+
+def doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs per document — the bigram
+    stream; docs with <2 tokens produce no rows. Map-only
+    (slice + arrays_zip + explode, all codegen)."""
+    t = tokens(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))).alias("w1"),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("w2"),
+    )
+    return (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def bigram_logppl(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+    train_df: DataFrame | None = None,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Interpolated bigram-LM perplexity — the next rung above
+    ``unigram_logppl`` on the CCNet-style quality-filter ladder:
+
+        p(w2 | w1) = λ · c(w1,w2)/c(w1)  +  (1−λ) · (c(w2)+α)/(N+α·V)
+
+    (Jelinek-Mercer interpolation with an additive-smoothed unigram
+    backoff; c(w1) is the token's full unigram count — the negligible
+    last-token-of-doc context difference is absorbed by the backoff and
+    mirrored exactly in the oracle). Documents with <2 tokens have no
+    bigram rows and are absent from the output.
+
+    Shapes: fit = ONE exploded-bigram groupBy (O(bigrams) shuffle →
+    O(bigram-vocab)) + the unigram fit; scoring = the doc bigram stream
+    joined against both count tables — broadcast by default (bigram
+    vocabularies run ~10× unigram's, still MB-to-GB at web scale;
+    ``broadcast_lm=False`` for the shuffle-join fallback) — then ONE
+    map-side-combinable groupBy(doc).
+
+    Returns ``(id_col, n_bigrams, avg_neg_logp, perplexity)``.
+    """
+    train = train_df if train_df is not None else df
+    uni = _register_cache(
+        train.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    bi = _register_cache(
+        doc_bigrams(train, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    n_total, vocab = uni.agg(F.sum("_c1"), F.count(F.lit(1))).first()
+    denom = float(n_total or 0) + alpha * float(vocab or 0) or alpha
+
+    stream = doc_bigrams(df, text_col, id_col)
+    maybe_b = F.broadcast if broadcast_lm else (lambda x: x)
+    joined = (
+        stream.join(maybe_b(bi), ["w1", "w2"], "left")
+        .join(
+            maybe_b(uni.select(F.col("tok").alias("w1"), F.col("_c1").alias("_ctx"))),
+            "w1",
+            "left",
+        )
+        .join(
+            maybe_b(uni.select(F.col("tok").alias("w2"), F.col("_c1").alias("_nxt"))),
+            "w2",
+            "left",
+        )
+    )
+    cond = F.coalesce(F.col("_c12"), F.lit(0)) / F.greatest(
+        F.coalesce(F.col("_ctx"), F.lit(0)), F.lit(1)
+    )
+    backoff = (F.coalesce(F.col("_nxt"), F.lit(0)) + F.lit(alpha)) / F.lit(denom)
+    neg_logp = -F.log(F.lit(lam) * cond + F.lit(1.0 - lam) * backoff)
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(neg_logp).alias("avg_neg_logp"),
+        )
+        .withColumn("perplexity", F.exp(F.col("avg_neg_logp")))
+    )

@@ -2500,6 +2500,50 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM scored GROUP BY 1"""
 
 
+def _bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity (textstats.bigram_logppl),
+    λ=0.75 (dyadic — 1−λ is exact in both engines' float literals, so
+    the interpolation constants can't diverge), α=0.5. Same
+    exp-of-rounded-mean pinning as the unigram query."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = ts.bigram_logppl(docs, "text", "doc_id", alpha=0.5, lam=0.75)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_neg_logp", R).alias("avg_neg_logp"),
+        F.round(F.exp(F.round("avg_neg_logp", R)), 3).alias("perplexity"),
+    )
+
+
+_BIGRAM_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''
+), uni AS (
+  SELECT tok, count(*) AS c FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1
+), tot AS (
+  SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM uni
+), stream AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+), bi AS (
+  SELECT w1, w2, count(*) AS c12 FROM stream GROUP BY 1, 2
+), scored AS (
+  SELECT s.doc_id,
+         -ln(0.75 * coalesce(b.c12, 0) / greatest(coalesce(u1.c, 0), 1)
+             + 0.25 * (coalesce(u2.c, 0) + 0.5) / (tot.n + 0.5 * tot.v)) AS nlp
+  FROM stream s
+  LEFT JOIN bi b ON b.w1 = s.w1 AND b.w2 = s.w2
+  LEFT JOIN uni u1 ON u1.tok = s.w1
+  LEFT JOIN uni u2 ON u2.tok = s.w2, tot
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(nlp), 6) AS avg_neg_logp,
+       round(exp(round(avg(nlp), 6)), 3) AS perplexity
+FROM scored GROUP BY 1"""
+
+
 def _dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-document duplicate-shingle fraction (corpus-duplication
     signal): one shingle-partition count window + one groupBy(doc) —
@@ -3445,6 +3489,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("script_profile_documents", _script_profile, _script_profile_sql())
     add("ann_ivf_index_embeddings", _ann_ivf_index, None)
     add("robust_scale_lineitem", _robust_scale, _ROBUST_SCALE_SQL)
+    add("bigram_perplexity_documents", _bigram_ppl, _BIGRAM_PPL_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
