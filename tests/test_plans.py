@@ -151,3 +151,21 @@ def test_equi_depth_partial_aggregable(spark):
         or "ExistingRDD" in plan
     )
     assert "parquet" not in plan, "result frame re-scans the corpus"
+
+
+def test_plan_audit_tool(spark):
+    """tools/plan_audit.py's analyzer extracts the shape facts the audit
+    snapshot (PLAN_AUDIT.jsonl) is built from."""
+    import json
+
+    from tools.plan_audit import audit_plan
+
+    plan = _plan(spark, "table_diff_orders")
+    a = audit_plan(plan)
+    assert a["parquet_scans"] >= 1
+    assert "SortMergeJoin" in a["key_nodes"]
+    # committed snapshot parses and covers the registry's non-effectful set
+    rows = [json.loads(l) for l in open("PLAN_AUDIT.jsonl")]
+    assert len(rows) > 100 and not any("error" in r for r in rows)
+    names = {r["query"] for r in rows}
+    assert "line_dedup_documents" in names and "heuristic_filters_documents" in names
