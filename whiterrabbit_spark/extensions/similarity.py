@@ -709,8 +709,12 @@ def semantic_dedup(
         _unit(F.col(vec_col)).alias("_uv"),
         array_to_vector(_unit(F.col(vec_col))).alias("features"),
     )
-    # cached through fit+transform: see fit_spherical_centers (DSv2 NPE)
-    featurized = featurized.cache()
+    # cached through fit+transform (DSv2 NPE, see fit_spherical_centers);
+    # registered with the shared session-cache registry so
+    # textstats.release_caches() frees it between re-fit runs
+    from whiterrabbit_spark.extensions.textstats import _register_cache
+
+    featurized = _register_cache(featurized)
     km = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(featurized)
     # assignment via the fitted model (JVM-side, O(k·d) per row) — an
     # inlined-centers expression tree would not compile at the 50k

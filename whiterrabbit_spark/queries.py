@@ -1926,6 +1926,54 @@ SELECT doc_id, n_tokens, floor(start_off / {PACK_BUDGET}.0)::INT AS shard_id
 FROM c"""
 
 
+def _pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard MANIFEST on top of pack_shards: one row per training shard
+    with its ordered doc list and token total — what a sequence-packing
+    data loader consumes. One extra groupBy(shard_id) over the packed
+    frame (O(docs) → O(shards)); doc order inside a shard is the pack
+    order (ascending id), pinned with sort_array."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", ts.bpe_token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = sp.pack_shards(weighted, "doc_id", "n_tokens", budget=PACK_BUDGET)
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select("shard_id", "doc_ids", "n_docs", "total_tokens")
+    )
+
+
+_PACK_MANIFEST_SQL_TMPL = """
+WITH w AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '__BPE__')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM w
+)
+SELECT floor(start_off / __BUDGET__.0)::INT AS shard_id,
+       list_sort(list(doc_id)) AS doc_ids,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens
+FROM c GROUP BY 1"""
+
+
+_PACK_MANIFEST_SQL = (
+    _PACK_MANIFEST_SQL_TMPL
+    .replace("__BPE__", ts.BPE_TOKEN_RE.replace("'", "''"))
+    .replace("__BUDGET__", str(PACK_BUDGET))
+)
+
+
 def _novel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest novelty: the newer half of documents (doc_id
     above the midpoint — scale-invariant split) anti-joined against the
@@ -3490,6 +3538,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("ann_ivf_index_embeddings", _ann_ivf_index, None)
     add("robust_scale_lineitem", _robust_scale, _ROBUST_SCALE_SQL)
     add("bigram_perplexity_documents", _bigram_ppl, _BIGRAM_PPL_SQL)
+    add("pack_manifest_documents", _pack_manifest, _PACK_MANIFEST_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
