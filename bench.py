@@ -83,6 +83,8 @@ def main() -> None:
         "script_profile": queries["script_profile_documents"],
         "robust_scale": queries["robust_scale_lineitem"],
         "ecdf": queries["ecdf_orders"],
+        "bigram_perplexity": queries["bigram_perplexity_documents"],
+        "pack_manifest": queries["pack_manifest_documents"],
         "dup_ngram_stats": queries["dup_ngram_stats_documents"],
         "unigram_perplexity": queries["unigram_perplexity_documents"],
         "pmi_collocations": queries["pmi_collocations_documents"],
