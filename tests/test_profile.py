@@ -623,3 +623,21 @@ def test_key_skew_report_empty(spark):
     m = {r.metric: r.value for r in key_skew_report(df, "k").collect()}
     assert m["n_rows"] == 0.0 and m["n_keys"] == 0.0
     assert m["top1_share"] is None
+
+
+def test_ks_drift(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import ks_drift
+
+    same = spark.createDataFrame([Row(v=float(i)) for i in range(100)])
+    r = ks_drift(same, same, "v").collect()[0]
+    assert r.ks_stat == 0.0 and r.n_old == r.n_new == 100
+    # shifted distribution: ECDFs separate; D for a +50 shift of 0..99
+    # uniform is 0.5 (half the mass has no counterpart below)
+    shifted = spark.createDataFrame([Row(v=float(i + 50)) for i in range(100)])
+    r2 = ks_drift(same, shifted, "v").collect()[0]
+    assert abs(r2.ks_stat - 0.5) < 0.02
+    # disjoint supports -> D = 1
+    far = spark.createDataFrame([Row(v=float(i + 1000)) for i in range(100)])
+    assert ks_drift(same, far, "v").collect()[0].ks_stat == 1.0

@@ -1429,3 +1429,39 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         (f"top{top_k}_share", (sum(top) / n_rows) if top and n_rows else None),
     ]
     return df.sparkSession.createDataFrame(out, "metric string, value double")
+
+
+def ks_drift(
+    old: DataFrame, new: DataFrame, column: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two snapshots of a
+    numeric column: ``D = max |ECDF_old(v) − ECDF_new(v)|`` over the
+    merged value set — the binning-free complement to PSI drift (PSI
+    needs bucket edges and saturates on shape changes inside a bucket;
+    KS sees any distributional shift).
+
+    Built from the same histogram-derived exact ECDFs as ``ecdf_lookup``:
+    each side is one ``groupBy(v)`` shuffle collapsing to |distinct|
+    rows; the merge is a full-outer join of the two small lookup tables
+    with a forward-fill window (ECDF is a step function — between jumps
+    its value is the last jump's), then one max aggregation. Only
+    histogram-sized frames pass through the windows.
+
+    Returns one row: ``(ks_stat, n_old, n_new)``.
+    """
+    e_old = ecdf_lookup(old, column).withColumnRenamed("cume_dist", "c_old")
+    e_new = ecdf_lookup(new, column).withColumnRenamed("cume_dist", "c_new")
+    merged = e_old.join(e_new, "v", "full_outer")
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = merged.select(
+        "v",
+        F.coalesce(F.last("c_old", ignorenulls=True).over(w), F.lit(0.0)).alias("f_old"),
+        F.coalesce(F.last("c_new", ignorenulls=True).over(w), F.lit(0.0)).alias("f_new"),
+    )
+    counts_old = old.where(F.col(column).isNotNull()).count()
+    counts_new = new.where(F.col(column).isNotNull()).count()
+    return filled.agg(
+        F.max(F.abs(F.col("f_old") - F.col("f_new"))).alias("ks_stat"),
+        F.lit(counts_old).cast("long").alias("n_old"),
+        F.lit(counts_new).cast("long").alias("n_new"),
+    )

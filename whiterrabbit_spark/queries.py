@@ -3214,6 +3214,56 @@ SELECT doc_id, n_chars, {fracs_rounded},
 FROM b"""
 
 
+def _ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift of o_totalprice vs the same deterministic
+    'next snapshot' the table-diff query uses (profile.ks_drift):
+    binning-free companion to the PSI drift query."""
+    from whiterrabbit_spark.profile import ks_drift
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.select("o_orderkey", "o_totalprice")
+    new = old.where(k % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(k % 89 == 0, F.col("o_totalprice") + 10.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    out = ks_drift(old, new, "o_totalprice")
+    return out.select(
+        F.round("ks_stat", R).alias("ks_stat"), "n_old", "n_new"
+    )
+
+
+_KS_DRIFT_SQL = """
+WITH old_t AS (
+  SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL
+), new_t AS (
+  SELECT CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey % 97 <> 0 AND o_totalprice IS NOT NULL
+), e1 AS (
+  SELECT v, (sum(cnt) OVER (ORDER BY v))::DOUBLE / (sum(cnt) OVER ()) AS c_old
+  FROM (SELECT v, count(*) AS cnt FROM old_t GROUP BY 1)
+), e2 AS (
+  SELECT v, (sum(cnt) OVER (ORDER BY v))::DOUBLE / (sum(cnt) OVER ()) AS c_new
+  FROM (SELECT v, count(*) AS cnt FROM new_t GROUP BY 1)
+), m AS (
+  SELECT coalesce(e1.v, e2.v) AS v, e1.c_old, e2.c_new
+  FROM e1 FULL OUTER JOIN e2 ON e1.v = e2.v
+), f AS (
+  SELECT coalesce(last_value(c_old IGNORE NULLS)
+                  OVER (ORDER BY v ROWS UNBOUNDED PRECEDING), 0.0) AS f_old,
+         coalesce(last_value(c_new IGNORE NULLS)
+                  OVER (ORDER BY v ROWS UNBOUNDED PRECEDING), 0.0) AS f_new
+  FROM m
+)
+SELECT round(max(abs(f_old - f_new)), 6) AS ks_stat,
+       (SELECT count(*) FROM old_t) AS n_old,
+       (SELECT count(*) FROM new_t) AS n_new
+FROM f"""
+
+
 def _key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profile of orders.o_custkey
     (profile.key_skew_report): one groupBy(key) histogram + flat agg +
@@ -3539,6 +3589,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("robust_scale_lineitem", _robust_scale, _ROBUST_SCALE_SQL)
     add("bigram_perplexity_documents", _bigram_ppl, _BIGRAM_PPL_SQL)
     add("pack_manifest_documents", _pack_manifest, _PACK_MANIFEST_SQL)
+    add("ks_drift_orders", _ks_drift, _KS_DRIFT_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
