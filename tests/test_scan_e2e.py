@@ -527,3 +527,30 @@ def test_curate_cli_normalize_step(spark, tmp_path):
     back = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
     assert sorted(back) == [0, 2]
     assert back[0] == "café du monde"
+
+
+def test_drift_report_cli(spark, tmp_path):
+    """Snapshot drift CLI: matched files diff per column (type flips,
+    stat deltas), one-sided files are listed."""
+    import subprocess
+    import sys
+
+    a, b, out = tmp_path / "a", tmp_path / "b", tmp_path / "out"
+    a.mkdir(); b.mkdir()
+    (a / "t.tsv").write_text("id\tval\n1\t1.5\n2\t2.5\n3\t3.5\n")
+    (b / "t.tsv").write_text("id\tval\n1\t1.5\n2\t9.5\n4\thello\n")
+    (a / "gone.tsv").write_text("id\n1\n")
+
+    from whiterrabbit_spark.config import ScanConfig
+    from whiterrabbit_spark.drift import run_drift
+
+    cfg = ScanConfig(max_rows=-1, scan_field_values=False)
+    reports = run_drift(spark, str(a), str(b), cfg)
+    assert set(reports) == {"t.tsv", "__only_old__"}
+    rows = {r.column_name: r for r in reports["t.tsv"].collect()}
+    assert rows["val"].type_changed is True        # double -> string ("hello")
+    assert rows["val"].old_data_type == "double"
+    assert rows["id"].type_changed is False
+    assert rows["id"].delta_total_count == 0
+    only_old = [r.file_name for r in reports["__only_old__"].collect()]
+    assert only_old == ["gone.tsv"]
