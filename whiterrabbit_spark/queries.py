@@ -3214,6 +3214,36 @@ SELECT doc_id, n_chars, {fracs_rounded},
 FROM b"""
 
 
+def _ecdf_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row percentile rank: the ECDF lookup table joins BACK to the
+    fact table on the value — broadcast (the lookup is O(distinct)), so
+    the fact table never shuffles; the oracle computes the same rank
+    with a cume_dist window directly over the rows."""
+    from whiterrabbit_spark.profile import ecdf_lookup
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    lut = ecdf_lookup(orders, "o_totalprice")
+    return (
+        orders.join(
+            F.broadcast(lut),
+            orders["o_totalprice"].cast("double") == lut["v"],
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            F.round("cume_dist", R).alias("price_pctile"),
+        )
+    )
+
+
+_ECDF_ATTACH_SQL = """
+SELECT o_orderkey,
+       round(cume_dist() OVER (ORDER BY o_totalprice), 6) AS price_pctile
+FROM orders WHERE o_totalprice IS NOT NULL
+UNION ALL
+SELECT o_orderkey, NULL FROM orders WHERE o_totalprice IS NULL"""
+
+
 def _ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS drift of o_totalprice vs the same deterministic
     'next snapshot' the table-diff query uses (profile.ks_drift):
@@ -3590,6 +3620,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("bigram_perplexity_documents", _bigram_ppl, _BIGRAM_PPL_SQL)
     add("pack_manifest_documents", _pack_manifest, _PACK_MANIFEST_SQL)
     add("ks_drift_orders", _ks_drift, _KS_DRIFT_SQL)
+    add("ecdf_attach_orders", _ecdf_attach, _ECDF_ATTACH_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
