@@ -89,3 +89,28 @@ def test_wide_table_melt_fallback_matches_branches(spark):
     finally:
         freq._MELT_THRESHOLD = old
     assert key(wide), "expected non-empty frequency output"
+
+
+def test_grouped_value_frequencies(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.frequency import grouped_value_frequencies
+
+    rows = []
+    for g, vals in (("a", ["x"] * 10 + ["y"] * 6), ("b", ["y"] * 8 + ["z"] * 5)):
+        rows += [Row(grp=g, col1=v) for v in vals]
+    df = spark.createDataFrame(rows)
+    cfg = ScanConfig(min_cell_count=5, max_distinct_values=1)
+    out = grouped_value_frequencies(df, "grp", ["col1"], cfg)
+    got = {(r.grp, r.value): (r["count"], r.percentage) for r in out.collect()}
+    # top-1 per group independently; y survives in b but is cut in a
+    assert got == {("a", "x"): (10, 1.0), ("b", "y"): (8, 1.0)}
+    # with k=2 percentages use the displayed denominator per group
+    out2 = grouped_value_frequencies(
+        df, "grp", ["col1"], ScanConfig(min_cell_count=5, max_distinct_values=2)
+    )
+    by_grp = {}
+    for r in out2.collect():
+        by_grp.setdefault(r.grp, 0.0)
+        by_grp[r.grp] += r.percentage
+    assert all(abs(v - 1.0) < 1e-9 for v in by_grp.values())

@@ -182,3 +182,72 @@ def approx_heavy_hitters(
         .where(F.col("count") >= support * total)
     )
     return exact
+
+
+def grouped_value_frequencies(
+    df: DataFrame,
+    group_col: str,
+    columns: list[str] | None = None,
+    cfg: ScanConfig | None = None,
+) -> DataFrame:
+    """F1 per group: top-K value tables for every eligible column WITHIN
+    each ``group_col`` value (per-language / per-split / per-source
+    profiling — the grouped view a mixed corpus needs before filtering
+    decisions).
+
+    One melt (explode-struct) over the eligible columns → ONE
+    ``groupBy(group, column, value)`` shuffle (map-side combine) →
+    HAVING ≥ min_cell_count → per-(group, column) top-K via a rank
+    window over the already-aggregated counts frame (≤ groups × columns
+    × distinct rows — never the data). Percentage keeps the reference's
+    displayed-denominator quirk, computed within (group, column).
+    """
+    cfg = cfg or ScanConfig()
+    if columns is None:
+        columns = [
+            f.name
+            for f in df.schema.fields
+            if f.name != group_col and _eligible(f.dataType)
+        ]
+    if not columns:
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{group_col} string, column_name string, value string, "
+            "count long, percentage double",
+        )
+    melted = df.select(
+        F.col(group_col).cast("string").alias("__grp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("kv"),
+    ).select("__grp", "kv.column_name", "kv.value")
+    counts = (
+        melted.where(F.col("value").isNotNull() & (F.col("value") != ""))
+        .groupBy("__grp", "column_name", "value")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= cfg.min_cell_count)
+    )
+    w_rank = Window.partitionBy("__grp", "column_name").orderBy(
+        F.col("count").desc(), F.col("value").asc()
+    )
+    kept = (
+        counts.withColumn("__rn", F.row_number().over(w_rank))
+        .where(F.col("__rn") <= cfg.max_distinct_values)
+        .drop("__rn")
+    )
+    w_all = Window.partitionBy("__grp", "column_name")
+    return (
+        kept.withColumn(
+            "percentage", F.col("count") / F.sum("count").over(w_all)
+        )
+        .withColumnRenamed("__grp", group_col)
+        .orderBy(group_col, "column_name", F.col("count").desc(), F.col("value").asc())
+    )

@@ -3214,6 +3214,43 @@ SELECT doc_id, n_chars, {fracs_rounded},
 FROM b"""
 
 
+def _grouped_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-K value tables over documents(source)
+    (frequency.grouped_value_frequencies): one melt + one
+    (group, column, value) groupBy; ranking windows see only the
+    aggregated counts frame."""
+    from whiterrabbit_spark.frequency import grouped_value_frequencies
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = grouped_value_frequencies(
+        docs.select("lang", "source"), "lang", ["source"]
+    )
+    return out.select(
+        "lang", "column_name", "value", "count",
+        F.round("percentage", R).alias("percentage"),
+    )
+
+
+_GROUPED_FREQ_SQL = """
+WITH cnt AS (
+  SELECT lang::VARCHAR AS lang, 'source' AS column_name,
+         source::VARCHAR AS value, count(*) AS count
+  FROM documents
+  WHERE source IS NOT NULL AND source <> ''
+  GROUP BY 1, 3
+  HAVING count(*) >= 5
+), kept AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY lang, column_name
+           ORDER BY count DESC, value ASC) AS rn
+  FROM cnt
+)
+SELECT lang, column_name, value, count,
+       round(count::DOUBLE / sum(count) OVER (PARTITION BY lang, column_name), 6)
+         AS percentage
+FROM kept WHERE rn <= 1000"""
+
+
 def _ecdf_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row percentile rank: the ECDF lookup table joins BACK to the
     fact table on the value — broadcast (the lookup is O(distinct)), so
@@ -3621,6 +3658,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("pack_manifest_documents", _pack_manifest, _PACK_MANIFEST_SQL)
     add("ks_drift_orders", _ks_drift, _KS_DRIFT_SQL)
     add("ecdf_attach_orders", _ecdf_attach, _ECDF_ATTACH_SQL)
+    add("grouped_freq_documents", _grouped_freq, _GROUPED_FREQ_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
