@@ -85,6 +85,9 @@ def main() -> None:
         "ecdf": queries["ecdf_orders"],
         "bigram_perplexity": queries["bigram_perplexity_documents"],
         "pack_manifest": queries["pack_manifest_documents"],
+        "ks_drift": queries["ks_drift_orders"],
+        "ecdf_attach": queries["ecdf_attach_orders"],
+        "grouped_freq": queries["grouped_freq_documents"],
         "dup_ngram_stats": queries["dup_ngram_stats_documents"],
         "unigram_perplexity": queries["unigram_perplexity_documents"],
         "pmi_collocations": queries["pmi_collocations_documents"],
