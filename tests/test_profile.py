@@ -641,3 +641,24 @@ def test_ks_drift(spark):
     # disjoint supports -> D = 1
     far = spark.createDataFrame([Row(v=float(i + 1000)) for i in range(100)])
     assert ks_drift(same, far, "v").collect()[0].ks_stat == 1.0
+
+
+def test_spearman_corr(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import spearman_corr
+
+    # perfect monotone but non-linear relation: Spearman 1, Pearson < 1
+    df = spark.createDataFrame([Row(a=float(i), b=float(i) ** 3) for i in range(1, 50)])
+    r = spearman_corr(df, "a", "b").collect()[0]
+    assert abs(r.spearman - 1.0) < 1e-9 and r.n == 49
+    pearson = df.selectExpr("corr(a, b)").collect()[0][0]
+    assert pearson < 0.95
+    # perfect inverse monotone
+    inv = spark.createDataFrame([Row(a=float(i), b=-float(i) ** 3) for i in range(1, 50)])
+    assert abs(spearman_corr(inv, "a", "b").collect()[0].spearman + 1.0) < 1e-9
+    # nulls excluded
+    withnull = spark.createDataFrame(
+        [Row(a=1.0, b=1.0), Row(a=2.0, b=8.0), Row(a=None, b=3.0), Row(a=4.0, b=None)]
+    )
+    assert spearman_corr(withnull, "a", "b").collect()[0].n == 2

@@ -1465,3 +1465,35 @@ def ks_drift(
         F.lit(counts_old).cast("long").alias("n_old"),
         F.lit(counts_new).cast("long").alias("n_new"),
     )
+
+
+def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Spearman-type rank correlation: Pearson correlation of the two
+    columns' ECDF ranks — the monotonic-association measure Pearson's r
+    misses (outlier-robust, captures any monotone relation).
+
+    Ranks come from the histogram-derived ``ecdf_lookup`` tables joined
+    back broadcast (rows never shuffle; the lookups are O(distinct)).
+    Ties take the maximum rank (cume_dist semantics) rather than
+    classical average-rank Spearman — documented, and mirrored exactly
+    by the oracle, which computes the same cume_dist windows first-
+    principles. Rows with a NULL in either column are excluded.
+
+    Returns one row: ``(spearman, n)``.
+    """
+    base = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    ra = ecdf_lookup(base, col_a).withColumnRenamed("cume_dist", "__ra")
+    rb = ecdf_lookup(base, col_b).withColumnRenamed("cume_dist", "__rb")
+    ranked = (
+        base.select(
+            F.col(col_a).cast("double").alias("__va"),
+            F.col(col_b).cast("double").alias("__vb"),
+        )
+        .join(F.broadcast(ra), F.col("__va") == ra["v"])
+        .drop("v")
+        .join(F.broadcast(rb), F.col("__vb") == rb["v"])
+    )
+    return ranked.agg(
+        F.corr("__ra", "__rb").alias("spearman"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -3214,6 +3214,30 @@ SELECT doc_id, n_chars, {fracs_rounded},
 FROM b"""
 
 
+def _spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of lineitem quantity vs extendedprice
+    (profile.spearman_corr): Pearson over histogram-derived ECDF ranks,
+    broadcast-joined back — the monotone-association complement to the
+    Pearson corr_matrix query."""
+    from whiterrabbit_spark.profile import spearman_corr
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = spearman_corr(li, "l_quantity", "l_extendedprice")
+    return out.select(F.round("spearman", R).alias("spearman"), "n")
+
+
+_SPEARMAN_SQL = """
+WITH base AS (
+  SELECT l_quantity AS a, l_extendedprice AS b FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), ranked AS (
+  SELECT cume_dist() OVER (ORDER BY a) AS ra,
+         cume_dist() OVER (ORDER BY b) AS rb
+  FROM base
+)
+SELECT round(corr(ra, rb), 6) AS spearman, count(*) AS n FROM ranked"""
+
+
 def _grouped_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-K value tables over documents(source)
     (frequency.grouped_value_frequencies): one melt + one
@@ -3659,6 +3683,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("ks_drift_orders", _ks_drift, _KS_DRIFT_SQL)
     add("ecdf_attach_orders", _ecdf_attach, _ECDF_ATTACH_SQL)
     add("grouped_freq_documents", _grouped_freq, _GROUPED_FREQ_SQL)
+    add("spearman_corr_lineitem", _spearman, _SPEARMAN_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
