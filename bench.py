@@ -88,6 +88,7 @@ def main() -> None:
         "ks_drift": queries["ks_drift_orders"],
         "ecdf_attach": queries["ecdf_attach_orders"],
         "grouped_freq": queries["grouped_freq_documents"],
+        "spearman_corr": queries["spearman_corr_lineitem"],
         "dup_ngram_stats": queries["dup_ngram_stats_documents"],
         "unigram_perplexity": queries["unigram_perplexity_documents"],
         "pmi_collocations": queries["pmi_collocations_documents"],
