@@ -662,3 +662,86 @@ def test_spearman_corr(spark):
         [Row(a=1.0, b=1.0), Row(a=2.0, b=8.0), Row(a=None, b=3.0), Row(a=4.0, b=None)]
     )
     assert spearman_corr(withnull, "a", "b").collect()[0].n == 2
+
+
+def test_grouped_ols(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import grouped_ols
+
+    df = spark.createDataFrame(
+        [Row(g=g, x=float(x), y=(2.0 * x + (3.0 if g == "a" else -1.0)))
+         for g in ("a", "b") for x in range(1, 6)]
+    )
+    rows = {r.group_key: r for r in grouped_ols(df, "g", "x", "y").collect()}
+    assert abs(rows["a"].slope - 2.0) < 1e-9 and abs(rows["a"].intercept - 3.0) < 1e-9
+    assert abs(rows["b"].intercept + 1.0) < 1e-9 and rows["b"].n == 5
+    assert abs(rows["a"].r2 - 1.0) < 1e-9
+    # NULL on either side excluded (REGR_* semantics)
+    withnull = spark.createDataFrame(
+        [Row(g="a", x=1.0, y=1.0), Row(g="a", x=2.0, y=2.0),
+         Row(g="a", x=None, y=9.0), Row(g="a", x=4.0, y=None)]
+    )
+    assert grouped_ols(withnull, "g", "x", "y").collect()[0].n == 2
+
+
+def test_mutual_information(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import mutual_information
+
+    # independent uniform pair: MI = 0
+    indep = spark.createDataFrame(
+        [Row(a=a, b=b) for a in "xy" for b in "pq" for _ in range(10)]
+    )
+    r = mutual_information(indep, [("a", "b")]).collect()[0]
+    assert abs(r.mi) < 1e-12 and abs(r.mi_norm) < 1e-12 and r.n_rows == 40
+    # deterministic bijection: MI = H(A) = ln(2), normalized 1
+    dep = spark.createDataFrame(
+        [Row(a=a, b="p" if a == "x" else "q") for a in "xy" for _ in range(10)]
+    )
+    r2 = mutual_information(dep, [("a", "b")]).collect()[0]
+    assert abs(r2.mi - math.log(2)) < 1e-12 and abs(r2.mi_norm - 1.0) < 1e-12
+    # constant column: mi_norm undefined -> NULL; nulls excluded
+    const = spark.createDataFrame(
+        [Row(a="x", b="p"), Row(a="x", b="q"), Row(a=None, b="p")]
+    )
+    r3 = mutual_information(const, [("a", "b")]).collect()[0]
+    assert r3.mi_norm is None and r3.n_rows == 2
+
+
+def test_benford_profile(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import benford_profile
+
+    df = spark.createDataFrame(
+        [Row(v=x) for x in (123.0, 0.19, -1.5e7, 2.0, 0.0, None, 900.0)]
+    )
+    rows = {r.digit: r for r in benford_profile(df, ["v"]).collect()}
+    # zero and NULL carry no significant digit; 123->1, 0.19->1, -1.5e7->1
+    assert rows[1].n == 3 and rows[2].n == 1 and rows[9].n == 1
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-12
+    assert abs(rows[1].benford_share - 0.301029995) < 1e-6
+
+
+def test_sequence_gaps(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import sequence_gaps
+
+    df = spark.createDataFrame(
+        [Row(k=k) for k in (1, 2, 3, 5, 6, 10, 11, 20, 20, None)], "k: bigint"
+    )
+    r = sequence_gaps(df, "k", n_buckets=3).collect()[0]
+    assert (r.min_key, r.max_key, r.n_keys) == (1, 20, 8)
+    assert (r.n_missing, r.n_gaps, r.max_gap) == (12, 3, 8)
+    # dense sequence: no gaps regardless of bucketing
+    dense = spark.createDataFrame([Row(k=k) for k in range(7, 1000)], "k: bigint")
+    r2 = sequence_gaps(dense, "k", n_buckets=7).collect()[0]
+    assert (r2.n_missing, r2.n_gaps, r2.max_gap) == (0, 0, 0)
+    # empty input
+    empty = spark.createDataFrame([], "k bigint")
+    assert sequence_gaps(empty, "k").count() == 0

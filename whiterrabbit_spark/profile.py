@@ -1497,3 +1497,224 @@ def spearman_corr(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.corr("__ra", "__rb").alias("spearman"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def grouped_ols(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y ~ x``: slope,
+    intercept, R², point count — the "does the relation differ by
+    segment" question a single global correlation hides (Simpson's
+    paradox detector). Rows with a NULL on either side of the fit are
+    excluded per SQL ``REGR_*`` semantics.
+
+    ONE ``groupBy(group)`` using the built-in ``regr_*`` aggregates —
+    every statistic is a partial-aggregable sum under the hood (map-side
+    combine, one narrow shuffle of O(groups) states), the exact shape
+    that survives 100 TB. No window, no second scan.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    return (
+        df.groupBy(F.col(group_col).alias("group_key"))
+        .agg(
+            F.regr_slope(y, x).alias("slope"),
+            F.regr_intercept(y, x).alias("intercept"),
+            F.regr_r2(y, x).alias("r2"),
+            F.regr_count(y, x).alias("n"),
+        )
+    )
+
+
+def mutual_information(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Mutual information I(A;B) in nats for categorical column pairs —
+    the information-theoretic complement to ``cramers_v``: how many nats
+    knowing A reveals about B. Also emits the normalized form
+    I/min(H(A),H(B)) ∈ [0,1] (null when either column is constant, where
+    it is undefined). Rows with a NULL on either side are excluded
+    (contingency convention, same as cramers_v).
+
+    One ``groupBy`` per pair on the observed cells; marginals are window
+    sums OVER the O(cells) frame — the raw rows shuffle once, and only
+    their per-cell partial counts. Empty cells contribute 0 to every sum
+    so observed-cells-only is exact (unlike χ², no correction needed).
+    """
+    outs = []
+    for a, b in pairs:
+        cells = (
+            df.where(F.col(a).isNotNull() & F.col(b).isNotNull())
+            .groupBy(F.col(a).cast("string").alias("a"),
+                     F.col(b).cast("string").alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wa, wb, wt = (Window.partitionBy("a"), Window.partitionBy("b"),
+                      Window.partitionBy())
+        n_tot = F.sum("n").over(wt).cast("double")
+        p_ab = F.col("n") / n_tot
+        p_a = F.sum("n").over(wa) / n_tot
+        p_b = F.sum("n").over(wb) / n_tot
+        stats = (
+            cells
+            .withColumn("__mi", p_ab * F.log(p_ab / (p_a * p_b)))
+            # H(A) = -Σ_a p_a ln p_a needs each p_a ONCE, but the cell
+            # frame repeats a per b-level — divide each cell's marginal
+            # entropy term by the a-level's cell count so the repeats
+            # sum to one contribution (same for H(B)).
+            .withColumn(
+                "__ha", -(p_a * F.log(p_a)) / F.count(F.lit(1)).over(wa)
+            )
+            .withColumn(
+                "__hb", -(p_b * F.log(p_b)) / F.count(F.lit(1)).over(wb)
+            )
+            .agg(
+                F.sum("__mi").alias("mi"),
+                F.sum("__ha").alias("ha"),
+                F.sum("__hb").alias("hb"),
+                F.sum("n").alias("n_rows"),
+            )
+            .select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                "n_rows",
+                # tiny negative from float cancellation → clamp at 0
+                F.greatest(F.col("mi"), F.lit(0.0)).alias("mi"),
+                F.when(
+                    F.least(F.col("ha"), F.col("hb")) > 0,
+                    F.greatest(F.col("mi"), F.lit(0.0))
+                    / F.least(F.col("ha"), F.col("hb")),
+                ).alias("mi_norm"),
+            )
+        )
+        outs.append(stats)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+#: Benford's-law expected share of first significant digit d: log10(1+1/d).
+BENFORD_EXPECTED = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """First-significant-digit distribution per numeric column vs the
+    Benford expectation — the classic fabricated/synthetic-data and
+    unit-mixing tripwire for naturally-scaled quantities (amounts,
+    populations). Emits one row per (column, digit 1-9): observed count,
+    observed share, Benford share, and the χ² contribution
+    n·(obs−exp)²/exp; Σ over the 9 rows ~ χ²(8) under conformance.
+
+    The first significant digit is extracted from the value's decimal
+    string form (first [1-9] character) — robust to scientific notation
+    and exact on both engines, where a log10/pow roundtrip can misbin
+    powers of ten. Zeros and NULLs carry no significant digit and are
+    excluded. ONE melt→groupBy(column, digit) job for all columns; the
+    output is O(9·cols).
+    """
+    entries = []
+    for c in cols:
+        digit = F.regexp_extract(
+            F.abs(F.col(c).cast("double")).cast("string"), "[1-9]", 0
+        )
+        entries.append(
+            F.struct(F.lit(c).alias("column_name"), digit.alias("digit"))
+        )
+    melted = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.column_name", "e.digit")
+        .where(F.col("digit") != "")
+    )
+    w = Window.partitionBy("column_name")
+    expected = F.element_at(
+        F.array(*[F.lit(BENFORD_EXPECTED[d]) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    return (
+        melted.groupBy("column_name", F.col("digit").cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "column_name",
+            "digit",
+            "n",
+            (F.col("n") / F.sum("n").over(w)).alias("share"),
+            expected.alias("benford_share"),
+            (
+                F.sum("n").over(w)
+                * (F.col("n") / F.sum("n").over(w) - expected)
+                * (F.col("n") / F.sum("n").over(w) - expected)
+                / expected
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def sequence_gaps(
+    df: DataFrame, key_col: str, n_buckets: int = 4096
+) -> DataFrame:
+    """Gap profile of an integer key sequence (order numbers, event ids):
+    are there holes, how many, and how large — the data-quality check for
+    "keys should be dense" feeds (lost records, failed loads).
+
+    Returns one row: ``min_key, max_key, n_keys, n_missing`` (keys absent
+    from the dense [min,max] range), ``n_gaps`` (maximal runs of missing
+    keys), ``max_gap`` (longest run).
+
+    Scale shape: the naive ``lag() OVER (ORDER BY key)`` funnels every
+    key through ONE reducer. Here distinct keys are range-bucketed into
+    ``n_buckets`` fixed-width buckets ((key−min)·n_buckets)/(span+1) —
+    the lag window partitions BY BUCKET (bounded partitions, parallel),
+    catching intra-bucket gaps; inter-bucket gaps fall out of a second
+    lag over the O(n_buckets) per-bucket (min,max) summary frame. Two
+    scans of the distinct-key set (global min/max, then the bucketed
+    pass), each a narrow aggregate.
+    """
+    keys = (
+        df.select(F.col(key_col).cast("bigint").alias("k"))
+        .where(F.col("k").isNotNull())
+        .distinct()
+    )
+    row = keys.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).collect()[0]
+    spark = df.sparkSession
+    schema = ("min_key bigint, max_key bigint, n_keys bigint, "
+              "n_missing bigint, n_gaps bigint, max_gap bigint")
+    if row["lo"] is None:
+        return spark.createDataFrame([], schema)
+    lo, hi = int(row["lo"]), int(row["hi"])
+    span = hi - lo + 1
+    bucket = ((F.col("k") - F.lit(lo)) * n_buckets / F.lit(span)).cast("bigint")
+    wb = Window.partitionBy("bucket").orderBy("k")
+    intra = (
+        keys.withColumn("bucket", bucket)
+        .withColumn("gap", F.col("k") - F.lag("k").over(wb) - 1)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("k").alias("b_min"),
+            F.max("k").alias("b_max"),
+            F.coalesce(F.sum("gap"), F.lit(0)).alias("missing"),
+            F.count(F.when(F.col("gap") > 0, 1)).alias("gaps"),
+            F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap"),
+        )
+    )
+    # inter-bucket gaps: lag over the O(n_buckets) summary — occupied
+    # buckets only, so consecutive rows straddle any empty buckets too
+    wseq = Window.orderBy("bucket")
+    summary = intra.withColumn(
+        "lead_gap", F.col("b_min") - F.lag("b_max").over(wseq) - 1
+    )
+    return summary.agg(
+        F.min("b_min").alias("min_key"),
+        F.max("b_max").alias("max_key"),
+        F.sum("n_keys").alias("n_keys"),
+        (F.sum("missing") + F.coalesce(F.sum("lead_gap"), F.lit(0))).alias(
+            "n_missing"
+        ),
+        (
+            F.sum("gaps")
+            + F.count(F.when(F.col("lead_gap") > 0, 1))
+        ).alias("n_gaps"),
+        F.greatest(
+            F.coalesce(F.max("max_gap"), F.lit(0)),
+            F.coalesce(F.max("lead_gap"), F.lit(0)),
+        ).alias("max_gap"),
+    )

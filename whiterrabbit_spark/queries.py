@@ -3238,6 +3238,138 @@ WITH base AS (
 SELECT round(corr(ra, rb), 6) AS spearman, count(*) AS n FROM ranked"""
 
 
+def _grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS of extendedprice ~ quantity
+    (profile.grouped_ols): built-in regr_* aggregates in ONE groupBy —
+    every statistic partial-aggregable, map-side combined."""
+    from whiterrabbit_spark.profile import grouped_ols
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = grouped_ols(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    return out.select(
+        "group_key",
+        F.round("slope", R).alias("slope"),
+        F.round("intercept", R).alias("intercept"),
+        F.round("r2", R).alias("r2"),
+        "n",
+    )
+
+
+_GROUPED_OLS_SQL = """
+SELECT l_returnflag AS group_key,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       regr_count(l_extendedprice, l_quantity)::BIGINT AS n
+FROM lineitem GROUP BY 1"""
+
+
+def _mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between orderstatus and orderpriority
+    (profile.mutual_information): one groupBy on observed cells,
+    marginals as window sums over the O(cells) frame."""
+    from whiterrabbit_spark.profile import mutual_information
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = mutual_information(orders, [("o_orderstatus", "o_orderpriority")])
+    return out.select(
+        "col_a", "col_b", "n_rows",
+        F.round("mi", R).alias("mi"),
+        F.round("mi_norm", R).alias("mi_norm"),
+    )
+
+
+_MUTUAL_INFO_SQL = """
+WITH cells AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*)::DOUBLE AS n
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+), m AS (
+  SELECT n,
+         sum(n) OVER () AS nt,
+         sum(n) OVER (PARTITION BY a) AS na,
+         sum(n) OVER (PARTITION BY b) AS nb,
+         count(*) OVER (PARTITION BY a) AS ca,
+         count(*) OVER (PARTITION BY b) AS cb
+  FROM cells
+), s AS (
+  SELECT sum((n/nt) * ln((n/nt) / ((na/nt)*(nb/nt)))) AS mi,
+         sum(-((na/nt) * ln(na/nt)) / ca) AS ha,
+         sum(-((nb/nt) * ln(nb/nt)) / cb) AS hb,
+         sum(n)::BIGINT AS n_rows
+  FROM m
+)
+SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b, n_rows,
+       round(greatest(mi, 0.0), 6) AS mi,
+       round(CASE WHEN least(ha, hb) > 0
+                  THEN greatest(mi, 0.0) / least(ha, hb) END, 6) AS mi_norm
+FROM s"""
+
+
+def _benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit Benford profile of lineitem amounts
+    (profile.benford_profile): one melt→groupBy job, O(9·cols) output;
+    digit from the decimal string form — exact on both engines."""
+    from whiterrabbit_spark.profile import benford_profile
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = benford_profile(li, ["l_extendedprice", "l_quantity"])
+    return out.select(
+        "column_name", "digit", "n",
+        F.round("share", R).alias("share"),
+        F.round("benford_share", R).alias("benford_share"),
+        F.round("chi2_term", R).alias("chi2_term"),
+    )
+
+
+_BENFORD_SQL = """
+WITH vals AS (
+  SELECT 'l_extendedprice' AS column_name, l_extendedprice::DOUBLE AS v
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', l_quantity::DOUBLE FROM lineitem
+), digits AS (
+  SELECT column_name, regexp_extract(abs(v)::VARCHAR, '[1-9]')::INT AS digit
+  FROM vals WHERE regexp_extract(abs(v)::VARCHAR, '[1-9]') <> ''
+), counts AS (
+  SELECT column_name, digit, count(*) AS n FROM digits GROUP BY 1, 2
+), tot AS (
+  SELECT column_name, digit, n,
+         sum(n) OVER (PARTITION BY column_name)::DOUBLE AS nt
+  FROM counts
+)
+SELECT column_name, digit, n,
+       round(n / nt, 6) AS share,
+       round(log10(1 + 1.0/digit), 6) AS benford_share,
+       round(nt * pow(n/nt - log10(1 + 1.0/digit), 2)
+             / log10(1 + 1.0/digit), 6) AS chi2_term
+FROM tot"""
+
+
+def _sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-density gap profile of o_orderkey (profile.sequence_gaps):
+    range-bucketed lag windows — bounded partitions instead of the naive
+    single-reducer global ORDER BY key."""
+    from whiterrabbit_spark.profile import sequence_gaps
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return sequence_gaps(orders, "o_orderkey")
+
+
+_SEQUENCE_GAPS_SQL = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey IS NOT NULL
+), g AS (
+  SELECT k, k - lag(k) OVER (ORDER BY k) - 1 AS gap FROM k
+)
+SELECT min(k) AS min_key, max(k) AS max_key, count(*) AS n_keys,
+       coalesce(sum(gap), 0)::BIGINT AS n_missing,
+       count(CASE WHEN gap > 0 THEN 1 END) AS n_gaps,
+       coalesce(max(gap), 0)::BIGINT AS max_gap
+FROM g"""
+
+
 def _grouped_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-K value tables over documents(source)
     (frequency.grouped_value_frequencies): one melt + one
@@ -3684,6 +3816,10 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("ecdf_attach_orders", _ecdf_attach, _ECDF_ATTACH_SQL)
     add("grouped_freq_documents", _grouped_freq, _GROUPED_FREQ_SQL)
     add("spearman_corr_lineitem", _spearman, _SPEARMAN_SQL)
+    add("grouped_ols_lineitem", _grouped_ols, _GROUPED_OLS_SQL)
+    add("mutual_info_orders", _mutual_info, _MUTUAL_INFO_SQL)
+    add("benford_lineitem", _benford, _BENFORD_SQL)
+    add("sequence_gaps_orders", _sequence_gaps, _SEQUENCE_GAPS_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
