@@ -2042,3 +2042,33 @@ def test_bigram_logppl_semantics(spark):
     # self-fit: common-phrase docs at low perplexity
     self_out = ts.bigram_logppl(train).collect()
     assert all(r.perplexity > 0 for r in self_out)
+
+
+def test_resample_fill(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.sequences import resample_fill
+
+    t0 = dt.datetime(2026, 1, 1, 10, 15)
+    rows = [
+        Row(ts=t0, event_type="a", value=1.0),
+        Row(ts=t0.replace(minute=45), event_type="a", value=2.0),
+        # 3-hour hole: 11:00 and 12:00 missing for "a"
+        Row(ts=t0.replace(hour=13), event_type="a", value=7.0),
+        Row(ts=t0.replace(hour=11), event_type="b", value=5.0),
+        Row(ts=None, event_type="a", value=9.0),
+        Row(ts=t0, event_type=None, value=9.0),
+    ]
+    out = resample_fill(spark.createDataFrame(rows), "ts", "event_type", "value")
+    a = {r.bucket_ts.hour: r for r in out.collect() if r.group_key == "a"}
+    # dense hourly grid 10..13
+    assert sorted(a) == [10, 11, 12, 13]
+    assert a[10].n_events == 2 and a[10].v_sum == 3.0
+    # holes: zero events, NULL raw sum, forward-filled value
+    assert a[11].n_events == 0 and a[11].v_sum is None and a[11].v_filled == 3.0
+    assert a[12].v_filled == 3.0 and a[13].v_filled == 7.0
+    # group b: single-bucket series, null-ts and null-group rows ignored
+    b = [r for r in out.collect() if r.group_key == "b"]
+    assert len(b) == 1 and b[0].v_sum == 5.0

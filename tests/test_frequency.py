@@ -114,3 +114,43 @@ def test_grouped_value_frequencies(spark):
         by_grp.setdefault(r.grp, 0.0)
         by_grp[r.grp] += r.percentage
     assert all(abs(v - 1.0) < 1e-9 for v in by_grp.values())
+
+
+def test_mask_profile(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.frequency import mask_profile
+
+    df = spark.createDataFrame(
+        [Row(phone=p, code=c) for p, c in [
+            ("25-989-741", "AB12"), ("13-137-222", "XY99"),
+            ("5-11-2", "Ab3"), (None, ""), ("", None),
+        ]]
+    )
+    out = mask_profile(df, ["phone", "code"]).collect()
+    by_col = {}
+    for r in out:
+        by_col.setdefault(r.column_name, {})[r.mask] = r
+    # two widths of the same shape share a collapsed mask
+    assert by_col["phone"]["99-999-999"].mask_collapsed == "9-9-9"
+    assert by_col["phone"]["9-99-9"].mask_collapsed == "9-9-9"
+    assert by_col["phone"]["99-999-999"]["count"] == 2
+    # share over the column's full non-empty count
+    assert abs(by_col["phone"]["99-999-999"].share - 2 / 3) < 1e-12
+    assert by_col["code"]["AA99"]["count"] == 2
+    assert by_col["code"]["Aa9"].mask_collapsed == "Aa9"
+    # NULL / empty rows excluded entirely
+    assert sum(r["count"] for r in out if r.column_name == "code") == 3
+
+
+def test_mask_profile_top_k(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.frequency import mask_profile
+
+    # 30 distinct masks, keep 5: ties broken (count DESC, mask ASC)
+    rows = [Row(v="x" * i) for i in range(1, 31) for _ in range(i)]
+    out = mask_profile(spark.createDataFrame(rows), ["v"], top_k=5).collect()
+    assert [r.mask for r in out] == ["a" * n for n in range(30, 25, -1)]
+    # share denominates over ALL non-empty rows, not the displayed 5
+    assert abs(sum(r.share for r in out) - (30+29+28+27+26) / 465) < 1e-12

@@ -19,7 +19,7 @@ deterministic under any executor order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -144,4 +144,62 @@ def funnel_report(
     return events.sparkSession.createDataFrame(
         data,
         "step int, step_name string, n_users long, conversion_from_prev double",
+    )
+
+
+def resample_fill(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Regular-grid resample with forward fill: aggregate per
+    (group, time bucket), then densify each group's series over its own
+    [min, max] bucket range — empty buckets appear with ``n_events = 0``
+    and a NULL ``v_sum`` — and carry the last observed value forward
+    (``v_filled``). The gap-free series a downstream window model or
+    drift monitor needs; raw event feeds have holes exactly where the
+    interesting outages are.
+
+    Scale shape: the only data-sized op is the per-(group, bucket)
+    groupBy (map-side combine). The grid generates from the O(groups)
+    bounds frame (``sequence()`` explode — rows = series length, data
+    never re-scanned), the densify join is grid-vs-O(buckets) aggregates,
+    and the forward-fill window partitions per group ordered by time —
+    partition size is the series length (time-range bound), not the data
+    size. Unaggregated rows never pass through a window.
+    """
+    g = F.col(group_col)
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    agg = (
+        events.where(g.isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(g.alias("group_key"), bucket.alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("double")).alias("v_sum"),
+        )
+    )
+    bounds = agg.groupBy("group_key").agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    grid = bounds.select(
+        "group_key",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("bucket_ts"),
+    )
+    joined = grid.join(agg, ["group_key", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("group_key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "group_key",
+        "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        "v_sum",
+        F.last("v_sum", ignorenulls=True).over(w).alias("v_filled"),
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -250,4 +250,72 @@ def grouped_value_frequencies(
         )
         .withColumnRenamed("__grp", group_col)
         .orderBy(group_col, "column_name", F.col("count").desc(), F.col("value").asc())
+    )
+
+
+def mask_profile(
+    df: DataFrame, columns: list[str], top_k: int = 20
+) -> DataFrame:
+    """String-shape (mask) profiling: map every uppercase letter to ``A``,
+    lowercase to ``a``, digit to ``9`` (other characters kept literally),
+    then count the top-K masks per column — the format-discovery /
+    format-anomaly view a value frequency table can't give on
+    high-cardinality identifier columns (phone numbers, product codes:
+    millions of values, a handful of masks). Also emits the run-collapsed
+    form (``AAA-999`` → ``A-9``) that groups same-shape-different-width
+    values. NULL and empty values are excluded (they carry no shape; A2/A3
+    count them).
+
+    Scale shape: the mask transform is a map-side regexp chain inside
+    whole-stage codegen; ONE ``groupBy(column, mask)`` over all requested
+    columns via the melt form (shuffle carries per-mask partial counts —
+    masks collapse cardinality, so this is far smaller than a value
+    shuffle); ranking windows run over the aggregated O(masks) frame and
+    ``share`` uses the column's full non-empty count, not the displayed
+    subset.
+    """
+    def mask(col: Column) -> Column:
+        m = F.regexp_replace(col, "[A-Z]", "A")
+        m = F.regexp_replace(m, "[a-z]", "a")
+        return F.regexp_replace(m, "[0-9]", "9")
+
+    entries = [
+        F.when(
+            F.col(c).isNotNull() & (F.col(c).cast("string") != ""),
+            F.struct(
+                F.lit(c).alias("column_name"),
+                mask(F.col(c).cast("string")).alias("mask"),
+            ),
+        )
+        for c in columns
+    ]
+    melted = (
+        df.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.column_name", "e.mask")
+        .where(F.col("column_name").isNotNull())
+    )
+    counts = melted.groupBy("column_name", "mask").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    w = Window.partitionBy("column_name")
+    rank = Window.partitionBy("column_name").orderBy(
+        F.col("count").desc(), F.col("mask").asc()
+    )
+    collapsed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("mask"), "A+", "A"), "a+", "a"
+        ),
+        "9+", "9",
+    )
+    return (
+        counts.withColumn("share", F.col("count") / F.sum("count").over(w))
+        .withColumn("__rn", F.row_number().over(rank))
+        .where(F.col("__rn") <= top_k)
+        .select(
+            "column_name",
+            "mask",
+            collapsed.alias("mask_collapsed"),
+            "count",
+            "share",
+        )
     )

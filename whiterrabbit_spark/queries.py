@@ -3370,6 +3370,98 @@ SELECT min(k) AS min_key, max(k) AS max_key, count(*) AS n_keys,
 FROM g"""
 
 
+def _mask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-shape (mask) profile of customer name / documents source
+    (frequency.mask_profile): map-side A/a/9 regexp chain inside codegen,
+    one melt→groupBy on the collapsed mask cardinality."""
+    from whiterrabbit_spark.frequency import mask_profile
+
+    cust = read_parquet_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("customer_c_name")
+    )
+    docs = read_parquet_table(spark, sf_dir, "documents").select(
+        F.col("source").alias("documents_source")
+    )
+    out = mask_profile(cust, ["customer_c_name"]).unionByName(
+        mask_profile(docs, ["documents_source"])
+    )
+    return out.select(
+        "column_name", "mask", "mask_collapsed", "count",
+        F.round("share", R).alias("share"),
+    )
+
+
+_MASK_PROFILE_SQL = r"""
+WITH vals AS (
+  SELECT 'customer_c_name' AS column_name, c_name::VARCHAR AS v
+  FROM customer WHERE c_name IS NOT NULL AND c_name::VARCHAR <> ''
+  UNION ALL
+  SELECT 'documents_source', source::VARCHAR FROM documents
+  WHERE source IS NOT NULL AND source::VARCHAR <> ''
+), masked AS (
+  SELECT column_name,
+         regexp_replace(regexp_replace(regexp_replace(
+           v, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g'
+         ) AS mask
+  FROM vals
+), counts AS (
+  SELECT column_name, mask, count(*) AS count FROM masked GROUP BY 1, 2
+), ranked AS (
+  SELECT column_name, mask, count,
+         count / sum(count) OVER (PARTITION BY column_name) AS share,
+         row_number() OVER (PARTITION BY column_name
+                            ORDER BY count DESC, mask ASC) AS rn
+  FROM counts
+)
+SELECT column_name, mask,
+       regexp_replace(regexp_replace(regexp_replace(
+         mask, 'A+', 'A', 'g'), 'a+', 'a', 'g'), '9+', '9', 'g'
+       ) AS mask_collapsed,
+       count, round(share, 6) AS share
+FROM ranked WHERE rn <= 20"""
+
+
+def _resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type resample with forward fill
+    (sequences.resample_fill): grid from the O(groups) bounds frame,
+    forward-fill window partitions are series-length bound."""
+    from whiterrabbit_spark.extensions.sequences import resample_fill
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    out = resample_fill(events, "ts", "event_type", "value")
+    return out.select(
+        "group_key", "bucket_ts", "n_events",
+        F.round("v_sum", R).alias("v_sum"),
+        F.round("v_filled", R).alias("v_filled"),
+    )
+
+
+_RESAMPLE_FILL_SQL = """
+WITH agg AS (
+  SELECT event_type AS group_key, date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS n_events, sum(value) AS v_sum
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT group_key, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+  FROM agg GROUP BY 1
+), grid AS (
+  SELECT group_key,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM bounds
+), joined AS (
+  SELECT g.group_key, g.bucket_ts, a.n_events, a.v_sum
+  FROM grid g LEFT JOIN agg a USING (group_key, bucket_ts)
+)
+SELECT group_key, bucket_ts,
+       coalesce(n_events, 0)::BIGINT AS n_events,
+       round(v_sum, 6) AS v_sum,
+       round(last_value(v_sum IGNORE NULLS) OVER (
+         PARTITION BY group_key ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+FROM joined"""
+
+
 def _grouped_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-K value tables over documents(source)
     (frequency.grouped_value_frequencies): one melt + one
@@ -3820,6 +3912,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("mutual_info_orders", _mutual_info, _MUTUAL_INFO_SQL)
     add("benford_lineitem", _benford, _BENFORD_SQL)
     add("sequence_gaps_orders", _sequence_gaps, _SEQUENCE_GAPS_SQL)
+    add("mask_profile_customer", _mask_profile, _MASK_PROFILE_SQL)
+    add("resample_fill_events", _resample_fill, _RESAMPLE_FILL_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
