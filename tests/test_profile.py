@@ -745,3 +745,28 @@ def test_sequence_gaps(spark):
     # empty input
     empty = spark.createDataFrame([], "k bigint")
     assert sequence_gaps(empty, "k").count() == 0
+
+
+def test_equi_depth_histogram_approx(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import equi_depth_histogram
+
+    df = spark.createDataFrame([Row(v=float(i)) for i in range(1, 10001)])
+    exact = {r.bucket: r for r in
+             equi_depth_histogram(df, "v", bins=4, approx=False).collect()}
+    approx = {r.bucket: r for r in
+              equi_depth_histogram(df, "v", bins=4, approx=True).collect()}
+    assert sum(r.n_rows for r in approx.values()) == 10000
+    # sketch cuts land within accuracy of the exact quartiles -> bucket
+    # populations near 2500 each
+    for b in range(4):
+        assert abs(approx[b].n_rows - exact[b].n_rows) <= 50
+    # auto mode at small n = exact plan (same cut points)
+    auto = {r.bucket: r for r in
+            equi_depth_histogram(df, "v", bins=4).collect()}
+    assert {b: r.n_rows for b, r in auto.items()} == \
+           {b: r.n_rows for b, r in exact.items()}
+    # empty input, approx path
+    empty = spark.createDataFrame([], "v double")
+    assert equi_depth_histogram(empty, "v", approx=True).count() == 0

@@ -1283,25 +1283,79 @@ def check_constraints(
     return df.sparkSession.createDataFrame(verdicts, verdict_schema)
 
 
-def equi_depth_histogram(df: DataFrame, column: str, bins: int = 10) -> DataFrame:
+def equi_depth_histogram(
+    df: DataFrame,
+    column: str,
+    bins: int = 10,
+    approx: bool | None = None,
+    accuracy: int = 10_000,
+    auto_approx_rows: int = 5_000_000,
+) -> DataFrame:
     """Equi-depth (quantile-bin) histogram: cut points at the exact type-7
     percentiles ``i/bins``, bucket = number of cuts strictly below the
     value. Complements ``equi_width_histogram`` — equal-population bins
     expose distribution shape where equal-width bins collapse under
     outliers.
 
-    Scale shape: ONE scan. The value histogram (``groupBy(v).count`` —
-    map-side combine, the only data-sized shuffle) is persisted and
-    reused twice: cut points via ``percentile(v, probs, cnt)`` (the final
-    task buffers |distinct| entries, not |rows|), then bucket counts by
-    aggregating the HISTOGRAM rows (≤ |distinct|) against the literal
-    cuts — the raw table is never rescanned. Output ≤ ``bins`` rows.
-    Heavy ties can leave some buckets empty (their mass sits in the
-    neighbor holding the tied cut) — the emitted frame only contains
-    non-empty buckets.
+    Scale shape (exact mode): ONE scan. The value histogram
+    (``groupBy(v).count`` — map-side combine, the only data-sized
+    shuffle) is persisted and reused twice: cut points via
+    ``percentile(v, probs, cnt)`` (the final task buffers |distinct|
+    entries, not |rows|), then bucket counts by aggregating the
+    HISTOGRAM rows (≤ |distinct|) against the literal cuts — the raw
+    table is never rescanned. Output ≤ ``bins`` rows. Heavy ties can
+    leave some buckets empty (their mass sits in the neighbor holding
+    the tied cut) — the emitted frame only contains non-empty buckets.
+
+    The exact final task still buffers the distinct multiset — on a
+    near-unique column that is the corpus. ``approx`` (tri-state, same
+    contract as ``winsorize``: ``None`` auto-flips above
+    ``auto_approx_rows`` rows) swaps the cuts for ``percentile_approx``
+    sketches over a bounded seeded sample and counts buckets with a
+    direct ``groupBy(bucket)`` on the raw rows — fully partial-
+    aggregable, no distinct-multiset buffer anywhere, bucket populations
+    exact for the sketched cuts. Exact stays the oracle default at
+    driver scales.
     """
     c = F.col(column).cast("double")
     probs = [i / bins for i in range(1, bins)]
+    use_approx, src = _auto_approx_source(
+        df.select(c.alias("v")).where(c.isNotNull()), approx, auto_approx_rows
+    )
+    if use_approx:
+        row = src.agg(
+            F.percentile_approx(F.col("v"), F.lit(probs), accuracy).alias("q"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        ).collect()[0]
+        spark = df.sparkSession
+        if row["lo"] is None:
+            return spark.createDataFrame(
+                [], "bucket int, bucket_lo double, bucket_hi double, n_rows long"
+            )
+        cuts = [float(x) for x in row["q"]]
+        # in the sampled regime lo/hi are the SAMPLE extremes — edge
+        # labels are approximate like the cuts; bucket membership uses
+        # only the cuts, so out-of-sample-range rows still count into
+        # the first/last bucket
+        edges = [float(row["lo"])] + cuts + [float(row["hi"])]
+        v = F.col(column).cast("double")
+        bucket = F.lit(0)
+        for cut in cuts:
+            bucket = bucket + F.when(v > F.lit(cut), 1).otherwise(0)
+        edge_lo = F.array(*[F.lit(e) for e in edges[:-1]])
+        edge_hi = F.array(*[F.lit(e) for e in edges[1:]])
+        return (
+            df.where(v.isNotNull())
+            .groupBy(bucket.cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                "bucket",
+                F.element_at(edge_lo, F.col("bucket") + 1).alias("bucket_lo"),
+                F.element_at(edge_hi, F.col("bucket") + 1).alias("bucket_hi"),
+                "n_rows",
+            )
+        )
     hist = (
         df.select(c.alias("v")).where(F.col("v").isNotNull())
         .groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
