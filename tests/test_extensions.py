@@ -2072,3 +2072,46 @@ def test_resample_fill(spark):
     # group b: single-bucket series, null-ts and null-group rows ignored
     b = [r for r in out.collect() if r.group_key == "b"]
     assert len(b) == 1 and b[0].v_sum == 5.0
+
+
+def test_scd2_history(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.diff import scd2_history
+
+    d1, d2, d3 = (dt.date(2026, m, 1) for m in (1, 2, 3))
+    rows = [
+        # k=1: stable all three snapshots -> one current interval
+        Row(snap=d1, k=1, status="A"), Row(snap=d2, k=1, status="A"),
+        Row(snap=d3, k=1, status="A"),
+        # k=2: status flips at snap2 -> two intervals
+        Row(snap=d1, k=2, status="A"), Row(snap=d2, k=2, status="B"),
+        Row(snap=d3, k=2, status="B"),
+        # k=3: deleted after snap1 -> closed interval, not current
+        Row(snap=d1, k=3, status="A"),
+        # k=4: appears at snap2 only, same attrs before+after a gap
+        Row(snap=d1, k=4, status="A"), Row(snap=d3, k=4, status="A"),
+        # k=5: born in snap3
+        Row(snap=d3, k=5, status="Z"),
+    ]
+    out = scd2_history(
+        spark.createDataFrame(rows), "k", "snap", ["status"]
+    ).collect()
+    ivals = sorted(
+        ((r.k, r.status, r.valid_from, r.valid_to, r.is_current) for r in out)
+    )
+    assert ivals == [
+        (1, "A", d1, None, True),
+        (2, "A", d1, d2, False),
+        (2, "B", d2, None, True),
+        (3, "A", d1, d2, False),
+        (4, "A", d1, d2, False),   # gap closes the first interval
+        (4, "A", d3, None, True),  # reappearance opens a new one
+        (5, "Z", d3, None, True),
+    ]
+    # NULL-safe attribute compare: NULL->value is a change
+    rows2 = [Row(snap=d1, k=9, status=None), Row(snap=d2, k=9, status="A")]
+    out2 = scd2_history(spark.createDataFrame(rows2), "k", "snap", ["status"])
+    assert out2.count() == 2

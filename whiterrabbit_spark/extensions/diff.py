@@ -24,7 +24,7 @@ a tall (metric, n) frame with a stable schema for any input width.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -109,3 +109,79 @@ def table_diff_summary(
             )
         ).alias("e")
     ).select("e.metric", "e.n")
+
+
+def scd2_history(
+    snapshots: DataFrame,
+    key_col: str,
+    snap_col: str,
+    tracked_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from stacked snapshots:
+    given one row per (snapshot, key) — the usual daily dimension dump —
+    collapse consecutive identical attribute states into validity
+    intervals ``(key, *tracked, valid_from, valid_to, is_current)``.
+    ``valid_to`` is the first snapshot where the state no longer holds
+    (attribute change OR the key absent from that snapshot — deletions
+    close intervals); NULL valid_to marks states alive in the latest
+    snapshot. A key that disappears and later reappears gets separate
+    intervals even if the attributes match (the gap is real history).
+
+    Scale shape: one window per key ordered by snapshot — partition size
+    = snapshots per key (time-bound, not data-bound) — plus a groupBy
+    to one row per run. The snapshot calendar (distinct snapshot dates)
+    is O(snapshots); its prev/next lookups broadcast-join everywhere
+    they're needed. No global window, no driver-side data beyond the
+    calendar.
+    """
+    calendar = snapshots.select(F.col(snap_col).alias("__snap")).distinct()
+    wcal = Window.orderBy("__snap")
+    cal = calendar.select(
+        "__snap",
+        F.lag("__snap").over(wcal).alias("__prev_snap"),
+        F.lead("__snap").over(wcal).alias("__next_snap"),
+    )
+    wk = Window.partitionBy(key_col).orderBy(snap_col)
+    state = F.struct(*[F.col(c) for c in tracked_cols])
+    marked = (
+        snapshots.join(
+            F.broadcast(cal), F.col(snap_col) == F.col("__snap")
+        )
+        .withColumn("__state", state)
+        .withColumn(
+            "__chg",
+            F.when(F.lag(snap_col).over(wk).isNull(), 1)  # first sighting
+            .when(  # gap: key missing from the previous snapshot
+                ~F.lag(F.col(snap_col)).over(wk).eqNullSafe(
+                    F.col("__prev_snap")
+                ),
+                1,
+            )
+            .when(  # attribute change (NULL-safe struct compare)
+                ~F.col("__state").eqNullSafe(F.lag("__state").over(wk)), 1
+            )
+            .otherwise(0),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__chg").over(
+                wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    runs = marked.groupBy(key_col, "__run", *tracked_cols).agg(
+        F.min(snap_col).alias("valid_from"),
+        F.max(snap_col).alias("__last_seen"),
+    )
+    return (
+        runs.join(
+            F.broadcast(cal), F.col("__last_seen") == F.col("__snap")
+        )
+        .select(
+            key_col,
+            *tracked_cols,
+            "valid_from",
+            F.col("__next_snap").alias("valid_to"),
+            F.col("__next_snap").isNull().alias("is_current"),
+        )
+    )

@@ -3370,6 +3370,76 @@ SELECT min(k) AS min_key, max(k) AS max_key, count(*) AS n_keys,
 FROM g"""
 
 
+def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals from three deterministically perturbed
+    order snapshots (diff.scd2_history): status flip at %13 keys, %97
+    keys absent from snapshot 2 only (gap → close + reopen). Per-key
+    windows are snapshot-count bound; the calendar broadcasts."""
+    from whiterrabbit_spark.extensions.diff import scd2_history
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    flipped = F.when(k % 13 == 0, F.lit("X")).otherwise(F.col("o_orderstatus"))
+    snaps = (
+        orders.select(
+            F.lit("2026-01-01").cast("date").alias("snap"),
+            "o_orderkey", "o_orderstatus",
+        )
+        .unionByName(
+            orders.where(k % 97 != 0).select(
+                F.lit("2026-02-01").cast("date").alias("snap"),
+                k.alias("o_orderkey"), flipped.alias("o_orderstatus"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.lit("2026-03-01").cast("date").alias("snap"),
+                k.alias("o_orderkey"), flipped.alias("o_orderstatus"),
+            )
+        )
+    )
+    return scd2_history(snaps, "o_orderkey", "snap", ["o_orderstatus"])
+
+
+_SCD2_SQL = """
+WITH snaps AS (
+  SELECT DATE '2026-01-01' AS snap, o_orderkey, o_orderstatus FROM orders
+  UNION ALL
+  SELECT DATE '2026-02-01', o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT DATE '2026-03-01', o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+  FROM orders
+), cal AS (
+  SELECT snap, lag(snap) OVER (ORDER BY snap) AS prev_snap,
+         lead(snap) OVER (ORDER BY snap) AS next_snap
+  FROM (SELECT DISTINCT snap FROM snaps)
+), m AS (
+  SELECT s.snap, s.o_orderkey, s.o_orderstatus,
+         CASE WHEN lag(s.snap) OVER w IS NULL THEN 1
+              WHEN lag(s.snap) OVER w IS DISTINCT FROM c.prev_snap THEN 1
+              WHEN lag(s.o_orderstatus) OVER w
+                   IS DISTINCT FROM s.o_orderstatus THEN 1
+              ELSE 0 END AS chg
+  FROM snaps s JOIN cal c USING (snap)
+  WINDOW w AS (PARTITION BY s.o_orderkey ORDER BY s.snap)
+), r AS (
+  SELECT *, sum(chg) OVER (PARTITION BY o_orderkey ORDER BY snap) AS run
+  FROM m
+), runs AS (
+  SELECT o_orderkey, run, o_orderstatus,
+         min(snap) AS valid_from, max(snap) AS last_seen
+  FROM r GROUP BY 1, 2, 3
+)
+SELECT runs.o_orderkey, runs.o_orderstatus, runs.valid_from,
+       cal.next_snap AS valid_to, cal.next_snap IS NULL AS is_current
+FROM runs JOIN cal ON runs.last_seen = cal.snap"""
+
+
 def _mask_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-shape (mask) profile of customer name / documents source
     (frequency.mask_profile): map-side A/a/9 regexp chain inside codegen,
@@ -3914,6 +3984,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("sequence_gaps_orders", _sequence_gaps, _SEQUENCE_GAPS_SQL)
     add("mask_profile_customer", _mask_profile, _MASK_PROFILE_SQL)
     add("resample_fill_events", _resample_fill, _RESAMPLE_FILL_SQL)
+    add("scd2_history_orders", _scd2, _SCD2_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
