@@ -2115,3 +2115,48 @@ def test_scd2_history(spark):
     rows2 = [Row(snap=d1, k=9, status=None), Row(snap=d2, k=9, status="A")]
     out2 = scd2_history(spark.createDataFrame(rows2), "k", "snap", ["status"])
     assert out2.count() == 2
+
+
+def test_quality_classifier(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.classifier import (
+        score_quality, train_quality_classifier, weak_labels)
+
+    # planted separable corpus: "good" docs share clean vocabulary,
+    # "bad" docs are spam-word salads; a linear BoW model must separate
+    good = [f"the quick brown fox number {i} jumps over the lazy dog and runs home"
+            for i in range(30)]
+    bad = [f"buy cheap pills now {i} click here winner casino jackpot free money"
+           for i in range(30)]
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=t, label=1.0) for i, t in enumerate(good[:20])]
+        + [Row(doc_id=100 + i, text=t, label=0.0) for i, t in enumerate(bad[:20])]
+    )
+    model = train_quality_classifier(train, num_features=1 << 12, max_iter=10)
+    held = spark.createDataFrame(
+        [Row(doc_id=i, text=t, want=True) for i, t in enumerate(good[20:])]
+        + [Row(doc_id=100 + i, text=t, want=False) for i, t in enumerate(bad[20:])]
+    )
+    scored = score_quality(model, held).join(held.select("doc_id", "want"), "doc_id")
+    rows = scored.collect()
+    assert len(rows) == 20
+    assert all(r.predicted_keep == r.want for r in rows)
+    assert all(0.0 <= r.prob_keep <= 1.0 for r in rows)
+
+
+def test_weak_labels(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.classifier import weak_labels
+
+    body = ("The pipeline reads every document carefully. "
+            "It checks the structure against published quality rules. "
+            "Those rules were tuned over many large corpora and that "
+            "history matters here. ") * 3
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=body),
+        Row(doc_id=2, text="$$ ### !!"),
+    ])
+    lab = {r.doc_id: r.label for r in weak_labels(df, "text", "doc_id").collect()}
+    assert lab[1] == 1.0 and lab[2] == 0.0
