@@ -93,6 +93,16 @@ def main() -> None:
         "unigram_perplexity": queries["unigram_perplexity_documents"],
         "pmi_collocations": queries["pmi_collocations_documents"],
         "vocab_coverage": queries["vocab_coverage_documents"],
+        # round-2 second wave: regression/association/shape profiling,
+        # SCD2 interval build, dense resample, learned classifier
+        "grouped_ols": queries["grouped_ols_lineitem"],
+        "benford": queries["benford_lineitem"],
+        "sequence_gaps": queries["sequence_gaps_orders"],
+        "mask_profile": queries["mask_profile_customer"],
+        "resample_fill": queries["resample_fill_events"],
+        "scd2_history": queries["scd2_history_orders"],
+        "quality_classifier": queries["quality_classifier_documents"],
+        "incremental_profile": queries["incremental_profile_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so
