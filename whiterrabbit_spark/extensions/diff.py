@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def table_diff_summary(
@@ -134,12 +135,28 @@ def scd2_history(
     they're needed. No global window, no driver-side data beyond the
     calendar.
     """
-    calendar = snapshots.select(F.col(snap_col).alias("__snap")).distinct()
-    wcal = Window.orderBy("__snap")
-    cal = calendar.select(
-        "__snap",
-        F.lag("__snap").over(wcal).alias("__prev_snap"),
-        F.lead("__snap").over(wcal).alias("__next_snap"),
+    # the calendar is O(snapshots) BY DEFINITION (a handful of dump
+    # dates) — collect it once and rebuild as a literal frame, so the
+    # prev/next lookups don't re-scan the snapshot stack at every use
+    # site (audited: the derived-calendar form re-read the stack 3x)
+    snap_field = snapshots.schema[snap_col]
+    dates = sorted(
+        r[0]
+        for r in snapshots.select(F.col(snap_col).alias("__snap"))
+        .distinct()
+        .collect()
+    )
+    cal = snapshots.sparkSession.createDataFrame(
+        [
+            (d, dates[i - 1] if i > 0 else None,
+             dates[i + 1] if i + 1 < len(dates) else None)
+            for i, d in enumerate(dates)
+        ],
+        T.StructType([
+            T.StructField("__snap", snap_field.dataType),
+            T.StructField("__prev_snap", snap_field.dataType),
+            T.StructField("__next_snap", snap_field.dataType),
+        ]),
     )
     wk = Window.partitionBy(key_col).orderBy(snap_col)
     state = F.struct(*[F.col(c) for c in tracked_cols])
