@@ -18,7 +18,12 @@ QUERIES, ORACLES = build_registry()
 # rows-only check): data-adaptive/approximate ops with no meaningful SQL
 # equivalent. Keep this list SHORT and deliberate — everything else must
 # carry a DuckDB oracle.
-ROWS_ONLY = {"ann_ivf_index_embeddings"}
+ROWS_ONLY = {
+    "ann_ivf_index_embeddings",
+    # learned decision boundary — not SQL-expressible; planted-separation
+    # unit test pins generalization
+    "quality_classifier_documents",
+}
 
 
 def test_every_query_has_an_oracle():
