@@ -3555,8 +3555,9 @@ WITH vals AS (
   WHERE source IS NOT NULL AND source::VARCHAR <> ''
 ), masked AS (
   SELECT column_name,
-         regexp_replace(regexp_replace(regexp_replace(
-           v, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g'
+         translate(v,
+           'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789',
+           'AAAAAAAAAAAAAAAAAAAAAAAAAAaaaaaaaaaaaaaaaaaaaaaaaaaa9999999999'
          ) AS mask
   FROM vals
 ), counts AS (
