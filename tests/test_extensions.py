@@ -2160,3 +2160,26 @@ def test_weak_labels(spark):
     ])
     lab = {r.doc_id: r.label for r in weak_labels(df, "text", "doc_id").collect()}
     assert lab[1] == 1.0 and lab[2] == 0.0
+
+
+def test_keep_best_dedup(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.dedup import keep_best_dedup
+
+    pairs = spark.createDataFrame(
+        [Row(id1=1, id2=2), Row(id1=2, id2=3), Row(id1=10, id2=11)]
+    )
+    scored = spark.createDataFrame(
+        [Row(doc_id=1, score=0.5), Row(doc_id=2, score=0.9),
+         Row(doc_id=3, score=0.9),  # ties with 2 -> lower id wins
+         Row(doc_id=10, score=0.1), Row(doc_id=11, score=0.8),
+         Row(doc_id=99, score=0.0)]  # singleton, always kept
+    )
+    out = {r.doc_id: r for r in
+           keep_best_dedup(scored, pairs, "doc_id", "score").collect()}
+    assert out[2].kept and not out[1].kept and not out[3].kept
+    assert out[11].kept and not out[10].kept
+    assert out[99].kept and out[99].cluster_id is None
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id
+    assert len(out) == 6

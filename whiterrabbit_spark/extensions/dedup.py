@@ -645,3 +645,51 @@ def edit_distance_pairs(
         .where(F.col("edit_distance") >= 0)  # -1 = threshold exceeded
         .select("id1", "id2", "jaccard", "edit_distance")
     )
+
+
+def keep_best_dedup(
+    scored: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Canonical selection for near-dup clusters: keep the HIGHEST-scoring
+    member of each cluster instead of the arbitrary min-id — the form
+    real curation pipelines want (near-dups differ in boilerplate,
+    truncation, OCR noise; keeping the best copy preserves quality the
+    keep-first rule throws away). Documents in no cluster pass through
+    kept. Returns ``(id, cluster_id, score, kept)`` — cluster_id NULL
+    for singletons.
+
+    Ranking uses the 6-dp-rounded score (engine-agreed) with the id as
+    the total-order tie-break, so the winner is deterministic.
+
+    Scale shape: clusters from :func:`connected_components` (O(diameter)
+    label-propagation rounds); the argmax is a row_number window
+    partitioned BY CLUSTER — bounded by cluster size — computed only
+    over the clustered subset. Singletons (the overwhelming majority)
+    never enter a window: the NULL-cluster partition that would
+    otherwise funnel them through one task is split off as a map-only
+    branch.
+    """
+    cc = connected_components(pairs, src, dst)
+    joined = scored.select(
+        F.col(id_col), F.round(F.col(score_col), 6).alias("score")
+    ).join(
+        cc.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    clustered = joined.where(F.col("cluster_id").isNotNull())
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    ranked = clustered.withColumn(
+        "kept", F.row_number().over(w) == 1
+    )
+    singles = joined.where(F.col("cluster_id").isNull()).withColumn(
+        "kept", F.lit(True)
+    )
+    return ranked.select(id_col, "cluster_id", "score", "kept").unionByName(
+        singles.select(id_col, "cluster_id", "score", "kept")
+    )

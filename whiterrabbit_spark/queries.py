@@ -3440,6 +3440,62 @@ SELECT runs.o_orderkey, runs.o_orderstatus, runs.valid_from,
 FROM runs JOIN cal ON runs.last_seen = cal.snap"""
 
 
+def _keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical near-dup selection (dedup.keep_best_dedup): simhash
+    clusters keep their highest-quality member (6-dp-agreed score, id
+    tie-break); singletons bypass the window entirely. The oracle
+    rebuilds reachability with a RECURSIVE CTE and the same argmax."""
+    from whiterrabbit_spark.extensions import textstats as ts
+    from whiterrabbit_spark.extensions.dedup import keep_best_dedup
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    pairs = X.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3)
+    scored = ts.quality_score(docs, "text", "doc_id").select(
+        "doc_id", F.col("quality_score").alias("score")
+    )
+    out = keep_best_dedup(scored, pairs, "doc_id", "score")
+    # -1 sentinel for "no cluster": the compare harness sorts row tuples
+    # and NULLs don't order
+    return out.select(
+        "doc_id",
+        F.coalesce("cluster_id", F.lit(-1)).alias("cluster_id"),
+        "score", "kept",
+    )
+
+
+def _keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_simhash_sql()}),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+cc AS (
+  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+),
+{_quality_core_sql()},
+j AS (
+  SELECT s.doc_id, round(s.quality_score, 6) AS score, cc.cluster_id
+  FROM sc s LEFT JOIN cc ON cc.node = s.doc_id
+),
+r AS (
+  SELECT doc_id, cluster_id, score,
+         CASE WHEN cluster_id IS NULL THEN 1
+              ELSE row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY score DESC, doc_id ASC)
+         END AS rn
+  FROM j
+)
+SELECT doc_id, coalesce(cluster_id, -1) AS cluster_id, score, rn = 1 AS kept
+FROM r"""
+
+
 def _incremental_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (mergeable-sketch) profile: three disjoint lineitem
     slices profiled independently (profile.profile_sketch), combined by
@@ -4074,6 +4130,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("quality_classifier_documents", _quality_classifier, None)
     add("incremental_profile_lineitem", _incremental_profile,
         _INCREMENTAL_PROFILE_SQL)
+    add("keep_best_dedup_documents", _keep_best, _keep_best_sql())
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
