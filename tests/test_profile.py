@@ -770,3 +770,47 @@ def test_equi_depth_histogram_approx(spark):
     # empty input, approx path
     empty = spark.createDataFrame([], "v double")
     assert equi_depth_histogram(empty, "v", approx=True).count() == 0
+
+
+def test_hist2d(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import hist2d
+
+    df = spark.createDataFrame(
+        [Row(x=float(i % 10), y=float(i // 10)) for i in range(100)]
+        + [Row(x=None, y=1.0), Row(x=1.0, y=None)]
+    )
+    out = hist2d(df, "x", "y", bins_x=2, bins_y=2).collect()
+    assert sum(r.n_rows for r in out) == 100  # null-on-either-axis excluded
+    cells = {(r.bucket_x, r.bucket_y): r.n_rows for r in out}
+    # uniform 10x10 grid, 2x2 buckets: max values clamp into last bin
+    assert cells == {(0, 0): 25, (0, 1): 25, (1, 0): 25, (1, 1): 25}
+    r00 = next(r for r in out if (r.bucket_x, r.bucket_y) == (0, 0))
+    assert r00.x_lo == 0.0 and r00.y_lo == 0.0
+    # empty input
+    assert hist2d(spark.createDataFrame([], "x double, y double"), "x", "y").count() == 0
+
+
+def test_join_cardinality(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import join_cardinality
+
+    left = spark.createDataFrame(
+        [Row(k=1), Row(k=1), Row(k=2), Row(k=9), Row(k=None)]
+    )
+    right = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=2), Row(k=7)])
+    r = join_cardinality(left, right, "k", "k").collect()[0]
+    assert (r.left_rows, r.right_rows) == (4, 4)  # nulls not in histograms
+    assert (r.left_keys, r.right_keys) == (3, 3)
+    assert (r.max_left_fanout, r.max_right_fanout) == (2, 2)
+    assert (r.left_orphan_rows, r.right_orphan_rows) == (1, 1)
+    assert (r.left_null_rows, r.right_null_rows) == (1, 0)
+    assert r.relationship == "M:N"  # k=1 multi-left matched, k=2 multi-right
+    # clean FK: many orders -> one customer = N:1
+    many = spark.createDataFrame([Row(k=1), Row(k=1), Row(k=2)])
+    one = spark.createDataFrame([Row(k=1), Row(k=2)])
+    assert join_cardinality(many, one, "k", "k").collect()[0].relationship == "N:1"
+    assert join_cardinality(one, many, "k", "k").collect()[0].relationship == "1:N"
+    assert join_cardinality(one, one, "k", "k").collect()[0].relationship == "1:1"

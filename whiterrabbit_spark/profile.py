@@ -1772,3 +1772,131 @@ def sequence_gaps(
             F.coalesce(F.max("lead_gap"), F.lit(0)),
         ).alias("max_gap"),
     )
+
+
+def hist2d(
+    df: DataFrame, col_x: str, col_y: str, bins_x: int = 20, bins_y: int = 20
+) -> DataFrame:
+    """Equi-width 2D histogram (heatmap backbone) over a numeric column
+    pair — the joint-distribution view two marginal histograms can't
+    give (correlation structure, bimodal clusters, outlier quadrants).
+    Rows with a NULL on either axis are excluded.
+
+    Same shape discipline as ``equi_width_histogram``: one tiny min/max
+    bounds pass for BOTH axes, then ONE fully partial-aggregable
+    ``groupBy(bucket_x, bucket_y)`` — output ≤ bins_x·bins_y rows
+    regardless of input size; max values clamp into the last bin.
+    """
+    cx = F.col(col_x).cast("double")
+    cy = F.col(col_y).cast("double")
+    base = df.where(cx.isNotNull() & cy.isNotNull())
+    row = base.agg(
+        F.min(cx).alias("lx"), F.max(cx).alias("hx"),
+        F.min(cy).alias("ly"), F.max(cy).alias("hy"),
+    ).collect()[0]
+    spark = df.sparkSession
+    schema = ("bucket_x int, bucket_y int, x_lo double, x_hi double, "
+              "y_lo double, y_hi double, n_rows long")
+    if row["lx"] is None:
+        return spark.createDataFrame([], schema)
+    lx, hx, ly, hy = (float(row[k]) for k in ("lx", "hx", "ly", "hy"))
+    wx = (hx - lx) / bins_x if hx > lx else 1.0
+    wy = (hy - ly) / bins_y if hy > ly else 1.0
+    bx = F.least(F.floor((cx - F.lit(lx)) / F.lit(wx)), F.lit(bins_x - 1)).cast("int")
+    by = F.least(F.floor((cy - F.lit(ly)) / F.lit(wy)), F.lit(bins_y - 1)).cast("int")
+    return (
+        base.groupBy(bx.alias("bucket_x"), by.alias("bucket_y"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket_x", "bucket_y",
+            (F.lit(lx) + F.col("bucket_x") * F.lit(wx)).alias("x_lo"),
+            (F.lit(lx) + (F.col("bucket_x") + 1) * F.lit(wx)).alias("x_hi"),
+            (F.lit(ly) + F.col("bucket_y") * F.lit(wy)).alias("y_lo"),
+            (F.lit(ly) + (F.col("bucket_y") + 1) * F.lit(wy)).alias("y_hi"),
+            "n_rows",
+        )
+    )
+
+
+def join_cardinality(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """Relationship profile between two tables' join keys — the
+    data-modeling check run BEFORE shipping a join at scale: actual
+    multiplicity (1:1 / 1:N / N:1 / M:N), fanout extremes (the join-
+    explosion early warning), and orphan row counts on each side
+    (referential leaks, complementing fk_coverage's rate view).
+
+    Scale shape: each side collapses to its KEY HISTOGRAM first
+    (``groupBy(key).count`` — map-side combine), and the full-outer join
+    runs over the two O(keys) histograms, never row-level data; the
+    verdict is a flat aggregation to ONE output row. The row-level join
+    this profiles is never executed.
+
+    NULL keys never join (SQL semantics) — they are excluded from the
+    histograms and reported in the orphan counts.
+    """
+    lk = F.col(left_key)
+    rk = F.col(right_key)
+    lh = (
+        left.select(lk.alias("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("ln"))
+    )
+    rh = (
+        right.select(rk.alias("k"))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("rn"))
+    )
+    lnull = lh.where(F.col("k").isNull()).select(F.col("ln").alias("n"))
+    rnull = rh.where(F.col("k").isNull()).select(F.col("rn").alias("n"))
+    j = lh.where(F.col("k").isNotNull()).join(
+        rh.where(F.col("k").isNotNull()), "k", "full_outer"
+    )
+    stats = j.agg(
+        F.coalesce(F.sum("ln"), F.lit(0)).alias("left_rows"),
+        F.coalesce(F.sum("rn"), F.lit(0)).alias("right_rows"),
+        F.count(F.when(F.col("ln").isNotNull(), 1)).alias("left_keys"),
+        F.count(F.when(F.col("rn").isNotNull(), 1)).alias("right_keys"),
+        F.coalesce(F.max("ln"), F.lit(0)).alias("max_left_fanout"),
+        F.coalesce(F.max("rn"), F.lit(0)).alias("max_right_fanout"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn").isNull(), F.col("ln"))), F.lit(0)
+        ).alias("left_orphan_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("ln").isNull(), F.col("rn"))), F.lit(0)
+        ).alias("right_orphan_rows"),
+        # a matched key with count>1 on a side makes that side "N"
+        F.coalesce(
+            F.max(
+                F.when(F.col("rn").isNotNull() & (F.col("ln") > 1), F.col("ln"))
+            ),
+            F.lit(0),
+        ).alias("__l_multi"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("ln").isNotNull() & (F.col("rn") > 1), F.col("rn"))
+            ),
+            F.lit(0),
+        ).alias("__r_multi"),
+    )
+    null_counts = (
+        lnull.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("left_null_rows"))
+        .crossJoin(
+            rnull.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("right_null_rows"))
+        )
+    )
+    rel = (
+        F.when((F.col("__l_multi") > 0) & (F.col("__r_multi") > 0), "M:N")
+        .when(F.col("__l_multi") > 0, "N:1")
+        .when(F.col("__r_multi") > 0, "1:N")
+        .otherwise("1:1")
+    )
+    return (
+        stats.crossJoin(null_counts)
+        .select(
+            "left_rows", "right_rows", "left_keys", "right_keys",
+            "max_left_fanout", "max_right_fanout",
+            "left_orphan_rows", "right_orphan_rows",
+            "left_null_rows", "right_null_rows",
+            rel.alias("relationship"),
+        )
+    )

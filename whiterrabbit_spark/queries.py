@@ -3440,6 +3440,102 @@ SELECT runs.o_orderkey, runs.o_orderstatus, runs.valid_from,
 FROM runs JOIN cal ON runs.last_seen = cal.snap"""
 
 
+def _hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint quantity x price heatmap (profile.hist2d): one bounds pass,
+    one partial-aggregable groupBy(bucket_x, bucket_y) — output is at
+    most bins² rows regardless of input size."""
+    from whiterrabbit_spark.profile import hist2d
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = hist2d(li, "l_quantity", "l_extendedprice", bins_x=10, bins_y=10)
+    return out.select(
+        "bucket_x", "bucket_y",
+        F.round("x_lo", R).alias("x_lo"), F.round("x_hi", R).alias("x_hi"),
+        F.round("y_lo", R).alias("y_lo"), F.round("y_hi", R).alias("y_hi"),
+        "n_rows",
+    )
+
+
+_HIST2D_SQL = """
+WITH base AS (
+  SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), b AS (
+  SELECT min(x) AS lx, max(x) AS hx, min(y) AS ly, max(y) AS hy FROM base
+), w AS (
+  SELECT lx, ly,
+         CASE WHEN hx > lx THEN (hx - lx) / 10 ELSE 1.0 END AS wx,
+         CASE WHEN hy > ly THEN (hy - ly) / 10 ELSE 1.0 END AS wy
+  FROM b
+), bucketed AS (
+  SELECT least(floor((x - w.lx) / w.wx), 9)::INT AS bucket_x,
+         least(floor((y - w.ly) / w.wy), 9)::INT AS bucket_y
+  FROM base, w
+)
+SELECT bucket_x, bucket_y,
+       round(w.lx + bucket_x * w.wx, 6) AS x_lo,
+       round(w.lx + (bucket_x + 1) * w.wx, 6) AS x_hi,
+       round(w.ly + bucket_y * w.wy, 6) AS y_lo,
+       round(w.ly + (bucket_y + 1) * w.wy, 6) AS y_hi,
+       count(*) AS n_rows
+FROM bucketed, w
+GROUP BY bucket_x, bucket_y, w.lx, w.wx, w.ly, w.wy"""
+
+
+def _join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders↔customer relationship profile (profile.join_cardinality):
+    both sides collapse to key histograms before the full-outer join —
+    the row-level join being profiled never executes."""
+    from whiterrabbit_spark.profile import join_cardinality
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    customer = read_parquet_table(spark, sf_dir, "customer")
+    return join_cardinality(orders, customer, "o_custkey", "c_custkey")
+
+
+_JOIN_CARDINALITY_SQL = """
+WITH lh AS (
+  SELECT o_custkey AS k, count(*) AS ln FROM orders
+  WHERE o_custkey IS NOT NULL GROUP BY 1
+), rh AS (
+  SELECT c_custkey AS k, count(*) AS rn FROM customer
+  WHERE c_custkey IS NOT NULL GROUP BY 1
+), j AS (
+  SELECT lh.k AS lk, rh.k AS rk, ln, rn
+  FROM lh FULL OUTER JOIN rh ON lh.k = rh.k
+), s AS (
+  SELECT coalesce(sum(ln), 0)::BIGINT AS left_rows,
+         coalesce(sum(rn), 0)::BIGINT AS right_rows,
+         count(lk) AS left_keys,
+         count(rk) AS right_keys,
+         coalesce(max(ln), 0)::BIGINT AS max_left_fanout,
+         coalesce(max(rn), 0)::BIGINT AS max_right_fanout,
+         coalesce(sum(CASE WHEN rk IS NULL THEN ln END), 0)::BIGINT
+           AS left_orphan_rows,
+         coalesce(sum(CASE WHEN lk IS NULL THEN rn END), 0)::BIGINT
+           AS right_orphan_rows,
+         coalesce(max(CASE WHEN rk IS NOT NULL AND ln > 1 THEN ln END), 0)
+           AS l_multi,
+         coalesce(max(CASE WHEN lk IS NOT NULL AND rn > 1 THEN rn END), 0)
+           AS r_multi
+  FROM j
+), nulls AS (
+  SELECT (SELECT count(*) FROM orders WHERE o_custkey IS NULL)::BIGINT
+           AS left_null_rows,
+         (SELECT count(*) FROM customer WHERE c_custkey IS NULL)::BIGINT
+           AS right_null_rows
+)
+SELECT left_rows, right_rows, left_keys, right_keys,
+       max_left_fanout, max_right_fanout,
+       left_orphan_rows, right_orphan_rows,
+       left_null_rows, right_null_rows,
+       CASE WHEN l_multi > 0 AND r_multi > 0 THEN 'M:N'
+            WHEN l_multi > 0 THEN 'N:1'
+            WHEN r_multi > 0 THEN '1:N'
+            ELSE '1:1' END AS relationship
+FROM s, nulls"""
+
+
 def _keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical near-dup selection (dedup.keep_best_dedup): simhash
     clusters keep their highest-quality member (6-dp-agreed score, id
@@ -4131,6 +4227,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("incremental_profile_lineitem", _incremental_profile,
         _INCREMENTAL_PROFILE_SQL)
     add("keep_best_dedup_documents", _keep_best, _keep_best_sql())
+    add("hist2d_lineitem", _hist2d, _HIST2D_SQL)
+    add("join_cardinality_orders_customer", _join_cardinality,
+        _JOIN_CARDINALITY_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
