@@ -2183,3 +2183,31 @@ def test_keep_best_dedup(spark):
     assert out[99].kept and out[99].cluster_id is None
     assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id
     assert len(out) == 6
+
+
+def test_streaming_value_histogram_and_psi(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.streaming import (
+        finish_psi, streaming_value_histogram)
+
+    # batch form of the same expressions: clamping + fixed edges
+    ref = spark.createDataFrame([Row(value=float(v)) for v in range(100)])
+    h = streaming_value_histogram(ref, "value", 0.0, 100.0, 10)
+    rows = {r.bucket: r.n for r in h.collect()}
+    assert rows == {b: 10 for b in range(10)}
+    # out-of-range clamps to edge bins; nulls dropped
+    spiky = spark.createDataFrame(
+        [Row(value=-5.0), Row(value=500.0), Row(value=None)]
+    )
+    h2 = {r.bucket: r.n for r in
+          streaming_value_histogram(spiky, "value", 0.0, 100.0, 10).collect()}
+    assert h2 == {0: 1, 9: 1}
+    # identical distributions -> PSI ~ 0; disjoint -> large
+    r = finish_psi(h, h).collect()[0]
+    assert abs(r.psi) < 1e-12 and r.n_ref == r.n_cur == 100
+    shifted = streaming_value_histogram(
+        spark.createDataFrame([Row(value=float(v)) for v in range(50)]),
+        "value", 0.0, 100.0, 10)
+    drift = finish_psi(shifted, h).collect()[0]
+    assert drift.psi > 0.5

@@ -16,7 +16,7 @@ oracle-checked equivalent of the windowed aggregation here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -478,4 +478,56 @@ def stream_stream_attribution_join(
         F.col(f"l_{ts_col}").alias("l_ts"),
         F.col(f"r_{ts_col}").alias("r_ts"),
         "l_value", "r_value",
+    )
+
+
+def streaming_value_histogram(
+    stream: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+) -> DataFrame:
+    """Fixed-edge bucket counts over a stream — the monitoring histogram.
+    Edges are pinned constants (the reference window's range), so the
+    running state is EXACTLY ``bins`` rows in complete mode regardless of
+    stream volume; out-of-range values clamp into the edge bins, keeping
+    emerging drift mass visible (same convention as ``psi_drift``)."""
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / bins if hi > lo else 1.0
+    bucket = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        stream.where(v.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def finish_psi(
+    cur_hist: DataFrame, ref_hist: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """PSI from two ``(bucket, n)`` histograms (the streamed current
+    window vs a pinned reference): full-outer on bucket over O(bins)
+    rows, proportions floored at ``eps`` (psi_drift's guard), one output
+    row ``(psi, n_ref, n_cur)``. Batch-side finishing pass — the heavy
+    counting already happened in the stream's bounded state."""
+    c = cur_hist.select("bucket", F.col("n").alias("cn"))
+    r = ref_hist.select("bucket", F.col("n").alias("rn"))
+    j = c.join(r, "bucket", "full_outer").select(
+        F.coalesce(F.col("cn"), F.lit(0)).alias("cn"),
+        F.coalesce(F.col("rn"), F.lit(0)).alias("rn"),
+    )
+    w = Window.partitionBy()
+    p = F.greatest(F.col("rn") / F.sum("rn").over(w), F.lit(eps))
+    q = F.greatest(F.col("cn") / F.sum("cn").over(w), F.lit(eps))
+    return (
+        j.withColumn("__term", (p - q) * F.log(p / q))
+        .agg(
+            F.sum("__term").alias("psi"),
+            F.sum("rn").alias("n_ref"),
+            F.sum("cn").alias("n_cur"),
+        )
     )

@@ -3440,6 +3440,73 @@ SELECT runs.o_orderkey, runs.o_orderstatus, runs.valid_from,
 FROM runs JOIN cal ON runs.last_seen = cal.snap"""
 
 
+def _streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (third REAL streaming correctness row):
+    the event value distribution streams through a FIXED-EDGE bucket
+    histogram (state = exactly 10 rows in complete mode), then a batch
+    finishing pass computes PSI against a pinned reference window
+    (even event_ids). Edges come from the reference's own min/max —
+    deterministic on both engines. Oracle = the identical batch SQL."""
+    import uuid
+
+    from whiterrabbit_spark.extensions import streaming as st
+
+    ref = (
+        read_parquet_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 2 == 0)
+        .select(F.col("value").cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+    )
+    b = ref.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo, hi = float(b["lo"]), float(b["hi"])
+    ref_hist = st.streaming_value_histogram(
+        ref.select(F.col("v").alias("value")), "value", lo, hi, 10
+    )
+    src = st.stream_events_from_parquet(spark, sf_dir)
+    cur = st.streaming_value_histogram(src, "value", lo, hi, 10)
+    name = f"wrs_streampsi_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(cur, name, mode="complete")
+    out = st.finish_psi(spark.table(name), ref_hist)
+    return out.select(
+        F.round("psi", R).alias("psi"), "n_ref", "n_cur"
+    )
+
+
+_STREAMING_PSI_SQL = """
+WITH ref AS (
+  SELECT value::DOUBLE AS v FROM events
+  WHERE event_id % 2 = 0 AND value IS NOT NULL
+), b AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM ref
+), w AS (
+  SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1.0 END AS width
+  FROM b
+), rh AS (
+  SELECT least(greatest(floor((v - w.lo) / w.width), 0), 9)::INT AS bucket,
+         count(*) AS rn
+  FROM ref, w GROUP BY 1
+), cur AS (
+  SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL
+), ch AS (
+  SELECT least(greatest(floor((v - w.lo) / w.width), 0), 9)::INT AS bucket,
+         count(*) AS cn
+  FROM cur, w GROUP BY 1
+), j AS (
+  SELECT coalesce(rh.rn, 0) AS rn, coalesce(ch.cn, 0) AS cn
+  FROM rh FULL OUTER JOIN ch ON rh.bucket = ch.bucket
+), t AS (
+  SELECT rn, cn,
+         sum(rn) OVER () AS rt, sum(cn) OVER () AS ct
+  FROM j
+)
+SELECT round(sum((greatest(rn / rt, 1e-6) - greatest(cn / ct, 1e-6))
+             * ln(greatest(rn / rt, 1e-6) / greatest(cn / ct, 1e-6))), 6)
+         AS psi,
+       sum(rn)::BIGINT AS n_ref,
+       sum(cn)::BIGINT AS n_cur
+FROM t"""
+
+
 def _hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint quantity x price heatmap (profile.hist2d): one bounds pass,
     one partial-aggregable groupBy(bucket_x, bucket_y) — output is at
@@ -4228,6 +4295,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _INCREMENTAL_PROFILE_SQL)
     add("keep_best_dedup_documents", _keep_best, _keep_best_sql())
     add("hist2d_lineitem", _hist2d, _HIST2D_SQL)
+    add("streaming_psi_events", _streaming_psi, _STREAMING_PSI_SQL)
     add("join_cardinality_orders_customer", _join_cardinality,
         _JOIN_CARDINALITY_SQL)
 
