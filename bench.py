@@ -103,6 +103,9 @@ def main() -> None:
         "scd2_history": queries["scd2_history_orders"],
         "quality_classifier": queries["quality_classifier_documents"],
         "incremental_profile": queries["incremental_profile_lineitem"],
+        "keep_best_dedup": queries["keep_best_dedup_documents"],
+        "hist2d": queries["hist2d_lineitem"],
+        "join_cardinality": queries["join_cardinality_orders_customer"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

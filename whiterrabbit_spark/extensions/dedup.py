@@ -558,9 +558,16 @@ def connected_components(
     Raises after ``max_iter`` rounds without convergence rather than
     returning silently-wrong labels.
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # materialize the symmetric edge list ONCE: it is O(edges) — tiny
+    # next to the plan that produced it (banded LSH joins, shingle
+    # tables) — and every round joins it twice; without this each round
+    # re-executes the full upstream pair-generation DAG (measured 40 s →
+    # 3 s on the sf0.1 simhash graph)
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
