@@ -1836,53 +1836,56 @@ def join_cardinality(
     NULL keys never join (SQL semantics) — they are excluded from the
     histograms and reported in the orphan counts.
     """
-    lk = F.col(left_key)
-    rk = F.col(right_key)
     lh = (
-        left.select(lk.alias("k"))
-        .groupBy("k").agg(F.count(F.lit(1)).alias("ln"))
+        left.select(F.col(left_key).alias("lk"))
+        .groupBy("lk").agg(F.count(F.lit(1)).alias("ln"))
     )
     rh = (
-        right.select(rk.alias("k"))
-        .groupBy("k").agg(F.count(F.lit(1)).alias("rn"))
+        right.select(F.col(right_key).alias("rk"))
+        .groupBy("rk").agg(F.count(F.lit(1)).alias("rn"))
     )
-    lnull = lh.where(F.col("k").isNull()).select(F.col("ln").alias("n"))
-    rnull = rh.where(F.col("k").isNull()).select(F.col("rn").alias("n"))
-    j = lh.where(F.col("k").isNotNull()).join(
-        rh.where(F.col("k").isNotNull()), "k", "full_outer"
-    )
+    # ONE full-outer over the histograms, null keys included: a NULL key
+    # never equi-joins, so its histogram row surfaces unmatched with its
+    # own key column set — distinguishable from a genuine orphan (whose
+    # key is non-null) without a second scan of either table
+    j = lh.join(rh, F.col("lk") == F.col("rk"), "full_outer")
+    on_left = F.col("ln").isNotNull()
+    on_right = F.col("rn").isNotNull()
+    matched = on_left & on_right
     stats = j.agg(
-        F.coalesce(F.sum("ln"), F.lit(0)).alias("left_rows"),
-        F.coalesce(F.sum("rn"), F.lit(0)).alias("right_rows"),
-        F.count(F.when(F.col("ln").isNotNull(), 1)).alias("left_keys"),
-        F.count(F.when(F.col("rn").isNotNull(), 1)).alias("right_keys"),
-        F.coalesce(F.max("ln"), F.lit(0)).alias("max_left_fanout"),
-        F.coalesce(F.max("rn"), F.lit(0)).alias("max_right_fanout"),
+        F.coalesce(F.sum(F.when(F.col("lk").isNotNull(), F.col("ln"))),
+                   F.lit(0)).alias("left_rows"),
+        F.coalesce(F.sum(F.when(F.col("rk").isNotNull(), F.col("rn"))),
+                   F.lit(0)).alias("right_rows"),
+        F.count(F.when(F.col("lk").isNotNull(), 1)).alias("left_keys"),
+        F.count(F.when(F.col("rk").isNotNull(), 1)).alias("right_keys"),
+        F.coalesce(F.max(F.when(F.col("lk").isNotNull(), F.col("ln"))),
+                   F.lit(0)).alias("max_left_fanout"),
+        F.coalesce(F.max(F.when(F.col("rk").isNotNull(), F.col("rn"))),
+                   F.lit(0)).alias("max_right_fanout"),
         F.coalesce(
-            F.sum(F.when(F.col("rn").isNull(), F.col("ln"))), F.lit(0)
+            F.sum(F.when(F.col("lk").isNotNull() & ~on_right, F.col("ln"))),
+            F.lit(0),
         ).alias("left_orphan_rows"),
         F.coalesce(
-            F.sum(F.when(F.col("ln").isNull(), F.col("rn"))), F.lit(0)
+            F.sum(F.when(F.col("rk").isNotNull() & ~on_left, F.col("rn"))),
+            F.lit(0),
         ).alias("right_orphan_rows"),
+        F.coalesce(
+            F.sum(F.when(on_left & F.col("lk").isNull(), F.col("ln"))),
+            F.lit(0),
+        ).alias("left_null_rows"),
+        F.coalesce(
+            F.sum(F.when(on_right & F.col("rk").isNull(), F.col("rn"))),
+            F.lit(0),
+        ).alias("right_null_rows"),
         # a matched key with count>1 on a side makes that side "N"
         F.coalesce(
-            F.max(
-                F.when(F.col("rn").isNotNull() & (F.col("ln") > 1), F.col("ln"))
-            ),
-            F.lit(0),
+            F.max(F.when(matched & (F.col("ln") > 1), F.col("ln"))), F.lit(0)
         ).alias("__l_multi"),
         F.coalesce(
-            F.max(
-                F.when(F.col("ln").isNotNull() & (F.col("rn") > 1), F.col("rn"))
-            ),
-            F.lit(0),
+            F.max(F.when(matched & (F.col("rn") > 1), F.col("rn"))), F.lit(0)
         ).alias("__r_multi"),
-    )
-    null_counts = (
-        lnull.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("left_null_rows"))
-        .crossJoin(
-            rnull.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("right_null_rows"))
-        )
     )
     rel = (
         F.when((F.col("__l_multi") > 0) & (F.col("__r_multi") > 0), "M:N")
@@ -1890,13 +1893,10 @@ def join_cardinality(
         .when(F.col("__r_multi") > 0, "1:N")
         .otherwise("1:1")
     )
-    return (
-        stats.crossJoin(null_counts)
-        .select(
-            "left_rows", "right_rows", "left_keys", "right_keys",
-            "max_left_fanout", "max_right_fanout",
-            "left_orphan_rows", "right_orphan_rows",
-            "left_null_rows", "right_null_rows",
-            rel.alias("relationship"),
-        )
+    return stats.select(
+        "left_rows", "right_rows", "left_keys", "right_keys",
+        "max_left_fanout", "max_right_fanout",
+        "left_orphan_rows", "right_orphan_rows",
+        "left_null_rows", "right_null_rows",
+        rel.alias("relationship"),
     )

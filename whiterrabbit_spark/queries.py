@@ -4263,7 +4263,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("mad_outliers_orders", _mad_outliers, _MAD_SQL)
     add("fingerprint_documents", _fingerprint, _FINGERPRINT_SQL)
     # --- Block 1.6: new in round 2 (never driver-checked; next round's
-    # verification prefix picks these up after the 7 above).
+    # verification prefix picks these up after the 7 above). Grown
+    # throughout the round — round 3 should reorder so Blocks 2+1.6
+    # occupy the 50-entry prefix once Block 1 has its r02 rows.
     add("streaming_sessionize_events", _streaming_sessionize,
         _STREAMING_SESSIONIZE_SQL)
     add("streaming_join_events", _streaming_join, _STREAMING_JOIN_SQL)
