@@ -554,3 +554,66 @@ def test_drift_report_cli(spark, tmp_path):
     assert rows["id"].delta_total_count == 0
     only_old = [r.file_name for r in reports["__only_old__"].collect()]
     assert only_old == ["gone.tsv"]
+
+
+def test_read_all_string_quarantine(spark, tmp_path):
+    from whiterrabbit_spark.io import read_all_string_quarantine
+
+    p = tmp_path / "feed.tsv"
+    p.write_text(
+        "a\tb\tc\n"
+        "1\tx\tNA\n"
+        "2\ty\n"            # too few fields -> quarantined
+        "3\tz\tok\textra\n"  # too many fields -> quarantined
+        "4\t\tfine\n"
+    )
+    clean, bad = read_all_string_quarantine(spark, str(p), "\t")
+    rows = {r.a: r for r in clean.collect()}
+    assert sorted(rows) == ["1", "4"]
+    assert rows["1"].c is None          # NA -> NULL
+    assert rows["4"].b == ""            # empty stays empty
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    assert bad_lines == ["2\ty", "3\tz\tok\textra"]
+
+
+def test_parquet_schema_report_and_merged_read(spark, tmp_path):
+    from whiterrabbit_spark.io import (parquet_schema_report,
+                                       read_parquet_folder_merged)
+
+    old = spark.createDataFrame([(1, "a")], "id long, name string")
+    new = spark.createDataFrame(
+        [(2, "b", 3.5)], "id long, name string, score double"
+    )
+    old.coalesce(1).write.parquet(str(tmp_path / "v1"))
+    new.coalesce(1).write.parquet(str(tmp_path / "v2"))
+    import glob as g
+    import shutil
+    dest = tmp_path / "lake"
+    dest.mkdir()
+    for i, f in enumerate(
+        sorted(g.glob(str(tmp_path / "v*" / "*.parquet")))
+    ):
+        shutil.copy(f, dest / f"part-{i}.parquet")
+
+    rep = parquet_schema_report(spark, str(dest)).collect()
+    by_col = {}
+    for r in rep:
+        by_col.setdefault(r.column_name, []).append(r)
+    assert len(by_col["id"]) == 2 and all(r.n_types == 1 for r in by_col["id"])
+    assert len(by_col["score"]) == 1  # only the new file carries it
+
+    merged = read_parquet_folder_merged(spark, str(dest))
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 3.5
+
+    # type conflict surfaces as n_types > 1
+    conflict = spark.createDataFrame([("x", "s")], "id string, name string")
+    conflict.coalesce(1).write.parquet(str(tmp_path / "v3"))
+    shutil.copy(
+        sorted(g.glob(str(tmp_path / "v3" / "*.parquet")))[0],
+        dest / "part-9.parquet",
+    )
+    rep2 = parquet_schema_report(spark, str(dest))
+    id_types = {r.n_types for r in rep2.collect() if r.column_name == "id"}
+    assert id_types == {2}

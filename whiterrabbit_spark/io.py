@@ -23,7 +23,7 @@ from __future__ import annotations
 import glob
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -222,3 +222,136 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_all_string_quarantine(
+    spark: SparkSession,
+    path: str,
+    sep: str,
+    null_value: str = "NA",
+    multiline: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """`read_all_string` with malformed-row capture: returns
+    ``(clean, quarantine)`` — clean is the usual all-string frame with
+    structurally broken rows REMOVED instead of silently null-padded /
+    truncated (the PERMISSIVE default this wraps); quarantine is
+    ``(raw_line)`` rows carrying each malformed record verbatim for
+    offline repair. The poison-record pattern every production feed
+    eventually needs: one bad export shouldn't corrupt a profile run.
+
+    The clean side is the file-source CSV parse with the corrupt marker
+    column declared (data columns stay referenced, so the
+    internal-column analysis restriction doesn't bite). The quarantine
+    side CANNOT legally project only that internal column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and caching
+    the scan to dodge the rule is exactly wrong at 100 TB — instead it
+    re-parses each line with ``from_csv`` over a text read, where the
+    corrupt field is an ordinary struct member. Two scans of the file,
+    each map-only; the quarantine scan prunes to the raw line column.
+
+    ``multiline=True`` records can span physical lines, which a text
+    read can't re-segment — quarantine capture is line-oriented and
+    refuses that combination.
+    """
+    if multiline:
+        raise ValueError(
+            "read_all_string_quarantine: multiline records cannot be "
+            "captured line-wise; use read_all_string(multiline=True)"
+        )
+    cols = read_header(path, sep)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in cols]
+        + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("sep", sep)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("nullValue", " __WRS_NO_NULL__ ")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+    fixed = [
+        F.when(F.col(c).isNull(), F.lit(""))
+        .when(F.col(c) == null_value, F.lit(None))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in cols
+    ]
+    clean = raw.where(F.col(CORRUPT_COL).isNull()).select(*fixed)
+
+    header_line = sep.join(cols)
+    parsed = (
+        spark.read.text(path)
+        .where(F.col("value") != header_line)
+        .select(
+            "value",
+            F.from_csv(
+                F.col("value"),
+                ", ".join(f"`{c}` string" for c in cols + [CORRUPT_COL]),
+                {
+                    "sep": sep,
+                    "quote": '"',
+                    "escape": '"',
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": CORRUPT_COL,
+                },
+            ).alias("r"),
+        )
+    )
+    quarantine = parsed.where(
+        F.col(f"r.{CORRUPT_COL}").isNotNull()
+    ).select(F.col("value").alias("raw_line"))
+    return clean, quarantine
+
+
+def parquet_schema_report(
+    spark: SparkSession, folder: str, max_files: int = 1000
+) -> DataFrame:
+    """Schema-evolution report over a folder of parquet files: one row per
+    (file, column) with the file-local type, plus ``n_types`` — how many
+    distinct types that column has ACROSS files (>1 = evolution or
+    conflict; `mergeSchema` will fail on incompatible pairs, and this
+    report is how you find the offending file first). Footer-only: no
+    data pages are read.
+
+    The listing is alphabetical and capped at ``max_files`` (schema
+    drift clusters at writer-version boundaries, which survive a
+    deterministic prefix); per-file footers are opened driver-side —
+    O(files) metadata reads, each a few KB.
+    """
+    files = sorted(
+        glob.glob(os.path.join(folder, "*.parquet"))
+        or glob.glob(os.path.join(folder, "**", "*.parquet"), recursive=True)
+    )[:max_files]
+    if not files:
+        raise NoInputFilesError(f"no parquet files under {folder!r}")
+    rows = []
+    for f in files:
+        for field in spark.read.parquet(f).schema.fields:
+            rows.append(
+                (os.path.relpath(f, folder), field.name,
+                 field.dataType.simpleString())
+            )
+    report = spark.createDataFrame(
+        rows, "file_name string, column_name string, data_type string"
+    )
+    w = Window.partitionBy("column_name")
+    return report.select(
+        "file_name", "column_name", "data_type",
+        F.size(F.collect_set("data_type").over(w)).alias("n_types"),
+    )
+
+
+def read_parquet_folder_merged(spark: SparkSession, folder: str) -> DataFrame:
+    """Read an evolving parquet folder with schema union (``mergeSchema``):
+    columns absent from older files surface as NULL, compatible type
+    promotions merge. Pair with `parquet_schema_report` to locate files
+    behind an incompatible-merge failure."""
+    return spark.read.option("mergeSchema", True).parquet(folder)
