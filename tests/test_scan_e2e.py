@@ -617,3 +617,32 @@ def test_parquet_schema_report_and_merged_read(spark, tmp_path):
     rep2 = parquet_schema_report(spark, str(dest))
     id_types = {r.n_types for r in rep2.collect() if r.column_name == "id"}
     assert id_types == {2}
+
+
+def test_cli_quarantine_flag(spark, tmp_path):
+    import os
+
+    from whiterrabbit_spark.cli import main
+
+    wd = tmp_path / "in"
+    od = tmp_path / "out"
+    wd.mkdir(), od.mkdir()
+    (wd / "feed.tsv").write_text(
+        "a\tb\n1\tx\n2\ty\tz\textra\n3\tw\n"
+    )
+    rc = main([
+        "-w", str(wd), "-o", str(od), "-f", "tsv", "-p", "Q",
+        "--quarantine",
+    ])
+    assert rc == 0
+    qfile = od / "Q_Quarantine_feed.tsv.txt"
+    assert qfile.read_text() == "2\ty\tz\textra\n"
+    # the malformed row is excluded from the profile
+    summary = (od / "Q_File1_Summary.tsv").read_text()
+    assert "\t2\t" in summary.splitlines()[1]  # total_count = 2 clean rows
+    # without the flag no quarantine artifact appears and all rows profile
+    od2 = tmp_path / "out2"
+    od2.mkdir()
+    rc = main(["-w", str(wd), "-o", str(od2), "-f", "tsv", "-p", "Q"])
+    assert rc == 0
+    assert not [f for f in os.listdir(od2) if "Quarantine" in f]

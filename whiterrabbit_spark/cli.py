@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "— exact up to 5M rows per file, sketches above)")
     ap.add_argument("--exact", dest="approx", action="store_false",
                     help="force exact distinct/percentiles at any scale")
+    p.add_argument("--quarantine", action="store_true", default=False,
+                   help="split malformed delimited rows out of the profile and "
+                        "write them verbatim to <output-dir> as "
+                        "<prefix>_Quarantine_<file>.txt (default: PERMISSIVE "
+                        "null-padding, the reference behavior)")
     p.add_argument("--multiline", action="store_true", default=False,
                    help="parse quoted embedded newlines (costs file splittability)")
     p.add_argument("--parallel-files", type=int, default=4,
@@ -69,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
         output_format=args.output_format,
         seed=args.seed,
         approx=args.approx,
+        quarantine_dir=args.output_dir if args.quarantine else "",
         multiline=args.multiline,
         source_format=args.source_format,
     )

@@ -52,6 +52,12 @@ class ScanConfig:
                                         # the same pipeline (parquet skips
                                         # string-typed inference: its
                                         # schema is authoritative)
+    # When set, delimited scans split structurally malformed rows out of
+    # the profile (PERMISSIVE would silently null-pad/truncate them) and
+    # write each file's bad lines verbatim under this directory as
+    # <prefix>_Quarantine_<file>.txt — the poison-record pattern; empty
+    # string disables (reference behavior).
+    quarantine_dir: str = ""
     multiline: bool = False             # quoted embedded newlines (fread
                                         # handles them implicitly; Spark
                                         # needs multiLine, which costs file

@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from whiterrabbit_spark import io as wio
 from whiterrabbit_spark.config import ScanConfig
@@ -29,6 +29,24 @@ from whiterrabbit_spark.overview import FileScanResult, build_overview
 from whiterrabbit_spark.profile import all_empty_fields, profile_table
 from whiterrabbit_spark.sampling import exact_random_sample
 from whiterrabbit_spark.shift import shift_dates
+
+
+def _write_quarantine(bad: DataFrame, path: str, cfg: ScanConfig) -> None:
+    """Land one file's malformed lines verbatim as
+    ``<quarantine_dir>/<prefix>_Quarantine_<file>.txt`` (skipped when the
+    file has none — no empty artifacts). Driver-side write: quarantined
+    rows are by definition the anomaly, not the data."""
+    rows = bad.collect()
+    if not rows:
+        return
+    os.makedirs(cfg.quarantine_dir, exist_ok=True)
+    base = os.path.basename(path)
+    out = os.path.join(
+        cfg.quarantine_dir, f"{cfg.prefix}_Quarantine_{base}.txt"
+    )
+    with open(out, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(r.raw_line + "\n")
 
 
 def scan_file(
@@ -62,7 +80,13 @@ def scan_file(
     else:
         total_lines = wio.count_lines(spark, path)
         data_rows = total_lines - 1
-        df = wio.read_all_string(spark, path, cfg.sep, multiline=cfg.multiline)
+        if cfg.quarantine_dir:
+            df, bad = wio.read_all_string_quarantine(spark, path, cfg.sep)
+            _write_quarantine(bad, path, cfg)
+        else:
+            df = wio.read_all_string(
+                spark, path, cfg.sep, multiline=cfg.multiline
+            )
 
     if cfg.max_rows > 0 and cfg.random_sample and data_rows > cfg.max_rows:
         df = exact_random_sample(df, cfg.max_rows, total_rows=data_rows, cfg=cfg)
