@@ -2211,3 +2211,42 @@ def test_streaming_value_histogram_and_psi(spark):
         "value", 0.0, 100.0, 10)
     drift = finish_psi(shifted, h).collect()[0]
     assert drift.psi > 0.5
+
+
+def test_compact_dataset(spark, tmp_path):
+    from whiterrabbit_spark.extensions.sink import compact_dataset
+
+    src = tmp_path / "frag"
+    # fragment: 64 files for a tiny dataset
+    spark.range(100_000).repartition(64).write.parquet(str(src))
+    import glob
+    assert len(glob.glob(str(src / "*.parquet"))) >= 32
+    out = tmp_path / "compact"
+    n = compact_dataset(spark, str(src), str(out), target_file_mb=256)
+    assert n == 1
+    assert len(glob.glob(str(out / "*.parquet"))) == 1
+    # identical content
+    a = spark.read.parquet(str(src)).selectExpr("sum(id)").collect()[0][0]
+    b = spark.read.parquet(str(out)).selectExpr("sum(id)").collect()[0][0]
+    assert a == b
+
+
+def test_write_bucketed_table(spark, tmp_path):
+    from whiterrabbit_spark.extensions.sink import write_bucketed_table
+
+    import uuid
+
+    name = f"wrs_bucket_{uuid.uuid4().hex[:8]}"
+    df = spark.range(1000).selectExpr("id", "id % 10 as k")
+    write_bucketed_table(df, name, ["k"], n_buckets=4)
+    try:
+        back = spark.table(name)
+        assert back.count() == 1000
+        # bucketed self-join plans with no SHUFFLE exchange (a tiny table
+        # may still broadcast; merge hint forces the bucket-local path)
+        other = spark.table(name).withColumnRenamed("id", "id2").hint("merge")
+        j = back.hint("merge").join(other, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.sql(f"DROP TABLE {name}")

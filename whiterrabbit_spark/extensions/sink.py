@@ -174,3 +174,58 @@ def write_jsonl_shards(
     if compress:
         writer = writer.option("compression", "gzip")
     writer.text(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize as a bucketed (and bucket-sorted) managed table: every
+    FUTURE equi-join or aggregation on ``key_cols`` between tables
+    bucketed the same way runs with ZERO Exchange — the shuffle is paid
+    once at write time instead of per query (plan-pinned in
+    ``tests/test_scale_techniques.py::test_bucketed_join_has_no_shuffle``).
+    The 100 TB move for a fact table joined on the same key every day.
+
+    ``n_buckets`` should hold each bucket under an executor's comfortable
+    working set at target scale (buckets are the join's parallelism
+    ceiling: too few = stragglers, too many = small files).
+    """
+    writer = df.write.bucketBy(n_buckets, *key_cols)
+    if sort:
+        writer = writer.sortBy(*key_cols)
+    writer.mode(mode).format("parquet").saveAsTable(table_name)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 256,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files sized
+    for scan efficiency and return the output file-split count. Streaming
+    sinks and over-parallel writers leave thousands of KB-sized files;
+    every future scan then pays per-file open/footer cost and the
+    scheduler pays per-split overhead — the classic lakehouse maintenance
+    job. Partition count comes from the dataset's actual bytes (cheap
+    footer-level listing via the input_file metadata), so the rewrite
+    coalesces without a shuffle; `maxRecordsPerFile` is deliberately NOT
+    used here since target size is in bytes, not rows.
+    """
+    sizes = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(path)
+        .select("length")
+        .collect()
+    )
+    total_bytes = sum(int(r.length) for r in sizes)
+    df = spark.read.parquet(path)
+    n = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df.coalesce(n).write.mode("overwrite").parquet(out_path)
+    return n
