@@ -377,3 +377,128 @@ def test_dup_ngram_stats_matches_model(spark, docs):
         dup = sum(1 for sh in ss if freq[sh] >= 2)
         assert got[i].n_shingles == len(ss)
         assert got[i].n_dup_shingles == dup
+
+
+# --- round-2 operator properties -----------------------------------------
+
+
+@given(
+    keys=st.lists(st.integers(0, 400), min_size=1, max_size=60),
+    n_buckets=st.integers(1, 12),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sequence_gaps_matches_model(spark, keys, n_buckets):
+    """Bucketed gap stats == a pure-Python single-pass model, for any
+    bucket count (bucketing is a parallelism choice, never a semantic
+    one)."""
+    from whiterrabbit_spark.profile import sequence_gaps
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    r = sequence_gaps(df, "k", n_buckets=n_buckets).collect()[0]
+
+    ks = sorted(set(keys))
+    gaps = [b - a - 1 for a, b in zip(ks, ks[1:]) if b - a > 1]
+    assert r.min_key == ks[0] and r.max_key == ks[-1]
+    assert r.n_keys == len(ks)
+    assert r.n_missing == sum(gaps)
+    assert r.n_gaps == len(gaps)
+    assert r.max_gap == (max(gaps) if gaps else 0)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.from_regex(re.compile(r"[A-Za-z0-9#\-./]{1,12}"), fullmatch=True),
+            st.just(""), st.none(),
+        ),
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mask_profile_invariants(spark, vals):
+    """Counts cover exactly the non-empty values; shares sum to ≤1 with
+    equality when top_k doesn't truncate; masking is idempotent."""
+    from whiterrabbit_spark.frequency import mask_profile
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    out = mask_profile(df, ["s"], top_k=1000).collect()
+    n_nonempty = sum(1 for v in vals if v)
+    if n_nonempty == 0:
+        assert out == []
+        return
+    assert sum(r["count"] for r in out) == n_nonempty
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-9
+    table = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789",
+        "A" * 26 + "a" * 26 + "9" * 10,
+    )
+    for r in out:
+        assert r.mask.translate(table) == r.mask  # idempotent
+        assert set(r.mask_collapsed) <= set(r.mask)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("xyz")),
+        min_size=2, max_size=50,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mutual_information_bounds(spark, pairs):
+    """0 ≤ MI, and MI ≤ min(H(A), H(B)) + float slack; normalized form in
+    [0, 1] when defined."""
+    import math
+
+    from whiterrabbit_spark.profile import mutual_information
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    r = mutual_information(df, [("a", "b")]).collect()[0]
+
+    def entropy(xs):
+        n = len(xs)
+        from collections import Counter
+        return -sum((c / n) * math.log(c / n) for c in Counter(xs).values())
+
+    ha = entropy([a for a, _ in pairs])
+    hb = entropy([b for _, b in pairs])
+    assert r.mi >= 0
+    assert r.mi <= min(ha, hb) + 1e-9
+    if r.mi_norm is not None:
+        assert -1e-9 <= r.mi_norm <= 1 + 1e-9
+
+
+@given(
+    snaps=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(1, 6), st.sampled_from("pq")),
+        min_size=1, max_size=40, unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_intervals_partition_history(spark, snaps):
+    """Per key: intervals are disjoint, ordered, and exactly one NULL
+    valid_to iff the key is present in the final snapshot."""
+    import datetime as dt
+
+    from whiterrabbit_spark.extensions.diff import scd2_history
+
+    date_of = {i: dt.date(2026, i, 1) for i in (1, 2, 3)}
+    rows = [(date_of[s], k, v) for s, k, v in snaps]
+    df = spark.createDataFrame(rows, "snap date, k int, v string")
+    out = scd2_history(df, "k", "snap", ["v"]).collect()
+
+    last_snap = max(r[0] for r in rows)
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    present_last = {k for s, k, _ in rows if s == last_snap}
+    for k, ivals in by_key.items():
+        ivals.sort(key=lambda r: r.valid_from)
+        for a, b in zip(ivals, ivals[1:]):
+            assert a.valid_to is not None and a.valid_to <= b.valid_from
+        currents = [r for r in ivals if r.valid_to is None]
+        assert len(currents) == (1 if k in present_last else 0)
+        assert all(r.is_current == (r.valid_to is None) for r in ivals)
