@@ -2250,3 +2250,31 @@ def test_write_bucketed_table(spark, tmp_path):
         assert "Exchange hashpartitioning" not in plan
     finally:
         spark.sql(f"DROP TABLE {name}")
+
+
+def test_temporal_split(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.splits import temporal_split
+
+    t = dt.datetime(2026, 3, 1)
+    rows = [
+        Row(ts=t - dt.timedelta(hours=1), v=1),    # train
+        Row(ts=t, v=2),                            # embargo gap -> dropped
+        Row(ts=t + dt.timedelta(hours=23), v=3),   # gap -> dropped
+        Row(ts=t + dt.timedelta(hours=24), v=4),   # eval boundary
+        Row(ts=t + dt.timedelta(days=2), v=5),     # eval
+        Row(ts=None, v=6),                         # dropped
+    ]
+    out = temporal_split(
+        spark.createDataFrame(rows), "ts", "2026-03-01 00:00:00", "24 hours"
+    )
+    got = {r.v: r.split for r in out.collect()}
+    assert got == {1: "train", 4: "eval", 5: "eval"}
+    # zero embargo keeps the boundary row on the eval side
+    out2 = temporal_split(
+        spark.createDataFrame(rows), "ts", "2026-03-01 00:00:00"
+    )
+    assert {r.v: r.split for r in out2.collect()}[2] == "eval"

@@ -814,3 +814,26 @@ def test_join_cardinality(spark):
     assert join_cardinality(many, one, "k", "k").collect()[0].relationship == "N:1"
     assert join_cardinality(one, many, "k", "k").collect()[0].relationship == "1:N"
     assert join_cardinality(one, one, "k", "k").collect()[0].relationship == "1:1"
+
+
+def test_chi2_drift(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import chi2_drift
+
+    # identical level mixes: chi2 == 0
+    same = spark.createDataFrame(
+        [Row(c=lv) for lv in ("a", "a", "b") for _ in range(10)]
+    )
+    r = chi2_drift(same, same, ["c"]).collect()[0]
+    assert abs(r.chi2) < 1e-9 and r.dof == 1 and r.n_ref == r.n_cur == 30
+    # a level present only on one side still contributes
+    ref = spark.createDataFrame([Row(c="a")] * 20)
+    cur = spark.createDataFrame([Row(c="a")] * 10 + [Row(c="z")] * 10)
+    r2 = chi2_drift(ref, cur, ["c"]).collect()[0]
+    assert r2.chi2 > 5 and r2.dof == 1
+    # nulls and empties excluded
+    with_null = spark.createDataFrame(
+        [Row(c="a"), Row(c=None), Row(c="")] * 5
+    )
+    assert chi2_drift(with_null, with_null, ["c"]).collect()[0].n_ref == 5

@@ -347,3 +347,36 @@ def cap_per_group(
     return top_k_per_group(
         df, group_col, [order_key.asc(), F.col(id_col).asc()], cap
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: str,
+    embargo: str = "0 hours",
+) -> DataFrame:
+    """Time-based train/eval split with an embargo gap: rows strictly
+    before ``cutoff`` train; rows at/after ``cutoff + embargo`` evaluate;
+    rows inside the gap are DROPPED (split = NULL → filtered). The
+    temporal-leakage-safe alternative to hash splits for forecasting-
+    style evaluation — near-boundary rows leak label information across
+    the cut (sessions and documents straddle timestamps), and the
+    embargo is the standard fix.
+
+    Map-only: one comparison per row fused into the scan; no shuffle,
+    composes with any downstream stage. Rows with NULL ``ts`` are
+    dropped (no defensible side).
+    """
+    t = F.col(ts_col)
+    cut = F.lit(cutoff).cast("timestamp")
+    eval_start = F.lit(cutoff).cast("timestamp") + F.expr(f"INTERVAL {embargo}")
+    split = (
+        F.when(t < cut, "train")
+        .when(t >= eval_start, "eval")
+        .otherwise(F.lit(None))
+    )
+    return (
+        df.where(t.isNotNull())
+        .withColumn("split", split)
+        .where(F.col("split").isNotNull())
+    )

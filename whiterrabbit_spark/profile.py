@@ -1900,3 +1900,68 @@ def join_cardinality(
         "left_null_rows", "right_null_rows",
         rel.alias("relationship"),
     )
+
+
+def chi2_drift(
+    ref: DataFrame, cur: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Two-sample chi-square homogeneity test per CATEGORICAL column —
+    the categorical member of the drift triad (PSI: binned numeric
+    shape; KS: continuous numeric; this: level-frequency shift). Emits
+    ``(column_name, chi2, dof, n_ref, n_cur)`` — chi2 against the
+    pooled-proportion expectation; dof = levels−1. NULL/empty values are
+    excluded (they are A2/A3's job).
+
+    One melt→groupBy(column, value) job per side (shuffles carry
+    per-level partial counts), full-outer merged on the O(levels) level
+    frame — never a row-level join. Levels absent from one side count
+    zero there (that asymmetry is exactly the drift being measured).
+    """
+    def level_counts(df: DataFrame, alias: str) -> DataFrame:
+        entries = [
+            F.when(
+                F.col(c).isNotNull() & (F.col(c).cast("string") != ""),
+                F.struct(F.lit(c).alias("column_name"),
+                         F.col(c).cast("string").alias("value")),
+            )
+            for c in cols
+        ]
+        return (
+            df.select(F.explode(F.array(*entries)).alias("e"))
+            .select("e.column_name", "e.value")
+            .where(F.col("column_name").isNotNull())
+            .groupBy("column_name", "value")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    r = level_counts(ref, "rn")
+    c = level_counts(cur, "cn")
+    merged = (
+        r.join(c, ["column_name", "value"], "full_outer")
+        .select(
+            "column_name",
+            F.coalesce("rn", F.lit(0)).alias("rn"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+    )
+    w = Window.partitionBy("column_name")
+    nr = F.sum("rn").over(w).cast("double")
+    nc = F.sum("cn").over(w).cast("double")
+    # pooled proportion per level; expected count side = pooled * side size
+    pooled = (F.col("rn") + F.col("cn")) / (nr + nc)
+    er = pooled * nr
+    ec = pooled * nc
+    term = (
+        (F.col("rn") - er) * (F.col("rn") - er) / er
+        + (F.col("cn") - ec) * (F.col("cn") - ec) / ec
+    )
+    return (
+        merged.withColumn("__t", term)
+        .groupBy("column_name")
+        .agg(
+            F.sum("__t").alias("chi2"),
+            (F.count(F.lit(1)) - 1).alias("dof"),
+            F.sum("rn").alias("n_ref"),
+            F.sum("cn").alias("n_cur"),
+        )
+    )

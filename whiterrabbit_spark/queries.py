@@ -3440,6 +3440,94 @@ SELECT runs.o_orderkey, runs.o_orderstatus, runs.valid_from,
 FROM runs JOIN cal ON runs.last_seen = cal.snap"""
 
 
+def _chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (profile.chi2_drift): orders status/priority
+    level shift between the %2 split halves — per-level count frames
+    full-outer merged, chi2 vs pooled-proportion expectation."""
+    from whiterrabbit_spark.profile import chi2_drift
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ref = orders.where(k % 2 == 0)
+    cur = orders.where(k % 2 == 1)
+    out = chi2_drift(ref, cur, ["o_orderstatus", "o_orderpriority"])
+    return out.select(
+        "column_name", F.round("chi2", R).alias("chi2"),
+        "dof", "n_ref", "n_cur",
+    )
+
+
+_CHI2_DRIFT_SQL = """
+WITH melted AS (
+  SELECT 'o_orderstatus' AS column_name, o_orderstatus::VARCHAR AS value,
+         o_orderkey FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderstatus::VARCHAR <> ''
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority::VARCHAR, o_orderkey FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderpriority::VARCHAR <> ''
+), r AS (
+  SELECT column_name, value, count(*) AS rn FROM melted
+  WHERE o_orderkey % 2 = 0 GROUP BY 1, 2
+), c AS (
+  SELECT column_name, value, count(*) AS cn FROM melted
+  WHERE o_orderkey % 2 = 1 GROUP BY 1, 2
+), merged AS (
+  SELECT coalesce(r.column_name, c.column_name) AS column_name,
+         coalesce(rn, 0)::DOUBLE AS rn, coalesce(cn, 0)::DOUBLE AS cn
+  FROM r FULL OUTER JOIN c
+    ON r.column_name = c.column_name AND r.value = c.value
+), t AS (
+  SELECT column_name, rn, cn,
+         sum(rn) OVER (PARTITION BY column_name) AS nr,
+         sum(cn) OVER (PARTITION BY column_name) AS nc
+  FROM merged
+), terms AS (
+  SELECT column_name, rn, cn, nr, nc,
+         (rn + cn) / (nr + nc) * nr AS er,
+         (rn + cn) / (nr + nc) * nc AS ec
+  FROM t
+)
+SELECT column_name,
+       round(sum(pow(rn - er, 2) / er + pow(cn - ec, 2) / ec), 6) AS chi2,
+       count(*) - 1 AS dof,
+       sum(rn)::BIGINT AS n_ref,
+       sum(cn)::BIGINT AS n_cur
+FROM terms GROUP BY 1"""
+
+
+def _temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe time split of events (splits.temporal_split):
+    map-only train/eval assignment with a 24h embargo gap dropped;
+    summarized per split for a stable O(1) result."""
+    from whiterrabbit_spark.extensions.splits import temporal_split
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    out = temporal_split(events, "ts", "2024-03-01 00:00:00", "24 hours")
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.max(F.col("ts")).alias("max_ts"),
+            F.min(F.col("ts")).alias("min_ts"),
+        )
+        .select("split", "n_rows", "n_users", "min_ts", "max_ts")
+    )
+
+
+_TEMPORAL_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-03-01 00:00:00' THEN 'train'
+              WHEN ts >= TIMESTAMP '2024-03-01 00:00:00' + INTERVAL 24 HOUR
+                THEN 'eval' END AS split,
+         user_id, ts
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT split, count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM assigned WHERE split IS NOT NULL GROUP BY 1"""
+
+
 def _streaming_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift monitor (third REAL streaming correctness row):
     the event value distribution streams through a FIXED-EDGE bucket
@@ -4298,6 +4386,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("keep_best_dedup_documents", _keep_best, _keep_best_sql())
     add("hist2d_lineitem", _hist2d, _HIST2D_SQL)
     add("streaming_psi_events", _streaming_psi, _STREAMING_PSI_SQL)
+    add("chi2_drift_orders", _chi2_drift, _CHI2_DRIFT_SQL)
+    add("temporal_split_events", _temporal_split, _TEMPORAL_SPLIT_SQL)
     add("join_cardinality_orders_customer", _join_cardinality,
         _JOIN_CARDINALITY_SQL)
 
