@@ -2278,3 +2278,43 @@ def test_temporal_split(spark):
         spark.createDataFrame(rows), "ts", "2026-03-01 00:00:00"
     )
     assert {r.v: r.split for r in out2.collect()}[2] == "eval"
+
+
+def test_link_records(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.linkage import link_records
+
+    left = spark.createDataFrame([
+        Row(id=1, name="Acme Corporation"),
+        Row(id=2, name="Initech LLC"),
+        Row(id=3, name="Umbrella Co"),
+    ])
+    right = spark.createDataFrame([
+        Row(rid=10, name="acme corproation"),   # transposition typo
+        Row(rid=11, name="INITECH, L.L.C."),    # punctuation/case noise
+        Row(rid=12, name="Wayne Enterprises"),
+    ])
+    out = {r.left_id: r for r in
+           link_records(left, right, "id", "rid", "name", "name",
+                        max_dist=6).collect()}
+    assert out[1].right_id == 10 and out[1].distance == 2
+    # normalization flattens punctuation but not the dropped spaces:
+    # "initech llc" vs "initech llc" after collapse -> exact
+    assert out[2].right_id == 11 and out[2].distance == 0
+    # no candidate within max_dist -> absent, never a wrong match
+    assert 3 not in out
+
+
+def test_link_records_best_match_tiebreak(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.linkage import link_records
+
+    left = spark.createDataFrame([Row(id=1, name="abcd")])
+    right = spark.createDataFrame(
+        [Row(rid=20, name="abcx"), Row(rid=21, name="abcy")]
+    )
+    out = link_records(left, right, "id", "rid", "name", "name",
+                       max_dist=2).collect()
+    assert len(out) == 1 and out[0].right_id == 20  # equidistant -> min rid

@@ -3440,6 +3440,68 @@ SELECT runs.o_orderkey, runs.o_orderstatus, runs.valid_from,
 FROM runs JOIN cal ON runs.last_seen = cal.snap"""
 
 
+def _link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (linkage.link_records): customer names vs a
+    deterministically perturbed export (suffix token appended). The
+    default prefix+length blocking degenerates on this corpus — every
+    customer name shares prefix AND length, one giant block, quadratic
+    verify (the docstring's recall/size tradeoff in its worst case) —
+    so the query demonstrates the ``block_expr`` hook with first-token
+    blocking, which the suffix perturbation can't break and which is
+    near-unique per entity here. Ties (a perturbed twin and a
+    digit-neighbor can be equidistant) break on right_id — the same
+    total order in both engines."""
+    from whiterrabbit_spark.extensions.linkage import (link_records,
+                                                       normalize_name)
+
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    right = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("rid"),
+        F.concat(
+            F.col("c_name"), F.lit(" "), (F.col("c_custkey") % 7).cast("int")
+        ).alias("name"),
+    )
+    first_token = lambda c: F.substring_index(normalize_name(c), " ", 1)
+    out = link_records(
+        cust, right, "c_custkey", "rid", "c_name", "name", max_dist=3,
+        block_expr=first_token,
+    )
+    return out.select("left_id", "right_id", "distance")
+
+
+_LINK_RECORDS_SQL = r"""
+WITH norm AS (
+  SELECT c_custkey AS lid,
+         trim(regexp_replace(regexp_replace(lower(c_name),
+              '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS lnorm
+  FROM customer
+), rsrc AS (
+  SELECT c_custkey + 1000000 AS rid,
+         c_name || ' ' || (c_custkey % 7)::INT AS name
+  FROM customer
+), rnorm AS (
+  SELECT rid,
+         trim(regexp_replace(regexp_replace(lower(name),
+              '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS rn
+  FROM rsrc
+), lblock AS (
+  SELECT lid, lnorm, split_part(lnorm, ' ', 1) AS block FROM norm
+), rblock AS (
+  SELECT rid, rn, split_part(rn, ' ', 1) AS block FROM rnorm
+), cand AS (
+  SELECT lid, rid, levenshtein(lnorm, rn) AS dist
+  FROM lblock JOIN rblock USING (block)
+  WHERE levenshtein(lnorm, rn) <= 3
+), best AS (
+  SELECT lid, rid, dist,
+         row_number() OVER (PARTITION BY lid
+                            ORDER BY dist ASC, rid ASC) AS rn_
+  FROM cand
+)
+SELECT lid AS left_id, rid AS right_id, dist AS distance
+FROM best WHERE rn_ = 1"""
+
+
 def _chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift (profile.chi2_drift): orders status/priority
     level shift between the %2 split halves — per-level count frames
@@ -4386,6 +4448,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("keep_best_dedup_documents", _keep_best, _keep_best_sql())
     add("hist2d_lineitem", _hist2d, _HIST2D_SQL)
     add("streaming_psi_events", _streaming_psi, _STREAMING_PSI_SQL)
+    add("link_records_customer", _link_records, _LINK_RECORDS_SQL)
     add("chi2_drift_orders", _chi2_drift, _CHI2_DRIFT_SQL)
     add("temporal_split_events", _temporal_split, _TEMPORAL_SPLIT_SQL)
     add("join_cardinality_orders_customer", _join_cardinality,
