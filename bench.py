@@ -106,6 +106,9 @@ def main() -> None:
         "keep_best_dedup": queries["keep_best_dedup_documents"],
         "hist2d": queries["hist2d_lineitem"],
         "join_cardinality": queries["join_cardinality_orders_customer"],
+        "chi2_drift": queries["chi2_drift_orders"],
+        "temporal_split": queries["temporal_split_events"],
+        "link_records": queries["link_records_customer"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so
