@@ -2318,3 +2318,23 @@ def test_link_records_best_match_tiebreak(spark):
     out = link_records(left, right, "id", "rid", "name", "name",
                        max_dist=2).collect()
     assert len(out) == 1 and out[0].right_id == 20  # equidistant -> min rid
+
+
+def test_connected_components_paths_agree(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(id1=a, id2=b) for a, b in
+         [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (5, 3)]]
+    )
+    fast = {(r.node, r.cluster_id) for r in
+            connected_components(edges).collect()}
+    distributed = {(r.node, r.cluster_id) for r in
+                   connected_components(edges, driver_threshold=0).collect()}
+    assert fast == distributed
+    labels = dict(fast)
+    assert labels[1] == labels[2] == labels[3] == labels[5] == 1
+    assert labels[10] == labels[11] == labels[12] == 10
+    assert labels[20] == labels[21] == 20
