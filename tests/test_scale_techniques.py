@@ -92,3 +92,36 @@ def test_approx_heavy_hitters_finds_frequent_values(spark):
            approx_heavy_hitters(df, "k", support=0.05).collect()}
     assert got["a"] == 40_000 and got["b"] == 30_000 and got["c"] == 20_000
     assert all(not v.startswith("noise_") for v in got)
+
+
+def test_salted_join_matches_plain(spark):
+    """Salted (key, salt) join == plain equi-join on a 90%-hot-key left
+    side, for inner and left joins including unmatched left rows."""
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.extensions.joins import salted_join
+
+    left = spark.range(100_000).select(
+        F.when(F.col("id") % 10 != 0, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k2", 3), ("absent", 9)], "k string, rv int"
+    )
+    for how in ("inner", "left"):
+        plain = left.join(right, "k", how)
+        salted = salted_join(left, right, "k", salt_buckets=8, how=how)
+        assert salted.count() == plain.count()
+        a = plain.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("rv").alias("s")
+        ).collect()
+        b = salted.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("rv").alias("s")
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")

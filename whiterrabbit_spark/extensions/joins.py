@@ -250,3 +250,39 @@ def asof_join(
           for c in payload_cols],
     ]
     return out.select(*keep)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting for pathological hot keys: each
+    LEFT row gets a random salt in [0, salt_buckets); the RIGHT side
+    replicates every row across all salts (explode of a literal range —
+    ``salt_buckets``× the right side, so use this with a small-to-medium
+    right table whose hot key breaks the join). The join key becomes
+    (key, salt), fanning one hot key's rows across ``salt_buckets``
+    reducers instead of one straggler task.
+
+    AQE's skew-join split (on by default in this engine) handles MOST
+    skew by splitting oversized partitions post-shuffle; this manual
+    form exists for the residual cases AQE can't touch — skew in a
+    broadcast-ineligible build side, or a single key so hot that even a
+    split partition's task exceeds memory. Result parity with the plain
+    join is pinned in tests; row order differs (it always does).
+
+    Only ``inner`` and ``left`` joins are supported: a right/full join
+    would count unmatched RIGHT rows once per salt replica.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = (F.rand(seed=0) * salt_buckets).cast("int")
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = l.join(r, [key, "__salt"], how)
+    return out.drop("__salt")
