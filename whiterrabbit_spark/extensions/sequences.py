@@ -180,6 +180,10 @@ def resample_fill(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col(value_col).cast("double")).alias("v_sum"),
         )
+        # the O(groups x buckets) aggregate feeds BOTH the bounds frame
+        # and the densify join; a lazy local checkpoint materializes it
+        # once instead of re-scanning the raw events per consumer
+        .localCheckpoint(eager=False)
     )
     bounds = agg.groupBy("group_key").agg(
         F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
