@@ -23,6 +23,9 @@ ROWS_ONLY = {
     # learned decision boundary — not SQL-expressible; planted-separation
     # unit test pins generalization
     "quality_classifier_documents",
+    # iterative data-dependent argmax loop; both execution paths pinned
+    # equal to an independent naive implementation in tests
+    "bpe_learn_documents",
 }
 
 

@@ -2338,3 +2338,77 @@ def test_connected_components_paths_agree(spark):
     assert labels[1] == labels[2] == labels[3] == labels[5] == 1
     assert labels[10] == labels[11] == labels[12] == 10
     assert labels[20] == labels[21] == 20
+
+
+def _naive_bpe(words_counts, n_merges):
+    """Independent reference implementation (Sennrich alg.) for parity."""
+    from whiterrabbit_spark.extensions.bpe import EOW
+
+    vocab = [(list(w) + [EOW], c) for w, c in words_counts.items()]
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for syms, n in vocab:
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((rank, a, b, n))
+        def merge(s):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            return out
+        vocab = [(merge(s), c) for s, c in vocab]
+    return merges
+
+
+def test_learn_bpe_merges_both_paths(spark):
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.bpe import learn_bpe_merges
+
+    texts = [
+        "low lower lowest", "low low newer", "newest newer new",
+        "wider wide wide", "low newer lowest wide",
+    ] * 3
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    wc = Counter(w for t in texts for w in t.lower().split())
+    want = _naive_bpe(wc, 8)
+
+    fast = [tuple(r) for r in learn_bpe_merges(df, "text", 8).collect()]
+    assert fast == want
+    dist = [tuple(r) for r in
+            learn_bpe_merges(df, "text", 8, driver_threshold=0).collect()]
+    assert dist == want
+
+
+def test_segment_bpe(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.bpe import (EOW, learn_bpe_merges,
+                                                   segment_bpe)
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="banana bandana banana") for i in range(5)]
+    )
+    merges = [(r.left, r.right) for r in
+              learn_bpe_merges(df, "text", 20).collect()]
+    out = segment_bpe(df, "text", "doc_id", merges).collect()
+    assert all(r.n_tokens == len(r.tokens) for r in out)
+    # frequent words collapse to few tokens; EOW marks the boundary
+    r0 = out[0]
+    assert r0.n_tokens <= 6  # 3 words, heavily merged
+    assert all(t.endswith(EOW) or EOW not in t for t in r0.tokens)
+    # unseen characters survive un-merged
+    odd = spark.createDataFrame([Row(doc_id=1, text="zq")])
+    seg = segment_bpe(odd, "text", "doc_id", merges).collect()[0]
+    assert seg.tokens == ["z", "q", EOW]

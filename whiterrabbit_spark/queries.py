@@ -3440,6 +3440,19 @@ SELECT runs.o_orderkey, runs.o_orderstatus, runs.valid_from,
 FROM runs JOIN cal ON runs.last_seen = cal.snap"""
 
 
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (bpe.learn_bpe_merges): one corpus-sized
+    word-frequency job, then merge iterations over the O(vocab) table —
+    scale-adaptive driver loop below the vocab threshold. Rows-only:
+    the data-dependent iterative argmax is not SQL-expressible; both
+    execution paths and an independent naive implementation are pinned
+    equal in tests."""
+    from whiterrabbit_spark.extensions.bpe import learn_bpe_merges
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, "text", n_merges=30)
+
+
 def _link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution (linkage.link_records): customer names vs a
     deterministically perturbed export (suffix token appended). The
@@ -4448,6 +4461,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("keep_best_dedup_documents", _keep_best, _keep_best_sql())
     add("hist2d_lineitem", _hist2d, _HIST2D_SQL)
     add("streaming_psi_events", _streaming_psi, _STREAMING_PSI_SQL)
+    add("bpe_learn_documents", _bpe_learn, None)
     add("link_records_customer", _link_records, _LINK_RECORDS_SQL)
     add("chi2_drift_orders", _chi2_drift, _CHI2_DRIFT_SQL)
     add("temporal_split_events", _temporal_split, _TEMPORAL_SPLIT_SQL)
