@@ -109,6 +109,7 @@ def main() -> None:
         "chi2_drift": queries["chi2_drift_orders"],
         "temporal_split": queries["temporal_split_events"],
         "link_records": queries["link_records_customer"],
+        "bpe_learn": queries["bpe_learn_documents"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

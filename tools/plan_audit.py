@@ -25,7 +25,7 @@ import sys
 # runnable as `python tools/plan_audit.py` from the repo root or anywhere
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EFFECTFUL_PREFIXES = ("streaming_", "ann_ivf_index")
+EFFECTFUL_PREFIXES = ("streaming_", "ann_ivf_index", "bpe_learn")
 
 
 def audit_plan(plan: str) -> dict:
