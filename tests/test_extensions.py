@@ -2412,3 +2412,27 @@ def test_segment_bpe(spark):
     odd = spark.createDataFrame([Row(doc_id=1, text="zq")])
     seg = segment_bpe(odd, "text", "doc_id", merges).collect()[0]
     assert seg.tokens == ["z", "q", EOW]
+
+
+def test_containment_pairs(spark):
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.dedup import containment_pairs
+
+    big = " ".join(f"tok{i}" for i in range(60))
+    excerpt = " ".join(f"tok{i}" for i in range(20, 35))  # fully contained
+    other = " ".join(f"zzz{i}" for i in range(30))
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=big),
+        Row(doc_id=2, text=excerpt),
+        Row(doc_id=3, text=other),
+    ])
+    out = containment_pairs(df, "text", "doc_id", k=3, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the excerpt is the small side and fully contained
+    assert (r.id_small, r.id_big) == (2, 1) and r.containment == 1.0
+    # jaccard on the same pair would be far below any dedup threshold
+    from whiterrabbit_spark.extensions.dedup import ngram_jaccard_pairs
+    j = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.5).collect()
+    assert j == []

@@ -736,3 +736,51 @@ def keep_best_dedup(
     return ranked.select(id_col, "cluster_id", "score", "kept").unionByName(
         singles.select(id_col, "cluster_id", "score", "kept")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-containment pairs: C = |A∩B| / min(|A|, |B|) —
+    the excerpt/quote/truncation detector Jaccard is blind to (a 100-
+    shingle doc fully contained in a 10000-shingle doc has Jaccard
+    ≈ 0.01 but containment 1.0; exactly the redundancy a training
+    corpus accumulates from syndication and partial crawls). Output
+    ``(id_small, id_big, containment)`` with the smaller-shingle-set
+    doc first — the natural drop candidate.
+
+    Same inverted-index shape (and the same scale caveat) as
+    :func:`ngram_jaccard_pairs`: use as the verifier over LSH/length-
+    banded candidates at corpus scale, not all-pairs.
+    """
+    sh = _shingle_table(df, text_col, id_col, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("ida"), F.col("n").alias("na"))
+    s2 = sizes.select(F.col("doc_id").alias("idb"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(s1, "ida")
+        .join(s2, "idb")
+        .withColumn(
+            "containment",
+            F.col("inter") / F.least(F.col("na"), F.col("nb")),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    small_first = F.col("na") <= F.col("nb")
+    return scored.select(
+        F.when(small_first, F.col("ida")).otherwise(F.col("idb")).alias("id_small"),
+        F.when(small_first, F.col("idb")).otherwise(F.col("ida")).alias("id_big"),
+        "containment",
+    )

@@ -330,6 +330,44 @@ JOIN sizes s2 ON id2 = s2.doc_id
 WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5"""
 
 
+def _containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment pairs (dedup.containment_pairs):
+    the excerpt/truncation detector — C = inter/min sizes over the same
+    inverted shingle index as the Jaccard pass. Threshold 0.6 surfaces
+    partial-overlap pairs this corpus actually contains."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = X.containment_pairs(docs, "text", "doc_id", k=3, threshold=0.6)
+    return out.select(
+        "id_small", "id_big", F.round("containment", R).alias("containment")
+    )
+
+
+_CONTAINMENT_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT ida, idb, s1.n AS na, s2.n AS nb,
+         inter * 1.0 / least(s1.n, s2.n) AS containment
+  FROM pairs
+  JOIN sizes s1 ON ida = s1.doc_id
+  JOIN sizes s2 ON idb = s2.doc_id
+  WHERE inter * 1.0 / least(s1.n, s2.n) >= 0.6
+)
+SELECT CASE WHEN na <= nb THEN ida ELSE idb END AS id_small,
+       CASE WHEN na <= nb THEN idb ELSE ida END AS id_big,
+       round(containment, 6) AS containment
+FROM scored"""
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_parquet_table(spark, sf_dir, "documents")
     out = X.minhash_dedup_pairs(df, "text", "doc_id", k=3, num_hashes=32,
@@ -4461,6 +4499,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("keep_best_dedup_documents", _keep_best, _keep_best_sql())
     add("hist2d_lineitem", _hist2d, _HIST2D_SQL)
     add("streaming_psi_events", _streaming_psi, _STREAMING_PSI_SQL)
+    add("containment_pairs_documents", _containment, _CONTAINMENT_SQL)
     add("bpe_learn_documents", _bpe_learn, None)
     add("link_records_customer", _link_records, _LINK_RECORDS_SQL)
     add("chi2_drift_orders", _chi2_drift, _CHI2_DRIFT_SQL)
