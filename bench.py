@@ -110,6 +110,7 @@ def main() -> None:
         "temporal_split": queries["temporal_split_events"],
         "link_records": queries["link_records_customer"],
         "bpe_learn": queries["bpe_learn_documents"],
+        "containment_pairs": queries["containment_pairs_documents"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so
