@@ -2436,3 +2436,30 @@ def test_containment_pairs(spark):
     from whiterrabbit_spark.extensions.dedup import ngram_jaccard_pairs
     j = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.5).collect()
     assert j == []
+
+
+def test_minhash_bucket_guard_passthrough(spark):
+    """A pathological near-homogeneous corpus: the guard bounds candidate
+    generation through the TOP-LEVEL entry point (previously reachable
+    only by composing the pieces manually)."""
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.extensions.dedup import minhash_dedup_pairs
+
+    # 500 docs over a 6-word vocabulary: every band bucket collapses
+    words = F.array(*[F.lit(w) for w in
+                      ("aa", "bb", "cc", "dd", "ee", "ff")])
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.element_at(words, ((F.col("id") * (i + 3)) % 6 + 1).cast("int"))
+            for i in range(12)
+        ]).alias("text"),
+    )
+    guarded = minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.9, max_bucket_size=10
+    )
+    unguarded = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.9)
+    # the guard drops oversized buckets -> strictly fewer (or equal) pairs,
+    # and the job completes without a quadratic blowup
+    assert guarded.count() <= unguarded.count()

@@ -273,6 +273,7 @@ def minhash_dedup_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidates, exact-Jaccard verified (the 100 TB dedup
     path: the quadratic verify join runs only on LSH candidates).
@@ -281,10 +282,18 @@ def minhash_dedup_pairs(
     counts); it is persisted (memory-and-disk, spills at scale) so the
     tokenize+shingle pass runs once, not four times. Left cached — Spark
     evicts LRU; callers wanting deterministic release can unpersist after
-    materializing."""
+    materializing.
+
+    ``max_bucket_size`` passes through to the candidate generator — the
+    giant-cluster guard was previously reachable only by composing the
+    pieces manually, and a near-homogeneous corpus NEEDS it: a collapsed
+    band bucket of b docs emits b²/2 candidates (measured: a 1M-doc
+    synthetic with a 19-word vocabulary filled the work disk with shuffle
+    spill before this passthrough existed)."""
     sh = _shingle_table(df, text_col, id_col, k).persist()
     sigs = minhash_signatures_from_shingles(sh, num_hashes, seed)
-    cands = lsh_candidate_pairs(sigs, num_hashes, rows_per_band)
+    cands = lsh_candidate_pairs(sigs, num_hashes, rows_per_band,
+                                max_bucket_size=max_bucket_size)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("id1"), "shingle")
     b = sh.select(F.col("doc_id").alias("id2"), "shingle")
