@@ -26,6 +26,9 @@ ROWS_ONLY = {
     # iterative data-dependent argmax loop; both execution paths pinned
     # equal to an independent naive implementation in tests
     "bpe_learn_documents",
+    # learned segmentation + array-stream surgery; determinism and
+    # window placement pinned in unit tests
+    "pack_sequences_documents",
 }
 
 

@@ -210,3 +210,64 @@ def segment_bpe(
     return df.select(id_col, text_col).mapInPandas(
         run, "id long, n_tokens long, tokens array<string>"
     )
+
+
+def pack_token_sequences(
+    tokens_df: DataFrame,
+    seq_len: int,
+    id_col: str = "id",
+    tokens_col: str = "tokens",
+    eos: str = "</s>",
+    shard_token_budget: int = 1_000_000,
+) -> DataFrame:
+    """The last mile of pretraining data prep: concatenate tokenized
+    documents (EOS after each) in deterministic ``id_col`` order and cut
+    the stream into fixed ``seq_len`` windows —
+    ``(shard_id, seq_idx, tokens)``, every row exactly ``seq_len`` long.
+
+    Scale shape: a single global concatenation is a one-reducer
+    non-plan; instead documents assign to ~``shard_token_budget``-token
+    shards via :func:`splits.pack_shards` (range partition +
+    partition-local prefix sums — its documented distributed form), and
+    each shard packs INDEPENDENTLY in one ``applyInPandas`` group whose
+    memory is bounded by the shard budget. Packing-across-shard
+    boundaries is deliberately absent: each shard's incomplete tail
+    window is DROPPED (standard practice; expected loss is
+    ``seq_len/2`` tokens per shard, vanishing against the budget).
+    Determinism: same inputs → same shards → same sequences, any
+    partitioning.
+    """
+    import pandas as pd
+
+    from whiterrabbit_spark.extensions.splits import pack_shards
+
+    with_n = tokens_df.select(
+        F.col(id_col).alias("__id"),
+        F.col(tokens_col).alias("__toks"),
+        (F.size(tokens_col) + 1).alias("__w"),  # +1 for the EOS
+    )
+    assign = pack_shards(with_n, "__id", "__w", float(shard_token_budget))
+    joined = with_n.join(assign.select("__id", "shard_id"), "__id")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id")
+        shard = int(pdf["shard_id"].iloc[0])
+        stream: list[str] = []
+        for toks in pdf["__toks"]:
+            stream.extend(list(toks))
+            stream.append(eos)
+        n_full = len(stream) // seq_len
+        return pd.DataFrame(
+            {
+                "shard_id": [shard] * n_full,
+                "seq_idx": list(range(n_full)),
+                "tokens": [
+                    stream[i * seq_len : (i + 1) * seq_len]
+                    for i in range(n_full)
+                ],
+            }
+        )
+
+    return joined.groupBy("shard_id").applyInPandas(
+        pack, "shard_id long, seq_idx long, tokens array<string>"
+    )

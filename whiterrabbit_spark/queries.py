@@ -3491,6 +3491,30 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(docs, "text", n_merges=30)
 
 
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining last mile end-to-end (bpe.pack_token_sequences):
+    learn 30 BPE merges → segment every document → pack the token
+    streams into fixed 256-token sequences within budget-bounded
+    shards. Rows-only (learned segmentation + array output); returns
+    per-shard sequence counts so the result is O(shards)."""
+    from whiterrabbit_spark.extensions.bpe import (learn_bpe_merges,
+                                                   pack_token_sequences,
+                                                   segment_bpe)
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"])
+              for r in learn_bpe_merges(docs, "text", 30).collect()]
+    toks = segment_bpe(docs, "text", "doc_id", merges)
+    seqs = pack_token_sequences(
+        toks, seq_len=256, shard_token_budget=50_000
+    )
+    return (
+        seqs.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_sequences"))
+        .orderBy("shard_id")
+    )
+
+
 def _link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution (linkage.link_records): customer names vs a
     deterministically perturbed export (suffix token appended). The
@@ -4501,6 +4525,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("streaming_psi_events", _streaming_psi, _STREAMING_PSI_SQL)
     add("containment_pairs_documents", _containment, _CONTAINMENT_SQL)
     add("bpe_learn_documents", _bpe_learn, None)
+    add("pack_sequences_documents", _pack_sequences, None)
     add("link_records_customer", _link_records, _LINK_RECORDS_SQL)
     add("chi2_drift_orders", _chi2_drift, _CHI2_DRIFT_SQL)
     add("temporal_split_events", _temporal_split, _TEMPORAL_SPLIT_SQL)
