@@ -537,8 +537,10 @@ def test_drift_report_cli(spark, tmp_path):
 
     a, b, out = tmp_path / "a", tmp_path / "b", tmp_path / "out"
     a.mkdir(); b.mkdir()
-    (a / "t.tsv").write_text("id\tval\n1\t1.5\n2\t2.5\n3\t3.5\n")
-    (b / "t.tsv").write_text("id\tval\n1\t1.5\n2\t9.5\n4\thello\n")
+    (a / "t.tsv").write_text(
+        "id\tval\tcat\n1\t1.5\tx\n2\t2.5\tx\n3\t3.5\ty\n")
+    (b / "t.tsv").write_text(
+        "id\tval\tcat\n1\t1.5\ty\n2\t9.5\ty\n4\thello\ty\n")
     (a / "gone.tsv").write_text("id\n1\n")
 
     from whiterrabbit_spark.config import ScanConfig
@@ -546,7 +548,7 @@ def test_drift_report_cli(spark, tmp_path):
 
     cfg = ScanConfig(max_rows=-1, scan_field_values=False)
     reports = run_drift(spark, str(a), str(b), cfg)
-    assert set(reports) == {"t.tsv", "__only_old__"}
+    assert set(reports) == {"t.tsv", "t.tsv::stats", "__only_old__"}
     rows = {r.column_name: r for r in reports["t.tsv"].collect()}
     assert rows["val"].type_changed is True        # double -> string ("hello")
     assert rows["val"].old_data_type == "double"
@@ -554,6 +556,13 @@ def test_drift_report_cli(spark, tmp_path):
     assert rows["id"].delta_total_count == 0
     only_old = [r.file_name for r in reports["__only_old__"].collect()]
     assert only_old == ["gone.tsv"]
+    # distributional tests run on SHARED same-typed columns only: id is
+    # double on both sides (KS); val flipped double -> string, excluded
+    stats = {(r.column_name, r.test): r for r in
+             reports["t.tsv::stats"].collect()}
+    assert set(stats) == {("id", "ks"), ("cat", "chi2")}
+    assert abs(stats[("id", "ks")].stat - 1 / 3) < 1e-9  # {1,2,3} vs {1,2,4}
+    assert stats[("cat", "chi2")].stat > 0 and stats[("cat", "chi2")].detail == 1
 
 
 def test_read_all_string_quarantine(spark, tmp_path):

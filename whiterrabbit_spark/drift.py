@@ -100,6 +100,52 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _distribution_tests(old_r, new_r) -> DataFrame | None:
+    """Distributional drift tests over the matched file pair's typed
+    frames: two-sample KS per shared numeric column, chi-square
+    homogeneity per shared string column — the shape-shift signals the
+    scalar delta table can hide (identical mean/sd, different
+    distribution). One tall frame: (column_name, test, stat, detail)."""
+    from whiterrabbit_spark.profile import chi2_drift, ks_drift
+
+    o, n = old_r.typed, new_r.typed
+    if o is None or n is None:
+        return None
+    shared = {f.name: f.dataType.simpleString() for f in o.schema.fields}
+    num = [c for c, t in shared.items()
+           if t in ("double", "bigint", "int", "long")
+           and dict((f.name, f.dataType.simpleString())
+                    for f in n.schema.fields).get(c) == t]
+    cat = [c for c, t in shared.items()
+           if t == "string"
+           and dict((f.name, f.dataType.simpleString())
+                    for f in n.schema.fields).get(c) == t]
+    frames = []
+    for c in num:
+        frames.append(
+            ks_drift(o, n, c).select(
+                F.lit(c).alias("column_name"), F.lit("ks").alias("test"),
+                F.col("ks_stat").cast("double").alias("stat"),
+                F.col("n_new").cast("long").alias("detail"),
+            )
+        )
+    if cat:
+        frames.append(
+            chi2_drift(o, n, cat).select(
+                "column_name", F.lit("chi2").alias("test"),
+                F.col("chi2").cast("double").alias("stat"),
+                F.col("dof").cast("long").alias("detail"),
+            )
+        )
+    if not frames:
+        return None
+    res = frames[0]
+    for fr in frames[1:]:
+        res = res.unionByName(fr)
+    return res
+
+
+
 def run_drift(
     spark: SparkSession,
     old_dir: str,
@@ -116,6 +162,9 @@ def run_drift(
     out: dict[str, DataFrame] = {}
     for name in sorted(set(old_by) & set(new_by)):
         out[name] = diff_summaries(old_by[name].summary, new_by[name].summary)
+        stats = _distribution_tests(old_by[name], new_by[name])
+        if stats is not None:
+            out[f"{name}::stats"] = stats
     for tag, names in (
         ("__only_old__", sorted(set(old_by) - set(new_by))),
         ("__only_new__", sorted(set(new_by) - set(old_by))),

@@ -42,6 +42,10 @@ class FileScanResult:
     summary: DataFrame = None
     frequencies: DataFrame = None
     inferred_types: dict[str, str] = field(default_factory=dict)
+    #: lazy typed frame (post-inference); carried for downstream
+    #: consumers like the drift CLI's distributional tests — holding the
+    #: plan costs nothing until someone executes it
+    typed: DataFrame = None
 
 
 def build_overview(spark: SparkSession, results: list[FileScanResult]) -> DataFrame:

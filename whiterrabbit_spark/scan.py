@@ -161,6 +161,7 @@ def scan_file(
         summary=summary,
         frequencies=freq,
         inferred_types=inference.decisions,
+        typed=typed,
     )
 
 
