@@ -2492,3 +2492,37 @@ def test_pack_token_sequences(spark):
     s0 = sorted(by_shard[min(by_shard)], key=lambda r: r.seq_idx)
     flat = [t for r in s0 for t in r.tokens]
     assert flat[:8] == [f"t0_{j}" for j in range(7)] + ["</s>"]
+
+
+def test_curate_near_best_dedup(spark):
+    """near-best keeps each near-dup cluster's highest-quality member
+    where plain 'near' keeps the min id."""
+    from whiterrabbit_spark.curate import curate
+
+    # doc 2 is a truncated (lower-quality) near-dup of doc 5; same shingle
+    # overlap guarantees they pair at 0.5 Jaccard
+    good = ("The corpus pipeline reads the documents and checks them. "
+            "It is a well formed text with sentences. " * 4)
+    trunc = good[: len(good) // 2]
+    docs = spark.createDataFrame(
+        [(2, trunc + " " + good[len(good) // 2:]),   # same content, id 2
+         (5, good + " tail tail"),                    # near-dup, longer
+         (9, "completely different unrelated content words here")],
+        "doc_id long, text string",
+    )
+    near, _ = curate(docs, ["dedup"], dedup_mode="near", jaccard_threshold=0.5)
+    best, _ = curate(docs, ["dedup"], dedup_mode="near-best",
+                     jaccard_threshold=0.5)
+    near_ids = sorted(r.doc_id for r in near.collect())
+    best_ids = sorted(r.doc_id for r in best.collect())
+    # both keep exactly one of the near-dup pair plus the singleton
+    assert 9 in near_ids and 9 in best_ids
+    assert len(near_ids) == len(best_ids) == 2
+    assert near_ids[0] == 2  # min-id rule
+    # keep-best picks by quality score (id tie-break if equal)
+    from whiterrabbit_spark.extensions.textstats import quality_score
+    q = {r.doc_id: r.quality_score
+         for r in quality_score(docs, "text", "doc_id").collect()}
+    kept = [i for i in best_ids if i != 9][0]
+    other = 5 if kept == 2 else 2
+    assert (q[kept], -kept) >= (q[other], -other)

@@ -53,7 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help=f"ordered comma-subset of {','.join(STEPS)}")
     p.add_argument("--min-quality", type=float, default=0.4,
                    help="drop docs with quality_score below this")
-    p.add_argument("--dedup", default="exact", choices=["exact", "near"],
+    p.add_argument("--dedup", default="exact",
+                   choices=["exact", "near", "near-best"],
                    help="exact = content-digest; near = MinHash-LSH pairs "
                         "+ connected components, one doc kept per cluster")
     p.add_argument("--jaccard-threshold", type=float, default=0.5,
@@ -137,7 +138,35 @@ def curate(
                 "quality_score", quality_exprs(F.col(text_col))["quality_score"]
             ).where(F.col("quality_score") >= min_quality)
         elif step == "dedup":
-            if dedup_mode == "near":
+            if dedup_mode == "near-best":
+                # near-dedup keeping each cluster's HIGHEST-QUALITY
+                # member (keep_best_dedup) instead of the arbitrary
+                # min id — near-dups differ in truncation/boilerplate
+                # and keep-first throws the best copy away. The score
+                # is the rule-based quality expression computed inline
+                # (map-only), so the mode composes whether or not the
+                # quality FILTER step ran.
+                from whiterrabbit_spark.extensions.dedup import (
+                    keep_best_dedup,
+                    minhash_dedup_pairs,
+                )
+                from whiterrabbit_spark.extensions.textstats import (
+                    quality_exprs,
+                )
+
+                pairs = minhash_dedup_pairs(
+                    df, text_col, id_col, threshold=jaccard_threshold
+                )
+                scored = df.select(
+                    F.col(id_col),
+                    quality_exprs(F.col(text_col))["quality_score"].alias(
+                        "score"
+                    ),
+                )
+                kb = keep_best_dedup(scored, pairs, id_col, "score")
+                drop = kb.where(~F.col("kept")).select(F.col(id_col))
+                df = df.join(drop, id_col, "left_anti")
+            elif dedup_mode == "near":
                 # MinHash-LSH pairs → connected components → keep each
                 # cluster's min-id representative. Exact dups are also
                 # near-dups at any threshold, so this subsumes exact mode;
