@@ -2526,3 +2526,34 @@ def test_curate_near_best_dedup(spark):
     kept = [i for i in best_ids if i != 9][0]
     other = 5 if kept == 2 else 2
     assert (q[kept], -kept) >= (q[other], -other)
+
+
+def test_kfold_split(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.extensions.splits import kfold_split
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = kfold_split(df, "doc_id", k=5)
+    counts = {r.fold: r["count"] for r in out.groupBy("fold").count().collect()}
+    assert set(counts) == {0, 1, 2, 3, 4}
+    # roughly balanced folds (md5 uniformity)
+    assert all(abs(c - 2000) < 200 for c in counts.values())
+    # deterministic; salt re-deals
+    again = kfold_split(df, "doc_id", k=5)
+    assert out.subtract(again).count() == 0
+    redealt = kfold_split(df, "doc_id", k=5, salt="v2")
+    assert out.subtract(redealt).count() > 0
+    with pytest.raises(ValueError):
+        kfold_split(df, "doc_id", k=1)
+
+
+def test_temporal_split_rejects_bad_cutoff(spark):
+    import pytest
+
+    from whiterrabbit_spark.extensions.splits import temporal_split
+
+    df = spark.createDataFrame([], "ts timestamp, v int")
+    with pytest.raises(ValueError):
+        temporal_split(df, "ts", "not-a-date")

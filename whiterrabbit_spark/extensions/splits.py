@@ -365,8 +365,14 @@ def temporal_split(
 
     Map-only: one comparison per row fused into the scan; no shuffle,
     composes with any downstream stage. Rows with NULL ``ts`` are
-    dropped (no defensible side).
+    dropped (no defensible side); a malformed ``cutoff`` raises
+    immediately rather than silently dropping every row.
     """
+    import datetime as _dt
+
+    # fail fast on a malformed cutoff: a bad literal would cast to NULL
+    # and silently drop EVERY row into the embargo branch
+    _dt.datetime.fromisoformat(cutoff)
     t = F.col(ts_col)
     cut = F.lit(cutoff).cast("timestamp")
     eval_start = F.lit(cutoff).cast("timestamp") + F.expr(f"INTERVAL {embargo}")
@@ -380,3 +386,26 @@ def temporal_split(
         .withColumn("split", split)
         .where(F.col("split").isNotNull())
     )
+
+
+def kfold_split(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation: fold =
+    md5(salt ⊕ id) mod k — the same engine-portable digest bucketing as
+    ``hash_split``, so folds are reproducible across runs, partitionings
+    and engines, and a different ``salt`` re-deals them. Map-only.
+
+    Use ``df.where(col("fold") != i)`` / ``== i`` for the train/eval
+    pair of round i; folds are disjoint and exhaustive by construction.
+    """
+    if k < 2:
+        raise ValueError(f"kfold_split needs k >= 2, got {k}")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    return df.withColumn("fold", (h % k).cast("int"))

@@ -3491,6 +3491,34 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(docs, "text", n_merges=30)
 
 
+def _kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold assignment summary (splits.kfold_split): md5-bucket folds,
+    engine-portable digest; O(k) output."""
+    from whiterrabbit_spark.extensions.splits import kfold_split
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = kfold_split(docs, "doc_id", k=5)
+    return (
+        out.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("fold")
+    )
+
+
+_KFOLD_SQL = """
+WITH assigned AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 5 AS fold,
+         n_chars
+  FROM documents
+)
+SELECT fold::INT AS fold, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM assigned GROUP BY 1 ORDER BY 1"""
+
+
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining last mile end-to-end (bpe.pack_token_sequences):
     learn 30 BPE merges → segment every document → pack the token
@@ -4525,6 +4553,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("streaming_psi_events", _streaming_psi, _STREAMING_PSI_SQL)
     add("containment_pairs_documents", _containment, _CONTAINMENT_SQL)
     add("bpe_learn_documents", _bpe_learn, None)
+    add("kfold_split_documents", _kfold, _KFOLD_SQL)
     add("pack_sequences_documents", _pack_sequences, None)
     add("link_records_customer", _link_records, _LINK_RECORDS_SQL)
     add("chi2_drift_orders", _chi2_drift, _CHI2_DRIFT_SQL)
