@@ -25,7 +25,8 @@ import sys
 # runnable as `python tools/plan_audit.py` from the repo root or anywhere
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EFFECTFUL_PREFIXES = ("streaming_", "ann_ivf_index", "bpe_learn")
+EFFECTFUL_PREFIXES = ("streaming_", "ann_ivf_index", "bpe_learn",
+                      "pack_sequences", "quality_classifier")
 
 
 def audit_plan(plan: str) -> dict:
