@@ -837,3 +837,21 @@ def test_chi2_drift(spark):
         [Row(c="a"), Row(c=None), Row(c="")] * 5
     )
     assert chi2_drift(with_null, with_null, ["c"]).collect()[0].n_ref == 5
+
+
+def test_sequence_gaps_extreme_range(spark):
+    """Key ranges past 2^51 must not overflow the bucket arithmetic
+    (multiply-first bucketing silently wrapped int64)."""
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import sequence_gaps
+
+    base = 1 << 62
+    ks = [base, base + 1, base + 5, base + 6, -(1 << 61)]
+    df = spark.createDataFrame([Row(k=k) for k in ks], "k: bigint")
+    r = sequence_gaps(df, "k", n_buckets=4).collect()[0]
+    assert r.n_keys == 5 and r.min_key == -(1 << 61) and r.max_key == base + 6
+    # missing = full span minus 5 present keys
+    assert r.n_missing == (base + 6) - (-(1 << 61)) + 1 - 5
+    # two gap runs: the huge one below `base`, and base+1 -> base+5
+    assert r.n_gaps == 2 and r.max_gap == base - (-(1 << 61)) - 1

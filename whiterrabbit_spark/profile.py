@@ -1735,7 +1735,10 @@ def sequence_gaps(
         return spark.createDataFrame([], schema)
     lo, hi = int(row["lo"]), int(row["hi"])
     span = hi - lo + 1
-    bucket = ((F.col("k") - F.lit(lo)) * n_buckets / F.lit(span)).cast("bigint")
+    # divide-first bucketing: the multiply-first form ((k-lo)*n_buckets)
+    # silently overflows int64 for key ranges past 2^63/n_buckets
+    bucket_width = max(1, -(-span // n_buckets))  # ceil
+    bucket = ((F.col("k") - F.lit(lo)) / F.lit(bucket_width)).cast("bigint")
     wb = Window.partitionBy("bucket").orderBy("k")
     intra = (
         keys.withColumn("bucket", bucket)
