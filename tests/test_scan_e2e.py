@@ -655,3 +655,22 @@ def test_cli_quarantine_flag(spark, tmp_path):
     rc = main(["-w", str(wd), "-o", str(od2), "-f", "tsv", "-p", "Q"])
     assert rc == 0
     assert not [f for f in os.listdir(od2) if "Quarantine" in f]
+
+
+def test_explain_cli(spark, capsys):
+    import json
+
+    from whiterrabbit_spark.explain import main
+
+    assert main(["--list"]) == 0
+    listed = capsys.readouterr().out.splitlines()
+    assert any(l.startswith("summary_stats_lineitem") for l in listed)
+    assert any("[rows-only]" in l for l in listed)
+
+    assert main(["hist2d_lineitem"]) == 0
+    out = capsys.readouterr().out
+    assert "=== hist2d_lineitem ===" in out
+    audit = json.loads(out.strip().splitlines()[-1])
+    assert audit["query"] == "hist2d_lineitem" and audit["parquet_scans"] == 1
+
+    assert main(["definitely_not_a_query"]) == 2
