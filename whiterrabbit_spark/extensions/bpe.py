@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: End-of-word marker (Sennrich's </w>): keeps "low" in "lowest" from
-#: merging across word boundaries.
+#: merging across word boundaries. Corpora that legitimately contain
+#: U+2581 should strip or remap it upstream (normalize_text) — the
+#: marker collides like any sentinel would.
 EOW = "▁"
 
 
