@@ -29,6 +29,9 @@ ROWS_ONLY = {
     # learned segmentation + array-stream surgery; determinism and
     # window placement pinned in unit tests
     "pack_sequences_documents",
+    # seeded MLlib quantizer is not SQL-reproducible; planted-clone
+    # recall pinned in unit tests
+    "semantic_dedup_embeddings",
 }
 
 

@@ -3491,6 +3491,20 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_bpe_merges(docs, "text", n_merges=30)
 
 
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semantic_dedup): spherical k-means semantic
+    clusters + in-cluster greedy cosine sweep — paraphrase-level dedup
+    text hashing can't see. Rows-only: the MLlib quantizer is seeded but
+    not SQL-reproducible; one output row per input vector (stable rows/
+    schema), planted-clone recall pinned in unit tests."""
+    from whiterrabbit_spark.extensions.similarity import semantic_dedup
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, "embedding", "vec_id", n_clusters=8,
+                         threshold=0.95)
+    return out.select("vec_id", "cluster_id", "keep")
+
+
 def _kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-fold assignment summary (splits.kfold_split): md5-bucket folds,
     engine-portable digest; O(k) output."""
@@ -4554,6 +4568,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("containment_pairs_documents", _containment, _CONTAINMENT_SQL)
     add("bpe_learn_documents", _bpe_learn, None)
     add("kfold_split_documents", _kfold, _KFOLD_SQL)
+    add("semantic_dedup_embeddings", _semantic_dedup, None)
     add("pack_sequences_documents", _pack_sequences, None)
     add("link_records_customer", _link_records, _LINK_RECORDS_SQL)
     add("chi2_drift_orders", _chi2_drift, _CHI2_DRIFT_SQL)
