@@ -727,6 +727,42 @@ FROM events
 GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))"""
 
 
+def _events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-dimensional CUBE (event_type x day-of-week): every
+    grouping-set combination — including the day-of-week marginals a
+    ROLLUP's fixed hierarchy can't produce — in ONE scan + Expand, the
+    same single-pass shape as the rollup. grouping() flags mark the
+    subtotal axes; NULL keys sentinel for total-order row compares."""
+    df = read_parquet_table(spark, sf_dir, "events")
+    dow = F.date_format(F.col("ts").cast("timestamp"), "E")
+    out = (
+        df.select(F.col("event_type"), dow.alias("dow"), "value")
+        .cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), R).alias("sum_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("dow").cast("int").alias("g_dow"),
+        )
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        F.coalesce("dow", F.lit("(all)")).alias("dow"),
+        "n_events", "sum_value", "g_type", "g_dow",
+    )
+
+
+_EVENTS_CUBE_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(strftime(ts, '%a'), '(all)') AS dow,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       grouping(event_type) AS g_type,
+       grouping(strftime(ts, '%a')) AS g_dow
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%a'))"""
+
+
 MOVING_N = 5  # trailing-window length (rows)
 
 
@@ -4568,6 +4604,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("containment_pairs_documents", _containment, _CONTAINMENT_SQL)
     add("bpe_learn_documents", _bpe_learn, None)
     add("kfold_split_documents", _kfold, _KFOLD_SQL)
+    add("events_cube", _events_cube, _EVENTS_CUBE_SQL)
     add("semantic_dedup_embeddings", _semantic_dedup, None)
     add("pack_sequences_documents", _pack_sequences, None)
     add("link_records_customer", _link_records, _LINK_RECORDS_SQL)
