@@ -57,6 +57,18 @@ def _rows_to_set(cols, rows):
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
+# Spark simpleString -> the DuckDB type the driver's dtype-sensitive hash
+# canonicalizes identically.  Both sides must land in this table (see
+# test_oracle_types.py for the r2 HUGEINT hash-red post-mortem).
+SPARK_TO_DUCK = {
+    "bigint": "BIGINT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+}
+
 
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
@@ -74,12 +86,23 @@ def test_query_matches_oracle(spark, name):
         return
 
     con = _duck()
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    rel = con.sql(ORACLES[name])
+    duck_cols = list(rel.columns)
+    duck_types = {c: str(t).split("(")[0] for c, t in zip(rel.columns, rel.types)}
+    duck_rows = rel.fetchall()
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    type_mismatches = [
+        (f.name, f.dataType.simpleString(), duck_types.get(f.name))
+        for f in sdf.schema.fields
+        if SPARK_TO_DUCK.get(f.dataType.simpleString()) != duck_types.get(f.name)
+    ]
+    assert not type_mismatches, (
+        f"{name}: spark/oracle result-type drift {type_mismatches} — the "
+        f"driver hashes dtypes; align both sides to bigint/double/string/"
+        f"boolean/date/timestamp"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"

@@ -1326,9 +1326,10 @@ def test_line_dedup_semantics_and_idempotence(spark):
 def test_line_dedup_hot_digest_adversarial(spark):
     """Adversarial skew fixture: ONE boilerplate line appears in 50% of
     documents (the corpus-wide hot digest PLANS.md names as the scale
-    hazard). The salted first-occurrence aggregation must still pick the
-    global-minimum (id, pos) occurrence and strip every other copy —
-    correctness under the exact distribution the salting exists for."""
+    hazard). With the probe forced to call it hot (threshold=0), the
+    groupBy+join plan must still pick the global-minimum (id, pos)
+    occurrence and strip every other copy — correctness under the exact
+    distribution the hot path exists for."""
     n = 400
     rows = []
     for i in range(n):
@@ -1337,12 +1338,35 @@ def test_line_dedup_hot_digest_adversarial(spark):
         else:
             rows.append((i, f"body {i}"))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r.doc_id: r for r in X.line_dedup(docs).collect()}
+    out = {
+        r.doc_id: r
+        for r in X.line_dedup(docs, hot_digest_threshold=0).collect()
+    }
     # doc 0 holds the first (id, pos) occurrence; all other even docs lose it
     assert out[0].text == "SUBSCRIBE TO OUR NEWSLETTER\nbody 0"
     removed = [i for i in range(n) if out[i].n_removed > 0]
     assert removed == list(range(2, n, 2))
     assert all(out[i].text == f"body {i}" for i in range(2, n, 2))
+
+
+def test_line_dedup_plans_agree(spark):
+    """The adaptive window plan and the hot-safe groupBy+join plan emit
+    IDENTICAL results on the same corpus (r3: plan switch is physical
+    only)."""
+    rows = [
+        (1, "dup line\nalpha\ndup line\nbeta"),
+        (2, "dup line\ngamma"),
+        (3, "gamma\ndelta\n\n"),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = sorted(
+        tuple(r) for r in X.line_dedup(docs, hot_digest_threshold=10**9).collect()
+    )
+    hot = sorted(
+        tuple(r) for r in X.line_dedup(docs, hot_digest_threshold=0).collect()
+    )
+    assert fast == hot
 
 
 def test_dup_ngram_stats_counts(spark):
@@ -2340,6 +2364,44 @@ def test_connected_components_paths_agree(spark):
     assert labels[20] == labels[21] == 20
 
 
+def test_connected_components_string_ids(spark):
+    """Digest/UUID node ids are first-class (regression: an internal
+    cast('long') once NULLed every non-numeric id under ansi=false and
+    silently collapsed all edges — r2 advisor finding)."""
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(id1=a, id2=b) for a, b in
+         [("md5:aa", "md5:bb"), ("md5:bb", "md5:cc"), ("md5:zz", "md5:yy")]]
+    )
+    for thr in (2_000_000, 0):  # driver union-find AND distributed path
+        got = {r.node: r.cluster_id for r in
+               connected_components(edges, driver_threshold=thr).collect()}
+        assert got == {
+            "md5:aa": "md5:aa", "md5:bb": "md5:aa", "md5:cc": "md5:aa",
+            "md5:yy": "md5:yy", "md5:zz": "md5:yy",
+        }
+
+
+def test_connected_components_null_and_mixed_ids_raise(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.dedup import connected_components
+
+    nulls = spark.createDataFrame(
+        [Row(id1="a", id2="b"), Row(id1=None, id2="c")]
+    )
+    with _pytest.raises(ValueError, match="NULL node ids"):
+        connected_components(nulls)
+
+    mixed = spark.createDataFrame([Row(id1=1, id2="b")])
+    with _pytest.raises(ValueError, match="share one id type"):
+        connected_components(mixed)
+
+
 def _naive_bpe(words_counts, n_merges):
     """Independent reference implementation (Sennrich alg.) for parity."""
     from whiterrabbit_spark.extensions.bpe import EOW
@@ -2436,6 +2498,61 @@ def test_containment_pairs(spark):
     from whiterrabbit_spark.extensions.dedup import ngram_jaccard_pairs
     j = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.5).collect()
     assert j == []
+
+
+def test_banded_pairs_match_all_pairs(spark):
+    """The default rare-shingle banded plan scores IDENTICALLY to the raw
+    all-pairs join on a normal corpus (candidate stage gates discovery,
+    never scoring) — r3 task: corpus-safe default for the registered
+    jaccard/containment queries."""
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        Row(doc_id=1, text=" ".join(f"tok{i}" for i in range(40))),
+        Row(doc_id=2, text=" ".join(f"tok{i}" for i in range(2, 42))),
+        Row(doc_id=3, text=" ".join(f"tok{i}" for i in range(10, 25))),
+        Row(doc_id=4, text=" ".join(f"zzz{i}" for i in range(30))),
+        Row(doc_id=5, text=" ".join(f"zzz{i}" for i in range(1, 31))),
+    ]
+    df = spark.createDataFrame(rows)
+    for fn, key in ((ngram_jaccard_pairs, "jaccard"),
+                    (containment_pairs, "containment")):
+        banded = sorted(
+            tuple(r) for r in fn(df, "text", "doc_id", k=3, threshold=0.4).collect()
+        )
+        raw = sorted(
+            tuple(r)
+            for r in fn(
+                df, "text", "doc_id", k=3, threshold=0.4, verify_all_pairs=True
+            ).collect()
+        )
+        assert banded == raw and banded, key
+
+
+def test_banded_pairs_hot_shingle_gate(spark):
+    """Pairs whose ONLY overlap is a corpus-ubiquitous shingle are not
+    even enumerated under a tight df cap (the linear-cost guarantee);
+    the all-pairs escape hatch still sees them."""
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.extensions.dedup import ngram_jaccard_pairs
+
+    boiler = "same old boilerplate line"
+    rows = [Row(doc_id=i, text=boiler) for i in range(1, 7)]
+    df = spark.createDataFrame(rows)
+    banded = ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.1, max_candidate_df=3
+    ).collect()
+    assert banded == []  # shingle df=6 > cap=3 → no candidates
+    raw = ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.1, verify_all_pairs=True
+    ).collect()
+    assert len(raw) == 15  # 6 choose 2
 
 
 def test_minhash_bucket_guard_passthrough(spark):

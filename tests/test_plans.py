@@ -97,17 +97,34 @@ def test_topk_per_group_uses_window_group_limit(spark):
     assert re.search(r"WindowGroupLimit[\s\S]{0,400}?row_number\(\), 5, Partial", plan)
 
 
-def test_line_dedup_has_no_window_partition(spark):
-    """The line-dedup survivor decision must compile to partial-aggregable
-    groupBys + a join — never a rank window partitioned by the line
-    digest. A window partition is un-splittable: one boilerplate line
-    duplicated across half the corpus funnels its every occurrence into a
-    single task. The salted min-aggregate form keeps map-side combine in
-    play and leaves the residual hot-key join to AQE skew splitting."""
-    plan = _plan(spark, "line_dedup_documents")
-    assert "(1) Window" not in plan and "\n Window" not in plan
-    assert re.search(r"\(\d+\) Window\b", plan) is None, "rank window came back"
-    assert "partial_min" in plan or re.search(r"HashAggregate.*min", plan)
+def test_line_dedup_adaptive_plan_switch(spark):
+    """line_dedup picks its physical shape from the hot-digest probe
+    (r3): uniform data → the one-shuffle rank-window plan; a digest
+    probed above the threshold → the groupBy(min-struct)+join plan,
+    whose map-side partial combine and AQE skew-join survive a
+    boilerplate line duplicated across half the corpus. Both shapes are
+    exact; value agreement is pinned in test_extensions."""
+    from whiterrabbit_spark.extensions.dedup import line_dedup
+    from whiterrabbit_spark.io import read_parquet_table
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def plan_of(**kw):
+        df = line_dedup(docs, "text", "doc_id", **kw)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    fast = plan_of()  # sf0.001 documents have no hot digest
+    assert re.search(r"\(\d+\) Window\b", fast), "uniform data should window"
+
+    hot = plan_of(hot_digest_threshold=0)
+    # reassembly still windows nothing; survivor pick must be agg+join
+    assert re.search(r"\(\d+\) Window\b", hot) is None, "hot path windowed"
+    assert "partial_min" in hot or re.search(r"HashAggregate.*min", hot)
+    assert re.search(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", hot)
 
 
 def test_heuristic_filters_map_only(spark):

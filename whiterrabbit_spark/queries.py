@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from whiterrabbit_spark.config import ScanConfig
 from whiterrabbit_spark.extensions import dedup as X
@@ -236,7 +237,8 @@ def _overview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _overview_sql() -> str:
     parts = [
-        f"SELECT '{t}' AS table_name, count(*) AS n_rows, {len(cols)} AS n_fields FROM {t}"
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
+        f"{len(cols)}::BIGINT AS n_fields FROM {t}"
         for t, cols in sorted(TABLE_COLUMNS.items())
     ]
     return "\nUNION ALL\n".join(parts)
@@ -317,9 +319,18 @@ WITH toks AS (
   FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), rare AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM sh a
+  JOIN rare r ON a.shingle = r.shingle
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ), pairs AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.id1, c.id2, count(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT id1, id2,
@@ -350,9 +361,18 @@ WITH toks AS (
   FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), rare AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100
+), cands AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM sh a
+  JOIN rare r ON a.shingle = r.shingle
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ), pairs AS (
-  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.ida, c.idb, count(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.ida
+  JOIN sh b ON b.doc_id = c.idb AND b.shingle = a.shingle
   GROUP BY 1, 2
 ), scored AS (
   SELECT ida, idb, s1.n AS na, s2.n AS nb,
@@ -443,7 +463,7 @@ WITH tok AS (
   SELECT doc_id, ({total}) AS simhash FROM agg
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
 
@@ -1589,8 +1609,8 @@ def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK_SQL = f"""
 SELECT doc_id,
-       ((pos - 1) // {CHUNK_CHARS - CHUNK_OVERLAP})::INT AS chunk_idx,
-       pos::INT AS chunk_start,
+       ((pos - 1) // {CHUNK_CHARS - CHUNK_OVERLAP})::BIGINT AS chunk_idx,
+       pos::BIGINT AS chunk_start,
        length(substr(text, pos, {CHUNK_CHARS})) AS n_chunk_chars,
        md5(substr(text, pos, {CHUNK_CHARS})) AS chunk_md5
 FROM documents,
@@ -1737,7 +1757,7 @@ WITH b AS (
   FROM b
 ), bucketed AS (
   SELECT least(floor((l_extendedprice::DOUBLE - w.lo) / w.width),
-               {HIST_BINS - 1})::INT AS bucket
+               {HIST_BINS - 1})::BIGINT AS bucket
   FROM lineitem, w
   WHERE l_extendedprice IS NOT NULL
 )
@@ -1806,8 +1826,8 @@ enriched AS (
   JOIN lid l ON l.doc_id = d.doc_id
 )
 SELECT count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
-       sum(n_bpe) AS total_bpe_tokens,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(n_bpe)::BIGINT AS total_bpe_tokens,
        count(DISTINCT lang) AS n_langs,
        count(CASE WHEN qc = 'keep' THEN 1 END) AS n_keep,
        count(CASE WHEN qc = 'review' THEN 1 END) AS n_review,
@@ -1996,7 +2016,7 @@ WITH w AS (
          sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
   FROM w
 )
-SELECT doc_id, n_tokens, floor(start_off / {PACK_BUDGET}.0)::INT AS shard_id
+SELECT doc_id, n_tokens, floor(start_off / {PACK_BUDGET}.0)::BIGINT AS shard_id
 FROM c"""
 
 
@@ -2016,7 +2036,11 @@ def _pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         packed.groupBy("shard_id")
         .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            # csv rather than array<bigint>: keeps every result column in
+            # the driver-hashable scalar set (see _normalize_result_types)
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id"))
+            ).alias("doc_ids"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
         )
@@ -2034,10 +2058,10 @@ WITH w AS (
          sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
   FROM w
 )
-SELECT floor(start_off / __BUDGET__.0)::INT AS shard_id,
-       list_sort(list(doc_id)) AS doc_ids,
+SELECT floor(start_off / __BUDGET__.0)::BIGINT AS shard_id,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens
+       sum(n_tokens)::BIGINT AS total_tokens
 FROM c GROUP BY 1"""
 
 
@@ -2261,7 +2285,7 @@ SELECT 'o_totalprice' AS column,
        round(d.med, 6) AS median_val,
        round(d.mad, 6) AS mad,
        sum(CASE WHEN abs(o_totalprice - d.med) > 3.0 * 1.4826 * d.mad
-                THEN 1 ELSE 0 END) AS n_outliers
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
 FROM orders, d
 GROUP BY d.med, d.mad"""
 
@@ -2295,13 +2319,13 @@ WITH a AS (
   FROM customer GROUP BY c_nationkey
 )
 SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS n_groups,
-       coalesce(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END), 0)
+       coalesce(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END), 0)::BIGINT
          AS n_violating_groups,
        max(nr) AS max_rhs_per_lhs, max(nr) <= 1 AS fd_holds
 FROM a
 UNION ALL
 SELECT 'c_nationkey->c_mktsegment', count(*),
-       coalesce(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END), 0),
+       coalesce(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END), 0)::BIGINT,
        max(nr), max(nr) <= 1
 FROM b"""
 
@@ -2331,10 +2355,11 @@ WITH ck AS (
   SELECT ck.n AS n, pk.pn AS pn
   FROM ck FULL JOIN pk ON ck.k = pk.k
 )
-SELECT coalesce(sum(n), 0) AS n_child,
-       coalesce(sum(pn), 0) AS n_parent,
-       coalesce(sum(CASE WHEN pn IS NULL THEN n END), 0) AS n_child_orphans,
-       coalesce(sum(CASE WHEN n IS NULL THEN pn END), 0)
+SELECT coalesce(sum(n), 0)::BIGINT AS n_child,
+       coalesce(sum(pn), 0)::BIGINT AS n_parent,
+       coalesce(sum(CASE WHEN pn IS NULL THEN n END), 0)::BIGINT
+         AS n_child_orphans,
+       coalesce(sum(CASE WHEN n IS NULL THEN pn END), 0)::BIGINT
          AS n_parent_unreferenced,
        round(coalesce(sum(CASE WHEN pn IS NULL THEN n END), 0) * 1.0
              / coalesce(sum(n), 0), 6) AS orphan_frac,
@@ -2368,7 +2393,7 @@ WITH s AS (
          round(stddev_samp(l_quantity), 6) AS sd
   FROM lineitem
 )
-SELECT l_orderkey, l_linenumber,
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
        round((l_quantity - mu) / sd, 6) AS qty_z
 FROM lineitem, s"""
 
@@ -2405,7 +2430,7 @@ WITH s AS (
                - round(quantile_cont(l_quantity, 0.25), 6), 6) AS iqr
   FROM lineitem
 )
-SELECT l_orderkey, l_linenumber,
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
        round((l_quantity - med) / iqr, 6) AS qty_robust
 FROM lineitem, s"""
 
@@ -2428,7 +2453,7 @@ _JSON_PROPS_SQL = """
 WITH x AS (
   SELECT event_type,
          CASE WHEN json_valid(props)
-              THEN TRY_CAST(props->>'k' AS INTEGER) END AS k
+              THEN TRY_CAST(props->>'k' AS BIGINT) END AS k
   FROM events
 )
 SELECT event_type,
@@ -2551,7 +2576,7 @@ WITH q AS (
          quantile_cont(l_extendedprice, 0.95) AS qh_p
   FROM lineitem
 )
-SELECT l_orderkey, l_linenumber,
+SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
        round(least(greatest(l_quantity, ql_q), qh_q), 6) AS qty_w,
        round(least(greatest(l_extendedprice, ql_p), qh_p), 6) AS price_w
 FROM lineitem, q"""
@@ -2978,7 +3003,7 @@ WITH per_user AS (
          count(*) FILTER (t2 IS NOT NULL) AS n3
   FROM f2
 )
-SELECT 1 AS step, '{s0}' AS step_name, n1 AS n_users,
+SELECT 1::BIGINT AS step, '{s0}' AS step_name, n1 AS n_users,
        round(1.0, {R}) AS conversion_from_prev FROM c
 UNION ALL
 SELECT 2, '{s1}', n2,
@@ -3063,7 +3088,7 @@ def _cramers_sql() -> str:
         for a, b in pairs:
             parts.append(f"""
 SELECT '{table}' AS table_name, '{a}' AS col_a, '{b}' AS col_b,
-       n_rows, round(chi2, {R}) AS chi2,
+       n_rows::BIGINT AS n_rows, round(chi2, {R}) AS chi2,
        CASE WHEN least(r - 1, k - 1) > 0
             THEN round(sqrt(chi2 / (n_rows * least(r - 1, k - 1))), {R})
        END AS cramers_v
@@ -3404,7 +3429,7 @@ WITH vals AS (
   UNION ALL
   SELECT 'l_quantity', l_quantity::DOUBLE FROM lineitem
 ), digits AS (
-  SELECT column_name, regexp_extract(abs(v)::VARCHAR, '[1-9]')::INT AS digit
+  SELECT column_name, regexp_extract(abs(v)::VARCHAR, '[1-9]')::BIGINT AS digit
   FROM vals WHERE regexp_extract(abs(v)::VARCHAR, '[1-9]') <> ''
 ), counts AS (
   SELECT column_name, digit, count(*) AS n FROM digits GROUP BY 1, 2
@@ -3564,7 +3589,7 @@ WITH assigned AS (
          n_chars
   FROM documents
 )
-SELECT fold::INT AS fold, count(*) AS n_docs,
+SELECT fold::BIGINT AS fold, count(*) AS n_docs,
        sum(n_chars)::BIGINT AS total_chars
 FROM assigned GROUP BY 1 ORDER BY 1"""
 
@@ -3838,8 +3863,8 @@ WITH base AS (
          CASE WHEN hy > ly THEN (hy - ly) / 10 ELSE 1.0 END AS wy
   FROM b
 ), bucketed AS (
-  SELECT least(floor((x - w.lx) / w.wx), 9)::INT AS bucket_x,
-         least(floor((y - w.ly) / w.wy), 9)::INT AS bucket_y
+  SELECT least(floor((x - w.lx) / w.wx), 9)::BIGINT AS bucket_x,
+         least(floor((y - w.ly) / w.wy), 9)::BIGINT AS bucket_y
   FROM base, w
 )
 SELECT bucket_x, bucket_y,
@@ -4178,24 +4203,17 @@ FROM kept WHERE rn <= 1000"""
 
 
 def _ecdf_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row percentile rank: the ECDF lookup table joins BACK to the
-    fact table on the value — broadcast (the lookup is O(distinct)), so
-    the fact table never shuffles; the oracle computes the same rank
-    with a cume_dist window directly over the rows."""
-    from whiterrabbit_spark.profile import ecdf_lookup
+    """Per-row percentile rank via profile.ecdf_attach: the ECDF lookup
+    table joins BACK to the fact table on the value — broadcast when the
+    probed distinct count fits an executor, sort-merge above that (the
+    r2-judged continuous-column hazard); the oracle computes the same
+    rank with a cume_dist window directly over the rows."""
+    from whiterrabbit_spark.profile import ecdf_attach
 
     orders = read_parquet_table(spark, sf_dir, "orders")
-    lut = ecdf_lookup(orders, "o_totalprice")
-    return (
-        orders.join(
-            F.broadcast(lut),
-            orders["o_totalprice"].cast("double") == lut["v"],
-            "left",
-        )
-        .select(
-            "o_orderkey",
-            F.round("cume_dist", R).alias("price_pctile"),
-        )
+    out = ecdf_attach(orders, "o_totalprice", out_col="price_pctile")
+    return out.select(
+        "o_orderkey", F.round("price_pctile", R).alias("price_pctile")
     )
 
 
@@ -4494,8 +4512,39 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
 
+    def _normalize_result_types(df: DataFrame) -> DataFrame:
+        """Widen integral result columns to long and float to double.
+
+        The driver's correctness gate hashes result frames
+        dtype-sensitively (the r2 hash-reds were DuckDB HUGEINT vs Spark
+        long with bit-identical values). Registry results therefore use
+        ONE integer type and ONE float type; the oracle SQL casts to
+        BIGINT/DOUBLE to match (enforced by tests/test_oracle_types.py
+        and the alignment assert in tests/test_entry_oracle.py).
+        Value-preserving widenings only — applied at registration so
+        every builder stays written in its natural types.
+        """
+        casts = {
+            f.name: F.col(f.name).cast(
+                "long"
+                if isinstance(
+                    f.dataType, (T.ByteType, T.ShortType, T.IntegerType)
+                )
+                else "double"
+            )
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.FloatType),
+            )
+        }
+        return df.withColumns(casts) if casts else df
+
     def add(name: str, fn: Callable, sql: str | None) -> None:
-        queries[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str, _fn=fn) -> DataFrame:
+            return _normalize_result_types(_fn(spark, sf_dir))
+
+        queries[name] = wrapped
         if sql is not None:
             oracles[name] = sql
 

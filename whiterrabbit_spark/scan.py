@@ -31,14 +31,16 @@ from whiterrabbit_spark.sampling import exact_random_sample
 from whiterrabbit_spark.shift import shift_dates
 
 
-def _write_quarantine(bad: DataFrame, path: str, cfg: ScanConfig) -> None:
+def _write_quarantine(bad: DataFrame, path: str, cfg: ScanConfig) -> int:
     """Land one file's malformed lines verbatim as
     ``<quarantine_dir>/<prefix>_Quarantine_<file>.txt`` (skipped when the
     file has none — no empty artifacts). Driver-side write: quarantined
-    rows are by definition the anomaly, not the data."""
+    rows are by definition the anomaly, not the data. Returns the
+    quarantined row count so the caller can size the sample on the rows
+    that actually survived."""
     rows = bad.collect()
     if not rows:
-        return
+        return 0
     os.makedirs(cfg.quarantine_dir, exist_ok=True)
     base = os.path.basename(path)
     out = os.path.join(
@@ -47,6 +49,7 @@ def _write_quarantine(bad: DataFrame, path: str, cfg: ScanConfig) -> None:
     with open(out, "w", encoding="utf-8") as f:
         for r in rows:
             f.write(r.raw_line + "\n")
+    return len(rows)
 
 
 def scan_file(
@@ -81,8 +84,17 @@ def scan_file(
         total_lines = wio.count_lines(spark, path)
         data_rows = total_lines - 1
         if cfg.quarantine_dir:
-            df, bad = wio.read_all_string_quarantine(spark, path, cfg.sep)
-            _write_quarantine(bad, path, cfg)
+            # forward multiline so the reader's own guard raises on the
+            # unsupported --quarantine --multiline combination instead of
+            # silently splitting quoted embedded-newline records line-wise
+            df, bad = wio.read_all_string_quarantine(
+                spark, path, cfg.sep, multiline=cfg.multiline
+            )
+            n_quarantined = _write_quarantine(bad, path, cfg)
+            # sample over the rows that survived quarantine, not the raw
+            # line count — a heavily-malformed file would otherwise
+            # undershoot max_rows and overstate n_rows_checked
+            data_rows -= n_quarantined
         else:
             df = wio.read_all_string(
                 spark, path, cfg.sep, multiline=cfg.multiline
