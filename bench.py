@@ -111,6 +111,14 @@ def main() -> None:
         "link_records": queries["link_records_customer"],
         "bpe_learn": queries["bpe_learn_documents"],
         "containment_pairs": queries["containment_pairs_documents"],
+        # round 3: the temporal/join family (oracle-green since r2 but
+        # previously absent from the bench workload — VERDICT r2 #7)
+        "asof_join": queries["asof_join_events"],
+        "star_rollup": queries["star_rollup_revenue"],
+        "funnel": queries["funnel_events"],
+        "event_pivot": queries["event_pivot_events"],
+        "moving_stats": queries["moving_stats_events"],
+        "range_join": queries["range_join_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

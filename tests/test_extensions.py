@@ -1745,37 +1745,92 @@ def test_unigram_logppl_empty_training_corpus(spark):
 
 
 def test_multimodal_real_codecs_gated(spark, docs):
-    """Without the optional libs, the real-codec entry points fail fast
-    with a clear ImportError (and the stub paths remain available)."""
+    """Non-PNG resize output without Pillow fails fast with a clear
+    ImportError; decode entry points always work (stdlib fallback)."""
     import pytest
 
     media = mm.attach_binary_payload(docs.limit(3), "text", "doc_id")
     if not mm.HAS_PIL:
         with pytest.raises(ImportError, match="Pillow"):
-            mm.decode_image_features(media)
-        with pytest.raises(ImportError, match="Pillow"):
-            mm.resize_images(media, 8, 8)
-    if not mm.HAS_SOUNDFILE:
-        with pytest.raises(ImportError, match="soundfile"):
-            mm.decode_audio_features(media)
+            mm.resize_images(media, 8, 8, fmt="JPEG")
+    # text payloads are not decodable media under any backend → NULL rows
+    feats = mm.decode_image_features(media).collect()
+    assert all(r.width is None for r in feats)
+
+
+def test_stdlib_png_codec_roundtrip_all_filters():
+    """The vendored PNG codec: encode → decode is identity, and decode
+    handles every scanline filter type (a filtered fixture is built by
+    hand so the unfilter paths actually execute)."""
+    import struct
+    import zlib
+
+    from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+    # RGB gradient round-trip (filter 0 encode)
+    w, h = 7, 5
+    pixels = bytes(
+        (x * 36) % 256 if c == 0 else (y * 50) % 256 if c == 1 else 7
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    data = sc.png_encode(w, h, "RGB", pixels)
+    assert sc.png_decode(data) == (w, h, "RGB", pixels)
+
+    # hand-built image exercising filters 1-4 (one per scanline)
+    stride = 4 * 3
+    rows = [bytes((x * 17 + y * 29 + c) % 256 for x in range(4) for c in range(3))
+            for y in range(5)]
+
+    def filt(ftype, line, prev):
+        out = bytearray([ftype])
+        for i, v in enumerate(line):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            cc = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                q = a + b - cc
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out.append((v - pred) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y, line in enumerate(rows):
+        raw += filt(y % 5, line, prev)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + sc._png_chunk(b"IHDR", ihdr)
+        + sc._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + sc._png_chunk(b"IEND", b"")
+    )
+    got = sc.png_decode(data)
+    assert got == (4, 5, "RGB", b"".join(rows))
 
 
 def test_multimodal_real_image_decode(spark):
-    """Real-codec path: runs only where Pillow is installed (skips cleanly
-    in codec-free containers). Generates a PNG in-process, round-trips it
-    through decode_image_features and resize_images."""
-    import pytest
-
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io
-
+    """Real-codec path, no skips: PNGs are generated in-process with the
+    stdlib encoder and round-tripped through decode_image_features and
+    resize_images (Pillow when installed, stdlib codec otherwise — the
+    assertions hold for both backends)."""
     from pyspark.sql import Row
 
+    from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
     def png_bytes(w, h, color):
-        img = PIL_Image.new("RGB", (w, h), color)
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        return buf.getvalue()
+        return sc.png_encode(w, h, "RGB", bytes(color) * (w * h))
 
     payloads = [(1, png_bytes(10, 4, (0, 0, 0))), (2, png_bytes(6, 8, (255, 255, 255))), (3, b"not an image")]
     media = spark.createDataFrame(
@@ -1808,25 +1863,35 @@ def test_multimodal_real_image_decode(spark):
 
 
 def test_multimodal_real_audio_decode(spark):
-    """Real audio path — skips cleanly where soundfile is absent."""
-    import pytest
-
-    sf = pytest.importorskip("soundfile")
-    import io
-
+    """Real audio path, no skips: PCM WAVs built with the stdlib encoder
+    decode to the exact rate/length/channels/RMS under either backend
+    (soundfile normalizes int16 by 32768, as does the fallback)."""
     import numpy as np
     from pyspark.sql import Row
 
-    buf = io.BytesIO()
-    rate, samples = 8000, np.zeros(1600, dtype=np.float64)
-    sf.write(buf, samples, rate, format="WAV")
-    p = buf.getvalue()
+    from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+    silent = sc.wav_encode(np.zeros(1600, dtype=np.int16), 8000)
+    # full-scale square wave: normalized amplitude 16384/32768 = 0.5
+    square = sc.wav_encode(
+        np.tile([16384, -16384], 800).astype(np.int16), 16000, n_channels=2
+    )
     media = spark.createDataFrame(
-        [Row(media_id=1, payload=p, meta=Row(mime="audio/wav", source="t", n_bytes=len(p)))],
+        [
+            Row(media_id=1, payload=silent,
+                meta=Row(mime="audio/wav", source="t", n_bytes=len(silent))),
+            Row(media_id=2, payload=square,
+                meta=Row(mime="audio/wav", source="t", n_bytes=len(square))),
+            Row(media_id=3, payload=b"not audio",
+                meta=Row(mime="audio/wav", source="t", n_bytes=9)),
+        ],
         mm.MEDIA_SCHEMA,
     )
-    r = mm.decode_audio_features(media).collect()[0]
-    assert r.sample_rate == 8000 and r.n_samples == 1600 and r.rms == 0.0
+    r = {x.media_id: x for x in mm.decode_audio_features(media).collect()}
+    assert r[1].sample_rate == 8000 and r[1].n_samples == 1600 and r[1].rms == 0.0
+    assert r[2].sample_rate == 16000 and r[2].n_channels == 2
+    assert abs(r[2].rms - 0.5) < 1e-9
+    assert r[3].sample_rate is None  # corrupt payload -> NULL features
 
 
 def test_cap_per_group(spark, docs):

@@ -127,6 +127,101 @@ def test_line_dedup_adaptive_plan_switch(spark):
     assert re.search(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", hot)
 
 
+def test_containment_registry_plan_is_banded(spark):
+    """The registered containment query must run the two-stage
+    rare-shingle plan (r3 task 4): a candidate-generation aggregate on
+    shingle document frequency gates the self-join, so the plan carries
+    MORE joins than the raw single-stage form and a HAVING-style count
+    filter on the shingle histogram. The raw all-pairs escape hatch
+    stays available but must not be the registry default."""
+    from whiterrabbit_spark.extensions.dedup import containment_pairs
+    from whiterrabbit_spark.io import read_parquet_table
+
+    docs = read_parquet_table(spark, SF_DIR, "documents")
+
+    def n_joins(df):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        return len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan))
+
+    banded = containment_pairs(docs, "text", "doc_id", k=3, threshold=0.6)
+    raw = containment_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.6, verify_all_pairs=True
+    )
+    # banded = candidate join (df-filtered) + exact-verify joins + size
+    # joins; raw = one self-join + size joins
+    assert n_joins(banded) > n_joins(raw), (
+        "registry containment lost its candidate stage"
+    )
+    reg_plan = _plan(spark, "containment_pairs_documents")
+    assert n_joins(QUERIES["containment_pairs_documents"](spark, SF_DIR)) == n_joins(banded)
+    assert reg_plan  # formatted-plan build sanity
+
+
+def test_ecdf_attach_no_broadcast_above_threshold(spark):
+    """Scale guard (r3 task 3): with the distinct-count threshold forced
+    below the column's cardinality, the rank join must NOT broadcast the
+    O(distinct) lookup — sort-merge only; under the threshold the
+    broadcast path returns."""
+    from whiterrabbit_spark.profile import ecdf_attach
+    from whiterrabbit_spark.io import read_parquet_table
+
+    orders = read_parquet_table(spark, SF_DIR, "orders")
+
+    def plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # the offsets/bounds broadcasts inside ecdf_lookup are O(n_buckets)
+    # inner joins; the LOOKUP join is the plan's only LeftOuter join —
+    # assert on its strategy
+    guarded = plan(
+        ecdf_attach(orders, "o_totalprice", max_broadcast_distinct=10)
+    )
+    assert re.search(r"SortMergeJoin LeftOuter", guarded), (
+        "high-cardinality ecdf_attach should sort-merge the rank join"
+    )
+    assert not re.search(r"BroadcastHashJoin LeftOuter", guarded)
+
+    fast = plan(
+        ecdf_attach(orders, "o_totalprice", max_broadcast_distinct=10**9)
+    )
+    assert re.search(r"BroadcastHashJoin LeftOuter", fast)
+    assert not re.search(r"SortMergeJoin LeftOuter", fast)
+
+
+def test_ecdf_lookup_no_global_order_window(spark):
+    """The ECDF cumulative sum must never compile to a global-order
+    window (single reducer at |distinct| ~ |rows|): every Window in the
+    plan must be partitioned (bucket-local running sums or the
+    O(n_buckets) offsets window are fine shapes; an Exchange
+    SinglePartition feeding the histogram-sized window is not)."""
+    from whiterrabbit_spark.profile import ecdf_lookup
+    from whiterrabbit_spark.io import read_parquet_table
+
+    orders = read_parquet_table(spark, SF_DIR, "orders")
+    # force the distributed plan (the adaptive probe would pick the
+    # histogram-window form at test-data cardinality)
+    df = ecdf_lookup(orders, "o_totalprice", max_single_reducer=0)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the histogram-sized running sum is partitioned by __pid; the only
+    # SinglePartition exchange allowed is the one feeding the tiny
+    # per-bucket offsets aggregate (input = n_buckets rows)
+    assert "windowspecdefinition(__pid" in plan.replace(" ", "").lower() or re.search(
+        r"Window \[[^\]]*__pid", plan
+    ), "bucket-local window lost its partitioning"
+
+
 def test_heuristic_filters_map_only(spark):
     plan = _plan(spark, "heuristic_filters_documents")
     assert "Exchange" not in plan, "heuristic filters gained a shuffle"

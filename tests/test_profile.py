@@ -596,6 +596,103 @@ def test_ecdf_lookup(spark):
     assert [(r.v, round(r.cume_dist, 6)) for r in rows] == [
         (1.0, 0.5), (2.0, 0.75), (5.0, 1.0),
     ]
+    # the forced-distributed (bucketed prefix-sum) plan emits identical
+    # values to the adaptive histogram-window plan
+    dist = sorted(
+        ecdf_lookup(df, "v", max_single_reducer=0).collect(),
+        key=lambda r: r.v,
+    )
+    assert [(r.v, round(r.cume_dist, 6)) for r in dist] == [
+        (1.0, 0.5), (2.0, 0.75), (5.0, 1.0),
+    ]
+
+
+def test_ecdf_lookup_paths_agree_on_real_data(spark):
+    from whiterrabbit_spark.io import read_parquet_table
+    from whiterrabbit_spark.profile import ecdf_lookup
+
+    orders = read_parquet_table(spark, "/root/testdata/sf0.001", "orders")
+    simple = {
+        r.v: round(r.cume_dist, 9)
+        for r in ecdf_lookup(orders, "o_totalprice").collect()
+    }
+    dist = {
+        r.v: round(r.cume_dist, 9)
+        for r in ecdf_lookup(
+            orders, "o_totalprice", max_single_reducer=0
+        ).collect()
+    }
+    assert simple == dist and len(simple) > 100
+
+
+def test_missingness_patterns(spark):
+    """Correlated nulls collapse into one pattern row; independent nulls
+    split into distinct patterns; shares sum to 1."""
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import missingness_patterns
+
+    rows = (
+        [Row(a=1, b="x", c=1.0)] * 5
+        + [Row(a=None, b=None, c=2.0)] * 3      # a,b missing together
+        + [Row(a=2, b="y", c=None)] * 2          # only c missing
+    )
+    out = {
+        r.pattern: (r.n_rows, round(r.share, 6))
+        for r in missingness_patterns(
+            spark.createDataFrame(rows), ["a", "b", "c"]
+        ).collect()
+    }
+    assert out == {
+        "a=0,b=0,c=0": (5, 0.5),
+        "a=1,b=1,c=0": (3, 0.3),
+        "a=0,b=0,c=1": (2, 0.2),
+    }
+
+
+def test_grouped_quantiles(spark):
+    """Per-group exact type-7 quartiles; NULL values excluded; a
+    single-value group has q25=q50=q75."""
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import grouped_quantiles
+
+    rows = (
+        [Row(g="a", v=float(x)) for x in (1, 2, 3, 4)]
+        + [Row(g="b", v=10.0), Row(g="b", v=None)]
+    )
+    out = {
+        r.group_key: (r.q_0_25, r.q_0_5, r.q_0_75)
+        for r in grouped_quantiles(
+            spark.createDataFrame(rows), "g", "v"
+        ).collect()
+    }
+    assert out["a"] == (1.75, 2.5, 3.25)  # R type-7 over 1..4
+    assert out["b"] == (10.0, 10.0, 10.0)
+
+
+def test_seasonality_profile(spark):
+    """iso_dow is 1=Monday..7=Sunday; counts and value means land in the
+    right (dow, hour) cell."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import seasonality_profile
+
+    # 2024-01-01 is a Monday
+    rows = [
+        Row(ts=datetime.datetime(2024, 1, 1, 9, 5), value=10.0),
+        Row(ts=datetime.datetime(2024, 1, 1, 9, 55), value=20.0),
+        Row(ts=datetime.datetime(2024, 1, 7, 23, 1), value=7.0),  # Sunday
+    ]
+    out = {
+        (r.iso_dow, r.hour): (r.n_events, r.avg_value)
+        for r in seasonality_profile(
+            spark.createDataFrame(rows), "ts", "value"
+        ).collect()
+    }
+    assert out == {(1, 9): (2, 15.0), (7, 23): (1, 7.0)}
 
 
 def test_key_skew_report(spark):

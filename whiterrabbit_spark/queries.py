@@ -4355,6 +4355,132 @@ FROM events l JOIN events r
  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR"""
 
 
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth REAL Structured Streaming correctness row — streaming exact
+    dedup (streaming.dedup_stream): the events source is fed TWICE (two
+    file streams unioned — an at-least-once replay), deduplicated on
+    event_id inside the stream (state-store keyed dedup, watermark-bounded
+    state), and must converge to exactly the batch table. Duplicate
+    arrivals are bit-identical rows, so which copy survives is
+    observationally irrelevant — the convergence oracle is deterministic
+    by construction."""
+    import uuid
+
+    from whiterrabbit_spark.extensions import streaming as st
+
+    src = st.stream_events_from_parquet(spark, sf_dir).unionByName(
+        st.stream_events_from_parquet(spark, sf_dir)
+    )
+    deduped = st.dedup_stream(src, key_cols=["event_id"])
+    name = f"wrs_streamdedup_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(deduped, name, mode="append")
+    t = spark.table(name)
+    return t.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", R).alias("value"),
+    )
+
+
+_STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(value, 6) AS value
+FROM events"""
+
+
+def _grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quartiles of l_quantity by return flag
+    (profile.grouped_quantiles): the weighted-percentile-over-histogram
+    trick per group — the final percentile buffers |distinct values in
+    the group|, never |rows|."""
+    from whiterrabbit_spark.profile import grouped_quantiles
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = grouped_quantiles(li, "l_returnflag", "l_quantity")
+    return out.select(
+        "group_key",
+        F.round("q_0_25", R).alias("q_0_25"),
+        F.round("q_0_5", R).alias("q_0_5"),
+        F.round("q_0_75", R).alias("q_0_75"),
+    )
+
+
+_GROUPED_QUANTILES_SQL = """
+SELECT l_returnflag AS group_key,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q_0_25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS q_0_5,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q_0_75
+FROM lineitem WHERE l_quantity IS NOT NULL
+GROUP BY 1"""
+
+
+def _missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-missingness profile (profile.missingness_patterns) over
+    events enriched with the JSON-derived ``k`` field. The synthetic
+    corpus is NULL-free, so the expected output is the single all-present
+    pattern — itself the answer a curator wants ("no structural loss");
+    multi-pattern behavior is pinned by the unit test on synthetic
+    nulls."""
+    from whiterrabbit_spark.profile import missingness_patterns
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    enriched = ev.select(
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        "event_type",
+        "value",
+    )
+    out = missingness_patterns(enriched, ["k", "event_type", "value"])
+    return out.select(
+        "pattern", "n_rows", F.round("share", R).alias("share")
+    )
+
+
+_MISSINGNESS_SQL = """
+WITH enriched AS (
+  SELECT CASE WHEN json_valid(props)
+              THEN TRY_CAST(props->>'k' AS BIGINT) END AS k,
+         event_type, value
+  FROM events
+), pat AS (
+  SELECT concat_ws(',',
+           'k=' || (k IS NULL)::INT,
+           'event_type=' || (event_type IS NULL)::INT,
+           'value=' || (value IS NULL)::INT) AS pattern
+  FROM enriched
+), counted AS (
+  SELECT pattern, count(*) AS n_rows FROM pat GROUP BY 1
+)
+SELECT pattern, n_rows,
+       round(n_rows * 1.0 / sum(n_rows) OVER (), 6) AS share
+FROM counted"""
+
+
+def _seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × ISO-day-of-week activity matrix over events
+    (profile.seasonality_profile): one partial-aggregable groupBy, ≤168
+    rows out."""
+    from whiterrabbit_spark.profile import seasonality_profile
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    out = seasonality_profile(ev, "ts", "value")
+    return out.select(
+        "iso_dow", "hour", "n_events",
+        F.round("avg_value", R).alias("avg_value"),
+    )
+
+
+_SEASONALITY_SQL = """
+SELECT isodow(ts)::BIGINT AS iso_dow,
+       hour(ts)::BIGINT AS hour,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2"""
+
+
 def _cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (C4/RefinedWeb-style "≤N pages per host"):
     deterministic md5-ordered keep-set, one WindowGroupLimit shuffle
@@ -4548,65 +4674,11 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         if sql is not None:
             oracles[name] = sql
 
-    # --- Block 1: never driver-checked (50 entries — the verification
-    # prefix). Judge-flagged high-risk operators first.
-    add("asof_join_events", _asof_join, _ASOF_SQL)
-    add("star_rollup_revenue", _star_rollup, _STAR_SQL)
-    add("funnel_events", _funnel, _funnel_sql())
-    add("line_dedup_documents", _line_dedup, _LINE_DEDUP_SQL)
-    add("dedup_clusters_documents", _dedup_clusters, _dedup_clusters_sql())
-    add("pack_shards_documents", _pack_shards, _PACK_SQL)
-    add("hyperplane_near_pairs_embeddings", _hyperplane_near_pairs,
-        _hyperplane_near_pairs_sql())
-    add("streaming_frequencies_events", _streaming_frequencies,
-        _STREAMING_FREQ_SQL)
-    add("range_join_events", _range_join, _RANGE_JOIN_SQL)
-    add("grouped_profile_events", _grouped_profile, _grouped_profile_sql())
-    add("moving_stats_events", _moving_stats, _MOVING_SQL)
-    add("events_hourly_rollup", _events_rollup, _EVENTS_ROLLUP_SQL)
-    add("cohort_retention_events", _cohort_retention, _COHORT_SQL)
-    add("active_users_events", _active_users, _ACTIVE_USERS_SQL)
-    add("event_pivot_events", _event_pivot, _EVENT_PIVOT_SQL)
-    add("event_transitions_events", _event_transitions, _EVENT_TRANSITIONS_SQL)
-    add("json_props_rollup_events", _json_props_rollup, _JSON_PROPS_SQL)
-    add("multimodal_features_documents", _multimodal, _MULTIMODAL_SQL)
-    add("lang_id_documents", _lang_id, _lang_id_sql())
-    add("winnow_fingerprint_documents", _winnow, _WINNOW_SQL)
-    add("repetition_signals_documents", _repetition, _REPETITION_SQL)
-    add("chunk_documents", _chunk_docs, _CHUNK_SQL)
-    add("embedding_stats_embeddings", _embedding_stats, _EMB_STATS_SQL)
-    add("stratified_sample_documents", _strat_sample, _strat_sample_sql())
-    add("novel_documents", _novel_docs, _NOVEL_SQL)
-    add("histogram_lineitem", _histogram, _HIST_SQL)
-    add("corr_matrix_lineitem", _corr, _corr_sql())
-    add("outlier_counts_orders", _outliers, _outliers_sql())
-    add("profile_drift_orders", _drift, _drift_sql())
-    add("corpus_report_documents", _corpus_report, _corpus_report_sql())
-    add("tfidf_top_terms_documents", _tfidf, _TFIDF_SQL)
-    add("check_constraints_orders", _check_constraints, _CHECK_SQL)
-    add("edit_distance_pairs_documents", _edit_distance_pairs, _EDIT_DIST_SQL)
-    add("functional_dependencies", _fd_checks, _FD_SQL)
-    add("fk_coverage_orders_customer", _fk_coverage, _FK_COVERAGE_SQL)
-    add("normalize_text_documents", _normalize_text, _NORMALIZE_SQL)
-    add("vocab_coverage_documents", _vocab_coverage, _VOCAB_SQL)
-    add("pmi_collocations_documents", _pmi, _PMI_SQL)
-    add("winsorize_lineitem", _winsorize, _WINSORIZE_SQL)
-    add("unigram_perplexity_documents", _unigram_ppl, _UNIGRAM_PPL_SQL)
-    add("dup_ngram_stats_documents", _dup_ngram_stats, _DUP_NGRAM_SQL)
-    add("decontaminate_documents", _decontam, _DECONTAM_SQL)
-    add("temperature_mixture_documents", _temp_mixture, _TEMP_MIX_SQL)
-    add("topk_quality_per_lang_documents", _topk_quality, _topk_quality_sql())
-    add("pii_redact_documents", _pii_redact, _pii_sql())
-    add("value_entropy_orders", _entropy, _entropy_sql())
-    add("cramers_v_pairs", _cramers, _cramers_sql())
-    add("weighted_sample_documents", _weighted_sample, _WEIGHTED_SQL)
-    add("leakage_safe_split_documents", _leakage_safe_split,
-        _leakage_safe_split_sql())
-    add("streaming_windowed_profile_events", _streaming_profile, _STREAMING_SQL)
-
-    # --- Block 2: never driver-checked, but each a close variant of a
-    # Block-1 sibling (forward asof ~ backward asof, zscore ~ winsorize,
-    # range window ~ rows window, ...). First in line for the next round.
+    # --- Block 1: the round-3 verification prefix — the 46 entries that
+    # have never had a driver-signed CORRECTNESS row (r1 and r2 signed
+    # the other 100 between them; the driver samples the first ~50 in
+    # insertion order), followed by the four r2 hash-reds whose oracle
+    # typing was fixed this round so the driver re-signs them green.
     add("asof_join_forward_events", _asof_join_forward, _ASOF_FWD_SQL)
     add("zscore_lineitem", _zscore, _ZSCORE_SQL)
     add("events_multi_rollup", _events_multi_rollup, _MULTI_ROLLUP_SQL)
@@ -4614,10 +4686,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("psi_drift_orders", _psi_drift, _psi_sql())
     add("mad_outliers_orders", _mad_outliers, _MAD_SQL)
     add("fingerprint_documents", _fingerprint, _FINGERPRINT_SQL)
-    # --- Block 1.6: new in round 2 (never driver-checked; next round's
-    # verification prefix picks these up after the 7 above). Grown
-    # throughout the round — round 3 should reorder so Blocks 2+1.6
-    # occupy the 50-entry prefix once Block 1 has its r02 rows.
     add("streaming_sessionize_events", _streaming_sessionize,
         _STREAMING_SESSIONIZE_SQL)
     add("streaming_join_events", _streaming_join, _STREAMING_JOIN_SQL)
@@ -4661,6 +4729,73 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("temporal_split_events", _temporal_split, _TEMPORAL_SPLIT_SQL)
     add("join_cardinality_orders_customer", _join_cardinality,
         _JOIN_CARDINALITY_SQL)
+    # the four r2 hash-reds (judge-verified value-identical; oracle
+    # HUGEINT typing fixed this round) — positions 47-50 of the prefix
+    add("corpus_report_documents", _corpus_report, _corpus_report_sql())
+    add("functional_dependencies", _fd_checks, _FD_SQL)
+    add("fk_coverage_orders_customer", _fk_coverage, _FK_COVERAGE_SQL)
+    add("cramers_v_pairs", _cramers, _cramers_sql())
+
+    # --- Block 1.5: new in round 3 (first in line for the r4 prefix;
+    # pytest-oracle-verified meanwhile).
+    add("streaming_dedup_events", _streaming_dedup, _STREAMING_DEDUP_SQL)
+    add("grouped_quantiles_lineitem", _grouped_quantiles,
+        _GROUPED_QUANTILES_SQL)
+    add("missingness_patterns_events", _missingness_patterns,
+        _MISSINGNESS_SQL)
+    add("seasonality_events", _seasonality, _SEASONALITY_SQL)
+
+    # --- Block 2: driver-signed in round 2 (CORRECTNESS_r02.json) —
+    # kept registered for the full-registry pytest mirror.
+    add("asof_join_events", _asof_join, _ASOF_SQL)
+    add("star_rollup_revenue", _star_rollup, _STAR_SQL)
+    add("funnel_events", _funnel, _funnel_sql())
+    add("line_dedup_documents", _line_dedup, _LINE_DEDUP_SQL)
+    add("dedup_clusters_documents", _dedup_clusters, _dedup_clusters_sql())
+    add("pack_shards_documents", _pack_shards, _PACK_SQL)
+    add("hyperplane_near_pairs_embeddings", _hyperplane_near_pairs,
+        _hyperplane_near_pairs_sql())
+    add("streaming_frequencies_events", _streaming_frequencies,
+        _STREAMING_FREQ_SQL)
+    add("range_join_events", _range_join, _RANGE_JOIN_SQL)
+    add("grouped_profile_events", _grouped_profile, _grouped_profile_sql())
+    add("moving_stats_events", _moving_stats, _MOVING_SQL)
+    add("events_hourly_rollup", _events_rollup, _EVENTS_ROLLUP_SQL)
+    add("cohort_retention_events", _cohort_retention, _COHORT_SQL)
+    add("active_users_events", _active_users, _ACTIVE_USERS_SQL)
+    add("event_pivot_events", _event_pivot, _EVENT_PIVOT_SQL)
+    add("event_transitions_events", _event_transitions, _EVENT_TRANSITIONS_SQL)
+    add("json_props_rollup_events", _json_props_rollup, _JSON_PROPS_SQL)
+    add("multimodal_features_documents", _multimodal, _MULTIMODAL_SQL)
+    add("lang_id_documents", _lang_id, _lang_id_sql())
+    add("winnow_fingerprint_documents", _winnow, _WINNOW_SQL)
+    add("repetition_signals_documents", _repetition, _REPETITION_SQL)
+    add("chunk_documents", _chunk_docs, _CHUNK_SQL)
+    add("embedding_stats_embeddings", _embedding_stats, _EMB_STATS_SQL)
+    add("stratified_sample_documents", _strat_sample, _strat_sample_sql())
+    add("novel_documents", _novel_docs, _NOVEL_SQL)
+    add("histogram_lineitem", _histogram, _HIST_SQL)
+    add("corr_matrix_lineitem", _corr, _corr_sql())
+    add("outlier_counts_orders", _outliers, _outliers_sql())
+    add("profile_drift_orders", _drift, _drift_sql())
+    add("tfidf_top_terms_documents", _tfidf, _TFIDF_SQL)
+    add("check_constraints_orders", _check_constraints, _CHECK_SQL)
+    add("edit_distance_pairs_documents", _edit_distance_pairs, _EDIT_DIST_SQL)
+    add("normalize_text_documents", _normalize_text, _NORMALIZE_SQL)
+    add("vocab_coverage_documents", _vocab_coverage, _VOCAB_SQL)
+    add("pmi_collocations_documents", _pmi, _PMI_SQL)
+    add("winsorize_lineitem", _winsorize, _WINSORIZE_SQL)
+    add("unigram_perplexity_documents", _unigram_ppl, _UNIGRAM_PPL_SQL)
+    add("dup_ngram_stats_documents", _dup_ngram_stats, _DUP_NGRAM_SQL)
+    add("decontaminate_documents", _decontam, _DECONTAM_SQL)
+    add("temperature_mixture_documents", _temp_mixture, _TEMP_MIX_SQL)
+    add("topk_quality_per_lang_documents", _topk_quality, _topk_quality_sql())
+    add("pii_redact_documents", _pii_redact, _pii_sql())
+    add("value_entropy_orders", _entropy, _entropy_sql())
+    add("weighted_sample_documents", _weighted_sample, _WEIGHTED_SQL)
+    add("leakage_safe_split_documents", _leakage_safe_split,
+        _leakage_safe_split_sql())
+    add("streaming_windowed_profile_events", _streaming_profile, _STREAMING_SQL)
 
     # --- Block 3: driver-signed in round 1 (CORRECTNESS_r01.json) —
     # original order, kept for the full-registry pytest mirror.
