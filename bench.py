@@ -119,6 +119,11 @@ def main() -> None:
         "event_pivot": queries["event_pivot_events"],
         "moving_stats": queries["moving_stats_events"],
         "range_join": queries["range_join_events"],
+        # round-3 additions: streaming state-store dedup throughput, the
+        # 64-dim centroid aggregation, and the per-lang tokenizer report
+        "streaming_dedup": queries["streaming_dedup_events"],
+        "centroid_dispersion": queries["centroid_dispersion_embeddings"],
+        "tokenizer_fertility": queries["tokenizer_fertility_documents"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

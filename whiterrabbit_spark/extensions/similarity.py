@@ -87,6 +87,54 @@ def embedding_stats(
     )
 
 
+def label_centroid_dispersion(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-label cluster-quality report: centroid L2 norm, member count,
+    and the members' mean/min cosine to their own label centroid — the
+    embedding-space health check before using labels for curation or
+    semantic dedup (a label whose members barely point at their centroid
+    is noise, not a cluster).
+
+    Plan: ONE groupBy(label) of per-dimension ``avg`` (dim partial
+    aggregates, map-side combined — the shuffle carries O(labels × dim)
+    state, never vectors), broadcast the O(labels) centroid table back,
+    and fold cosine per row (zip_with/aggregate — JVM, no Python hop)
+    into a second O(labels) aggregation. Deterministic left-fold sums so
+    DuckDB list math mirrors bit-for-bit before rounding.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    v = _to_double(F.col(vec_col))
+    cent = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.array(
+            *[F.avg(F.element_at(v, i + 1)) for i in range(dim)]
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    joined = df.select(
+        F.col(label_col).alias("label"), v.alias("__v")
+    ).join(F.broadcast(cent), "label")
+    cos = _dot(F.col("__v"), F.col("centroid")) / (
+        F.greatest(_norm(F.col("__v")), F.lit(1e-300))
+        * F.greatest(_norm(F.col("centroid")), F.lit(1e-300))
+    )
+    return (
+        joined.select("label", "n_members", cos.alias("__cos"),
+                      _norm(F.col("centroid")).alias("__cnorm"))
+        .groupBy("label")
+        .agg(
+            F.first("n_members").alias("n_members"),
+            F.first("__cnorm").alias("centroid_norm"),
+            F.avg("__cos").alias("avg_cos_to_centroid"),
+            F.min("__cos").alias("min_cos_to_centroid"),
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -4481,6 +4481,91 @@ FROM events
 GROUP BY 1, 2"""
 
 
+def _tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE tokens per whitespace word
+    and characters per BPE token — the per-language cost model for a
+    token budget (high-fertility languages consume budget faster; the
+    standard multilingual-tokenizer health metric). One scan, one
+    partial-aggregable groupBy(lang)."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    enriched = docs.select(
+        "lang",
+        ts.bpe_token_count(t).alias("n_bpe"),
+        ts.token_count(t).alias("n_ws"),
+        F.length(t).alias("n_chars"),
+    )
+    return (
+        enriched.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe"),
+            F.round(F.sum("n_bpe") / F.sum("n_ws"), R).alias("fertility"),
+            F.round(F.sum("n_chars") / F.sum("n_bpe"), R).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+_FERTILITY_SQL = f"""
+WITH tok AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '{ts.BPE_TOKEN_RE.replace("'", "''")}')) AS n_bpe,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_ws,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_bpe)::BIGINT AS total_bpe,
+       round(sum(n_bpe) * 1.0 / sum(n_ws), 6) AS fertility,
+       round(sum(n_chars) * 1.0 / sum(n_bpe), 6) AS chars_per_token
+FROM tok GROUP BY 1"""
+
+
+def _centroid_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cluster quality (similarity.
+    label_centroid_dispersion): centroid norm + members' mean/min cosine
+    to their own centroid. The shuffle carries O(labels × dim) centroid
+    state; vectors never move (broadcast centroid join + JVM fold
+    cosine)."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    out = sim.label_centroid_dispersion(emb, "embedding", "label", dim=EMB_DIM)
+    return out.select(
+        "label",
+        "n_members",
+        F.round("centroid_norm", R).alias("centroid_norm"),
+        F.round("avg_cos_to_centroid", R).alias("avg_cos_to_centroid"),
+        F.round("min_cos_to_centroid", R).alias("min_cos_to_centroid"),
+    )
+
+
+_CENTROID_DISPERSION_SQL = """
+WITH dims AS (
+  SELECT label, vec_id, t.i AS i, embedding[t.i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+), cent AS (
+  SELECT label, i, avg(x) AS c FROM dims GROUP BY 1, 2
+), per_member AS (
+  SELECT d.label, d.vec_id,
+         sum(d.x * c.c) AS dot,
+         sqrt(sum(d.x * d.x)) AS nx,
+         sqrt(sum(c.c * c.c)) AS nc
+  FROM dims d JOIN cent c ON c.label = d.label AND c.i = d.i
+  GROUP BY 1, 2
+), scored AS (
+  SELECT label, nc,
+         dot / (greatest(nx, 1e-300) * greatest(nc, 1e-300)) AS cos
+  FROM per_member
+)
+SELECT label::BIGINT AS label, count(*) AS n_members,
+       round(any_value(nc), 6) AS centroid_norm,
+       round(avg(cos), 6) AS avg_cos_to_centroid,
+       round(min(cos), 6) AS min_cos_to_centroid
+FROM scored GROUP BY 1"""
+
+
 def _cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (C4/RefinedWeb-style "≤N pages per host"):
     deterministic md5-ordered keep-set, one WindowGroupLimit shuffle
@@ -4744,6 +4829,10 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("missingness_patterns_events", _missingness_patterns,
         _MISSINGNESS_SQL)
     add("seasonality_events", _seasonality, _SEASONALITY_SQL)
+    add("tokenizer_fertility_documents", _tokenizer_fertility,
+        _FERTILITY_SQL)
+    add("centroid_dispersion_embeddings", _centroid_dispersion,
+        _CENTROID_DISPERSION_SQL)
 
     # --- Block 2: driver-signed in round 2 (CORRECTNESS_r02.json) —
     # kept registered for the full-registry pytest mirror.
