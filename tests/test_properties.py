@@ -502,3 +502,83 @@ def test_scd2_intervals_partition_history(spark, snaps):
         currents = [r for r in ivals if r.valid_to is None]
         assert len(currents) == (1 if k in present_last else 0)
         assert all(r.is_current == (r.valid_to is None) for r in ivals)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+            st.none(),
+        ),
+        min_size=1, max_size=60,
+    ),
+    groups=st.integers(1, 3),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grouped_quantiles_match_numpy(spark, vals, groups):
+    """Per-group quartiles equal numpy's linear (type-7) percentiles over
+    the group's non-null values."""
+    import numpy as np
+
+    from whiterrabbit_spark.profile import grouped_quantiles
+
+    rows = [(i % groups, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    out = {r.group_key: r for r in grouped_quantiles(df, "g", "v").collect()}
+    for g in range(groups):
+        member = [v for i, v in enumerate(vals) if i % groups == g and v is not None]
+        if not member:
+            assert g not in out
+            continue
+        exp = np.percentile(member, [25, 50, 75])
+        got = (out[g].q_0_25, out[g].q_0_5, out[g].q_0_75)
+        assert all(abs(a - b) < 1e-9 * max(1.0, abs(b)) for a, b in zip(got, exp))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_missingness_shares_sum_to_one(spark, rows):
+    from whiterrabbit_spark.profile import missingness_patterns
+
+    data = [(1 if not ma else None, "x" if not mb else None) for ma, mb in rows]
+    df = spark.createDataFrame(data, "a int, b string")
+    out = missingness_patterns(df, ["a", "b"]).collect()
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-9
+    assert sum(r.n_rows for r in out) == len(rows)
+    # patterns are mutually exclusive labels of the input rows
+    from collections import Counter
+
+    exp = Counter(
+        f"a={int(ma)},b={int(mb)}" for ma, mb in rows
+    )
+    assert {r.pattern: r.n_rows for r in out} == dict(exp)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=50,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ecdf_distributed_matches_simple(spark, vals):
+    """The bucketed prefix-sum ECDF equals the histogram-window ECDF on
+    arbitrary value distributions (incl. heavy duplication and
+    single-value columns)."""
+    from whiterrabbit_spark.profile import ecdf_lookup
+
+    df = spark.createDataFrame([(v,) for v in vals + vals[:3]], "v double")
+    simple = {r.v: round(r.cume_dist, 9)
+              for r in ecdf_lookup(df, "v").collect()}
+    dist = {r.v: round(r.cume_dist, 9)
+            for r in ecdf_lookup(df, "v", max_single_reducer=0).collect()}
+    assert simple == dist
