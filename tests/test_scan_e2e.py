@@ -657,6 +657,41 @@ def test_cli_quarantine_flag(spark, tmp_path):
     assert not [f for f in os.listdir(od2) if "Quarantine" in f]
 
 
+def test_quarantine_multiline_guard_and_sample_sizing(spark, tmp_path):
+    """r2 advisor findings: --quarantine --multiline must raise via the
+    reader's own guard (not silently parse line-wise), and with
+    quarantine the exact-N sample sizes on SURVIVING rows so a
+    heavily-malformed file still fills max_rows."""
+    import pytest as _pytest
+
+    from whiterrabbit_spark.config import ScanConfig
+    from whiterrabbit_spark.scan import scan_file
+
+    wd = tmp_path / "in"
+    wd.mkdir()
+    lines = ["a\tb"]
+    for i in range(40):
+        lines.append(f"{i}\tgood{i}")
+        lines.append(f"{i}\tbad\textra\tfields")  # half the rows malformed
+    p = wd / "feed.tsv"
+    p.write_text("\n".join(lines) + "\n")
+
+    with _pytest.raises(ValueError, match="multiline"):
+        scan_file(
+            spark, str(p),
+            ScanConfig(quarantine_dir=str(tmp_path / "q1"), multiline=True),
+        )
+
+    # 80 data lines, 40 quarantined; max_rows=30 must still yield 30
+    # sampled survivors (sizing on raw lines would undershoot)
+    res = scan_file(
+        spark, str(p),
+        ScanConfig(quarantine_dir=str(tmp_path / "q2"), max_rows=30,
+                   random_sample=True),
+    )
+    assert res.n_rows_checked == 30
+
+
 def test_explain_cli(spark, capsys):
     import json
 
