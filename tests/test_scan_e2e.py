@@ -709,3 +709,84 @@ def test_explain_cli(spark, capsys):
     assert audit["query"] == "hist2d_lineitem" and audit["parquet_scans"] == 1
 
     assert main(["definitely_not_a_query"]) == 2
+
+
+def test_incremental_scan_cache(spark, tmp_path):
+    """Second run over an unchanged folder scans nothing; touching one
+    file rescans only it; a deleted file is evicted; cached results
+    equal fresh results."""
+    import os
+    import time
+
+    from whiterrabbit_spark.config import ScanConfig
+    from whiterrabbit_spark.incremental import scan_folder_incremental
+
+    wd = tmp_path / "in"
+    state = tmp_path / "state"
+    wd.mkdir()
+    (wd / "a.tsv").write_text("id\tval\n1\t10.5\n2\t11.5\n3\t\n")
+    (wd / "b.tsv").write_text("k\tname\nx\talice\ny\tbob\n")
+    cfg = ScanConfig()
+
+    ov1, res1, rep1 = scan_folder_incremental(spark, str(wd), str(state), cfg)
+    assert sorted(rep1.scanned) == ["a.tsv", "b.tsv"] and rep1.loaded == []
+    snap1 = {
+        r.file_name: sorted(tuple(x) for x in r.summary.collect())
+        for r in res1
+    }
+    ov1_rows = sorted(tuple(r) for r in ov1.collect())
+
+    ov2, res2, rep2 = scan_folder_incremental(spark, str(wd), str(state), cfg)
+    assert rep2.scanned == [] and sorted(rep2.loaded) == ["a.tsv", "b.tsv"]
+    snap2 = {
+        r.file_name: sorted(tuple(x) for x in r.summary.collect())
+        for r in res2
+    }
+    assert snap2 == snap1
+    assert sorted(tuple(r) for r in ov2.collect()) == ov1_rows
+    assert all(r.typed is None for r in res2)  # cached entries are frame-only
+
+    # modify one file -> only it rescans, and its new content is reflected
+    time.sleep(0.01)
+    (wd / "a.tsv").write_text("id\tval\n1\t10.5\n2\t11.5\n3\t12.5\n4\t99.0\n")
+    os.utime(wd / "a.tsv")
+    ov3, res3, rep3 = scan_folder_incremental(spark, str(wd), str(state), cfg)
+    assert rep3.scanned == ["a.tsv"] and rep3.loaded == ["b.tsv"]
+    by_name = {r.file_name: r for r in res3}
+    assert by_name["a.tsv"].total_rows == 5  # header-counted quirk intact
+    a_summary = {r.column_name: r for r in by_name["a.tsv"].summary.collect()}
+    assert a_summary["val"].total_count == 4
+
+    # delete a file -> evicted from overview and cache
+    (wd / "b.tsv").unlink()
+    ov4, res4, rep4 = scan_folder_incremental(spark, str(wd), str(state), cfg)
+    assert rep4.evicted == ["b.tsv"]
+    assert [r.file_name for r in res4] == ["a.tsv"]
+    assert ov4.count() == 1
+
+
+def test_dataset_card_cli(spark, tmp_path, capsys):
+    """Markdown dataset card over the sf0.001 documents corpus: volume,
+    dup rate, quality/language sections present with sane numbers."""
+    from whiterrabbit_spark.dataset_card import build_card, main
+
+    card = build_card(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert "# Dataset card" in card
+    assert "documents: **500**" in card
+    assert "## Language mix" in card and "`en`" in card
+    assert "## Top sources" in card
+    assert "exact-duplicate rate" in card
+
+    out = tmp_path / "card.md"
+    rc = main(["--input", "/root/testdata/sf0.001/documents.parquet",
+               "--out", str(out)])
+    assert rc == 0 and out.read_text() == card
+
+    # lang/source columns absent -> sections skipped, card still builds
+    plain = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(6)], "doc_id long, text string"
+    )
+    p = str(tmp_path / "plain_pq")
+    plain.write.parquet(p)
+    card2 = build_card(spark, p)
+    assert "## Language mix" not in card2 and "documents: **6**" in card2

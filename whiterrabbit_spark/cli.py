@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["delimited", "jsonl", "parquet", "orc", "txt"],
                    help="input folder type (reference supports delimited only; "
                         "parquet profiles with its own schema, no inference)")
+    p.add_argument("--state-dir", default=None,
+                   help="incremental-scan cache: profile only files that "
+                        "are new or changed (by size+mtime) since the last "
+                        "run with this state dir; unchanged files load "
+                        "their cached summary/frequency frames")
     return p
 
 
@@ -79,9 +84,21 @@ def main(argv: list[str] | None = None) -> int:
         source_format=args.source_format,
     )
     spark = get_spark(cpus=args.cpus)
-    overview, results = scan_folder(
-        spark, args.working_folder, cfg, max_parallel_files=args.parallel_files
-    )
+    if args.state_dir:
+        from whiterrabbit_spark.incremental import scan_folder_incremental
+
+        overview, results, inc = scan_folder_incremental(
+            spark, args.working_folder, args.state_dir, cfg,
+            max_parallel_files=args.parallel_files,
+        )
+        print(
+            f"Incremental scan: {len(inc.scanned)} scanned, "
+            f"{len(inc.loaded)} cached, {len(inc.evicted)} evicted"
+        )
+    else:
+        overview, results = scan_folder(
+            spark, args.working_folder, cfg, max_parallel_files=args.parallel_files
+        )
     if args.output_format == "xlsx":
         out = write_xlsx_report(overview, results, args.output_dir, args.prefix)
         print(f"Wrote Excel file: {out}")
