@@ -124,6 +124,14 @@ def main() -> None:
         "streaming_dedup": queries["streaming_dedup_events"],
         "centroid_dispersion": queries["centroid_dispersion_embeddings"],
         "tokenizer_fertility": queries["tokenizer_fertility_documents"],
+        # round-3 batch 2: map-only intra-doc scrub, window attribution,
+        # histogram-rank U test, per-dim quantization fold, partial-Gram
+        # PCA collect
+        "span_dedup": queries["span_dedup_documents"],
+        "attribution": queries["attribution_events"],
+        "mannwhitney": queries["mannwhitney_orders"],
+        "quantize_error": queries["quantize_error_embeddings"],
+        "embedding_pca": queries["embedding_pca_embeddings"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

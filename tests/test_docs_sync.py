@@ -32,6 +32,9 @@ ROWS_ONLY = {
     # seeded MLlib quantizer is not SQL-reproducible; planted-clone
     # recall pinned in unit tests
     "semantic_dedup_embeddings",
+    # driver-side eigendecomposition — not SQL-expressible; pinned to
+    # numpy eigvalsh at 1e-9 in unit tests
+    "embedding_pca_embeddings",
 }
 
 

@@ -2739,3 +2739,179 @@ def test_temporal_split_rejects_bad_cutoff(spark):
     df = spark.createDataFrame([], "ts timestamp, v int")
     with pytest.raises(ValueError):
         temporal_split(df, "ts", "not-a-date")
+
+
+# ---------------------------------------------------------------- round 3 new
+
+
+def test_span_dedup_basic(spark):
+    from whiterrabbit_spark.extensions.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c d e f a b c"),   # chunk 'a b c' repeats twice
+            (2, ""),                            # empty text
+            (3, "x y"),                         # shorter than one chunk
+            (4, "p q r p q r"),                 # exact half duplication
+            (5, "  lead   trail  "),            # whitespace runs collapse
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(df, "text", "doc_id", k=3).collect()
+    }
+    assert out[1]["n_chunks"] == 4 and out[1]["n_removed"] == 2
+    assert out[1]["text_scrubbed"] == "a b c d e f"
+    assert out[2]["n_chunks"] == 0 and out[2]["text_scrubbed"] == ""
+    assert out[3]["n_chunks"] == 1 and out[3]["text_scrubbed"] == "x y"
+    assert out[4]["n_removed"] == 1 and out[4]["text_scrubbed"] == "p q r"
+    assert out[5]["text_scrubbed"] == "lead trail"
+
+
+def test_span_dedup_is_map_only(spark):
+    """The whole operator must stay one map-side projection — no
+    Exchange in the plan (the point of the higher-order-function form)."""
+    from whiterrabbit_spark.extensions.dedup import span_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = span_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_attribution_tiebreak_and_none(spark):
+    from whiterrabbit_spark.extensions.sequences import attribution
+
+    rows = [
+        # user 1: view -> click -> buy  (first=view, last=click)
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:01:00", "click"),
+        (3, 1, "2024-01-01 00:02:00", "buy"),
+        # user 2: conversion with no prior touch
+        (4, 2, "2024-01-01 00:00:00", "buy"),
+        # user 3: two touches at the SAME ts -> event_id breaks the tie
+        (5, 3, "2024-01-01 00:00:00", "click"),
+        (6, 3, "2024-01-01 00:00:00", "view"),
+        (7, 3, "2024-01-01 00:01:00", "buy"),
+        # user 4: two conversions; second's last-touch is the later view
+        (8, 4, "2024-01-01 00:00:00", "click"),
+        (9, 4, "2024-01-01 00:01:00", "buy"),
+        (10, 4, "2024-01-01 00:02:00", "view"),
+        (11, 4, "2024-01-01 00:03:00", "buy"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["channel"]: (r["first_touch_credits"], r["last_touch_credits"])
+        for r in attribution(ev, "buy").collect()
+    }
+    # first-touch: u1 view, u3 click (id 5 < 6), u4 click x2, u2 none
+    assert out["view"][0] == 1 and out["click"][0] == 3
+    assert out["(none)"] == (1, 1)
+    # last-touch: u1 click, u3 view, u4 click then view
+    assert out["click"][1] == 2 and out["view"][1] == 2
+
+
+def test_mann_whitney_known_value(spark):
+    """Pin against scipy-free hand values: A=[1,2,4], B=[3,5] ->
+    ranks 1,2,4 vs 3,5; R_a=7, U_a=7-6=1, auc=1/6."""
+    from whiterrabbit_spark.profile import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 3.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert abs(r["auc"] - 1 / 6) < 1e-12
+    # U=1, mu=3, sigma=sqrt(3*2*6/12)=sqrt(3) -> z=-2/sqrt(3)
+    assert abs(r["z"] - (-2 / 3**0.5)) < 1e-12
+
+
+def test_mann_whitney_ties_and_paths_agree(spark):
+    """Tied values get average ranks, and the bucketed distributed
+    prefix-sum path (max_single_reducer=0) must agree with the plain
+    ordered-window path to the last decimal."""
+    from whiterrabbit_spark.profile import mann_whitney_u
+
+    rows = [("a", float(v)) for v in [1, 2, 2, 3, 7, 7, 7]] + [
+        ("b", float(v)) for v in [2, 3, 3, 5, 7, 9]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    small = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    dist = mann_whitney_u(
+        df, "v", "g", "a", "b", max_single_reducer=0
+    ).collect()[0]
+    assert small == dist
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    a = mann_whitney_u(
+        orders, "o_totalprice", "o_orderstatus", "O", "F"
+    ).collect()[0]
+    b = mann_whitney_u(
+        orders, "o_totalprice", "o_orderstatus", "O", "F",
+        max_single_reducer=0,
+    ).collect()[0]
+    assert abs(a["auc"] - b["auc"]) < 1e-12 and abs(a["z"] - b["z"]) < 1e-9
+
+
+def test_group_diversity_extremes(spark):
+    from whiterrabbit_spark.profile import group_diversity
+
+    df = spark.createDataFrame(
+        # mono: one source 6x -> H=0, eff=1, GS=0
+        [("mono", "s1")] * 6
+        # uniform: 3 sources 2x each -> H=ln3, eff=3, GS=2/3
+        + [("uni", "s1"), ("uni", "s1"), ("uni", "s2"), ("uni", "s2"),
+           ("uni", "s3"), ("uni", "s3")],
+        "g string, src string",
+    )
+    out = {r["g"]: r for r in group_diversity(df, "g", "src").collect()}
+    import math
+
+    assert out["mono"]["entropy"] == 0.0
+    assert abs(out["mono"]["effective_values"] - 1.0) < 1e-12
+    assert out["mono"]["gini_simpson"] == 0.0
+    assert abs(out["uni"]["entropy"] - math.log(3)) < 1e-12
+    assert abs(out["uni"]["effective_values"] - 3.0) < 1e-12
+    assert abs(out["uni"]["gini_simpson"] - 2 / 3) < 1e-12
+
+
+def test_quantization_error_bits_monotone(spark):
+    """More bits -> strictly better reconstruction; 8-bit fidelity on
+    the synthetic embeddings is already ~1; constant dims reconstruct
+    exactly (span-0 guard)."""
+    from whiterrabbit_spark.extensions.similarity import quantization_error
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m8 = quantization_error(emb, bits=8).agg(
+        F.avg("mse").alias("m"), F.min("cosine_fidelity").alias("c")
+    ).collect()[0]
+    m4 = quantization_error(emb, bits=4).agg(
+        F.avg("mse").alias("m")
+    ).collect()[0]
+    assert m8["m"] < m4["m"] and m8["c"] > 0.999
+
+    const = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantization_error(const).collect()}
+    # dim 0 is constant (span 0) -> exact; dim 1 endpoints -> exact
+    assert out[1]["mse"] == 0.0 and out[2]["max_abs_err"] == 0.0
+
+
+def test_embedding_pca_matches_numpy(spark):
+    import numpy as np
+
+    from whiterrabbit_spark.extensions.similarity import embedding_pca
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = embedding_pca(emb, k=5).collect()
+    x = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    ev = np.linalg.eigvalsh(cov)[::-1]
+    for i, r in enumerate(got):
+        assert abs(r["eigenvalue"] - ev[i]) < 1e-9
+    assert got[0]["cumulative_explained"] == got[0]["variance_explained"]
+    assert 0 < got[-1]["cumulative_explained"] <= 1.0

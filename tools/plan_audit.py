@@ -30,7 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 EFFECTFUL_PREFIXES = ("streaming_", "ann_ivf_index", "bpe_learn",
                       "pack_sequences", "quality_classifier",
                       "semantic_dedup", "keep_best_dedup", "dedup_clusters",
-                      "edit_distance_pairs", "corpus_report")
+                      "edit_distance_pairs", "corpus_report",
+                      # collect-at-construction round-3 builders: the
+                      # per-dim stats fold and the partial-Gram PCA
+                      "quantize_error", "embedding_pca")
 
 
 def audit_plan(plan: str) -> dict:

@@ -957,3 +957,52 @@ def containment_pairs(
         F.when(small_first, F.col("idb")).otherwise(F.col("ida")).alias("id_big"),
         "containment",
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Intra-document span deduplication: the document's words are cut
+    into consecutive non-overlapping ``k``-word chunks and every chunk
+    that already occurred EARLIER IN THE SAME DOCUMENT is dropped; the
+    survivors are rejoined in order. This is the within-doc repetition
+    scrub (boilerplate loops, stuck generators, copy-paste runs) that
+    corpus-global passes (:func:`line_dedup`, cross-doc near-dup) do not
+    touch. Extension beyond the reference surface (whiteRRabbit.R
+    profiles columns; it never rewrites values).
+
+    Scale shape: the whole operator is ONE map-only projection — the
+    chunking (`transform` over a `sequence`) and the first-occurrence
+    filter (`filter` with index + `array_position` over the preceding
+    slice) are JVM higher-order functions fused into the scan. Zero
+    shuffles, zero Python; the first-occurrence check is O(chunks²) per
+    document inside one task, which for real documents (≤ thousands of
+    chunks) is noise next to the scan itself — and it never materializes
+    a per-chunk row explosion the way an explode→window plan would.
+
+    Returns ``(id_col, n_chunks, n_removed, text_scrubbed)``.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+    )
+    kept = F.filter(
+        chunks,
+        lambda x, i: F.array_position(F.slice(chunks, F.lit(1), i), x) == 0,
+    )
+    empty = F.length(F.trim(F.col(text_col))) == 0
+    return df.select(
+        F.col(id_col),
+        F.when(empty, F.lit(0)).otherwise(n_chunks).alias("n_chunks"),
+        F.when(empty, F.lit(0))
+        .otherwise(n_chunks - F.size(kept))
+        .alias("n_removed"),
+        F.when(empty, F.lit(""))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text_scrubbed"),
+    )

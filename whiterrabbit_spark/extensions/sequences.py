@@ -207,3 +207,70 @@ def resample_fill(
         "v_sum",
         F.last("v_sum", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    none_label: str = "(none)",
+) -> DataFrame:
+    """Per-channel conversion attribution: every ``conversion_type``
+    event credits the FIRST and the LAST non-conversion event that
+    preceded it for the same user (first-touch / last-touch, the two
+    endpoints of the standard marketing-attribution family). A
+    conversion with no prior touch credits ``none_label``. Extension
+    beyond the reference surface (whiteRRabbit.R has no per-entity
+    ordering; SURVEY §2 "not present").
+
+    Scale shape: one user-partitioned window computes both endpoints
+    (``first``/``last`` with ``ignorenulls`` over an UNBOUNDED
+    PRECEDING .. 1 PRECEDING frame — per-user state, parallel across
+    users), then the credits melt to (channel, kind) and collapse in a
+    partial-aggregable groupBy whose result is |channels| rows. Ties on
+    timestamp are broken by ``id_col`` so executor order never changes
+    the answer.
+
+    Returns ``(channel, first_touch_credits, last_touch_credits)``.
+    """
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    conv = (
+        events.withColumn("__ft", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("__lt", F.last(touch, ignorenulls=True).over(w))
+        .where(F.col(type_col) == conversion_type)
+    )
+    # melt via an inline explode, NOT a union of two selects — a union
+    # would re-scan and re-window the events twice; this keeps one scan
+    # and one window exchange
+    melted = conv.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.coalesce(F.col("__ft"), F.lit(none_label)).alias(
+                        "channel"
+                    ),
+                    F.lit(1).alias("__fc"),
+                    F.lit(0).alias("__lc"),
+                ),
+                F.struct(
+                    F.coalesce(F.col("__lt"), F.lit(none_label)).alias(
+                        "channel"
+                    ),
+                    F.lit(0).alias("__fc"),
+                    F.lit(1).alias("__lc"),
+                ),
+            )
+        ).alias("m")
+    ).select("m.*")
+    return melted.groupBy("channel").agg(
+        F.sum("__fc").alias("first_touch_credits"),
+        F.sum("__lc").alias("last_touch_credits"),
+    )

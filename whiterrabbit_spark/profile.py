@@ -2173,3 +2173,168 @@ def chi2_drift(
             F.sum("cn").alias("n_cur"),
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    n_partitions: int | None = None,
+    max_single_reducer: int = 4_000_000,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two segments of one column —
+    the nonparametric two-sample drift/difference test that complements
+    the parametric (:func:`zscore`-style) and distributional (KS, PSI)
+    family: no normality assumption, robust to outliers. Extension
+    beyond the reference surface (whiteRRabbit.R computes per-column
+    moments only).
+
+    Ranks are computed over the value HISTOGRAM, never the rows: a
+    ``groupBy(v)`` collapses to |distinct| rows carrying per-group
+    counts, and the exclusive cumulative count (the rank offset) uses
+    the same adaptive scheme as :func:`ecdf_lookup` — a plain ordered
+    window over the histogram when a cached ``approx_count_distinct``
+    probe says it is one task's worth, the bucketed distributed prefix
+    sum (equi-width buckets + per-bucket local windows + an
+    O(n_buckets) offset aggregate) above that, so a continuous column
+    at 100 TB never serializes through one reducer. Average ranks for
+    ties fall out of the histogram for free: every tied value shares
+    ``before + (n+1)/2``.
+
+    Emitted statistics are scale-normalized so the driver's
+    round-to-6 hash is stable: ``auc`` = U/(n_a·n_b) (the
+    common-language effect size, P(X_a > X_b) + ½P(tie)) and the
+    tie-corrected normal approximation ``z``; the raw U would grow as
+    n² and lose the decimals the hash compares.
+
+    Returns one row ``(n_a, n_b, auc, z)``.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(g.isin([group_a, group_b]) & v.isNotNull()).select(
+        v.alias("v"), F.when(g == group_a, 1).otherwise(0).alias("is_a")
+    )
+    hist = (
+        base.groupBy("v")
+        .agg(F.sum("is_a").alias("n_a"), F.count(F.lit(1)).alias("n"))
+        .withColumn("n_b", F.col("n") - F.col("n_a"))
+    )
+    if _approx_distinct(base, "v") <= max_single_reducer:
+        w_bef = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        hist = hist.withColumn(
+            "before", F.coalesce(F.sum("n").over(w_bef), F.lit(0))
+        )
+    else:
+        spark = df.sparkSession
+        n_parts = n_partitions or spark.sparkContext.defaultParallelism
+        bounds = hist.agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
+        bucket = F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / n_parts)
+                ),
+                F.lit(n_parts - 1),
+            ),
+        ).otherwise(F.lit(0))
+        hist = hist.join(F.broadcast(bounds)).withColumn(
+            "__pid", bucket.cast("int")
+        )
+        totals = hist.groupBy("__pid").agg(F.sum("n").alias("__ptot"))
+        w_off = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.select(
+            "__pid",
+            F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)).alias("__off"),
+        )
+        w_loc = Window.partitionBy("__pid").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        hist = (
+            hist.withColumn(
+                "__lcum", F.coalesce(F.sum("n").over(w_loc), F.lit(0))
+            )
+            .join(F.broadcast(offsets), "__pid")
+            .withColumn("before", F.col("__off") + F.col("__lcum"))
+        )
+    avg_rank = F.col("before") + (F.col("n") + 1) / 2.0
+    s = hist.agg(
+        F.sum(F.col("n_a") * avg_rank).alias("r_a"),
+        F.sum("n_a").alias("na"),
+        F.sum("n_b").alias("nb"),
+        F.sum(
+            F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+        ).alias("t"),
+        F.sum("n").alias("nn"),
+    )
+    na, nb, nn = (
+        F.col("na").cast("double"),
+        F.col("nb").cast("double"),
+        F.col("nn").cast("double"),
+    )
+    u_a = F.col("r_a") - na * (na + 1) / 2.0
+    sigma = F.sqrt(
+        na * nb / 12.0 * ((nn + 1) - F.col("t") / (nn * (nn - 1)))
+    )
+    return s.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        (u_a / (na * nb)).alias("auc"),
+        ((u_a - na * nb / 2.0) / sigma).alias("z"),
+    )
+
+
+def group_diversity(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group diversity of a categorical column: Shannon entropy
+    (nats), its exponential (the "effective number" of values — how
+    many equally-likely sources the group behaves as), and the
+    Gini-Simpson index 1 − Σp². The corpus-curation use is source/
+    domain concentration per shard or language: a lang whose
+    effective_values ≈ 1 is a single-crawl monoculture no matter how
+    many nominal sources it lists. Extension beyond the reference
+    surface (whiteRRabbit.R profiles one column at a time, never
+    grouped).
+
+    Scale shape: two partial-aggregable groupBys — (group, value)
+    counts, then one algebraic pass per group using
+    H = ln(N) − Σ n·ln n / N so no per-value probabilities (and no
+    window) are ever materialized. Output is |groups| rows.
+
+    Returns ``(group_col, n_rows, n_values, entropy, effective_values,
+    gini_simpson)``.
+    """
+    counts = (
+        df.where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    n = F.col("__n").cast("double")
+    per_group = counts.groupBy(group_col).agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum(n * F.log(n)).alias("__snln"),
+        F.sum(n * n).alias("__sn2"),
+    )
+    total = F.col("n_rows").cast("double")
+    # clamp at 0: the algebraic forms go ~1e-16 negative on a
+    # single-value group (ln N - N·ln N / N), and a -0.0 would also
+    # poison value-hash comparisons downstream
+    entropy = F.greatest(F.lit(0.0), F.log(total) - F.col("__snln") / total)
+    return per_group.select(
+        group_col,
+        "n_rows",
+        "n_values",
+        entropy.alias("entropy"),
+        F.exp(entropy).alias("effective_values"),
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.col("__sn2") / (total * total)
+        ).alias("gini_simpson"),
+    )

@@ -4711,6 +4711,210 @@ SELECT round(v, 6) AS v,
 FROM h"""
 
 
+def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document k-word-chunk repetition scrub (dedup.span_dedup):
+    one map-only projection of JVM higher-order functions — zero
+    shuffles; the within-doc complement to the corpus-global passes."""
+    from whiterrabbit_spark.extensions import dedup as dd
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return dd.span_dedup(docs, "text", "doc_id", k=3)
+
+
+_SPAN_DEDUP_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, i AS ord,
+         array_to_string(words[(i-1)*3+1:i*3], ' ') AS chunk
+  FROM w, unnest(generate_series(1, CAST(ceil(len(words)/3.0) AS BIGINT))) AS t(i)
+), f AS (
+  SELECT doc_id, ord, chunk,
+         row_number() OVER (PARTITION BY doc_id, chunk ORDER BY ord) AS rn
+  FROM c
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ord),
+                '') AS text_scrubbed
+FROM f GROUP BY doc_id"""
+
+
+def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution (sequences.attribution):
+    one user-partitioned window for both endpoints, |channels|-row
+    partial-aggregable rollup."""
+    from whiterrabbit_spark.extensions.sequences import attribution
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return attribution(ev, "purchase")
+
+
+_ATTRIBUTION_SQL = """
+WITH t AS (
+  SELECT event_type,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM events
+), conv AS (
+  SELECT coalesce(ft, '(none)') AS ft, coalesce(lt, '(none)') AS lt
+  FROM t WHERE event_type = 'purchase'
+), melted AS (
+  SELECT ft AS channel, 1 AS fc, 0 AS lc FROM conv
+  UNION ALL
+  SELECT lt AS channel, 0 AS fc, 1 AS lc FROM conv
+)
+SELECT channel,
+       CAST(sum(fc) AS BIGINT) AS first_touch_credits,
+       CAST(sum(lc) AS BIGINT) AS last_touch_credits
+FROM melted GROUP BY channel"""
+
+
+def _source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language source-diversity indices (profile.group_diversity):
+    two partial-aggregable groupBys, |langs| result rows."""
+    from whiterrabbit_spark.profile import group_diversity
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = group_diversity(docs, "lang", "source")
+    return out.select(
+        "lang", "n_rows", "n_values",
+        F.round("entropy", R).alias("entropy"),
+        F.round("effective_values", R).alias("effective_values"),
+        F.round("gini_simpson", R).alias("gini_simpson"),
+    )
+
+
+_SOURCE_DIVERSITY_SQL = f"""
+WITH counts AS (
+  SELECT lang, source, count(*) AS n FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+), g AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_values,
+         greatest(0.0, ln(sum(n)::DOUBLE)
+                  - sum(n::DOUBLE * ln(n::DOUBLE)) / sum(n)::DOUBLE) AS h,
+         greatest(0.0,
+                  1.0 - sum(n::DOUBLE * n) / (sum(n)::DOUBLE * sum(n))) AS gs
+  FROM counts GROUP BY lang
+)
+SELECT lang, n_rows, n_values, round(h, {R}) AS entropy,
+       round(exp(h), {R}) AS effective_values,
+       round(gs, {R}) AS gini_simpson
+FROM g"""
+
+
+def _mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between open and fulfilled orders on o_totalprice
+    (profile.mann_whitney_u): histogram ranks with the adaptive
+    prefix-sum — never a per-row global sort."""
+    from whiterrabbit_spark.profile import mann_whitney_u
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = mann_whitney_u(orders, "o_totalprice", "o_orderstatus", "O", "F")
+    return out.select(
+        "n_a", "n_b",
+        F.round("auc", R).alias("auc"),
+        F.round("z", R).alias("z"),
+    )
+
+
+_MANNWHITNEY_SQL = f"""
+WITH base AS (
+  SELECT o_totalprice::DOUBLE AS v,
+         CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_a
+  FROM orders
+  WHERE o_orderstatus IN ('O', 'F') AND o_totalprice IS NOT NULL
+), h AS (
+  SELECT v, sum(is_a) AS n_a, count(*) AS n FROM base GROUP BY 1
+), c AS (
+  SELECT v, n_a, n, n - n_a AS n_b,
+         coalesce(sum(n) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM h
+), s AS (
+  SELECT sum(n_a * (before + (n + 1) / 2.0)) AS r_a,
+         sum(n_a) AS na, sum(n_b) AS nb,
+         sum(n::DOUBLE * n * n - n) AS t, sum(n) AS nn
+  FROM c
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round((r_a - na * (na + 1) / 2.0) / (na::DOUBLE * nb), {R}) AS auc,
+       round((r_a - na * (na + 1) / 2.0 - na::DOUBLE * nb / 2.0)
+             / sqrt(na::DOUBLE * nb / 12.0
+                    * ((nn + 1) - t / (nn::DOUBLE * (nn - 1)))), {R}) AS z
+FROM s"""
+
+
+def _quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantization fidelity per vector
+    (similarity.quantization_error): a |dim|-row stats aggregate inlined
+    as literals + one map-only JVM-fold projection."""
+    from whiterrabbit_spark.extensions.similarity import quantization_error
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    out = quantization_error(emb, "embedding", "vec_id", bits=8)
+    return out.select(
+        "vec_id",
+        F.round(F.log10("mse"), R).alias("log10_mse"),
+        F.round(F.log10("max_abs_err"), R).alias("log10_max_abs_err"),
+        F.round("cosine_fidelity", R).alias("cosine_fidelity"),
+    )
+
+
+_QUANTIZE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), d AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS i FROM e
+), stats AS (
+  SELECT i, min(val) AS lo, max(val) - min(val) AS span FROM d GROUP BY i
+), q AS (
+  SELECT vec_id, val,
+         CASE WHEN span > 0
+              THEN lo + round((val - lo) / span * 255.0, 0) * span / 255.0
+              ELSE lo END AS deq
+  FROM d JOIN stats USING (i)
+), per_vec AS (
+  SELECT vec_id,
+         avg((deq - val) * (deq - val)) AS mse,
+         max(abs(deq - val)) AS max_abs_err,
+         sum(val * deq)
+           / (sqrt(sum(val * val)) * sqrt(sum(deq * deq))) AS cosine_fidelity
+  FROM q GROUP BY vec_id
+)
+SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
+       round(log10(max_abs_err), {R}) AS log10_max_abs_err,
+       round(cosine_fidelity, {R}) AS cosine_fidelity
+FROM per_vec"""
+
+
+def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance eigen-spectrum of the embedding corpus
+    (similarity.embedding_pca): O(partitions·d²) partial-Gram collect +
+    driver eigh. Rows-only (no SQL eigendecomposition)."""
+    from whiterrabbit_spark.extensions.similarity import embedding_pca
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    out = embedding_pca(emb, "embedding", k=10)
+    return out.select(
+        "component",
+        F.round("eigenvalue", R).alias("eigenvalue"),
+        F.round("variance_explained", R).alias("variance_explained"),
+        F.round("cumulative_explained", R).alias("cumulative_explained"),
+    )
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -4915,5 +5119,16 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _curation_pipeline_sql())
     add("dataset_split_documents", _dataset_split, _DATASET_SPLIT_SQL)
     add("text_stats_documents", _text_stats, _text_stats_sql())
+
+    # --- Block 4: round-3 additions (registered after the signed
+    # prefix; the pytest oracle mirror exercises them immediately and
+    # the r4 driver sample picks them up).
+    add("span_dedup_documents", _span_dedup, _SPAN_DEDUP_SQL)
+    add("attribution_events", _attribution, _ATTRIBUTION_SQL)
+    add("source_diversity_documents", _source_diversity,
+        _SOURCE_DIVERSITY_SQL)
+    add("mannwhitney_orders", _mannwhitney, _MANNWHITNEY_SQL)
+    add("quantize_error_embeddings", _quantize_error, _QUANTIZE_SQL)
+    add("embedding_pca_embeddings", _embedding_pca, None)
 
     return queries, oracles
