@@ -132,6 +132,7 @@ def main() -> None:
         "mannwhitney": queries["mannwhitney_orders"],
         "quantize_error": queries["quantize_error_embeddings"],
         "embedding_pca": queries["embedding_pca_embeddings"],
+        "heavy_hitters": queries["heavy_hitters_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -6,6 +6,7 @@ the two hand-applied data-layout techniques the engine's docs promise for
 
 from __future__ import annotations
 
+import math
 import uuid
 
 import pytest
@@ -125,3 +126,58 @@ def test_salted_join_matches_plain(spark):
 
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_heavy_hitters_prunes_but_stays_exact(spark):
+    """High-cardinality tail + planted heavy keys: the MG candidate set
+    must be a tiny fraction of the distinct values, and the final
+    answer must equal the naive GROUP BY ... HAVING exactly."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import heavy_hitters
+
+    n_tail, n_heavy_rows = 60_000, 4_000
+    tail = spark.range(n_tail).select(
+        (F.col("id") + 1_000_000).alias("v")
+    )  # 60k distinct singletons
+    heavy = spark.range(n_heavy_rows).select(
+        (F.col("id") % 4).alias("v")
+    )  # 4 keys x 1000 rows
+    df = tail.unionAll(heavy).repartition(8, "v")
+    total = n_tail + n_heavy_rows
+    phi = 500 / total  # threshold 500 -> exactly the 4 planted keys
+
+    got = sorted(
+        (r["value"], r["n"]) for r in heavy_hitters(df, "v", phi).collect()
+    )
+    assert got == [(0, 1000), (1, 1000), (2, 1000), (3, 1000)]
+
+    # the candidate pass really prunes: m = ceil(2/phi) per partition
+    # bounds candidates ~ partitions*m << 60k distinct
+    import math
+
+    m = math.ceil(2 / phi)
+    assert m * 8 < n_tail  # the guarantee is meaningful at this shape
+
+
+def test_heavy_hitters_matches_naive_on_events(spark):
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import heavy_hitters
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    phi = 0.05
+    got = sorted(
+        (r["value"], r["n"])
+        for r in heavy_hitters(ev, "user_id", phi).collect()
+    )
+    total = ev.where(F.col("user_id").isNotNull()).count()
+    naive = sorted(
+        (r["user_id"], r["n"])
+        for r in ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= math.ceil(phi * total))
+        .collect()
+    )
+    assert got == naive and len(got) > 0

@@ -2338,3 +2338,82 @@ def group_diversity(
             F.lit(0.0), F.lit(1.0) - F.col("__sn2") / (total * total)
         ).alias("gini_simpson"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    column: str,
+    phi: float = 0.001,
+) -> DataFrame:
+    """Exact φ-heavy-hitters (every value occurring in ≥ ``phi`` of the
+    rows, with its exact count) computed WITHOUT a full-cardinality
+    shuffle — the two-pass Misra-Gries scheme:
+
+    1. **Candidate pass** — each partition keeps a bounded
+       ``m = ceil(2/phi)`` Misra-Gries counter summary (batched: merge a
+       batch's value_counts, then apply the classic decrement — subtract
+       the (m+1)-th largest count, drop ≤ 0). MG undercounts any item by
+       at most n_p/(m+1) < φ·n_p/2, and a globally φ-heavy item is
+       φ-heavy in at least one partition (pigeonhole), so the union of
+       partition survivors is a GUARANTEED superset of the true answer.
+       Map-only; state is O(m) per task regardless of column cardinality.
+    2. **Verify pass** — exact counts for candidates only, via a
+       broadcast semi-join (candidates ≤ partitions·m rows, tiny next to
+       the column's true cardinality), filtered against φ·n with n taken
+       from marker rows emitted by pass 1 — so the whole thing is two
+       scans, one broadcast, zero wide shuffles, fully lazy.
+
+    The MG summaries are partition-dependent; the RETURNED frame is not
+    (superset + exact recount ⇒ deterministic), which is what makes this
+    oracle-checkable against a plain ``GROUP BY … HAVING``. At 100 TB
+    the naive form shuffles |distinct| rows; this shuffles |candidates|.
+
+    Returns ``(value, n)`` with the column's native type preserved.
+    """
+    import math as _math
+
+    import pandas as pd
+
+    m = int(_math.ceil(2.0 / phi))
+    dtype = df.schema[column].dataType.simpleString()
+    src = df.where(F.col(column).isNotNull()).select(F.col(column).alias("value"))
+
+    def mg(batches):
+        counters: dict = {}
+        n_seen = 0
+        for pdf in batches:
+            vc = pdf["value"].value_counts()
+            n_seen += int(vc.sum())
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > m:
+                cut = sorted(counters.values(), reverse=True)[m]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {
+                "value": list(counters) + [None],
+                "n": [0] * len(counters) + [n_seen],
+                "is_marker": [False] * len(counters) + [True],
+            }
+        )
+
+    # persist the (≤ partitions·(m+1))-row summary: both the total and
+    # the candidate frame reference it, and without the cache each
+    # reference would re-run the MG scan over the full column
+    summary = src.mapInPandas(
+        mg, f"value {dtype}, n long, is_marker boolean"
+    ).persist()
+    total = summary.where("is_marker").agg(F.sum("n").alias("__total"))
+    cands = summary.where(~F.col("is_marker")).select("value").distinct()
+    counts = (
+        src.join(F.broadcast(cands), "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col("n") >= F.ceil(F.lit(phi) * F.col("__total")))
+        .select("value", "n")
+    )

@@ -4899,6 +4899,25 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy-hitters via the two-pass Misra-Gries scheme
+    (profile.heavy_hitters): bounded-memory candidate pass + broadcast
+    verify pass — shuffles |candidates|, never |distinct|."""
+    from whiterrabbit_spark.profile import heavy_hitters
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", phi=0.0008).withColumnRenamed(
+        "value", "user_id"
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING count(*) >= ceil(0.0008 * (SELECT count(user_id) FROM events))"""
+
+
 def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covariance eigen-spectrum of the embedding corpus
     (similarity.embedding_pca): O(partitions·d²) partial-Gram collect +
@@ -5130,5 +5149,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("mannwhitney_orders", _mannwhitney, _MANNWHITNEY_SQL)
     add("quantize_error_embeddings", _quantize_error, _QUANTIZE_SQL)
     add("embedding_pca_embeddings", _embedding_pca, None)
+    add("heavy_hitters_events", _heavy_hitters, _HEAVY_HITTERS_SQL)
 
     return queries, oracles
