@@ -133,6 +133,8 @@ def main() -> None:
         "quantize_error": queries["quantize_error_embeddings"],
         "embedding_pca": queries["embedding_pca_embeddings"],
         "heavy_hitters": queries["heavy_hitters_events"],
+        "join_discovery": queries["join_discovery_customer_orders"],
+        "k_anonymity": queries["k_anonymity_customer"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -2915,3 +2915,41 @@ def test_embedding_pca_matches_numpy(spark):
         assert abs(r["eigenvalue"] - ev[i]) < 1e-9
     assert got[0]["cumulative_explained"] == got[0]["variance_explained"]
     assert 0 < got[-1]["cumulative_explained"] <= 1.0
+
+
+def test_join_candidates_fk_direction_and_cross_type(spark):
+    from whiterrabbit_spark.extensions.discovery import join_candidates
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "id long, junk string"
+    )
+    # string-typed FK column referencing a's int ids, plus noise
+    b = spark.createDataFrame(
+        [("1", 9.0), ("2", 8.0), ("2", 7.0), ("9", 6.0)],
+        "ref string, other double",
+    )
+    out = {
+        (r["col_a"], r["col_b"]): r
+        for r in join_candidates(a, b, min_containment=0.5).collect()
+    }
+    r = out[("id", "ref")]  # found despite long-vs-string
+    assert r["n_common"] == 2
+    assert abs(r["containment_b"] - 2 / 3) < 1e-12  # 2 of b's 3 distinct
+    assert abs(r["containment_a"] - 2 / 3) < 1e-12
+    assert ("junk", "ref") not in out  # zero-overlap pairs never emitted
+
+
+def test_k_anonymity_extremes(spark):
+    from whiterrabbit_spark.extensions.discovery import k_anonymity
+
+    uniq = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "a long, b string"
+    )
+    r = k_anonymity(uniq, ["a", "b"], k=5).collect()[0]
+    assert r["n_classes"] == 6 and r["min_class_size"] == 1
+    assert r["n_rows_below_k"] == 6 and r["pct_rows_below_k"] == 100.0
+
+    same = spark.createDataFrame([(1, "x")] * 8, "a long, b string")
+    r = k_anonymity(same, ["a", "b"], k=5).collect()[0]
+    assert r["n_classes"] == 1 and r["n_rows_below_k"] == 0
+    assert r["pct_rows_below_k"] == 0.0

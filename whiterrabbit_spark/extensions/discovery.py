@@ -1,0 +1,136 @@
+"""Data-discovery operators: cross-table join-column discovery and
+k-anonymity auditing.
+
+Not in the reference surface (whiteRRabbit.R:309-423 profiles each
+column of each file in isolation; no cross-column or cross-table
+reasoning exists) — but both are natural next questions over exactly
+the profile it produces: "which columns join these two tables?" and
+"do these quasi-identifier columns re-identify rows?". The reference's
+OMOP-ETL lineage (scan reports feeding schema mapping) makes join
+discovery the single most-requested follow-on.
+
+Scale shape
+-----------
+``join_candidates`` melts each table to DISTINCT (column, value) pairs
+— one Expand + one partial-aggregable distinct per table, state
+bounded by Σ|distinct| not Σ|rows| — then a single equi-join on value
+computes every column-pair intersection at once (no per-pair loop, no
+cross join). Per-column distinct counts ride the same melted frame.
+At 100 TB the melted join is still a real shuffle; the documented
+approximation path is per-column MinHash signatures (constant size per
+column) — see ``similarity``/``dedup`` for the machinery — with this
+exact form as the verifier over signature-selected pairs.
+
+``k_anonymity`` is one groupBy over the quasi-identifier tuple + one
+tiny aggregate over the class-size histogram. Nothing is ever
+collected; output is one row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _melt_distinct(df: DataFrame, cols: list[str], side: str) -> DataFrame:
+    """DISTINCT (column, value-as-string) pairs for the given columns."""
+    pairs = []
+    for c in cols:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    stacked = df.select(
+        F.stack(F.lit(len(cols)), *pairs).alias(f"col_{side}", "value")
+    )
+    return stacked.where(F.col("value").isNotNull()).distinct()
+
+
+def join_candidates(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols_a: list[str] | None = None,
+    cols_b: list[str] | None = None,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Join-column discovery between two tables: for every column pair
+    (a ∈ A, b ∈ B) with any value overlap, the distinct-value
+    intersection, Jaccard, and both containment directions —
+    ``containment_a`` = |A∩B| / |distinct(a)| ≈ P(a-value resolves in
+    b), the foreign-key signal (a true FK has containment_a ≈ 1 while
+    Jaccard can be arbitrarily small). Pairs below ``min_containment``
+    on BOTH directions are dropped.
+
+    Values compare as strings so cross-type joins (int id vs string id
+    — the classic dirty-warehouse join) are still found; genuinely
+    unrelated columns almost never collide as strings.
+
+    Returns ``(col_a, col_b, n_a, n_b, n_common, jaccard,
+    containment_a, containment_b)``.
+    """
+    cols_a = cols_a or df_a.columns
+    cols_b = cols_b or df_b.columns
+    ma = _melt_distinct(df_a, cols_a, "a")
+    mb = _melt_distinct(df_b, cols_b, "b")
+    sizes_a = ma.groupBy("col_a").agg(F.count(F.lit(1)).alias("n_a"))
+    sizes_b = mb.groupBy("col_b").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        ma.join(mb, "value")
+        .groupBy("col_a", "col_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes_a), "col_a")
+        .join(F.broadcast(sizes_b), "col_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .withColumn("containment_a", F.col("n_common") / F.col("n_a"))
+        .withColumn("containment_b", F.col("n_common") / F.col("n_b"))
+    )
+    return out.where(
+        (F.col("containment_a") >= min_containment)
+        | (F.col("containment_b") >= min_containment)
+    ).select(
+        "col_a", "col_b", "n_a", "n_b", "n_common",
+        "jaccard", "containment_a", "containment_b",
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit for a quasi-identifier column set: how many
+    equivalence classes the QI tuple induces, how small the smallest
+    is, and what fraction of rows live in classes below ``k`` (those
+    rows are re-identifiable at that k). The privacy counterpart of
+    the reference's value-frequency report — run it before publishing
+    any "anonymized" extract.
+
+    One groupBy over the QI tuple (partial-aggregable), one single-row
+    aggregate over the |classes|-row histogram.
+
+    Returns one row ``(n_rows, n_classes, min_class_size,
+    n_rows_below_k, pct_rows_below_k, k)``.
+    """
+    classes = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return classes.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("__n").alias("min_class_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("__n") < k, F.col("__n"))), F.lit(0)
+        ).alias("n_rows_below_k"),
+    ).select(
+        "n_rows",
+        "n_classes",
+        "min_class_size",
+        "n_rows_below_k",
+        (F.col("n_rows_below_k") / F.col("n_rows") * 100.0).alias(
+            "pct_rows_below_k"
+        ),
+        F.lit(k).alias("k"),
+    )

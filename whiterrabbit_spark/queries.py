@@ -4899,6 +4899,87 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+_DISC_COLS_A = ["c_custkey", "c_nationkey", "c_mktsegment", "c_name"]
+_DISC_COLS_B = ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority", "o_orderdate"]
+
+
+def _join_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table join-column discovery (discovery.join_candidates):
+    one melt→distinct per table + one value equi-join scores every
+    column pair at once. Double columns excluded so the string-cast
+    comparison is render-stable across engines."""
+    from whiterrabbit_spark.extensions.discovery import join_candidates
+
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = join_candidates(
+        cust, orders, _DISC_COLS_A, _DISC_COLS_B, min_containment=0.5
+    )
+    return out.select(
+        "col_a", "col_b", "n_a", "n_b", "n_common",
+        F.round("jaccard", R).alias("jaccard"),
+        F.round("containment_a", R).alias("containment_a"),
+        F.round("containment_b", R).alias("containment_b"),
+    )
+
+
+def _join_discovery_sql() -> str:
+    ma = " UNION ALL ".join(
+        f"SELECT DISTINCT '{c}' AS col_a, CAST({c} AS VARCHAR) AS value "
+        f"FROM customer WHERE {c} IS NOT NULL"
+        for c in _DISC_COLS_A
+    )
+    mb = " UNION ALL ".join(
+        f"SELECT DISTINCT '{c}' AS col_b, CAST({c} AS VARCHAR) AS value "
+        f"FROM orders WHERE {c} IS NOT NULL"
+        for c in _DISC_COLS_B
+    )
+    return f"""
+WITH ma AS ({ma}), mb AS ({mb}),
+sa AS (SELECT col_a, count(*) AS n_a FROM ma GROUP BY 1),
+sb AS (SELECT col_b, count(*) AS n_b FROM mb GROUP BY 1),
+inter AS (
+  SELECT col_a, col_b, count(*) AS n_common
+  FROM ma JOIN mb USING (value) GROUP BY 1, 2
+)
+SELECT col_a, col_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(n_common::DOUBLE / (n_a + n_b - n_common), {R}) AS jaccard,
+       round(n_common::DOUBLE / n_a, {R}) AS containment_a,
+       round(n_common::DOUBLE / n_b, {R}) AS containment_b
+FROM inter JOIN sa USING (col_a) JOIN sb USING (col_b)
+WHERE n_common::DOUBLE / n_a >= 0.5 OR n_common::DOUBLE / n_b >= 0.5"""
+
+
+def _k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over (c_nationkey, c_mktsegment)
+    (discovery.k_anonymity): one QI groupBy + one single-row rollup."""
+    from whiterrabbit_spark.extensions.discovery import k_anonymity
+
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    out = k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+    return out.select(
+        "n_rows", "n_classes", "min_class_size", "n_rows_below_k",
+        F.round("pct_rows_below_k", R).alias("pct_rows_below_k"), "k",
+    )
+
+
+_K_ANON_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS BIGINT) AS min_class_size,
+       CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT) AS n_rows_below_k,
+       round(coalesce(sum(n) FILTER (n < 5), 0) * 100.0 / sum(n), {R})
+         AS pct_rows_below_k,
+       CAST(5 AS BIGINT) AS k
+FROM classes"""
+
+
 def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact φ-heavy-hitters via the two-pass Misra-Gries scheme
     (profile.heavy_hitters): bounded-memory candidate pass + broadcast
@@ -5150,5 +5231,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("quantize_error_embeddings", _quantize_error, _QUANTIZE_SQL)
     add("embedding_pca_embeddings", _embedding_pca, None)
     add("heavy_hitters_events", _heavy_hitters, _HEAVY_HITTERS_SQL)
+    add("join_discovery_customer_orders", _join_discovery,
+        _join_discovery_sql())
+    add("k_anonymity_customer", _k_anonymity, _K_ANON_SQL)
 
     return queries, oracles
