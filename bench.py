@@ -135,6 +135,7 @@ def main() -> None:
         "heavy_hitters": queries["heavy_hitters_events"],
         "join_discovery": queries["join_discovery_customer_orders"],
         "k_anonymity": queries["k_anonymity_customer"],
+        "binned_mi": queries["binned_mi_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -952,3 +952,36 @@ def test_sequence_gaps_extreme_range(spark):
     assert r.n_missing == (base + 6) - (-(1 << 61)) + 1 - 5
     # two gap runs: the huge one below `base`, and base+1 -> base+5
     assert r.n_gaps == 2 and r.max_gap == base - (-(1 << 61)) - 1
+
+
+def test_binned_mi_detects_nonmonotonic_dependence(spark):
+    """V-shaped y=|x| has ~zero Pearson correlation but strong binned
+    MI; independent noise has near-zero MI. Constant column -> bin 0
+    everywhere, mi 0, mi_norm NULL."""
+    import math
+    import random
+
+    from whiterrabbit_spark.profile import binned_mutual_information
+
+    rng = random.Random(7)
+    xs = [rng.uniform(-1, 1) for _ in range(4000)]
+    v = spark.createDataFrame(
+        [(x, abs(x)) for x in xs], "x double, y double"
+    )
+    noise = spark.createDataFrame(
+        [(x, rng.uniform(-1, 1)) for x in xs], "x double, y double"
+    )
+    mi_v = binned_mutual_information(v, "x", "y").collect()[0]
+    mi_n = binned_mutual_information(noise, "x", "y").collect()[0]
+    assert mi_v["mi"] > 1.0  # deterministic relation, ~ln(bins) nats
+    assert mi_n["mi"] < 0.15
+    assert mi_v["mi_norm"] > 5 * (mi_n["mi_norm"] or 0)
+    # Pearson misses the V entirely
+    corr = v.corr("x", "y")
+    assert abs(corr) < 0.1 and mi_v["mi"] > 10 * abs(corr)
+
+    const = spark.createDataFrame(
+        [(float(i), 1.0) for i in range(50)], "x double, y double"
+    )
+    r = binned_mutual_information(const, "x", "y").collect()[0]
+    assert r["mi"] == 0.0 and r["mi_norm"] is None

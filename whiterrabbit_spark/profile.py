@@ -2417,3 +2417,57 @@ def heavy_hitters(
         .where(F.col("n") >= F.ceil(F.lit(phi) * F.col("__total")))
         .select("value", "n")
     )
+
+
+def binned_mutual_information(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Mutual information between two NUMERIC columns via equi-width
+    binning — the dependence detector for continuous pairs that Pearson/
+    Spearman miss when the relationship is non-monotonic (V-shapes,
+    bands, mixtures). Complements :func:`mutual_information`
+    (categorical) and :func:`corr_matrix` (linear).
+
+    One (min, max) aggregate per column broadcasts back as a 1-row
+    frame (lazy — no driver collect), each row maps to a (bin_x, bin_y)
+    cell, and the MI machinery runs over the ≤ bins² observed cells —
+    identical scale shape to the categorical form: raw rows shuffle
+    once as per-cell partial counts.
+
+    Returns one row ``(col_a, col_b, n_rows, bins, mi, mi_norm)``.
+    """
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("__x"), y.alias("__y")
+    )
+    bounds = base.agg(
+        F.min("__x").alias("__xlo"), F.max("__x").alias("__xhi"),
+        F.min("__y").alias("__ylo"), F.max("__y").alias("__yhi"),
+    )
+
+    def bin_of(c, lo, hi):
+        return F.when(
+            F.col(hi) > F.col(lo),
+            F.least(
+                F.floor((c - F.col(lo)) / ((F.col(hi) - F.col(lo)) / bins)),
+                F.lit(bins - 1),
+            ),
+        ).otherwise(F.lit(0))
+
+    binned = base.join(F.broadcast(bounds)).select(
+        bin_of(F.col("__x"), "__xlo", "__xhi").alias("__bx"),
+        bin_of(F.col("__y"), "__ylo", "__yhi").alias("__by"),
+    )
+    out = mutual_information(binned, [("__bx", "__by")])
+    return out.select(
+        F.lit(col_x).alias("col_a"),
+        F.lit(col_y).alias("col_b"),
+        "n_rows",
+        F.lit(bins).alias("bins"),
+        "mi",
+        "mi_norm",
+    )

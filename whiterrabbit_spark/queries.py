@@ -4899,6 +4899,62 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+def _binned_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-binned MI between quantity and extendedprice
+    (profile.binned_mutual_information): bounds broadcast lazily, MI
+    over ≤ bins² observed cells."""
+    from whiterrabbit_spark.profile import binned_mutual_information
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = binned_mutual_information(li, "l_quantity", "l_extendedprice",
+                                    bins=20)
+    return out.select(
+        "col_a", "col_b", "n_rows", "bins",
+        F.round("mi", R).alias("mi"),
+        F.round("mi_norm", R).alias("mi_norm"),
+    )
+
+
+_BINNED_MI_SQL = f"""
+WITH base AS (
+  SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), b AS (
+  SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi
+  FROM base
+), binned AS (
+  SELECT CASE WHEN xhi > xlo
+              THEN least(floor((x - xlo) / ((xhi - xlo) / 20.0)), 19)
+              ELSE 0 END AS a,
+         CASE WHEN yhi > ylo
+              THEN least(floor((y - ylo) / ((yhi - ylo) / 20.0)), 19)
+              ELSE 0 END AS b
+  FROM base, b
+), cells AS (
+  SELECT a, b, count(*)::DOUBLE AS n FROM binned GROUP BY 1, 2
+), m AS (
+  SELECT n,
+         sum(n) OVER () AS nt,
+         sum(n) OVER (PARTITION BY a) AS na,
+         sum(n) OVER (PARTITION BY b) AS nb,
+         count(*) OVER (PARTITION BY a) AS ca,
+         count(*) OVER (PARTITION BY b) AS cb
+  FROM cells
+), s AS (
+  SELECT sum((n/nt) * ln((n/nt) / ((na/nt)*(nb/nt)))) AS mi,
+         sum(-((na/nt) * ln(na/nt)) / ca) AS ha,
+         sum(-((nb/nt) * ln(nb/nt)) / cb) AS hb,
+         sum(n)::BIGINT AS n_rows
+  FROM m
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n_rows,
+       CAST(20 AS BIGINT) AS bins,
+       round(greatest(mi, 0.0), {R}) AS mi,
+       round(CASE WHEN least(ha, hb) > 0
+                  THEN greatest(mi, 0.0) / least(ha, hb) END, {R}) AS mi_norm
+FROM s"""
+
+
 _DISC_COLS_A = ["c_custkey", "c_nationkey", "c_mktsegment", "c_name"]
 _DISC_COLS_B = ["o_orderkey", "o_custkey", "o_orderstatus",
                 "o_orderpriority", "o_orderdate"]
@@ -5234,5 +5290,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("join_discovery_customer_orders", _join_discovery,
         _join_discovery_sql())
     add("k_anonymity_customer", _k_anonymity, _K_ANON_SQL)
+    add("binned_mi_lineitem", _binned_mi, _BINNED_MI_SQL)
 
     return queries, oracles
