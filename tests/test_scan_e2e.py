@@ -790,3 +790,34 @@ def test_dataset_card_cli(spark, tmp_path, capsys):
     plain.write.parquet(p)
     card2 = build_card(spark, p)
     assert "## Language mix" not in card2 and "documents: **6**" in card2
+
+
+def test_discover_cli(spark, tmp_path, capsys):
+    """Join-discovery CLI over a small TSV folder: the FK pair tops the
+    report, same-table pairs are excluded, TSV round-trips."""
+    from whiterrabbit_spark.discover import main
+
+    wd = tmp_path / "in"
+    wd.mkdir()
+    (wd / "cust.tsv").write_text(
+        "cust_id\tsegment\n1\tA\n2\tB\n3\tA\n4\tC\n"
+    )
+    (wd / "ord.tsv").write_text(
+        "order_id\tcust_ref\n100\t1\n101\t2\n102\t2\n103\t9\n"
+    )
+    out = tmp_path / "joins.tsv"
+    rc = main(["-w", str(wd), "-o", str(out), "--min-containment", "0.4"])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    header, rows = lines[0], [l.split("\t") for l in lines[1:]]
+    assert header.startswith("col_a\tcol_b")
+    top = rows[0]
+    assert top[0] == "cust.cust_id" and top[1] == "ord.cust_ref"
+    assert top[4] == "2"  # values 1,2 overlap; 9 doesn't
+    assert all(r[0].split(".")[0] != r[1].split(".")[0] for r in rows)
+
+    # fewer than two tables -> error exit
+    solo = tmp_path / "solo"
+    solo.mkdir()
+    (solo / "only.tsv").write_text("a\n1\n")
+    assert main(["-w", str(solo)]) == 2

@@ -134,3 +134,62 @@ def k_anonymity(
         ),
         F.lit(k).alias("k"),
     )
+
+
+def folder_join_candidates(
+    tables: dict[str, DataFrame],
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Join-column discovery across EVERY pair of tables in one job:
+    each table melts once to DISTINCT (``table.column``, value) pairs,
+    the melts union, and a single self-equi-join on value scores all
+    cross-table column pairs simultaneously — n tables cost n melts +
+    ONE join, not n²/2 pairwise jobs. Same-table pairs are excluded
+    (FD/correlation operators cover those).
+
+    Returns ``(col_a, col_b, n_a, n_b, n_common, jaccard,
+    containment_a, containment_b)`` with ``col_a < col_b``
+    lexicographically (each pair once, deterministic orientation).
+    """
+    melted = None
+    for name, df in tables.items():
+        m = _melt_distinct(df, df.columns, "a").select(
+            F.concat(F.lit(name + "."), F.col("col_a")).alias("col"),
+            "value",
+        )
+        melted = m if melted is None else melted.unionByName(m)
+    melted = melted.persist()
+    sizes = melted.groupBy("col").agg(F.count(F.lit(1)).alias("n"))
+    a = melted.select(F.col("col").alias("col_a"), "value")
+    b = melted.select(F.col("col").alias("col_b"), "value")
+    inter = (
+        a.join(b, "value")
+        .where(F.col("col_a") < F.col("col_b"))
+        # cross-table only: different prefix before the first dot
+        .where(
+            F.substring_index("col_a", ".", 1)
+            != F.substring_index("col_b", ".", 1)
+        )
+        .groupBy("col_a", "col_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("col").alias("col_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("col").alias("col_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "col_a")
+        .join(F.broadcast(sb), "col_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .withColumn("containment_a", F.col("n_common") / F.col("n_a"))
+        .withColumn("containment_b", F.col("n_common") / F.col("n_b"))
+    )
+    return out.where(
+        (F.col("containment_a") >= min_containment)
+        | (F.col("containment_b") >= min_containment)
+    ).select(
+        "col_a", "col_b", "n_a", "n_b", "n_common",
+        "jaccard", "containment_a", "containment_b",
+    )
