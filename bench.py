@@ -136,6 +136,8 @@ def main() -> None:
         "join_discovery": queries["join_discovery_customer_orders"],
         "k_anonymity": queries["k_anonymity_customer"],
         "binned_mi": queries["binned_mi_lineitem"],
+        "session_paths": queries["session_paths_events"],
+        "cusum_changepoint": queries["cusum_changepoint_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -2953,3 +2953,61 @@ def test_k_anonymity_extremes(spark):
     r = k_anonymity(same, ["a", "b"], k=5).collect()[0]
     assert r["n_classes"] == 1 and r["n_rows_below_k"] == 0
     assert r["pct_rows_below_k"] == 0.0
+
+
+def test_session_paths_ordering_and_truncation(spark):
+    from whiterrabbit_spark.extensions.sequences import session_paths
+
+    rows = []
+    # three users with the same 3-event journey in one session
+    for u in (1, 2, 3):
+        rows += [
+            (u * 10 + 1, u, "2024-01-01 10:00:00", "view"),
+            (u * 10 + 2, u, "2024-01-01 10:05:00", "click"),
+            (u * 10 + 3, u, "2024-01-01 10:10:00", "buy"),
+        ]
+    # user 4: same events but the last one is a NEW session (gap > 1h)
+    rows += [
+        (41, 4, "2024-01-01 10:00:00", "view"),
+        (42, 4, "2024-01-01 10:05:00", "click"),
+        (43, 4, "2024-01-01 13:00:00", "buy"),
+    ]
+    # user 5: 5 events, max_len=3 truncates the path but counts full len
+    rows += [
+        (51, 5, "2024-01-01 10:00:00", "view"),
+        (52, 5, "2024-01-01 10:01:00", "view"),
+        (53, 5, "2024-01-01 10:02:00", "click"),
+        (54, 5, "2024-01-01 10:03:00", "view"),
+        (55, 5, "2024-01-01 10:04:00", "buy"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["path"]: r
+        for r in session_paths(ev, gap="1 hour", max_len=3).collect()
+    }
+    assert out["view>click>buy"]["n_sessions"] == 3
+    assert out["view>click"]["n_sessions"] == 1  # user 4 session 1
+    assert out["buy"]["n_sessions"] == 1         # user 4 session 2
+    r5 = out["view>view>click"]
+    assert r5["n_sessions"] == 1 and r5["avg_session_len"] == 5.0
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    from whiterrabbit_spark.profile import cusum_changepoint
+
+    rows = []
+    for d in range(1, 21):
+        level = 10.0 if d <= 10 else 20.0  # shift after day 10
+        for i in range(5):
+            rows.append((f"2024-03-{d:02d} 0{i}:00:00", level + i * 0.01))
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = cusum_changepoint(df, "ts", "value").collect()
+    assert len(out) == 20
+    cp = [r for r in out if r["is_changepoint"]]
+    assert len(cp) == 1
+    # |CUSUM| peaks at the last pre-shift day
+    assert cp[0]["bucket_ts"].day == 10

@@ -274,3 +274,60 @@ def attribution(
         F.sum("__fc").alias("first_touch_credits"),
         F.sum("__lc").alias("last_touch_credits"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap: str = "28800 seconds",
+    max_len: int = 10,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top user journeys: the most common within-session event-type
+    paths (first ``max_len`` events of each gap-delimited session,
+    joined ``a>b>c``), with how many sessions took each path and the
+    average FULL session length behind it. The product-analytics
+    complement to :func:`funnel_completion_times` — funnels score a
+    path you hypothesize, this surfaces the paths that actually happen.
+
+    Scale shape: ONE ``session_window`` groupBy builds each session's
+    ordered type array (state per group = that session's events —
+    bounded by session length, same bound the engine's own session
+    merging needs), the path string is a map-side
+    ``transform``+``slice``+``array_join``, and the count collapses in
+    a second partial-aggregable groupBy whose result is |paths| rows;
+    top-k is a TakeOrderedAndProject, never a global sort. Ordering
+    inside a session breaks ties by ``id_col``, so executor order never
+    changes a path.
+    """
+    per_session = events.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("__sw"),
+        F.col(user_col),
+    ).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col(type_col).alias("e"),
+                )
+            )
+        ).alias("__evs")
+    )
+    types = F.transform(F.col("__evs"), lambda s: s["e"])
+    path = F.array_join(F.slice(types, 1, max_len), ">")
+    return (
+        per_session.select(
+            path.alias("path"), F.size("__evs").alias("__n")
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.avg("__n").alias("avg_session_len"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(top_k)
+    )

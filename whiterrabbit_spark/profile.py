@@ -2471,3 +2471,49 @@ def binned_mutual_information(
         "mi",
         "mi_norm",
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """CUSUM level-shift detection over a time-bucketed series: bucket
+    the raw rows, track the cumulative sum of (bucket mean − grand mean
+    of bucket means), and flag the bucket where |CUSUM| peaks — the
+    classic single-changepoint estimate (where the series' mean level
+    most plausibly shifted). The monitoring complement to the drift
+    family (PSI/KS/χ² compare two snapshots; this localizes WHEN within
+    one window).
+
+    Scale shape: the raw rows collapse in one partial-aggregable
+    time-bucket groupBy; everything after runs on the |buckets|-row
+    series (a global-order window over ≤ thousands of rows — days/hours
+    of history — is driver-trivial by construction, unlike value
+    histograms). Tie on |CUSUM| breaks to the earliest bucket.
+
+    Returns one row per bucket: ``(bucket_ts, n_rows, mean_value,
+    cusum, is_changepoint)``.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    series = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(b.alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.avg(F.col(value_col).cast("double")).alias("mean_value"),
+        )
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("bucket_ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grand = F.avg("mean_value").over(w_all)
+    series = series.withColumn(
+        "cusum", F.sum(F.col("mean_value") - grand).over(w_cum)
+    )
+    w_rank = Window.orderBy(F.abs(F.col("cusum")).desc(), F.col("bucket_ts"))
+    return series.withColumn(
+        "is_changepoint", F.row_number().over(w_rank) == 1
+    ).select("bucket_ts", "n_rows", "mean_value", "cusum", "is_changepoint")

@@ -4899,6 +4899,92 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+def _session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top within-session event-type journeys (sequences.session_paths):
+    one session_window groupBy + one |paths| rollup + top-k. Oracle
+    rebuilds sessions with the independent lag+cumsum construction."""
+    from whiterrabbit_spark.extensions.sequences import session_paths
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    out = session_paths(ev, gap=f"{SESSION_GAP_S} seconds",
+                        max_len=10, top_k=20)
+    return out.select(
+        "path", "n_sessions",
+        F.round("avg_session_len", R).alias("avg_session_len"),
+    )
+
+
+_SESSION_PATHS_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), r AS (
+  SELECT user_id, sid, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, sid) AS slen
+  FROM s
+), p AS (
+  SELECT user_id, sid, any_value(slen) AS slen,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 10 GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+       round(avg(slen), {R}) AS avg_session_len
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20"""
+
+
+def _cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily CUSUM level-shift localization on events.value
+    (profile.cusum_changepoint): rows collapse to the |days| series,
+    everything after is series-sized."""
+    from whiterrabbit_spark.profile import cusum_changepoint
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    out = cusum_changepoint(ev, "ts", "value", bucket="day")
+    return out.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("bucket_day"),
+        "n_rows",
+        F.round("mean_value", R).alias("mean_value"),
+        F.round("cusum", R).alias("cusum"),
+        "is_changepoint",
+    )
+
+
+_CUSUM_SQL = f"""
+WITH series AS (
+  SELECT date_trunc('day', ts) AS bucket_ts, count(*) AS n_rows,
+         avg(value) AS mean_value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), g AS (
+  SELECT avg(mean_value) AS gm FROM series
+), c AS (
+  SELECT bucket_ts, n_rows, mean_value,
+         sum(mean_value - gm) OVER (ORDER BY bucket_ts
+                                    ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM series, g
+)
+SELECT strftime(bucket_ts, '%Y-%m-%d') AS bucket_day,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       round(mean_value, {R}) AS mean_value,
+       round(cusum, {R}) AS cusum,
+       row_number() OVER (ORDER BY abs(cusum) DESC, bucket_ts) = 1
+         AS is_changepoint
+FROM c"""
+
+
 def _binned_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width-binned MI between quantity and extendedprice
     (profile.binned_mutual_information): bounds broadcast lazily, MI
@@ -5291,5 +5377,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _join_discovery_sql())
     add("k_anonymity_customer", _k_anonymity, _K_ANON_SQL)
     add("binned_mi_lineitem", _binned_mi, _BINNED_MI_SQL)
+    add("session_paths_events", _session_paths, _SESSION_PATHS_SQL)
+    add("cusum_changepoint_events", _cusum, _CUSUM_SQL)
 
     return queries, oracles
