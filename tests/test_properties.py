@@ -14,6 +14,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from whiterrabbit_spark.config import ScanConfig
 from whiterrabbit_spark.frequency import value_frequencies
 from whiterrabbit_spark.infer import infer_and_cast, infer_types
@@ -582,3 +584,88 @@ def test_ecdf_distributed_matches_simple(spark, vals):
     dist = {r.v: round(r.cume_dist, 9)
             for r in ecdf_lookup(df, "v", max_single_reducer=0).collect()}
     assert simple == dist
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3),
+                  st.sampled_from(["view", "click", "buy"])),
+        min_size=1, max_size=60,
+    )
+)
+def test_attribution_credit_conservation(spark, rows):
+    """Σ first_touch_credits = Σ last_touch_credits = #conversions, for
+    any event soup (including the (none) channel)."""
+    from whiterrabbit_spark.extensions.sequences import attribution
+
+    ev = spark.createDataFrame(
+        [(i, u, f"2024-01-01 {h:02d}:00:00", t)
+         for i, (u, h, t) in enumerate(rows)],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = attribution(ev, "buy").collect()
+    n_conv = sum(1 for _, _, t in rows if t == "buy")
+    assert sum(r["first_touch_credits"] for r in out) == n_conv
+    assert sum(r["last_touch_credits"] for r in out) == n_conv
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=24).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_span_dedup_idempotent_and_conserving(spark, texts):
+    """Scrubbing an already-scrubbed text removes nothing more, and
+    kept+removed always equals total chunks."""
+    from whiterrabbit_spark.extensions.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = span_dedup(df, "text", "doc_id", k=2)
+    rows = once.collect()
+    for r in rows:
+        n_kept_chunks = (
+            len(r["text_scrubbed"].split(" ")) if r["text_scrubbed"] else 0
+        )
+        assert 0 <= r["n_removed"] <= r["n_chunks"]
+    again = span_dedup(
+        once.select("doc_id", F.col("text_scrubbed").alias("text")),
+        "text", "doc_id", k=2,
+    )
+    assert all(r["n_removed"] == 0 for r in again.collect())
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(st.integers(0, 30), min_size=5, max_size=300),
+    nparts=st.sampled_from([1, 3, 8]),
+)
+def test_heavy_hitters_partition_invariant(spark, vals, nparts):
+    """The exact answer must not depend on how rows are partitioned
+    (the MG summaries do; the verify pass erases that)."""
+    import math as m
+
+    from whiterrabbit_spark.profile import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "v long"
+    ).repartition(nparts)
+    phi = 0.15
+    got = sorted(
+        (r["value"], r["n"]) for r in heavy_hitters(df, "v", phi).collect()
+    )
+    from collections import Counter
+
+    c = Counter(vals)
+    thr = m.ceil(phi * len(vals))
+    want = sorted((v, n) for v, n in c.items() if n >= thr)
+    assert got == want
