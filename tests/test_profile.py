@@ -985,3 +985,34 @@ def test_binned_mi_detects_nonmonotonic_dependence(spark):
     )
     r = binned_mutual_information(const, "x", "y").collect()[0]
     assert r["mi"] == 0.0 and r["mi_norm"] is None
+
+
+def test_type7_cuts_distributed_matches_percentile(spark):
+    """The distributed cut finder must equal the buffered
+    percentile(v, probs, cnt) aggregate exactly (same type-7 math),
+    including ties, skew, and a single-value histogram."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import type7_cuts_distributed
+
+    rng = random.Random(3)
+    vals = (
+        [round(rng.uniform(0, 100), 2) for _ in range(5000)]
+        + [42.0] * 500       # heavy tie
+        + [-7.5] * 3
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    hist = df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    probs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    want = hist.agg(
+        F.percentile(F.col("v"), F.lit(probs), F.col("cnt"))
+    ).collect()[0][0]
+    got = type7_cuts_distributed(hist, probs, len(vals))
+    assert got == [float(x) for x in want]
+
+    one = spark.createDataFrame([(5.0,)], "v double").groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    assert type7_cuts_distributed(one, [0.5], 1) == [5.0]
