@@ -138,6 +138,9 @@ def main() -> None:
         "binned_mi": queries["binned_mi_lineitem"],
         "session_paths": queries["session_paths_events"],
         "cusum_changepoint": queries["cusum_changepoint_events"],
+        "boilerplate_lines": queries["boilerplate_lines_documents"],
+        "cross_source_dups": queries["cross_source_dups_documents"],
+        "grouped_trimmed_mean": queries["grouped_trimmed_mean_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

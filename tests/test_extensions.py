@@ -3011,3 +3011,41 @@ def test_cusum_changepoint_finds_level_shift(spark):
     assert len(cp) == 1
     # |CUSUM| peaks at the last pre-shift day
     assert cp[0]["bucket_ts"].day == 10
+
+
+def test_boilerplate_lines_multiline(spark):
+    from whiterrabbit_spark.extensions.dedup import boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COPYRIGHT 2024\nreal content one\nCOPYRIGHT 2024"),
+            (2, "COPYRIGHT 2024\nother text"),
+            (3, "unique stuff\n\n  \nmore unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["line"]: r for r in boilerplate_lines(docs, min_docs=2).collect()}
+    assert list(out) == ["COPYRIGHT 2024"]  # only the cross-doc repeat
+    r = out["COPYRIGHT 2024"]
+    assert r["n_occurrences"] == 3 and r["n_docs"] == 2
+    assert abs(r["avg_repeats_per_doc"] - 1.5) < 1e-12
+
+
+def test_cross_source_dup_matrix_orientation(spark):
+    from whiterrabbit_spark.extensions.dedup import cross_source_dup_matrix
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "feedB"),
+            (2, base + " iota", "feedA"),       # near-dup across sources
+            (3, "totally different words here entirely", "feedA"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = cross_source_dup_matrix(docs, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # sorted orientation regardless of which doc_id came first
+    assert (r["src_a"], r["src_b"]) == ("feedA", "feedB")
+    assert r["n_pairs"] == 1 and r["avg_jaccard"] > 0.5

@@ -1016,3 +1016,15 @@ def test_type7_cuts_distributed_matches_percentile(spark):
         F.count(F.lit(1)).alias("cnt")
     )
     assert type7_cuts_distributed(one, [0.5], 1) == [5.0]
+
+
+def test_grouped_trimmed_mean_robust_to_outliers(spark):
+    from whiterrabbit_spark.profile import grouped_trimmed_mean
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("g", 1e9)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    r = grouped_trimmed_mean(df, "k", "v", lo=0.1, hi=0.9).collect()[0]
+    assert r["n_rows"] == 101
+    assert r["mean_raw"] > 1e6            # wrecked by the outlier
+    assert 40 < r["mean_trimmed"] < 60    # trimmed band ignores it
+    assert r["n_used"] < r["n_rows"]

@@ -1006,3 +1006,94 @@ def span_dedup(
         .otherwise(F.array_join(kept, " "))
         .alias("text_scrubbed"),
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    min_chars: int = 1,
+    min_docs: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus boilerplate report: the lines that repeat across documents
+    (headers, footers, nav chrome, license blurbs), with total
+    occurrences, how many distinct documents carry them, and the
+    average within-doc repeat — the "what would :func:`line_dedup`
+    remove, and from where" preview a curator reads BEFORE running the
+    destructive pass. Lines shorter than ``min_chars`` after trim are
+    structure, not boilerplate, and are skipped.
+
+    Scale shape: explode → one partial-aggregable
+    ``groupBy(line)`` carrying (count, approx-free distinct docs via
+    count_distinct partial) → ``HAVING n_docs ≥ min_docs`` → top-k as
+    TakeOrderedAndProject. The exact ``count_distinct(doc)`` inside a
+    line group is bounded by the line's document frequency — the thing
+    being measured — so state per group stays proportional to the
+    answer. Deterministic order: occurrences DESC, line ASC.
+    """
+    line = F.explode(F.split(F.col(text_col), delimiter)).alias("line")
+    lines = (
+        df.select(F.col(id_col).alias("__doc"), line)
+        .withColumn("line", F.trim(F.col("line")))
+        .where(F.length("line") >= min_chars)
+    )
+    return (
+        lines.groupBy("line")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("__doc").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .withColumn(
+            "avg_repeats_per_doc",
+            F.col("n_occurrences") / F.col("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "line")
+        .limit(top_k)
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_candidate_df: int | None = 100,
+) -> DataFrame:
+    """WHO copies from WHOM: near-duplicate pair counts aggregated to
+    the source-pair level — the syndication/mirror map of a corpus. A
+    (src_a, src_b) cell counting hundreds of near-dup pairs means one
+    feed is republishing the other; the within-source diagonal measures
+    internal redundancy. Sources are emitted sorted within the pair
+    (``src_a ≤ src_b``), so each undirected pair appears once.
+
+    Scale shape: the pair generation IS :func:`ngram_jaccard_pairs`
+    (banded inverted index — candidates, not all-pairs), and the
+    rollup joins the |pairs|-row result to the two (id → source)
+    projections (broadcast when dims are small) before a
+    |source-pairs|-row groupBy. Nothing new shuffles at corpus scale
+    beyond what the pair pass already does.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, k=k, threshold=threshold,
+        max_candidate_df=max_candidate_df,
+    )
+    src = df.select(
+        F.col(id_col).alias("__id"), F.col(source_col).alias("__src")
+    )
+    s1 = src.select(F.col("__id").alias("id1"), F.col("__src").alias("sa"))
+    s2 = src.select(F.col("__id").alias("id2"), F.col("__src").alias("sb"))
+    joined = pairs.join(s1, "id1").join(s2, "id2")
+    lo = F.least("sa", "sb")
+    hi = F.greatest("sa", "sb")
+    return (
+        joined.groupBy(lo.alias("src_a"), hi.alias("src_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.avg("jaccard").alias("avg_jaccard"),
+        )
+    )

@@ -2587,3 +2587,46 @@ def cusum_changepoint(
     return series.withColumn(
         "is_changepoint", F.row_number().over(w_rank) == 1
     ).select("bucket_ts", "n_rows", "mean_value", "cusum", "is_changepoint")
+
+
+def grouped_trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.1,
+    hi: float = 0.9,
+) -> DataFrame:
+    """Per-group trimmed mean: the mean of values inside the group's own
+    [lo, hi] exact type-7 quantile band — the robust per-segment level
+    estimate (a segment's handful of fat-finger outliers stops moving
+    its average). Complements the global :func:`winsorize` (which clamps
+    one column corpus-wide) with per-group bounds.
+
+    Scale shape: the bounds come from :func:`grouped_quantiles`
+    (weighted-percentile-over-histogram — per-group state is its
+    distinct-value count), broadcast back onto the rows (|groups| rows),
+    and the conditional average is one partial-aggregable groupBy. Two
+    scans of the column, no windows.
+
+    Returns ``(group_key, n_rows, n_used, mean_raw, mean_trimmed)``.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = grouped_quantiles(df, group_col, value_col, probs=(lo, hi))
+    qlo, qhi = (
+        f"q_{str(lo).replace('.', '_')}",
+        f"q_{str(hi).replace('.', '_')}",
+    )
+    src = df.where(v.isNotNull()).select(
+        F.col(group_col).alias("group_key"), v.alias("__v")
+    )
+    inside = F.col("__v").between(F.col(qlo), F.col(qhi))
+    return (
+        src.join(F.broadcast(bounds), "group_key")
+        .groupBy("group_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(inside.cast("long")).alias("n_used"),
+            F.avg("__v").alias("mean_raw"),
+            F.avg(F.when(inside, F.col("__v"))).alias("mean_trimmed"),
+        )
+    )

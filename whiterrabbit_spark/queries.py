@@ -4899,6 +4899,129 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+def _boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-line report (dedup.boilerplate_lines).
+    The driver's documents are single-line word streams, so the
+    registered row uses the word delimiter (repeated-token report —
+    identical plan); true multi-line semantics are pinned by unit
+    tests."""
+    from whiterrabbit_spark.extensions import dedup as dd
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = dd.boilerplate_lines(docs, "text", "doc_id", delimiter=" ",
+                               min_chars=1, min_docs=2, top_k=50)
+    return out.select(
+        "line", "n_occurrences", "n_docs",
+        F.round("avg_repeats_per_doc", R).alias("avg_repeats_per_doc"),
+    )
+
+
+_BOILERPLATE_SQL = f"""
+WITH l AS (
+  SELECT doc_id, trim(u.w) AS line
+  FROM documents, unnest(string_split(text, ' ')) AS u(w)
+  WHERE length(trim(u.w)) >= 1
+)
+SELECT line, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0 / count(DISTINCT doc_id), {R})
+         AS avg_repeats_per_doc
+FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occurrences DESC, line LIMIT 50"""
+
+
+def _cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair near-duplication matrix
+    (dedup.cross_source_dup_matrix): the banded Jaccard pair pass
+    rolled up to who-copies-from-whom counts."""
+    from whiterrabbit_spark.extensions import dedup as dd
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = dd.cross_source_dup_matrix(docs, "text", "doc_id", "source",
+                                     k=3, threshold=0.5)
+    return out.select(
+        "src_a", "src_b", "n_pairs",
+        F.round("avg_jaccard", R).alias("avg_jaccard"),
+    )
+
+
+_CROSS_SOURCE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), rare AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM sh a
+  JOIN rare r ON a.shingle = r.shingle
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT c.id1, c.id2, count(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id1, id2, inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+  FROM pairs
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.5
+), tagged AS (
+  SELECT least(d1.source, d2.source) AS src_a,
+         greatest(d1.source, d2.source) AS src_b,
+         jaccard
+  FROM scored
+  JOIN documents d1 ON id1 = d1.doc_id
+  JOIN documents d2 ON id2 = d2.doc_id
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(jaccard), {R}) AS avg_jaccard
+FROM tagged GROUP BY 1, 2"""
+
+
+def _grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag 10-90% trimmed mean of extendedprice
+    (profile.grouped_trimmed_mean): grouped type-7 bounds broadcast
+    back, one conditional aggregate. Means rounded to 4 decimals —
+    a 200k-element double sum only guarantees ~1e-6 absolute
+    agreement across engines at sf0.1."""
+    from whiterrabbit_spark.profile import grouped_trimmed_mean
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = grouped_trimmed_mean(li, "l_returnflag", "l_extendedprice",
+                               lo=0.1, hi=0.9)
+    return out.select(
+        "group_key", "n_rows", "n_used",
+        F.round("mean_raw", 4).alias("mean_raw"),
+        F.round("mean_trimmed", 4).alias("mean_trimmed"),
+    )
+
+
+_TRIMMED_MEAN_SQL = """
+WITH b AS (
+  SELECT l_returnflag AS group_key,
+         quantile_cont(l_extendedprice, 0.1) AS qlo,
+         quantile_cont(l_extendedprice, 0.9) AS qhi
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+), t AS (
+  SELECT l_returnflag AS group_key, l_extendedprice::DOUBLE AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT group_key, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (v BETWEEN qlo AND qhi) AS BIGINT) AS n_used,
+       round(avg(v), 4) AS mean_raw,
+       round(avg(v) FILTER (v BETWEEN qlo AND qhi), 4) AS mean_trimmed
+FROM t JOIN b USING (group_key)
+GROUP BY group_key"""
+
+
 def _session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top within-session event-type journeys (sequences.session_paths):
     one session_window groupBy + one |paths| rollup + top-k. Oracle
@@ -5379,5 +5502,10 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("binned_mi_lineitem", _binned_mi, _BINNED_MI_SQL)
     add("session_paths_events", _session_paths, _SESSION_PATHS_SQL)
     add("cusum_changepoint_events", _cusum, _CUSUM_SQL)
+    add("boilerplate_lines_documents", _boilerplate_lines, _BOILERPLATE_SQL)
+    add("cross_source_dups_documents", _cross_source_dups,
+        _CROSS_SOURCE_SQL)
+    add("grouped_trimmed_mean_lineitem", _grouped_trimmed_mean,
+        _TRIMMED_MEAN_SQL)
 
     return queries, oracles
