@@ -141,6 +141,7 @@ def main() -> None:
         "boilerplate_lines": queries["boilerplate_lines_documents"],
         "cross_source_dups": queries["cross_source_dups_documents"],
         "grouped_trimmed_mean": queries["grouped_trimmed_mean_lineitem"],
+        "item_associations": queries["item_associations_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -3049,3 +3049,31 @@ def test_cross_source_dup_matrix_orientation(spark):
     # sorted orientation regardless of which doc_id came first
     assert (r["src_a"], r["src_b"]) == ("feedA", "feedB")
     assert r["n_pairs"] == 1 and r["avg_jaccard"] > 0.5
+
+
+def test_item_associations_lift_directions(spark):
+    """Planted asymmetry: everyone who buys also viewed, but only some
+    viewers buy -> conf(buy->view)=1, conf(view->buy)<1, lift>1 vs an
+    independent item."""
+    rows = []
+    for u in range(10):
+        rows.append((u, "view"))
+    for u in range(4):
+        rows.append((u, "buy"))          # buyers subset of viewers
+    for u in (0, 5):
+        rows.append((u, "promo"))        # promo independent-ish
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in __import__(
+            "whiterrabbit_spark.extensions.sequences",
+            fromlist=["item_associations"],
+        ).item_associations(df, min_support=0.0).collect()
+    }
+    r = out[("buy", "view")]
+    assert r["n_baskets"] == 4
+    assert r["conf_a_to_b"] == 1.0          # every buyer viewed
+    assert abs(r["conf_b_to_a"] - 0.4) < 1e-12
+    assert abs(r["lift"] - 1.0) < 1e-12     # buyers ⊂ viewers, P(view)=1
+    rp = out[("buy", "promo")]
+    assert rp["n_baskets"] == 1 and abs(rp["lift"] - 10 / 8) < 1e-12

@@ -331,3 +331,72 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(top_k)
     )
+
+
+def item_associations(
+    df: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: float = 0.01,
+) -> DataFrame:
+    """Pairwise association rules over (basket, item) data — support,
+    directional confidence, and lift for every item pair that co-occurs
+    in at least ``min_support`` of the baskets. The market-basket /
+    co-occurrence primitive (which behaviors travel together; which
+    event predicts which) — emitted once per unordered pair
+    (``item_a < item_b``) with both confidence directions.
+
+    Scale shape: dedupe to DISTINCT (basket, item) — one
+    partial-aggregable shuffle, state = |baskets|·|distinct items per
+    basket| — then a self-equi-join ON basket builds pair counts.
+    Per-basket fan-out is C(items-in-basket, 2): bounded by the
+    ITEM-VOCABULARY squared, not by basket size in rows — for
+    catalog-sized vocabularies use a hot-basket cap upstream the same
+    way the shingle index caps document frequency. Supports ride a
+    broadcast of the |items|-row margin table; lift needs no extra
+    scan.
+
+    Returns ``(item_a, item_b, n_baskets, support, conf_a_to_b,
+    conf_b_to_a, lift)``.
+    """
+    base = (
+        df.where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .distinct()
+        .persist()
+    )
+    n_baskets = base.select("__b").distinct().count()
+    margins = base.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    a = base.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = base.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ma = margins.select(
+        F.col("__i").alias("item_a"), F.col("__n").alias("__na")
+    )
+    mb = margins.select(
+        F.col("__i").alias("item_b"), F.col("__n").alias("__nb")
+    )
+    n = float(n_baskets)
+    out = (
+        pairs.join(F.broadcast(ma), "item_a")
+        .join(F.broadcast(mb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_pair").alias("n_baskets"),
+            (F.col("n_pair") / F.lit(n)).alias("support"),
+            (F.col("n_pair") / F.col("__na")).alias("conf_a_to_b"),
+            (F.col("n_pair") / F.col("__nb")).alias("conf_b_to_a"),
+            (
+                F.col("n_pair") * F.lit(n) / (F.col("__na") * F.col("__nb"))
+            ).alias("lift"),
+        )
+    )
+    return out.where(F.col("support") >= min_support)

@@ -4899,6 +4899,48 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+def _item_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over (user, event_type) baskets
+    (sequences.item_associations): distinct melt → basket self-join →
+    broadcast margins."""
+    from whiterrabbit_spark.extensions.sequences import item_associations
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    out = item_associations(ev, "user_id", "event_type", min_support=0.01)
+    return out.select(
+        "item_a", "item_b", "n_baskets",
+        F.round("support", R).alias("support"),
+        F.round("conf_a_to_b", R).alias("conf_a_to_b"),
+        F.round("conf_b_to_a", R).alias("conf_b_to_a"),
+        F.round("lift", R).alias("lift"),
+    )
+
+
+_ITEM_ASSOC_SQL = f"""
+WITH base AS (
+  SELECT DISTINCT user_id AS b, event_type AS i FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), nb AS (
+  SELECT count(DISTINCT b) AS n FROM base
+), m AS (
+  SELECT i, count(*) AS cnt FROM base GROUP BY 1
+), p AS (
+  SELECT a.i AS item_a, b2.i AS item_b, count(*) AS n_pair
+  FROM base a JOIN base b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, CAST(n_pair AS BIGINT) AS n_baskets,
+       round(n_pair * 1.0 / nb.n, {R}) AS support,
+       round(n_pair * 1.0 / ma.cnt, {R}) AS conf_a_to_b,
+       round(n_pair * 1.0 / mb.cnt, {R}) AS conf_b_to_a,
+       round(n_pair * 1.0 * nb.n / (ma.cnt * mb.cnt), {R}) AS lift
+FROM p
+CROSS JOIN nb
+JOIN m ma ON item_a = ma.i
+JOIN m mb ON item_b = mb.i
+WHERE n_pair * 1.0 / nb.n >= 0.01"""
+
+
 def _boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-line report (dedup.boilerplate_lines).
     The driver's documents are single-line word streams, so the
@@ -5507,5 +5549,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _CROSS_SOURCE_SQL)
     add("grouped_trimmed_mean_lineitem", _grouped_trimmed_mean,
         _TRIMMED_MEAN_SQL)
+    add("item_associations_events", _item_associations, _ITEM_ASSOC_SQL)
 
     return queries, oracles
