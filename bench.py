@@ -142,6 +142,8 @@ def main() -> None:
         "cross_source_dups": queries["cross_source_dups_documents"],
         "grouped_trimmed_mean": queries["grouped_trimmed_mean_lineitem"],
         "item_associations": queries["item_associations_events"],
+        "lifetime_survival": queries["lifetime_survival_events"],
+        "whiten_embeddings": queries["whiten_embeddings_embeddings"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -35,6 +35,9 @@ ROWS_ONLY = {
     # driver-side eigendecomposition — not SQL-expressible; pinned to
     # numpy eigvalsh at 1e-9 in unit tests
     "embedding_pca_embeddings",
+    # same eigendecomposition applied as a transform; cov(output) ≈ I
+    # pinned in unit tests
+    "whiten_embeddings_embeddings",
 }
 
 

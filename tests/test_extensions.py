@@ -3077,3 +3077,20 @@ def test_item_associations_lift_directions(spark):
     assert abs(r["lift"] - 1.0) < 1e-12     # buyers ⊂ viewers, P(view)=1
     rp = out[("buy", "promo")]
     assert rp["n_baskets"] == 1 and abs(rp["lift"] - 10 / 8) < 1e-12
+
+
+def test_whiten_embeddings_identity_covariance(spark):
+    import numpy as np
+
+    from whiterrabbit_spark.extensions.similarity import whiten_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = whiten_embeddings(emb, k=8)
+    rows = out.collect()
+    x = np.array([r["embedding"] for r in rows])
+    assert x.shape == (500, 8)
+    cov = np.cov(x, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(8), atol=1e-5)
+    assert abs(x.mean(axis=0)).max() < 1e-9   # centered
+    # non-vector columns survive untouched
+    assert {r["vec_id"] for r in rows} == set(range(500))

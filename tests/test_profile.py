@@ -1028,3 +1028,29 @@ def test_grouped_trimmed_mean_robust_to_outliers(spark):
     assert r["mean_raw"] > 1e6            # wrecked by the outlier
     assert 40 < r["mean_trimmed"] < 60    # trimmed band ignores it
     assert r["n_used"] < r["n_rows"]
+
+
+def test_lifetime_survival_shape(spark):
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import lifetime_survival
+
+    rows = [
+        # user 1: 0-day span; user 2: 2-day; user 3: 2-day; user 4: 5-day
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 03:00:00"),
+        (2, "2024-01-01 00:00:00"), (2, "2024-01-03 00:00:00"),
+        (3, "2024-01-02 00:00:00"), (3, "2024-01-04 00:00:00"),
+        (4, "2024-01-01 00:00:00"), (4, "2024-01-06 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["t"]: r for r in lifetime_survival(df, "user_id", "ts").collect()}
+    assert out[0]["n_entities_at_least_t"] == 4 and out[0]["survival"] == 1.0
+    assert out[2]["n_entities_at_least_t"] == 3
+    assert out[5]["n_entities_at_least_t"] == 1
+    assert abs(out[5]["survival"] - 0.25) < 1e-12
+    # survival is non-increasing in t
+    ts = sorted(out)
+    s = [out[t]["survival"] for t in ts]
+    assert all(a >= b for a, b in zip(s, s[1:]))

@@ -32,8 +32,9 @@ EFFECTFUL_PREFIXES = ("streaming_", "ann_ivf_index", "bpe_learn",
                       "semantic_dedup", "keep_best_dedup", "dedup_clusters",
                       "edit_distance_pairs", "corpus_report",
                       # collect-at-construction round-3 builders: the
-                      # per-dim stats fold and the partial-Gram PCA
-                      "quantize_error", "embedding_pca")
+                      # per-dim stats fold and the partial-Gram passes
+                      "quantize_error", "embedding_pca",
+                      "whiten_embeddings")
 
 
 def audit_plan(plan: str) -> dict:

@@ -957,3 +957,106 @@ def embedding_pca(
         "component int, eigenvalue double, variance_explained double,"
         " cumulative_explained double",
     )
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int | None = None,
+    eps: float = 1e-8,
+) -> DataFrame:
+    """PCA-whitening transform: project each vector onto the top-``k``
+    covariance eigenvectors and scale to unit variance per component —
+    the standard pre-pass before cosine ANN on anisotropic embeddings
+    (dominant directions stop swamping the metric; quantizers get a
+    round posterior). ``k`` defaults to the full dimension.
+
+    Scale shape: the covariance comes from the same O(partitions·d²)
+    partial-Gram collect as :func:`embedding_pca`; the (k×d) whitening
+    matrix broadcasts inside an Arrow ``mapInPandas`` matmul, so the
+    transform itself is map-only — the corpus streams through BLAS and
+    never shuffles.
+
+    Returns the input frame with ``vec_col`` replaced by the whitened
+    ``array<double>`` of length k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(vec_col).mapInPandas(
+        _gram_partials(vec_col), "gram array<double>, sums array<double>,"
+        " n long, d int"
+    ).collect()
+    if not rows:
+        return df
+    d = rows[0]["d"]
+    gram = sum(np.array(p["gram"]).reshape(d, d) for p in rows)
+    s = sum(np.array(p["sums"]) for p in rows)
+    n = sum(p["n"] for p in rows)
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    kk = k or d
+    top_vals = evals[order][:kk]
+    top_vecs = evecs[:, order][:, :kk]
+    # rows of W: eigenvector scaled by 1/sqrt(lambda)
+    w = (top_vecs / np.sqrt(top_vals + eps)).T  # (k, d)
+    w_b = df.sparkSession.sparkContext.broadcast((w, mean))
+
+    cols = [f.name for f in df.schema.fields]
+
+    def apply(batches):
+        wm, mu = w_b.value
+        for pdf in batches:
+            m = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            if m.size:
+                out = (m - mu) @ wm.T
+                pdf = pdf.copy()
+                pdf[vec_col] = [r.tolist() for r in out]
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} array<double>" if f.name == vec_col
+        else f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+    )
+    return df.select(*cols).mapInPandas(apply, schema)
+
+
+def _gram_partials(vec_col: str):
+    """Per-partition (XᵀX, Σx, n, d) reducer shared by
+    :func:`embedding_pca` and :func:`whiten_embeddings`."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        gram = None
+        s = None
+        n = 0
+        for pdf in batches:
+            m = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            if m.size == 0:
+                continue
+            g = m.T @ m
+            gram = g if gram is None else gram + g
+            sm = m.sum(axis=0)
+            s = sm if s is None else s + sm
+            n += m.shape[0]
+        if n == 0:
+            return
+        d = gram.shape[0]
+        yield pd.DataFrame(
+            {
+                "gram": [gram.ravel().tolist()],
+                "sums": [s.tolist()],
+                "n": [n],
+                "d": [d],
+            }
+        )
+
+    return partial

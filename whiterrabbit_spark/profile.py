@@ -2630,3 +2630,53 @@ def grouped_trimmed_mean(
             F.avg(F.when(inside, F.col("__v"))).alias("mean_trimmed"),
         )
     )
+
+
+def lifetime_survival(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    unit_seconds: int = 86_400,
+) -> DataFrame:
+    """Entity-lifetime survival curve: S(t) = share of entities whose
+    observed lifespan (last activity − first activity) is at least
+    ``t`` units — the retention/churn shape over the whole corpus
+    window (no parametric model; with complete observation windows this
+    is the Kaplan-Meier estimate with no censoring). One row per whole
+    unit t = 0..max.
+
+    Scale shape: rows collapse to one (first, last) row per entity —
+    a single partial-aggregable groupBy — then to the ≤ max-lifetime
+    histogram; the survival cumulation runs over that tiny series with
+    a reverse running sum (time-range bound, never entity-count
+    bound).
+
+    Returns ``(t, n_entities_at_least_t, survival)``.
+    """
+    span = (
+        df.where(F.col(entity_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(entity_col)
+        .agg(
+            (
+                F.max(F.col(ts_col).cast("timestamp").cast("double"))
+                - F.min(F.col(ts_col).cast("timestamp").cast("double"))
+            ).alias("__span")
+        )
+        .select(
+            F.floor(F.col("__span") / unit_seconds).cast("long").alias("t")
+        )
+    )
+    hist = span.groupBy("t").agg(F.count(F.lit(1)).alias("__n"))
+    w_tail = Window.orderBy("t").rowsBetween(Window.currentRow,
+                                             Window.unboundedFollowing)
+    total = F.sum("__n").over(Window.partitionBy())
+    return (
+        hist.withColumn(
+            "n_entities_at_least_t", F.sum("__n").over(w_tail)
+        )
+        .select(
+            "t",
+            "n_entities_at_least_t",
+            (F.col("n_entities_at_least_t") / total).alias("survival"),
+        )
+    )

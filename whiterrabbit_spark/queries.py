@@ -4899,6 +4899,51 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+def _lifetime_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve (profile.lifetime_survival): rows
+    collapse to one span per user, then to the ≤ max-lifetime-in-days
+    histogram; reverse running sum over that tiny series."""
+    from whiterrabbit_spark.profile import lifetime_survival
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    out = lifetime_survival(ev, "user_id", "ts", unit_seconds=86_400)
+    return out.select(
+        "t", "n_entities_at_least_t",
+        F.round("survival", R).alias("survival"),
+    )
+
+
+_LIFETIME_SQL = f"""
+WITH span AS (
+  SELECT CAST(floor((epoch(max(ts)) - epoch(min(ts))) / 86400.0) AS BIGINT)
+           AS t
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+), h AS (
+  SELECT t, count(*) AS n FROM span GROUP BY t
+), tot AS (
+  SELECT sum(n) AS nt FROM h
+)
+SELECT t,
+       CAST(sum(n) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS BIGINT)
+         AS n_entities_at_least_t,
+       round(sum(n) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) * 1.0 / tot.nt, {R})
+         AS survival
+FROM h CROSS JOIN tot"""
+
+
+def _whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitened embeddings (similarity.whiten_embeddings): partial-
+    Gram collect + broadcast (k×d) matmul in mapInPandas. Rows-only
+    (driver-side eigendecomposition); unit tests pin cov(output) ≈ I."""
+    from whiterrabbit_spark.extensions.similarity import whiten_embeddings
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return whiten_embeddings(emb, "embedding", k=8)
+
+
 def _item_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise association rules over (user, event_type) baskets
     (sequences.item_associations): distinct melt → basket self-join →
@@ -5550,5 +5595,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("grouped_trimmed_mean_lineitem", _grouped_trimmed_mean,
         _TRIMMED_MEAN_SQL)
     add("item_associations_events", _item_associations, _ITEM_ASSOC_SQL)
+    add("lifetime_survival_events", _lifetime_survival, _LIFETIME_SQL)
+    add("whiten_embeddings_embeddings", _whiten_embeddings, None)
 
     return queries, oracles
