@@ -144,6 +144,8 @@ def main() -> None:
         "item_associations": queries["item_associations_events"],
         "lifetime_survival": queries["lifetime_survival_events"],
         "whiten_embeddings": queries["whiten_embeddings_embeddings"],
+        "tpch_q1": queries["tpch_q1_lineitem"],
+        "tpch_q3": queries["tpch_q3_pricing"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

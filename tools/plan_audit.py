@@ -59,8 +59,11 @@ def audit_plan(plan: str) -> dict:
         "exchanges": n(r"\(\d+\) Exchange"),
         "broadcasts": n(r"\(\d+\) BroadcastExchange"),
         "key_nodes": nodes,
-        "pushed_filters": "PushedFilters: [" in plan
-        and not re.search(r"PushedFilters: \[\]", plan),
+        # v1 scans print PushedFilters, DSv2 BatchScans print DataFilters
+        # — either non-empty means the predicate reached the reader
+        "pushed_filters": bool(
+            re.search(r"(?:Pushed|Data)Filters: \[[^\]]", plan)
+        ),
     }
 
 

@@ -897,39 +897,12 @@ def embedding_pca(
     cumulative_explained)`` — ``component`` 1-based, largest first.
     """
     import numpy as np
-    import pandas as pd
 
     spark = df.sparkSession
 
-    def partial(batches):
-        gram = None
-        s = None
-        n = 0
-        for pdf in batches:
-            m = np.array(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-            )
-            if m.size == 0:
-                continue
-            g = m.T @ m
-            gram = g if gram is None else gram + g
-            sm = m.sum(axis=0)
-            s = sm if s is None else s + sm
-            n += m.shape[0]
-        if n == 0:
-            return
-        d = gram.shape[0]
-        yield pd.DataFrame(
-            {
-                "gram": [gram.ravel().tolist()],
-                "sums": [s.tolist()],
-                "n": [n],
-                "d": [d],
-            }
-        )
-
     parts = df.select(vec_col).mapInPandas(
-        partial, "gram array<double>, sums array<double>, n long, d int"
+        _gram_partials(vec_col),
+        "gram array<double>, sums array<double>, n long, d int",
     ).collect()
     if not parts:
         return spark.createDataFrame(

@@ -4899,6 +4899,123 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical single-scan
+    multi-aggregate groupBy (map-side combine carries everything; the
+    Exchange moves 4 groups). All money sums run in integer fixed-point
+    (cents / e4 / e6) — double accumulation is order-dependent and a
+    ~1e8 sum can't hash-match at 6 dp; integer sums are exact on both
+    engines, and the averages derive from those exact sums."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    price_e2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_e2 = F.round(F.col("l_discount") * 100).cast("long")
+    tax_e2 = F.round(F.col("l_tax") * 100).cast("long")
+    disc_price_e4 = price_e2 * (100 - disc_e2)
+    charge_e6 = disc_price_e4 * (100 + tax_e2)
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.round(F.sum(price_e2) / 100.0, R).alias("sum_base_price"),
+            F.round(F.sum(disc_price_e4) / 1e4, R).alias("sum_disc_price"),
+            F.round(F.sum(charge_e6) / 1e6, R).alias("sum_charge"),
+            F.round(F.sum(qty) / cnt, R).alias("avg_qty"),
+            F.round(F.sum(price_e2) / 100.0 / cnt, R).alias("avg_price"),
+            F.round(F.sum(disc_e2) / 100.0 / cnt, R).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+_TPCH_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, {R})
+    AS sum_base_price,
+  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e4, {R})
+    AS sum_disc_price,
+  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+            * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1e6, {R})
+    AS sum_charge,
+  round(sum(CAST(round(l_quantity) AS BIGINT)) * 1.0 / count(*), {R})
+    AS avg_qty,
+  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+        / count(*), {R}) AS avg_price,
+  round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0
+        / count(*), {R}) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: segment-filtered 3-way join
+    with both date predicates pushed to the scans, revenue in integer
+    fixed-point, top-10 via TakeOrderedAndProject with a total order
+    (revenue DESC, orderdate, orderkey) so the LIMIT boundary is
+    engine-independent. The customer side broadcasts; the fact-fact
+    join shuffles on the order key."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    d = "1998-03-15"
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    out = (
+        li.where(F.col("l_shipdate") > F.lit(d))
+        .join(
+            orders.where(F.col("o_orderdate") < F.lit(d)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                cust.where(F.col("c_mktsegment") == "BUILDING")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev_e4) / 1e4, R).alias("revenue"))
+    )
+    return (
+        out.orderBy(
+            F.col("revenue").desc(), "o_orderdate", "l_orderkey"
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+_TPCH_Q3_SQL = f"""
+SELECT l_orderkey,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e4,
+             {R}) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10"""
+
+
 def _lifetime_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-lifetime survival curve (profile.lifetime_survival): rows
     collapse to one span per user, then to the ≤ max-lifetime-in-days
@@ -5597,5 +5714,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("item_associations_events", _item_associations, _ITEM_ASSOC_SQL)
     add("lifetime_survival_events", _lifetime_survival, _LIFETIME_SQL)
     add("whiten_embeddings_embeddings", _whiten_embeddings, None)
+    add("tpch_q1_lineitem", _tpch_q1, _TPCH_Q1_SQL)
+    add("tpch_q3_pricing", _tpch_q3, _TPCH_Q3_SQL)
 
     return queries, oracles
