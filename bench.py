@@ -146,6 +146,7 @@ def main() -> None:
         "whiten_embeddings": queries["whiten_embeddings_embeddings"],
         "tpch_q1": queries["tpch_q1_lineitem"],
         "tpch_q3": queries["tpch_q3_pricing"],
+        "gini": queries["gini_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -1054,3 +1054,22 @@ def test_lifetime_survival_shape(spark):
     ts = sorted(out)
     s = [out[t]["survival"] for t in ts]
     assert all(a >= b for a, b in zip(s, s[1:]))
+
+
+def test_gini_coefficient_known_values(spark):
+    from whiterrabbit_spark.profile import gini_coefficient
+
+    rows = (
+        [("uniform", 5.0)] * 8                      # all equal -> 0
+        + [("concentrated", 0.0)] * 9
+        + [("concentrated", 100.0)]                 # one holder -> 0.9
+        + [("pair", 1.0), ("pair", 3.0)]            # G = 0.25
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {}
+    for g in ("uniform", "concentrated", "pair"):
+        r = gini_coefficient(df.where(df.g == g), ["v"]).collect()[0]
+        out[g] = r["gini"]
+    assert abs(out["uniform"]) < 1e-12
+    assert abs(out["concentrated"] - 0.9) < 1e-12
+    assert abs(out["pair"] - 0.25) < 1e-12

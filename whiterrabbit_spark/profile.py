@@ -2680,3 +2680,62 @@ def lifetime_survival(
             (F.col("n_entities_at_least_t") / total).alias("survival"),
         )
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    cols: list[str],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Gini concentration coefficient per numeric column — the
+    inequality summary (0 = uniform, →1 = one row holds everything)
+    for revenue/activity concentration audits; the scalar counterpart
+    of :func:`key_skew`'s per-key view. Negative values are clamped at
+    0 (possible only from float residue on constant columns).
+
+    Computed from the value histogram with the tied-rank identity
+    Σ rank·x = Σ_v x·(c·B + c(c+1)/2), where B is the exclusive
+    cumulative count — so the only machinery is one ``groupBy(v)`` per
+    column and :func:`_hist_exclusive_prefix` (bucketed distributed
+    prefix sum, its third consumer): no global sort of rows, no
+    single-reducer window over a near-unique column.
+
+    Returns one row per column: ``(column_name, n_rows, gini)``.
+    """
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    outs = []
+    for col in cols:
+        v = F.col(col).cast("double")
+        hist = (
+            df.where(v.isNotNull() & (v >= 0))
+            .groupBy(v.alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        cum = _hist_exclusive_prefix(hist, "v", "cnt", n_parts)
+        c = F.col("cnt").cast("double")
+        b = F.col("before").cast("double")
+        s = cum.agg(
+            F.sum(F.col("v") * c).alias("t"),
+            F.sum("cnt").alias("n"),
+            F.sum(F.col("v") * (c * b + c * (c + 1) / 2.0)).alias("rw"),
+        )
+        n = F.col("n").cast("double")
+        gini = F.when(
+            (F.col("t") > 0) & (F.col("n") > 0),
+            F.greatest(
+                F.lit(0.0),
+                2.0 * F.col("rw") / (n * F.col("t")) - (n + 1.0) / n,
+            ),
+        ).otherwise(F.lit(0.0))
+        outs.append(
+            s.select(
+                F.lit(col).alias("column_name"),
+                F.col("n").alias("n_rows"),
+                gini.alias("gini"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -4899,6 +4899,46 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+GINI_COLS = ["l_extendedprice", "l_quantity"]
+
+
+def _gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration per lineitem money/quantity column
+    (profile.gini_coefficient): tied-rank identity over the value
+    histogram + the shared bucketed prefix sum."""
+    from whiterrabbit_spark.profile import gini_coefficient
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = gini_coefficient(li, GINI_COLS)
+    return out.select(
+        "column_name", "n_rows", F.round("gini", R).alias("gini")
+    )
+
+
+def _gini_sql() -> str:
+    parts = []
+    for c in GINI_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column_name, CAST(n AS BIGINT) AS n_rows,
+       round(CASE WHEN t > 0 AND n > 0
+                  THEN greatest(0.0, 2.0 * rw / (n * t) - (n + 1.0) / n)
+                  ELSE 0.0 END, {R}) AS gini
+FROM (
+  SELECT sum(v * c) AS t, sum(c) AS n,
+         sum(v * (c * b + c * (c + 1) / 2.0)) AS rw
+  FROM (
+    SELECT v, c,
+           coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING), 0)::DOUBLE AS b
+    FROM (
+      SELECT {c}::DOUBLE AS v, count(*)::DOUBLE AS c FROM lineitem
+      WHERE {c} IS NOT NULL AND {c} >= 0 GROUP BY 1
+    )
+  )
+)""")
+    return " UNION ALL ".join(parts)
+
+
 def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: the canonical single-scan
     multi-aggregate groupBy (map-side combine carries everything; the
@@ -5716,5 +5756,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("whiten_embeddings_embeddings", _whiten_embeddings, None)
     add("tpch_q1_lineitem", _tpch_q1, _TPCH_Q1_SQL)
     add("tpch_q3_pricing", _tpch_q3, _TPCH_Q3_SQL)
+    add("gini_lineitem", _gini, _gini_sql())
 
     return queries, oracles
