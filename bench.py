@@ -147,6 +147,8 @@ def main() -> None:
         "tpch_q1": queries["tpch_q1_lineitem"],
         "tpch_q3": queries["tpch_q3_pricing"],
         "gini": queries["gini_lineitem"],
+        "spearman_matrix": queries["spearman_matrix_lineitem"],
+        "mi_ranking": queries["mi_ranking_orders"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

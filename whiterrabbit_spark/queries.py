@@ -4899,6 +4899,106 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+SPEARMAN_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+]
+
+
+def _spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation for a set of lineitem pairs — the
+    monotone-association matrix (one profile.spearman_corr per pair,
+    unioned with pair labels; each pair reuses the histogram-rank
+    machinery and its broadcast-vs-merge scale guard)."""
+    from whiterrabbit_spark.profile import spearman_corr
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = None
+    for a, b in SPEARMAN_PAIRS:
+        one = spearman_corr(li, a, b).select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.round("spearman", R).alias("spearman"),
+            "n",
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def _spearman_matrix_sql() -> str:
+    parts = []
+    for a, b in SPEARMAN_PAIRS:
+        parts.append(f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b,
+       round(corr(ra, rb), {R}) AS spearman, count(*) AS n
+FROM (
+  SELECT cume_dist() OVER (ORDER BY a) AS ra,
+         cume_dist() OVER (ORDER BY b) AS rb
+  FROM (
+    SELECT {a} AS a, {b} AS b FROM lineitem
+    WHERE {a} IS NOT NULL AND {b} IS NOT NULL
+  )
+)""")
+    return " UNION ALL ".join(parts)
+
+
+MI_RANK_TARGET = "o_orderstatus"
+MI_RANK_FEATURES = ["o_orderpriority", "o_custkey", "o_totalprice"]
+
+
+def _mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-association ranking: MI of each candidate column against
+    the o_orderstatus label (profile.mutual_information over string
+    casts) — the which-columns-predict-the-label / leakage screen. One
+    cells-groupBy per pair, ≤ |levels|² state each."""
+    from whiterrabbit_spark.profile import mutual_information
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = mutual_information(
+        orders, [(c, MI_RANK_TARGET) for c in MI_RANK_FEATURES]
+    )
+    return out.select(
+        F.col("col_a").alias("feature"),
+        "n_rows",
+        F.round("mi", R).alias("mi"),
+        F.round("mi_norm", R).alias("mi_norm"),
+    )
+
+
+def _mi_ranking_sql() -> str:
+    parts = []
+    for c in MI_RANK_FEATURES:
+        parts.append(f"""
+SELECT '{c}' AS feature, n_rows,
+       round(greatest(mi, 0.0), {R}) AS mi,
+       round(CASE WHEN least(ha, hb) > 0
+                  THEN greatest(mi, 0.0) / least(ha, hb) END, {R}) AS mi_norm
+FROM (
+  SELECT sum((n/nt) * ln((n/nt) / ((na/nt)*(nb/nt)))) AS mi,
+         sum(-((na/nt) * ln(na/nt)) / ca) AS ha,
+         sum(-((nb/nt) * ln(nb/nt)) / cb) AS hb,
+         sum(n)::BIGINT AS n_rows
+  FROM (
+    SELECT n,
+           sum(n) OVER () AS nt,
+           sum(n) OVER (PARTITION BY a) AS na,
+           sum(n) OVER (PARTITION BY b) AS nb,
+           count(*) OVER (PARTITION BY a) AS ca,
+           count(*) OVER (PARTITION BY b) AS cb
+    FROM (
+      SELECT CAST({c} AS VARCHAR) AS a,
+             CAST({MI_RANK_TARGET} AS VARCHAR) AS b,
+             count(*)::DOUBLE AS n
+      FROM orders
+      WHERE {c} IS NOT NULL AND {MI_RANK_TARGET} IS NOT NULL
+      GROUP BY 1, 2
+    )
+  )
+)""")
+    return " UNION ALL ".join(parts)
+
+
 GINI_COLS = ["l_extendedprice", "l_quantity"]
 
 
@@ -5757,5 +5857,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("tpch_q1_lineitem", _tpch_q1, _TPCH_Q1_SQL)
     add("tpch_q3_pricing", _tpch_q3, _TPCH_Q3_SQL)
     add("gini_lineitem", _gini, _gini_sql())
+    add("spearman_matrix_lineitem", _spearman_matrix,
+        _spearman_matrix_sql())
+    add("mi_ranking_orders", _mi_ranking, _mi_ranking_sql())
 
     return queries, oracles
