@@ -821,3 +821,49 @@ def test_discover_cli(spark, tmp_path, capsys):
     solo.mkdir()
     (solo / "only.tsv").write_text("a\n1\n")
     assert main(["-w", str(solo)]) == 2
+
+
+def test_discover_cli_dotted_table_names(spark, tmp_path):
+    """Table names containing dots (dated/versioned files — io preserves
+    dots in stems) must still pair cross-table; regression for the
+    prefix-parsing exclusion that dropped them."""
+    from whiterrabbit_spark.discover import main
+
+    wd = tmp_path / "in"
+    wd.mkdir()
+    (wd / "sales.2024.tsv").write_text("id\tv\n1\ta\n2\tb\n")
+    (wd / "sales.2025.tsv").write_text("ref\tw\n1\tx\n2\ty\n")
+    out = tmp_path / "j.tsv"
+    assert main(["-w", str(wd), "-o", str(out), "--min-containment", "0.5"]) == 0
+    rows = [l.split("\t") for l in out.read_text().strip().split("\n")[1:]]
+    assert any(
+        r[0] == "sales.2024.id" and r[1] == "sales.2025.ref" for r in rows
+    )
+
+
+def test_incremental_scan_config_invalidation(spark, tmp_path):
+    """A changed ScanConfig must invalidate the whole cache — cached
+    results are only valid under the settings that produced them."""
+    from whiterrabbit_spark.config import ScanConfig
+    from whiterrabbit_spark.incremental import scan_folder_incremental
+
+    wd = tmp_path / "in"
+    state = tmp_path / "state"
+    wd.mkdir()
+    (wd / "a.tsv").write_text(
+        "id\n" + "\n".join(str(i) for i in range(20)) + "\n"
+    )
+    _, res1, rep1 = scan_folder_incremental(
+        spark, str(wd), str(state), ScanConfig(max_rows=5)
+    )
+    assert rep1.scanned == ["a.tsv"]
+    _, _, rep2 = scan_folder_incremental(
+        spark, str(wd), str(state), ScanConfig(max_rows=5)
+    )
+    assert rep2.loaded == ["a.tsv"]  # same config -> cache hit
+    _, res3, rep3 = scan_folder_incremental(
+        spark, str(wd), str(state), ScanConfig(max_rows=-1)
+    )
+    assert rep3.scanned == ["a.tsv"]  # config change -> full rescan
+    s = {r.column_name: r for r in res3[0].summary.collect()}
+    assert s["id"].total_count == 20  # profiled under the NEW config

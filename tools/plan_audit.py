@@ -35,6 +35,11 @@ EFFECTFUL_PREFIXES = ("streaming_", "ann_ivf_index", "bpe_learn",
                       # per-dim stats fold and the partial-Gram passes
                       "quantize_error", "embedding_pca",
                       "whiten_embeddings")
+# Builders with a SMALL construction-time probe (one agg job at audit
+# scale: the approx-distinct guards behind ecdf_attach/spearman/
+# mannwhitney, line_dedup's 1% hot-digest sample, equi_depth's row
+# count) are NOT listed — at sf0.001 those cost milliseconds and
+# skipping them would hide the plans the audit exists to check.
 
 
 def audit_plan(plan: str) -> dict:

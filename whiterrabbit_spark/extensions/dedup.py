@@ -995,7 +995,9 @@ def span_dedup(
         chunks,
         lambda x, i: F.array_position(F.slice(chunks, F.lit(1), i), x) == 0,
     )
-    empty = F.length(F.trim(F.col(text_col))) == 0
+    # coalesce: NULL text must take the empty branch (0, 0, ""), not
+    # propagate NULL through the otherwise() outputs
+    empty = F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) == 0
     return df.select(
         F.col(id_col),
         F.when(empty, F.lit(0)).otherwise(n_chunks).alias("n_chunks"),
@@ -1033,7 +1035,13 @@ def boilerplate_lines(
     being measured — so state per group stays proportional to the
     answer. Deterministic order: occurrences DESC, line ASC.
     """
-    line = F.explode(F.split(F.col(text_col), delimiter)).alias("line")
+    import re
+
+    # literal delimiter, same as line_dedup — F.split takes a regex and
+    # a raw '|' or '.' would split per character
+    line = F.explode(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(delimiter))
+    ).alias("line")
     lines = (
         df.select(F.col(id_col).alias("__doc"), line)
         .withColumn("line", F.trim(F.col("line")))

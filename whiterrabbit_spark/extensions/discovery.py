@@ -153,23 +153,27 @@ def folder_join_candidates(
     """
     melted = None
     for name, df in tables.items():
+        # table identity rides its OWN column — parsing it back out of
+        # the display label would break on dotted table names, which
+        # io.discover_tables explicitly preserves in file stems
         m = _melt_distinct(df, df.columns, "a").select(
+            F.lit(name).alias("tbl"),
             F.concat(F.lit(name + "."), F.col("col_a")).alias("col"),
             "value",
         )
         melted = m if melted is None else melted.unionByName(m)
     melted = melted.persist()
     sizes = melted.groupBy("col").agg(F.count(F.lit(1)).alias("n"))
-    a = melted.select(F.col("col").alias("col_a"), "value")
-    b = melted.select(F.col("col").alias("col_b"), "value")
+    a = melted.select(
+        F.col("tbl").alias("tbl_a"), F.col("col").alias("col_a"), "value"
+    )
+    b = melted.select(
+        F.col("tbl").alias("tbl_b"), F.col("col").alias("col_b"), "value"
+    )
     inter = (
         a.join(b, "value")
         .where(F.col("col_a") < F.col("col_b"))
-        # cross-table only: different prefix before the first dot
-        .where(
-            F.substring_index("col_a", ".", 1)
-            != F.substring_index("col_b", ".", 1)
-        )
+        .where(F.col("tbl_a") != F.col("tbl_b"))  # cross-table only
         .groupBy("col_a", "col_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

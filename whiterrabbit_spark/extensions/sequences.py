@@ -367,7 +367,10 @@ def item_associations(
         .distinct()
         .persist()
     )
-    n_baskets = base.select("__b").distinct().count()
+    # basket total stays LAZY — a 1-row aggregate broadcast-joined in,
+    # exactly like the oracle's CROSS JOIN nb; an eager .count() here
+    # would execute a full job at plan-construction time
+    nb = base.agg(F.count_distinct("__b").cast("double").alias("__nb"))
     margins = base.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
     a = base.select(F.col("__b"), F.col("__i").alias("item_a"))
     b = base.select(F.col("__b"), F.col("__i").alias("item_b"))
@@ -381,21 +384,22 @@ def item_associations(
         F.col("__i").alias("item_a"), F.col("__n").alias("__na")
     )
     mb = margins.select(
-        F.col("__i").alias("item_b"), F.col("__n").alias("__nb")
+        F.col("__i").alias("item_b"), F.col("__n").alias("__nb_m")
     )
-    n = float(n_baskets)
     out = (
         pairs.join(F.broadcast(ma), "item_a")
         .join(F.broadcast(mb), "item_b")
+        .join(F.broadcast(nb))
         .select(
             "item_a",
             "item_b",
             F.col("n_pair").alias("n_baskets"),
-            (F.col("n_pair") / F.lit(n)).alias("support"),
+            (F.col("n_pair") / F.col("__nb")).alias("support"),
             (F.col("n_pair") / F.col("__na")).alias("conf_a_to_b"),
-            (F.col("n_pair") / F.col("__nb")).alias("conf_b_to_a"),
+            (F.col("n_pair") / F.col("__nb_m")).alias("conf_b_to_a"),
             (
-                F.col("n_pair") * F.lit(n) / (F.col("__na") * F.col("__nb"))
+                F.col("n_pair") * F.col("__nb")
+                / (F.col("__na") * F.col("__nb_m"))
             ).alias("lift"),
         )
     )

@@ -27,6 +27,7 @@ the state dir or touching the file).
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 import json
 import os
@@ -97,6 +98,15 @@ def scan_folder_incremental(
     os.makedirs(os.path.join(state_dir, "summary"), exist_ok=True)
     os.makedirs(os.path.join(state_dir, "freq"), exist_ok=True)
     manifest = _load_manifest(state_dir)
+    # cached results are only valid under the settings that produced
+    # them: a changed ScanConfig (max_rows, delimiter, approx, ...)
+    # invalidates the WHOLE cache — otherwise a --max-rows 100 profile
+    # would silently serve a later --max-rows -1 run
+    cfg_key = hashlib.md5(
+        json.dumps(dataclasses.asdict(cfg), sort_keys=True).encode("utf-8")
+    ).hexdigest()
+    if manifest.get("__config__") != cfg_key:
+        manifest = {"__config__": cfg_key}
     tables = wio.discover_tables(working_folder, cfg.delimiter, cfg.source_format)
     report = IncrementalReport()
 
@@ -122,14 +132,20 @@ def scan_folder_incremental(
     # persist fresh results + manifest rows
     for res in fresh:
         d = _digest(res.file_path)
-        res.summary.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(state_dir, "summary", d)
-        )
+        sum_dir = os.path.join(state_dir, "summary", d)
+        res.summary.coalesce(1).write.mode("overwrite").parquet(sum_dir)
         freq_dir = os.path.join(state_dir, "freq", d)
         if res.frequencies is not None:
             res.frequencies.coalesce(1).write.mode("overwrite").parquet(freq_dir)
         elif os.path.isdir(freq_dir):
             shutil.rmtree(freq_dir)
+        # hand downstream consumers the just-written parquet, not the
+        # original plan — otherwise the report sink re-runs the full
+        # profiling job a second time for exactly the fresh (expensive)
+        # files this cache exists to optimize
+        res.summary = spark.read.parquet(sum_dir)
+        if res.frequencies is not None:
+            res.frequencies = spark.read.parquet(freq_dir)
         manifest[res.file_name] = {
             "path": res.file_path,
             "freshness": _freshness(res.file_path),
@@ -143,7 +159,7 @@ def scan_folder_incremental(
         report.scanned.append(res.file_name)
 
     # evict manifest entries whose file vanished from the folder
-    live = {os.path.basename(p) for _, p in tables}
+    live = {os.path.basename(p) for _, p in tables} | {"__config__"}
     for name in sorted(set(manifest) - live):
         ent = manifest.pop(name)
         report.evicted.append(name)

@@ -1543,46 +1543,40 @@ def ecdf_lookup(
             )
         )
         return hist.select("v", (cume / total).alias("cume_dist"))
-    bounds = hist.agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
-    bucket = F.when(
-        F.col("__hi") > F.col("__lo"),
-        F.least(
-            F.floor(
-                (F.col("v") - F.col("__lo"))
-                / ((F.col("__hi") - F.col("__lo")) / n_parts)
-            ),
-            F.lit(n_parts - 1),
-        ),
-    ).otherwise(F.lit(0))
-    hist = hist.join(F.broadcast(bounds)).withColumn(
-        "__pid", bucket.cast("int")
-    )
-    totals = hist.groupBy("__pid").agg(F.sum("cnt").alias("__ptot"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__pid",
-        F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)).alias("__offset"),
-        F.sum("__ptot").over(Window.partitionBy()).alias("__total"),
-    )
-    w_loc = Window.partitionBy("__pid").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        hist.withColumn("__cum", F.sum("cnt").over(w_loc))
-        .join(F.broadcast(offsets), "__pid")
-        .select(
-            "v",
-            (
-                (F.col("__offset") + F.col("__cum")) / F.col("__total")
-            ).alias("cume_dist"),
-        )
+    # shared bucketed machinery (_hist_exclusive_prefix); inclusive
+    # cume = exclusive-before + own count, total joined lazily
+    pre = _hist_exclusive_prefix(hist, "v", "cnt", n_parts)
+    total = hist.agg(F.sum("cnt").alias("__total"))
+    return pre.join(F.broadcast(total)).select(
+        "v",
+        (
+            (F.col("before") + F.col("cnt")) / F.col("__total")
+        ).alias("cume_dist"),
     )
 
 
 # (semanticHash, column) -> approx distinct count; the broadcast-vs-merge
 # decision is a corpus property, so repeated builds over the same source
 # (bench loops, retried jobs) pay the probe job once per session.
+# CAVEAT: semanticHash is plan-based — in a long-lived session where the
+# SAME path's data grows (streaming appends, re-written partitions) the
+# cached count goes stale and a guard could pick broadcast for a column
+# that outgrew it. Call clear_probe_caches() after mutating a source
+# in-session; fresh sessions (jobs, notebooks-per-run) are unaffected.
 _DISTINCT_PROBE_CACHE: dict = {}
+
+
+def clear_probe_caches() -> None:
+    """Drop the session-lifetime scale-probe caches (see the staleness
+    caveat on ``_DISTINCT_PROBE_CACHE``); also clears the line-dedup
+    hot-digest probe cache."""
+    _DISTINCT_PROBE_CACHE.clear()
+    try:
+        from whiterrabbit_spark.extensions import dedup as _dd
+
+        _dd._LINE_DEDUP_PROBE_CACHE.clear()
+    except (ImportError, AttributeError):
+        pass
 
 
 def _approx_distinct(df: DataFrame, column: str) -> int:

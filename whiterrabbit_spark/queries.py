@@ -4724,7 +4724,7 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_DEDUP_SQL = """
 WITH w AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
-  FROM documents
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
 ), c AS (
   SELECT doc_id, i AS ord,
          array_to_string(words[(i-1)*3+1:i*3], ' ') AS chunk
@@ -4733,13 +4733,21 @@ WITH w AS (
   SELECT doc_id, ord, chunk,
          row_number() OVER (PARTITION BY doc_id, chunk ORDER BY ord) AS rn
   FROM c
+), agg AS (
+  SELECT doc_id,
+         count(*) AS n_chunks,
+         count(*) FILTER (rn > 1) AS n_removed,
+         string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ord)
+           AS text_scrubbed
+  FROM f GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_chunks,
-       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_removed,
-       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ord),
-                '') AS text_scrubbed
-FROM f GROUP BY doc_id"""
+-- LEFT JOIN back so NULL / empty / whitespace-only docs emit the same
+-- (0, 0, '') row the engine's empty branch does instead of vanishing
+SELECT d.doc_id,
+       CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(a.text_scrubbed, '') AS text_scrubbed
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
 
 def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5194,11 +5202,26 @@ FROM h CROSS JOIN tot"""
 def _whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA-whitened embeddings (similarity.whiten_embeddings): partial-
     Gram collect + broadcast (k×d) matmul in mapInPandas. Rows-only
-    (driver-side eigendecomposition); unit tests pin cov(output) ≈ I."""
+    (driver-side eigendecomposition); unit tests pin cov(output) ≈ I.
+    The registered row projects SCALARS (leading components + norm) —
+    an array column would break the driver's hashable-dtype contract
+    the pack_manifest fix established."""
     from whiterrabbit_spark.extensions.similarity import whiten_embeddings
 
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    return whiten_embeddings(emb, "embedding", k=8)
+    out = whiten_embeddings(emb, "embedding", k=8)
+    w = F.col("embedding")
+    norm = F.sqrt(
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at(w, i + 1), R).alias(f"w_{i}")
+            for i in range(4)
+        ],
+        F.round(norm, R).alias("w_norm"),
+    )
 
 
 def _item_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
