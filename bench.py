@@ -149,6 +149,7 @@ def main() -> None:
         "gini": queries["gini_lineitem"],
         "spearman_matrix": queries["spearman_matrix_lineitem"],
         "mi_ranking": queries["mi_ranking_orders"],
+        "qq_drift": queries["qq_drift_orders"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

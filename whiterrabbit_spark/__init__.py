@@ -16,4 +16,4 @@ from whiterrabbit_spark.config import ScanConfig
 from whiterrabbit_spark.session import get_spark
 
 __all__ = ["ScanConfig", "get_spark"]
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -2733,3 +2733,58 @@ def gini_coefficient(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def qq_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    probs: tuple[float, ...] = (
+        0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95,
+    ),
+) -> DataFrame:
+    """Quantile-quantile comparison between two segments of a column —
+    the drift diagnostic that says WHERE the distributions diverge
+    (tails vs body), which a scalar statistic (KS/PSI/U) cannot: one
+    row per probe quantile with both segments' exact type-7 values and
+    the gap. Points on q_a = q_b mean identical distributions; a bowed
+    tail means tail drift.
+
+    Scale shape: both quantile vectors come from ONE
+    :func:`grouped_quantiles` call (weighted-percentile-over-histogram
+    — per-group state is the group's distinct-value count, not its row
+    count); everything after runs on a 2×|probs| frame.
+
+    Returns ``(prob, q_a, q_b, diff)`` ordered by prob.
+    """
+    qs = grouped_quantiles(
+        df.where(F.col(group_col).isin([group_a, group_b])),
+        group_col,
+        value_col,
+        probs=probs,
+    )
+    cols = [f"q_{str(p).replace('.', '_')}" for p in probs]
+    melted = qs.select(
+        "group_key",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(float(p)) for p in probs]).alias("prob"),
+                F.array(*[F.col(c) for c in cols]).alias("q"),
+            )
+        ).alias("z"),
+    ).select("group_key", F.col("z.prob").alias("prob"), F.col("z.q").alias("q"))
+    a = melted.where(F.col("group_key") == group_a).select(
+        "prob", F.col("q").alias("q_a")
+    )
+    b = melted.where(F.col("group_key") == group_b).select(
+        "prob", F.col("q").alias("q_b")
+    )
+    return (
+        a.join(b, "prob")
+        .select(
+            "prob", "q_a", "q_b", (F.col("q_b") - F.col("q_a")).alias("diff")
+        )
+        .orderBy("prob")
+    )

@@ -4907,6 +4907,45 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+QQ_PROBS = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+
+
+def _qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ comparison of o_totalprice between open and fulfilled orders
+    (profile.qq_drift): one grouped-quantiles pass, then a 2×|probs|
+    frame — localizes WHERE distributions diverge."""
+    from whiterrabbit_spark.profile import qq_drift
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = qq_drift(orders, "o_totalprice", "o_orderstatus", "O", "F",
+                   probs=QQ_PROBS)
+    return out.select(
+        F.round("prob", R).alias("prob"),
+        F.round("q_a", R).alias("q_a"),
+        F.round("q_b", R).alias("q_b"),
+        F.round("diff", R).alias("diff"),
+    )
+
+
+def _qq_drift_sql() -> str:
+    probs_sql = ", ".join(str(p) for p in QQ_PROBS)
+    return f"""
+WITH q AS (
+  SELECT o_orderstatus AS g,
+         quantile_cont(o_totalprice, [{probs_sql}]) AS qs
+  FROM orders WHERE o_orderstatus IN ('O', 'F')
+    AND o_totalprice IS NOT NULL
+  GROUP BY 1
+), u AS (
+  SELECT g, unnest(qs) AS q, generate_subscripts(qs, 1) AS i FROM q
+), m AS (
+  SELECT g, q, CAST([{probs_sql}][i] AS DOUBLE) AS prob FROM u
+)
+SELECT round(a.prob, {R}) AS prob, round(a.q, {R}) AS q_a,
+       round(b.q, {R}) AS q_b, round(b.q - a.q, {R}) AS diff
+FROM m a JOIN m b ON a.prob = b.prob AND a.g = 'O' AND b.g = 'F'"""
+
+
 SPEARMAN_PAIRS = [
     ("l_quantity", "l_extendedprice"),
     ("l_quantity", "l_discount"),
@@ -5883,5 +5922,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("spearman_matrix_lineitem", _spearman_matrix,
         _spearman_matrix_sql())
     add("mi_ranking_orders", _mi_ranking, _mi_ranking_sql())
+    add("qq_drift_orders", _qq_drift, _qq_drift_sql())
 
     return queries, oracles
