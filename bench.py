@@ -150,6 +150,7 @@ def main() -> None:
         "spearman_matrix": queries["spearman_matrix_lineitem"],
         "mi_ranking": queries["mi_ranking_orders"],
         "qq_drift": queries["qq_drift_orders"],
+        "tpch_q6": queries["tpch_q6_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

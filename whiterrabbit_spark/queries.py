@@ -5203,6 +5203,46 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10"""
 
 
+def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped revenue forecast: the pure filter-and-aggregate
+    probe — every predicate (date range, discount band, quantity cap)
+    must reach the parquet scan, and the whole query is one map-side
+    fold to a single row. Revenue in integer fixed-point e4."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            # raw-column range, NOT round(x*100) BETWEEN — an expression
+            # predicate can't reach the parquet reader; the raw range is
+            # row-group-prunable and selects the same 2-decimal values
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev_e4) / 1e4, R).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_TPCH_Q6_SQL = f"""
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) / 1e4, {R})
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24"""
+
+
 def _lifetime_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-lifetime survival curve (profile.lifetime_survival): rows
     collapse to one span per user, then to the ≤ max-lifetime-in-days
@@ -5923,5 +5963,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _spearman_matrix_sql())
     add("mi_ranking_orders", _mi_ranking, _mi_ranking_sql())
     add("qq_drift_orders", _qq_drift, _qq_drift_sql())
+    add("tpch_q6_lineitem", _tpch_q6, _TPCH_Q6_SQL)
 
     return queries, oracles
