@@ -151,6 +151,7 @@ def main() -> None:
         "mi_ranking": queries["mi_ranking_orders"],
         "qq_drift": queries["qq_drift_orders"],
         "tpch_q6": queries["tpch_q6_lineitem"],
+        "running_zscore": queries["running_zscore_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -3094,3 +3094,55 @@ def test_whiten_embeddings_identity_covariance(spark):
     assert abs(x.mean(axis=0)).max() < 1e-9   # centered
     # non-vector columns survive untouched
     assert {r["vec_id"] for r in rows} == set(range(500))
+
+
+def test_anomaly_stream_matches_batch(spark, tmp_path):
+    """The stateful Welford scorer must emit the same z-scores the
+    batch strictly-prior window derives from full history — across a
+    planted spike and multiple micro-batches."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.extensions import streaming as st
+
+    rows = []
+    eid = 0
+    for minute in range(40):
+        for key in ("a", "b"):
+            # steady signal with one planted spike per key
+            v = 10.0 + (minute % 5) * 0.1
+            if minute == 30:
+                v = 99.0
+            rows.append(
+                (eid, f"2024-01-01 10:{minute:02d}:00", key, v)
+            )
+            eid += 1
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    want = {
+        r["event_id"]: (r["n_prior"], r["z"], r["is_anomaly"])
+        for r in st.running_zscore(batch, min_history=10).collect()
+    }
+    assert any(v[2] for v in want.values())  # the spike is flagged
+
+    src = str(tmp_path / "src")
+    batch.orderBy("event_id").coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = st.anomaly_stream(stream, min_history=10)
+    st.run_stream_to_memory(out, "anomaly_test", mode="update")
+    got = {
+        r["event_id"]: (r["n_prior"], r["z"], r["is_anomaly"])
+        for r in spark.table("anomaly_test").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        if want[k][1] is None:
+            assert got[k][1] is None
+        else:
+            assert abs(got[k][1] - want[k][1]) < 1e-9
+        assert got[k][2] == want[k][2]

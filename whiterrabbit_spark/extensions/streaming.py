@@ -531,3 +531,109 @@ def finish_psi(
             F.sum("cn").alias("n_cur"),
         )
     )
+
+
+def running_zscore(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    min_history: int = 10,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key running z-score anomaly detection (batch form): each
+    event is scored against the mean/stddev of its key's STRICTLY
+    PRIOR history — z = (x − mean_prev) / sd_prev — so the score an
+    online monitor would have emitted at that moment, with no lookahead
+    leak. Events with fewer than ``min_history`` predecessors are
+    unscored (NULL z, never flagged).
+
+    The per-key window is bounded by that key's event count — the
+    standard keyed-stream shape (same bound the stateful twin
+    :func:`anomaly_stream` keeps as O(1) Welford state). Ordering ties
+    break on ``id_col`` so scores are executor-order-proof.
+
+    Returns the input keys plus ``(n_prior, z, is_anomaly)``.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    v = F.col(value_col).cast("double")
+    n_prior = F.count(v).over(w)
+    mean_prev = F.avg(v).over(w)
+    sd_prev = F.stddev_samp(v).over(w)
+    z = F.when(
+        (n_prior >= min_history) & (sd_prev > 0), (v - mean_prev) / sd_prev
+    )
+    return events.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col(ts_col),
+        v.alias(value_col),
+        n_prior.alias("n_prior"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def anomaly_stream(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    min_history: int = 10,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of :func:`running_zscore` with CONSTANT per-key
+    state: Welford's (n, mean, M2) updates once per event, so the state
+    store holds three doubles per key no matter how long the stream
+    runs — the same numbers the batch window derives from full history,
+    which is what the batch-equivalence test pins. In-order delivery
+    per key is assumed within the stream (same caveat as
+    ``funnel_stateful``/``sessionize_stateful``).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import math as m
+
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        out = []
+        for rid, ts, x in zip(rows[id_col], rows[ts_col], rows[value_col]):
+            x = float(x)
+            sd_prev = m.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+            if n >= min_history and sd_prev > 0:
+                z = (x - mean) / sd_prev
+            else:
+                z = None
+            out.append(
+                (rid, key[0], n, z,
+                 z is not None and abs(z) > z_threshold)
+            )
+            n += 1
+            delta = x - mean
+            mean += delta / n
+            m2 += delta * (x - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            out, columns=[id_col, key_col, "n_prior", "z", "is_anomaly"]
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        f"{id_col} long, {key_col} string, n_prior long, z double,"
+        " is_anomaly boolean",
+        "n long, mean double, m2 double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -4907,6 +4907,41 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+def _running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running z-score anomaly scores (streaming.running_zscore
+    batch form): strictly-prior window per key — the no-lookahead score
+    an online monitor emits; the stateful Welford twin is pinned equal
+    in unit tests."""
+    from whiterrabbit_spark.extensions.streaming import running_zscore
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    out = running_zscore(ev, min_history=10, z_threshold=3.0)
+    return out.select(
+        "event_id", "event_type", "n_prior",
+        F.round("z", R).alias("z"), "is_anomaly",
+    )
+
+
+_RUNNING_Z_SQL = f"""
+WITH w AS (
+  SELECT event_id, event_type,
+         count(value) OVER win AS n_prior,
+         avg(value) OVER win AS mean_prev,
+         stddev_samp(value) OVER win AS sd_prev,
+         value
+  FROM events
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, CAST(n_prior AS BIGINT) AS n_prior,
+       round(CASE WHEN n_prior >= 10 AND sd_prev > 0
+                  THEN (value - mean_prev) / sd_prev END, {R}) AS z,
+       coalesce(abs(CASE WHEN n_prior >= 10 AND sd_prev > 0
+                         THEN (value - mean_prev) / sd_prev END) > 3.0,
+                false) AS is_anomaly
+FROM w"""
+
+
 QQ_PROBS = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 
 
@@ -5964,5 +5999,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("mi_ranking_orders", _mi_ranking, _mi_ranking_sql())
     add("qq_drift_orders", _qq_drift, _qq_drift_sql())
     add("tpch_q6_lineitem", _tpch_q6, _TPCH_Q6_SQL)
+    add("running_zscore_events", _running_zscore, _RUNNING_Z_SQL)
 
     return queries, oracles
