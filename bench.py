@@ -152,6 +152,8 @@ def main() -> None:
         "qq_drift": queries["qq_drift_orders"],
         "tpch_q6": queries["tpch_q6_lineitem"],
         "running_zscore": queries["running_zscore_events"],
+        "graph_triangles": queries["graph_triangles_lineitem"],
+        "pagerank": queries["pagerank_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -38,6 +38,9 @@ ROWS_ONLY = {
     # same eigendecomposition applied as a transform; cov(output) ≈ I
     # pinned in unit tests
     "whiten_embeddings_embeddings",
+    # iterative float power method — not SQL-reproducible at hash
+    # precision; hand-graph + invariant tests pin it
+    "pagerank_lineitem",
 }
 
 

@@ -3146,3 +3146,42 @@ def test_anomaly_stream_matches_batch(spark, tmp_path):
         else:
             assert abs(got[k][1] - want[k][1]) < 1e-9
         assert got[k][2] == want[k][2]
+
+
+def test_graph_primitives_known_values(spark):
+    """Hand graph: K4 minus one edge has 2 triangles; degrees pin; the
+    co-occurrence induction builds the right edges; PageRank sums to 1
+    and ranks the hub highest."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.extensions.graph import (cooccurrence_edges,
+                                                     degree_stats, pagerank,
+                                                     triangle_count)
+
+    # groups induce: edges 1-2,1-3,1-4,2-3,3-4 (K4 minus 2-4)
+    rows = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 3), (11, 4),
+            (12, 2), (12, 3), (13, 1), (13, 4)]
+    df = spark.createDataFrame(rows, "g long, i long")
+    edges = cooccurrence_edges(df, "g", "i")
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {(1, 2), (1, 3), (1, 4), (2, 3), (3, 4)}
+
+    t = triangle_count(edges).collect()[0]
+    assert (t["n_nodes"], t["n_edges"], t["n_triangles"]) == (4, 5, 2)
+
+    deg = {r["node"]: r["degree"] for r in degree_stats(edges, 10).collect()}
+    assert deg == {1: 3, 3: 3, 2: 2, 4: 2}
+
+    pr = pagerank(edges, n_iter=20, top_k=10).collect()
+    ranks = {r["node"]: r["rank"] for r in pr}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9       # mass conserved
+    assert min(ranks.values()) > 0
+    # the two degree-3 nodes outrank the degree-2 nodes
+    assert min(ranks[1], ranks[3]) > max(ranks[2], ranks[4])
+
+    # a 2-regular ring is uniform
+    ring = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    rr = [r["rank"] for r in pagerank(ring, n_iter=15).collect()]
+    assert max(rr) - min(rr) < 1e-12

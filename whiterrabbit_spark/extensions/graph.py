@@ -1,0 +1,167 @@
+"""Graph analytics over relation-induced graphs: co-occurrence edges,
+degree statistics, exact triangle counting, PageRank.
+
+Not in the reference surface (whiteRRabbit.R profiles one flat table at
+a time — SURVEY §2 "not present"); this is the graph slice of the
+pipeline-extension family: co-purchase/co-occurrence structure, hub
+detection, and influence ranking over graphs the warehouse already
+implies (parts sharing an order, docs sharing near-dup edges, users
+sharing sessions).
+
+Scale shape
+-----------
+* Edge induction is one self-join on the grouping key with per-group
+  fan-out C(k, 2) — bounded by the key's item count, the same
+  hot-basket consideration as ``sequences.item_associations`` (cap
+  oversized groups upstream for power-law data).
+* Triangle counting is the classic two-hop join over the ORIENTED
+  (src < dst) edge list — orientation cuts each triangle to exactly one
+  (a < b < c) occurrence and caps the join fan-out by the forward
+  degree, the standard m^(3/2) bound.
+* PageRank is power iteration as repeated join+groupBy; every few
+  iterations a lazy ``localCheckpoint`` truncates the growing lineage
+  (the classic iterative-DataFrame trap). Ranks are per-node state —
+  never collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Undirected co-occurrence edges: items sharing a group, oriented
+    ``src < dst``, weighted by the number of shared groups. The induced
+    graph behind co-purchase / co-citation / shared-session analyses.
+    """
+    base = (
+        df.where(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i"))
+        .distinct()
+    )
+    a = base.select("__g", F.col("__i").alias("src"))
+    b = base.select("__g", F.col("__i").alias("dst"))
+    return (
+        a.join(b, "__g")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .where(F.col("weight") >= min_weight)
+    )
+
+
+def degree_stats(edges: DataFrame, top_k: int = 10) -> DataFrame:
+    """Top-``top_k`` hub nodes by degree with each node's share of all
+    endpoints — the hub/skew report for an undirected edge list.
+    One explode-free union of the two endpoint projections and one
+    groupBy; top-k is a TakeOrderedAndProject.
+
+    Returns ``(node, degree, degree_share)`` ordered degree DESC.
+    """
+    ends = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    total = deg.agg(F.sum("degree").alias("__t"))
+    return (
+        deg.join(F.broadcast(total))
+        .select(
+            "node",
+            "degree",
+            (F.col("degree") / F.col("__t")).alias("degree_share"),
+        )
+        .orderBy(F.col("degree").desc(), "node")
+        .limit(top_k)
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count plus basic graph size — the
+    clustering/community-signal scalar. Two-hop join over the oriented
+    edge list: (a<b) ⋈ (b<c) ⋈ (a<c) touches each triangle exactly
+    once.
+
+    Returns one row ``(n_nodes, n_edges, n_triangles)``.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    nodes = e.select(F.col("src").alias("n")).unionAll(
+        e.select(F.col("dst").alias("n"))
+    ).distinct()
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .join(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .join(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    top_k: int = 20,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PageRank over the undirected graph (each edge contributes both
+    directions), by power iteration: rank_v = (1−d)/N + d·Σ_u rank_u /
+    deg_u over in-neighbors u. Dangling mass cannot exist in an
+    undirected graph (every node with an edge has out-degree ≥ 1), so
+    Σ ranks stays 1 — an invariant the tests pin.
+
+    Each iteration is one join + one groupBy on the edge list;
+    ``localCheckpoint`` (lazy) every ``checkpoint_every`` iterations
+    truncates the plan lineage that would otherwise grow linearly and
+    blow up Catalyst analysis time — the canonical iterative-DataFrame
+    pattern.
+
+    Returns the top-``top_k`` ``(node, rank)`` rows, rank DESC.
+    """
+    both = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    out_deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = out_deg.select(F.col("src").alias("node"), "__deg").persist()
+    n_nodes = nodes.count()
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("rank"), "__deg"
+    )
+    for i in range(n_iter):
+        contribs = (
+            both.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("__deg")).alias("__c"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+                "__deg",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
+    return (
+        ranks.select("node", "rank")
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(top_k)
+    )

@@ -4907,6 +4907,84 @@ SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
 FROM per_vec"""
 
 
+_COPURCHASE_EDGES_SQL = """
+base AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+), e AS (
+  SELECT DISTINCT a.i AS src, b.i AS dst
+  FROM base a JOIN base b ON a.g = b.g AND a.i < b.i
+)"""
+
+
+def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangles in the part co-purchase graph (graph.
+    cooccurrence_edges + triangle_count): oriented two-hop join, each
+    triangle counted once."""
+    from whiterrabbit_spark.extensions.graph import (cooccurrence_edges,
+                                                     triangle_count)
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_count(edges)
+
+
+_GRAPH_TRIANGLES_SQL = f"""
+WITH {_COPURCHASE_EDGES_SQL},
+nodes AS (
+  SELECT src AS n FROM e UNION SELECT dst FROM e
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e ab JOIN e bc ON ab.dst = bc.src
+            JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM tri"""
+
+
+def _graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchase hubs by degree (graph.degree_stats): endpoint
+    union + one groupBy + TakeOrdered top-10."""
+    from whiterrabbit_spark.extensions.graph import (cooccurrence_edges,
+                                                     degree_stats)
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = degree_stats(edges, top_k=10)
+    return out.select(
+        "node", "degree", F.round("degree_share", R).alias("degree_share")
+    )
+
+
+_GRAPH_DEGREE_SQL = f"""
+WITH {_COPURCHASE_EDGES_SQL},
+ends AS (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+), deg AS (
+  SELECT node, count(*) AS degree FROM ends GROUP BY node
+)
+SELECT node, CAST(degree AS BIGINT) AS degree,
+       round(degree * 1.0 / (SELECT sum(degree) FROM deg), {R})
+         AS degree_share
+FROM deg ORDER BY degree DESC, node LIMIT 10"""
+
+
+def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (graph.pagerank):
+    10-iteration power method, lineage truncated every 4 iterations.
+    Rows-only (iterative float accumulation is not SQL-reproducible at
+    hash precision); invariants pinned in unit tests."""
+    from whiterrabbit_spark.extensions.graph import (cooccurrence_edges,
+                                                     pagerank)
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = pagerank(edges, n_iter=10, top_k=20)
+    return out.select("node", F.round("rank", R).alias("rank"))
+
+
 def _running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key running z-score anomaly scores (streaming.running_zscore
     batch form): strictly-prior window per key — the no-lookahead score
@@ -6000,5 +6078,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("qq_drift_orders", _qq_drift, _qq_drift_sql())
     add("tpch_q6_lineitem", _tpch_q6, _TPCH_Q6_SQL)
     add("running_zscore_events", _running_zscore, _RUNNING_Z_SQL)
+    add("graph_triangles_lineitem", _graph_triangles, _GRAPH_TRIANGLES_SQL)
+    add("graph_degree_lineitem", _graph_degree, _GRAPH_DEGREE_SQL)
+    add("pagerank_lineitem", _pagerank, None)
 
     return queries, oracles
