@@ -154,6 +154,7 @@ def main() -> None:
         "running_zscore": queries["running_zscore_events"],
         "graph_triangles": queries["graph_triangles_lineitem"],
         "pagerank": queries["pagerank_lineitem"],
+        "ann_recall": queries["ann_recall_embeddings"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -34,7 +34,10 @@ EFFECTFUL_PREFIXES = ("streaming_", "ann_ivf_index", "bpe_learn",
                       # collect-at-construction round-3 builders: the
                       # per-dim stats fold and the partial-Gram passes
                       "quantize_error", "embedding_pca",
-                      "whiten_embeddings")
+                      "whiten_embeddings",
+                      # node-count job at construction + 10 chained
+                      # iterations make the printed plan meaningless
+                      "pagerank")
 # Builders with a SMALL construction-time probe (one agg job at audit
 # scale: the approx-distinct guards behind ecdf_attach/spearman/
 # mannwhitney, line_dedup's 1% hot-digest sample, equi_depth's row

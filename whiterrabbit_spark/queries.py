@@ -4917,6 +4917,68 @@ base AS (
 )"""
 
 
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@5 evaluation: the LSH path's top-5 measured against
+    the exact brute-force top-5 per query — the accept/tune gate every
+    approximate index needs before production. Both sides are the
+    registered operators with identical parameters; the oracle
+    recomputes both in SQL (plane constants inlined), so the recall
+    numbers themselves are cross-engine verified."""
+    df = read_parquet_table(spark, sf_dir, "embeddings")
+    q = df.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = sim.cosine_topk_blocked(df, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ann = sim.random_hyperplane_ann(
+        df, q, dim=EMB_DIM, k=5,
+        n_planes=ANN_LSH_PLANES, n_tables=ANN_LSH_TABLES, seed=ANN_LSH_SEED,
+    ).select("query_id", F.col("neighbor_id").alias("__ann_n"))
+    overlap = brute.join(
+        ann,
+        (brute["query_id"] == ann["query_id"])
+        & (F.col("neighbor_id") == F.col("__ann_n")),
+    ).groupBy(brute["query_id"]).agg(F.count(F.lit(1)).alias("n_overlap"))
+    per_q = (
+        brute.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_brute"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_brute",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                / F.col("n_brute")
+            ).alias("recall_at_5"),
+        )
+    )
+    return per_q.select(
+        "query_id", "n_brute", "n_overlap",
+        F.round("recall_at_5", R).alias("recall_at_5"),
+    )
+
+
+def _ann_recall_sql() -> str:
+    brute = _ANN_SQL.strip()
+    lsh = _ann_hyperplane_sql().strip()
+    return f"""
+WITH brute AS ({brute}), lsh AS ({lsh}),
+o AS (
+  SELECT b.query_id, count(*) AS n_overlap
+  FROM brute b JOIN lsh l
+    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+  GROUP BY 1
+), nb AS (
+  SELECT query_id, count(*) AS n_brute FROM brute GROUP BY 1
+)
+SELECT query_id, CAST(n_brute AS BIGINT) AS n_brute,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(n_overlap, 0) * 1.0 / n_brute, {R}) AS recall_at_5
+FROM nb LEFT JOIN o USING (query_id)"""
+
+
 def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangles in the part co-purchase graph (graph.
     cooccurrence_edges + triangle_count): oriented two-hop join, each
@@ -6079,6 +6141,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("tpch_q6_lineitem", _tpch_q6, _TPCH_Q6_SQL)
     add("running_zscore_events", _running_zscore, _RUNNING_Z_SQL)
     add("graph_triangles_lineitem", _graph_triangles, _GRAPH_TRIANGLES_SQL)
+    add("ann_recall_embeddings", _ann_recall, _ann_recall_sql())
     add("graph_degree_lineitem", _graph_degree, _GRAPH_DEGREE_SQL)
     add("pagerank_lineitem", _pagerank, None)
 
