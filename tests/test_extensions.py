@@ -3108,10 +3108,12 @@ def test_anomaly_stream_matches_batch(spark, tmp_path):
     eid = 0
     for minute in range(40):
         for key in ("a", "b"):
-            # steady signal with one planted spike per key
+            # steady signal with one planted spike per key and one NULL
             v = 10.0 + (minute % 5) * 0.1
             if minute == 30:
                 v = 99.0
+            if minute == 25 and key == "a":
+                v = None  # must score (NULL, false) and NOT poison state
             rows.append(
                 (eid, f"2024-01-01 10:{minute:02d}:00", key, v)
             )
@@ -3126,8 +3128,14 @@ def test_anomaly_stream_matches_batch(spark, tmp_path):
     }
     assert any(v[2] for v in want.values())  # the spike is flagged
 
+    # four files written SEQUENTIALLY in time order -> four micro-batches
+    # under maxFilesPerTrigger=1, so the state-resume path (state.exists)
+    # actually runs between batches
     src = str(tmp_path / "src")
-    batch.orderBy("event_id").coalesce(1).write.parquet(src)
+    for lo, hi in ((0, 10), (10, 20), (20, 30), (30, 40)):
+        batch.where(
+            (F.col("event_id") >= lo * 2) & (F.col("event_id") < hi * 2)
+        ).orderBy("event_id").coalesce(1).write.mode("append").parquet(src)
     stream = (
         spark.readStream.schema(batch.schema).option("maxFilesPerTrigger", 1)
         .parquet(src)

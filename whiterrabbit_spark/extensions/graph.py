@@ -64,10 +64,16 @@ def degree_stats(edges: DataFrame, top_k: int = 10) -> DataFrame:
 
     Returns ``(node, degree, degree_share)`` ordered degree DESC.
     """
-    ends = edges.select(F.col("src").alias("node")).unionAll(
-        edges.select(F.col("dst").alias("node"))
+    # ONE evaluation of the (possibly expensive, induced) edge frame:
+    # explode both endpoints out of each row instead of a self-union
+    # that would run the edge plan twice; the |nodes|-row degree frame
+    # persists so the total aggregate doesn't re-run it either
+    ends = edges.select(
+        F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
     )
-    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    deg = ends.groupBy("node").agg(
+        F.count(F.lit(1)).alias("degree")
+    ).persist()
     total = deg.agg(F.sum("degree").alias("__t"))
     return (
         deg.join(F.broadcast(total))

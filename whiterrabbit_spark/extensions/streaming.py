@@ -592,11 +592,22 @@ def anomaly_stream(
     state: Welford's (n, mean, M2) updates once per event, so the state
     store holds three doubles per key no matter how long the stream
     runs — the same numbers the batch window derives from full history,
-    which is what the batch-equivalence test pins. In-order delivery
-    per key is assumed within the stream (same caveat as
+    which is what the batch-equivalence test pins (across micro-batches
+    — the state-resume path is exercised, not just one batch). In-order
+    delivery per key is assumed within the stream (same caveat as
     ``funnel_stateful``/``sessionize_stateful``).
+
+    NULL values score ``(z=NULL, is_anomaly=false)`` and do NOT touch
+    the state — one NaN folded into Welford's mean would poison the
+    key forever, and the batch twin's ``count/avg/stddev`` skip NULLs
+    the same way. Output carries (id, key, n_prior, z, is_anomaly) —
+    a score stream keyed back to the event, not a row echo; join on
+    ``id_col`` to recover ts/value.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    id_t = stream.schema[id_col].dataType.simpleString()
+    key_t = stream.schema[key_col].dataType.simpleString()
 
     def fn(key, pdfs, state: GroupState):
         import math as m
@@ -609,7 +620,10 @@ def anomaly_stream(
         else:
             n, mean, m2 = 0, 0.0, 0.0
         out = []
-        for rid, ts, x in zip(rows[id_col], rows[ts_col], rows[value_col]):
+        for rid, x in zip(rows[id_col], rows[value_col]):
+            if pd.isna(x):
+                out.append((rid, key[0], n, None, False))
+                continue
             x = float(x)
             sd_prev = m.sqrt(m2 / (n - 1)) if n > 1 else 0.0
             if n >= min_history and sd_prev > 0:
@@ -631,7 +645,7 @@ def anomaly_stream(
 
     return stream.groupBy(key_col).applyInPandasWithState(
         fn,
-        f"{id_col} long, {key_col} string, n_prior long, z double,"
+        f"{id_col} {id_t}, {key_col} {key_t}, n_prior long, z double,"
         " is_anomaly boolean",
         "n long, mean double, m2 double",
         "update",

@@ -4928,9 +4928,12 @@ def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = df.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # persisted: the brute side is a full GEMM corpus pass and feeds
+    # BOTH the overlap join and the per-query size aggregate — without
+    # the cache it would execute twice
     brute = sim.cosine_topk_blocked(df, q, k=5).select(
         "query_id", "neighbor_id"
-    )
+    ).persist()
     ann = sim.random_hyperplane_ann(
         df, q, dim=EMB_DIM, k=5,
         n_planes=ANN_LSH_PLANES, n_tables=ANN_LSH_TABLES, seed=ANN_LSH_SEED,
