@@ -155,6 +155,7 @@ def main() -> None:
         "graph_triangles": queries["graph_triangles_lineitem"],
         "pagerank": queries["pagerank_lineitem"],
         "ann_recall": queries["ann_recall_embeddings"],
+        "bootstrap_ci": queries["bootstrap_ci_orders"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -1073,3 +1073,29 @@ def test_gini_coefficient_known_values(spark):
     assert abs(out["uniform"]) < 1e-12
     assert abs(out["concentrated"] - 0.9) < 1e-12
     assert abs(out["pair"] - 0.25) < 1e-12
+
+
+def test_poisson_bootstrap_statistical_sanity(spark):
+    """The percentile CI brackets the true mean of an iid sample, the
+    point estimate is the plain mean, se > 0, and the draw is a pure
+    function of (id, salt) — rerunning yields identical output."""
+    import random
+
+    from whiterrabbit_spark.profile import poisson_bootstrap
+
+    rng = random.Random(11)
+    rows = [(i, rng.gauss(100.0, 10.0)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    r1 = poisson_bootstrap(df, "v", "id").collect()[0]
+    assert r1["n_rows"] == 4000
+    assert abs(r1["mean"] - 100.0) < 1.0
+    assert r1["ci_lo"] < r1["mean"] < r1["ci_hi"]
+    assert r1["ci_lo"] < 100.0 < r1["ci_hi"]       # true mean covered
+    # CI width ~ 4*se/sqrt-free (percentile interval); sane magnitude
+    assert 0 < r1["boot_se"] < 2.0
+    assert (r1["ci_hi"] - r1["ci_lo"]) < 8 * r1["boot_se"]
+    r2 = poisson_bootstrap(df, "v", "id").collect()[0]
+    assert r1 == r2                                 # deterministic
+    # a different salt draws a different resample
+    r3 = poisson_bootstrap(df, "v", "id", salt="other").collect()[0]
+    assert r3["ci_lo"] != r1["ci_lo"]

@@ -2788,3 +2788,99 @@ def qq_drift(
         )
         .orderBy("prob")
     )
+
+
+# Poisson(1) inverse-CDF ladder (cumulative pmf through k=7 covers
+# 1 - 1e-5 of the mass; the tail folds into k=8). Literals are shared
+# verbatim with the SQL oracle so both engines draw identical weights.
+_POIS1_CUM = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+]
+
+
+def _pois1_weight(u):  # noqa: ANN001 - Column in, Column out
+    w = F.lit(8)
+    for k in range(len(_POIS1_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CUM[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 32,
+    salt: str = "boot",
+    conf: float = 0.95,
+    u_buckets: int = 1_000_003,
+) -> DataFrame:
+    """Bootstrap confidence interval for a column mean, the
+    distributed way: the Poisson bootstrap — each row independently
+    receives a Poisson(1) resampling weight per replicate (for n→∞
+    this is the multinomial bootstrap without ever materializing a
+    resample), every replicate's weighted mean accumulates in the SAME
+    single pass, and the CI is the percentile interval over the
+    replicate means. Uncertainty quantification for a 100 TB mean
+    costs ONE scan with 2·B extra partial-aggregable sums — no
+    resampled copies, no driver data.
+
+    Weights derive from the engine's md5 machinery (u = hashed
+    (id, salt, replicate) → Poisson inverse-CDF ladder), so every
+    engine, partitioning, and re-run draws the identical resample —
+    the same determinism contract as ``splits.weighted_sample``, and
+    what makes the replicate means oracle-checkable.
+
+    Outputs are rounded to 4 decimals by callers at money scale — a
+    row-count-sized float sum only agrees cross-engine to ~1e-6
+    relative.
+
+    Returns one row ``(n_rows, mean, boot_se, ci_lo, ci_hi)``.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & F.col(id_col).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n_rows"), F.avg(v).alias("mean")]
+    for r in range(n_replicates):
+        h = F.md5(
+            F.concat_ws(":", F.col(id_col).cast("string"),
+                        F.lit(salt), F.lit(str(r)))
+        )
+        u = (
+            (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+             % u_buckets).cast("double") + 0.5
+        ) / u_buckets
+        w = _pois1_weight(u).cast("double")
+        aggs.append(F.sum(w * v).alias(f"__s{r}"))
+        aggs.append(F.sum(w).alias(f"__c{r}"))
+    row = base.agg(*aggs)
+    means = F.array_sort(
+        F.array(*[
+            F.col(f"__s{r}") / F.col(f"__c{r}") for r in range(n_replicates)
+        ])
+    )
+    b = n_replicates
+    mean_of = F.aggregate(
+        means, F.lit(0.0), lambda acc, x: acc + x
+    ) / b
+    var_of = (
+        F.aggregate(
+            means, F.lit(0.0), lambda acc, x: acc + x * x
+        ) / b
+        - mean_of * mean_of
+    ) * b / (b - 1)
+
+    def type7(p: float):
+        h = (b - 1) * p + 1.0
+        k1, k2 = int(math.floor(h)), int(math.ceil(h))
+        lo_, hi_ = F.element_at(means, k1), F.element_at(means, k2)
+        return lo_ + F.lit(h - k1) * (hi_ - lo_)
+
+    alpha = (1.0 - conf) / 2.0
+    return row.select(
+        "n_rows",
+        "mean",
+        F.sqrt(var_of).alias("boot_se"),
+        type7(alpha).alias("ci_lo"),
+        type7(1.0 - alpha).alias("ci_hi"),
+    )

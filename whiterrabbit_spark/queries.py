@@ -4933,6 +4933,77 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
     )
 
 
+_BOOT_B = 32
+
+
+def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for mean(o_totalprice)
+    (profile.poisson_bootstrap): B=32 replicates in ONE scan via
+    per-row hashed Poisson(1) weights; CI = percentile interval over
+    replicate means. Money-scale outputs round to 4 (cross-engine float
+    sums agree to ~1e-6 relative)."""
+    from whiterrabbit_spark.profile import poisson_bootstrap
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = poisson_bootstrap(
+        orders, "o_totalprice", "o_orderkey", n_replicates=_BOOT_B
+    )
+    return out.select(
+        "n_rows",
+        F.round("mean", 4).alias("mean"),
+        F.round("boot_se", 4).alias("boot_se"),
+        F.round("ci_lo", 4).alias("ci_lo"),
+        F.round("ci_hi", 4).alias("ci_hi"),
+    )
+
+
+def _bootstrap_ci_sql() -> str:
+    import math as _m
+
+    from whiterrabbit_spark.profile import _POIS1_CUM
+
+    ladder = " ".join(
+        f"WHEN u < {repr(t)} THEN {k}" for k, t in enumerate(_POIS1_CUM)
+    )
+    b = _BOOT_B
+
+    def t7(p):
+        h = (b - 1) * p + 1.0
+        k1, k2 = int(_m.floor(h)), int(_m.ceil(h))
+        return (f"(ms[{k1}] + {repr(h - k1)} * (ms[{k2}] - ms[{k1}]))")
+
+    return f"""
+WITH reps AS (
+  SELECT unnest(generate_series(0, {b - 1})) AS r
+), src AS (
+  SELECT o_orderkey, o_totalprice::DOUBLE AS v FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+), u AS (
+  SELECT r.r, s.v,
+         ((('0x' || substr(md5(s.o_orderkey::VARCHAR || ':boot:'
+                               || r.r::VARCHAR), 1, 15))::BIGINT
+           % 1000003)::DOUBLE + 0.5) / 1000003 AS u
+  FROM src s CROSS JOIN reps r
+), ww AS (
+  SELECT r, v, (CASE {ladder} ELSE 8 END)::DOUBLE AS w FROM u
+), m AS (
+  SELECT r, sum(w * v) / sum(w) AS mr FROM ww GROUP BY r
+), arr AS (
+  SELECT list_sort(list(mr)) AS ms,
+         sum(mr) / {b} AS mean_of,
+         (sum(mr * mr) / {b} - (sum(mr) / {b}) * (sum(mr) / {b}))
+           * {b}.0 / {b - 1} AS var_of
+  FROM m
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows, avg(v) AS mean FROM src
+)
+SELECT n_rows, round(mean, 4) AS mean,
+       round(sqrt(var_of), 4) AS boot_se,
+       round({t7(0.025)}, 4) AS ci_lo,
+       round({t7(0.975)}, 4) AS ci_hi
+FROM base CROSS JOIN arr"""
+
+
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall@5 evaluation: the LSH path's top-5 measured against
     the exact brute-force top-5 per query — the accept/tune gate every
@@ -6152,6 +6223,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("running_zscore_events", _running_zscore, _RUNNING_Z_SQL)
     add("graph_triangles_lineitem", _graph_triangles, _GRAPH_TRIANGLES_SQL)
     add("ann_recall_embeddings", _ann_recall, _ann_recall_sql())
+    add("bootstrap_ci_orders", _bootstrap_ci, _bootstrap_ci_sql())
     add("graph_degree_lineitem", _graph_degree, _GRAPH_DEGREE_SQL)
     add("pagerank_lineitem", _pagerank, None)
 
