@@ -156,6 +156,7 @@ def main() -> None:
         "pagerank": queries["pagerank_lineitem"],
         "ann_recall": queries["ann_recall_embeddings"],
         "bootstrap_ci": queries["bootstrap_ci_orders"],
+        "ab_test": queries["ab_test_orders"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

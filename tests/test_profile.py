@@ -1099,3 +1099,27 @@ def test_poisson_bootstrap_statistical_sanity(spark):
     # a different salt draws a different resample
     r3 = poisson_bootstrap(df, "v", "id", salt="other").collect()[0]
     assert r3["ci_lo"] != r1["ci_lo"]
+
+
+def test_ab_test_bootstrap_detects_planted_effect(spark):
+    import random
+
+    from whiterrabbit_spark.profile import ab_test_bootstrap
+
+    rng = random.Random(5)
+    rows = [(i, "t", rng.gauss(105.0, 10.0)) for i in range(2000)] + [
+        (i + 10_000, "c", rng.gauss(100.0, 10.0)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    r = ab_test_bootstrap(df, "v", "g", "t", "c", "id").collect()[0]
+    assert r["n_a"] == r["n_b"] == 2000
+    assert 3.0 < r["diff"] < 7.0
+    assert r["ci_lo"] < r["diff"] < r["ci_hi"]
+    assert r["significant"] is True
+
+    null_rows = [(i, "t" if i % 2 else "c", rng.gauss(50.0, 5.0))
+                 for i in range(3000)]
+    df0 = spark.createDataFrame(null_rows, "id long, g string, v double")
+    r0 = ab_test_bootstrap(df0, "v", "g", "t", "c", "id").collect()[0]
+    assert r0["significant"] is False  # no real effect -> CI covers 0
+    assert r0["ci_lo"] < 0 < r0["ci_hi"]

@@ -2884,3 +2884,82 @@ def poisson_bootstrap(
         type7(alpha).alias("ci_lo"),
         type7(1.0 - alpha).alias("ci_hi"),
     )
+
+
+def ab_test_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    id_col: str,
+    n_replicates: int = 32,
+    salt: str = "boot",
+    conf: float = 0.95,
+    u_buckets: int = 1_000_003,
+) -> DataFrame:
+    """A/B mean-difference with a bootstrap CI, in ONE scan: the
+    Poisson-bootstrap machinery of :func:`poisson_bootstrap` applied
+    per segment simultaneously (each replicate sum carries the segment
+    indicator), so the replicate DIFFERENCES — the statistic a test
+    actually decides on — get a percentile interval without a second
+    pass or any resampled data. ``significant`` = the CI excludes 0.
+
+    Returns one row ``(n_a, n_b, mean_a, mean_b, diff, ci_lo, ci_hi,
+    significant)``.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(
+        v.isNotNull() & F.col(id_col).isNotNull()
+        & g.isin([group_a, group_b])
+    )
+    is_a = (g == group_a).cast("double")
+    is_b = (g == group_b).cast("double")
+    aggs = [
+        F.sum(is_a).cast("long").alias("n_a"),
+        F.sum(is_b).cast("long").alias("n_b"),
+        (F.sum(v * is_a) / F.sum(is_a)).alias("mean_a"),
+        (F.sum(v * is_b) / F.sum(is_b)).alias("mean_b"),
+    ]
+    for r in range(n_replicates):
+        h = F.md5(
+            F.concat_ws(":", F.col(id_col).cast("string"),
+                        F.lit(salt), F.lit(str(r)))
+        )
+        u = (
+            (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+             % u_buckets).cast("double") + 0.5
+        ) / u_buckets
+        w = _pois1_weight(u).cast("double")
+        aggs += [
+            F.sum(w * v * is_a).alias(f"__sa{r}"),
+            F.sum(w * is_a).alias(f"__ca{r}"),
+            F.sum(w * v * is_b).alias(f"__sb{r}"),
+            F.sum(w * is_b).alias(f"__cb{r}"),
+        ]
+    row = base.agg(*aggs)
+    diffs = F.array_sort(
+        F.array(*[
+            F.col(f"__sa{r}") / F.col(f"__ca{r}")
+            - F.col(f"__sb{r}") / F.col(f"__cb{r}")
+            for r in range(n_replicates)
+        ])
+    )
+    b = n_replicates
+
+    def type7(p: float):
+        h = (b - 1) * p + 1.0
+        k1, k2 = int(math.floor(h)), int(math.ceil(h))
+        lo_, hi_ = F.element_at(diffs, k1), F.element_at(diffs, k2)
+        return lo_ + F.lit(h - k1) * (hi_ - lo_)
+
+    alpha = (1.0 - conf) / 2.0
+    ci_lo, ci_hi = type7(alpha), type7(1.0 - alpha)
+    return row.select(
+        "n_a", "n_b", "mean_a", "mean_b",
+        (F.col("mean_a") - F.col("mean_b")).alias("diff"),
+        ci_lo.alias("ci_lo"),
+        ci_hi.alias("ci_hi"),
+        ((ci_lo > 0) | (ci_hi < 0)).alias("significant"),
+    )

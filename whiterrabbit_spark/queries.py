@@ -5004,6 +5004,81 @@ SELECT n_rows, round(mean, 4) AS mean,
 FROM base CROSS JOIN arr"""
 
 
+def _ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B mean-difference bootstrap (profile.ab_test_bootstrap): open
+    vs fulfilled orders on o_totalprice, replicate differences CI'd in
+    the same single pass."""
+    from whiterrabbit_spark.profile import ab_test_bootstrap
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = ab_test_bootstrap(
+        orders, "o_totalprice", "o_orderstatus", "O", "F", "o_orderkey",
+        n_replicates=_BOOT_B,
+    )
+    return out.select(
+        "n_a", "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("diff", 4).alias("diff"),
+        F.round("ci_lo", 4).alias("ci_lo"),
+        F.round("ci_hi", 4).alias("ci_hi"),
+        "significant",
+    )
+
+
+def _ab_test_sql() -> str:
+    import math as _m
+
+    from whiterrabbit_spark.profile import _POIS1_CUM
+
+    ladder = " ".join(
+        f"WHEN u < {repr(t)} THEN {k}" for k, t in enumerate(_POIS1_CUM)
+    )
+    b = _BOOT_B
+
+    def t7(p):
+        h = (b - 1) * p + 1.0
+        k1, k2 = int(_m.floor(h)), int(_m.ceil(h))
+        return (f"(ds[{k1}] + {repr(h - k1)} * (ds[{k2}] - ds[{k1}]))")
+
+    return f"""
+WITH reps AS (
+  SELECT unnest(generate_series(0, {b - 1})) AS r
+), src AS (
+  SELECT o_orderkey, o_totalprice::DOUBLE AS v,
+         CASE WHEN o_orderstatus = 'O' THEN 1.0 ELSE 0.0 END AS ia,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS ib
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+    AND o_orderstatus IN ('O', 'F')
+), u AS (
+  SELECT r.r, s.v, s.ia, s.ib,
+         ((('0x' || substr(md5(s.o_orderkey::VARCHAR || ':boot:'
+                               || r.r::VARCHAR), 1, 15))::BIGINT
+           % 1000003)::DOUBLE + 0.5) / 1000003 AS u
+  FROM src s CROSS JOIN reps r
+), ww AS (
+  SELECT r, v, ia, ib, (CASE {ladder} ELSE 8 END)::DOUBLE AS w FROM u
+), m AS (
+  SELECT r, sum(w * v * ia) / sum(w * ia)
+             - sum(w * v * ib) / sum(w * ib) AS dr
+  FROM ww GROUP BY r
+), arr AS (
+  SELECT list_sort(list(dr)) AS ds FROM m
+), base AS (
+  SELECT CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(ib) AS BIGINT) AS n_b,
+         sum(v * ia) / sum(ia) AS mean_a,
+         sum(v * ib) / sum(ib) AS mean_b
+  FROM src
+)
+SELECT n_a, n_b, round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+       round(mean_a - mean_b, 4) AS diff,
+       round({t7(0.025)}, 4) AS ci_lo,
+       round({t7(0.975)}, 4) AS ci_hi,
+       ({t7(0.025)} > 0 OR {t7(0.975)} < 0) AS significant
+FROM base CROSS JOIN arr"""
+
+
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall@5 evaluation: the LSH path's top-5 measured against
     the exact brute-force top-5 per query — the accept/tune gate every
@@ -6224,6 +6299,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("graph_triangles_lineitem", _graph_triangles, _GRAPH_TRIANGLES_SQL)
     add("ann_recall_embeddings", _ann_recall, _ann_recall_sql())
     add("bootstrap_ci_orders", _bootstrap_ci, _bootstrap_ci_sql())
+    add("ab_test_orders", _ab_test, _ab_test_sql())
     add("graph_degree_lineitem", _graph_degree, _GRAPH_DEGREE_SQL)
     add("pagerank_lineitem", _pagerank, None)
 
