@@ -157,6 +157,8 @@ def main() -> None:
         "ann_recall": queries["ann_recall_embeddings"],
         "bootstrap_ci": queries["bootstrap_ci_orders"],
         "ab_test": queries["ab_test_orders"],
+        "zipf_fit": queries["zipf_fit_documents"],
+        "term_burstiness": queries["term_burstiness_documents"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

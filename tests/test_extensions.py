@@ -3193,3 +3193,56 @@ def test_graph_primitives_known_values(spark):
     )
     rr = [r["rank"] for r in pagerank(ring, n_iter=15).collect()]
     assert max(rr) - min(rr) < 1e-12
+
+
+def test_zipf_fit_distinguishes_natural_from_uniform(spark):
+    """A Zipf-distributed corpus fits slope ~= -1 with high r2; a
+    uniform vocabulary fits slope ~= 0."""
+    import random
+
+    from whiterrabbit_spark.extensions import textstats as ts
+
+    rng = random.Random(3)
+    # zipfian: P(rank r) ~ 1/r over 200 words
+    words = [f"w{i}" for i in range(1, 201)]
+    weights = [1.0 / i for i in range(1, 201)]
+    zipf_docs = [
+        (d, " ".join(rng.choices(words, weights=weights, k=80)))
+        for d in range(200)
+    ]
+    uni_docs = [
+        (d, " ".join(rng.choices(words, k=80))) for d in range(200)
+    ]
+    z = ts.zipf_fit(
+        spark.createDataFrame(zipf_docs, "doc_id long, text string")
+    ).collect()[0]
+    u = ts.zipf_fit(
+        spark.createDataFrame(uni_docs, "doc_id long, text string")
+    ).collect()[0]
+    assert -1.4 < z["zipf_slope"] < -0.7 and z["r2"] > 0.9
+    assert u["zipf_slope"] > -0.3  # flat
+    assert z["n_tokens"] == 200 * 80
+
+
+def test_term_burstiness_flags_bursty_terms(spark):
+    from whiterrabbit_spark.extensions import textstats as ts
+
+    docs = []
+    # 'the' appears ~uniformly (2 per doc) -> VMR small
+    # 'topic' floods 3 docs with 20 each, absent elsewhere -> VMR >> 1
+    for d in range(30):
+        body = "the filler the filler"
+        if d < 3:
+            body += " " + " ".join(["topic"] * 20)
+        docs.append((d, body))
+    out = {
+        r["term"]: r
+        for r in ts.term_burstiness(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            top_k=5,
+        ).collect()
+    }
+    assert out["the"]["vmr"] < 0.5           # near-constant per doc
+    assert out["topic"]["vmr"] > 10          # bursty
+    assert out["topic"]["n_docs_with"] == 3
+    assert abs(out["topic"]["mean_per_doc"] - 2.0) < 1e-9  # 60/30

@@ -848,3 +848,97 @@ def bigram_logppl(
         )
         .withColumn("perplexity", F.exp(F.col("avg_neg_logp")))
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit for the corpus vocabulary: OLS slope of
+    ln(frequency) against ln(rank) over the term-frequency table (a
+    natural corpus has slope ≈ −1; a flat slope screams synthetic /
+    templated text, a cliff screams boilerplate domination) plus the
+    fit r² — one of the cheapest whole-corpus authenticity probes.
+
+    Scale shape: one explode→groupBy(term) collapses the corpus to its
+    |vocab|-row frequency table; the rank window and the regr_* fold
+    run over THAT (vocabulary-sized, the standard bound), never over
+    tokens. Rank ties break by term so both engines rank identically.
+
+    Returns one row ``(n_terms, n_tokens, zipf_slope, r2)``.
+    """
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), "term")
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    lf, lr = F.log(F.col("f").cast("double")), F.log(
+        F.col("r").cast("double")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("f").alias("n_tokens"),
+        F.regr_slope(lf, lr).alias("zipf_slope"),
+        F.regr_r2(lf, lr).alias("r2"),
+    )
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Variance-to-mean ratio of per-document counts for the corpus's
+    top-``top_k`` terms — the burstiness/dispersion diagnostic: VMR ≈ 1
+    is Poisson scatter (function words), VMR ≫ 1 is a bursty topical
+    term that floods the few documents it appears in, VMR < 1 is
+    suspiciously uniform (templates). Zero-count documents are part of
+    the distribution — the moments come from per-(doc, term) counts
+    plus the corpus document total, so absent docs need no rows.
+
+    Scale shape: one explode→groupBy(doc, term) (the TF table), one
+    |vocab|-row total to pick the top terms (broadcast back), one
+    per-term moment fold. Nothing row-sized crosses a window.
+
+    Returns ``(term, total_count, n_docs_with, mean_per_doc, vmr)``
+    ordered by total_count DESC.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("__doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    top = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("total"))
+        .orderBy(F.col("total").desc(), "term")
+        .limit(top_k)
+        .select("term")
+    )
+    n_docs = df.select(
+        F.count_distinct(id_col).alias("__n")
+    )
+    t = F.col("tf").cast("double")
+    per_term = (
+        tf.join(F.broadcast(top), "term")
+        .groupBy("term")
+        .agg(
+            F.sum("tf").alias("total_count"),
+            F.count(F.lit(1)).alias("n_docs_with"),
+            F.sum(t).alias("__s"),
+            F.sum(t * t).alias("__q"),
+        )
+    )
+    n = F.col("__n").cast("double")
+    mean = F.col("__s") / n
+    var = F.col("__q") / n - mean * mean
+    return (
+        per_term.join(F.broadcast(n_docs))
+        .select(
+            "term",
+            "total_count",
+            "n_docs_with",
+            mean.alias("mean_per_doc"),
+            F.when(mean > 0, var / mean).alias("vmr"),
+        )
+        .orderBy(F.col("total_count").desc(), "term")
+    )

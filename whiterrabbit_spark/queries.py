@@ -4933,6 +4933,76 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
     )
 
 
+def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit (textstats.zipf_fit): vocabulary-sized rank
+    window + regr fold — whole-corpus authenticity probe."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = ts.zipf_fit(docs, "text")
+    return out.select(
+        "n_terms", "n_tokens",
+        F.round("zipf_slope", R).alias("zipf_slope"),
+        F.round("r2", R).alias("r2"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''))
+           AS term
+  FROM documents
+), freq AS (
+  SELECT term, count(*) AS f FROM toks GROUP BY term
+), ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM freq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(f) AS BIGINT) AS n_tokens,
+       round(regr_slope(ln(f::DOUBLE), ln(r::DOUBLE)), {R}) AS zipf_slope,
+       round(regr_r2(ln(f::DOUBLE), ln(r::DOUBLE)), {R}) AS r2
+FROM ranked"""
+
+
+def _term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-term burstiness / VMR (textstats.term_burstiness): TF table
+    + vocab-sized top-k + per-term moment fold."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    out = ts.term_burstiness(docs, "text", "doc_id", top_k=20)
+    return out.select(
+        "term", "total_count", "n_docs_with",
+        F.round("mean_per_doc", R).alias("mean_per_doc"),
+        F.round("vmr", R).alias("vmr"),
+    )
+
+
+_BURSTINESS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''))
+           AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), top AS (
+  SELECT term FROM tf GROUP BY term
+  ORDER BY sum(tf) DESC, term LIMIT 20
+), nd AS (
+  SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents
+), m AS (
+  SELECT term, sum(tf) AS total_count, count(*) AS n_docs_with,
+         sum(tf::DOUBLE) AS s, sum(tf::DOUBLE * tf) AS q
+  FROM tf JOIN top USING (term) GROUP BY term
+)
+SELECT term, CAST(total_count AS BIGINT) AS total_count,
+       CAST(n_docs_with AS BIGINT) AS n_docs_with,
+       round(s / nd.n, {R}) AS mean_per_doc,
+       round(CASE WHEN s > 0
+                  THEN (q / nd.n - (s / nd.n) * (s / nd.n)) / (s / nd.n)
+             END, {R}) AS vmr
+FROM m CROSS JOIN nd
+ORDER BY total_count DESC, term"""
+
+
 _BOOT_B = 32
 
 
@@ -6300,6 +6370,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("ann_recall_embeddings", _ann_recall, _ann_recall_sql())
     add("bootstrap_ci_orders", _bootstrap_ci, _bootstrap_ci_sql())
     add("ab_test_orders", _ab_test, _ab_test_sql())
+    add("zipf_fit_documents", _zipf_fit, _ZIPF_SQL)
+    add("term_burstiness_documents", _term_burstiness, _BURSTINESS_SQL)
     add("graph_degree_lineitem", _graph_degree, _GRAPH_DEGREE_SQL)
     add("pagerank_lineitem", _pagerank, None)
 
