@@ -159,6 +159,7 @@ def main() -> None:
         "ab_test": queries["ab_test_orders"],
         "zipf_fit": queries["zipf_fit_documents"],
         "term_burstiness": queries["term_burstiness_documents"],
+        "acf": queries["acf_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

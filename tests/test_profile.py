@@ -1123,3 +1123,23 @@ def test_ab_test_bootstrap_detects_planted_effect(spark):
     r0 = ab_test_bootstrap(df0, "v", "g", "t", "c", "id").collect()[0]
     assert r0["significant"] is False  # no real effect -> CI covers 0
     assert r0["ci_lo"] < 0 < r0["ci_hi"]
+
+
+def test_acf_detects_planted_periodicity(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import acf_daily
+
+    rows = []
+    for d in range(1, 29):
+        v = 100.0 + 50.0 * math.sin(2 * math.pi * d / 7.0)  # weekly cycle
+        for h in range(3):
+            rows.append((f"2024-03-{d:02d} 0{h}:00:00", v))
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["lag"]: r["acf"] for r in acf_daily(df, "ts", "value").collect()}
+    assert out[7] > 0.95          # period echoes at lag 7
+    assert out[3] < 0 or out[4] < 0  # anti-phase mid-cycle

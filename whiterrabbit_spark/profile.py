@@ -2963,3 +2963,54 @@ def ab_test_bootstrap(
         ci_hi.alias("ci_hi"),
         ((ci_lo > 0) | (ci_hi < 0)).alias("significant"),
     )
+
+
+def acf_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 10,
+    bucket: str = "day",
+) -> DataFrame:
+    """Autocorrelation function of a time-bucketed series: Pearson
+    correlation between the daily aggregate and its lag-k copy for
+    k = 1..``max_lag`` — the periodicity/persistence probe that tells a
+    monitor whether yesterday predicts today (and at which lag the
+    weekly cycle echoes). Complements :func:`cusum_changepoint` (level
+    shifts) and :func:`seasonality_profile` (fixed weekly grid) with
+    free-form lags.
+
+    Scale shape: the raw rows collapse once into the |buckets|-row
+    series; every lag is then a self-join of that tiny series against
+    itself shifted by an exact interval — all |buckets|-sized work, one
+    corr fold per lag.
+
+    Returns ``(lag, n_pairs, acf)`` for k = 1..max_lag.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    series = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(b.alias("bucket_ts"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("v"))
+        .persist()
+    )
+    outs = []
+    for k in range(1, max_lag + 1):
+        shifted = series.select(
+            (F.col("bucket_ts") + F.expr(f"INTERVAL {k} {bucket}")).alias(
+                "bucket_ts"
+            ),
+            F.col("v").alias("v_lag"),
+        )
+        joined = series.join(shifted, "bucket_ts")
+        outs.append(
+            joined.agg(
+                F.lit(k).alias("lag"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.corr("v", "v_lag").alias("acf"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -4933,6 +4933,37 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
     )
 
 
+ACF_MAX_LAG = 7
+
+
+def _acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily autocorrelation of events.value (profile.acf_daily): rows
+    collapse once to the |days| series; each lag is a tiny self-join."""
+    from whiterrabbit_spark.profile import acf_daily
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    out = acf_daily(ev, "ts", "value", max_lag=ACF_MAX_LAG)
+    return out.select("lag", "n_pairs", F.round("acf", R).alias("acf"))
+
+
+def _acf_sql() -> str:
+    parts = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        parts.append(f"""
+SELECT CAST({k} AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(a.v, b.v), {R}) AS acf
+FROM series a JOIN series b
+  ON a.bucket_ts = b.bucket_ts + INTERVAL {k} DAY""")
+    branches = " UNION ALL ".join(parts)
+    return f"""
+WITH series AS (
+  SELECT date_trunc('day', ts) AS bucket_ts, avg(value) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+)
+{branches}"""
+
+
 def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Zipf fit (textstats.zipf_fit): vocabulary-sized rank
     window + regr fold — whole-corpus authenticity probe."""
@@ -6371,6 +6402,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("bootstrap_ci_orders", _bootstrap_ci, _bootstrap_ci_sql())
     add("ab_test_orders", _ab_test, _ab_test_sql())
     add("zipf_fit_documents", _zipf_fit, _ZIPF_SQL)
+    add("acf_events", _acf, _acf_sql())
     add("term_burstiness_documents", _term_burstiness, _BURSTINESS_SQL)
     add("graph_degree_lineitem", _graph_degree, _GRAPH_DEGREE_SQL)
     add("pagerank_lineitem", _pagerank, None)
