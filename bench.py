@@ -160,6 +160,7 @@ def main() -> None:
         "zipf_fit": queries["zipf_fit_documents"],
         "term_burstiness": queries["term_burstiness_documents"],
         "acf": queries["acf_events"],
+        "neyman_allocation": queries["neyman_allocation_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

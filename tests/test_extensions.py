@@ -3246,3 +3246,29 @@ def test_term_burstiness_flags_bursty_terms(spark):
     assert out["topic"]["vmr"] > 10          # bursty
     assert out["topic"]["n_docs_with"] == 3
     assert abs(out["topic"]["mean_per_doc"] - 2.0) < 1e-9  # 60/30
+
+
+def test_neyman_allocation_properties(spark):
+    """Allocations sum exactly to the budget, scale with N_h*sigma_h,
+    never exceed a stratum's population, and a zero-variance stratum
+    gets ~nothing."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.extensions.splits import neyman_allocation
+
+    import random
+
+    rng = random.Random(9)
+    rows = (
+        [("wild", rng.gauss(0, 100.0)) for _ in range(1000)]
+        + [("calm", rng.gauss(0, 1.0)) for _ in range(1000)]
+        + [("const", 5.0) for _ in range(50)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "g", "v", 300).collect()}
+    total = sum(r["n_alloc"] for r in out.values())
+    assert total == 300
+    assert out["wild"]["n_alloc"] > 50 * out["calm"]["n_alloc"]
+    assert out["const"]["n_alloc"] == 0          # sigma = 0
+    assert all(r["n_alloc"] <= r["n_rows"] for r in out.values())

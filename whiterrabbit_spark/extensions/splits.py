@@ -409,3 +409,53 @@ def kfold_split(
         16, 10,
     ).cast("bigint")
     return df.withColumn("fold", (h % k).cast("int"))
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Optimal (Neyman) sample-size allocation across strata for
+    estimating the mean of ``value_col``: n_h ∝ N_h·σ_h, the allocation
+    that minimizes estimator variance under a fixed total ``budget`` —
+    the principled answer to "how many rows should each segment
+    contribute to the audit sample?", replacing proportional allocation
+    whenever segment variances differ. Allocations are rounded
+    largest-remainder so they sum EXACTLY to the budget (and never
+    exceed a stratum's population).
+
+    One groupBy computes every per-stratum moment; the allocation
+    arithmetic runs on the |strata|-row frame. Deterministic
+    tie-breaks: remainder DESC, stratum ASC.
+
+    Returns ``(stratum, n_rows, stddev, alloc_raw, n_alloc)``.
+    """
+    v = F.col(value_col).cast("double")
+    stats = (
+        df.where(v.isNotNull() & F.col(stratum_col).isNotNull())
+        .groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.stddev_samp(v), F.lit(0.0)).alias("stddev"),
+        )
+    )
+    w_all = Window.partitionBy()
+    weight = F.col("n_rows") * F.col("stddev")
+    raw = budget * weight / F.sum(weight).over(w_all)
+    # largest-remainder rounding to hit the budget exactly
+    floor_ = F.floor(raw).cast("long")
+    rem = raw - floor_
+    short = (F.lit(budget) - F.sum(floor_).over(w_all)).cast("long")
+    rank = F.row_number().over(
+        Window.orderBy(rem.desc(), F.col("stratum"))
+    )
+    alloc = floor_ + F.when(rank <= short, 1).otherwise(0)
+    return stats.select(
+        "stratum",
+        "n_rows",
+        "stddev",
+        raw.alias("alloc_raw"),
+        F.least(alloc, F.col("n_rows")).alias("n_alloc"),
+    )

@@ -4933,6 +4933,48 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str):
     )
 
 
+def _neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman sample allocation across return flags
+    (splits.neyman_allocation): n_h ∝ N_h·σ_h with largest-remainder
+    rounding summing exactly to the budget."""
+    from whiterrabbit_spark.extensions.splits import neyman_allocation
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = neyman_allocation(li, "l_returnflag", "l_extendedprice", 1000)
+    return out.select(
+        "stratum", "n_rows",
+        F.round("stddev", 4).alias("stddev"),
+        F.round("alloc_raw", 4).alias("alloc_raw"),
+        "n_alloc",
+    )
+
+
+_NEYMAN_SQL = """
+WITH stats AS (
+  SELECT l_returnflag AS stratum, count(*) AS n_rows,
+         coalesce(stddev_samp(l_extendedprice::DOUBLE), 0.0) AS sd
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1
+), raw AS (
+  SELECT stratum, n_rows, sd,
+         1000 * n_rows * sd / sum(n_rows * sd) OVER () AS alloc_raw,
+         floor(1000 * n_rows * sd / sum(n_rows * sd) OVER ())::BIGINT AS fl
+  FROM stats
+), ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY alloc_raw - fl DESC, stratum) AS rk,
+         (1000 - sum(fl) OVER ())::BIGINT AS short
+  FROM raw
+)
+SELECT stratum, CAST(n_rows AS BIGINT) AS n_rows,
+       round(sd, 4) AS stddev,
+       round(alloc_raw, 4) AS alloc_raw,
+       CAST(least(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END, n_rows)
+            AS BIGINT) AS n_alloc
+FROM ranked"""
+
+
 ACF_MAX_LAG = 7
 
 
@@ -6403,6 +6445,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("ab_test_orders", _ab_test, _ab_test_sql())
     add("zipf_fit_documents", _zipf_fit, _ZIPF_SQL)
     add("acf_events", _acf, _acf_sql())
+    add("neyman_allocation_lineitem", _neyman, _NEYMAN_SQL)
     add("term_burstiness_documents", _term_burstiness, _BURSTINESS_SQL)
     add("graph_degree_lineitem", _graph_degree, _GRAPH_DEGREE_SQL)
     add("pagerank_lineitem", _pagerank, None)
