@@ -161,6 +161,17 @@ def main() -> None:
         "term_burstiness": queries["term_burstiness_documents"],
         "acf": queries["acf_events"],
         "neyman_allocation": queries["neyman_allocation_lineitem"],
+        # round-3 fourth wave: the TPC-H-shaped join family (semi/anti,
+        # snowflake, conditional ratio, HAVING-subquery) — join topology
+        # coverage the q1/q3/q6 trio lacked
+        "tpch_q4": queries["tpch_q4_semijoin"],
+        "tpch_q5": queries["tpch_q5_regional"],
+        "tpch_q7": queries["tpch_q7_nation_volume"],
+        "tpch_q10": queries["tpch_q10_returns"],
+        "tpch_q14": queries["tpch_q14_promo"],
+        "tpch_q15": queries["tpch_q15_top_supplier"],
+        "tpch_q18": queries["tpch_q18_large_orders"],
+        "tpch_q22": queries["tpch_q22_antijoin"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

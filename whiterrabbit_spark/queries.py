@@ -6450,4 +6450,18 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("graph_degree_lineitem", _graph_degree, _GRAPH_DEGREE_SQL)
     add("pagerank_lineitem", _pagerank, None)
 
+    # --- Block 5: the TPC-H-shaped join family (tpch.py) — semi/anti
+    # joins, snowflake dims, conditional-aggregate ratios, HAVING
+    # subqueries: the join topologies q1/q3/q6 didn't cover.
+    from whiterrabbit_spark import tpch as TQ
+
+    add("tpch_q4_semijoin", TQ.tpch_q4_semi, TQ.TPCH_Q4_SQL)
+    add("tpch_q5_regional", TQ.tpch_q5_regional, TQ.TPCH_Q5_SQL)
+    add("tpch_q7_nation_volume", TQ.tpch_q7_nation_volume, TQ.TPCH_Q7_SQL)
+    add("tpch_q10_returns", TQ.tpch_q10_returns, TQ.TPCH_Q10_SQL)
+    add("tpch_q14_promo", TQ.tpch_q14_promo, TQ.TPCH_Q14_SQL)
+    add("tpch_q15_top_supplier", TQ.tpch_q15_top_supplier, TQ.TPCH_Q15_SQL)
+    add("tpch_q18_large_orders", TQ.tpch_q18_large_orders, TQ.TPCH_Q18_SQL)
+    add("tpch_q22_antijoin", TQ.tpch_q22_antijoin, TQ.TPCH_Q22_SQL)
+
     return queries, oracles
