@@ -172,6 +172,19 @@ def main() -> None:
         "tpch_q15": queries["tpch_q15_top_supplier"],
         "tpch_q18": queries["tpch_q18_large_orders"],
         "tpch_q22": queries["tpch_q22_antijoin"],
+        # round-3 fifth wave: concentration/series/sketch/sparse-cosine
+        "pareto": queries["pareto_concentration_orders"],
+        "rolling_distinct": queries["rolling_distinct_users_events"],
+        "ewma": queries["ewma_events"],
+        "token_cosine": queries["token_cosine_pairs_documents"],
+        "segment_overlap": queries["segment_overlap_events"],
+        "table_checksum": queries["table_checksum_orders"],
+        "cdc_apply": queries["cdc_apply_orders"],
+        "theil_sen": queries["theil_sen_events"],
+        "negative_sampling": queries["negative_sampling_documents"],
+        "srm_check": queries["srm_check_customer"],
+        "streaming_active_users": queries["streaming_active_users_events"],
+        "matryoshka_eval": queries["matryoshka_eval_embeddings"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -41,6 +41,9 @@ ROWS_ONLY = {
     # iterative float power method — not SQL-reproducible at hash
     # precision; hand-graph + invariant tests pin it
     "pagerank_lineitem",
+    # Datasketches HLL estimates — approximate by construction; accuracy
+    # vs exact overlap pinned in unit tests
+    "segment_overlap_events",
 }
 
 

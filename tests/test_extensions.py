@@ -3272,3 +3272,130 @@ def test_neyman_allocation_properties(spark):
     assert out["wild"]["n_alloc"] > 50 * out["calm"]["n_alloc"]
     assert out["const"]["n_alloc"] == 0          # sigma = 0
     assert all(r["n_alloc"] <= r["n_rows"] for r in out.values())
+
+
+def test_token_cosine_pairs_hand_case(spark):
+    """Identical token multisets -> cosine 1.0; disjoint (after the
+    df>=2 prune) -> no pair; the integer threshold keeps 0.9-boundary
+    behavior exact."""
+    from whiterrabbit_spark.extensions.similarity import token_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red fish blue fish"),
+            (2, "blue fish red fish"),
+            (3, "green tree tall tree"),
+            (4, "red red red red fish"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_1"], r["id_2"]): r["cosine"]
+        for r in token_cosine_pairs(
+            docs, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) not in out and (2, 3) not in out
+    # doc 4 shares red+fish with 1/2 but tf-skew drops cosine below 0.9:
+    # dot = 4*1+1*2 = 6, s4 = 17, s1 = 6 -> cos = 6/sqrt(102) ~ 0.594
+    assert (1, 4) not in out
+
+
+def test_token_cosine_df_cap_prunes_hot_tokens(spark):
+    """A token in every doc is dropped by df_cap, removing pairs whose
+    only link it was — the corpus-safety valve."""
+    from whiterrabbit_spark.extensions.similarity import token_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"common word{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # 'common' links all 6 docs; with df_cap>=6 every pair has cosine
+    # 1.0 in the pruned space... unless the cap drops it first.
+    assert (
+        token_cosine_pairs(docs, "doc_id", "text", 0.5, df_cap=5).count() == 0
+    )
+    assert (
+        token_cosine_pairs(docs, "doc_id", "text", 0.5, df_cap=6).count() == 15
+    )
+
+
+def test_apply_cdc_semantics(spark):
+    """Latest-wins upserts, deletes remove keys (existing or not),
+    untouched snapshot rows survive."""
+    from whiterrabbit_spark.extensions.cdc import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, "b2", 1, "U"),   # superseded below
+            (2, "b3", 2, "U"),   # latest for k=2
+            (3, "c", 1, "D"),    # delete existing
+            (4, "d", 1, "I"),    # insert new
+            (5, "e", 1, "D"),    # delete nonexistent -> no-op
+        ],
+        "k long, v string, seq long, op string",
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in apply_cdc(snap, chg, ["k"], ["seq"]).collect()
+    }
+    assert out == {1: "a", 2: "b3", 4: "d"}
+
+
+def test_apply_cdc_missing_column_raises(spark):
+    from whiterrabbit_spark.extensions.cdc import apply_cdc
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    chg = spark.createDataFrame([(1, 1, "U")], "k long, seq long, op string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lacks snapshot columns"):
+        apply_cdc(snap, chg, ["k"], ["seq"])
+
+
+def test_negative_sampling_invariants(spark):
+    """k partners per anchor, never the anchor itself, balanced
+    in-degree (each id serves as partner exactly k times), and
+    deterministic across runs."""
+    from whiterrabbit_spark.extensions.splits import negative_sampling
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    out = negative_sampling(df, "doc_id", k=3).collect()
+    assert len(out) == 120
+    assert all(r["anchor_id"] != r["partner_id"] for r in out)
+    from collections import Counter
+
+    per_anchor = Counter(r["anchor_id"] for r in out)
+    assert set(per_anchor.values()) == {3}
+    in_deg = Counter(r["partner_id"] for r in out)
+    assert set(in_deg.values()) == {3}
+    again = negative_sampling(df, "doc_id", k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_srm_check_detects_planted_corruption(spark):
+    """A clean hash split passes; the same data with half the 'test'
+    assignment dropped (simulating a logging bug) trips the alarm."""
+    from whiterrabbit_spark.extensions.splits import (
+        hash_split,
+        srm_check,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20_000)], "k long")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    clean = srm_check(df, "k", w).collect()
+    assert all(not r["srm_detected"] for r in clean)
+    assert {r["split"] for r in clean} == {"train", "val", "test"}
+
+    assigned = hash_split(df, "k", w)
+    import pyspark.sql.functions as F
+
+    corrupted = assigned.where(
+        ~((F.col("split") == "test") & (F.col("k") % 2 == 0))
+    ).drop("split")
+    bad = srm_check(corrupted, "k", w).collect()
+    assert all(r["srm_detected"] for r in bad)

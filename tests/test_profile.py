@@ -1143,3 +1143,149 @@ def test_acf_detects_planted_periodicity(spark):
     out = {r["lag"]: r["acf"] for r in acf_daily(df, "ts", "value").collect()}
     assert out[7] > 0.95          # period echoes at lag 7
     assert out[3] < 0 or out[4] < 0  # anti-phase mid-cycle
+
+
+def test_pareto_concentration_hand_case(spark):
+    """4 keys with totals 40, 30, 20, 10 (exact cents): top-25% = top-1
+    key = 0.4 share; top-50% = 0.7; ties at the boundary use the weight
+    multiset so any tied key is interchangeable."""
+    from whiterrabbit_spark.profile import pareto_concentration
+
+    rows = [("a", 40.0), ("b", 30.0), ("c", 20.0), ("d", 10.0)]
+    df = spark.createDataFrame(rows, "k string, w double")
+    out = {
+        r["pct_keys"]: (r["n_top_keys"], r["weight_share"])
+        for r in pareto_concentration(
+            df, "k", "w", pcts=[25.0, 50.0, 100.0]
+        ).collect()
+    }
+    assert out[25.0] == (1, 0.4)
+    assert out[50.0] == (2, 0.7)
+    assert out[100.0] == (4, 1.0)
+
+
+def test_pareto_concentration_tie_boundary(spark):
+    """All keys tied: every slice's share equals its key fraction
+    exactly — the integer fixed-point path has no float boundary."""
+    from whiterrabbit_spark.profile import pareto_concentration
+
+    rows = [(f"k{i}", 7.77) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, w double")
+    out = {
+        r["pct_keys"]: r["weight_share"]
+        for r in pareto_concentration(df, "k", "w", pcts=[10.0, 50.0]).collect()
+    }
+    assert out[10.0] == 0.1
+    assert out[50.0] == 0.5
+
+
+def test_rolling_distinct_daily_hand_case(spark):
+    """3-day window over 4 days: day N counts users seen in [N-2, N];
+    only observed days are emitted."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import rolling_distinct_daily
+
+    rows = [
+        ("2024-01-01", 1), ("2024-01-01", 2),
+        ("2024-01-02", 2),
+        ("2024-01-04", 3),
+    ]
+    df = spark.createDataFrame(rows, "ts string, u long").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        r["day"]: r["rolling_distinct"]
+        for r in rolling_distinct_daily(df, "ts", "u", window_days=3).collect()
+    }
+    # Jan 3 absent from the data -> not emitted; Jan 4's window
+    # [Jan 2..4] still sees user 2 from Jan 2
+    assert out == {"2024-01-01": 2, "2024-01-02": 2, "2024-01-04": 2}
+
+
+def test_ewma_daily_matches_pandas(spark):
+    """EWMA matches pandas ewm(adjust=True).mean() on the daily series."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import ewma_daily
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    rows = [(f"2024-02-{i+1:02d}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = (
+        ewma_daily(df, "ts", "value", alpha=0.3)
+        .orderBy("day")
+        .toPandas()
+    )
+    expected = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+    assert list(out["daily_mean"]) == vals
+    for got, exp in zip(out["ewma"], expected):
+        assert abs(got - exp) < 1e-6
+
+
+def test_segment_overlap_sketch_accuracy(spark):
+    """HLL estimates land within 5% of the exact sizes/overlaps on two
+    planted segments sharing half their users."""
+    from whiterrabbit_spark.profile import segment_overlap_sketch
+
+    rows = [("A", i) for i in range(2000)] + [
+        ("B", i) for i in range(1000, 3000)
+    ]
+    df = spark.createDataFrame(rows, "seg string, u long")
+    r = segment_overlap_sketch(df, "seg", "u").collect()[0]
+    assert r["segment_1"] == "A" and r["segment_2"] == "B"
+    assert abs(r["n_1"] - 2000) / 2000 < 0.05
+    assert abs(r["n_2"] - 2000) / 2000 < 0.05
+    assert abs(r["union_est"] - 3000) / 3000 < 0.05
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.05
+
+
+def test_table_checksum_order_insensitive(spark):
+    """Same content in different row order -> identical checksums;
+    a one-value change flips both xor and sum for that column only."""
+    from whiterrabbit_spark.profile import table_checksum
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "id long, s string"
+    )
+    b = spark.createDataFrame(
+        [(3, None), (1, "x"), (2, "y")], "id long, s string"
+    ).repartition(3)
+    rows_a = {r["column_name"]: r for r in table_checksum(a).collect()}
+    rows_b = {r["column_name"]: r for r in table_checksum(b).collect()}
+    for c in ("id", "s"):
+        assert rows_a[c]["checksum_xor"] == rows_b[c]["checksum_xor"]
+        assert rows_a[c]["checksum_sum"] == rows_b[c]["checksum_sum"]
+    assert rows_a["s"]["n_nonnull"] == 2 and rows_a["s"]["n_rows"] == 3
+
+    c_df = spark.createDataFrame(
+        [(1, "x"), (2, "Y"), (3, None)], "id long, s string"
+    )
+    rows_c = {r["column_name"]: r for r in table_checksum(c_df).collect()}
+    assert rows_c["id"]["checksum_xor"] == rows_a["id"]["checksum_xor"]
+    assert rows_c["s"]["checksum_xor"] != rows_a["s"]["checksum_xor"]
+    assert rows_c["s"]["checksum_sum"] != rows_a["s"]["checksum_sum"]
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """A clean slope-2 daily series with one wild day: Theil-Sen stays
+    ~2, OLS is dragged away — the operator's reason to exist."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import theil_sen_daily
+
+    rows = []
+    for d in range(1, 21):
+        # the wild day sits at the series END — maximum OLS leverage
+        v = 2.0 * d if d != 20 else 500.0
+        rows.append((f"2024-03-{d:02d}", v))
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    r = theil_sen_daily(df, "ts", "value").collect()[0]
+    assert r["n_days"] == 20 and r["n_pairs"] == 190
+    assert abs(r["slope_per_day"] - 2.0) < 0.15
+    assert abs(r["ols_slope"] - 2.0) > 1.0

@@ -1033,3 +1033,92 @@ def _gram_partials(vec_col: str):
         )
 
     return partial
+
+
+def token_cosine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    df_cap: int = 10_000,
+) -> DataFrame:
+    """Sparse count-vector cosine near-pairs via an inverted token index
+    — the lexical complement of the embedding-space forms above: no
+    model, no vectors, just whitespace tokens, so it catches paraphrase-
+    free boilerplate that MinHash (set semantics) underweights when term
+    FREQUENCY is the signal.
+
+    Exactness discipline: weights are raw term counts (integers), so the
+    dot product and the squared norms are exact longs, and the threshold
+    test runs entirely in integer arithmetic —
+    ``dot² · 10⁶ ≥ round(t²·10⁶) · s1 · s2`` — no float accumulates
+    before the filter, so the pair set is engine-independent (the emitted
+    cosine itself is one double division, after the cut).
+
+    Scale shape: the inverted-index self-join fans out per token as
+    df(token)², so tokens with document frequency above ``df_cap`` are
+    dropped from the index AND the norms (cosine stays a true cosine in
+    the pruned space — the standard stopword-pruning trade). df ≤ 1
+    tokens can't form pairs and are pruned too. At corpus scale feed LSH
+    candidates instead of the raw index (same policy as
+    ``dedup.containment_pairs``); the cap bounds the worst hot token at
+    df_cap² candidate rows.
+
+    Returns ``(id_1, id_2, dot, cosine)``, cosine rounded to 6 dp.
+    """
+    from whiterrabbit_spark.extensions.textstats import tokens
+
+    t2_e6 = int(round(threshold * threshold * 1_000_000))
+    tf = (
+        docs.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    # kept feeds the norms and BOTH sides of the inverted-index join —
+    # persist so the tokenize+tf+df pass runs once, not four times
+    # (memory-and-disk default, spills at scale; LRU-evicted).
+    kept = tf.join(
+        df_t.where((F.col("df_t") >= 2) & (F.col("df_t") <= df_cap)),
+        "tok",
+    ).persist()
+    norms = kept.groupBy("id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("s")
+    )
+    a = kept.select(
+        F.col("tok"), F.col("id").alias("id_1"), F.col("tf").alias("tf1")
+    )
+    b = kept.select(
+        F.col("tok"), F.col("id").alias("id_2"), F.col("tf").alias("tf2")
+    )
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.sum(F.col("tf1") * F.col("tf2")).alias("dot"))
+    )
+    n1 = norms.select(F.col("id").alias("id_1"), F.col("s").alias("s1"))
+    n2 = norms.select(F.col("id").alias("id_2"), F.col("s").alias("s2"))
+    return (
+        dots.join(n1, "id_1")
+        .join(n2, "id_2")
+        .where(
+            F.col("dot") * F.col("dot") * 1_000_000
+            >= F.lit(t2_e6) * F.col("s1") * F.col("s2")
+        )
+        .select(
+            "id_1",
+            "id_2",
+            "dot",
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("s1").cast("double") * F.col("s2")),
+                6,
+            ).alias("cosine"),
+        )
+    )

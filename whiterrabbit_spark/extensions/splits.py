@@ -459,3 +459,145 @@ def neyman_allocation(
         raw.alias("alloc_raw"),
         F.least(alloc, F.col("n_rows")).alias("n_alloc"),
     )
+
+
+def negative_sampling(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic uniform negative sampling: for every anchor id, k
+    pseudo-random partner ids — the contrastive-training counterpart of
+    :func:`hash_split` (same properties: no RNG state, engine-portable,
+    reproducible under repartitioning).
+
+    Construction: ids are placed on a ring ordered by a 60-bit md5 hash
+    (uniform shuffle); partner m of the anchor at ring position p is the
+    id at position (p + ⌊N·m/(k+1)⌋) mod N — k evenly spread, hash-
+    randomized partners, never the anchor itself (offsets are in
+    [1, N)), each id serving as partner exactly k times (balanced
+    in-degree, which rejection sampling does not give).
+
+    Scale shape: ring positions come from the bucketed distributed
+    prefix sum over the (unique) hash values — md5 is uniform, so the
+    equi-width buckets are balanced and NO global-order window runs;
+    the partner lookup is a k-way self-join on exact ring positions.
+    60-bit hash collisions (which would merge two ring slots) are
+    ~N²/2⁶¹ — negligible below a billion ids per call; salt-bump if a
+    degenerate corpus ever trips it.
+
+    Returns ``(anchor_id, partner_id, pair_rank)`` with pair_rank in
+    [1, k].
+    """
+    from whiterrabbit_spark.profile import _hist_exclusive_prefix
+
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    ids = (
+        df.select(F.col(id_col).alias("id"))
+        .where(F.col("id").isNotNull())
+        .distinct()
+        .withColumn("h", h)
+        .withColumn("cnt", F.lit(1))
+    )
+    # pos feeds the anchor fan-out AND the partner lookup (and total);
+    # persist so the distinct+prefix pass runs once, not four times.
+    pos = _hist_exclusive_prefix(
+        ids, "h", "cnt", n_parts, out_col="pos"
+    ).persist()
+    total = pos.agg(F.count(F.lit(1)).alias("n"))
+    anchors = pos.crossJoin(F.broadcast(total)).select(
+        F.col("id").alias("anchor_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("pair_rank"),
+        "pos",
+        "n",
+    )
+    # greatest(1, …) keeps the offset nonzero when N ≤ k (degenerate
+    # corpora) so a partner is never the anchor for any N ≥ 2.
+    target = (
+        F.col("pos")
+        + F.greatest(
+            F.lit(1), F.floor(F.col("n") * F.col("pair_rank") / (k + 1))
+        )
+    ) % F.col("n")
+    lookup = pos.select(
+        F.col("pos").alias("tpos"), F.col("id").alias("partner_id")
+    )
+    return (
+        anchors.withColumn("tpos", target)
+        .join(lookup, "tpos")
+        .select("anchor_id", "partner_id", "pair_rank")
+    )
+
+
+# 99.9% chi-square critical values for df 1..10 — the SRM alarm should
+# only fire on real assignment corruption, not daily noise (the industry
+# convention for sample-ratio-mismatch monitors).
+_CHI2_CRIT_999 = [
+    10.828, 13.816, 16.266, 18.467, 20.515,
+    22.458, 24.322, 26.125, 27.877, 29.588,
+]
+
+
+def srm_check(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Sample-ratio-mismatch audit for :func:`hash_split` assignments:
+    chi-square of observed split sizes against the declared weights —
+    the integrity gate every experiment/split pipeline runs before
+    trusting downstream metrics (a biased assignment invalidates
+    everything built on it).
+
+    One groupBy(split) over the assignment expression (map-side
+    partials, |splits| rows), then driver-free arithmetic on that tiny
+    frame. The detected flag compares against the pinned 99.9% critical
+    value for df = |splits|−1, so both engines derive the identical
+    boolean from identical integer counts.
+
+    Returns one row per split: ``(split, n_obs, n_expected, chi2,
+    srm_detected)`` — chi2 and the flag are totals, repeated per row.
+    """
+    if not 1 <= len(weights) - 1 <= len(_CHI2_CRIT_999):
+        raise ValueError("srm_check supports 2..11 splits")
+    crit = _CHI2_CRIT_999[len(weights) - 2]
+    assigned = df.where(F.col(key_col).isNotNull()).select(
+        hash_split_expr(F.col(key_col), weights, salt).alias("split")
+    )
+    # |splits| rows feeding the total, the expectations, and the chi2
+    # fold — persist so the corpus groupBy runs once.
+    obs = (
+        assigned.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .persist()
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n_total"))
+    w_expr = F.create_map(
+        *[x for name, w in weights.items() for x in (F.lit(name), F.lit(w))]
+    )
+    per = obs.crossJoin(F.broadcast(tot)).select(
+        "split",
+        "n_obs",
+        (F.col("n_total") * w_expr[F.col("split")]).alias("n_expected"),
+    )
+    contrib = (F.col("n_obs") - F.col("n_expected")) ** 2 / F.col(
+        "n_expected"
+    )
+    chi2 = per.agg(F.sum(contrib).alias("chi2"))
+    return per.crossJoin(F.broadcast(chi2)).select(
+        "split",
+        "n_obs",
+        F.round("n_expected", 6).alias("n_expected"),
+        F.round("chi2", 6).alias("chi2"),
+        (F.col("chi2") > crit).alias("srm_detected"),
+    )

@@ -651,3 +651,39 @@ def anomaly_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_user_days(
+    src: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Running (day, user) presence counts — the EXACT streaming path to
+    daily active users. Sliding/daily distinct does not stream directly
+    (countDistinct is unsupported in streaming aggs), and chaining
+    dropDuplicates into a windowed agg needs append-mode watermark
+    flushes that strand the final window on a bounded source; this form
+    is ONE stateful complete-mode aggregation whose state is the
+    distinct (day, user) pair set — bounded by presence, not traffic
+    (each pair holds one count row regardless of event volume). A batch
+    finishing pass (:func:`finish_daily_active`) collapses it to the
+    daily-active series, matching the batch oracle exactly once the
+    source drains. At true scale swap in the approximate twin
+    (``approx_count_distinct`` per day: O(days) HLL state) and keep this
+    as its verifier.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    return (
+        src.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .groupBy(day.alias("day"), F.col(user_col).alias("user"))
+        .count()
+    )
+
+
+def finish_daily_active(user_days: DataFrame) -> DataFrame:
+    """Batch finishing pass over the drained (day, user) state: daily
+    active users + events per active user."""
+    return user_days.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active_users"),
+        F.sum("count").alias("n_events"),
+    )

@@ -3014,3 +3014,341 @@ def acf_daily(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def pareto_concentration(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    pcts: list[float] | None = None,
+    scale: int = 100,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Pareto concentration report: for each top-``p``% slice of keys
+    (ranked by total weight, descending), the share of total weight that
+    slice holds — the "80/20" audit behind :func:`gini_coefficient`'s
+    scalar. One row per requested percentage.
+
+    Exactness: weights accumulate in integer fixed-point (``weight *
+    scale`` rounded to long) so the shares are order-independent — a
+    float sum over a tie group would make the boundary engine-dependent.
+    Ties need no tie-break at all: the report depends only on the
+    MULTISET of per-key totals (every key at the boundary weight is
+    interchangeable), so the cut is computed from the weight histogram.
+
+    Scale shape: one groupBy(key) rollup, one groupBy(weight) histogram
+    (|distinct weights| ≤ |keys|, persisted — it feeds the prefix pass
+    and the totals), ONE bucketed distributed prefix pass carrying both
+    running sums (key count and weight mass; the
+    :func:`_hist_exclusive_prefix` scheme in descending weight order —
+    never a global window), and a broadcast join of the O(|pcts|)
+    threshold frame against the boundary rows. Nothing row-sized ever
+    sits in one task.
+
+    Returns ``(pct_keys, n_top_keys, weight_share)``.
+    """
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    pcts = pcts or [1.0, 5.0, 10.0, 20.0, 50.0]
+    w_fix = F.round(F.col(weight_col).cast("double") * scale).cast("long")
+    per_key = (
+        df.where(F.col(key_col).isNotNull() & F.col(weight_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.sum(w_fix).alias("w"))
+    )
+    hist = (
+        per_key.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("wsum", F.col("w") * F.col("cnt"))
+        .persist()
+    )
+    # Descending weight order == ascending -w. One fused prefix pass
+    # (the _hist_exclusive_prefix scheme, two running sums per window):
+    # equi-width buckets from a broadcast (lo, hi), per-bucket local
+    # windows, O(n_buckets) offsets.
+    bounds = hist.agg(F.min("w").alias("__lo"), F.max("w").alias("__hi"))
+    bucket = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.floor(
+                (F.col("__hi") - F.col("w"))
+                / ((F.col("__hi") - F.col("__lo")) / n_parts)
+            ),
+            F.lit(n_parts - 1),
+        ),
+    ).otherwise(F.lit(0))
+    hb = hist.join(F.broadcast(bounds)).withColumn("__pid", bucket.cast("int"))
+    totals_pp = hb.groupBy("__pid").agg(
+        F.sum("cnt").alias("__ck"), F.sum("wsum").alias("__cw")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals_pp.select(
+        "__pid",
+        F.coalesce(F.sum("__ck").over(w_off), F.lit(0)).alias("__offk"),
+        F.coalesce(F.sum("__cw").over(w_off), F.lit(0)).alias("__offw"),
+    )
+    w_loc = Window.partitionBy("__pid").orderBy(F.col("w").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = (
+        hb.withColumn("__lk", F.coalesce(F.sum("cnt").over(w_loc), F.lit(0)))
+        .withColumn("__lw", F.coalesce(F.sum("wsum").over(w_loc), F.lit(0)))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn("keys_before", F.col("__offk") + F.col("__lk"))
+        .withColumn("sum_before", F.col("__offw") + F.col("__lw"))
+    )
+    totals = hist.agg(
+        F.sum("cnt").alias("n_keys"), F.sum("wsum").alias("w_total")
+    )
+    cuts = spark.createDataFrame(
+        [(float(p),) for p in pcts], "pct_keys double"
+    )
+    k = F.ceil(F.col("pct_keys") / 100.0 * F.col("n_keys")).cast("long")
+    boundary = (
+        cum.crossJoin(F.broadcast(totals))
+        .join(
+            F.broadcast(cuts),
+            (F.col("keys_before") < k)
+            & (k <= F.col("keys_before") + F.col("cnt")),
+        )
+    )
+    take = k - F.col("keys_before")
+    return boundary.select(
+        "pct_keys",
+        k.alias("n_top_keys"),
+        F.round(
+            (F.col("sum_before") + take * F.col("w"))
+            / F.col("w_total").cast("double"),
+            6,
+        ).alias("weight_share"),
+    ).orderBy("pct_keys")
+
+
+def rolling_distinct_daily(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact rolling N-day distinct-key count per day (the "7-day active
+    users" series). Sliding distinct does NOT decompose into per-day
+    partials (yesterday's users overlap today's), so the standard exact
+    plan is day-level fan-out: dedup to (day, key) pairs once, replicate
+    each pair to the ≤ N target days it can serve, and count distinct per
+    target day. Replication factor is the window length — map-side,
+    bounded, and shuffle keys are days (add salting only if one day
+    dominates, which day-bucketed event data does not).
+
+    Only days observed in the data are emitted (no zero-fill), matching
+    the grain of :func:`acf_daily`.
+
+    Returns ``(day string, rolling_distinct long)``.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    pairs = (
+        df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(day.alias("d"), F.col(key_col).alias("k"))
+        .distinct()
+    )
+    days = pairs.select("d").distinct()
+    fanned = pairs.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_days - 1))
+        ).alias("off"),
+        "d",
+        "k",
+    ).select(F.date_add("d", F.col("off")).alias("target"), "k")
+    return (
+        fanned.join(days, fanned["target"] == days["d"], "left_semi")
+        .groupBy("target")
+        .agg(F.countDistinct("k").alias("rolling_distinct"))
+        .select(
+            F.date_format("target", "yyyy-MM-dd").alias("day"),
+            "rolling_distinct",
+        )
+    )
+
+
+def ewma_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially weighted moving average of the daily-mean series
+    (pandas ``ewm(adjust=True)`` semantics: ewma_t = Σ w_i x_i / Σ w_i,
+    w_i = (1-α)^(t-i)) — the smoother monitors overlay on noisy daily
+    metrics; complements :func:`acf_daily` (structure) and
+    :func:`cusum_changepoint` (shifts).
+
+    The recursive definition is sequential; the closed form used here is
+    two window prefix sums over the DAILY series with the weight ratio
+    trick: (1-α)^(t-i) = (1-α)^t · (1-α)^(-i). The raw rows collapse to
+    |days| first, so the window is driver-small; the (1-α)^(-i) factor
+    bounds the series length numerically (~700 days at α=0.3 before
+    double overflow) — for longer horizons re-bucket to weeks or chunk
+    the series, which this profile-grade smoother does not need.
+
+    Returns ``(day string, daily_mean double, ewma double)``.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    series = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(day.alias("d"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("x"))
+    )
+    w = Window.orderBy("d")
+    rn = F.row_number().over(w).cast("double")
+    decay = 1.0 - alpha
+    series = series.withColumn("inv_w", F.pow(F.lit(decay), -rn))
+    frame = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    num = F.sum(F.col("x") * F.col("inv_w")).over(frame) * F.pow(
+        F.lit(decay), rn
+    )
+    den = F.sum("inv_w").over(frame) * F.pow(F.lit(decay), rn)
+    return series.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round("x", 6).alias("daily_mean"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+def segment_overlap_sketch(
+    df: DataFrame,
+    segment_col: str,
+    key_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Pairwise audience overlap between segments via HLL sketches — the
+    sketch-based scale path for "how many users do segments A and B
+    share?". Exact distinct-set intersection at 100 TB means shuffling
+    every (segment, key) pair per segment PAIR; Datasketches HLL reduces
+    each segment to a ~2^lg_k-byte mergeable summary, so the pairwise
+    stage is a self-join of |segments| rows and the union estimate is a
+    driver-free scalar ``hll_union`` per pair.
+
+    Estimates: |A∪B| from the merged sketch; |A∩B| by inclusion-
+    exclusion (can be slightly negative for near-disjoint segments —
+    clamped at 0); Jaccard = |A∩B| / |A∪B|. Relative error ~1.04/√2^lg_k
+    (~1.6 % at the default lg_k=12) — asserted against exact values in
+    tests, NOT oracle-hashable, so the registry entry is rows-only by
+    design.
+
+    Returns ``(segment_1, segment_2, n_1, n_2, union_est, intersect_est,
+    jaccard_est)`` for segment_1 < segment_2.
+    """
+    sk = (
+        df.where(F.col(segment_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(F.col(segment_col).alias("seg"))
+        .agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch"))
+    )
+    a = sk.select(
+        F.col("seg").alias("segment_1"), F.col("sketch").alias("sk1")
+    )
+    b = sk.select(
+        F.col("seg").alias("segment_2"), F.col("sketch").alias("sk2")
+    )
+    est = F.hll_sketch_estimate
+    pairs = a.join(b, F.col("segment_1") < F.col("segment_2"))
+    n1 = est(F.col("sk1"))
+    n2 = est(F.col("sk2"))
+    union = est(F.hll_union(F.col("sk1"), F.col("sk2")))
+    inter = F.greatest(F.lit(0.0), (n1 + n2 - union).cast("double"))
+    return pairs.select(
+        "segment_1",
+        "segment_2",
+        n1.alias("n_1"),
+        n2.alias("n_2"),
+        union.alias("union_est"),
+        F.round(inter, 1).alias("intersect_est"),
+        F.round(inter / union.cast("double"), 6).alias("jaccard_est"),
+    )
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-insensitive per-column content checksum — the distributed
+    integrity certificate for snapshot equality: two copies of a table
+    (different partitioning, different row order, different cluster)
+    agree iff their checksum frames agree, without ever co-shuffling the
+    copies the way ``table_diff`` must.
+
+    Per column: row/non-null counts, XOR of a 60-bit md5-derived integer
+    per non-null value, and a modular sum of the same integers (the sum
+    catches the XOR blind spot — duplicate value pairs cancel in XOR;
+    modulus keeps the sum in BIGINT on both engines, since DuckDB would
+    otherwise widen to HUGEINT and Spark would wrap).
+
+    Values are checksummed over their STRING cast; doubles stringify
+    differently across engines (1e-7 vs 1.0E-7) so float columns should
+    be fixed-point-ified by the caller first — the profiling tables this
+    certifies (summaries, rollups, manifests) are int/string/date-typed.
+
+    Scale shape: melt to (column, value) then ONE groupBy(column) with
+    map-side partial aggregation — each task contributes |cols| partial
+    rows, the shuffle moves O(|cols| × tasks) aggregates, never values.
+
+    Returns ``(column_name, n_rows, n_nonnull, checksum_xor,
+    checksum_sum)``.
+    """
+    cols = cols or df.columns
+    pairs: list = []
+    for c in cols:
+        pairs.append(F.lit(c))
+        pairs.append(F.col(c).cast("string"))
+    melted = df.select(
+        F.stack(F.lit(len(cols)), *pairs).alias("column_name", "v")
+    )
+    h = F.conv(F.substring(F.md5(F.col("v")), 1, 15), 16, 10).cast("long")
+    return melted.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.coalesce(F.bit_xor(h), F.lit(0)).alias("checksum_xor"),
+        F.coalesce(F.sum(h % 1_000_000_007), F.lit(0)).alias("checksum_sum"),
+    )
+
+
+def theil_sen_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend over the daily-mean series: the median of
+    all pairwise slopes (value per day) — the outlier-resistant
+    counterpart of :func:`grouped_ols`'s least-squares slope (one wild
+    day moves OLS, but not the pairwise-slope median).
+
+    Scale shape: rows collapse once to the |days| series; the pair set
+    is |days|² — series-sized, not data-sized (a year is ~66 k pairs).
+    The median is exact type-7 via ``percentile`` over that tiny frame.
+
+    Returns one row ``(n_days, n_pairs, slope_per_day, ols_slope)`` —
+    the OLS slope over the same series rides along as the comparison.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    series = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(day.alias("d"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("x"))
+        .persist()
+    )
+    a = series.select(F.col("d").alias("d1"), F.col("x").alias("x1"))
+    b = series.select(F.col("d").alias("d2"), F.col("x").alias("x2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    slope = (F.col("x2") - F.col("x1")) / F.datediff("d2", "d1").cast(
+        "double"
+    )
+    t = F.datediff(F.col("d"), F.lit("1970-01-01")).cast("double")
+    ols = series.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.covar_samp(t, F.col("x")) / F.var_samp(t)).alias("ols_slope"),
+    )
+    ts = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(slope, 0.5).alias("slope_per_day"),
+    )
+    return ols.crossJoin(ts).select(
+        "n_days",
+        "n_pairs",
+        F.round("slope_per_day", 6).alias("slope_per_day"),
+        F.round("ols_slope", 6).alias("ols_slope"),
+    )

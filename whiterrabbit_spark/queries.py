@@ -5311,6 +5311,455 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+def _srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit of the default 80/10/10 hash split
+    over customers (splits.srm_check)."""
+    from whiterrabbit_spark.extensions.splits import srm_check
+
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    return srm_check(
+        cust, "c_custkey", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+_SRM_SQL = """
+WITH assigned AS (
+  SELECT CASE
+           WHEN ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT
+                % 10000 < 8000 THEN 'train'
+           WHEN ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT
+                % 10000 < 9000 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM customer WHERE c_custkey IS NOT NULL
+), obs AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_obs FROM assigned GROUP BY 1
+), tot AS (SELECT sum(n_obs) AS n_total FROM obs),
+per AS (
+  SELECT split, n_obs,
+         n_total * (CASE split WHEN 'train' THEN 0.8::DOUBLE
+                    WHEN 'val' THEN 0.1::DOUBLE
+                    ELSE 0.1::DOUBLE END) AS n_expected
+  FROM obs, tot
+), c AS (
+  SELECT sum((n_obs - n_expected) * (n_obs - n_expected) / n_expected)
+           AS chi2
+  FROM per
+)
+SELECT split, n_obs, round(n_expected, 6) AS n_expected,
+       round(chi2, 6) AS chi2, chi2 > 13.816 AS srm_detected
+FROM per, c"""
+
+
+def _streaming_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT streaming daily active users: file stream → one
+    complete-mode (day, user) presence aggregation (state = distinct
+    pairs, the bound presence sets, not traffic) → memory sink → batch
+    finishing pass. Oracle = batch daily COUNT(DISTINCT)."""
+    import uuid
+
+    from whiterrabbit_spark.extensions import streaming as st
+
+    src = st.stream_events_from_parquet(spark, sf_dir)
+    pairs = st.streaming_user_days(src)
+    name = f"wrs_dau_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(pairs, name, mode="complete")
+    out = st.finish_daily_active(spark.table(name))
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_active_users",
+        "n_events",
+    )
+
+
+_STREAMING_DAU_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1"""
+
+
+def _matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation quality: does the 16-dim prefix of the
+    64-dim embedding preserve nearest neighbors? Exact top-1 under both
+    dims for 20 query vectors (brute force — the eval set is small by
+    definition), reporting top-1 agreement and the true-cosine cost of
+    the truncated pick. The dimension-reduction accept/tune gate, like
+    ann_recall for the LSH index."""
+    df = read_parquet_table(spark, sf_dir, "embeddings")
+    q = df.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = sim.cosine_topk(df, q, k=1).select(
+        "query_id",
+        F.col("neighbor_id").alias("full_nn"),
+        F.col("cosine").alias("cos_full"),
+    )
+    trunc = sim.cosine_topk(
+        df.withColumn("embedding", F.slice("embedding", 1, 16)),
+        q.withColumn("embedding", F.slice("embedding", 1, 16)),
+        k=1,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("trunc_nn"),
+    )
+    # true (full-dim) cosine of the truncated pick — the real cost of
+    # trusting the prefix
+    all_cos = sim.cosine_topk(df, q, k=10_000_000).select(
+        "query_id",
+        F.col("neighbor_id").alias("trunc_nn"),
+        F.col("cosine").alias("cos_of_trunc_pick"),
+    )
+    joined = full.join(trunc, "query_id").join(
+        all_cos, ["query_id", "trunc_nn"]
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(
+            F.avg((F.col("full_nn") == F.col("trunc_nn")).cast("double")), 6
+        ).alias("top1_agreement"),
+        F.round(F.avg("cos_full"), 6).alias("mean_cos_full_nn"),
+        F.round(F.avg("cos_of_trunc_pick"), 6).alias("mean_cos_trunc_pick"),
+    )
+
+
+def _matryoshka_sql() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id AS query_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cos_full,
+         list_dot_product(qv[1:16], cv[1:16]) /
+         (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+          * sqrt(list_dot_product(cv[1:16], cv[1:16]))) AS cos_trunc
+  FROM c, q WHERE neighbor_id <> query_id
+), r AS (
+  SELECT query_id, neighbor_id, cos_full,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_full DESC, neighbor_id ASC)
+           AS rank_full,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_trunc DESC, neighbor_id ASC)
+           AS rank_trunc
+  FROM s
+), fn AS (
+  SELECT query_id, neighbor_id AS full_nn, cos_full FROM r
+  WHERE rank_full = 1
+), tn AS (
+  SELECT query_id, neighbor_id AS trunc_nn FROM r WHERE rank_trunc = 1
+), tc AS (
+  SELECT s.query_id, s.cos_full AS cos_of_trunc_pick
+  FROM s JOIN tn ON s.query_id = tn.query_id AND s.neighbor_id = tn.trunc_nn
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(CASE WHEN full_nn = trunc_nn THEN 1.0 ELSE 0.0 END), 6)
+         AS top1_agreement,
+       round(avg(fn.cos_full), 6) AS mean_cos_full_nn,
+       round(avg(tc.cos_of_trunc_pick), 6) AS mean_cos_trunc_pick
+FROM fn
+JOIN tn USING (query_id)
+JOIN tc USING (query_id)"""
+
+
+def _table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksums over the non-float orders
+    columns (profile.table_checksum) — the snapshot-equality
+    certificate."""
+    from whiterrabbit_spark.profile import table_checksum
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return table_checksum(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "o_orderdate"],
+    )
+
+
+def _checksum_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(v) AS BIGINT) AS n_nonnull,
+       COALESCE(bit_xor(h), 0) AS checksum_xor,
+       CAST(COALESCE(sum(h % 1000000007), 0) AS BIGINT) AS checksum_sum
+FROM (SELECT {c}::VARCHAR AS v,
+             ('0x' || substr(md5({c}::VARCHAR), 1, 15))::BIGINT AS h
+      FROM orders)"""
+
+
+_TABLE_CHECKSUM_SQL = " UNION ALL ".join(
+    _checksum_col_sql(c)
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+              "o_orderdate"]
+)
+
+
+def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (cdc.apply_cdc): snapshot = latest pre-1999 order per
+    customer; changelog = 1999+ orders as upserts, with finished ('F')
+    statuses treated as deletes; latest-wins on (o_orderdate,
+    o_orderkey)."""
+    from whiterrabbit_spark.extensions.cdc import apply_cdc
+
+    orders = read_parquet_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate",
+    )
+    cut = F.col("o_orderdate") < F.lit("1999-01-01")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    snapshot = (
+        orders.where(cut)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    changes = orders.where(~cut).withColumn(
+        "op",
+        F.when(F.col("o_orderstatus") == "F", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    out = apply_cdc(
+        snapshot, changes,
+        key_cols=["o_custkey"],
+        seq_cols=["o_orderdate", "o_orderkey"],
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    )
+
+
+_CDC_SQL = """
+WITH snap AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority, o_orderdate
+  FROM (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+               o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00') t
+  WHERE rn = 1
+), latest AS (
+  SELECT *, CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+  FROM (SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+               o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') t
+  WHERE rn = 1
+)
+SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM latest WHERE op <> 'D'
+UNION ALL
+SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM snap
+WHERE o_custkey NOT IN (SELECT o_custkey FROM latest)"""
+
+
+def _theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust daily trend of event value
+    (profile.theil_sen_daily)."""
+    from whiterrabbit_spark.profile import theil_sen_daily
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return theil_sen_daily(ev, "ts", "value")
+
+
+_THEIL_SEN_SQL = """
+WITH s AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, avg(value) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), pairs AS (
+  SELECT (b.x - a.x) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM s a JOIN s b ON a.d < b.d
+), ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         covar_samp(CAST(d - DATE '1970-01-01' AS DOUBLE), x)
+           / var_samp(CAST(d - DATE '1970-01-01' AS DOUBLE)) AS ols_slope
+  FROM s
+)
+SELECT n_days,
+       CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pairs,
+       round((SELECT quantile_cont(slope, 0.5) FROM pairs), 6)
+         AS slope_per_day,
+       round(ols_slope, 6) AS ols_slope
+FROM ols"""
+
+
+def _negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ring negative sampling, k=3
+    (splits.negative_sampling)."""
+    from whiterrabbit_spark.extensions.splits import negative_sampling
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return negative_sampling(docs, "doc_id", k=3)
+
+
+_NEG_SAMPLING_SQL = """
+WITH ids AS (
+  SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id IS NOT NULL
+), pos AS (
+  SELECT id,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(id::VARCHAR || 'neg'), 1, 15))::BIGINT
+         ) - 1 AS pos
+  FROM ids
+), tot AS (SELECT count(*) AS n FROM ids)
+SELECT a.id AS anchor_id, b.id AS partner_id, CAST(m AS BIGINT) AS pair_rank
+FROM pos a
+CROSS JOIN tot
+CROSS JOIN (VALUES (1), (2), (3)) t(m)
+JOIN pos b
+  ON b.pos = (a.pos + greatest(1, CAST(floor(n * m / 4.0) AS BIGINT))) % n"""
+
+
+def _token_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse count-vector cosine near-pairs at t=0.9
+    (similarity.token_cosine_pairs): inverted token index, integer
+    dot/norms, exact integer threshold test."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return sim.token_cosine_pairs(docs, "doc_id", "text", threshold=0.9)
+
+
+_TOKEN_COSINE_SQL = """
+WITH tf AS (
+  SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+  WHERE tok <> ''
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(*) AS df_t FROM tf GROUP BY tok
+), kept AS (
+  SELECT tf.* FROM tf JOIN dfreq USING (tok)
+  WHERE df_t BETWEEN 2 AND 10000
+), norms AS (
+  SELECT id, sum(tf * tf) AS s FROM kept GROUP BY id
+), dots AS (
+  SELECT a.id AS id_1, b.id AS id_2, sum(a.tf * b.tf) AS dot
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_1, id_2, CAST(dot AS BIGINT) AS dot,
+       round(dot / sqrt(CAST(n1.s AS DOUBLE) * n2.s), 6) AS cosine
+FROM dots
+JOIN norms n1 ON id_1 = n1.id
+JOIN norms n2 ON id_2 = n2.id
+WHERE dot * dot * 1000000 >= 810000 * n1.s * n2.s"""
+
+
+def _segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch pairwise audience overlap between event types
+    (profile.segment_overlap_sketch) — approximate by construction,
+    rows-only; estimate accuracy is pinned in tests vs exact Jaccard."""
+    from whiterrabbit_spark.profile import segment_overlap_sketch
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return segment_overlap_sketch(ev, "event_type", "user_id")
+
+
+def _pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of order revenue over customers
+    (profile.pareto_concentration): integer fixed-point totals, bucketed
+    distributed prefix sum, broadcast decile thresholds."""
+    from whiterrabbit_spark.profile import pareto_concentration
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return pareto_concentration(orders, "o_custkey", "o_totalprice")
+
+
+_PARETO_SQL = """
+WITH per_key AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS w
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY o_custkey
+), tot AS (
+  SELECT count(*) AS n, sum(w) AS s FROM per_key
+), ranked AS (
+  SELECT w,
+         row_number() OVER (ORDER BY w DESC) AS rn,
+         sum(w) OVER (ORDER BY w DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM per_key
+), cuts(p) AS (VALUES (1.0), (5.0), (10.0), (20.0), (50.0))
+SELECT CAST(p AS DOUBLE) AS pct_keys,
+       CAST(ceil(p / 100.0 * tot.n) AS BIGINT) AS n_top_keys,
+       round(cum * 1.0 / tot.s, 6) AS weight_share
+FROM cuts
+CROSS JOIN tot
+JOIN ranked ON rn = CAST(ceil(p / 100.0 * tot.n) AS BIGINT)"""
+
+
+def _rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct users (profile.rolling_distinct_daily):
+    day-level pair fan-out, never a sliding set union."""
+    from whiterrabbit_spark.profile import rolling_distinct_daily
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return rolling_distinct_daily(ev, "ts", "user_id", window_days=7)
+
+
+_ROLLING_DISTINCT_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id AS k
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), days AS (SELECT DISTINCT d FROM pairs)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT pairs.k) AS BIGINT) AS rolling_distinct
+FROM days JOIN pairs ON pairs.d <= days.d AND pairs.d > days.d - 7
+GROUP BY days.d"""
+
+
+def _ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of the daily event-value mean
+    (profile.ewma_daily, alpha=0.3)."""
+    from whiterrabbit_spark.profile import ewma_daily
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return ewma_daily(ev, "ts", "value", alpha=0.3)
+
+
+_EWMA_SQL = """
+WITH s AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, avg(value) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), w AS (
+  SELECT d, x, CAST(row_number() OVER (ORDER BY d) AS DOUBLE) AS rn
+  FROM s
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       round(x, 6) AS daily_mean,
+       round(
+         (sum(x * pow(0.7, -rn)) OVER (ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          * pow(0.7, rn))
+         / (sum(pow(0.7, -rn)) OVER (ORDER BY rn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * pow(0.7, rn)), 6) AS ewma
+FROM w"""
+
+
 def _graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top co-purchase hubs by degree (graph.degree_stats): endpoint
     union + one groupBy + TakeOrdered top-10."""
@@ -6463,5 +6912,20 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("tpch_q15_top_supplier", TQ.tpch_q15_top_supplier, TQ.TPCH_Q15_SQL)
     add("tpch_q18_large_orders", TQ.tpch_q18_large_orders, TQ.TPCH_Q18_SQL)
     add("tpch_q22_antijoin", TQ.tpch_q22_antijoin, TQ.TPCH_Q22_SQL)
+    add("pareto_concentration_orders", _pareto, _PARETO_SQL)
+    add("rolling_distinct_users_events", _rolling_distinct,
+        _ROLLING_DISTINCT_SQL)
+    add("ewma_events", _ewma, _EWMA_SQL)
+    add("token_cosine_pairs_documents", _token_cosine, _TOKEN_COSINE_SQL)
+    add("segment_overlap_events", _segment_overlap, None)
+    add("table_checksum_orders", _table_checksum, _TABLE_CHECKSUM_SQL)
+    add("cdc_apply_orders", _cdc_apply, _CDC_SQL)
+    add("theil_sen_events", _theil_sen, _THEIL_SEN_SQL)
+    add("negative_sampling_documents", _negative_sampling,
+        _NEG_SAMPLING_SQL)
+    add("srm_check_customer", _srm_check, _SRM_SQL)
+    add("streaming_active_users_events", _streaming_active_users,
+        _STREAMING_DAU_SQL)
+    add("matryoshka_eval_embeddings", _matryoshka, _matryoshka_sql())
 
     return queries, oracles
