@@ -185,6 +185,9 @@ def main() -> None:
         "srm_check": queries["srm_check_customer"],
         "streaming_active_users": queries["streaming_active_users_events"],
         "matryoshka_eval": queries["matryoshka_eval_embeddings"],
+        "ship_delay": queries["ship_delay_orders"],
+        "minhash_recall": queries["minhash_recall_documents"],
+        "layout_prune": queries["layout_prune_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

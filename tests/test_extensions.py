@@ -3399,3 +3399,20 @@ def test_srm_check_detects_planted_corruption(spark):
     ).drop("split")
     bad = srm_check(corrupted, "k", w).collect()
     assert all(r["srm_detected"] for r in bad)
+
+
+def test_token_cosine_dense_sparse_parity(spark):
+    """The dense GEMM plan and the inverted-index plan emit the
+    identical pair set with identical integer dots (counts are exact in
+    float64, and the float cosine only prefilters)."""
+    from whiterrabbit_spark.io import read_parquet_table
+    from whiterrabbit_spark.extensions.similarity import token_cosine_pairs
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001", "documents")
+    dense = token_cosine_pairs(docs, "doc_id", "text", threshold=0.9)
+    sparse = token_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.9, dense_vocab_limit=0
+    )
+    d = sorted(map(tuple, dense.collect()))
+    s = sorted(map(tuple, sparse.collect()))
+    assert d == s and len(d) > 0

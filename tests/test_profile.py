@@ -1289,3 +1289,44 @@ def test_theil_sen_robust_to_outlier(spark):
     assert r["n_days"] == 20 and r["n_pairs"] == 190
     assert abs(r["slope_per_day"] - 2.0) < 0.15
     assert abs(r["ols_slope"] - 2.0) > 1.0
+
+
+def test_layout_prune_report_hand_case(spark):
+    """100 rows, values 0..99, chunks of 10, probe [90, 99]: clustered
+    by value scans exactly 1 chunk; clustered by an independent key
+    (reversed id) spreads the matches everywhere -> all 10 chunks."""
+    from whiterrabbit_spark.profile import layout_prune_report
+
+    rows = [(i, float(i % 100)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    # key layout: order by (id * 37) % 100 — decorrelates v from position
+    df = df.withColumn("scrambled", (df.id * 37) % 100)
+    out = {
+        r["layout"]: r
+        for r in layout_prune_report(
+            df, "v", {"by_key": "scrambled", "by_value": "v"},
+            chunk_rows=10, probe_lo=90.0, probe_hi=99.0,
+        ).collect()
+    }
+    assert out["by_value"]["n_chunks"] == 10
+    assert out["by_value"]["n_chunks_scanned"] == 1
+    assert out["by_value"]["rows_matched"] == 10
+    # decorrelated layout leaves (almost) every chunk overlapping the
+    # probe range — the contrast the advisor exists to surface
+    assert out["by_key"]["n_chunks_scanned"] >= 8
+
+
+def test_layout_prune_tie_spans_are_worst_case(spark):
+    """A tie block straddling a chunk boundary attributes its span to
+    both chunks (deterministic worst case)."""
+    from whiterrabbit_spark.profile import layout_prune_report
+
+    # 6 rows, all sort-key ties; values 0..5; chunks of 3
+    rows = [(1, float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    r = layout_prune_report(
+        df, "v", {"by_k": "k"}, chunk_rows=3, probe_lo=0.0, probe_hi=0.5
+    ).collect()[0]
+    assert r["n_chunks"] == 2
+    # both chunks carry the full 0..5 span -> both scanned
+    assert r["n_chunks_scanned"] == 2

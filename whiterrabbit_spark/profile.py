@@ -3352,3 +3352,98 @@ def theil_sen_daily(
         F.round("slope_per_day", 6).alias("slope_per_day"),
         F.round("ols_slope", 6).alias("ols_slope"),
     )
+
+
+def layout_prune_report(
+    df: DataFrame,
+    value_col: str,
+    layouts: dict[str, str],
+    chunk_rows: int,
+    probe_lo: float,
+    probe_hi: float,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Data-layout advisor: how many row-group-sized chunks would a
+    min/max-pruned range probe on ``value_col`` actually scan, under
+    each candidate sort layout? The write-side counterpart of predicate
+    pushdown — pushdown only prunes what the LAYOUT clusters, and this
+    quantifies the benefit BEFORE paying for a 100 TB rewrite.
+
+    ``layouts`` maps a layout name to its (numeric) sort column. Chunks
+    are consecutive ``chunk_rows``-row slices of the table sorted by
+    that column; a chunk is scanned when its [min, max] of ``value_col``
+    intersects [probe_lo, probe_hi]. Rows tied on the sort key attribute
+    their full value span to every chunk the tie range straddles — the
+    layout-independent worst case (a physical writer may realize any
+    tie order), which keeps the report deterministic and
+    oracle-checkable.
+
+    Scale shape, per layout: one groupBy(sort key) histogram carrying
+    per-key value min/max, the bucketed distributed prefix sum for key
+    positions (no global window), then an explode over each key's
+    straddled chunk RANGE — total fan-out ≈ n_chunks + n_keys — and a
+    groupBy(chunk). Nothing row-sized crosses a single task.
+
+    Returns one row per layout: ``(layout, n_rows, rows_matched,
+    n_chunks, n_chunks_scanned, scan_fraction)``.
+    """
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    v = F.col(value_col).cast("double")
+    outs = []
+    for name, sort_col in layouts.items():
+        s = F.col(sort_col).cast("double")
+        base = df.where(s.isNotNull() & v.isNotNull())
+        hist = base.groupBy(s.alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+        )
+        cum = _hist_exclusive_prefix(hist, "k", "cnt", n_parts)
+        chunks = (
+            cum.select(
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("before") / chunk_rows),
+                        F.floor(
+                            (F.col("before") + F.col("cnt") - 1) / chunk_rows
+                        ),
+                    )
+                ).alias("chunk"),
+                "vmin",
+                "vmax",
+            )
+            .groupBy("chunk")
+            .agg(F.min("vmin").alias("cmin"), F.max("vmax").alias("cmax"))
+        )
+        scanned = (
+            (F.col("cmax") >= probe_lo) & (F.col("cmin") <= probe_hi)
+        ).cast("long")
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                ((v >= probe_lo) & (v <= probe_hi)).cast("long")
+            ).alias("rows_matched"),
+        )
+        per_chunk = chunks.agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(scanned).alias("n_chunks_scanned"),
+        )
+        outs.append(
+            stats.crossJoin(per_chunk).select(
+                F.lit(name).alias("layout"),
+                "n_rows",
+                "rows_matched",
+                "n_chunks",
+                "n_chunks_scanned",
+                F.round(
+                    F.col("n_chunks_scanned")
+                    / F.col("n_chunks").cast("double"),
+                    6,
+                ).alias("scan_fraction"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

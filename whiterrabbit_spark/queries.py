@@ -5311,6 +5311,164 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+def _layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout advisor (profile.layout_prune_report): chunk-scan fraction
+    for a quantity-range probe under key-clustered vs value-clustered
+    layouts — quantifies what sorting buys min/max pruning before any
+    rewrite."""
+    from whiterrabbit_spark.profile import layout_prune_report
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return layout_prune_report(
+        li,
+        "l_quantity",
+        {"by_orderkey": "l_orderkey", "by_quantity": "l_quantity"},
+        chunk_rows=4096,
+        probe_lo=10.0,
+        probe_hi=15.0,
+    )
+
+
+def _layout_prune_layout_sql(name: str, sort_col: str) -> str:
+    return f"""
+SELECT '{name}' AS layout,
+       (SELECT CAST(count(*) AS BIGINT) FROM base_{name}) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM base_{name}
+        WHERE v >= 10.0 AND v <= 15.0) AS rows_matched,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN cmax >= 10.0 AND cmin <= 15.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks_scanned,
+       round(sum(CASE WHEN cmax >= 10.0 AND cmin <= 15.0
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS scan_fraction
+FROM (
+  SELECT chunk, min(vmin) AS cmin, max(vmax) AS cmax
+  FROM (
+    SELECT unnest(generate_series(
+             CAST(floor(before / 4096) AS BIGINT),
+             CAST(floor((before + cnt - 1) / 4096) AS BIGINT))) AS chunk,
+           vmin, vmax
+    FROM (
+      SELECT k, cnt, vmin, vmax,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before
+      FROM (SELECT k, count(*) AS cnt, min(v) AS vmin, max(v) AS vmax
+            FROM base_{name} GROUP BY k) h
+    ) c
+  ) e
+  GROUP BY chunk
+) ch"""
+
+
+def _layout_prune_sql() -> str:
+    bases = """
+WITH base_by_orderkey AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v, CAST(l_orderkey AS DOUBLE) AS k
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_orderkey IS NOT NULL
+), base_by_quantity AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS v, CAST(l_quantity AS DOUBLE) AS k
+  FROM lineitem WHERE l_quantity IS NOT NULL
+)"""
+    return (
+        bases
+        + _layout_prune_layout_sql("by_orderkey", "l_orderkey")
+        + "\nUNION ALL\n"
+        + _layout_prune_layout_sql("by_quantity", "l_quantity")
+    )
+
+
+def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall evaluation: the banded index's found-pair set
+    measured against the exact inverted-index Jaccard pairs at the same
+    threshold — the accept/tune gate for (num_hashes, rows_per_band),
+    sibling of ann_recall (embeddings) and matryoshka_eval (dims). Both
+    sides are the registered operators with identical parameters; the
+    oracle recomputes both in SQL, so the recall itself is cross-engine
+    verified."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    exact = (
+        X.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5)
+        .select("id1", "id2")
+        .persist()
+    )
+    lsh = X.minhash_dedup_pairs(
+        docs, "text", "doc_id", k=3, num_hashes=32,
+        rows_per_band=2, threshold=0.5, seed=CFG.seed,
+    ).select(F.col("id1").alias("l1"), F.col("id2").alias("l2"))
+    found = exact.join(
+        lsh,
+        (F.col("id1") == F.col("l1")) & (F.col("id2") == F.col("l2")),
+        "left_semi",
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_lsh_found"))
+    return (
+        n_exact.crossJoin(n_found)
+        .select(
+            "n_exact_pairs",
+            "n_lsh_found",
+            F.round(
+                F.col("n_lsh_found") / F.col("n_exact_pairs").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _minhash_recall_sql() -> str:
+    return f"""
+WITH exact AS ({_NGRAM_SQL.strip()}),
+lsh AS ({_minhash_sql().strip()}),
+f AS (
+  SELECT count(*) AS n_lsh_found
+  FROM exact e JOIN lsh l ON e.id1 = l.id1 AND e.id2 = l.id2
+), n AS (SELECT count(*) AS n_exact_pairs FROM exact)
+SELECT CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
+       CAST(n_lsh_found AS BIGINT) AS n_lsh_found,
+       round(n_lsh_found * 1.0 / n_exact_pairs, 6) AS recall
+FROM n, f"""
+
+
+def _ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time distribution per priority: the queueing/
+    SLA report shape (fact-fact join on the natural key, integer-day
+    delays, exact type-7 percentiles per group). One shuffle for the
+    join, one for the rollup."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("double")
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.avg(delay), R).alias("mean_delay_days"),
+            F.percentile(delay, 0.5).alias("p50_delay_days"),
+            F.percentile(delay, 0.9).alias("p90_delay_days"),
+            F.max(delay).alias("max_delay_days"),
+        )
+    )
+
+
+_SHIP_DELAY_SQL = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(avg(delay), {R}) AS mean_delay_days,
+       quantile_cont(delay, 0.5) AS p50_delay_days,
+       quantile_cont(delay, 0.9) AS p90_delay_days,
+       max(delay) AS max_delay_days
+FROM (
+  SELECT o_orderpriority,
+         CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+              AS DOUBLE) AS delay
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+) t
+GROUP BY o_orderpriority"""
+
+
 def _srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch audit of the default 80/10/10 hash split
     over customers (splits.srm_check)."""
@@ -6927,5 +7085,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("streaming_active_users_events", _streaming_active_users,
         _STREAMING_DAU_SQL)
     add("matryoshka_eval_embeddings", _matryoshka, _matryoshka_sql())
+    add("ship_delay_orders", _ship_delay, _SHIP_DELAY_SQL)
+    add("minhash_recall_documents", _minhash_recall, _minhash_recall_sql())
+    add("layout_prune_lineitem", _layout_prune, _layout_prune_sql())
 
     return queries, oracles
