@@ -188,6 +188,8 @@ def main() -> None:
         "ship_delay": queries["ship_delay_orders"],
         "minhash_recall": queries["minhash_recall_documents"],
         "layout_prune": queries["layout_prune_lineitem"],
+        "balanced_sample": queries["balanced_sample_documents"],
+        "zorder_layout": queries["zorder_layout_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -1330,3 +1330,50 @@ def test_layout_prune_tie_spans_are_worst_case(spark):
     assert r["n_chunks"] == 2
     # both chunks carry the full 0..5 span -> both scanned
     assert r["n_chunks_scanned"] == 2
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """Morton hand-check at 2 bits/col: buckets (qty, price) = (3, 1)
+    -> bits qty=11, price=01 interleaved (qty at even positions) =
+    0b0111 = 7; clamping keeps out-of-range values in edge buckets."""
+    from whiterrabbit_spark.profile import zorder_key_expr
+
+    df = spark.createDataFrame(
+        [(3.999, 1.999), (0.0, 0.0), (99.0, -5.0)], "a double, b double"
+    )
+    # domain [0,4) both, 2 bits -> bucket = floor(v), values 0..3
+    key = zorder_key_expr(["a", "b"], [0.0, 0.0], [4.0, 4.0], bits_per_col=2)
+    got = [r["z"] for r in df.select(key.alias("z")).collect()]
+    # (3,1): a bits (1,1) at pos 0,2; b bits (0,1)? b=1 -> bits (1,0):
+    # bit0 of b at pos 1, bit1 (0) at pos 3 -> 0b0111 = 7
+    assert got[0] == 7
+    assert got[1] == 0
+    # a clamps to bucket 3, b clamps to 0 -> bits a=11 at pos 0,2 -> 5
+    assert got[2] == 5
+
+
+def test_zorder_layout_prunes_both_probes(spark):
+    """On a grid where x and y are independent, sorting by x leaves a
+    y-probe unpruned, while the z-order key prunes both probes below
+    half the chunks."""
+    from whiterrabbit_spark.profile import (
+        layout_prune_report,
+        zorder_key_expr,
+    )
+
+    rows = [(float(x), float(y)) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    z = zorder_key_expr(["x", "y"], [0.0, 0.0], [64.0, 64.0], 6)
+    for probe in ("x", "y"):
+        out = {
+            r["layout"]: r
+            for r in layout_prune_report(
+                df, probe, {"by_x": "x", "by_z": z},
+                chunk_rows=256, probe_lo=0.0, probe_hi=7.9,
+            ).collect()
+        }
+        if probe == "x":
+            assert out["by_x"]["scan_fraction"] <= 0.2
+        else:
+            assert out["by_x"]["scan_fraction"] == 1.0
+        assert out["by_z"]["scan_fraction"] <= 0.5

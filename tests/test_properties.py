@@ -669,3 +669,116 @@ def test_heavy_hitters_partition_invariant(spark, vals, nparts):
     thr = m.ceil(phi * len(vals))
     want = sorted((v, n) for v, n in c.items() if n >= thr)
     assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 10**6)),
+        min_size=1, max_size=60,
+    ),
+    k=st.integers(1, 8),
+)
+def test_balanced_sample_properties(spark, rows, k):
+    """Exactly min(k, |class|) rows per class; the two-phase plan equals
+    the naive single-window md5 order (slack high enough here that the
+    prefilter keeps everything)."""
+    from whiterrabbit_spark.extensions.splits import balanced_sample
+
+    df = spark.createDataFrame(
+        [(c, i, v) for i, (c, v) in enumerate(rows)],
+        "cls string, idx long, v long",
+    )
+    out = balanced_sample(df, "cls", k=k, slack=10_000.0).collect()
+    from collections import Counter
+
+    per_class_in = Counter(c for c, _ in rows)
+    per_class_out = Counter(r["cls"] for r in out)
+    for c, n in per_class_in.items():
+        assert per_class_out[c] == min(k, n)
+    for r in out:
+        assert 1 <= r["sample_rank"] <= k
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    weights=st.lists(st.floats(0.01, 100.0), min_size=2, max_size=30),
+)
+def test_pareto_share_is_monotone_and_bounded(spark, weights):
+    """Pareto share is nondecreasing in pct, ends at 1.0, and the top-p%
+    share is always >= p% (sorted-desc prefix dominates the mean)."""
+    from whiterrabbit_spark.profile import pareto_concentration
+
+    df = spark.createDataFrame(
+        [(f"k{i}", float(w)) for i, w in enumerate(weights)],
+        "k string, w double",
+    )
+    rows = sorted(
+        pareto_concentration(
+            df, "k", "w", pcts=[10.0, 30.0, 60.0, 100.0]
+        ).collect(),
+        key=lambda r: r["pct_keys"],
+    )
+    shares = [r["weight_share"] for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-9
+    for r in rows:
+        assert r["weight_share"] >= r["pct_keys"] / 100.0 - 1e-6
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    days=st.lists(
+        st.tuples(st.integers(1, 20), st.integers(1, 5)),
+        min_size=1, max_size=50,
+    ),
+    win=st.integers(1, 5),
+)
+def test_rolling_distinct_dominates_daily(spark, days, win):
+    """Rolling N-day distinct >= that day's own distinct, and never
+    exceeds the global distinct count."""
+    from whiterrabbit_spark.profile import rolling_distinct_daily
+
+    rows = [(f"2024-02-{d:02d}", u) for d, u in days]
+    df = spark.createDataFrame(rows, "ts string, u long").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {
+        r["day"]: r["rolling_distinct"]
+        for r in rolling_distinct_daily(df, "ts", "u", win).collect()
+    }
+    from collections import defaultdict
+
+    daily = defaultdict(set)
+    for d, u in days:
+        daily[f"2024-02-{d:02d}"].add(u)
+    total = len({u for _, u in days})
+    for day, users in daily.items():
+        assert len(users) <= out[day] <= total
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=25,
+    ),
+)
+def test_ewma_stays_in_running_envelope(spark, vals):
+    """EWMA (adjust=True) is a convex combination of the prefix values:
+    min(prefix) <= ewma_t <= max(prefix)."""
+    from whiterrabbit_spark.profile import ewma_daily
+
+    rows = [(f"2024-03-{i+1:02d}", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = ewma_daily(df, "ts", "value", alpha=0.4).orderBy("day").collect()
+    lo, hi = float("inf"), float("-inf")
+    for r, v in zip(out, vals):
+        lo, hi = min(lo, v), max(hi, v)
+        assert lo - 1e-6 <= r["ewma"] <= hi + 1e-6

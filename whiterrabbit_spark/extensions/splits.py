@@ -601,3 +601,79 @@ def srm_check(
         F.round("chi2", 6).alias("chi2"),
         (F.col("chi2") > crit).alias("srm_detected"),
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    class_col: str,
+    k: int,
+    salt: str = "bal",
+    slack: float = 0.5,
+) -> DataFrame:
+    """Deterministic balanced downsample: exactly ``min(k, |class|)``
+    rows per class, chosen by md5 rank — the class-rebalancing step
+    before training on skewed labels, with :func:`hash_split`'s
+    reproducibility properties (no RNG state, engine-portable, stable
+    under repartitioning).
+
+    Scale shape — the naive plan (row_number per class over the full
+    table) funnels the HOTTEST class through one window partition, which
+    is exactly what breaks at 100 TB. Two phases instead:
+
+    1. map-side hash-threshold prefilter: keep rows whose 60-bit md5
+       rank falls below (k / |class|)·(1 + ``slack``) of the hash space
+       (per-class counts broadcast) — survivors ≈ k·(1+slack) per class;
+    2. exact trim: per-class ``row_number`` over the SURVIVORS only —
+       the window partition is bounded by k·(1+slack) + binomial noise,
+       independent of class size.
+
+    The result equals the single-window plan (same md5 total order) as
+    long as phase 1 keeps ≥ k rows per class; a Chernoff bound puts the
+    default 50% slack at ~10⁻¹⁵ failure odds for k ≥ 500 — and classes
+    at or below k skip the prefilter entirely (threshold ≥ 1), so small
+    classes are never clipped. Ties are impossible (60-bit hash over
+    distinct rows' md5 of row content + class); identical full rows ARE
+    interchangeable, so rank carries a unique row hash built from all
+    columns.
+
+    Returns the sampled rows with a ``sample_rank`` column (1..k per
+    class).
+    """
+    spark = df.sparkSession
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.lit(salt),
+                    *[F.col(c).cast("string") for c in df.columns],
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    space = float(1 << 60)
+    counts = (
+        df.where(F.col(class_col).isNotNull())
+        .groupBy(class_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tagged = (
+        df.where(F.col(class_col).isNotNull())
+        .withColumn("__h", h)
+        .join(F.broadcast(counts), class_col)
+    )
+    thresh = F.least(
+        F.lit(space),
+        F.lit(space) * F.lit(float(k) * (1.0 + slack)) / F.col("__n"),
+    )
+    survivors = tagged.where(F.col("__h") < thresh)
+    w = Window.partitionBy(class_col).orderBy("__h")
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .drop("__h", "__n")
+    )

@@ -3392,7 +3392,13 @@ def layout_prune_report(
     v = F.col(value_col).cast("double")
     outs = []
     for name, sort_col in layouts.items():
-        s = F.col(sort_col).cast("double")
+        # a layout may be an existing column (by name) or a computed
+        # clustering key Column (e.g. zorder_key_expr)
+        s = (
+            F.col(sort_col).cast("double")
+            if isinstance(sort_col, str)
+            else sort_col.cast("double")
+        )
         base = df.where(s.isNotNull() & v.isNotNull())
         hist = base.groupBy(s.alias("k")).agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -3446,4 +3452,44 @@ def layout_prune_report(
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
+    return out
+
+
+def zorder_key_expr(
+    cols: list,
+    los: list[float],
+    his: list[float],
+    bits_per_col: int = 8,
+):
+    """Z-order (Morton) key: interleave the top ``bits_per_col`` bits of
+    each column's equi-width bucket index — the multi-column clustering
+    key that makes :func:`layout_prune_report` effective for probes on
+    EITHER column (a single-column sort only prunes its own column).
+    Pure integer expression (shift/or unrolled), engine-portable, no
+    UDF. Bounds are passed in (from a prior min/max aggregate or domain
+    knowledge) so the expression stays a deterministic literal.
+    """
+    n = len(cols)
+    parts = []
+    for ci, (c, lo, hi) in enumerate(zip(cols, los, his)):
+        col = F.col(c).cast("double") if isinstance(c, str) else c.cast("double")
+        span = (hi - lo) or 1.0
+        bucket = F.least(
+            F.lit((1 << bits_per_col) - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((col - lo) / span * (1 << bits_per_col)).cast("long"),
+            ),
+        )
+        for b in range(bits_per_col):
+            # bit b of this column lands at interleaved position b*n + ci
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                    b * n + ci,
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
     return out

@@ -5311,6 +5311,143 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+_Z_BOUNDS = [("l_quantity", 1.0, 50.0), ("l_extendedprice", 900.0, 105000.0)]
+_Z_BITS = 8
+
+
+def _zorder_layouts():
+    from whiterrabbit_spark.profile import zorder_key_expr
+
+    cols = [c for c, _, _ in _Z_BOUNDS]
+    los = [lo for _, lo, _ in _Z_BOUNDS]
+    his = [hi for _, _, hi in _Z_BOUNDS]
+    return {
+        "by_qty": "l_quantity",
+        "by_price": "l_extendedprice",
+        "by_zorder": zorder_key_expr(cols, los, his, _Z_BITS),
+    }
+
+
+def _zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering payoff (profile.zorder_key_expr +
+    layout_prune_report): chunk-scan fractions for a quantity probe AND
+    a price probe under single-column sorts vs the Morton-interleaved
+    key — single-column clustering prunes only its own probes; z-order
+    prunes both."""
+    from whiterrabbit_spark.profile import layout_prune_report
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    probes = [
+        ("l_quantity", 10.0, 15.0),
+        ("l_extendedprice", 20000.0, 30000.0),
+    ]
+    outs = []
+    for col, lo, hi in probes:
+        outs.append(
+            layout_prune_report(
+                li, col, _zorder_layouts(), chunk_rows=4096,
+                probe_lo=lo, probe_hi=hi,
+            ).select(F.lit(col).alias("probe_col"), "*")
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _zorder_key_sql() -> str:
+    n = len(_Z_BOUNDS)
+    terms = []
+    for ci, (c, lo, hi) in enumerate(_Z_BOUNDS):
+        span = hi - lo
+        bucket = (
+            f"least({(1 << _Z_BITS) - 1}, greatest(0, CAST(floor("
+            f"(CAST({c} AS DOUBLE) - {lo}) / {span} * {1 << _Z_BITS})"
+            f" AS BIGINT)))"
+        )
+        for b in range(_Z_BITS):
+            terms.append(f"((({bucket} >> {b}) & 1) << {b * n + ci})")
+    return " | ".join(terms)
+
+
+def _zorder_sql() -> str:
+    probes = [("l_quantity", 10.0, 15.0), ("l_extendedprice", 20000.0, 30000.0)]
+    keys = {
+        "by_qty": "CAST(l_quantity AS DOUBLE)",
+        "by_price": "CAST(l_extendedprice AS DOUBLE)",
+        "by_zorder": f"CAST(({_zorder_key_sql()}) AS DOUBLE)",
+    }
+    blocks = []
+    for col, lo, hi in probes:
+        for name, key in keys.items():
+            blocks.append(f"""
+SELECT '{col}' AS probe_col, '{name}' AS layout,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM b
+        WHERE v >= {lo} AND v <= {hi}) AS rows_matched,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN cmax >= {lo} AND cmin <= {hi}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks_scanned,
+       round(sum(CASE WHEN cmax >= {lo} AND cmin <= {hi}
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS scan_fraction
+FROM (
+  SELECT chunk, min(vmin) AS cmin, max(vmax) AS cmax
+  FROM (
+    SELECT unnest(generate_series(
+             CAST(floor(before / 4096) AS BIGINT),
+             CAST(floor((before + cnt - 1) / 4096) AS BIGINT))) AS chunk,
+           vmin, vmax
+    FROM (
+      SELECT k, cnt, vmin, vmax,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before
+      FROM (SELECT k, count(*) AS cnt, min(v) AS vmin, max(v) AS vmax
+            FROM b GROUP BY k) h
+    ) c
+  ) e
+  GROUP BY chunk
+) ch""".replace(
+                "FROM b", f"FROM base_{col}_{name}"
+            ))
+    bases = []
+    for col, _, _ in probes:
+        for name, key in keys.items():
+            bases.append(
+                f"base_{col}_{name} AS (SELECT CAST({col} AS DOUBLE) AS v,"
+                f" {key} AS k FROM lineitem WHERE {col} IS NOT NULL)"
+            )
+    return (
+        "WITH "
+        + ",\n".join(bases)
+        + blocks[0]
+        + "".join("\nUNION ALL\n" + bl for bl in blocks[1:])
+    )
+
+
+def _balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-class balanced downsample by md5 rank
+    (splits.balanced_sample, k=30 per lang): hash-threshold prefilter +
+    bounded window — the hottest class never owns a window partition."""
+    from whiterrabbit_spark.extensions.splits import balanced_sample
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return balanced_sample(docs, "lang", k=30)
+
+
+_BALANCED_SAMPLE_SQL = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY ('0x' || substr(md5(concat_ws(chr(31), 'bal',
+              doc_id::VARCHAR, text, lang, source, n_chars::VARCHAR)),
+              1, 15))::BIGINT
+  ) AS sample_rank
+  FROM documents WHERE lang IS NOT NULL
+)
+SELECT doc_id, text, lang, source, n_chars,
+       CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= 30"""
+
+
 def _layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout advisor (profile.layout_prune_report): chunk-scan fraction
     for a quantity-range probe under key-clustered vs value-clustered
@@ -7088,5 +7225,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("ship_delay_orders", _ship_delay, _SHIP_DELAY_SQL)
     add("minhash_recall_documents", _minhash_recall, _minhash_recall_sql())
     add("layout_prune_lineitem", _layout_prune, _layout_prune_sql())
+    add("balanced_sample_documents", _balanced_sample, _BALANCED_SAMPLE_SQL)
+    add("zorder_layout_lineitem", _zorder_layout, _zorder_sql())
 
     return queries, oracles
