@@ -190,6 +190,9 @@ def main() -> None:
         "layout_prune": queries["layout_prune_lineitem"],
         "balanced_sample": queries["balanced_sample_documents"],
         "zorder_layout": queries["zorder_layout_lineitem"],
+        "woe": queries["woe_orders"],
+        "target_encode": queries["target_encode_orders"],
+        "blocking_report": queries["blocking_report_customer"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -3416,3 +3416,19 @@ def test_token_cosine_dense_sparse_parity(spark):
     d = sorted(map(tuple, dense.collect()))
     s = sorted(map(tuple, sparse.collect()))
     assert d == s and len(d) > 0
+
+
+def test_blocking_report_hand_case(spark):
+    """Two blocks of 3 and 2: candidate pairs 3+1=4 of C(5,2)=10."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.extensions.linkage import blocking_report
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "y")],
+        "id long, b string",
+    )
+    r = blocking_report(df, F.col("b"), "id").collect()[0]
+    assert r["n_records"] == 5 and r["n_blocks"] == 2
+    assert r["max_block"] == 3 and r["candidate_pairs"] == 4
+    assert abs(r["pair_reduction"] - 0.4) < 1e-9

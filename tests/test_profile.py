@@ -1377,3 +1377,47 @@ def test_zorder_layout_prunes_both_probes(spark):
         else:
             assert out["by_x"]["scan_fraction"] == 1.0
         assert out["by_z"]["scan_fraction"] <= 0.5
+
+
+def test_woe_encoding_hand_case(spark):
+    """Perfectly predictive level gets large |WOE| and dominant IV;
+    a 50/50 level sits near WOE 0."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import woe_encoding
+
+    rows = [("hot", 1)] * 40 + [("hot", 0)] * 2 + [("flat", 1)] * 20 + [
+        ("flat", 0)
+    ] * 20
+    df = spark.createDataFrame(rows, "cat string, y int")
+    out = {
+        r["level"]: r
+        for r in woe_encoding(df, "cat", F.col("y") == 1).collect()
+    }
+    assert out["hot"]["n_pos"] == 40 and out["hot"]["n_neg"] == 2
+    # hand: p = 40.5/61, q = 2.5/23
+    exp_hot = math.log((40.5 / 61.0) / (2.5 / 23.0))
+    assert abs(out["hot"]["woe"] - exp_hot) < 1e-6
+    # WOE compares a level's SHARE of positives vs its share of
+    # negatives: "flat" holds 1/3 of positives but 9/10 of negatives,
+    # so it's strongly negative — not near zero
+    exp_flat = math.log((20.5 / 61.0) / (20.5 / 23.0))
+    assert abs(out["flat"]["woe"] - exp_flat) < 1e-6
+    assert out["hot"]["iv_contrib"] > 0 and out["flat"]["iv_contrib"] > 0
+
+
+def test_target_encode_loo_hand_case(spark):
+    """Each row's encode is its level mean WITHOUT itself; singleton
+    levels get NULL."""
+    from whiterrabbit_spark.profile import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 7.0)],
+        "id long, cat string, y double",
+    )
+    out = {r["id"]: r["te_loo"] for r in
+           target_encode_loo(df, "cat", "y").collect()}
+    assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
+    assert out[4] is None

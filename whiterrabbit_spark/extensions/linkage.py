@@ -100,3 +100,48 @@ def link_records(
             F.col("__dist").alias("distance"),
         )
     )
+
+
+def blocking_report(df: DataFrame, block_expr, id_col: str) -> DataFrame:
+    """Blocking-quality diagnostic for record linkage: block-size
+    distribution and the pair-reduction ratio — candidate pairs
+    Σ nb·(nb−1)/2 as a fraction of the all-pairs N·(N−1)/2. THE number
+    to check before running :func:`link_records` at scale (the sf0.1
+    sweep that hung on a single collapsed block is exactly what this
+    catches: a max_block_share near 1 means the key does not block).
+
+    One groupBy(block) + one rollup over the |blocks|-row frame.
+
+    Returns one row: ``(n_records, n_blocks, max_block, p50_block,
+    p99_block, candidate_pairs, pair_reduction)``.
+    """
+    from pyspark.sql import functions as F
+
+    blk = (
+        df.where(F.col(id_col).isNotNull())
+        .groupBy(block_expr.alias("b"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    nb = F.col("nb").cast("double")
+    return blk.agg(
+        F.sum("nb").alias("n_records"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.max("nb").alias("max_block"),
+        F.percentile(nb, 0.5).alias("p50_block"),
+        F.percentile(nb, 0.99).alias("p99_block"),
+        F.sum(F.col("nb") * (F.col("nb") - 1) / 2).cast("long").alias(
+            "candidate_pairs"
+        ),
+    ).select(
+        "n_records",
+        "n_blocks",
+        "max_block",
+        "p50_block",
+        "p99_block",
+        "candidate_pairs",
+        F.round(
+            F.col("candidate_pairs")
+            / (F.col("n_records") * (F.col("n_records") - F.lit(1)) / 2.0),
+            6,
+        ).alias("pair_reduction"),
+    )

@@ -3493,3 +3493,87 @@ def zorder_key_expr(
     for p in parts[1:]:
         out = out.bitwiseOR(p)
     return out
+
+
+def woe_encoding(
+    df: DataFrame,
+    cat_col: str,
+    label_col,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence table for a categorical column against a
+    binary label: per level, WOE = ln((pos_i/pos)/(neg_i/neg)) with
+    Laplace smoothing, plus the information-value contribution — the
+    classical credit-scoring feature-screening stat (IV < 0.02 = not
+    predictive, > 0.3 = strong). One groupBy(level) with conditional
+    counts; the two global totals ride a one-row broadcast.
+
+    ``label_col`` is a boolean/0-1 Column or column name. Counts are
+    integers; WOE/IV are ln over exact integer ratios, reproduced
+    identically by SQL engines.
+
+    Returns ``(level, n_pos, n_neg, woe, iv_contrib)``.
+    """
+    lab = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("boolean")
+    per = (
+        df.where(F.col(cat_col).isNotNull() & lab.isNotNull())
+        .groupBy(F.col(cat_col).alias("level"))
+        .agg(
+            F.sum(lab.cast("long")).alias("n_pos"),
+            F.sum((~lab).cast("long")).alias("n_neg"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_pos").alias("t_pos"), F.sum("n_neg").alias("t_neg")
+    )
+    p = (F.col("n_pos") + smooth) / (F.col("t_pos") + 2 * smooth)
+    q = (F.col("n_neg") + smooth) / (F.col("t_neg") + 2 * smooth)
+    woe = F.log(p / q)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "level",
+        "n_pos",
+        "n_neg",
+        F.round(woe, 6).alias("woe"),
+        F.round((p - q) * woe, 6).alias("iv_contrib"),
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Leave-one-out target encoding: each row gets the mean target of
+    its OWN category computed WITHOUT itself — the leakage-safe form of
+    mean encoding for high-cardinality categoricals (plain mean encoding
+    leaks the row's own label into its feature).
+
+    Per-level (sum, count) aggregates join back (AQE broadcasts while
+    the level table is small); the per-row encode is then map-side:
+    (level_sum − y) / (level_count − 1), NULL for singleton levels.
+    Target values accumulate in integer fixed-point (``scale``) so the
+    level sums are exact and the encode is engine-identical.
+
+    Returns the input id/category/target plus ``te_loo``.
+    """
+    t_fix = F.round(F.col(target_col).cast("double") * scale).cast("long")
+    base = df.where(
+        F.col(cat_col).isNotNull() & F.col(target_col).isNotNull()
+    )
+    stats = base.groupBy(F.col(cat_col).alias("__lvl")).agg(
+        F.sum(t_fix).alias("__sum"), F.count(F.lit(1)).alias("__n")
+    )
+    joined = base.withColumn("__t", t_fix).join(
+        stats, F.col(cat_col) == F.col("__lvl")
+    )
+    loo = F.when(
+        F.col("__n") > 1,
+        (F.col("__sum") - F.col("__t"))
+        / ((F.col("__n") - 1) * float(scale)),
+    )
+    return joined.select(
+        *df.columns, F.round(loo, 6).alias("te_loo")
+    )

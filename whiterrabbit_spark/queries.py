@@ -5311,6 +5311,99 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+def _woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of order priority
+    against the finished-status label (profile.woe_encoding)."""
+    from whiterrabbit_spark.profile import woe_encoding
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return woe_encoding(
+        orders, "o_orderpriority", F.col("o_orderstatus") == "F"
+    )
+
+
+_WOE_SQL = """
+WITH per AS (
+  SELECT o_orderpriority AS level,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_neg
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1
+), tot AS (SELECT sum(n_pos) AS t_pos, sum(n_neg) AS t_neg FROM per)
+SELECT level, n_pos, n_neg,
+       round(ln(((n_pos + 0.5) / (t_pos + 1.0))
+                / ((n_neg + 0.5) / (t_neg + 1.0))), 6) AS woe,
+       round((((n_pos + 0.5) / (t_pos + 1.0))
+              - ((n_neg + 0.5) / (t_neg + 1.0)))
+             * ln(((n_pos + 0.5) / (t_pos + 1.0))
+                  / ((n_neg + 0.5) / (t_neg + 1.0))), 6) AS iv_contrib
+FROM per, tot"""
+
+
+def _target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority by total price
+    (profile.target_encode_loo) — the leakage-safe mean encode."""
+    from whiterrabbit_spark.profile import target_encode_loo
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    out = target_encode_loo(orders, "o_orderpriority", "o_totalprice")
+    # timestamp_ntz passthrough would dtype-mismatch the oracle hash
+    return out.withColumn(
+        "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+
+
+_TARGET_ENCODE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(CASE WHEN n > 1
+                  THEN (s - t) / ((n - 1) * 100.0) END, 6) AS te_loo
+FROM (
+  SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS t,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_orderpriority) AS s,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+) q"""
+
+
+def _blocking_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage blocking diagnostic (linkage.blocking_report) on the
+    (nation, segment) key — pair-reduction ratio and block-size shape
+    before any quadratic verify runs."""
+    from whiterrabbit_spark.extensions.linkage import blocking_report
+
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    return blocking_report(
+        cust,
+        F.concat_ws("|", F.col("c_nationkey"), F.col("c_mktsegment")),
+        "c_custkey",
+    )
+
+
+_BLOCKING_SQL = """
+WITH blk AS (
+  SELECT concat_ws('|', c_nationkey, c_mktsegment) AS b,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM customer WHERE c_custkey IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(sum(nb) AS BIGINT) AS n_records,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(max(nb) AS BIGINT) AS max_block,
+       quantile_cont(CAST(nb AS DOUBLE), 0.5) AS p50_block,
+       quantile_cont(CAST(nb AS DOUBLE), 0.99) AS p99_block,
+       CAST(sum(nb * (nb - 1) / 2) AS BIGINT) AS candidate_pairs,
+       round(sum(nb * (nb - 1) / 2)
+             / (sum(nb) * (sum(nb) - 1) / 2.0), 6) AS pair_reduction
+FROM blk"""
+
+
 _Z_BOUNDS = [("l_quantity", 1.0, 50.0), ("l_extendedprice", 900.0, 105000.0)]
 _Z_BITS = 8
 
@@ -7227,5 +7320,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("layout_prune_lineitem", _layout_prune, _layout_prune_sql())
     add("balanced_sample_documents", _balanced_sample, _BALANCED_SAMPLE_SQL)
     add("zorder_layout_lineitem", _zorder_layout, _zorder_sql())
+    add("woe_orders", _woe, _WOE_SQL)
+    add("target_encode_orders", _target_encode, _TARGET_ENCODE_SQL)
+    add("blocking_report_customer", _blocking_report, _BLOCKING_SQL)
 
     return queries, oracles
