@@ -193,6 +193,9 @@ def main() -> None:
         "woe": queries["woe_orders"],
         "target_encode": queries["target_encode_orders"],
         "blocking_report": queries["blocking_report_customer"],
+        "km_survival": queries["km_survival_events"],
+        "impute": queries["impute_lineitem"],
+        "merge_intervals": queries["merge_intervals_orders"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

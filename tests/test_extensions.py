@@ -3432,3 +3432,22 @@ def test_blocking_report_hand_case(spark):
     assert r["n_records"] == 5 and r["n_blocks"] == 2
     assert r["max_block"] == 3 and r["candidate_pairs"] == 4
     assert abs(r["pair_reduction"] - 0.4) < 1e-9
+
+
+def test_merge_intervals_hand_case(spark):
+    """Overlap + touch merge; gap splits; per-key independence."""
+    from whiterrabbit_spark.extensions.sequences import merge_intervals
+
+    rows = [
+        ("u", 1, 5), ("u", 4, 8), ("u", 8, 9),   # chain -> [1,9]
+        ("u", 20, 25),                            # gap -> own island
+        ("w", 2, 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {
+        (r["key"], r["island"]): (r["start"], r["end"], r["n_merged"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    }
+    assert out[("u", 1)] == (1, 9, 3)
+    assert out[("u", 2)] == (20, 25, 1)
+    assert out[("w", 1)] == (2, 3, 1)

@@ -281,3 +281,55 @@ def test_plan_audit_tool(spark):
     assert len(rows) > 100 and not any("error" in r for r in rows)
     names = {r["query"] for r in rows}
     assert "line_dedup_documents" in names and "heuristic_filters_documents" in names
+
+
+def test_tpch_joins_broadcast_dims_and_push_filters(spark):
+    """The TPC-H family: date/segment predicates reach the scans and
+    dim legs broadcast (no SortMergeJoin at this SF)."""
+    for name in ("tpch_q4_semijoin", "tpch_q5_regional",
+                 "tpch_q10_returns", "tpch_q18_large_orders"):
+        plan = _plan(spark, name)
+        assert "PushedFilters: [" in plan, f"{name}: no pushed filters"
+        assert "BroadcastHashJoin" in plan, f"{name}: dims not broadcast"
+    # the top-k queries keep the distributed heap form
+    for name in ("tpch_q10_returns", "tpch_q18_large_orders"):
+        assert "TakeOrderedAndProject" in _plan(spark, name)
+
+
+def test_pareto_windows_are_bucket_partitioned(spark):
+    """pareto_concentration ranks via the bucketed prefix machinery: the
+    per-weight local window is PARTITIONED by __pid (shows up as a
+    hashpartitioning exchange on the bucket id), never a global sort of
+    the raw weights. (Scan/Exchange counts are pinned in
+    PLAN_AUDIT.jsonl — 1 scan / 9 exchanges — which plan_audit re-checks
+    mechanically.)"""
+    plan = _plan(spark, "pareto_concentration_orders")
+    assert "Window" in plan
+    assert "hashpartitioning(__pid" in plan
+
+
+def test_balanced_sample_prefilters_before_window(spark):
+    """The hash-threshold prefilter must sit BELOW the row_number
+    window (survivor set bounded by k·(1+slack)): the Filter on __h
+    appears before the Window in the tree."""
+    plan = _plan(spark, "balanced_sample_documents")
+    assert "Window" in plan
+    w_pos = plan.index("Window")
+    # the conv(md5(...)) threshold filter below the window
+    m = [i.start() for i in re.finditer(r"\(\d+\) Filter", plan)]
+    assert any(p > w_pos for p in m) or "conv" in plan[w_pos:], (
+        "prefilter not below the window"
+    )
+
+
+def test_token_cosine_dense_mode_is_gemm(spark):
+    """On the synthetic 31-token corpus the dense plan must be chosen:
+    FlatMapGroupsInPandas (the blocked GEMM) present, and NO token
+    self-join (the join on 'tok' only feeds the vocab index)."""
+    plan = _plan(spark, "token_cosine_pairs_documents")
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_zorder_and_layout_scans_push_value_filters(spark):
+    plan = _plan(spark, "layout_prune_lineitem")
+    assert "PushedFilters: [IsNotNull" in plan

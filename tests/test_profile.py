@@ -1421,3 +1421,37 @@ def test_target_encode_loo_hand_case(spark):
            target_encode_loo(df, "cat", "y").collect()}
     assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
     assert out[4] is None
+
+
+def test_km_survival_hand_case(spark):
+    """Classic KM hand computation: durations (t, churned) =
+    (1,T),(2,F),(3,T),(4,T),(5,F):
+    S(1) = 4/5; S(3) = 4/5 * (1 - 1/3) = 8/15; S(4) = 8/15 * 1/2."""
+    from whiterrabbit_spark.profile import km_survival
+
+    rows = [(1, True), (2, False), (3, True), (4, True), (5, False)]
+    df = spark.createDataFrame(rows, "d long, ev boolean")
+    out = {r["t"]: r for r in km_survival(df, "d", "ev").collect()}
+    assert set(out) == {1, 3, 4}  # event times only
+    assert out[1]["n_at_risk"] == 5
+    assert abs(out[1]["survival"] - 0.8) < 1e-6
+    assert out[3]["n_at_risk"] == 3
+    assert abs(out[3]["survival"] - 8 / 15) < 1e-6
+    assert out[4]["n_at_risk"] == 2
+    assert abs(out[4]["survival"] - 4 / 15) < 1e-6
+
+
+def test_impute_nulls_grouped_median_and_flags(spark):
+    from whiterrabbit_spark.profile import impute_nulls
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", None)],
+        "g string, v double",
+    )
+    out = impute_nulls(df, ["v"], "median", group_col="g").collect()
+    filled = {(r["g"], r["v"], r["v_imputed"]) for r in out}
+    assert ("a", 2.0, True) in filled     # median of (1,3)
+    assert ("b", 10.0, True) in filled    # median of (10)
+    assert ("a", 1.0, False) in filled
+    with __import__("pytest").raises(ValueError):
+        impute_nulls(df, ["v"], "mode")

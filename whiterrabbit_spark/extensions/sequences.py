@@ -404,3 +404,55 @@ def item_associations(
         )
     )
     return out.where(F.col("support") >= min_support)
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key (gaps-and-islands):
+    the interval-union primitive behind availability windows, on-call
+    coverage, and de-overlapped session spans — :func:`sessionize`
+    builds intervals from point events; this flattens intervals that
+    already exist.
+
+    Island detection is the classic no-self-join form: an interval
+    starts a new island when its start exceeds the running max of all
+    prior ends (per key); the island id is the running count of such
+    breaks. Two per-key windows, state bounded by each key's interval
+    count.
+
+    Returns ``(key, island, start, end, n_merged)`` with islands
+    disjoint per key.
+    """
+    s = F.col(start_col)
+    w_prior = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = df.withColumn(
+        "__new_island",
+        # first interval per key: prior max is NULL -> comparison NULL
+        # -> otherwise(0), so islands are 1-based after the +1
+        F.when(s > F.max(end_col).over(w_prior), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "island", F.sum("__new_island").over(w_cum) + F.lit(1)
+    )
+    return (
+        marked.groupBy(F.col(key_col).alias("key"), "island")
+        .agg(
+            F.min(start_col).alias("start"),
+            F.max(end_col).alias("end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+    )

@@ -3577,3 +3577,111 @@ def target_encode_loo(
     return joined.select(
         *df.columns, F.round(loo, 6).alias("te_loo")
     )
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate WITH right-censoring — the
+    correction :func:`lifetime_survival` (complete windows only) cannot
+    make: a user still active at the observation edge contributes risk
+    time but no death. Per distinct duration t: at-risk n_t (everyone
+    with duration ≥ t), events d_t; S(t) = Π_{u ≤ t} (1 − d_u/n_u).
+
+    The cumulative product runs as exp(Σ ln(1 − d/n)) over the
+    |distinct durations| series (both engines evaluate the identical
+    ln/exp chain in the same ORDER BY t window order). Risk sets come
+    from a reverse running sum over the duration histogram — all
+    series-sized work; rows collapse once.
+
+    Returns ``(t, n_at_risk, n_events, survival)`` for event times.
+    """
+    dur = F.col(duration_col).cast("long")
+    ev = (
+        F.col(event_col) if isinstance(event_col, str) else event_col
+    ).cast("boolean")
+    hist = (
+        df.where(dur.isNotNull() & ev.isNotNull())
+        .groupBy(dur.alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_t"),
+            F.sum(ev.cast("long")).alias("d_t"),
+        )
+    )
+    w_risk = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    out = hist.withColumn(
+        "n_at_risk", F.sum("n_t").over(w_risk)
+    ).withColumn(
+        "survival",
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("d_t") / F.col("n_at_risk").cast("double"))
+            ).over(w_cum)
+        ),
+    )
+    return (
+        out.where(F.col("d_t") > 0)
+        .select(
+            "t",
+            "n_at_risk",
+            F.col("d_t").alias("n_events"),
+            F.round("survival", 6).alias("survival"),
+        )
+    )
+
+
+def impute_nulls(
+    df: DataFrame,
+    cols: list[str],
+    strategy: str = "median",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Null imputation for numeric columns: fill with the column's mean
+    or exact type-7 median, optionally computed per ``group_col`` level
+    (group-conditioned imputation preserves between-group structure a
+    global constant would smear). The fill values come from ONE
+    aggregate (global: one row broadcast; grouped: |groups| rows, AQE
+    broadcasts while small) and the fill itself is map-side.
+
+    Mean fills use integer-cents fixed-point so the constant is
+    engine-exact; medians are exact type-7 (DuckDB quantile_cont
+    parity, SURVEY §5).
+
+    Returns the input frame with ``cols`` null-filled and a
+    ``<col>_imputed`` flag per target column.
+    """
+    if strategy not in ("mean", "median"):
+        raise ValueError("strategy must be 'mean' or 'median'")
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        if strategy == "median":
+            aggs.append(F.percentile(v, 0.5).alias(f"__fill_{c}"))
+        else:
+            aggs.append(
+                (
+                    F.sum(F.round(v * 100).cast("long"))
+                    / (F.count(v) * 100.0)
+                ).alias(f"__fill_{c}")
+            )
+    if group_col is None:
+        fills = df.agg(*aggs)
+        joined = df.crossJoin(F.broadcast(fills))
+    else:
+        fills = df.groupBy(F.col(group_col).alias("__g")).agg(*aggs)
+        joined = df.join(fills, F.col(group_col) == F.col("__g"), "left")
+    out_cols = []
+    for c in df.columns:
+        if c in cols:
+            out_cols.append(
+                F.coalesce(
+                    F.col(c).cast("double"), F.col(f"__fill_{c}")
+                ).alias(c)
+            )
+            out_cols.append(F.col(c).isNull().alias(f"{c}_imputed"))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

@@ -5311,6 +5311,162 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+def _km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier user-lifetime curve WITH right-censoring
+    (profile.km_survival): users whose last event sits within 3 days of
+    the corpus edge are censored (still at risk), not churned — the
+    correction lifetime_survival can't make."""
+    from whiterrabbit_spark.profile import km_survival
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    spans = (
+        ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    )
+    edge = ev.agg(F.max("ts").alias("edge"))
+    base = spans.crossJoin(F.broadcast(edge)).select(
+        F.floor(
+            (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts"))
+            / 86400.0
+        ).alias("duration"),
+        (
+            F.unix_timestamp("edge") - F.unix_timestamp("last_ts")
+            > 3 * 86400
+        ).alias("churned"),
+    )
+    return km_survival(base, "duration", "churned")
+
+
+_KM_SQL = """
+WITH spans AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id
+), edge AS (SELECT max(ts) AS e FROM events),
+base AS (
+  SELECT CAST(floor((epoch(last_ts) - epoch(first_ts)) / 86400.0)
+              AS BIGINT) AS t,
+         (epoch(e) - epoch(last_ts)) > 3 * 86400 AS churned
+  FROM spans, edge
+), hist AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d_t
+  FROM base GROUP BY t
+), risk AS (
+  SELECT t, d_t,
+         sum(n_t) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING) AS n_at_risk
+  FROM hist
+), cum AS (
+  SELECT t, d_t, n_at_risk,
+         exp(sum(ln(1.0 - d_t / CAST(n_at_risk AS DOUBLE)))
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)) AS survival
+  FROM risk
+)
+SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d_t AS n_events,
+       round(survival, 6) AS survival
+FROM cum WHERE d_t > 0"""
+
+
+def _impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-conditioned median imputation (profile.impute_nulls): a
+    deterministic 10% of l_quantity is masked to NULL (md5 bucket of
+    the line identity — the testdata has no organic nulls) and refilled
+    with the per-returnflag exact type-7 median."""
+    from whiterrabbit_spark.extensions.splits import hash_bucket_expr
+    from whiterrabbit_spark.profile import impute_nulls
+
+    li = read_parquet_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    key = F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber"))
+    masked = li.withColumn(
+        "l_quantity",
+        F.when(
+            hash_bucket_expr(key, "mask") < 1000, F.lit(None)
+        ).otherwise(F.col("l_quantity")),
+    )
+    out = impute_nulls(
+        masked, ["l_quantity"], strategy="median",
+        group_col="l_returnflag",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.round("l_quantity", 6).alias("l_quantity"),
+        F.col("l_quantity_imputed"),
+    )
+
+
+_IMPUTE_SQL = """
+WITH masked AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         CASE WHEN ('0x' || substr(md5(concat_ws('#', l_orderkey,
+                    l_linenumber) || 'mask'), 1, 15))::BIGINT
+                   % 10000 < 1000
+              THEN NULL ELSE l_quantity END AS q
+  FROM lineitem
+), fills AS (
+  SELECT l_returnflag AS g, quantile_cont(q, 0.5) AS fill
+  FROM masked GROUP BY 1
+)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_returnflag,
+       round(coalesce(q, fill), 6) AS l_quantity,
+       q IS NULL AS l_quantity_imputed
+FROM masked JOIN fills ON l_returnflag = g"""
+
+
+def _merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-coverage islands (sequences.merge_intervals):
+    each order opens a 30-day window; overlapping windows flatten into
+    disjoint coverage spans."""
+    from whiterrabbit_spark.extensions.sequences import merge_intervals
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("e"),
+    )
+    out = merge_intervals(iv, "o_custkey", "s", "e")
+    return out.select(
+        F.col("key").alias("o_custkey"),
+        "island",
+        F.date_format("start", "yyyy-MM-dd").alias("start"),
+        F.date_format("end", "yyyy-MM-dd").alias("end"),
+        "n_merged",
+    )
+
+
+_MERGE_INTERVALS_SQL = """
+WITH iv AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + 30 AS e
+  FROM orders
+), marked AS (
+  SELECT o_custkey, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY o_custkey
+                ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+), islands AS (
+  SELECT o_custkey, s, e,
+         sum(brk) OVER (PARTITION BY o_custkey ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           + 1 AS island
+  FROM marked
+)
+SELECT o_custkey, CAST(island AS BIGINT) AS island,
+       strftime(min(s), '%Y-%m-%d') AS start,
+       strftime(max(e), '%Y-%m-%d') AS "end",
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM islands
+GROUP BY o_custkey, island"""
+
+
 def _woe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence / information-value screen of order priority
     against the finished-status label (profile.woe_encoding)."""
@@ -7323,5 +7479,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("woe_orders", _woe, _WOE_SQL)
     add("target_encode_orders", _target_encode, _TARGET_ENCODE_SQL)
     add("blocking_report_customer", _blocking_report, _BLOCKING_SQL)
+    add("km_survival_events", _km_survival, _KM_SQL)
+    add("impute_lineitem", _impute, _IMPUTE_SQL)
+    add("merge_intervals_orders", _merge_intervals, _MERGE_INTERVALS_SQL)
 
     return queries, oracles
