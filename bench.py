@@ -196,6 +196,8 @@ def main() -> None:
         "km_survival": queries["km_survival_events"],
         "impute": queries["impute_lineitem"],
         "merge_intervals": queries["merge_intervals_orders"],
+        "streaming_sliding_rate": queries["streaming_sliding_rate_events"],
+        "rolling_distinct_hll": queries["rolling_distinct_hll_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -44,6 +44,9 @@ ROWS_ONLY = {
     # Datasketches HLL estimates — approximate by construction; accuracy
     # vs exact overlap pinned in unit tests
     "segment_overlap_events",
+    # per-day HLL sketches + sliding union — approximate twin of the
+    # exact rolling distinct; 3% accuracy bound pinned in unit tests
+    "rolling_distinct_hll_events",
 }
 
 

@@ -1455,3 +1455,33 @@ def test_impute_nulls_grouped_median_and_flags(spark):
     assert ("a", 1.0, False) in filled
     with __import__("pytest").raises(ValueError):
         impute_nulls(df, ["v"], "mode")
+
+
+def test_rolling_distinct_hll_tracks_exact(spark):
+    """The sketch twin stays within 3% of the exact fan-out form on a
+    2k-user synthetic month."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import (
+        rolling_distinct_daily,
+        rolling_distinct_hll_daily,
+    )
+
+    rows = [
+        (f"2024-05-{1 + (i // 700) % 28:02d}", (i * 13) % 2000)
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "ts string, u long").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    exact = {
+        r["day"]: r["rolling_distinct"]
+        for r in rolling_distinct_daily(df, "ts", "u", 7).collect()
+    }
+    est = {
+        r["day"]: r["rolling_distinct_est"]
+        for r in rolling_distinct_hll_daily(df, "ts", "u", 7).collect()
+    }
+    assert set(exact) == set(est)
+    for d in exact:
+        assert abs(est[d] - exact[d]) / exact[d] < 0.03, (d, exact[d], est[d])

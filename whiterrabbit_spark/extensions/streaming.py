@@ -687,3 +687,31 @@ def finish_daily_active(user_days: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_active_users"),
         F.sum("count").alias("n_events"),
     )
+
+
+def sliding_rate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event rate — the overlapping-window family member
+    (windowed_profile is tumbling, sessionize is gap-based): each event
+    lands in window/slide windows, giving the smooth rate monitors
+    alert on. Works on batch and streams (same plan); streaming state
+    is one row per OPEN window — window/slide per key-less stream.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.where(F.col(ts_col).isNotNull())
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )

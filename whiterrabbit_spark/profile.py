@@ -3685,3 +3685,39 @@ def impute_nulls(
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)
+
+
+def rolling_distinct_hll_daily(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Approximate twin of :func:`rolling_distinct_daily`: one HLL
+    sketch per day (Datasketches, mergeable), then a ``window_days``-row
+    sliding ``hll_union_agg`` over the DAILY series. The exact form
+    replicates every (day, key) pair ×window and re-counts per target
+    day — O(window · pairs) shuffled rows; this form shuffles O(days)
+    sketches of 2^lg_k bytes and unions them, the idiom that keeps
+    sliding distinct viable when pairs·window stops fitting (~1.1%
+    relative error at lg_k=14, pinned vs exact in tests).
+
+    Returns ``(day string, rolling_distinct_est long)``.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (
+        df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(day.alias("d"))
+        .agg(F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sk"))
+    )
+    w = (
+        Window.orderBy(F.col("d").cast("timestamp").cast("long"))
+        .rangeBetween(-(window_days - 1) * 86400, 0)
+    )
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)))
+        .cast("long")
+        .alias("rolling_distinct_est"),
+    )

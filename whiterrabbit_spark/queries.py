@@ -5311,6 +5311,58 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+def _streaming_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming sliding-window rate (1h window / 30m
+    slide — the overlapping-window family member next to the tumbling
+    profile and gap sessionize): file stream → complete mode → memory
+    sink. Oracle = the batch double-membership expansion (each event
+    lands in exactly window/slide = 2 windows)."""
+    import uuid
+
+    from whiterrabbit_spark.extensions import streaming as st
+
+    src = st.stream_events_from_parquet(spark, sf_dir)
+    rates = st.sliding_rate(src, window="1 hour", slide="30 minutes")
+    name = f"wrs_slide_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(rates, name, mode="complete")
+    out = spark.table(name)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_end"
+        ),
+        "n_events",
+    )
+
+
+_SLIDING_RATE_SQL = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT make_timestamp(
+           (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+            - k * 1800) * 1000000) AS ws
+  FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+  WHERE ts IS NOT NULL
+) w
+GROUP BY ws"""
+
+
+def _rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate 7-day rolling distinct users via per-day HLL
+    sketches + sliding union (profile.rolling_distinct_hll_daily) —
+    rows-only by construction; accuracy vs the exact fan-out form is
+    pinned in tests and the same day grain lets the driver row-count
+    check anchor it."""
+    from whiterrabbit_spark.profile import rolling_distinct_hll_daily
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return rolling_distinct_hll_daily(ev, "ts", "user_id", 7)
+
+
 def _km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier user-lifetime curve WITH right-censoring
     (profile.km_survival): users whose last event sits within 3 days of
@@ -7482,5 +7534,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("km_survival_events", _km_survival, _KM_SQL)
     add("impute_lineitem", _impute, _IMPUTE_SQL)
     add("merge_intervals_orders", _merge_intervals, _MERGE_INTERVALS_SQL)
+    add("streaming_sliding_rate_events", _streaming_sliding_rate,
+        _SLIDING_RATE_SQL)
+    add("rolling_distinct_hll_events", _rolling_distinct_hll, None)
 
     return queries, oracles
