@@ -198,6 +198,7 @@ def main() -> None:
         "merge_intervals": queries["merge_intervals_orders"],
         "streaming_sliding_rate": queries["streaming_sliding_rate_events"],
         "rolling_distinct_hll": queries["rolling_distinct_hll_events"],
+        "nearest_centroid": queries["nearest_centroid_embeddings"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

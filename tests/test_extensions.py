@@ -3451,3 +3451,24 @@ def test_merge_intervals_hand_case(spark):
     assert out[("u", 1)] == (1, 9, 3)
     assert out[("u", 2)] == (20, 25, 1)
     assert out[("w", 1)] == (2, 3, 1)
+
+
+def test_nearest_centroid_separable_clusters(spark):
+    """Two well-separated planted clusters classify perfectly; a vector
+    at a cluster center classifies to that label."""
+    from whiterrabbit_spark.extensions.classifier import (
+        nearest_centroid_eval,
+    )
+
+    rows = []
+    for i in range(50):
+        rows.append((i, [10.0 + (i % 5) * 0.1, 0.0], 0))
+        rows.append((100 + i, [0.0, 10.0 + (i % 5) * 0.1], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        (r["true_label"], r["pred_label"]): r["n"]
+        for r in nearest_centroid_eval(df).collect()
+    }
+    assert out == {(0, 0): 50, (1, 1): 50}

@@ -23,7 +23,7 @@ coefficient vector (numFeatures doubles).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -85,3 +85,66 @@ def score_quality(
         F.element_at(vector_to_array("probability"), 2).alias("prob_keep"),
         (F.col("prediction") > 0.5).alias("predicted_keep"),
     )
+
+
+def nearest_centroid_eval(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid classification eval over a labeled embedding
+    table: per-label mean vectors (one aggregate), every vector scored
+    against every centroid (|labels| is small — the centroid frame
+    broadcasts), argmin by squared euclidean with a deterministic label
+    tie-break; reports the confusion matrix. The zero-training sanity
+    baseline any embedding column should beat chance on — and the
+    cheapest drift check for embedding refreshes.
+
+    Scale shape: one groupBy(label) over posexploded dims (partial
+    aggregation; |labels|·dim rows out), one broadcast join of the
+    centroid array, map-side distance fold, one |labels|² rollup.
+
+    Returns ``(true_label, pred_label, n)``.
+    """
+    dims = vectors.select(
+        F.col(label_col).alias("lab"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    )
+    cent = (
+        dims.groupBy("lab", "i")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 9).alias("c"))
+        .groupBy("lab")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "c"))
+            ).alias("pairs")
+        )
+        .select(
+            "lab",
+            F.transform(F.col("pairs"), lambda p: p["c"]).alias("cv"),
+        )
+    )
+    scored = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("true_label"),
+        F.col(vec_col).alias("v"),
+    ).crossJoin(F.broadcast(cent))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("cv"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("lab").asc())
+    best = (
+        scored.withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return best.groupBy(
+        "true_label", F.col("lab").alias("pred_label")
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -5311,6 +5311,48 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+def _nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix over the labeled embeddings
+    (classifier.nearest_centroid_eval) — the zero-training baseline an
+    embedding column should beat chance on. Centroids rounded to 9 dp
+    before distances so the argmin is engine-deterministic."""
+    from whiterrabbit_spark.extensions.classifier import (
+        nearest_centroid_eval,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return nearest_centroid_eval(emb)
+
+
+_NEAREST_CENTROID_SQL = """
+WITH dims AS (
+  SELECT label AS lab, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding) AS x
+  FROM embeddings
+), cent AS (
+  SELECT lab, i, round(avg(CAST(x AS DOUBLE)), 9) AS c
+  FROM dims GROUP BY 1, 2
+), cvec AS (
+  SELECT lab, list(c ORDER BY i) AS cv FROM cent GROUP BY lab
+), scored AS (
+  SELECT e.vec_id AS vid, e.label AS true_label, c.lab,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))) AS d2
+  FROM embeddings e CROSS JOIN cvec c
+), best AS (
+  SELECT vid, true_label, lab,
+         row_number() OVER (PARTITION BY vid
+                            ORDER BY d2 ASC, lab ASC) AS rn
+  FROM scored
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(lab AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1
+GROUP BY 1, 2"""
+
+
 def _streaming_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming sliding-window rate (1h window / 30m
     slide — the overlapping-window family member next to the tumbling
@@ -7537,5 +7579,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("streaming_sliding_rate_events", _streaming_sliding_rate,
         _SLIDING_RATE_SQL)
     add("rolling_distinct_hll_events", _rolling_distinct_hll, None)
+    add("nearest_centroid_embeddings", _nearest_centroid,
+        _NEAREST_CENTROID_SQL)
 
     return queries, oracles
