@@ -199,6 +199,8 @@ def main() -> None:
         "streaming_sliding_rate": queries["streaming_sliding_rate_events"],
         "rolling_distinct_hll": queries["rolling_distinct_hll_events"],
         "nearest_centroid": queries["nearest_centroid_embeddings"],
+        "neyman_sample": queries["neyman_sample_lineitem"],
+        "lateness_profile": queries["lateness_profile_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -3472,3 +3472,47 @@ def test_nearest_centroid_separable_clusters(spark):
         for r in nearest_centroid_eval(df).collect()
     }
     assert out == {(0, 0): 50, (1, 1): 50}
+
+
+def test_allocated_sample_executes_allocation(spark):
+    """allocated_sample draws exactly n_alloc per stratum, and equals
+    the naive single-window md5 order (high slack)."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.extensions.splits import allocated_sample
+
+    df = spark.createDataFrame(
+        [(i, "odd" if i % 2 else "even") for i in range(400)],
+        "id long, s string",
+    )
+    alloc = spark.createDataFrame(
+        [("odd", 7, 200), ("even", 3, 200)],
+        "stratum string, n_alloc long, n_rows long",
+    )
+    out = allocated_sample(df, "s", alloc, slack=100.0).collect()
+    from collections import Counter
+
+    c = Counter(r["s"] for r in out)
+    assert c == {"odd": 7, "even": 3}
+    assert all(1 <= r["sample_rank"] <= 7 for r in out)
+
+
+def test_lateness_profile_planted_out_of_order(spark):
+    """10 events in arrival order, two arriving late: the late count,
+    max lateness, and p50=0 all reflect the plant."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.extensions.streaming import lateness_profile
+
+    base = [(i, f"2024-01-01 00:00:{i:02d}") for i in range(10)]
+    # events 5 and 8 carry timestamps 3s and 7s OLDER than the running max
+    base[5] = (5, "2024-01-01 00:00:01")   # max so far 4s -> late 3s
+    base[8] = (8, "2024-01-01 00:00:00")   # max so far 7s -> late 7s
+    df = spark.createDataFrame(base, "event_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    r = lateness_profile(df, "event_id", "ts").collect()[0]
+    assert r["n_events"] == 10 and r["n_late"] == 2
+    assert r["late_fraction"] == 0.2
+    assert r["max_lateness_s"] == 7.0
+    assert r["p50_lateness_s"] == 0.0

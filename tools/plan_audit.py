@@ -37,7 +37,14 @@ EFFECTFUL_PREFIXES = ("streaming_", "ann_ivf_index", "bpe_learn",
                       "whiten_embeddings",
                       # node-count job at construction + 10 chained
                       # iterations make the printed plan meaningless
-                      "pagerank")
+                      "pagerank",
+                      # localCheckpoint + driver prefix-max offsets run
+                      # the range shuffle at construction
+                      "lateness_profile",
+                      # pack_shards machinery: localCheckpoint + driver
+                      # offsets at construction (pack_manifest already
+                      # finishes with collect-free reporting)
+                      "pack_manifest", "pack_shards")
 # Builders with a SMALL construction-time probe (one agg job at audit
 # scale: the approx-distinct guards behind ecdf_attach/spearman/
 # mannwhitney, line_dedup's 1% hot-digest sample, equi_depth's row

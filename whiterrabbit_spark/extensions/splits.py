@@ -677,3 +677,62 @@ def balanced_sample(
         .where(F.col("sample_rank") <= k)
         .drop("__h", "__n")
     )
+
+
+def allocated_sample(
+    df: DataFrame,
+    stratum_col: str,
+    alloc: DataFrame,
+    salt: str = "alloc",
+    slack: float = 0.5,
+) -> DataFrame:
+    """EXECUTE a per-stratum allocation (e.g. :func:`neyman_allocation`
+    output): draw exactly ``n_alloc`` md5-ranked rows from each stratum
+    — allocation design and sample draw as one composable pair. Same
+    two-phase scale shape as :func:`balanced_sample` (hash-threshold
+    prefilter sized per stratum from the broadcast allocation, then a
+    window bounded by n_alloc·(1+slack)), with per-stratum k instead of
+    a constant.
+
+    ``alloc`` needs columns ``stratum`` and ``n_alloc``; strata absent
+    from it contribute nothing.
+
+    Returns sampled rows + ``sample_rank`` (1..n_alloc per stratum).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.lit(salt),
+                    *[F.col(c).cast("string") for c in df.columns],
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    space = float(1 << 60)
+    a = alloc.select(
+        F.col("stratum").alias("__s"),
+        F.col("n_alloc").cast("long").alias("__k"),
+        F.col("n_rows").cast("long").alias("__n"),
+    )
+    tagged = (
+        df.where(F.col(stratum_col).isNotNull())
+        .withColumn("__h", h)
+        .join(F.broadcast(a), F.col(stratum_col) == F.col("__s"))
+    )
+    thresh = F.least(
+        F.lit(space),
+        F.lit(space) * (F.col("__k") * (1.0 + slack)) / F.col("__n"),
+    )
+    survivors = tagged.where(F.col("__h") < thresh)
+    w = Window.partitionBy(stratum_col).orderBy("__h")
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= F.col("__k"))
+        .drop("__h", "__s", "__k", "__n")
+    )

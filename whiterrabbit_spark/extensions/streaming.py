@@ -715,3 +715,82 @@ def sliding_rate(
             "n_events",
         )
     )
+
+
+def lateness_profile(
+    events: DataFrame,
+    arrival_col: str,
+    ts_col: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Watermark advisor: the distribution of event-time LATENESS in
+    arrival order — lateness_i = (running max event time over arrivals
+    ≤ i) − t_i. THE number that picks a Structured Streaming watermark:
+    ``withWatermark(p99_lateness)`` keeps 99 % of late data while
+    bounding state; guessing it wrong either drops events or leaks
+    state. ``arrival_col`` is the ingestion order (log offset,
+    monotonically-assigned id).
+
+    The running max is a distributed prefix-max (the ``pack_shards``
+    scheme: range-partition by arrival, per-partition local running
+    max, O(partitions) driver offsets broadcast back) — never a global
+    single-partition window. Lateness in exact integer microseconds;
+    percentiles exact type-7.
+
+    Returns one row: ``(n_events, n_late, late_fraction,
+    p50_lateness_s, p95_lateness_s, p99_lateness_s, max_lateness_s)``.
+    """
+    spark = events.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    base = events.where(
+        F.col(arrival_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(arrival_col).alias("__a"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+    )
+    ranged = base.repartitionByRange(n, F.col("__a")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__a")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn(
+        "__lmax", F.max("__t").over(w)
+    ).localCheckpoint()
+    tops = {
+        r["__pid"]: r["m"]
+        for r in local.groupBy("__pid").agg(F.max("__t").alias("m")).collect()
+    }
+    offsets, run = {}, None
+    for pid in sorted(tops):
+        offsets[pid] = run
+        run = tops[pid] if run is None else max(run, tops[pid])
+    off_expr = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for pid, v in sorted(offsets.items())
+                for x in (pid, -1 if v is None else v)
+            ]
+        ),
+        F.col("__pid"),
+    )
+    gmax = F.greatest(F.col("__lmax"), off_expr)
+    late_us = F.greatest(F.lit(0), gmax - F.col("__t"))
+    scored = local.withColumn("__late", late_us)
+    p = lambda q: F.round(F.percentile(F.col("__late"), q) / 1e6, 6)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("__late") > 0).cast("long")).alias("n_late"),
+        F.round(
+            F.sum((F.col("__late") > 0).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("late_fraction"),
+        p(0.5).alias("p50_lateness_s"),
+        p(0.95).alias("p95_lateness_s"),
+        p(0.99).alias("p99_lateness_s"),
+        F.round(F.max("__late") / 1e6, 6).alias("max_lateness_s"),
+    )

@@ -5311,6 +5311,88 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+def _neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation EXECUTED (splits.neyman_allocation →
+    splits.allocated_sample): budget 300 over returnflag strata by
+    extendedprice variance, drawn as exact per-stratum md5-rank
+    samples. The sampled frame carries only the int/string identity
+    columns so the row hash is engine-stable."""
+    from whiterrabbit_spark.extensions.splits import (
+        allocated_sample,
+        neyman_allocation,
+    )
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    alloc = neyman_allocation(li, "l_returnflag", "l_extendedprice", 300)
+    keys = li.select("l_orderkey", "l_linenumber", "l_returnflag")
+    return allocated_sample(keys, "l_returnflag", alloc)
+
+
+_NEYMAN_SAMPLE_SQL = """
+WITH stats AS (
+  SELECT l_returnflag AS stratum, count(*) AS n_rows,
+         coalesce(stddev_samp(l_extendedprice), 0) AS sd
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+  GROUP BY 1
+), w AS (
+  SELECT *, 300 * n_rows * sd / sum(n_rows * sd) OVER () AS raw
+  FROM stats
+), r AS (
+  SELECT *, CAST(floor(raw) AS BIGINT) AS fl, raw - floor(raw) AS rem
+  FROM w
+), s AS (
+  SELECT *, CAST(300 - sum(fl) OVER () AS BIGINT) AS short,
+         row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+  FROM r
+), alloc AS (
+  SELECT stratum,
+         least(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END,
+               n_rows) AS n_alloc
+  FROM s
+), ranked AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY ('0x' || substr(md5(concat_ws(chr(31), 'alloc',
+                     l_orderkey::VARCHAR, l_linenumber::VARCHAR,
+                     l_returnflag)), 1, 15))::BIGINT) AS rnk
+  FROM lineitem
+)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_returnflag, CAST(rnk AS BIGINT) AS sample_rank
+FROM ranked JOIN alloc ON l_returnflag = stratum
+WHERE rnk <= n_alloc"""
+
+
+def _lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark advisor (streaming.lateness_profile): event-time
+    lateness distribution in event_id arrival order — the p99 IS the
+    watermark to configure."""
+    from whiterrabbit_spark.extensions.streaming import lateness_profile
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return lateness_profile(ev, "event_id", "ts")
+
+
+_LATENESS_SQL = """
+WITH o AS (
+  SELECT epoch_us(ts) AS t,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gm
+  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+), l AS (SELECT greatest(0, gm - t) AS late FROM o)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       round(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS late_fraction,
+       round(quantile_cont(late, 0.5) / 1e6, 6) AS p50_lateness_s,
+       round(quantile_cont(late, 0.95) / 1e6, 6) AS p95_lateness_s,
+       round(quantile_cont(late, 0.99) / 1e6, 6) AS p99_lateness_s,
+       round(max(late) / 1e6, 6) AS max_lateness_s
+FROM l"""
+
+
 def _nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid confusion matrix over the labeled embeddings
     (classifier.nearest_centroid_eval) — the zero-training baseline an
@@ -7581,5 +7663,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("rolling_distinct_hll_events", _rolling_distinct_hll, None)
     add("nearest_centroid_embeddings", _nearest_centroid,
         _NEAREST_CENTROID_SQL)
+    add("neyman_sample_lineitem", _neyman_sample, _NEYMAN_SAMPLE_SQL)
+    add("lateness_profile_events", _lateness_profile, _LATENESS_SQL)
 
     return queries, oracles
