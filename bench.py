@@ -201,6 +201,8 @@ def main() -> None:
         "nearest_centroid": queries["nearest_centroid_embeddings"],
         "neyman_sample": queries["neyman_sample_lineitem"],
         "lateness_profile": queries["lateness_profile_events"],
+        "wilson_ci": queries["wilson_ci_orders"],
+        "concurrency_profile": queries["concurrency_profile_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

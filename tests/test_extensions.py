@@ -3516,3 +3516,30 @@ def test_lateness_profile_planted_out_of_order(spark):
     assert r["late_fraction"] == 0.2
     assert r["max_lateness_s"] == 7.0
     assert r["p50_lateness_s"] == 0.0
+
+
+def test_concurrency_profile_hand_case(spark):
+    """Three overlapping spans peak at 3; a span crossing midnight
+    carries +1 into the next day's baseline."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.extensions.sequences import concurrency_profile
+
+    rows = [
+        ("2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+        ("2024-01-01 10:30:00", "2024-01-01 11:30:00"),
+        ("2024-01-01 10:45:00", "2024-01-01 10:50:00"),
+        ("2024-01-01 23:00:00", "2024-01-02 01:00:00"),  # crosses midnight
+        ("2024-01-02 00:30:00", "2024-01-02 00:40:00"),
+    ]
+    df = spark.createDataFrame(rows, "s string, e string").select(
+        F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e")
+    )
+    out = {
+        r["bucket_start"]: r
+        for r in concurrency_profile(df, "s", "e").collect()
+    }
+    assert out["2024-01-01"]["peak_concurrency"] == 3
+    assert out["2024-01-01"]["n_starts"] == 4
+    # Jan 2 baseline starts at 1 (the midnight-crossing span), peaks 2
+    assert out["2024-01-02"]["peak_concurrency"] == 2

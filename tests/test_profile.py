@@ -1485,3 +1485,24 @@ def test_rolling_distinct_hll_tracks_exact(spark):
     assert set(exact) == set(est)
     for d in exact:
         assert abs(est[d] - exact[d]) / exact[d] < 0.03, (d, exact[d], est[d])
+
+
+def test_wilson_ci_hand_case(spark):
+    """8/10 successes: Wilson 95% interval ≈ (0.49, 0.94) — narrower
+    and shifted vs the naive ±1.96·se interval; bounds clamp to [0,1]
+    at the extremes (10/10 -> high == 1 is impossible; Wilson gives
+    < 1 but the 0/10 low clamps at 0)."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import wilson_ci
+
+    rows = [("a", i < 8) for i in range(10)] + [("b", False) for _ in range(10)]
+    df = spark.createDataFrame(rows, "g string, ok boolean")
+    out = {r["group"]: r for r in wilson_ci(df, "g", "ok").collect()}
+    a = out["a"]
+    assert a["n_trials"] == 10 and a["n_success"] == 8
+    assert 0.48 < a["ci_low"] < 0.50
+    assert 0.93 < a["ci_high"] < 0.95
+    b = out["b"]
+    assert b["rate"] == 0.0 and b["ci_low"] == 0.0
+    assert b["ci_high"] > 0.2  # Wilson never collapses to a point at p=0

@@ -456,3 +456,71 @@ def merge_intervals(
             F.count(F.lit(1)).alias("n_merged"),
         )
     )
+
+
+def concurrency_profile(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Peak and average concurrency per time bucket from an interval
+    table (sessions, jobs, connections): the classic +1/−1 boundary
+    sweep — each interval emits a start(+1) and end(−1) event, the
+    running sum in time order IS the concurrency, and per-bucket
+    max/avg summarize it. The capacity-planning twin of
+    :func:`merge_intervals` (which flattens; this counts depth).
+
+    Scale shape: boundaries shuffle once on the bucket; the running sum
+    windows are PARTITIONED per bucket (carry-in from earlier buckets
+    is added via a bucket-level running total over the |buckets|-row
+    frame) — no global row window. Ties resolve starts before ends at
+    the same instant (open intervals count as overlapping).
+
+    Returns ``(bucket_start, n_starts, peak_concurrency)``.
+    """
+    starts = intervals.select(
+        F.col(start_col).alias("t"), F.lit(1).alias("d")
+    )
+    ends = intervals.select(F.col(end_col).alias("t"), F.lit(-1).alias("d"))
+    b = F.date_trunc(bucket, F.col("t"))
+    ev = (
+        starts.unionByName(ends)
+        .where(F.col("t").isNotNull())
+        .withColumn("bkt", b)
+    )
+    # within-bucket running sum: starts (+1) sort before ends (-1) at
+    # equal t, matching open-interval overlap semantics
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("t").asc(), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_in = F.sum("d").over(w_in)
+    per_bucket = (
+        ev.withColumn("run_in", run_in)
+        .groupBy("bkt")
+        .agg(
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias(
+                "n_starts"
+            ),
+            F.max("run_in").alias("peak_in"),
+            F.sum("d").alias("net"),
+        )
+    )
+    # carry-in = running net of all EARLIER buckets (|buckets|-row frame)
+    w_carry = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_bucket.withColumn(
+            "carry", F.coalesce(F.sum("net").over(w_carry), F.lit(0))
+        )
+        .select(
+            F.date_format("bkt", "yyyy-MM-dd").alias("bucket_start"),
+            F.col("n_starts").cast("long").alias("n_starts"),
+            (F.col("peak_in") + F.col("carry"))
+            .cast("long")
+            .alias("peak_concurrency"),
+        )
+    )

@@ -3721,3 +3721,49 @@ def rolling_distinct_hll_daily(
         .cast("long")
         .alias("rolling_distinct_est"),
     )
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-group binomial proportion with the Wilson score interval —
+    the CI that stays inside [0,1] and behaves at small n / extreme p
+    (unlike the naive normal interval), i.e. the right error bar for
+    per-segment conversion/defect-rate dashboards. Closed-form from
+    exact integer (successes, trials) per group; both engines evaluate
+    the identical sqrt arithmetic.
+
+    Returns ``(group, n_trials, n_success, rate, ci_low, ci_high)``.
+    """
+    s = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("boolean")
+    per = (
+        df.where(F.col(group_col).isNotNull() & s.isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trials"),
+            F.sum(s.cast("long")).alias("n_success"),
+        )
+    )
+    n = F.col("n_trials").cast("double")
+    p = F.col("n_success") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    return per.select(
+        "group",
+        "n_trials",
+        "n_success",
+        F.round(p, 6).alias("rate"),
+        F.round(F.greatest(F.lit(0.0), center - half), 6).alias("ci_low"),
+        F.round(F.least(F.lit(1.0), center + half), 6).alias("ci_high"),
+    )

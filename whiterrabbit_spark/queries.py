@@ -5311,6 +5311,104 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+def _wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority finished-rate with Wilson 95% intervals
+    (profile.wilson_ci) — the error bar that stays in [0,1]."""
+    from whiterrabbit_spark.profile import wilson_ci
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return wilson_ci(
+        orders, "o_orderpriority", F.col("o_orderstatus") == "F"
+    )
+
+
+def _wilson_sql() -> str:
+    z = 1.959963984540054
+    z2 = z * z
+    return f"""
+WITH per AS (
+  SELECT o_orderpriority AS "group",
+         CAST(count(*) AS BIGINT) AS n_trials,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_success
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1
+)
+SELECT "group", n_trials, n_success,
+       round(n_success / CAST(n_trials AS DOUBLE), 6) AS rate,
+       round(greatest(0.0,
+         ((n_success / CAST(n_trials AS DOUBLE))
+          + {z2!r} / (2.0 * CAST(n_trials AS DOUBLE)))
+         / (1.0 + {z2!r} / CAST(n_trials AS DOUBLE))
+         - {z!r} * sqrt(
+             (n_success / CAST(n_trials AS DOUBLE))
+             * (1.0 - n_success / CAST(n_trials AS DOUBLE))
+             / CAST(n_trials AS DOUBLE)
+             + {z2!r} / (4.0 * CAST(n_trials AS DOUBLE)
+                         * CAST(n_trials AS DOUBLE)))
+           / (1.0 + {z2!r} / CAST(n_trials AS DOUBLE))), 6) AS ci_low,
+       round(least(1.0,
+         ((n_success / CAST(n_trials AS DOUBLE))
+          + {z2!r} / (2.0 * CAST(n_trials AS DOUBLE)))
+         / (1.0 + {z2!r} / CAST(n_trials AS DOUBLE))
+         + {z!r} * sqrt(
+             (n_success / CAST(n_trials AS DOUBLE))
+             * (1.0 - n_success / CAST(n_trials AS DOUBLE))
+             / CAST(n_trials AS DOUBLE)
+             + {z2!r} / (4.0 * CAST(n_trials AS DOUBLE)
+                         * CAST(n_trials AS DOUBLE)))
+           / (1.0 + {z2!r} / CAST(n_trials AS DOUBLE))), 6) AS ci_high
+FROM per"""
+
+
+def _concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-minute activity spans per day
+    (sequences.concurrency_profile): +1/−1 boundary sweep with
+    per-bucket windows and a |buckets|-row carry chain."""
+    from whiterrabbit_spark.extensions.sequences import concurrency_profile
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    iv = ev.where(F.col("ts").isNotNull()).select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    return concurrency_profile(iv, "s", "e", bucket="day")
+
+
+_CONCURRENCY_SQL = """
+WITH iv AS (
+  SELECT ts AS s, ts + INTERVAL 30 MINUTE AS e
+  FROM events WHERE ts IS NOT NULL
+), ev AS (
+  SELECT s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT e AS t, -1 AS d FROM iv
+), r AS (
+  SELECT date_trunc('day', t) AS bkt, d,
+         sum(d) OVER (PARTITION BY date_trunc('day', t)
+                      ORDER BY t, d DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_in
+  FROM ev
+), pb AS (
+  SELECT bkt,
+         CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_starts,
+         max(run_in) AS peak_in,
+         sum(d) AS net
+  FROM r GROUP BY bkt
+), c AS (
+  SELECT *, coalesce(sum(net) OVER (ORDER BY bkt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS carry
+  FROM pb
+)
+SELECT strftime(bkt, '%Y-%m-%d') AS bucket_start, n_starts,
+       CAST(peak_in + carry AS BIGINT) AS peak_concurrency
+FROM c"""
+
+
 def _neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neyman allocation EXECUTED (splits.neyman_allocation →
     splits.allocated_sample): budget 300 over returnflag strata by
@@ -7665,5 +7763,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _NEAREST_CENTROID_SQL)
     add("neyman_sample_lineitem", _neyman_sample, _NEYMAN_SAMPLE_SQL)
     add("lateness_profile_events", _lateness_profile, _LATENESS_SQL)
+    add("wilson_ci_orders", _wilson_ci, _wilson_sql())
+    add("concurrency_profile_events", _concurrency, _CONCURRENCY_SQL)
 
     return queries, oracles
