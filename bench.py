@@ -203,6 +203,9 @@ def main() -> None:
         "lateness_profile": queries["lateness_profile_events"],
         "wilson_ci": queries["wilson_ci_orders"],
         "concurrency_profile": queries["concurrency_profile_events"],
+        "rank_movers": queries["rank_movers_events"],
+        "apdex": queries["apdex_events"],
+        "embedding_drift": queries["embedding_drift_embeddings"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

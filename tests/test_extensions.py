@@ -3543,3 +3543,30 @@ def test_concurrency_profile_hand_case(spark):
     assert out["2024-01-01"]["n_starts"] == 4
     # Jan 2 baseline starts at 1 (the midnight-crossing span), peaks 2
     assert out["2024-01-02"]["peak_concurrency"] == 2
+
+
+def test_embedding_drift_detects_planted_shift(spark):
+    """Label 1's B-half is translated by 2.0 in dim 0: its centroid
+    shift ≈ 2; label 0 (identical halves) shifts ~0 with var_ratio 1."""
+    from whiterrabbit_spark.extensions.similarity import embedding_drift
+
+    import pyspark.sql.functions as F
+
+    rows = []
+    for i in range(200):
+        base = [((i * 7 + d) % 10) / 10.0 for d in range(8)]
+        rows.append((i * 2, base, 0))          # label 0, even (A)
+        rows.append((i * 2 + 1, base, 0))      # label 0, odd (B) same dist
+        shifted = [base[0] + 2.0] + base[1:]
+        rows.append((1000 + i * 2, base, 1))       # label 1 A
+        rows.append((1000 + i * 2 + 1, shifted, 1))  # label 1 B shifted
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r["label"]: r
+        for r in embedding_drift(df, F.col("vec_id") % 2 == 0).collect()
+    }
+    assert out[0]["centroid_shift"] < 0.05
+    assert abs(out[0]["var_ratio"] - 1.0) < 0.05
+    assert abs(out[1]["centroid_shift"] - 2.0) < 0.05

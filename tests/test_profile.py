@@ -1506,3 +1506,33 @@ def test_wilson_ci_hand_case(spark):
     b = out["b"]
     assert b["rate"] == 0.0 and b["ci_low"] == 0.0
     assert b["ci_high"] > 0.2  # Wilson never collapses to a point at p=0
+
+
+def test_rank_movers_hand_case(spark):
+    """Key 'x' dominates period a, 'y' dominates period b; rank_change
+    reflects the swap; a key absent from a period ranks NULL."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import rank_movers
+
+    rows = (
+        [("x", "a")] * 5 + [("y", "a")] * 2 + [("z", "a")] * 1
+        + [("y", "b")] * 5 + [("x", "b")] * 1
+    )
+    df = spark.createDataFrame(rows, "k string, p string")
+    out = {r["key"]: r for r in rank_movers(df, "k", "p", "a", "b").collect()}
+    assert out["x"]["rank_a"] == 1 and out["x"]["rank_b"] == 2
+    assert out["x"]["rank_change"] == -1
+    assert out["y"]["rank_a"] == 2 and out["y"]["rank_b"] == 1
+    assert out["z"]["rank_b"] is None and out["z"]["rank_change"] is None
+
+
+def test_apdex_hand_case(spark):
+    """6 satisfied + 2 tolerating + 2 frustrated of 10 -> 0.7."""
+    from whiterrabbit_spark.profile import apdex_score
+
+    vals = [10, 20, 30, 35, 39, 40, 50, 100, 200, 500]
+    df = spark.createDataFrame([("svc", float(v)) for v in vals], "g string, v double")
+    r = apdex_score(df, "g", "v", 40.0, 120.0).collect()[0]
+    assert r["n_satisfied"] == 6 and r["n_tolerating"] == 2
+    assert r["apdex"] == 0.7

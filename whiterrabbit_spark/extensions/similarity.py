@@ -1248,3 +1248,62 @@ def _dense_token_dots(
     return both.groupBy("bi", "bj").applyInPandas(
         block_dots, "id_1 long, id_2 long, dot long"
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    split_expr,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-refresh drift check: split the corpus into an A/B pair
+    (old vs new snapshot, or any deterministic halves) and report, per
+    label, the euclidean distance between half-centroids and the
+    per-dimension variance ratio — the two numbers that catch a
+    re-embedding run that silently moved or collapsed the space before
+    any downstream ANN index is rebuilt against it.
+
+    Centroids are rounded to 9 dp before the distance (the
+    nearest-centroid discipline) so the report is engine-deterministic.
+    One posexploded groupBy((label, half, dim)); everything after runs
+    on |labels|·dims aggregate rows.
+
+    Returns ``(label, n_a, n_b, centroid_shift, var_ratio)``.
+    """
+    half = F.when(split_expr, F.lit("a")).otherwise(F.lit("b"))
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("lab"),
+        half.alias("h"),
+        F.col(vec_col).alias("v"),
+    )
+    dims = base.select(
+        "lab", "h", F.posexplode(F.col("v")).alias("i", "x")
+    )
+    stats = dims.groupBy("lab", "h", "i").agg(
+        F.round(F.avg(F.col("x").cast("double")), 9).alias("c"),
+        F.coalesce(F.var_samp(F.col("x").cast("double")), F.lit(0.0)).alias(
+            "vv"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = stats.where(F.col("h") == "a").select(
+        "lab", "i",
+        F.col("c").alias("ca"), F.col("vv").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = stats.where(F.col("h") == "b").select(
+        "lab", "i",
+        F.col("c").alias("cb"), F.col("vv").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    joined = a.join(b, ["lab", "i"])
+    return joined.groupBy(F.col("lab").alias("label")).agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(
+            F.sqrt(F.sum((F.col("ca") - F.col("cb")) ** 2)), 6
+        ).alias("centroid_shift"),
+        F.round(F.sum("va") / F.sum("vb"), 6).alias("var_ratio"),
+    )

@@ -3767,3 +3767,95 @@ def wilson_ci(
         F.round(F.greatest(F.lit(0.0), center - half), 6).alias("ci_low"),
         F.round(F.least(F.lit(1.0), center + half), 6).alias("ci_high"),
     )
+
+
+def rank_movers(
+    df: DataFrame,
+    key_col: str,
+    period_col,
+    period_a,
+    period_b,
+) -> DataFrame:
+    """Period-over-period rank movement: keys ranked by frequency in
+    each of two periods, joined full-outer, sorted by rank change — the
+    "what's trending / collapsing" report over any categorical column.
+    Ranks are dense over exact counts (count DESC, key ASC tie-break:
+    engine-independent), absent keys rank NULL.
+
+    Two conditional-count aggregates over one scan; ranking windows run
+    over the |keys|-row frames.
+
+    Returns ``(key, n_a, rank_a, n_b, rank_b, rank_change)`` where
+    positive rank_change = climbed.
+    """
+    p = F.col(period_col) if isinstance(period_col, str) else period_col
+    counts = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.sum((p == period_a).cast("long")).alias("n_a"),
+            F.sum((p == period_b).cast("long")).alias("n_b"),
+        )
+    )
+    wa = Window.orderBy(F.col("n_a").desc(), F.col("key").asc())
+    wb = Window.orderBy(F.col("n_b").desc(), F.col("key").asc())
+    ranked = (
+        counts.withColumn(
+            "rank_a",
+            F.when(F.col("n_a") > 0, F.row_number().over(wa)),
+        )
+        .withColumn(
+            "rank_b",
+            F.when(F.col("n_b") > 0, F.row_number().over(wb)),
+        )
+    )
+    return ranked.select(
+        "key",
+        "n_a",
+        F.col("rank_a").cast("long").alias("rank_a"),
+        "n_b",
+        F.col("rank_b").cast("long").alias("rank_b"),
+        (F.col("rank_a") - F.col("rank_b")).cast("long").alias(
+            "rank_change"
+        ),
+    )
+
+
+def apdex_score(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    satisfied: float,
+    tolerating: float,
+) -> DataFrame:
+    """Apdex (application performance index) per group: (satisfied +
+    tolerating/2) / total over a latency-like value — the industry
+    one-number SLA summary (satisfied ≤ T, tolerating ≤ 4T by
+    convention; thresholds explicit here). One conditional aggregate;
+    the ratio is exact-integer-derived.
+
+    Returns ``(group, n_total, n_satisfied, n_tolerating, apdex)``.
+    """
+    v = F.col(value_col).cast("double")
+    sat = (v <= satisfied).cast("long")
+    tol = ((v > satisfied) & (v <= tolerating)).cast("long")
+    return (
+        df.where(F.col(group_col).isNotNull() & v.isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(sat).alias("n_satisfied"),
+            F.sum(tol).alias("n_tolerating"),
+        )
+        .select(
+            "group",
+            "n_total",
+            "n_satisfied",
+            "n_tolerating",
+            F.round(
+                (F.col("n_satisfied") + F.col("n_tolerating") / 2.0)
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("apdex"),
+        )
+    )

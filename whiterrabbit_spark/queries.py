@@ -5311,6 +5311,99 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding A/B drift report (similarity.embedding_drift): even
+    vs odd vec_id halves stand in for two snapshot runs; per-label
+    centroid shift + variance ratio."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return sim.embedding_drift(emb, F.col("vec_id") % 2 == 0)
+
+
+_EMBEDDING_DRIFT_SQL = """
+WITH base AS (
+  SELECT label AS lab,
+         CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS h,
+         embedding
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+), dims AS (
+  SELECT lab, h, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding) AS x
+  FROM base
+), stats AS (
+  SELECT lab, h, i, round(avg(CAST(x AS DOUBLE)), 9) AS c,
+         coalesce(var_samp(CAST(x AS DOUBLE)), 0) AS vv,
+         count(*) AS n
+  FROM dims GROUP BY 1, 2, 3
+)
+SELECT CAST(a.lab AS BIGINT) AS label,
+       CAST(max(a.n) AS BIGINT) AS n_a,
+       CAST(max(b.n) AS BIGINT) AS n_b,
+       round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 6) AS centroid_shift,
+       round(sum(a.vv) / sum(b.vv), 6) AS var_ratio
+FROM stats a
+JOIN stats b ON a.lab = b.lab AND a.i = b.i AND a.h = 'a' AND b.h = 'b'
+GROUP BY a.lab"""
+
+
+def _rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User activity rank shifts between the first and second half of
+    January (profile.rank_movers) — the trending/collapsing report."""
+    from whiterrabbit_spark.profile import rank_movers
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return rank_movers(
+        ev, "user_id", F.col("ts") < F.lit("2024-01-16"), True, False
+    )
+
+
+_RANK_MOVERS_SQL = """
+WITH counts AS (
+  SELECT user_id AS key,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN NOT (ts < TIMESTAMP '2024-01-16 00:00:00')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1
+)
+SELECT key, n_a,
+       CASE WHEN n_a > 0 THEN CAST(row_number() OVER
+         (ORDER BY n_a DESC, key ASC) AS BIGINT) END AS rank_a,
+       n_b,
+       CASE WHEN n_b > 0 THEN CAST(row_number() OVER
+         (ORDER BY n_b DESC, key ASC) AS BIGINT) END AS rank_b,
+       (CASE WHEN n_a > 0 THEN CAST(row_number() OVER
+          (ORDER BY n_a DESC, key ASC) AS BIGINT) END)
+       - (CASE WHEN n_b > 0 THEN CAST(row_number() OVER
+            (ORDER BY n_b DESC, key ASC) AS BIGINT) END) AS rank_change
+FROM counts"""
+
+
+def _apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex SLA summary per event type (profile.apdex_score,
+    satisfied ≤ 40, tolerating ≤ 120 over the value column)."""
+    from whiterrabbit_spark.profile import apdex_score
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return apdex_score(ev, "event_type", "value", 40.0, 120.0)
+
+
+_APDEX_SQL = """
+SELECT event_type AS "group",
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN value <= 40.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_satisfied,
+       CAST(sum(CASE WHEN value > 40.0 AND value <= 120.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
+       round((sum(CASE WHEN value <= 40.0 THEN 1 ELSE 0 END)
+              + sum(CASE WHEN value > 40.0 AND value <= 120.0
+                         THEN 1 ELSE 0 END) / 2.0)
+             / CAST(count(*) AS DOUBLE), 6) AS apdex
+FROM events
+WHERE event_type IS NOT NULL AND value IS NOT NULL
+GROUP BY 1"""
+
+
 def _wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority finished-rate with Wilson 95% intervals
     (profile.wilson_ci) — the error bar that stays in [0,1]."""
@@ -7765,5 +7858,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("lateness_profile_events", _lateness_profile, _LATENESS_SQL)
     add("wilson_ci_orders", _wilson_ci, _wilson_sql())
     add("concurrency_profile_events", _concurrency, _CONCURRENCY_SQL)
+    add("rank_movers_events", _rank_movers, _RANK_MOVERS_SQL)
+    add("apdex_events", _apdex, _APDEX_SQL)
+    add("embedding_drift_embeddings", _embedding_drift,
+        _EMBEDDING_DRIFT_SQL)
 
     return queries, oracles
