@@ -206,6 +206,7 @@ def main() -> None:
         "rank_movers": queries["rank_movers_events"],
         "apdex": queries["apdex_events"],
         "embedding_drift": queries["embedding_drift_embeddings"],
+        "forecast_eval": queries["forecast_eval_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

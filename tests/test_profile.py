@@ -1536,3 +1536,24 @@ def test_apdex_hand_case(spark):
     r = apdex_score(df, "g", "v", 40.0, 120.0).collect()[0]
     assert r["n_satisfied"] == 6 and r["n_tolerating"] == 2
     assert r["apdex"] == 0.7
+
+
+def test_forecast_eval_seasonal_series(spark):
+    """On a clean period-7 series, seasonal-naive is exact (MASE 0)
+    while naive pays the day-over-day jump; EWMA sits between."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import forecast_eval_daily
+
+    rows = []
+    for d in range(1, 29):
+        v = [10.0, 50.0, 30.0, 70.0, 20.0, 90.0, 40.0][(d - 1) % 7]
+        rows.append((f"2024-03-{d:02d}", v))
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["method"]: r for r in forecast_eval_daily(df, "ts", "value").collect()}
+    assert out["snaive"]["mae"] == 0.0 and out["snaive"]["mase"] == 0.0
+    assert out["naive"]["mase"] == 1.0
+    assert 0.0 < out["ewma"]["mase"] <= 1.5
+    assert out["naive"]["n_evals"] == 21

@@ -3859,3 +3859,74 @@ def apdex_score(
             ).alias("apdex"),
         )
     )
+
+
+def forecast_eval_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """One-step-ahead forecasting bake-off on the daily-mean series:
+    naive (yesterday), seasonal-naive (same weekday last week), and
+    EWMA(α) — each scored by MAE and MASE (MAE scaled by the naive
+    MAE, the scale-free accuracy standard; MASE < 1 beats naive). The
+    "which forecaster fits this metric" gate before anyone wires a
+    monitor threshold to a prediction.
+
+    All predictions are strict lags/prefix-EWMAs over the |days| series
+    (no lookahead): rows collapse once, every window runs series-sized.
+    Evaluation is restricted to days where ALL methods have a
+    prediction (t > season), so the three MAEs cover the same days.
+
+    Returns ``(method, n_evals, mae, mase)``.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    series = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(day.alias("d"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("x"))
+    )
+    w = Window.orderBy("d")
+    rn = F.row_number().over(w).cast("double")
+    decay = 1.0 - alpha
+    # EWMA over the STRICT prefix (one row back) = shifted adjust=True EWMA
+    prev_frame = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    inv_w = F.pow(F.lit(decay), -rn)
+    num = F.sum(F.col("x") * inv_w).over(prev_frame) * F.pow(
+        F.lit(decay), rn - 1
+    )
+    den = F.sum(inv_w).over(prev_frame) * F.pow(F.lit(decay), rn - 1)
+    scored = (
+        series.withColumn("inv_w", inv_w)
+        .withColumn("p_naive", F.lag("x", 1).over(w))
+        .withColumn("p_snaive", F.lag("x", season).over(w))
+        .withColumn("p_ewma", num / den)
+        .withColumn("rn", rn)
+    )
+    evald = scored.where(F.col("rn") > season)
+    outs = []
+    for m in ("naive", "snaive", "ewma"):
+        err = F.abs(F.col("x") - F.col(f"p_{m}"))
+        outs.append(
+            evald.agg(
+                F.lit(m).alias("method"),
+                F.count(F.lit(1)).alias("n_evals"),
+                F.avg(err).alias("__mae"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    base = (
+        evald.agg(F.avg(F.abs(F.col("x") - F.col("p_naive"))).alias("__b"))
+    )
+    return res.crossJoin(F.broadcast(base)).select(
+        "method",
+        "n_evals",
+        F.round("__mae", 6).alias("mae"),
+        F.round(F.col("__mae") / F.col("__b"), 6).alias("mase"),
+    )

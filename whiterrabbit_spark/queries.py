@@ -5311,6 +5311,51 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+def _forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting bake-off on the daily event-value series
+    (profile.forecast_eval_daily): naive vs seasonal-naive(7) vs
+    EWMA(0.3) one-step MAE/MASE."""
+    from whiterrabbit_spark.profile import forecast_eval_daily
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return forecast_eval_daily(ev, "ts", "value")
+
+
+def _forecast_eval_sql() -> str:
+    method_block = """
+SELECT '{m}' AS method, CAST(count(*) AS BIGINT) AS n_evals,
+       round(avg(abs(x - p_{m})), 6) AS mae,
+       round(avg(abs(x - p_{m})) / b.mb, 6) AS mase
+FROM e, b GROUP BY b.mb"""
+    blocks = [method_block.format(m=m) for m in ("naive", "snaive", "ewma")]
+    return (
+        """
+WITH s AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, avg(value) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), w AS (
+  SELECT d, x, CAST(row_number() OVER (ORDER BY d) AS DOUBLE) AS rn
+  FROM s
+), sc AS (
+  SELECT d, x, rn,
+         lag(x, 1) OVER (ORDER BY d) AS p_naive,
+         lag(x, 7) OVER (ORDER BY d) AS p_snaive,
+         (sum(x * pow(0.7, -rn)) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          * pow(0.7, rn - 1))
+         / (sum(pow(0.7, -rn)) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            * pow(0.7, rn - 1)) AS p_ewma
+  FROM w
+), e AS (SELECT * FROM sc WHERE rn > 7),
+b AS (SELECT avg(abs(x - p_naive)) AS mb FROM e)
+"""
+        + blocks[0]
+        + "".join("\nUNION ALL\n" + bl for bl in blocks[1:])
+    )
+
+
 def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding A/B drift report (similarity.embedding_drift): even
     vs odd vec_id halves stand in for two snapshot runs; per-label
@@ -7862,5 +7907,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("apdex_events", _apdex, _APDEX_SQL)
     add("embedding_drift_embeddings", _embedding_drift,
         _EMBEDDING_DRIFT_SQL)
+    add("forecast_eval_events", _forecast_eval, _forecast_eval_sql())
 
     return queries, oracles
