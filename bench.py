@@ -207,6 +207,8 @@ def main() -> None:
         "apdex": queries["apdex_events"],
         "embedding_drift": queries["embedding_drift_embeddings"],
         "forecast_eval": queries["forecast_eval_events"],
+        "lang_id_eval": queries["lang_id_eval_documents"],
+        "dow_outliers": queries["dow_outliers_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -1557,3 +1557,25 @@ def test_forecast_eval_seasonal_series(spark):
     assert out["naive"]["mase"] == 1.0
     assert 0.0 < out["ewma"]["mase"] <= 1.5
     assert out["naive"]["n_evals"] == 21
+
+
+def test_dow_adjusted_outliers_ignores_weekly_shape(spark):
+    """A strong weekly cycle alone produces no outliers; a planted
+    one-day spike on top of it is the only flag."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import dow_adjusted_outliers
+
+    rows = []
+    for d in range(1, 29):
+        v = [10.0, 50.0, 30.0, 70.0, 20.0, 90.0, 40.0][(d - 1) % 7]
+        if d == 17:
+            v += 500.0
+        rows.append((f"2024-03-{d:02d}", v))
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {r["day"]: r for r in
+           dow_adjusted_outliers(df, "ts", "value").collect()}
+    flagged = [d for d, r in out.items() if r["is_outlier"]]
+    assert flagged == ["2024-03-17"]

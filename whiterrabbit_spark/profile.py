@@ -3930,3 +3930,54 @@ def forecast_eval_daily(
         F.round("__mae", 6).alias("mae"),
         F.round(F.col("__mae") / F.col("__b"), 6).alias("mase"),
     )
+
+
+def dow_adjusted_outliers(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Seasonally-adjusted daily anomalies: remove the day-of-week mean
+    from the daily series and z-score the residuals — a Monday that is
+    merely Monday-shaped stops alarming, which raw daily z-scores
+    (:func:`cusum_changepoint`'s cousin) get wrong on weekly-cycled
+    metrics.
+
+    Rows collapse once to the |days| series; the day-of-week profile is
+    a 7-row aggregate broadcast back; the residual std is one more
+    scalar. Everything after the first groupBy is series-sized.
+
+    Returns ``(day, daily_mean, dow, dow_mean, residual, z,
+    is_outlier)``.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    series = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(day.alias("d"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("x"))
+        .withColumn("dow", F.dayofweek("d").cast("long"))
+        .persist()
+    )
+    dow_means = series.groupBy("dow").agg(F.avg("x").alias("dow_mean"))
+    resid = series.join(F.broadcast(dow_means), "dow").withColumn(
+        "residual", F.col("x") - F.col("dow_mean")
+    )
+    sd = resid.agg(
+        F.coalesce(F.stddev_samp("residual"), F.lit(0.0)).alias("sd")
+    )
+    z = F.when(F.col("sd") > 0, F.col("residual") / F.col("sd"))
+    return (
+        resid.crossJoin(F.broadcast(sd))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("x", 6).alias("daily_mean"),
+            "dow",
+            F.round("dow_mean", 6).alias("dow_mean"),
+            F.round("residual", 6).alias("residual"),
+            F.round(z, 6).alias("z"),
+            (F.abs(F.coalesce(z, F.lit(0.0))) > z_thresh).alias(
+                "is_outlier"
+            ),
+        )
+    )

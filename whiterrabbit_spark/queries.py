@@ -5311,6 +5311,66 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+def _lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic detector's
+    prediction against the corpus's own lang column — the accuracy gate
+    for the curation pipeline's language stage."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    pred = ts.lang_id(docs, "text", "doc_id").select(
+        "doc_id", "detected_lang"
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", F.col("detected_lang").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lang_id_eval_sql() -> str:
+    return f"""
+WITH pred AS ({_lang_id_sql().strip()})
+SELECT d.lang AS true_lang, p.detected_lang AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2"""
+
+
+def _dow_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-adjusted daily anomalies over event value
+    (profile.dow_adjusted_outliers, z > 3)."""
+    from whiterrabbit_spark.profile import dow_adjusted_outliers
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return dow_adjusted_outliers(ev, "ts", "value")
+
+
+_DOW_OUTLIERS_SQL = """
+WITH s AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, avg(value) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), sd AS (
+  SELECT d, x, CAST(dayofweek(d) + 1 AS BIGINT) AS dow FROM s
+), dm AS (
+  SELECT dow, avg(x) AS dow_mean FROM sd GROUP BY dow
+), r AS (
+  SELECT sd.d, sd.x, sd.dow, dm.dow_mean, sd.x - dm.dow_mean AS residual
+  FROM sd JOIN dm USING (dow)
+), g AS (
+  SELECT coalesce(stddev_samp(residual), 0) AS sdv FROM r
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       round(x, 6) AS daily_mean,
+       dow,
+       round(dow_mean, 6) AS dow_mean,
+       round(residual, 6) AS residual,
+       round(CASE WHEN sdv > 0 THEN residual / sdv END, 6) AS z,
+       abs(coalesce(CASE WHEN sdv > 0 THEN residual / sdv END, 0)) > 3.0
+         AS is_outlier
+FROM r, g"""
+
+
 def _forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecasting bake-off on the daily event-value series
     (profile.forecast_eval_daily): naive vs seasonal-naive(7) vs
@@ -7908,5 +7968,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("embedding_drift_embeddings", _embedding_drift,
         _EMBEDDING_DRIFT_SQL)
     add("forecast_eval_events", _forecast_eval, _forecast_eval_sql())
+    add("lang_id_eval_documents", _lang_id_eval, _lang_id_eval_sql())
+    add("dow_outliers_events", _dow_outliers, _DOW_OUTLIERS_SQL)
 
     return queries, oracles
