@@ -209,6 +209,7 @@ def main() -> None:
         "forecast_eval": queries["forecast_eval_events"],
         "lang_id_eval": queries["lang_id_eval_documents"],
         "dow_outliers": queries["dow_outliers_events"],
+        "grouped_theil_sen": queries["grouped_theil_sen_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

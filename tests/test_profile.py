@@ -1291,6 +1291,32 @@ def test_theil_sen_robust_to_outlier(spark):
     assert abs(r["ols_slope"] - 2.0) > 1.0
 
 
+def test_grouped_theil_sen_per_segment(spark):
+    """Two segments with different true slopes, each with one wild day:
+    the per-group pairwise-slope median recovers each segment's slope
+    independently (a shared global fit would blend them)."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import grouped_theil_sen
+
+    rows = []
+    for d in range(1, 16):
+        rows.append(("a", f"2024-03-{d:02d}", 2.0 * d if d != 15 else 900.0))
+        rows.append(("b", f"2024-03-{d:02d}", -3.0 * d if d != 8 else 400.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["group"]: r
+        for r in grouped_theil_sen(df, "event_type", "ts", "value").collect()
+    }
+    assert set(out) == {"a", "b"}
+    for g in ("a", "b"):
+        assert out[g]["n_days"] == 15 and out[g]["n_pairs"] == 105
+    assert abs(out["a"]["slope_per_day"] - 2.0) < 0.3
+    assert abs(out["b"]["slope_per_day"] + 3.0) < 0.3
+
+
 def test_layout_prune_report_hand_case(spark):
     """100 rows, values 0..99, chunks of 10, probe [90, 99]: clustered
     by value scans exactly 1 chunk; clustered by an independent key

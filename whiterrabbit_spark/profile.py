@@ -3981,3 +3981,49 @@ def dow_adjusted_outliers(
             ),
         )
     )
+
+
+def grouped_theil_sen(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Theil–Sen robust daily trend — :func:`theil_sen_daily`
+    partitioned by segment, so every segment gets the outlier-resistant
+    slope (one wild day per segment moves that segment's OLS but not its
+    pairwise-slope median). Rows collapse once to the (group, day)
+    series; pairs form per group (series-sized per segment); the median
+    is exact type-7 per group.
+
+    Returns ``(group, n_days, n_pairs, slope_per_day)``.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    series = (
+        df.where(
+            F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        .groupBy(F.col(group_col).alias("g"), day.alias("d"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("x"))
+        .persist()
+    )
+    a = series.select(
+        "g", F.col("d").alias("d1"), F.col("x").alias("x1")
+    )
+    b = series.select(
+        "g", F.col("d").alias("d2"), F.col("x").alias("x2")
+    )
+    pairs = a.join(b, "g").where(F.col("d1") < F.col("d2"))
+    slope = (F.col("x2") - F.col("x1")) / F.datediff("d2", "d1").cast(
+        "double"
+    )
+    days = series.groupBy("g").agg(F.count(F.lit(1)).alias("n_days"))
+    ts_out = pairs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile(slope, 0.5), 6).alias("slope_per_day"),
+    )
+    return days.join(ts_out, "g").select(
+        F.col("g").alias("group"), "n_days", "n_pairs", "slope_per_day"
+    )

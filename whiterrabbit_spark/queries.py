@@ -5311,6 +5311,35 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
 FROM tri"""
 
 
+def _grouped_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust daily trend (profile.grouped_theil_sen)."""
+    from whiterrabbit_spark.profile import grouped_theil_sen
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return grouped_theil_sen(ev, "event_type", "ts", "value")
+
+
+_GROUPED_THEIL_SEN_SQL = """
+WITH s AS (
+  SELECT event_type AS g, CAST(date_trunc('day', ts) AS DATE) AS d,
+         avg(value) AS x
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.g, (b.x - a.x) / CAST(b.d - a.d AS DOUBLE) AS slope
+  FROM s a JOIN s b ON a.g = b.g AND a.d < b.d
+), days AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_days FROM s GROUP BY g
+), ts_out AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+         round(quantile_cont(slope, 0.5), 6) AS slope_per_day
+  FROM pairs GROUP BY g
+)
+SELECT days.g AS "group", n_days, n_pairs, slope_per_day
+FROM days JOIN ts_out USING (g)"""
+
+
 def _lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion matrix: the heuristic detector's
     prediction against the corpus's own lang column — the accuracy gate
@@ -7970,5 +7999,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("forecast_eval_events", _forecast_eval, _forecast_eval_sql())
     add("lang_id_eval_documents", _lang_id_eval, _lang_id_eval_sql())
     add("dow_outliers_events", _dow_outliers, _DOW_OUTLIERS_SQL)
+    add("grouped_theil_sen_events", _grouped_theil_sen,
+        _GROUPED_THEIL_SEN_SQL)
 
     return queries, oracles
