@@ -172,6 +172,17 @@ def main() -> None:
         "tpch_q15": queries["tpch_q15_top_supplier"],
         "tpch_q18": queries["tpch_q18_large_orders"],
         "tpch_q22": queries["tpch_q22_antijoin"],
+        "tpch_q2": queries["tpch_q2_min_cost_supplier"],
+        "tpch_q8": queries["tpch_q8_market_share"],
+        "tpch_q9": queries["tpch_q9_product_profit"],
+        "tpch_q11": queries["tpch_q11_important_stock"],
+        "tpch_q12": queries["tpch_q12_late_lines"],
+        "tpch_q13": queries["tpch_q13_order_distribution"],
+        "tpch_q16": queries["tpch_q16_supplier_count"],
+        "tpch_q17": queries["tpch_q17_small_quantity"],
+        "tpch_q19": queries["tpch_q19_disjunctive"],
+        "tpch_q20": queries["tpch_q20_promo_suppliers"],
+        "tpch_q21": queries["tpch_q21_waiting_orders"],
         # round-3 fifth wave: concentration/series/sketch/sparse-cosine
         "pareto": queries["pareto_concentration_orders"],
         "rolling_distinct": queries["rolling_distinct_users_events"],

@@ -333,3 +333,25 @@ def test_token_cosine_dense_mode_is_gemm(spark):
 def test_zorder_and_layout_scans_push_value_filters(spark):
     plan = _plan(spark, "layout_prune_lineitem")
     assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_tpch_round3_family_plan_shapes(spark):
+    """The Q2/Q8-Q21 wave: predicates reach the scans, dim legs
+    broadcast, the semi/anti shapes survive into the physical plan,
+    and the top-k queries keep the distributed heap form."""
+    for name in ("tpch_q2_min_cost_supplier", "tpch_q8_market_share",
+                 "tpch_q9_product_profit", "tpch_q12_late_lines",
+                 "tpch_q16_supplier_count", "tpch_q17_small_quantity",
+                 "tpch_q19_disjunctive", "tpch_q21_waiting_orders"):
+        plan = _plan(spark, name)
+        assert "PushedFilters: [" in plan, f"{name}: no pushed filters"
+        assert "BroadcastHashJoin" in plan, f"{name}: dims not broadcast"
+    # semi/anti join forms are preserved (not rewritten to inner + dedup)
+    assert "LeftSemi" in _plan(spark, "tpch_q20_promo_suppliers")
+    assert "LeftAnti" in _plan(spark, "tpch_q16_supplier_count")
+    # top-k stays a distributed heap, never a global sort
+    assert "TakeOrderedAndProject" in _plan(spark, "tpch_q2_min_cost_supplier")
+    assert "TakeOrderedAndProject" in _plan(spark, "tpch_q21_waiting_orders")
+    # Q13's LEFT JOIN keeps customers with zero orders (no inner rewrite)
+    q13 = _plan(spark, "tpch_q13_order_distribution")
+    assert "LeftOuter" in q13 or "BuildRight" in q13

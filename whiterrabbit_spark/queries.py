@@ -7957,6 +7957,24 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("tpch_q15_top_supplier", TQ.tpch_q15_top_supplier, TQ.TPCH_Q15_SQL)
     add("tpch_q18_large_orders", TQ.tpch_q18_large_orders, TQ.TPCH_Q18_SQL)
     add("tpch_q22_antijoin", TQ.tpch_q22_antijoin, TQ.TPCH_Q22_SQL)
+    add("tpch_q2_min_cost_supplier", TQ.tpch_q2_min_cost_supplier,
+        TQ.TPCH_Q2_SQL)
+    add("tpch_q8_market_share", TQ.tpch_q8_market_share, TQ.TPCH_Q8_SQL)
+    add("tpch_q9_product_profit", TQ.tpch_q9_product_profit, TQ.TPCH_Q9_SQL)
+    add("tpch_q11_important_stock", TQ.tpch_q11_important_stock,
+        TQ.TPCH_Q11_SQL)
+    add("tpch_q12_late_lines", TQ.tpch_q12_late_lines, TQ.TPCH_Q12_SQL)
+    add("tpch_q13_order_distribution", TQ.tpch_q13_order_distribution,
+        TQ.TPCH_Q13_SQL)
+    add("tpch_q16_supplier_count", TQ.tpch_q16_supplier_count,
+        TQ.TPCH_Q16_SQL)
+    add("tpch_q17_small_quantity", TQ.tpch_q17_small_quantity,
+        TQ.TPCH_Q17_SQL)
+    add("tpch_q19_disjunctive", TQ.tpch_q19_disjunctive, TQ.TPCH_Q19_SQL)
+    add("tpch_q20_promo_suppliers", TQ.tpch_q20_promo_suppliers,
+        TQ.TPCH_Q20_SQL)
+    add("tpch_q21_waiting_orders", TQ.tpch_q21_waiting_orders,
+        TQ.TPCH_Q21_SQL)
     add("pareto_concentration_orders", _pareto, _PARETO_SQL)
     add("rolling_distinct_users_events", _rolling_distinct,
         _ROLLING_DISTINCT_SQL)

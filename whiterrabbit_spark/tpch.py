@@ -419,3 +419,624 @@ FROM customer, gate
 WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_e2
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_nationkey"""
+
+
+# --- The remaining TPC-H shapes (Q2, Q8, Q9, Q11, Q12, Q13, Q16, Q17,
+# Q19, Q20, Q21), adapted to the trimmed schema the same way as above:
+# partsupp does not exist, so lineitem serves as the part-supplier
+# bridge wherever the spec reads partsupp; shipmode/commitdate are
+# absent, so "late" is defined against the ship-vs-order date gap.
+# Every ratio/threshold that the spec expresses with float arithmetic
+# is restated in exact integer form (see each docstring) so the Spark
+# and DuckDB sides cannot disagree on a boundary row.
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped minimum-cost supplier: for every STANDARD size-15 part
+    supplied out of EUROPE, the supplier(s) whose best offered unit
+    price (min exact-cents line price over the bridge) equals the
+    part's minimum across EUROPE suppliers. The correlated MIN becomes
+    a per-part rollup joined back on (partkey, cost) equality — exact
+    integer cents, so ties are deterministic and all surface. Dim legs
+    (nation x region) broadcast; the SF-scaled part/supplier joins are
+    left to AQE."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    part = read_parquet_table(spark, sf_dir, "part")
+    supp = read_parquet_table(spark, sf_dir, "supplier")
+    nation = read_parquet_table(spark, sf_dir, "nation")
+    region = read_parquet_table(spark, sf_dir, "region")
+
+    eu_nations = nation.join(
+        region.where(F.col("r_name") == "EUROPE"),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    wanted = part.where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
+    ).select("p_partkey", "p_name")
+    price_e2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+
+    offers = (
+        li.join(wanted.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(eu_nations.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(price_e2).alias("cost_e2"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bk")).agg(
+        F.min("cost_e2").alias("best_e2")
+    )
+    bal_e2 = F.round(F.col("s_acctbal") * 100).cast("long")
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("bk"))
+            & (F.col("cost_e2") == F.col("best_e2")),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(wanted, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            (bal_e2 / 100.0).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("cost_e2") / 100.0).alias("supply_cost"),
+            "s_suppkey",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
+        )
+        .limit(100)
+    )
+
+
+TPCH_Q2_SQL = """
+WITH eu AS (
+  SELECT n_nationkey, n_name FROM nation
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'
+), wanted AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_type = 'STANDARD' AND p_size = 15
+), offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_e2
+  FROM lineitem
+  JOIN wanted ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN eu ON s_nationkey = n_nationkey
+  GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey AS bk, min(cost_e2) AS best_e2 FROM offers GROUP BY l_partkey
+)
+SELECT CAST(round(s_acctbal * 100) AS BIGINT) / 100.0 AS s_acctbal,
+       s_name, n_name, p_partkey, p_name,
+       cost_e2 / 100.0 AS supply_cost, s_suppkey
+FROM offers
+JOIN best ON l_partkey = bk AND cost_e2 = best_e2
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN eu ON s_nationkey = n_nationkey
+JOIN wanted ON l_partkey = p_partkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100"""
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped national market share: NATION_2's share of ASIA-region
+    customers' 1996-1997 STANDARD-part revenue, by order year. One
+    snowflake join feeds a conditional-sum ratio; both sums are exact
+    integer e4 cents cast to long on the DuckDB side (sum(BIGINT) is
+    HUGEINT there) before the double division, so the 6-dp round sees
+    bit-identical operands in both engines."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    supp = read_parquet_table(spark, sf_dir, "supplier")
+    part = read_parquet_table(spark, sf_dir, "part")
+    nation = read_parquet_table(spark, sf_dir, "nation")
+    region = read_parquet_table(spark, sf_dir, "region")
+
+    asia_cust_nations = (
+        nation.join(
+            region.where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    num = F.when(F.col("supp_nation") == "NATION_2", _rev_e4()).otherwise(F.lit(0))
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.where(F.col("p_type") == "STANDARD").select("p_partkey"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(num) / F.sum(_rev_e4()), R).alias("mkt_share"),
+            F.round(F.sum(_rev_e4()) / 1e4, R).alias("total_revenue"),
+        )
+    )
+
+
+TPCH_Q8_SQL = f"""
+WITH asia_cust AS (
+  SELECT n_nationkey AS cn_key FROM nation
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+)
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+                           THEN {_REV_E4_SQL} ELSE 0 END) AS BIGINT)
+             / CAST(sum({_REV_E4_SQL}) AS BIGINT), {R}) AS mkt_share,
+       round(CAST(sum({_REV_E4_SQL}) AS BIGINT) / 1e4, {R}) AS total_revenue
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN asia_cust ON c_nationkey = cn_key
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'STANDARD'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY year(o_orderdate)"""
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped product-type profit: per supplier nation per order
+    year, profit on 'red'-named parts. partsupp.supplycost does not
+    exist, so cost is defined as 25% of retail (cost_e4 =
+    retail_e2 * qty * 25) — an exact-integer stand-in that keeps the
+    rev-minus-cost aggregation shape. Profit stays in integer e4 until
+    the final divide."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    supp = read_parquet_table(spark, sf_dir, "supplier")
+    part = read_parquet_table(spark, sf_dir, "part")
+    nation = read_parquet_table(spark, sf_dir, "nation")
+
+    red = part.where(F.col("p_name").contains("red")).select(
+        "p_partkey", F.round(F.col("p_retailprice") * 100).cast("long").alias("retail_e2")
+    )
+    qty_e0 = F.round(F.col("l_quantity")).cast("long")
+    profit_e4 = _rev_e4() - F.col("retail_e2") * qty_e0 * F.lit(25)
+    return (
+        li.join(red, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit_e4) / 1e4, R).alias("sum_profit"))
+    )
+
+
+TPCH_Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum({_REV_E4_SQL}
+                      - CAST(round(p_retailprice * 100) AS BIGINT)
+                        * CAST(round(l_quantity) AS BIGINT) * 25)
+             AS BIGINT) / 1e4, {R}) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)"""
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped important stock: parts whose EUROPE-supplied line
+    value (price_e2 x qty, the availqty x supplycost stand-in) exceeds
+    1.5x the mean per-part share. The spec's scale-dependent FRACTION
+    becomes the exact integer gate value_e4 * n_parts * 10 >
+    total_e4 * 15, so the threshold adapts to SF with zero float
+    boundary risk. The one-row gate broadcasts over the per-part
+    rollup."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    supp = read_parquet_table(spark, sf_dir, "supplier")
+    nation = read_parquet_table(spark, sf_dir, "nation")
+    region = read_parquet_table(spark, sf_dir, "region")
+
+    eu_keys = (
+        nation.join(
+            region.where(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey")
+    )
+    price_e2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty_e0 = F.round(F.col("l_quantity")).cast("long")
+    per_part = (
+        li.join(supp.select("s_suppkey", "s_nationkey"),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(eu_keys), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(price_e2 * qty_e0).alias("value_e4"))
+    )
+    gate = per_part.agg(
+        F.sum("value_e4").alias("total_e4"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(gate))
+        .where(
+            F.col("value_e4") * F.col("n_parts") * F.lit(10)
+            > F.col("total_e4") * F.lit(15)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value_e4") / 1e4, R).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+TPCH_Q11_SQL = """
+WITH eu AS (
+  SELECT n_nationkey FROM nation
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'
+), per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS value_e4
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN eu ON s_nationkey = n_nationkey
+  GROUP BY l_partkey
+), gate AS (
+  SELECT CAST(sum(value_e4) AS HUGEINT) AS total_e4,
+         count(*) AS n_parts
+  FROM per_part
+)
+SELECT l_partkey AS p_partkey, round(value_e4 / 1e4, 6) AS value
+FROM per_part, gate
+WHERE CAST(value_e4 AS HUGEINT) * n_parts * 10 > total_e4 * 15
+ORDER BY value DESC, p_partkey"""
+
+
+def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped shipping-priority audit: among 1997-shipped lines
+    that went out more than a year after their order date (the
+    commit/receipt-date lateness stand-in), count critical-priority
+    vs other orders per return flag. The fact-fact join shuffles on
+    orderkey; the flags fold into two conditional sums."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate").cast("date") > F.date_add(
+        F.col("o_orderdate").cast("date"), 365
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(critical.cast("long")).alias("high_line_count"),
+            F.sum((~critical).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+TPCH_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 365
+GROUP BY l_returnflag"""
+
+
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped customer order-count distribution: LEFT OUTER join
+    customer -> non-LOW-priority orders, count per customer (zero
+    included), then histogram the counts. Two shuffles (custkey, then
+    c_count) — the canonical double-groupBy; no window anywhere."""
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.select("c_custkey")
+        .join(
+            orders.where(F.col("o_orderpriority") != "5-LOW")
+            .select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+TPCH_Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped part-supplier relationship count: distinct suppliers
+    per (brand, type, size) over the lineitem bridge, excluding
+    Brand#4, PROMO parts, sizes outside the probe set, and suppliers
+    in deficit (the complaint-supplier NOT IN becomes a LEFT ANTI
+    join). countDistinct shuffles once on the group keys."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    part = read_parquet_table(spark, sf_dir, "part")
+    supp = read_parquet_table(spark, sf_dir, "supplier")
+    wanted = part.where(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 15, 25, 35, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(wanted, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+TPCH_Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 15, 25, 35, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped small-quantity-order revenue: yearly-average revenue
+    from Brand#2 small-size lines whose quantity is under 20% of the
+    part's mean quantity. The correlated AVG becomes a per-part rollup
+    joined back; the float 0.2 x avg gate is restated exactly as
+    qty * 5 * n_lines < sum_qty (all integers). AQE broadcasts the
+    filtered part dim and the per-part aggregate while they fit."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    part = read_parquet_table(spark, sf_dir, "part")
+    qty_e0 = F.round(F.col("l_quantity")).cast("long")
+    wanted = part.where(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    per_part = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.sum(qty_e0).alias("sum_qty"), F.count(F.lit(1)).alias("n_lines")
+    )
+    price_e2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.join(wanted, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("ak"))
+        .where(qty_e0 * F.lit(5) * F.col("n_lines") < F.col("sum_qty"))
+        .agg(
+            F.round(F.sum(price_e2) / 100.0 / 7.0, R).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+TPCH_Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS ak,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 / 7.0, 6) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = ak
+WHERE p_brand = 'Brand#2' AND p_size < 10
+  AND CAST(round(l_quantity) AS BIGINT) * 5 * n_lines < sum_qty"""
+
+
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped disjunctive-predicate revenue: three OR'd
+    brand/size/quantity envelopes over the lineitem x part join. The
+    shared l_partkey = p_partkey conjunct stays an equi-join (Catalyst
+    extracts it from the disjunction); the residual OR evaluates
+    post-join inside codegen."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    part = read_parquet_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 5)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#16") & F.col("p_size").between(1, 10)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(1, 15)
+           & qty.between(20, 30))
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            F.round(F.sum(_rev_e4()) / 1e4, R).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+TPCH_Q19_SQL = f"""
+SELECT round(CAST(sum({_REV_E4_SQL}) AS BIGINT) / 1e4, {R}) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)"""
+
+
+def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped promotion-candidate suppliers: ASIA suppliers who
+    moved more than 50 units of some PROMO part during 1997. The
+    nested EXISTS chain becomes part-filter -> per-(supplier, part)
+    qty rollup -> HAVING -> distinct suppkey LEFT SEMI into supplier,
+    with the nation x region dim broadcast. No correlated subquery
+    survives into the plan."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    part = read_parquet_table(spark, sf_dir, "part")
+    supp = read_parquet_table(spark, sf_dir, "supplier")
+    nation = read_parquet_table(spark, sf_dir, "nation")
+    region = read_parquet_table(spark, sf_dir, "region")
+
+    asia_keys = (
+        nation.join(
+            region.where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    qty_e0 = F.round(F.col("l_quantity")).cast("long")
+    movers = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(qty_e0).alias("pair_qty"))
+        .where(F.col("pair_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(asia_keys), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q20_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 50)
+ORDER BY s_suppkey"""
+
+
+def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped suppliers-who-kept-orders-waiting: for finished
+    multi-supplier orders where exactly ONE supplier shipped very late
+    (>1400 days past the order date — the commit-date stand-in on this
+    long-tailed synthetic), count such orders per blamed supplier.
+    The spec's EXISTS + NOT EXISTS pair collapses into one per-order
+    aggregate (distinct suppliers, distinct late suppliers, and the
+    argmax-free single late suppkey via max-over-when), so the plan is
+    two hash aggregations and a supplier join — no correlated anti
+    join explosion at scale. EUROPE suppliers only; top 100."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    supp = read_parquet_table(spark, sf_dir, "supplier")
+    nation = read_parquet_table(spark, sf_dir, "nation")
+    region = read_parquet_table(spark, sf_dir, "region")
+
+    eu = (
+        nation.join(
+            region.where(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    late = F.col("l_shipdate").cast("date") > F.date_add(
+        F.col("o_orderdate").cast("date"), 1400
+    )
+    per_order = (
+        li.join(
+            orders.where(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("blamed"),
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.groupBy("blamed")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(supp, F.col("blamed") == F.col("s_suppkey"))
+        .join(F.broadcast(eu), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+TPCH_Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN CAST(l_shipdate AS DATE)
+                                  > CAST(o_orderdate AS DATE) + 1400
+                             THEN l_suppkey END) AS n_late,
+         max(CASE WHEN CAST(l_shipdate AS DATE)
+                       > CAST(o_orderdate AS DATE) + 1400
+                  THEN l_suppkey END) AS blamed
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order
+JOIN supplier ON blamed = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE n_supp > 1 AND n_late = 1 AND r_name = 'EUROPE'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100"""
