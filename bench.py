@@ -221,6 +221,10 @@ def main() -> None:
         "lang_id_eval": queries["lang_id_eval_documents"],
         "dow_outliers": queries["dow_outliers_events"],
         "grouped_theil_sen": queries["grouped_theil_sen_events"],
+        "jsd_drift": queries["jsd_drift_orders"],
+        "cuped": queries["cuped_orders"],
+        "calibration": queries["calibration_documents"],
+        "adamic_adar": queries["adamic_adar_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -3570,3 +3570,33 @@ def test_embedding_drift_detects_planted_shift(spark):
     assert out[0]["centroid_shift"] < 0.05
     assert abs(out[0]["var_ratio"] - 1.0) < 0.05
     assert abs(out[1]["centroid_shift"] - 2.0) < 0.05
+
+
+def test_adamic_adar_square_graph(spark):
+    """4-cycle a-b-c-d: the two diagonals are the only non-adjacent
+    pairs, each with two common neighbors of degree 2 -> AA = 2/ln 2;
+    existing edges must NOT appear."""
+    import math
+
+    from whiterrabbit_spark.extensions.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    out = adamic_adar(edges, top_k=10).collect()
+    pairs = {(r["src"], r["dst"]): r for r in out}
+    assert set(pairs) == {(1, 3), (2, 4)}
+    for r in out:
+        assert r["common_neighbors"] == 2
+        assert abs(r["aa_score"] - 2.0 / math.log(2)) < 1e-9
+
+
+def test_adamic_adar_max_degree_drops_hub_middles(spark):
+    """A star hub connecting many leaves: with max_degree below the
+    hub's degree, wedges through the hub vanish (the power-law guard)."""
+    from whiterrabbit_spark.extensions.graph import adamic_adar
+
+    star = [(0, i) for i in range(1, 8)]  # hub 0, leaves 1..7
+    edges = spark.createDataFrame(star, "src long, dst long")
+    assert adamic_adar(edges, top_k=100).count() == 21  # C(7,2) leaf pairs
+    assert adamic_adar(edges, top_k=100, max_degree=5).count() == 0

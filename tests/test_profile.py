@@ -1605,3 +1605,80 @@ def test_dow_adjusted_outliers_ignores_weekly_shape(spark):
            dow_adjusted_outliers(df, "ts", "value").collect()}
     flagged = [d for d, r in out.items() if r["is_outlier"]]
     assert flagged == ["2024-03-17"]
+
+
+def test_jsd_drift_bounds_and_zero(spark):
+    """Identical snapshots -> JSD=0, Hellinger=0; disjoint supports ->
+    JSD=ln 2, Hellinger=1 exactly (where PSI saturates on its eps
+    floor) — the bounded-divergence reason this operator exists."""
+    import math
+
+    from whiterrabbit_spark.profile import jsd_drift
+
+    same = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    r = jsd_drift(same, same, ["v"], bins=10).collect()[0]
+    assert abs(r["jsd"]) < 1e-12 and abs(r["hellinger"]) < 1e-12
+
+    # ref mass only in the edge bins (0 and 9), cur mass only in the
+    # middle bin 5 -> fully disjoint histograms (the edge bins always
+    # carry ref mass by construction, so disjointness must come from
+    # an interior-only current side)
+    ref = spark.createDataFrame(
+        [(0.05,)] * 50 + [(9.95,)] * 50, "v double"
+    )
+    cur = spark.createDataFrame([(5.05,)] * 100, "v double")
+    r = jsd_drift(ref, cur, ["v"], bins=10).collect()[0]
+    assert abs(r["jsd"] - math.log(2)) < 1e-9
+    assert abs(r["hellinger"] - 1.0) < 1e-9
+
+
+def test_cuped_reduces_variance_on_correlated_pre(spark):
+    """Units whose pre-period value strongly predicts the post value:
+    theta ~ slope, the variance reduction ~ 100·rho², and a spurious
+    raw difference (arms got uneven heavy users) shrinks toward the
+    planted true effect of ZERO after adjustment."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import cuped_ab
+
+    rows = []
+    for u in range(400):
+        base = 100 + (u % 37) * 10  # user-level heaviness
+        rows.append((u, base, "pre"))
+        rows.append((u, base + (u % 7), "post"))  # post ≈ pre (rho ~ 1)
+    df = spark.createDataFrame(rows, "u long, v long, period string")
+    out = cuped_ab(
+        df, "u", "v",
+        F.col("period") == "pre", F.col("period") == "post",
+    ).collect()[0]
+    assert out["n_a"] + out["n_b"] == 400
+    assert 0.9 < out["theta"] < 1.1
+    assert out["var_reduction_pct"] > 95.0
+    assert abs(out["adj_diff"]) < abs(out["raw_diff"]) + 1e-9
+    assert abs(out["adj_diff"]) < 3.0  # true effect is ~0
+
+
+def test_calibration_report_perfect_and_skewed(spark):
+    """A perfectly calibrated score (pos rate == bin score) yields
+    ~zero ECE; an always-wrong score concentrates the gap."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from whiterrabbit_spark.profile import calibration_report
+
+    rows = []
+    for b in range(10):
+        score = b / 10.0 + 0.05
+        for i in range(100):
+            rows.append((score, i < int(round(score * 100))))
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = calibration_report(df, "score", "label", bins=10).collect()
+    assert len(out) == 10
+    ece = sum(r["ece_term"] for r in out)
+    assert ece < 1e-9
+
+    bad = spark.createDataFrame(
+        [(0.95, False)] * 50 + [(0.05, True)] * 50, "score double, label boolean"
+    )
+    out = calibration_report(bad, "score", "label", bins=10).collect()
+    ece = sum(r["ece_term"] for r in out)
+    assert ece > 0.85

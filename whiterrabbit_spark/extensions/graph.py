@@ -171,3 +171,51 @@ def pagerank(
         .orderBy(F.col("rank").desc(), "node")
         .limit(top_k)
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    top_k: int = 20,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an oriented (src < dst) edge
+    list: for non-adjacent pairs sharing at least one neighbor,
+    AA(u, v) = Σ_{w ∈ N(u)∩N(v)} 1 / ln(deg(w)). The classic
+    "friends-of-friends, discounted by hub-ness" score — the baseline
+    every graph-ML link predictor is measured against.
+
+    Plan: symmetrize once, count degrees, then enumerate wedges by
+    self-joining the adjacency on the MIDDLE node (fan-out C(deg, 2)
+    per middle — the same hot-node consideration as triangle_count;
+    ``max_degree`` drops super-hub middles, the standard approximation
+    at power-law scale since a 10⁶-degree hub contributes ≲1/ln(10⁶)
+    per wedge anyway). Existing edges leave via LEFT ANTI; top-k is a
+    TakeOrderedAndProject. Degree-1 middles form no wedge, so
+    1/ln(deg) is always finite; deg-2+ lower-bounds ln at ln 2.
+
+    Returns ``(src, dst, common_neighbors, aa_score)``.
+    """
+    e = edges.select("src", "dst").distinct()
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                     .select(F.col("src"), F.col("dst")))
+    deg = sym.groupBy(F.col("src").alias("w")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    mid = deg.where(F.col("deg") >= 2)
+    if max_degree is not None:
+        mid = mid.where(F.col("deg") <= max_degree)
+    adj = sym.select(F.col("src").alias("w"), F.col("dst").alias("n")).join(
+        mid, "w"
+    )
+    left = adj.select("w", "deg", F.col("n").alias("u"))
+    right = adj.select("w", F.col("n").alias("v"))
+    wedges = left.join(right, "w").where(F.col("u") < F.col("v"))
+    scored = wedges.groupBy(F.col("u").alias("src"), F.col("v").alias("dst")).agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(1.0 / F.log(F.col("deg").cast("double"))).alias("aa_score"),
+    )
+    return (
+        scored.join(e, ["src", "dst"], "left_anti")
+        .orderBy(F.col("aa_score").desc(), "src", "dst")
+        .limit(top_k)
+    )

@@ -818,6 +818,36 @@ def psi_drift(
     after partial agg), joined on (column, bucket) — O(cols·bins) rows,
     independent of input size. Never a row-level join between snapshots.
     """
+    joined = _binned_joint_counts(ref, cur, cols, bins)
+    tot = Window.partitionBy("column_name")
+    pp = F.greatest(F.col("n_ref") / F.sum("n_ref").over(tot), F.lit(eps))
+    qq = F.greatest(F.col("n_cur") / F.sum("n_cur").over(tot), F.lit(eps))
+    # binned KS companion: max |CDF_ref − CDF_cur| over the bin edges —
+    # cumulative window over the same O(cols·bins) frame, no extra scan.
+    # (No eps floor: CDFs are exact; eps only guards the PSI log.)
+    cum = (
+        Window.partitionBy("column_name")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf_gap = F.abs(
+        F.sum("n_ref").over(cum) / F.sum("n_ref").over(tot)
+        - F.sum("n_cur").over(cum) / F.sum("n_cur").over(tot)
+    )
+    return (
+        joined.withColumn("__c", (pp - qq) * F.log(pp / qq))
+        .withColumn("__gap", cdf_gap)
+        .groupBy("column_name")
+        .agg(F.sum("__c").alias("psi"), F.max("__gap").alias("ks_binned"))
+    )
+
+
+def _binned_joint_counts(
+    ref: DataFrame, cur: DataFrame, cols: list[str], bins: int
+) -> DataFrame:
+    """Shared binned-drift machinery (psi_drift / jsd_drift): reference
+    min/max bin edges, ONE melt→groupBy per side for all columns, full
+    outer join on (column, bucket) — O(cols·bins) rows out."""
     bounds = ref.agg(
         *[
             f
@@ -860,32 +890,54 @@ def psi_drift(
 
     p = bucketed_counts(ref, "n_ref")
     q = bucketed_counts(cur, "n_cur")
-    joined = p.join(q, ["column_name", "bucket"], "full_outer").select(
+    return p.join(q, ["column_name", "bucket"], "full_outer").select(
         "column_name",
         "bucket",
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
+
+
+def jsd_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    bins: int = 10,
+) -> DataFrame:
+    """Jensen–Shannon divergence + Hellinger distance per numeric column
+    between two snapshots, over the same reference-anchored equi-width
+    bins as :func:`psi_drift`. Both are BOUNDED (JSD ≤ ln 2, Hellinger
+    ≤ 1) and defined at empty bins without an epsilon floor — the
+    complement to PSI, whose unbounded log-ratio needs the 1e-6 guard
+    and saturates on disjoint supports. JSD is emitted in nats.
+
+    Zero-mass bins contribute exactly 0 to their own KL term
+    (lim p→0 of p·ln(p/m) = 0), so the arithmetic below multiplies each
+    log by its own side's indicator rather than flooring — bit-exact in
+    both engines because 0·anything-finite is 0 and m > 0 whenever the
+    bin exists in the joined frame.
+
+    Plan shape: identical to psi_drift — O(cols·bins) rows after one
+    melt→groupBy per side; no row-level join between snapshots.
+    """
+    joined = _binned_joint_counts(ref, cur, cols, bins)
     tot = Window.partitionBy("column_name")
-    pp = F.greatest(F.col("n_ref") / F.sum("n_ref").over(tot), F.lit(eps))
-    qq = F.greatest(F.col("n_cur") / F.sum("n_cur").over(tot), F.lit(eps))
-    # binned KS companion: max |CDF_ref − CDF_cur| over the bin edges —
-    # cumulative window over the same O(cols·bins) frame, no extra scan.
-    # (No eps floor: CDFs are exact; eps only guards the PSI log.)
-    cum = (
-        Window.partitionBy("column_name")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cdf_gap = F.abs(
-        F.sum("n_ref").over(cum) / F.sum("n_ref").over(tot)
-        - F.sum("n_cur").over(cum) / F.sum("n_cur").over(tot)
-    )
+    pp = F.col("n_ref") / F.sum("n_ref").over(tot)
+    qq = F.col("n_cur") / F.sum("n_cur").over(tot)
+    mm = (pp + qq) / 2
+    kl_p = F.when(F.col("n_ref") > 0, pp * F.log(pp / mm)).otherwise(F.lit(0.0))
+    kl_q = F.when(F.col("n_cur") > 0, qq * F.log(qq / mm)).otherwise(F.lit(0.0))
+    # squared via multiply, not pow(·, 2) — libm pow is not guaranteed
+    # exact for integer exponents, and the oracle must hash-match
+    hel = (F.sqrt(pp) - F.sqrt(qq)) * (F.sqrt(pp) - F.sqrt(qq))
     return (
-        joined.withColumn("__c", (pp - qq) * F.log(pp / qq))
-        .withColumn("__gap", cdf_gap)
+        joined.withColumn("__jsd", (kl_p + kl_q) / 2)
+        .withColumn("__hel", hel)
         .groupBy("column_name")
-        .agg(F.sum("__c").alias("psi"), F.max("__gap").alias("ks_binned"))
+        .agg(
+            F.sum("__jsd").alias("jsd"),
+            F.sqrt(F.sum("__hel") / 2).alias("hellinger"),
+        )
     )
 
 
@@ -4026,4 +4078,159 @@ def grouped_theil_sen(
     )
     return days.join(ts_out, "g").select(
         F.col("g").alias("group"), "n_days", "n_pairs", "slope_per_day"
+    )
+
+
+def cuped_ab(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str | Column,
+    pre_cond: Column,
+    post_cond: Column,
+    salt: str = ":cuped",
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout: the experiment-period metric
+    adjusted by each unit's PRE-period value of the same metric
+    (Deng et al. 2013) — the standard way to shrink an experiment's
+    confidence intervals without more traffic. Arms are a deterministic
+    md5 coin on the unit id (same machinery as splits.hash_bucket_expr,
+    so a DuckDB oracle reproduces the assignment bit-for-bit).
+
+    Every statistic derives from SEVEN exact integer moments
+    (n, Σx, Σy, Σxy, Σx², Σy² pooled; n/Σx/Σy per arm) where
+    x = pre-period value and y = post-period value, both integer-cast —
+    so theta = cov/var, the adjusted lift, and the variance-reduction
+    percentage (= 100·ρ²) are double expressions over bit-identical
+    operands in any engine. Units with no post-period activity are
+    excluded (no outcome); units with no pre-period activity carry
+    x = 0 (a real zero, not a missing covariate).
+
+    One groupBy(unit) then one 2-row + one 1-row aggregate — the
+    shuffle moves per-unit pairs, never raw rows twice. At extreme
+    scale the Σxy/Σx² accumulators need headroom: with values in
+    integer units u and U units total, Σx² ≲ U·max(x)² must stay below
+    2^63 — pre-scale value_col (e.g. cents → whole units) accordingly.
+
+    Returns one row: n_a, n_b, theta, raw_diff, adj_diff,
+    var_reduction_pct.
+    """
+    from whiterrabbit_spark.extensions.splits import hash_bucket_expr
+
+    v = F.col("__v")
+    per_unit = (
+        df.where(F.col(unit_col).isNotNull())
+        .select(
+            F.col(unit_col).alias("__u"),
+            (F.col(value_col) if isinstance(value_col, str) else value_col)
+            .cast("long")
+            .alias("__v"),
+            pre_cond.alias("__pre"),
+            post_cond.alias("__post"),
+        )
+        .groupBy("__u")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("__pre"), v)), F.lit(0)).alias("x"),
+            F.coalesce(F.sum(F.when(F.col("__post"), v)), F.lit(0)).alias("y"),
+            F.max(F.col("__post").cast("int")).alias("__has_post"),
+        )
+        .where(F.col("__has_post") == 1)
+        .withColumn("arm", hash_bucket_expr(F.col("__u"), salt, 2))
+    )
+    pooled = per_unit.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    arms = per_unit.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("x").alias("sx_arm"),
+        F.sum("y").alias("sy_arm"),
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n_arm").alias("n_a"),
+        F.col("sx_arm").alias("sx_a"),
+        F.col("sy_arm").alias("sy_a"),
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n_arm").alias("n_b"),
+        F.col("sx_arm").alias("sx_b"),
+        F.col("sy_arm").alias("sy_b"),
+    )
+    n = F.col("n").cast("double")
+    # population (co)variances scaled by n² — the shared factor cancels
+    # in theta and in the ρ² variance-reduction ratio
+    cov_n2 = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    varx_n2 = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vary_n2 = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    theta = F.when(varx_n2 > 0, cov_n2 / varx_n2).otherwise(F.lit(0.0))
+    raw_diff = F.col("sy_a") / F.col("n_a") - F.col("sy_b") / F.col("n_b")
+    adj_diff = raw_diff - theta * (
+        F.col("sx_a") / F.col("n_a") - F.col("sx_b") / F.col("n_b")
+    )
+    vr = F.when(
+        (varx_n2 > 0) & (vary_n2 > 0),
+        100.0 * cov_n2 * cov_n2 / (varx_n2 * vary_n2),
+    ).otherwise(F.lit(0.0))
+    return (
+        pooled.join(F.broadcast(a))
+        .join(F.broadcast(b))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(theta, 6).alias("theta"),
+            F.round(raw_diff, 6).alias("raw_diff"),
+            F.round(adj_diff, 6).alias("adj_diff"),
+            F.round(vr, 6).alias("var_reduction_pct"),
+        )
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability table + expected-calibration-error contributions for
+    a [0, 1] score against a boolean label — the standard acceptance
+    gate before a learned quality/filter score is trusted as a
+    probability. One groupBy on the fixed-width bin; every output is a
+    ratio of exact integer counts (plus the mean score, identical-sum
+    caveat shared by every avg in the repo's oracle suite).
+
+    Emits per bin: n, mean_score (confidence), pos_rate (accuracy),
+    |gap|, and ece_term = n/N·|gap| — sum(ece_term) IS the ECE, left
+    per-bin so the report shows WHERE the miscalibration lives.
+    """
+    s = F.col(score_col).cast("double")
+    bucket = F.least(
+        F.greatest(F.floor(s * bins), F.lit(0)), F.lit(bins - 1)
+    ).cast("long")
+    per_bin = (
+        df.where(s.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(bucket.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(s).alias("mean_score"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        )
+    )
+    # one-row broadcast total, not an unpartitioned window — the frame
+    # is only O(bins) rows but the degenerate-window shape is banned
+    total = per_bin.agg(F.sum("n").alias("__tot"))
+    gap = F.abs(F.col("mean_score") - F.col("n_pos") / F.col("n"))
+    return (
+        per_bin.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            F.round("mean_score", 6).alias("mean_score"),
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+            F.round(gap, 6).alias("abs_gap"),
+            F.round(gap * F.col("n") / F.col("__tot"), 6).alias("ece_term"),
+        )
+        .orderBy("bin")
     )

@@ -7694,6 +7694,217 @@ def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded drift divergences (profile.jsd_drift): JSD + Hellinger
+    between the older and newer halves of orders, same epoch-midpoint
+    split and reference-anchored bins as psi_drift_orders — the
+    saturation-free complement to PSI on disjoint supports."""
+    from whiterrabbit_spark.profile import jsd_drift
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    ep = F.col("o_orderdate").cast("timestamp").cast("double")
+    mid = orders.agg(((F.min(ep) + F.max(ep)) / 2.0).alias("m")).collect()[0]["m"]
+    out = jsd_drift(
+        orders.where(ep < F.lit(mid)), orders.where(ep >= F.lit(mid)),
+        PSI_COLS, bins=10,
+    )
+    return out.select(
+        "column_name",
+        F.round("jsd", R).alias("jsd"),
+        F.round("hellinger", R).alias("hellinger"),
+    )
+
+
+def _jsd_sql() -> str:
+    parts = []
+    for c in PSI_COLS:
+        parts.append(f"""
+{c}_bounds AS (
+  SELECT min({c}::DOUBLE) AS lo, max({c}::DOUBLE) AS hi FROM tagged WHERE is_ref
+), {c}_cnt AS (
+  SELECT CAST(least(greatest(floor(({c}::DOUBLE - lo) /
+           (CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1.0 END)), 0), 9) AS INT) AS bucket,
+         count(*) FILTER (is_ref) AS n_ref,
+         count(*) FILTER (NOT is_ref) AS n_cur
+  FROM tagged, {c}_bounds WHERE {c} IS NOT NULL GROUP BY 1
+), {c}_pq AS (
+  SELECT n_ref / (SELECT sum(n_ref) FROM {c}_cnt) AS p,
+         n_cur / (SELECT sum(n_cur) FROM {c}_cnt) AS q,
+         n_ref, n_cur
+  FROM {c}_cnt
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+       round(sum((CASE WHEN n_ref > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+                + CASE WHEN n_cur > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END) / 2), {R}) AS jsd,
+       round(sqrt(sum((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q))) / 2), {R}) AS hellinger
+FROM {c}_pq"""
+        for c in PSI_COLS
+    )
+    return (
+        """
+WITH s AS (
+  SELECT (epoch(min(o_orderdate)) + epoch(max(o_orderdate))) / 2.0 AS mid
+  FROM orders
+), tagged AS (
+  SELECT o_totalprice, o_custkey, o_orderkey,
+         epoch(o_orderdate) < (SELECT mid FROM s) AS is_ref
+  FROM orders
+), """
+        + ", ".join(parts)
+        + "\n"
+        + selects
+    )
+
+
+def _cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B on per-customer order spend
+    (profile.cuped_ab): 1996 spend is the pre-period covariate for the
+    1997 outcome; arms are a deterministic md5 coin on custkey. Every
+    statistic folds out of exact integer moments."""
+    from whiterrabbit_spark.profile import cuped_ab
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return cuped_ab(
+        orders,
+        "o_custkey",
+        F.round(F.col("o_totalprice")),
+        (d >= F.lit("1996-01-01")) & (d < F.lit("1997-01-01")),
+        (d >= F.lit("1997-01-01")) & (d < F.lit("1998-01-01")),
+    )
+
+
+_CUPED_SQL = """
+WITH per_unit AS (
+  SELECT o_custkey AS u,
+         coalesce(sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                           THEN CAST(round(o_totalprice) AS BIGINT) END), 0) AS x,
+         coalesce(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                           THEN CAST(round(o_totalprice) AS BIGINT) END), 0) AS y,
+         max(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 1 ELSE 0 END) AS has_post
+  FROM orders WHERE o_custkey IS NOT NULL
+  GROUP BY 1
+), units AS (
+  SELECT x, y,
+         (('0x' || substr(md5(u::VARCHAR || ':cuped'), 1, 15))::BIGINT % 2) AS arm
+  FROM per_unit WHERE has_post = 1
+), m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM units
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_a, CAST(sum(x) AS BIGINT) AS sx_a,
+         CAST(sum(y) AS BIGINT) AS sy_a
+  FROM units WHERE arm = 0
+), b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_b, CAST(sum(x) AS BIGINT) AS sx_b,
+         CAST(sum(y) AS BIGINT) AS sy_b
+  FROM units WHERE arm = 1
+), d AS (
+  SELECT n_a, n_b,
+         n * sxy - sx * sy AS cov_n2,
+         n * sxx - sx * sx AS varx_n2,
+         n * syy - sy * sy AS vary_n2,
+         sy_a / n_a - sy_b / n_b AS raw_diff,
+         sx_a / n_a - sx_b / n_b AS pre_diff
+  FROM m, a, b
+)
+SELECT n_a, n_b,
+       round(CASE WHEN varx_n2 > 0 THEN cov_n2 / varx_n2 ELSE 0.0 END, 6) AS theta,
+       round(raw_diff, 6) AS raw_diff,
+       round(raw_diff - (CASE WHEN varx_n2 > 0 THEN cov_n2 / varx_n2 ELSE 0.0 END)
+                        * pre_diff, 6) AS adj_diff,
+       round(CASE WHEN varx_n2 > 0 AND vary_n2 > 0
+                  THEN 100.0 * cov_n2 * cov_n2 / (varx_n2 * vary_n2)
+                  ELSE 0.0 END, 6) AS var_reduction_pct
+FROM d"""
+
+
+def _calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability/ECE report (profile.calibration_report): the
+    quality score read as P(doc is English) against the corpus's own
+    lang label — the acceptance gate before any score is trusted as a
+    probability. Per-bin ece_term sums to the ECE."""
+    from whiterrabbit_spark.extensions import textstats as _ts
+    from whiterrabbit_spark.profile import calibration_report
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    q = _ts.quality_exprs(F.col("text"))
+    scored = docs.select(
+        q["quality_score"].alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return calibration_report(scored, "score", "label", bins=10)
+
+
+def _calibration_sql() -> str:
+    return f"""
+WITH {_quality_core_sql()}, scored AS (
+  SELECT quality_score AS score, (d.lang = 'en') AS label
+  FROM sc JOIN documents d USING (doc_id)
+  WHERE quality_score IS NOT NULL AND d.lang IS NOT NULL
+), per_bin AS (
+  SELECT CAST(least(greatest(floor(score * 10), 0), 9) AS BIGINT) AS bin,
+         count(*) AS n, avg(score) AS mean_score,
+         sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos
+  FROM scored GROUP BY 1
+)
+SELECT bin, CAST(n AS BIGINT) AS n,
+       round(mean_score, 6) AS mean_score,
+       round(n_pos / n, 6) AS pos_rate,
+       round(abs(mean_score - n_pos / n), 6) AS abs_gap,
+       round(abs(mean_score - n_pos / n) * n / (SELECT sum(n) FROM per_bin), 6)
+         AS ece_term
+FROM per_bin ORDER BY bin"""
+
+
+def _adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (graph.adamic_adar) over the sampled
+    co-purchase graph — top 20 non-adjacent part pairs most likely to
+    co-occur next, hub-discounted."""
+    from whiterrabbit_spark.extensions.graph import adamic_adar
+
+    out = adamic_adar(_copurchase_edges(spark, sf_dir), top_k=20)
+    return out.select(
+        "src", "dst", "common_neighbors",
+        F.round("aa_score", R).alias("aa_score"),
+    )
+
+
+_ADAMIC_ADAR_SQL = f"""
+WITH {_COPURCHASE_EDGES_SQL}, sym AS (
+  SELECT src, dst FROM e
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM e
+), deg AS (
+  SELECT src AS w, count(*) AS deg FROM sym GROUP BY 1
+), adj AS (
+  SELECT s.src AS w, s.dst AS n, d.deg
+  FROM sym s JOIN deg d ON s.src = d.w
+  WHERE d.deg >= 2
+), wedges AS (
+  SELECT l.n AS src, r.n AS dst, l.deg
+  FROM adj l JOIN adj r ON l.w = r.w AND l.n < r.n
+), scored AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS common_neighbors,
+         sum(1.0 / ln(deg::DOUBLE)) AS aa_score
+  FROM wedges GROUP BY 1, 2
+)
+SELECT src, dst, common_neighbors, round(aa_score, {R}) AS aa_score
+FROM scored
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = scored.src AND e.dst = scored.dst)
+ORDER BY aa_score DESC, src, dst
+LIMIT 20"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -8019,5 +8230,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("dow_outliers_events", _dow_outliers, _DOW_OUTLIERS_SQL)
     add("grouped_theil_sen_events", _grouped_theil_sen,
         _GROUPED_THEIL_SEN_SQL)
+    add("jsd_drift_orders", _jsd_drift, _jsd_sql())
+    add("cuped_orders", _cuped, _CUPED_SQL)
+    add("calibration_documents", _calibration, _calibration_sql())
+    add("adamic_adar_lineitem", _adamic_adar, _ADAMIC_ADAR_SQL)
 
     return queries, oracles
