@@ -225,6 +225,8 @@ def main() -> None:
         "cuped": queries["cuped_orders"],
         "calibration": queries["calibration_documents"],
         "adamic_adar": queries["adamic_adar_lineitem"],
+        "funnel_timing": queries["funnel_timing_events"],
+        "cms_heavy_hitters": queries["cms_heavy_hitters_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

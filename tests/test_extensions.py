@@ -3600,3 +3600,31 @@ def test_adamic_adar_max_degree_drops_hub_middles(spark):
     edges = spark.createDataFrame(star, "src long, dst long")
     assert adamic_adar(edges, top_k=100).count() == 21  # C(7,2) leaf pairs
     assert adamic_adar(edges, top_k=100, max_degree=5).count() == 0
+
+
+def test_funnel_timing_hand_case(spark):
+    """Two users complete view->click at gaps 10s and 30s; one goes on
+    to purchase 100s later: medians and counts are hand-checkable, and
+    a click BEFORE the first view must not count (greedy semantics)."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.extensions.sequences import funnel_timing
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:00:10", "click"),
+        (1, "2024-01-01 00:01:50", "purchase"),
+        (2, "2024-01-01 00:00:05", "click"),   # pre-view click: ignored
+        (2, "2024-01-01 00:01:00", "view"),
+        (2, "2024-01-01 00:01:30", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["transition"]: r for r in
+           funnel_timing(df, ["view", "click", "purchase"]).collect()}
+    vc = out["view->click"]
+    assert vc["n_converted"] == 2
+    assert abs(vc["median_s"] - 20.0) < 1e-9  # type-7 midpoint of {10, 30}
+    cp = out["click->purchase"]
+    assert cp["n_converted"] == 1 and abs(cp["median_s"] - 100.0) < 1e-9

@@ -1682,3 +1682,22 @@ def test_calibration_report_perfect_and_skewed(spark):
     out = calibration_report(bad, "score", "label", bins=10).collect()
     ece = sum(r["ece_term"] for r in out)
     assert ece > 0.85
+
+
+def test_cms_estimate_one_sided_and_tight_when_wide(spark):
+    """CMS guarantees est >= exact always; with width >> distinct the
+    probability of any collision is tiny, so the top keys read back
+    exactly. A deliberately narrow sketch must show collisions
+    (total overestimate > 0) while staying one-sided."""
+    from whiterrabbit_spark.profile import cms_estimate_report
+
+    rows = [(f"k{i % 50}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "v string")
+    wide = cms_estimate_report(df, "v", depth=4, width=4096, top_k=10).collect()
+    assert len(wide) == 10
+    assert all(r["overestimate"] == 0 for r in wide)
+    assert all(r["exact_n"] == 100 for r in wide)
+
+    narrow = cms_estimate_report(df, "v", depth=2, width=8, top_k=50).collect()
+    assert all(r["overestimate"] >= 0 for r in narrow)  # one-sided, always
+    assert sum(r["overestimate"] for r in narrow) > 0  # collisions happened

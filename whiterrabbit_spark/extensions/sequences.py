@@ -524,3 +524,52 @@ def concurrency_profile(
             .alias("peak_concurrency"),
         )
     )
+
+
+def funnel_timing(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert distribution per funnel transition: for users who
+    completed step i+1, the gap t_{i+1} − t_i under the same greedy
+    earliest-completion semantics as :func:`funnel_report` — the
+    "WHERE does the funnel stall" companion to the conversion counts.
+
+    One groupBy(user) (shared fold with funnel_completion_times), then
+    the per-user gaps melt into one |transitions|-group aggregate:
+    converted count, exact type-7 median / p90 seconds, and the mean.
+    The shuffle moves one row per user, never raw events twice.
+
+    Returns ``(transition, n_converted, median_s, p90_s, mean_s)``.
+    """
+    ct = funnel_completion_times(events, steps, user_col, ts_col, type_col)
+    entries = []
+    for i in range(len(steps) - 1):
+        gap = F.col(f"t_{steps[i + 1]}") - F.col(f"t_{steps[i]}")
+        entries.append(
+            F.when(
+                F.col(f"t_{steps[i + 1]}").isNotNull(),
+                F.struct(
+                    F.lit(f"{steps[i]}->{steps[i + 1]}").alias("transition"),
+                    gap.alias("gap_s"),
+                ),
+            )
+        )
+    melted = (
+        ct.select(F.explode(F.array(*entries)).alias("e"))
+        .where(F.col("e").isNotNull())
+        .select("e.transition", "e.gap_s")
+    )
+    return (
+        melted.groupBy("transition")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.percentile("gap_s", 0.5), 4).alias("median_s"),
+            F.round(F.percentile("gap_s", 0.9), 4).alias("p90_s"),
+            F.round(F.avg("gap_s"), 4).alias("mean_s"),
+        )
+        .orderBy("transition")
+    )

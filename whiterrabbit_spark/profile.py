@@ -4234,3 +4234,76 @@ def calibration_report(
         )
         .orderBy("bin")
     )
+
+
+def cms_estimate_report(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 10,
+) -> DataFrame:
+    """Count-min-sketch accuracy report: build a d×w CMS over a column
+    (md5-derived row hashes, so the sketch is reproducible in any
+    engine), then read back the exact top-``top_k`` keys through it —
+    estimate, truth, and the one-sided overestimate the CMS guarantees
+    (est ≥ exact always; E[err] ≤ 2n/w per row). The accept/size gate
+    before replacing an exact groupBy with the O(d·w)-memory sketch in
+    a streaming or merge-heavy pipeline.
+
+    The counters fold off the per-value count frame (one groupBy on the
+    column — the same shuffle the exact answer needs), exploded d ways
+    into an O(d·w)-row table; a per-row build would stream the same
+    increments and merge by addition, which is the property being
+    certified. Probe keys join the counter table on (row, bucket) and
+    take the min — broadcast-sized at every dial.
+
+    Returns ``(value, exact_n, cms_n, overestimate)``, exact integers.
+    """
+    v = F.col(col).cast("string")
+    per_value = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("value"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+
+    def bucket(j: int) -> Column:
+        h = F.md5(F.concat(F.col("value"), F.lit(f":cms:{j}")))
+        return (
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % width
+        ).cast("int")
+
+    rows = per_value.select(
+        "value",
+        "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                for j in range(depth)
+            ])
+        ).alias("e"),
+    ).select("value", "exact_n", "e.j", "e.b")
+    counters = rows.groupBy("j", "b").agg(F.sum("exact_n").alias("counter"))
+    probes = per_value.orderBy(F.col("exact_n").desc(), "value").limit(top_k)
+    probe_rows = probes.select(
+        "value",
+        "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                for j in range(depth)
+            ])
+        ).alias("e"),
+    ).select("value", "exact_n", "e.j", "e.b")
+    return (
+        probe_rows.join(counters, ["j", "b"])
+        .groupBy("value", "exact_n")
+        .agg(F.min("counter").alias("cms_n"))
+        .select(
+            "value",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_n").desc(), "value")
+    )
