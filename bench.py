@@ -227,6 +227,8 @@ def main() -> None:
         "adamic_adar": queries["adamic_adar_lineitem"],
         "funnel_timing": queries["funnel_timing_events"],
         "cms_heavy_hitters": queries["cms_heavy_hitters_events"],
+        "kruskal_wallis": queries["kruskal_wallis_lineitem"],
+        "levene": queries["levene_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -1701,3 +1701,55 @@ def test_cms_estimate_one_sided_and_tight_when_wide(spark):
     narrow = cms_estimate_report(df, "v", depth=2, width=8, top_k=50).collect()
     assert all(r["overestimate"] >= 0 for r in narrow)  # one-sided, always
     assert sum(r["overestimate"] for r in narrow) > 0  # collisions happened
+
+
+def test_kruskal_wallis_hand_case(spark):
+    """A=[1,2,3], B=[4,5,6]: ranks 1..6, R_A=6, R_B=15 ->
+    H = 12/42·(12+75) − 21 = 27/7; no ties so h_adj == h."""
+    from whiterrabbit_spark.profile import kruskal_wallis
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "a"),
+         (4.0, "b"), (5.0, "b"), (6.0, "b")],
+        "v double, g string",
+    )
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    assert r["n"] == 6 and r["k"] == 2
+    assert abs(r["h"] - 27.0 / 7.0) < 1e-6  # output rounds at 6dp
+    assert abs(r["h_adj"] - r["h"]) < 1e-6
+    assert abs(r["epsilon_sq"] - (27.0 / 7.0 - 1.0) / 4.0) < 1e-6
+
+
+def test_kruskal_wallis_null_under_identical_groups(spark):
+    """Interleaved identical distributions: H ~ 0 (ranks split evenly)."""
+    from whiterrabbit_spark.profile import kruskal_wallis
+
+    rows = [(float(i), "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = kruskal_wallis(df, "v", "g").collect()[0]
+    assert abs(r["h"]) < 0.2
+
+
+def test_levene_hand_case_and_null(spark):
+    """A=[1,2,3] vs B=[10,20,30]: medians 2/20, centered |z| gives
+    SSB=54, SSW=67.333 -> F = 54/(67.333/4) ~ 3.20792; equal-spread
+    groups give F ~ 0."""
+    from whiterrabbit_spark.profile import levene_test
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "a"),
+         (10.0, "b"), (20.0, "b"), (30.0, "b")],
+        "v double, g string",
+    )
+    r = levene_test(df, "v", "g").collect()[0]
+    assert r["n"] == 6 and r["k"] == 2
+    assert r["df_between"] == 1 and r["df_within"] == 4
+    assert abs(r["f_stat"] - 54.0 / (67.0 + 1.0 / 3.0) * 4.0) < 1e-4
+
+    same = spark.createDataFrame(
+        [(float(i % 10), "a") for i in range(100)]
+        + [(float(i % 10) + 100.0, "b") for i in range(100)],  # shifted, same spread
+        "v double, g string",
+    )
+    r = levene_test(same, "v", "g").collect()[0]
+    assert abs(r["f_stat"]) < 1e-9  # location shift is invisible to spread

@@ -195,7 +195,10 @@ def adamic_adar(
 
     Returns ``(src, dst, common_neighbors, aa_score)``.
     """
-    e = edges.select("src", "dst").distinct()
+    # the edge frame is typically an induced self-join (co-purchase etc.)
+    # and feeds FOUR consumers here (degrees, both wedge legs, the anti
+    # join) — persist it once instead of re-running the induction per leg
+    e = edges.select("src", "dst").distinct().persist()
     sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
                      .select(F.col("src"), F.col("dst")))
     deg = sym.groupBy(F.col("src").alias("w")).agg(

@@ -4307,3 +4307,137 @@ def cms_estimate_report(
         )
         .orderBy(F.col("exact_n").desc(), "value")
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_partitions: int | None = None,
+    max_single_reducer: int = 4_000_000,
+) -> DataFrame:
+    """Kruskal–Wallis rank test across k groups — the k-sample
+    generalization of :func:`mann_whitney_u`: does at least one segment
+    differ in location, with no normality assumption. Same
+    histogram-rank discipline: ranks come from the VALUE histogram
+    (|distinct| rows), the exclusive prefix switches to the bucketed
+    distributed form above ``max_single_reducer`` distincts, and
+    average tie ranks fall out of the histogram for free.
+
+    Tie-corrected: H_adj = H / (1 − Σ(t³−t)/(N³−N)); the effect size
+    epsilon² = (H − k + 1)/(N − k) makes the statistic comparable
+    across SFs (raw H grows with N).
+
+    Returns one row ``(n, k, h, h_adj, epsilon_sq)``.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(g.isNotNull() & v.isNotNull()).select(
+        v.alias("v"), g.cast("string").alias("g")
+    )
+    cells = base.groupBy("v", "g").agg(F.count(F.lit(1)).alias("n_vg"))
+    hist = cells.groupBy("v").agg(F.sum("n_vg").alias("n"))
+    if _approx_distinct(base, "v") <= max_single_reducer:
+        w_bef = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        hist = hist.withColumn(
+            "before", F.coalesce(F.sum("n").over(w_bef), F.lit(0))
+        )
+    else:
+        spark = df.sparkSession
+        n_parts = n_partitions or spark.sparkContext.defaultParallelism
+        hist = _hist_exclusive_prefix(hist, "v", "n", n_parts)
+    avg_rank = F.col("before") + (F.col("n") + 1) / 2.0
+    ranked = cells.join(hist.select("v", "n", "before"), "v")
+    per_group = ranked.groupBy("g").agg(
+        F.sum("n_vg").alias("n_g"),
+        F.sum(avg_rank * F.col("n_vg")).alias("rank_sum"),
+    )
+    ties = hist.agg(
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n")).alias("tie_sum")
+    )
+    nn = F.col("n_tot").cast("double")
+    h = (
+        12.0 / (nn * (nn + 1.0))
+        * F.col("rsq_over_n")
+        - 3.0 * (nn + 1.0)
+    )
+    corr = 1.0 - F.col("tie_sum").cast("double") / (nn * nn * nn - nn)
+    h_adj = F.when(corr > 0, h / corr)
+    eps = F.when(
+        F.col("n_tot") > F.col("k"),
+        (h - F.col("k").cast("double") + 1.0)
+        / (F.col("n_tot") - F.col("k")).cast("double"),
+    )
+    return (
+        per_group.agg(
+            F.sum("n_g").alias("n_tot"),
+            F.count(F.lit(1)).alias("k"),
+            F.sum(
+                F.col("rank_sum") * F.col("rank_sum") / F.col("n_g").cast("double")
+            ).alias("rsq_over_n"),
+        )
+        .join(F.broadcast(ties))
+        .select(
+            F.col("n_tot").alias("n"),
+            "k",
+            F.round(h, 6).alias("h"),
+            F.round(h_adj, 6).alias("h_adj"),
+            F.round(eps, 6).alias("epsilon_sq"),
+        )
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Brown–Forsythe/Levene variance-homogeneity test: one-way ANOVA F
+    on |x − median_g| — "do segments differ in SPREAD", the
+    precondition check behind pooled-variance tests and a drift signal
+    location tests miss (median-centered = the outlier-robust
+    Brown–Forsythe form). Per-group medians are exact type-7
+    percentiles on the k-row aggregate; the F folds out of per-group
+    moment sums of the centered values (SSB/SSW via Σz, Σz²) — two
+    shuffles on the group key and one broadcast join, no window.
+
+    Returns one row ``(n, k, f_stat, df_between, df_within)``.
+    """
+    v = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(g.isNotNull() & v.isNotNull()).select(
+        v.alias("v"), g.cast("string").alias("g")
+    )
+    med = base.groupBy("g").agg(F.percentile("v", 0.5).alias("med"))
+    z = F.abs(F.col("v") - F.col("med"))
+    per_group = (
+        base.join(F.broadcast(med), "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(z).alias("sz"),
+            F.sum(z * z).alias("szz"),
+        )
+    )
+    # SSW = Σ_g (Σz² − (Σz)²/n_g); SSB = Σ_g (Σz)²/n_g − (ΣΣz)²/N
+    tot = per_group.agg(
+        F.sum("n_g").alias("n_tot"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sz").alias("sz_all"),
+        F.sum(F.col("szz") - F.col("sz") * F.col("sz") / F.col("n_g")).alias("ssw"),
+        F.sum(F.col("sz") * F.col("sz") / F.col("n_g")).alias("sb_part"),
+    )
+    ssb = F.col("sb_part") - F.col("sz_all") * F.col("sz_all") / F.col("n_tot")
+    df_b = (F.col("k") - 1).cast("long")
+    df_w = (F.col("n_tot") - F.col("k")).cast("long")
+    f_stat = F.when(
+        (df_b > 0) & (df_w > 0) & (F.col("ssw") > 0),
+        (ssb / df_b.cast("double")) / (F.col("ssw") / df_w.cast("double")),
+    )
+    return tot.select(
+        F.col("n_tot").alias("n"),
+        "k",
+        F.round(f_stat, 6).alias("f_stat"),
+        df_b.alias("df_between"),
+        df_w.alias("df_within"),
+    )
