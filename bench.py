@@ -229,6 +229,9 @@ def main() -> None:
         "cms_heavy_hitters": queries["cms_heavy_hitters_events"],
         "kruskal_wallis": queries["kruskal_wallis_lineitem"],
         "levene": queries["levene_lineitem"],
+        "interarrival": queries["interarrival_events"],
+        "bot_score": queries["bot_score_events"],
+        "heaps_law": queries["heaps_law_documents"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -3628,3 +3628,29 @@ def test_funnel_timing_hand_case(spark):
     assert abs(vc["median_s"] - 20.0) < 1e-9  # type-7 midpoint of {10, 30}
     cp = out["click->purchase"]
     assert cp["n_converted"] == 1 and abs(cp["median_s"] - 100.0) < 1e-9
+
+
+def test_heaps_law_monotone_and_saturating_vocab(spark):
+    """A corpus repeating the same 5 tokens saturates: vocab hits 5 at
+    the first checkpoint and stays, so beta ~ 0. A corpus of all-unique
+    tokens grows linearly: beta ~ 1."""
+    from whiterrabbit_spark.extensions.textstats import heaps_law
+
+    rep = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(100)], "doc_id long, text string"
+    )
+    out = heaps_law(rep, "doc_id", "text", n_checkpoints=5).collect()
+    assert [r["checkpoint"] for r in out] == [1, 2, 3, 4, 5]
+    assert all(r["vocab_size"] == 5 for r in out)
+    toks = [r["cum_tokens"] for r in out]
+    assert toks == sorted(toks) and toks[-1] == 500
+    assert abs(out[0]["heaps_beta"]) < 0.05
+
+    uniq = spark.createDataFrame(
+        [(i, f"w{4 * i} w{4 * i + 1} w{4 * i + 2} w{4 * i + 3}")
+         for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = heaps_law(uniq, "doc_id", "text", n_checkpoints=5).collect()
+    assert all(r["vocab_size"] == r["cum_tokens"] for r in out)
+    assert abs(out[0]["heaps_beta"] - 1.0) < 1e-6

@@ -1753,3 +1753,58 @@ def test_levene_hand_case_and_null(spark):
     )
     r = levene_test(same, "v", "g").collect()[0]
     assert abs(r["f_stat"]) < 1e-9  # location shift is invisible to spread
+
+
+def test_interarrival_profile_hand_case(spark):
+    """One user, one type, events at 0/10/40s -> gaps {10, 30}:
+    mean 20, median 20 (type-7 midpoint), lambda 0.05. A second type
+    with a single event contributes no gap."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import interarrival_profile
+
+    rows = [
+        (1, 7, "click", "2024-01-01 00:00:00"),
+        (2, 7, "click", "2024-01-01 00:00:10"),
+        (3, 7, "click", "2024-01-01 00:00:40"),
+        (4, 7, "view", "2024-01-01 00:00:05"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_type"]: r for r in interarrival_profile(
+        df, "user_id", "event_type", "ts", "event_id").collect()}
+    assert set(out) == {"click"}
+    c = out["click"]
+    assert c["n_gaps"] == 2 and abs(c["mean_s"] - 20.0) < 1e-9
+    assert abs(c["median_s"] - 20.0) < 1e-9
+    assert abs(c["lambda_hz"] - 0.05) < 1e-9
+
+
+def test_bot_score_flags_monotone_fast_user(spark):
+    """A user firing one event type at 1 Hz tops the rate ranking with
+    zero entropy; a slow mixed-type user scores high entropy."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import bot_score_report
+
+    rows = []
+    for i in range(100):  # bot: 1 event/s, single type
+        rows.append((1, "click", f"2024-01-01 00:00:{i % 60:02d}"))
+    # spread the bot over 100s properly
+    rows = [(1, "click",
+             f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}") for i in range(100)]
+    for i in range(4):  # human: 4 events over a day, mixed types
+        rows.append((2, ["view", "click", "purchase", "error"][i],
+                     f"2024-01-01 {6 * i:02d}:30:00"))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = bot_score_report(df, "user_id", "event_type", "ts", top_k=5).collect()
+    assert out[0]["user_id"] == 1
+    assert out[0]["events_per_hour"] > 3000
+    assert out[0]["type_entropy"] == 0.0 and out[0]["n_types"] == 1
+    human = [r for r in out if r["user_id"] == 2][0]
+    assert abs(human["type_entropy"] - math.log(4)) < 1e-6

@@ -12,6 +12,8 @@ RE2 (DuckDB) so the oracle recomputes them identically.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -941,4 +943,99 @@ def term_burstiness(
             F.when(mean > 0, var / mean).alias("vmr"),
         )
         .orderBy(F.col("total_count").desc(), "term")
+    )
+
+
+def heaps_law(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve + fitted exponent: vocabulary
+    size V as a function of corpus token count T at ``n_checkpoints``
+    prefixes of the corpus (in ``id_col`` order), with the log-log OLS
+    fit V ≈ K·T^β — the tokenizer-vocabulary sizing curve ("how much
+    new vocab does the next 10× of data bring"). β ≈ 0.4–0.6 for
+    natural text; β → 1 flags ID-like/noise tokens inflating the vocab.
+
+    A sequential scan is the textbook formulation; the distributed one
+    used here needs no order at all: a token first enters the
+    vocabulary at min(doc id), so V(d) = |{tokens: min_id ≤ d}| and
+    T(d) = Σ_{id ≤ d} tokens(doc) — both plain aggregations over the
+    token frame, evaluated at all checkpoints via one conditional-sum
+    fold each (no per-checkpoint rescan, no global sort). Checkpoints
+    are id-range fractions: ``cp_i = min_id + ceil(i/n · (max_id −
+    min_id))``.
+
+    Returns ``(checkpoint, cutoff_id, cum_tokens, vocab_size,
+    heaps_beta, heaps_log_k)`` — the fit columns repeat per row (they
+    describe the whole curve).
+    """
+    base = df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+    tok = base.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).where(F.col("__t") != "")
+    bounds = base.agg(
+        F.min(F.col(id_col)).alias("__lo"), F.max(F.col(id_col)).alias("__hi")
+    ).collect()[0]
+    lo, hi = bounds["__lo"], bounds["__hi"]
+    cps = [
+        (i + 1, int(lo + math.ceil((i + 1) * (hi - lo) / n_checkpoints)))
+        for i in range(n_checkpoints)
+    ]
+    first = tok.groupBy("__t").agg(F.min("__id").alias("__first"))
+    vocab = first.agg(
+        *[
+            F.sum((F.col("__first") <= cut).cast("long")).alias(f"v{i}")
+            for i, cut in cps
+        ]
+    )
+    toks = tok.agg(
+        *[
+            F.sum((F.col("__id") <= cut).cast("long")).alias(f"t{i}")
+            for i, cut in cps
+        ]
+    )
+    rows = vocab.crossJoin(toks).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("checkpoint"),
+                    F.lit(cut).cast("long").alias("cutoff_id"),
+                    F.col(f"t{i}").alias("cum_tokens"),
+                    F.col(f"v{i}").alias("vocab_size"),
+                )
+                for i, cut in cps
+            ])
+        ).alias("e")
+    ).select("e.*")
+    # log-log OLS over the n_checkpoints curve points (a broadcast-sized
+    # frame): beta = cov(ln T, ln V)/var(ln T)
+    pts = rows.where((F.col("cum_tokens") > 0) & (F.col("vocab_size") > 0))
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.log("cum_tokens")).alias("sx"),
+        F.sum(F.log("vocab_size")).alias("sy"),
+        F.sum(F.log("cum_tokens") * F.log("vocab_size")).alias("sxy"),
+        F.sum(F.log("cum_tokens") * F.log("cum_tokens")).alias("sxx"),
+    )
+    beta = F.when(
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx") > 0,
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+    )
+    log_k = (F.col("sy") - beta * F.col("sx")) / F.col("m")
+    return (
+        rows.crossJoin(F.broadcast(fit))
+        .select(
+            "checkpoint",
+            "cutoff_id",
+            "cum_tokens",
+            "vocab_size",
+            F.round(beta, 6).alias("heaps_beta"),
+            F.round(log_k, 6).alias("heaps_log_k"),
+        )
+        .orderBy("checkpoint")
     )

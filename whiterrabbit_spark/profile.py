@@ -4441,3 +4441,111 @@ def levene_test(
         df_b.alias("df_between"),
         df_w.alias("df_within"),
     )
+
+
+def interarrival_profile(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Inter-arrival-time profile per event type: the distribution of
+    gaps between a user's consecutive events of the same type — the
+    raw material for rate limits, retry detection, and hazard-style
+    "when does the next one come" models. Exponential-fit λ = 1/mean
+    comes with the exact type-7 median and p90 so the fit's honesty is
+    visible (for a true exponential, median ≈ 0.693/λ).
+
+    The lag window partitions on (user, type) — cardinality scales
+    with users, so no reducer ever sees more than one user's stream;
+    ``id_col`` breaks timestamp ties deterministically (tied stamps
+    produce the same 0-gap set under any tie order, but the oracle
+    comparison wants one canonical order).
+
+    Returns ``(event_type, n_gaps, mean_s, median_s, p90_s, lambda_hz)``.
+    """
+    w = Window.partitionBy(user_col, type_col).orderBy(ts_col, id_col)
+    ep = F.col(ts_col).cast("timestamp").cast("double")
+    gaps = (
+        df.where(
+            F.col(user_col).isNotNull()
+            & F.col(type_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
+        .withColumn("__gap", ep - F.lag(ep).over(w))
+        .where(F.col("__gap").isNotNull())
+    )
+    return (
+        gaps.groupBy(F.col(type_col).alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("__gap"), 4).alias("mean_s"),
+            F.round(F.percentile("__gap", 0.5), 4).alias("median_s"),
+            F.round(F.percentile("__gap", 0.9), 4).alias("p90_s"),
+            F.round(1.0 / F.avg("__gap"), 8).alias("lambda_hz"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def bot_score_report(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Behavioral bot screen: per user, the sustained event rate, the
+    event-type entropy (bots repeat one action; humans mix), and the
+    activity span — surfaced for the top-``top_k`` highest-rate users.
+    The spam/abuse triage every analytics pipeline runs before trusting
+    engagement counts, and data curation runs before training on user
+    traces.
+
+    One groupBy(user) computes count/span and the per-type counts fold
+    into an entropy via a map_from/aggregate-free second groupBy on
+    (user, type) — two shuffles on user-scaled keys, top-k is a
+    TakeOrderedAndProject.
+
+    Returns ``(user_id, n_events, span_s, events_per_hour,
+    type_entropy, n_types)`` ordered rate DESC.
+    """
+    ep = F.col(ts_col).cast("timestamp").cast("double")
+    base = df.where(
+        F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    )
+    per_type = base.groupBy(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).agg(F.count(F.lit(1)).alias("n_t"))
+    tot_w = Window.partitionBy("u")
+    probs = per_type.withColumn(
+        "__p", F.col("n_t") / F.sum("n_t").over(tot_w)
+    )
+    ent = probs.groupBy("u").agg(
+        F.round(-F.sum(F.col("__p") * F.log("__p")), 6).alias("type_entropy"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    spans = base.groupBy(F.col(user_col).alias("u")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(ep) - F.min(ep)).alias("span_s"),
+    )
+    rate = F.when(
+        F.col("span_s") > 0,
+        F.col("n_events") * 3600.0 / F.col("span_s"),
+    )
+    return (
+        spans.join(ent, "u")
+        .select(
+            F.col("u").alias("user_id"),
+            "n_events",
+            F.round("span_s", 4).alias("span_s"),
+            F.round(rate, 6).alias("events_per_hour"),
+            "type_entropy",
+            "n_types",
+        )
+        .orderBy(F.col("events_per_hour").desc(), "user_id")
+        .limit(top_k)
+    )
