@@ -232,6 +232,8 @@ def main() -> None:
         "interarrival": queries["interarrival_events"],
         "bot_score": queries["bot_score_events"],
         "heaps_law": queries["heaps_law_documents"],
+        "bm25_search": queries["bm25_search_documents"],
+        "hard_negatives": queries["hard_negatives_embeddings"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -3654,3 +3654,54 @@ def test_heaps_law_monotone_and_saturating_vocab(spark):
     out = heaps_law(uniq, "doc_id", "text", n_checkpoints=5).collect()
     assert all(r["vocab_size"] == r["cum_tokens"] for r in out)
     assert abs(out[0]["heaps_beta"] - 1.0) < 1e-6
+
+
+def test_bm25_ranks_term_dense_short_docs_first(spark):
+    """Three docs: one stuffed with the query term, one mentioning it
+    once in a long document, one without it. BM25 must rank the dense
+    doc first and exclude the no-hit doc entirely; a two-term query
+    rewards the doc hitting both terms (idf sums)."""
+    from whiterrabbit_spark.extensions.textstats import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash hash join"),
+            (2, "the long document mentions hash once " + "filler " * 50),
+            (3, "nothing relevant here at all"),
+            (4, "join stream join stream"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, "doc_id", "text", ["hash", "join"], top_k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids
+    assert ids[0] == 1  # both terms, high tf, short doc
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_terms_hit"] == 2
+    assert by_id[2]["n_terms_hit"] == 1
+    assert by_id[1]["score"] > by_id[2]["score"]
+
+
+def test_hard_negatives_cross_label_only_and_ordered(spark):
+    """Planted geometry: two near-identical vectors with DIFFERENT
+    labels must top the list; a same-label identical pair must not
+    appear at all."""
+    from whiterrabbit_spark.extensions.similarity import hard_negative_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.04, 0.0, 0.0], 1),   # near-dup of 1, other label
+        (3, [1.0, 0.0, 0.0, 0.0], 0),      # identical to 1, SAME label
+        (4, [0.0, 1.0, 0.0, 0.0], 1),      # orthogonal to 1
+        (5, [0.6, 0.6, 0.3, 0.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negative_pairs(df, floor=0.3, top_k=10, n_blocks=2).collect()
+    pairs = [(r["id1"], r["id2"]) for r in out]
+    assert (1, 3) not in pairs  # same label — not a negative
+    assert pairs[0] == (1, 2)   # the planted confusable pair wins
+    assert all(r["label1"] != r["label2"] for r in out)
+    scores = [r["cosine"] for r in out]
+    assert scores == sorted(scores, reverse=True)

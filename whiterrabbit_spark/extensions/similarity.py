@@ -1307,3 +1307,51 @@ def embedding_drift(
         ).alias("centroid_shift"),
         F.round(F.sum("va") / F.sum("vb"), 6).alias("var_ratio"),
     )
+
+
+def hard_negative_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    floor: float = 0.3,
+    top_k: int = 20,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: the
+    cross-label pairs with the HIGHEST cosine — the confusable examples
+    a triplet/InfoNCE sampler should feed instead of random negatives.
+    Candidate generation is the blocked-GEMM scorer with ``floor`` as
+    the margin cutoff (nothing below the floor can be a hard negative
+    by definition, and the floor is what bounds emission at corpus
+    scale — swap in the hyperplane-LSH candidates above ~1e5 vectors,
+    same as the near-dup family). Labels join back on id; the top-k
+    orders on the 6-dp-rounded cosine (ties by ids) so BLAS-vs-fold
+    float noise cannot reorder the cut.
+
+    Returns ``(id1, id2, label1, label2, cosine)``.
+    """
+    pairs = cosine_near_pairs_blocked(
+        df, floor, vec_col=vec_col, id_col=id_col, n_blocks=n_blocks
+    )
+    labels = df.select(
+        F.col(id_col).alias("__lid"),
+        F.col(label_col).cast("long").alias("__lbl"),
+    )
+    l1 = labels.select(
+        F.col("__lid").alias("id1"), F.col("__lbl").alias("label1")
+    )
+    l2 = labels.select(
+        F.col("__lid").alias("id2"), F.col("__lbl").alias("label2")
+    )
+    return (
+        pairs.join(l1, "id1")
+        .join(l2, "id2")
+        .where(F.col("label1") != F.col("label2"))
+        .select(
+            "id1", "id2", "label1", "label2",
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "id1", "id2")
+        .limit(top_k)
+    )

@@ -1039,3 +1039,70 @@ def heaps_law(
         )
         .orderBy("checkpoint")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval for one query over the corpus — the
+    lexical-search baseline every retrieval stack (and every RAG
+    pipeline) is measured against. Okapi weighting with the robust
+    idf = ln(1 + (N − df + ½)/(df + ½)).
+
+    Plan shape: the term filter lands BEFORE the token groupBy, so the
+    only frame that shuffles is (doc, query-term) term frequencies —
+    corpus tokens that never match the query die map-side. Document
+    length is a map-side expression on the text column (no second
+    explode), N/avgdl is a one-row broadcast, per-term df is a
+    |query|-row broadcast. Top-k is a TakeOrderedAndProject on the
+    6-dp-rounded score (ties broken by id), so the ranking is
+    engine-reproducible.
+
+    Returns ``(doc_id, score, n_terms_hit)``.
+    """
+    terms = sorted(set(query_terms))
+    base = df.where(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        token_count(F.col(text_col)).cast("long").alias("__dl"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("__dl").alias("avgdl"),
+    )
+    tf = (
+        base.select(
+            "__id", "__dl", F.explode(tokens(F.col("__text"))).alias("__t")
+        )
+        .where(F.col("__t").isin(terms))
+        .groupBy("__id", "__dl", "__t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    score_t = idf * F.col("tf") * (k1 + 1.0) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("__dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dft), "__t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(F.col("__id").alias("doc_id"))
+        .agg(
+            F.round(F.sum(score_t), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(top_k)
+    )

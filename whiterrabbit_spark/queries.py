@@ -8179,6 +8179,82 @@ FROM pts, fit
 ORDER BY checkpoint"""
 
 
+BM25_QUERY = ["hash", "join", "stream"]
+
+
+def _bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (textstats.bm25_topk) for the fixed query
+    'hash join stream' — the lexical-search / RAG-retrieval baseline;
+    the query-term filter lands before the token groupBy."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return ts.bm25_topk(docs, "doc_id", "text", BM25_QUERY, top_k=10)
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY)))
+    return rf"""
+WITH base AS (
+  SELECT doc_id AS id,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+          END)::BIGINT AS dl,
+         text
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM base
+), tf AS (
+  SELECT id, dl, t, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT id, dl,
+           unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+    FROM base
+  ) x
+  WHERE t IN ({terms})
+  GROUP BY id, dl, t
+), dft AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY t
+)
+SELECT id AS doc_id,
+       round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                 * tf * CAST(2.2 AS DOUBLE)
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM tf JOIN dft USING (t), stats
+GROUP BY id
+ORDER BY score DESC, doc_id
+LIMIT 10"""
+
+
+HARD_NEG_FLOOR = 0.3
+
+
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negative_pairs): top-20
+    cross-label highest-cosine pairs — the confusable examples a
+    contrastive sampler should feed. Blocked-GEMM candidates with the
+    margin floor; LSH is the documented swap above ~1e5 vectors."""
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return sim.hard_negative_pairs(emb, floor=HARD_NEG_FLOOR, top_k=20)
+
+
+_HARD_NEG_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+), s AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         CAST(a.label AS BIGINT) AS label1, CAST(b.label AS BIGINT) AS label2,
+         list_dot_product(a.e, b.e) /
+         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.label <> b.label
+)
+SELECT id1, id2, label1, label2, round(cosine, 6) AS cosine
+FROM s WHERE cosine >= {HARD_NEG_FLOOR}
+ORDER BY round(cosine, 6) DESC, id1, id2
+LIMIT 20"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -8515,5 +8591,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("interarrival_events", _interarrival, _INTERARRIVAL_SQL)
     add("bot_score_events", _bot_score, _BOT_SCORE_SQL)
     add("heaps_law_documents", _heaps, _HEAPS_SQL)
+    add("bm25_search_documents", _bm25, _bm25_sql())
+    add("hard_negatives_embeddings", _hard_negatives, _HARD_NEG_SQL)
 
     return queries, oracles
