@@ -234,6 +234,8 @@ def main() -> None:
         "heaps_law": queries["heaps_law_documents"],
         "bm25_search": queries["bm25_search_documents"],
         "hard_negatives": queries["hard_negatives_embeddings"],
+        "rrf_hybrid": queries["rrf_hybrid_documents"],
+        "simpson": queries["simpson_orders"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

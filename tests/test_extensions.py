@@ -3705,3 +3705,28 @@ def test_hard_negatives_cross_label_only_and_ordered(spark):
     assert all(r["label1"] != r["label2"] for r in out)
     scores = [r["cosine"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_rewards_presence_in_both_lists(spark):
+    """rrf_hybrid at sf0.001: a doc ranked in BOTH lists must outscore
+    any doc present in only one (1/(60+r) of a single list is bounded
+    by 1/61 < 2/110), and the fused score must equal the hand formula."""
+    from tests.conftest import SF_DIR
+    from whiterrabbit_spark.queries import build_registry
+
+    queries, _ = build_registry()
+    out = queries["rrf_hybrid_documents"](spark, SF_DIR).collect()
+    assert len(out) == 10
+    for r in out:
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            expect += 1.0 / (60 + r["sem_rank"])
+        assert abs(r["rrf_score"] - expect) < 1e-6
+    both = [r for r in out if r["lex_rank"] and r["sem_rank"]]
+    only = [r for r in out if (r["lex_rank"] is None) != (r["sem_rank"] is None)]
+    if both and only:
+        assert max(r["rrf_score"] for r in both) > max(
+            r["rrf_score"] for r in only
+        ) or both[0]["rrf_score"] >= only[0]["rrf_score"]

@@ -1808,3 +1808,29 @@ def test_bot_score_flags_monotone_fast_user(spark):
     assert out[0]["type_entropy"] == 0.0 and out[0]["n_types"] == 1
     human = [r for r in out if r["user_id"] == 2][0]
     assert abs(human["type_entropy"] - math.log(4)) < 1e-6
+
+
+def test_simpson_detects_planted_paradox(spark):
+    """Classic planted paradox: treatment helps inside BOTH segments
+    but the treated arm concentrates in the hard segment, so the
+    pooled gap flips negative — every segment must carry
+    sign_flipped=True."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import simpson_check
+
+    rows = []
+    # easy segment: control-heavy; treated 90/100 vs control 800/1000
+    rows += [("easy", 1, 1)] * 90 + [("easy", 1, 0)] * 10
+    rows += [("easy", 0, 1)] * 800 + [("easy", 0, 0)] * 200
+    # hard segment: treated-heavy; treated 300/1000 vs control 10/100
+    rows += [("hard", 1, 1)] * 300 + [("hard", 1, 0)] * 700
+    rows += [("hard", 0, 1)] * 10 + [("hard", 0, 0)] * 90
+    df = spark.createDataFrame(rows, "seg string, x int, y int")
+    out = simpson_check(
+        df, F.col("x") == 1, F.col("y") == 1, "seg"
+    ).collect()
+    by = {r["segment"]: r for r in out}
+    assert by["easy"]["diff"] > 0 and by["hard"]["diff"] > 0
+    assert by["easy"]["pooled_diff"] < 0  # the paradox
+    assert all(r["sign_flipped"] for r in out)

@@ -1355,3 +1355,32 @@ def hard_negative_pairs(
         .orderBy(F.col("cosine").desc(), "id1", "id2")
         .limit(top_k)
     )
+
+
+def embedding_query_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine top-k against ONE query vector: the query broadcasts as a
+    literal array, the dot product folds map-side (zip_with +
+    aggregate), and the top-k is a TakeOrderedAndProject on the
+    6-dp-rounded score — a one-scan, shuffle-free-until-the-heap scoring
+    pass. The single-query sibling of :func:`cosine_topk`.
+
+    Returns ``(id, cosine)`` ordered score DESC, id ASC.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = _to_double(F.col(vec_col))
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    return (
+        df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "id")
+        .limit(k)
+    )

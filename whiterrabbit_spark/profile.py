@@ -4549,3 +4549,65 @@ def bot_score_report(
         .orderBy(F.col("events_per_hour").desc(), "user_id")
         .limit(top_k)
     )
+
+
+def simpson_check(
+    df: DataFrame,
+    x_cond: Column,
+    y_cond: Column,
+    seg_col: str | Column,
+) -> DataFrame:
+    """Simpson's-paradox screen: the treated-vs-control outcome gap per
+    segment, next to the pooled gap — flagging segments whose effect
+    SIGN disagrees with the pooled readout (the aggregation artifact
+    that turns "helps every cohort" into "hurts overall" when cohort
+    mix differs between arms). The mandatory sanity pass before acting
+    on any pooled rate comparison.
+
+    Everything is a ratio of exact integer counts: one groupBy(segment)
+    plus a one-row pooled broadcast — two aggregate jobs over a single
+    scan-shaped projection, no window, no join on rows.
+
+    Returns per segment: ``(segment, n, rate_treated, rate_control,
+    diff, pooled_diff, sign_flipped)``.
+    """
+    seg = F.col(seg_col) if isinstance(seg_col, str) else seg_col
+    base = df.select(
+        seg.cast("string").alias("segment"),
+        x_cond.cast("int").alias("__x"),
+        y_cond.cast("int").alias("__y"),
+    ).where(F.col("segment").isNotNull())
+
+    def rates(grouped):
+        n1 = F.sum("__x")
+        y1 = F.sum(F.col("__x") * F.col("__y"))
+        n0 = F.sum(1 - F.col("__x"))
+        y0 = F.sum((1 - F.col("__x")) * F.col("__y"))
+        return grouped.agg(
+            F.count(F.lit(1)).alias("n"),
+            n1.alias("n1"), y1.alias("y1"),
+            n0.alias("n0"), y0.alias("y0"),
+        )
+
+    rt = F.when(F.col("n1") > 0, F.col("y1") / F.col("n1"))
+    rc = F.when(F.col("n0") > 0, F.col("y0") / F.col("n0"))
+    per_seg = rates(base.groupBy("segment")).select(
+        "segment", "n",
+        F.round(rt, 6).alias("rate_treated"),
+        F.round(rc, 6).alias("rate_control"),
+        F.round(rt - rc, 6).alias("diff"),
+    )
+    pooled = rates(base.groupBy()).select(
+        F.round(rt - rc, 6).alias("pooled_diff")
+    )
+    flipped = (
+        F.signum(F.col("diff")) * F.signum(F.col("pooled_diff")) < 0
+    )
+    return (
+        per_seg.crossJoin(F.broadcast(pooled))
+        .select(
+            "segment", "n", "rate_treated", "rate_control", "diff",
+            "pooled_diff", flipped.alias("sign_flipped"),
+        )
+        .orderBy("segment")
+    )

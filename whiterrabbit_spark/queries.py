@@ -8190,10 +8190,11 @@ def _bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.bm25_topk(docs, "doc_id", "text", BM25_QUERY, top_k=10)
 
 
-def _bm25_sql() -> str:
+def _bm25_core_sql(top_k: int) -> str:
+    """CTE chain ending in ``bm25`` = (doc_id, score, n_terms_hit),
+    top-``top_k`` — shared by the BM25 query and the RRF fusion."""
     terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY)))
-    return rf"""
-WITH base AS (
+    return rf"""base AS (
   SELECT doc_id AS id,
          (CASE WHEN trim(text) = '' THEN 0
                ELSE len(string_split_regex(lower(trim(text)), '\s+'))
@@ -8213,16 +8214,23 @@ WITH base AS (
   GROUP BY id, dl, t
 ), dft AS (
   SELECT t, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY t
-)
-SELECT id AS doc_id,
-       round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
-                 * tf * CAST(2.2 AS DOUBLE)
-                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score,
-       CAST(count(*) AS BIGINT) AS n_terms_hit
-FROM tf JOIN dft USING (t), stats
-GROUP BY id
-ORDER BY score DESC, doc_id
-LIMIT 10"""
+), bm25 AS (
+  SELECT id AS doc_id,
+         round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                   * tf * CAST(2.2 AS DOUBLE)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM tf JOIN dft USING (t), stats
+  GROUP BY id
+  ORDER BY score DESC, doc_id
+  LIMIT {top_k}
+)"""
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH {_bm25_core_sql(10)}
+SELECT doc_id, score, n_terms_hit FROM bm25"""
 
 
 HARD_NEG_FLOOR = 0.3
@@ -8253,6 +8261,133 @@ SELECT id1, id2, label1, label2, round(cosine, 6) AS cosine
 FROM s WHERE cosine >= {HARD_NEG_FLOOR}
 ORDER BY round(cosine, 6) DESC, id1, id2
 LIMIT 20"""
+
+
+RRF_K = 60
+RRF_POOL = 50
+
+
+def _rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 lexical
+    top-50 and the embedding-cosine top-50 (query = vector 0, excluded
+    from candidates) fuse as Σ 1/(60 + rank) — the standard
+    sparse+dense combiner in RAG stacks. Ranks come from row_number
+    windows over the two ≤50-row candidate frames (bounded by the
+    constant pool size, never by data) on 6-dp-rounded scores, so both
+    engines rank identically; a FULL OUTER join unions the lists."""
+    from pyspark.sql import Window as W
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0)
+        .select("embedding").collect()[0][0]
+    ]
+    lex = ts.bm25_topk(docs, "doc_id", "text", BM25_QUERY, top_k=RRF_POOL)
+    sem = sim.embedding_query_topk(
+        emb.where(F.col("vec_id") != 0), qvec, k=RRF_POOL
+    )
+    w_lex = W.orderBy(F.col("score").desc(), "doc_id")
+    w_sem = W.orderBy(F.col("cosine").desc(), "id")
+    l = lex.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("lex_rank")
+    )
+    s = sem.select(
+        F.col("id").alias("doc_id"),
+        F.row_number().over(w_sem).cast("long").alias("sem_rank"),
+    )
+    rrf = F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("sem_rank")), F.lit(0.0)
+    )
+    return (
+        l.join(s, "doc_id", "full_outer")
+        .select(
+            "doc_id", "lex_rank", "sem_rank",
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _rrf_sql() -> str:
+    return f"""
+WITH {_bm25_core_sql(RRF_POOL)}, lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM bm25
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+), q AS (
+  SELECT e AS qe FROM v WHERE vec_id = 0
+), sem0 AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))),
+               6) AS cosine
+  FROM v, q WHERE vec_id <> 0
+  ORDER BY cosine DESC, doc_id LIMIT {RRF_POOL}
+), sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+  FROM sem0
+)
+SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+       round(coalesce(1.0 / ({RRF_K} + lex_rank), 0.0)
+             + coalesce(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf_score
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10"""
+
+
+def _simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen (profile.simpson_check): critical-
+    priority vs other orders' fulfillment rate per order year, next to
+    the pooled gap — flags years whose effect sign disagrees."""
+    from whiterrabbit_spark.profile import simpson_check
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return simpson_check(
+        orders,
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.col("o_orderstatus") == "F",
+        F.year("o_orderdate").cast("string"),
+    )
+
+
+_SIMPSON_SQL = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS VARCHAR) AS segment,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS x,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders WHERE o_orderdate IS NOT NULL
+), per_seg AS (
+  SELECT segment, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS n1, sum(x * y) AS y1,
+         sum(1 - x) AS n0, sum((1 - x) * y) AS y0
+  FROM base GROUP BY segment
+), pooled AS (
+  SELECT CASE WHEN sum(x) > 0 THEN sum(x * y) / CAST(sum(x) AS DOUBLE) END
+         - CASE WHEN sum(1 - x) > 0
+                THEN sum((1 - x) * y) / CAST(sum(1 - x) AS DOUBLE) END AS pd
+  FROM base
+)
+SELECT segment, n,
+       round(CASE WHEN n1 > 0 THEN y1 / CAST(n1 AS DOUBLE) END, 6)
+         AS rate_treated,
+       round(CASE WHEN n0 > 0 THEN y0 / CAST(n0 AS DOUBLE) END, 6)
+         AS rate_control,
+       round(CASE WHEN n1 > 0 THEN y1 / CAST(n1 AS DOUBLE) END
+             - CASE WHEN n0 > 0 THEN y0 / CAST(n0 AS DOUBLE) END, 6) AS diff,
+       round(pd, 6) AS pooled_diff,
+       (sign(round(CASE WHEN n1 > 0 THEN y1 / CAST(n1 AS DOUBLE) END
+              - CASE WHEN n0 > 0 THEN y0 / CAST(n0 AS DOUBLE) END, 6))
+        * sign(round(pd, 6)) < 0) AS sign_flipped
+FROM per_seg, pooled
+ORDER BY segment"""
 
 
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
@@ -8593,5 +8728,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("heaps_law_documents", _heaps, _HEAPS_SQL)
     add("bm25_search_documents", _bm25, _bm25_sql())
     add("hard_negatives_embeddings", _hard_negatives, _HARD_NEG_SQL)
+    add("rrf_hybrid_documents", _rrf_hybrid, _rrf_sql())
+    add("simpson_orders", _simpson, _SIMPSON_SQL)
 
     return queries, oracles
