@@ -236,6 +236,7 @@ def main() -> None:
         "hard_negatives": queries["hard_negatives_embeddings"],
         "rrf_hybrid": queries["rrf_hybrid_documents"],
         "simpson": queries["simpson_orders"],
+        "retrieval_eval": queries["retrieval_eval_documents"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

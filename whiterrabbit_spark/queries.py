@@ -8390,6 +8390,164 @@ FROM per_seg, pooled
 ORDER BY segment"""
 
 
+def _retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval closing the search family: precision@10, MRR and
+    binary NDCG@10 for the BM25 list and the RRF hybrid list against a
+    deterministic relevance set (documents containing ALL query terms).
+    Both ranked lists are constant-k frames; relevance joins as a
+    broadcast semi-set; each metric folds from exact ranks (log2
+    discounts are the only doubles, rounded at 6dp)."""
+    from pyspark.sql import Window as W
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    rel = docs.where(
+        F.size(
+            F.array_intersect(
+                F.array_distinct(ts.tokens(F.col("text"))),
+                F.array(*[F.lit(t) for t in sorted(set(BM25_QUERY))]),
+            )
+        )
+        == len(set(BM25_QUERY))
+    ).select(F.col("doc_id").alias("rel_id"))
+    n_rel = rel.agg(F.count(F.lit(1)).alias("n_relevant"))
+
+    def ranked(df: DataFrame, score_col: str, id_out: str) -> DataFrame:
+        w = W.orderBy(F.col(score_col).desc(), id_out)
+        return df.select(
+            F.col(id_out).alias("doc_id"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+
+    lists = {
+        "bm25": ranked(
+            ts.bm25_topk(docs, "doc_id", "text", BM25_QUERY, top_k=10),
+            "score", "doc_id",
+        ),
+        "rrf": ranked(_rrf_hybrid(spark, sf_dir), "rrf_score", "doc_id"),
+    }
+    outs = []
+    for name, lst in lists.items():
+        tagged = lst.join(
+            rel, lst["doc_id"] == rel["rel_id"], "left"
+        ).select(
+            "rank", F.col("rel_id").isNotNull().cast("int").alias("is_rel")
+        )
+        dcg = F.sum(
+            F.col("is_rel") / F.log2(F.col("rank").cast("double") + 1.0)
+        )
+        mrr = F.max(
+            F.when(F.col("is_rel") == 1, 1.0 / F.col("rank"))
+        )
+        hits = F.sum("is_rel")
+        agg = tagged.agg(
+            hits.alias("hits_at_10"), F.round(F.coalesce(mrr, F.lit(0.0)), 6).alias("mrr"),
+            dcg.alias("__dcg"),
+        )
+        outs.append(
+            agg.crossJoin(F.broadcast(n_rel)).select(
+                F.lit(name).alias("system"),
+                "n_relevant",
+                "hits_at_10",
+                (F.col("hits_at_10") / 10.0).alias("precision_at_10"),
+                "mrr",
+                F.col("__dcg").alias("__dcg"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    # binary IDCG@10 = Σ_{i=1..min(R,10)} 1/log2(i+1); exact per row
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(10)).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    return res.select(
+        "system", "n_relevant", "hits_at_10",
+        F.round("precision_at_10", 6).alias("precision_at_10"),
+        "mrr",
+        F.round(
+            F.when(F.col("n_relevant") > 0, F.col("__dcg") / idcg).otherwise(0.0), 6
+        ).alias("ndcg_at_10"),
+    ).orderBy("system")
+
+
+def _retrieval_eval_sql() -> str:
+    terms_arr = "[" + ", ".join(
+        f"'{t}'" for t in sorted(set(BM25_QUERY))
+    ) + "]"
+    return rf"""
+WITH {_bm25_core_sql(RRF_POOL)}, lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+  FROM bm25
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+), q AS (
+  SELECT e AS qe FROM v WHERE vec_id = 0
+), sem0 AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))),
+               6) AS cosine
+  FROM v, q WHERE vec_id <> 0
+  ORDER BY cosine DESC, doc_id LIMIT {RRF_POOL}
+), sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+  FROM sem0
+), fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_K} + lex_rank), 0.0)
+               + coalesce(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+  ORDER BY rrf_score DESC, doc_id
+  LIMIT 10
+), bm25_10 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id LIMIT 10) b
+), rrf_10 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+), rel AS (
+  SELECT doc_id AS rel_id FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    AND list_has_all(string_split_regex(lower(trim(text)), '\s+'),
+                     {terms_arr})
+), n_rel AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM rel
+), tagged AS (
+  SELECT 'bm25' AS system, rank,
+         CASE WHEN rel_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM bm25_10 LEFT JOIN rel ON doc_id = rel_id
+  UNION ALL
+  SELECT 'rrf', rank, CASE WHEN rel_id IS NOT NULL THEN 1 ELSE 0 END
+  FROM rrf_10 LEFT JOIN rel ON doc_id = rel_id
+), agg AS (
+  SELECT system,
+         CAST(sum(is_rel) AS BIGINT) AS hits_at_10,
+         round(coalesce(max(CASE WHEN is_rel = 1 THEN 1.0 / rank END), 0.0), 6)
+           AS mrr,
+         sum(is_rel / log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg
+  FROM tagged GROUP BY system
+), idcg AS (
+  SELECT n_relevant,
+         coalesce(sum(1.0 / log2(CAST(i AS DOUBLE) + 1.0)), 0.0) AS v
+  FROM n_rel
+  LEFT JOIN (SELECT unnest(generate_series(1, 10)) AS i) js
+    ON i <= least(n_relevant, 10)
+  GROUP BY n_relevant
+)
+SELECT system, n_relevant, hits_at_10,
+       round(hits_at_10 / 10.0, 6) AS precision_at_10,
+       mrr,
+       round(CASE WHEN n_relevant > 0 THEN dcg / v ELSE 0.0 END, 6)
+         AS ndcg_at_10
+FROM agg, idcg
+ORDER BY system"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -8730,5 +8888,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("hard_negatives_embeddings", _hard_negatives, _HARD_NEG_SQL)
     add("rrf_hybrid_documents", _rrf_hybrid, _rrf_sql())
     add("simpson_orders", _simpson, _SIMPSON_SQL)
+    add("retrieval_eval_documents", _retrieval_eval, _retrieval_eval_sql())
 
     return queries, oracles
