@@ -237,6 +237,8 @@ def main() -> None:
         "rrf_hybrid": queries["rrf_hybrid_documents"],
         "simpson": queries["simpson_orders"],
         "retrieval_eval": queries["retrieval_eval_documents"],
+        "variant_props_rollup": queries["variant_props_rollup_events"],
+        "pysource_synth": queries["pysource_synth_rollup"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

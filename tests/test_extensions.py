@@ -3730,3 +3730,97 @@ def test_rrf_rewards_presence_in_both_lists(spark):
         assert max(r["rrf_score"] for r in both) > max(
             r["rrf_score"] for r in only
         ) or both[0]["rrf_score"] >= only[0]["rrf_score"]
+
+
+def test_running_stats_tws_matches_batch(spark):
+    """transformWithStateInPandas running totals: the LAST update per
+    user from the drained bounded stream equals the batch groupBy
+    (count, exact-cents sum) — the new-API twin of the legacy
+    applyInPandasWithState operators. Where the python 'protobuf'
+    package is absent (this sandbox), the operator's documented
+    dependency gate must raise up front instead of crashing the stream
+    driver worker — that branch is what this environment pins."""
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    if not has_protobuf:
+        import pytest
+
+        stream0 = st.stream_events_from_parquet(spark, SF_DIR)
+        with pytest.raises(RuntimeError, match="protobuf"):
+            st.running_stats_tws(stream0)
+        return
+
+    events = read_parquet_table(spark, SF_DIR, "events")
+    batch = {
+        (r.user_id): (r.n, r.cents)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    stream = st.stream_events_from_parquet(spark, SF_DIR)
+    out = st.running_stats_tws(stream)
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(out, name, mode="update")
+    rows = spark.table(name).collect()
+    # update mode in a memory sink: keep the max (= final) totals per user
+    got = {}
+    for r in rows:
+        cur = got.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            got[r.user_id] = (r.n_events, r.sum_cents)
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """The custom Python source must honor the partitions option (real
+    parallel read), produce exactly n rows, and be bit-reproducible."""
+    from whiterrabbit_spark import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("wrs_synth")
+        .option("n", 1000).option("partitions", 4).load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 1000
+    assert rows[17].value == (17 * pysource.KNUTH) % 1000
+    assert rows[17].day == 17 % 7
+    again = (
+        spark.read.format("wrs_synth")
+        .option("n", 1000).option("partitions", 2).load()
+    )
+    assert sorted(r.id for r in again.collect()) == list(range(1000))
+
+
+def test_variant_rollup_matches_from_json_twin(spark):
+    """The VARIANT path and the from_json path must agree row-for-row
+    on the same corpus (they share the oracle)."""
+    from whiterrabbit_spark.extensions.semistructured import (
+        json_field_rollup,
+        variant_field_rollup,
+    )
+
+    ev = read_parquet_table(spark, SF_DIR, "events")
+    a = {
+        r.event_type: (r.n_rows, r.n_present, r.min_val, r.max_val,
+                       r.distinct_vals)
+        for r in variant_field_rollup(ev, "props", "k", "event_type").collect()
+    }
+    b = {
+        r.event_type: (r.n_rows, r.n_present, r.min_val, r.max_val,
+                       r.distinct_vals)
+        for r in json_field_rollup(ev, "props", "k", "int", "event_type").collect()
+    }
+    assert a == b and a

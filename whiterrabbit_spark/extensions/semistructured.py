@@ -78,3 +78,37 @@ def json_field_rollup(
         F.avg(v).alias("avg_val"),
         F.countDistinct(v).alias("distinct_vals"),
     )
+
+
+def variant_field_rollup(
+    df: DataFrame,
+    json_col: str,
+    field: str,
+    group_col: str,
+) -> DataFrame:
+    """Semi-structured rollup through Spark 4's VARIANT type:
+    ``parse_json`` turns the raw JSON string into the shredding-friendly
+    binary variant encoding once, ``variant_get`` projects the field
+    with a type — the modern path that at lake scale lets the reader
+    skip re-parsing text per query (and, with parquet variant
+    shredding, prune to the subcolumn). Same output contract as
+    :func:`json_field_rollup`, so the two can be A/B'd directly.
+
+    ``try_parse_json`` swallows malformed rows into NULL (the quarantine
+    convention), ``try_variant_get`` returns NULL on path-miss or cast
+    failure — both map-side, fused into the scan projection.
+    """
+    v = F.try_parse_json(F.col(json_col))
+    k = F.try_variant_get(v, f"$.{field}", "bigint")
+    return (
+        df.select(F.col(group_col), k.alias("__k"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("__k").alias("n_present"),
+            F.min("__k").alias("min_val"),
+            F.max("__k").alias("max_val"),
+            F.avg("__k").alias("avg_val"),
+            F.countDistinct("__k").alias("distinct_vals"),
+        )
+    )

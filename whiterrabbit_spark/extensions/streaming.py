@@ -794,3 +794,82 @@ def lateness_profile(
         p(0.99).alias("p99_lateness_s"),
         F.round(F.max("__late") / 1e6, 6).alias("max_lateness_s"),
     )
+
+
+def running_stats_tws(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running count + exact-cents sum through Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState``: typed state handles (ValueState here;
+    List/Map state and event/processing-time timers on the same
+    handle), state TTL support, and Arrow-batched user code. This is
+    the repo's reference implementation of the NEW stateful surface;
+    the sessionizer/funnel on the legacy API stay as the migration
+    comparison.
+
+    State per key is one (count, sum_cents) pair — O(1), mergeable by
+    addition; sums accumulate in integer cents so the drained stream
+    equals the batch aggregate bit-for-bit regardless of micro-batch
+    arrival order. Update mode: each micro-batch emits the key's
+    refreshed totals.
+
+    Environment gate: the transformWithState state-server protocol
+    needs ``google.protobuf`` on the PYTHON side (the JVM side ships
+    with Spark). Without it the stream crashes deep inside the driver
+    worker, so this raises the dependency error up front instead.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent branch
+        raise RuntimeError(
+            "transformWithStateInPandas requires the python 'protobuf' "
+            "package (its state-server protocol); install protobuf or "
+            "use the applyInPandasWithState operators "
+            "(sessionize_stateful, funnel_stateful) on this cluster"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, c BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._agg.exists():
+                n, cents = self._agg.get()
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                vals = pdf[value_col].dropna()
+                n += int(len(pdf))
+                # per-VALUE cents rounding (then an integer sum), matching
+                # the batch definition sum(round(v*100)) — rounding a float
+                # batch total instead would drift from it at scale
+                cents += int(
+                    vals.mul(100.0).round().astype("int64").sum()
+                )
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events": [n],
+                    "sum_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        RunningStats(),
+        f"{key_col} LONG, n_events BIGINT, sum_cents BIGINT",
+        "Update",
+        "None",
+    )

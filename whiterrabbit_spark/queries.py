@@ -8548,6 +8548,61 @@ FROM agg, idcg
 ORDER BY system"""
 
 
+def _variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as json_props_rollup_events but through Spark 4's
+    VARIANT path (semistructured.variant_field_rollup): parse_json →
+    try_variant_get, the shredding-friendly semi-structured encoding."""
+    from whiterrabbit_spark.extensions.semistructured import (
+        variant_field_rollup,
+    )
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    out = variant_field_rollup(ev, "props", "k", "event_type")
+    return out.select(
+        "event_type", "n_rows", "n_present", "min_val", "max_val",
+        F.round("avg_val", R).alias("avg_val"), "distinct_vals",
+    )
+
+
+PYSOURCE_N = 100_000
+
+
+def _pysource_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source scan (pysource.SyntheticDataSource,
+    the Spark 4 ``spark.dataSource.register`` surface): read the
+    deterministic synthetic table through the partition-parallel pure-
+    Python reader, roll up per day. Ignores sf_dir — the source IS the
+    data; the DuckDB oracle regenerates identical rows from
+    generate_series with the same Knuth-hash formula."""
+    from whiterrabbit_spark import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("wrs_synth")
+        .option("n", PYSOURCE_N)
+        .option("partitions", 16)
+        .load()
+    )
+    return (
+        df.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value").alias("sum_value"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("day")
+    )
+
+
+_PYSOURCE_SQL = f"""
+SELECT i % 7 AS day, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((i * {2654435761}) % 1000) AS BIGINT) AS sum_value,
+       min(i) AS min_id, max(i) AS max_id
+FROM (SELECT unnest(generate_series(0, {PYSOURCE_N - 1})) AS i) t
+GROUP BY 1 ORDER BY 1"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -8889,5 +8944,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("rrf_hybrid_documents", _rrf_hybrid, _rrf_sql())
     add("simpson_orders", _simpson, _SIMPSON_SQL)
     add("retrieval_eval_documents", _retrieval_eval, _retrieval_eval_sql())
+    add("variant_props_rollup_events", _variant_props_rollup,
+        _JSON_PROPS_SQL)
+    add("pysource_synth_rollup", _pysource_rollup, _PYSOURCE_SQL)
 
     return queries, oracles
