@@ -239,6 +239,7 @@ def main() -> None:
         "retrieval_eval": queries["retrieval_eval_documents"],
         "variant_props_rollup": queries["variant_props_rollup_events"],
         "pysource_synth": queries["pysource_synth_rollup"],
+        "udtf_trigrams": queries["udtf_trigrams_documents"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

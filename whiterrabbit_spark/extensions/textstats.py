@@ -1106,3 +1106,30 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(top_k)
     )
+
+
+def register_ngram_udtf(spark) -> None:
+    """Register the ``ngrams_udtf`` Python UDTF (Spark 4 user-defined
+    TABLE function): ``SELECT * FROM ngrams_udtf(text, n)`` emits one
+    row per n-gram — the lateral-join form of n-gram explosion, usable
+    straight from SQL. Arrow transfer is governed by
+    ``spark.sql.execution.pythonUDTF.arrow.enabled`` (set in
+    session.py); tokenization matches :func:`tokens` (lowercase,
+    whitespace runs), so a DuckDB oracle reproduces the rows exactly.
+
+    A UDTF is the right tool when one input row yields a VARIABLE
+    number of output rows with python-side logic; for fixed built-in
+    splitting, the explode(tokens()) form stays the fast path.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class NGrams:
+        def eval(self, text: str, n: int):
+            if text is None or n is None or n < 1:
+                return
+            toks = text.lower().split()
+            for i in range(len(toks) - n + 1):
+                yield i, " ".join(toks[i:i + n])
+
+    spark.udtf.register("ngrams_udtf", NGrams)

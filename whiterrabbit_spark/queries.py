@@ -8603,6 +8603,39 @@ FROM (SELECT unnest(generate_series(0, {PYSOURCE_N - 1})) AS i) t
 GROUP BY 1 ORDER BY 1"""
 
 
+def _udtf_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 corpus trigrams via the Spark 4 Python UDTF lateral join
+    (textstats.register_ngram_udtf) — the SQL-native form of n-gram
+    mining through a user-defined TABLE function."""
+    ts.register_ngram_udtf(spark)
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT ngram, CAST(count(*) AS BIGINT) AS n
+        FROM __udtf_docs, LATERAL ngrams_udtf(text, 3)
+        GROUP BY ngram
+        ORDER BY n DESC, ngram
+        LIMIT 10"""
+    )
+
+
+_UDTF_TRIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), ng AS (
+  SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS ngram
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+  ) js
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n
+FROM ng GROUP BY ngram
+ORDER BY n DESC, ngram
+LIMIT 10"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -8947,5 +8980,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("variant_props_rollup_events", _variant_props_rollup,
         _JSON_PROPS_SQL)
     add("pysource_synth_rollup", _pysource_rollup, _PYSOURCE_SQL)
+    add("udtf_trigrams_documents", _udtf_trigrams, _UDTF_TRIGRAMS_SQL)
 
     return queries, oracles
