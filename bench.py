@@ -240,6 +240,7 @@ def main() -> None:
         "variant_props_rollup": queries["variant_props_rollup_events"],
         "pysource_synth": queries["pysource_synth_rollup"],
         "udtf_trigrams": queries["udtf_trigrams_documents"],
+        "drift_attribution": queries["drift_attribution_orders"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

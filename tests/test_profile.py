@@ -1834,3 +1834,31 @@ def test_simpson_detects_planted_paradox(spark):
     assert by["easy"]["diff"] > 0 and by["hard"]["diff"] > 0
     assert by["easy"]["pooled_diff"] < 0  # the paradox
     assert all(r["sign_flipped"] for r in out)
+
+
+def test_jsd_drift_by_group_isolates_the_moving_segment(spark):
+    """Segment 'a' keeps its distribution; segment 'b' shifts wholesale:
+    attribution must put ~ln 2 on b and ~0 on a, ranked b first."""
+    import math
+
+    from whiterrabbit_spark.profile import jsd_drift_by_group
+
+    ref = spark.createDataFrame(
+        [(float(i % 10), "a") for i in range(200)]
+        + [(float(i % 10), "b") for i in range(200)],
+        "v double, g string",
+    )
+    cur = spark.createDataFrame(
+        [(float(i % 10), "a") for i in range(200)]
+        + [(200.0 + i % 3, "b") for i in range(200)],  # b jumps out of range
+        "v double, g string",
+    )
+    out = jsd_drift_by_group(ref, cur, "v", "g", bins=10).collect()
+    assert out[0]["segment"] == "b"
+    by = {r["segment"]: r for r in out}
+    assert abs(by["a"]["jsd"]) < 1e-9
+    # b's mass clamps into bin 9, which held 1/10 of its ref mass ->
+    # large but sub-ln2 JSD; the ordering and near-zero 'a' are the point
+    assert by["b"]["jsd"] > 0.4
+    assert by["b"]["hellinger"] > 0.5
+    assert abs(by["b"]["jsd"]) <= math.log(2) + 1e-9

@@ -4611,3 +4611,76 @@ def simpson_check(
         )
         .orderBy("segment")
     )
+
+
+def jsd_drift_by_group(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    group_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Drift ATTRIBUTION: the bounded JSD/Hellinger of one column's
+    distribution shift, per segment — after psi/jsd_drift says "this
+    column moved", this says WHICH segment's shape moved and by how
+    much (a segment whose jsd dwarfs the rest is the driver; uniform
+    per-segment jsd means a corpus-wide shift). Bin edges come from the
+    GLOBAL reference distribution so segments are measured on one
+    shared ruler.
+
+    One groupBy per side on (segment, bucket) — O(segments·bins) rows
+    after partial aggregation — then the same zero-exact JSD fold as
+    :func:`jsd_drift` partitioned by segment.
+
+    Returns ``(segment, n_ref, n_cur, jsd, hellinger)``, jsd DESC.
+    """
+    v = F.col(col).cast("double")
+    bounds = ref.agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    ).collect()[0]
+    lo, hi = bounds["__lo"], bounds["__hi"]
+    width = (hi - lo) / bins if (hi is not None and hi > lo) else 1.0
+    bucket = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.where(v.isNotNull() & F.col(group_col).isNotNull())
+            .groupBy(
+                F.col(group_col).cast("string").alias("segment"),
+                bucket.alias("bucket"),
+            )
+            .agg(F.count(F.lit(1)).alias(side))
+        )
+
+    joined = (
+        counts(ref, "n_ref")
+        .join(counts(cur, "n_cur"), ["segment", "bucket"], "full_outer")
+        .select(
+            "segment",
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = Window.partitionBy("segment")
+    pp = F.col("n_ref") / F.sum("n_ref").over(tot)
+    qq = F.col("n_cur") / F.sum("n_cur").over(tot)
+    mm = (pp + qq) / 2
+    kl_p = F.when(F.col("n_ref") > 0, pp * F.log(pp / mm)).otherwise(F.lit(0.0))
+    kl_q = F.when(F.col("n_cur") > 0, qq * F.log(qq / mm)).otherwise(F.lit(0.0))
+    hel = (F.sqrt(pp) - F.sqrt(qq)) * (F.sqrt(pp) - F.sqrt(qq))
+    return (
+        joined.withColumn("__jsd", (kl_p + kl_q) / 2)
+        .withColumn("__hel", hel)
+        .groupBy("segment")
+        .agg(
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+            F.round(F.sum("__jsd"), 6).alias("jsd"),
+            F.round(F.sqrt(F.sum("__hel") / 2), 6).alias("hellinger"),
+        )
+        .orderBy(F.col("jsd").desc(), "segment")
+    )

@@ -8636,6 +8636,62 @@ ORDER BY n DESC, ngram
 LIMIT 10"""
 
 
+def _drift_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift attribution (profile.jsd_drift_by_group): o_totalprice's
+    old-half vs new-half JSD per order priority — which segment's
+    shape moved. Same epoch-midpoint split as psi/jsd_drift."""
+    from whiterrabbit_spark.profile import jsd_drift_by_group
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    ep = F.col("o_orderdate").cast("timestamp").cast("double")
+    mid = orders.agg(((F.min(ep) + F.max(ep)) / 2.0).alias("m")).collect()[0]["m"]
+    return jsd_drift_by_group(
+        orders.where(ep < F.lit(mid)),
+        orders.where(ep >= F.lit(mid)),
+        "o_totalprice",
+        "o_orderpriority",
+        bins=10,
+    )
+
+
+_DRIFT_ATTR_SQL = """
+WITH s AS (
+  SELECT (epoch(min(o_orderdate)) + epoch(max(o_orderdate))) / 2.0 AS mid
+  FROM orders
+), tagged AS (
+  SELECT o_totalprice::DOUBLE AS v,
+         CAST(o_orderpriority AS VARCHAR) AS segment,
+         epoch(o_orderdate) < (SELECT mid FROM s) AS is_ref
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+), bounds AS (
+  SELECT min(v) AS lo, max(v) AS hi FROM tagged WHERE is_ref
+), cnt AS (
+  SELECT segment,
+         CAST(least(greatest(floor((v - lo) /
+           (CASE WHEN hi > lo THEN (hi - lo) / 10 ELSE 1.0 END)), 0), 9)
+           AS INT) AS bucket,
+         count(*) FILTER (is_ref) AS n_ref,
+         count(*) FILTER (NOT is_ref) AS n_cur
+  FROM tagged, bounds GROUP BY 1, 2
+), pq AS (
+  SELECT segment, n_ref, n_cur,
+         n_ref / sum(n_ref) OVER (PARTITION BY segment) AS p,
+         n_cur / sum(n_cur) OVER (PARTITION BY segment) AS q
+  FROM cnt
+)
+SELECT segment,
+       CAST(sum(n_ref) AS BIGINT) AS n_ref,
+       CAST(sum(n_cur) AS BIGINT) AS n_cur,
+       round(sum((CASE WHEN n_ref > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+                + CASE WHEN n_cur > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END)
+                 / 2), 6) AS jsd,
+       round(sqrt(sum((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q))) / 2), 6)
+         AS hellinger
+FROM pq GROUP BY segment
+ORDER BY jsd DESC, segment"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -8981,5 +9037,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _JSON_PROPS_SQL)
     add("pysource_synth_rollup", _pysource_rollup, _PYSOURCE_SQL)
     add("udtf_trigrams_documents", _udtf_trigrams, _UDTF_TRIGRAMS_SQL)
+    add("drift_attribution_orders", _drift_attribution, _DRIFT_ATTR_SQL)
 
     return queries, oracles
