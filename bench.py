@@ -241,6 +241,8 @@ def main() -> None:
         "pysource_synth": queries["pysource_synth_rollup"],
         "udtf_trigrams": queries["udtf_trigrams_documents"],
         "drift_attribution": queries["drift_attribution_orders"],
+        "file_report": queries["file_report_tables"],
+        "l_diversity": queries["l_diversity_customer"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

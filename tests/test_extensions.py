@@ -3824,3 +3824,43 @@ def test_variant_rollup_matches_from_json_twin(spark):
         for r in json_field_rollup(ev, "props", "k", "int", "event_type").collect()
     }
     assert a == b and a
+
+
+def test_parquet_file_report_multifile(spark, tmp_path):
+    """A genuinely multi-file table: 8 partition files of ~125 rows.
+    The report must count 8 files, spread the rows correctly, and flag
+    compaction (8 files > 4x the 1-file target)."""
+    from whiterrabbit_spark.io import parquet_file_report
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(1000).repartition(8).write.parquet(p)
+    import shutil
+
+    # parquet_file_report reads {sf_dir}/{name}.parquet
+    out = parquet_file_report(
+        spark, str(tmp_path), ["t"], target_rows_per_file=1_000_000
+    ).collect()[0]
+    assert out.n_files == 8
+    assert out.n_rows == 1000
+    assert out.min_rows_file >= 1 and out.max_rows_file <= 1000
+    assert out.target_files == 1
+    assert bool(out.needs_compaction) is True
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    """Planted: one QI class where every member shares the sensitive
+    value (l=1) among diverse classes — min_l, the below-l counts, and
+    the homogeneous share must all see it."""
+    from whiterrabbit_spark.extensions.discovery import l_diversity
+
+    rows = (
+        [("qa", "s1"), ("qa", "s2"), ("qa", "s3")] * 5
+        + [("qb", "s1")] * 7  # homogeneous class
+    )
+    df = spark.createDataFrame(rows, "qi string, sens string")
+    out = l_diversity(df, ["qi"], "sens", l_threshold=2).collect()[0]
+    assert out.n_rows == 22 and out.n_classes == 2
+    assert out.min_l == 1
+    assert out.n_classes_below_l == 1 and out.n_rows_below_l == 7
+    assert abs(out.pct_homogeneous_classes - 50.0) < 1e-9

@@ -197,3 +197,49 @@ def folder_join_candidates(
         "col_a", "col_b", "n_a", "n_b", "n_common",
         "jaccard", "containment_a", "containment_b",
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_threshold: int = 2,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's sharper sibling: a
+    quasi-identifier class can be large (k-safe) yet expose everyone in
+    it when all members share ONE sensitive value. Per QI class we
+    count distinct sensitive values; the rollup reports the minimum
+    diversity, the classes/rows below ``l_threshold``, and the share of
+    fully homogeneous classes (l = 1, the worst case).
+
+    Same plan discipline as :func:`k_anonymity`: one groupBy on the QI
+    columns (countDistinct folds the sensitive values per class) and
+    one single-row rollup — two shuffles total, no window.
+
+    Returns one row ``(n_rows, n_classes, min_l, n_classes_below_l,
+    n_rows_below_l, pct_homogeneous_classes, l)``.
+    """
+    classes = (
+        df.where(F.col(sensitive_col).isNotNull())
+        .groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(sensitive_col).alias("ldiv"),
+        )
+    )
+    below = F.col("ldiv") < l_threshold
+    return classes.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("ldiv").alias("min_l"),
+        F.sum(below.cast("long")).alias("n_classes_below_l"),
+        F.sum(F.when(below, F.col("n")).otherwise(F.lit(0))).alias(
+            "n_rows_below_l"
+        ),
+        F.round(
+            F.sum((F.col("ldiv") == 1).cast("long")) * 100.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pct_homogeneous_classes"),
+        F.lit(l_threshold).cast("long").alias("l"),
+    )

@@ -355,3 +355,55 @@ def read_parquet_folder_merged(spark: SparkSession, folder: str) -> DataFrame:
     promotions merge. Pair with `parquet_schema_report` to locate files
     behind an incompatible-merge failure."""
     return spark.read.option("mergeSchema", True).parquet(folder)
+
+
+def parquet_file_report(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str],
+    target_rows_per_file: int = 1_000_000,
+) -> DataFrame:
+    """Small-files / compaction report — the lakehouse maintenance scan:
+    per table, how many physical parquet files back it, how rows spread
+    across them, the file count a compaction to ``target_rows_per_file``
+    would produce, and whether a rewrite is warranted (needs_compaction
+    when the table holds >4× the target file count, the usual OPTIMIZE
+    trigger; tiny tables never flag). Per-file row counts come from a
+    ``group by input_file_name()`` — metadata-cheap columns only, the
+    scan reads no data columns (COUNT over an empty projection).
+
+    Returns one row per table: ``(table_name, n_files, n_rows,
+    min_rows_file, max_rows_file, target_files, needs_compaction)``.
+    """
+    outs = []
+    for t in tables:
+        df = read_parquet_table(spark, sf_dir, t)
+        per_file = df.groupBy(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias(
+                "file_name"
+            )
+        ).agg(F.count(F.lit(1)).alias("n"))
+        target = F.greatest(
+            F.ceil(F.col("n_rows") / F.lit(float(target_rows_per_file))),
+            F.lit(1),
+        ).cast("long")
+        outs.append(
+            per_file.agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("n").alias("n_rows"),
+                F.min("n").alias("min_rows_file"),
+                F.max("n").alias("max_rows_file"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                "n_files",
+                "n_rows",
+                "min_rows_file",
+                "max_rows_file",
+                target.alias("target_files"),
+                (F.col("n_files") > target * 4).alias("needs_compaction"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("table_name")

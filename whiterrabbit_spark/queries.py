@@ -8692,6 +8692,78 @@ FROM pq GROUP BY segment
 ORDER BY jsd DESC, segment"""
 
 
+FILE_REPORT_TABLES = ["customer", "lineitem", "orders"]
+FILE_REPORT_TARGET = 1_000_000
+
+
+def _file_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files/compaction report (io.parquet_file_report) over the
+    three biggest tables — per-file row spread from a metadata-cheap
+    input_file_name() groupBy."""
+    from whiterrabbit_spark.io import parquet_file_report
+
+    return parquet_file_report(
+        spark, sf_dir, FILE_REPORT_TABLES,
+        target_rows_per_file=FILE_REPORT_TARGET,
+    )
+
+
+def _file_report_sql() -> str:
+    # The driver's oracle sees TABLES as views (no filename column), so
+    # the oracle pins the testdata's known one-file-per-table layout;
+    # the multi-file grouping behavior itself is pinned by the tmpdir
+    # unit test (test_parquet_file_report_multifile).
+    parts = []
+    for t in FILE_REPORT_TABLES:
+        parts.append(f"""
+SELECT '{t}' AS table_name,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS min_rows_file,
+       CAST(count(*) AS BIGINT) AS max_rows_file,
+       greatest(CAST(ceil(count(*) / {float(FILE_REPORT_TARGET)}) AS BIGINT),
+                1) AS target_files,
+       (1 > greatest(CAST(ceil(count(*) / {float(FILE_REPORT_TARGET)})
+                          AS BIGINT), 1) * 4) AS needs_compaction
+FROM {t}""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY table_name"
+
+
+def _l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (discovery.l_diversity): distinct market
+    segments per (nationkey, acctbal-sign) quasi-identifier class —
+    k-anonymity's sensitive-homogeneity sibling."""
+    from whiterrabbit_spark.extensions.discovery import l_diversity
+
+    cust = read_parquet_table(spark, sf_dir, "customer").withColumn(
+        "bal_sign", F.signum("c_acctbal").cast("long")
+    )
+    return l_diversity(
+        cust, ["c_nationkey", "bal_sign"], "c_mktsegment", l_threshold=2
+    )
+
+
+_L_DIVERSITY_SQL = """
+WITH classes AS (
+  SELECT c_nationkey, CAST(sign(c_acctbal) AS BIGINT) AS bal_sign,
+         count(*) AS n,
+         count(DISTINCT c_mktsegment) AS ldiv
+  FROM customer WHERE c_mktsegment IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(ldiv) AS BIGINT) AS min_l,
+       CAST(coalesce(sum(CASE WHEN ldiv < 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_classes_below_l,
+       CAST(coalesce(sum(CASE WHEN ldiv < 2 THEN n ELSE 0 END), 0) AS BIGINT)
+         AS n_rows_below_l,
+       round(sum(CASE WHEN ldiv = 1 THEN 1 ELSE 0 END) * 100.0 / count(*), 6)
+         AS pct_homogeneous_classes,
+       CAST(2 AS BIGINT) AS l
+FROM classes"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -9038,5 +9110,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("pysource_synth_rollup", _pysource_rollup, _PYSOURCE_SQL)
     add("udtf_trigrams_documents", _udtf_trigrams, _UDTF_TRIGRAMS_SQL)
     add("drift_attribution_orders", _drift_attribution, _DRIFT_ATTR_SQL)
+    add("file_report_tables", _file_report, _file_report_sql())
+    add("l_diversity_customer", _l_diversity, _L_DIVERSITY_SQL)
 
     return queries, oracles
