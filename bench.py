@@ -243,6 +243,7 @@ def main() -> None:
         "drift_attribution": queries["drift_attribution_orders"],
         "file_report": queries["file_report_tables"],
         "l_diversity": queries["l_diversity_customer"],
+        "conformal": queries["conformal_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

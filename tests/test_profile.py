@@ -1862,3 +1862,24 @@ def test_jsd_drift_by_group_isolates_the_moving_segment(spark):
     assert by["b"]["jsd"] > 0.4
     assert by["b"]["hellinger"] > 0.5
     assert abs(by["b"]["jsd"]) <= math.log(2) + 1e-9
+
+
+def test_conformal_coverage_on_planted_noise(spark):
+    """Grouped-mean signal + bounded noise: the conformal interval must
+    achieve >= ~target coverage on the eval split (finite-sample
+    wiggle allowed) and q_hat must sit within the noise bound."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from whiterrabbit_spark.profile import conformal_intervals
+
+    rows = []
+    for i in range(4000):
+        g = i % 5
+        noise = ((i * 2654435761) % 1000) / 1000.0 - 0.5  # [-0.5, 0.5)
+        rows.append((i, float(g), 100.0 * g + noise * 10.0))
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = conformal_intervals(df, "x", "y", "id", alpha=0.1).collect()[0]
+    assert out.n_train > 1500 and out.n_cal > 700 and out.n_eval > 700
+    assert out.n_unpredicted == 0
+    assert out.coverage_pct >= 85.0  # guarantee is >=90 in expectation
+    assert 0.0 < out.q_hat <= 5.5  # noise half-width is 5, + rounding

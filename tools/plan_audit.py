@@ -44,7 +44,10 @@ EFFECTFUL_PREFIXES = ("streaming_", "ann_ivf_index", "bpe_learn",
                       # pack_shards machinery: localCheckpoint + driver
                       # offsets at construction (pack_manifest already
                       # finishes with collect-free reporting)
-                      "pack_manifest", "pack_shards")
+                      "pack_manifest", "pack_shards",
+                      # split counts + calibration-order-statistic
+                      # selection run real jobs at construction
+                      "conformal")
 # Builders with a SMALL construction-time probe (one agg job at audit
 # scale: the approx-distinct guards behind ecdf_attach/spearman/
 # mannwhitney, line_dedup's 1% hot-digest sample, equi_depth's row

@@ -4684,3 +4684,115 @@ def jsd_drift_by_group(
         )
         .orderBy(F.col("jsd").desc(), "segment")
     )
+
+
+def conformal_intervals(
+    df: DataFrame,
+    feature_col: str,
+    target_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+    n_partitions: int | None = None,
+    max_single_reducer: int = 4_000_000,
+) -> DataFrame:
+    """Split-conformal prediction interval around a grouped-mean
+    regressor — the distribution-free coverage guarantee (Vovk;
+    Angelopoulos & Bates 2021): with calibration residuals r_(1..n),
+    q̂ = the ⌈(n+1)(1−α)⌉-th smallest, and P(|y−ŷ| ≤ q̂) ≥ 1−α on
+    exchangeable data, NO model assumptions. The eval split then
+    measures the guarantee empirically — the acceptance gate before
+    shipping intervals from any point predictor.
+
+    Determinism: the 50/25/25 split is the repo's md5 hash machinery;
+    the "model" is the train split's per-feature-group mean in exact
+    integer cents; q̂ is an exact ORDER STATISTIC (not an interpolated
+    percentile) selected from the calibration-residual histogram — the
+    same single-window-below / bucketed-distributed-prefix-above scheme
+    as mann_whitney_u, so a continuous residual column at 100 TB never
+    funnels one reducer. Rows whose feature group never appeared in
+    train carry no prediction and are excluded (reported).
+
+    Returns one row: ``(n_train, n_cal, n_eval, n_unpredicted, q_hat,
+    coverage_pct, target_pct)``.
+    """
+    from whiterrabbit_spark.extensions.splits import hash_bucket_expr
+
+    y_e2 = F.round(F.col(target_col) * 100).cast("long")
+    base = df.where(
+        F.col(feature_col).isNotNull()
+        & F.col(target_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        F.col(feature_col).alias("x"),
+        y_e2.alias("y_e2"),
+        (hash_bucket_expr(F.col(id_col), ":conformal", 4)).alias("b"),
+    )
+    train = base.where(F.col("b") < 2)
+    model = train.groupBy("x").agg(
+        F.sum("y_e2").alias("sy"), F.count(F.lit(1)).alias("ny")
+    )
+    pred = (F.col("sy") / F.col("ny")).alias("pred_e2")
+
+    def residuals(split: DataFrame) -> DataFrame:
+        return (
+            split.join(model, "x", "left")
+            .select(
+                "y_e2",
+                F.when(
+                    F.col("ny").isNotNull(),
+                    F.abs(F.col("y_e2") - F.col("sy") / F.col("ny")),
+                ).alias("r"),
+            )
+        )
+
+    cal = residuals(base.where(F.col("b") == 2)).persist()
+    ev = residuals(base.where(F.col("b") == 3)).persist()
+    n_cal = cal.where(F.col("r").isNotNull()).count()
+    # exact-integer ceil((n+1)(1-alpha)): float ceil((n+1)*0.9) can land
+    # one ulp ABOVE an integer and round up where exact rational
+    # arithmetic would not — k must be engine-reproducible
+    from fractions import Fraction
+
+    frac = Fraction(1) - Fraction(alpha).limit_denominator(10**6)
+    k = -((-(n_cal + 1) * frac.numerator) // frac.denominator)
+    k = min(max(int(k), 1), max(n_cal, 1))
+    hist = (
+        cal.where(F.col("r").isNotNull())
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if _approx_distinct(cal.where(F.col("r").isNotNull()), "r") <= max_single_reducer:
+        w_bef = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, -1)
+        hist = hist.withColumn(
+            "before", F.coalesce(F.sum("n").over(w_bef), F.lit(0))
+        )
+    else:
+        spark = df.sparkSession
+        n_parts = n_partitions or spark.sparkContext.defaultParallelism
+        hist = _hist_exclusive_prefix(hist, "r", "n", n_parts)
+    q_hat = (
+        hist.where(F.col("before") + F.col("n") >= k)
+        .agg(F.min("r").alias("q"))
+    )
+    # cal/ev stay persisted: the returned (lazy) plan still reads both —
+    # q_hat selection and eval coverage — and the k-selection above
+    # already forced cal once for n_cal
+    stats = ev.crossJoin(F.broadcast(q_hat)).agg(
+        F.sum(F.col("r").isNotNull().cast("long")).alias("n_eval"),
+        F.sum(F.col("r").isNull().cast("long")).alias("n_unpred_ev"),
+        F.sum((F.col("r") <= F.col("q")).cast("long")).alias("n_covered"),
+        F.min("q").alias("q_hat_e2"),
+    )
+    n_train = train.count()
+    out = stats.select(
+        F.lit(n_train).cast("long").alias("n_train"),
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        "n_eval",
+        F.col("n_unpred_ev").alias("n_unpredicted"),
+        F.round(F.col("q_hat_e2") / 100.0, 6).alias("q_hat"),
+        F.round(F.col("n_covered") * 100.0 / F.col("n_eval"), 6).alias(
+            "coverage_pct"
+        ),
+        F.lit(round((1.0 - alpha) * 100.0, 6)).cast("double").alias("target_pct"),
+    )
+    return out

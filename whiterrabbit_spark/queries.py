@@ -8764,6 +8764,65 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval + empirical coverage
+    (profile.conformal_intervals): grouped-mean price predictor on
+    l_quantity, 90% target, order-statistic q-hat from the calibration
+    residual histogram."""
+    from whiterrabbit_spark.profile import conformal_intervals
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return conformal_intervals(
+        li, "l_quantity", "l_extendedprice", "l_orderkey", alpha=0.1
+    )
+
+
+_CONFORMAL_SQL = """
+WITH base AS (
+  SELECT l_quantity AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y_e2,
+         (('0x' || substr(md5(l_orderkey::VARCHAR || ':conformal'), 1, 15))
+            ::BIGINT % 4) AS b
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_orderkey IS NOT NULL
+), model AS (
+  SELECT x, CAST(sum(y_e2) AS BIGINT) AS sy, CAST(count(*) AS BIGINT) AS ny
+  FROM base WHERE b < 2 GROUP BY x
+), cal AS (
+  SELECT CASE WHEN ny IS NOT NULL
+              THEN abs(y_e2 - CAST(sy AS DOUBLE) / ny) END AS r
+  FROM base LEFT JOIN model USING (x) WHERE b = 2
+), ev AS (
+  SELECT CASE WHEN ny IS NOT NULL
+              THEN abs(y_e2 - CAST(sy AS DOUBLE) / ny) END AS r
+  FROM base LEFT JOIN model USING (x) WHERE b = 3
+), kk AS (
+  SELECT CAST(count(r) AS BIGINT) AS n_cal,
+         least(greatest(((count(r) + 1) * 9 + 9) // 10, 1),
+               greatest(count(r), 1)) AS k
+  FROM cal
+), q AS (
+  SELECT min(r) AS q_e2 FROM (
+    SELECT r, row_number() OVER (ORDER BY r) AS rn
+    FROM cal WHERE r IS NOT NULL
+  ) x, kk WHERE rn >= k
+), tr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_train FROM base WHERE b < 2
+)
+SELECT n_train,
+       n_cal,
+       CAST(count(r) AS BIGINT) AS n_eval,
+       CAST(sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unpredicted,
+       round(q_e2 / 100.0, 6) AS q_hat,
+       round(sum(CASE WHEN r <= q_e2 THEN 1 ELSE 0 END) * 100.0
+             / count(r), 6) AS coverage_pct,
+       CAST(90.0 AS DOUBLE) AS target_pct
+FROM ev, kk, q, tr
+GROUP BY n_train, n_cal, q_e2"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -9112,5 +9171,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("drift_attribution_orders", _drift_attribution, _DRIFT_ATTR_SQL)
     add("file_report_tables", _file_report, _file_report_sql())
     add("l_diversity_customer", _l_diversity, _L_DIVERSITY_SQL)
+    add("conformal_lineitem", _conformal, _CONFORMAL_SQL)
 
     return queries, oracles
