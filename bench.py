@@ -244,6 +244,7 @@ def main() -> None:
         "file_report": queries["file_report_tables"],
         "l_diversity": queries["l_diversity_customer"],
         "conformal": queries["conformal_lineitem"],
+        "deletion_preview": queries["deletion_preview_tables"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -243,3 +243,46 @@ def l_diversity(
         ).alias("pct_homogeneous_classes"),
         F.lit(l_threshold).cast("long").alias("l"),
     )
+
+
+def deletion_preview(
+    spark,
+    tables: dict[str, DataFrame],
+    key_links: dict[str, "Column"],
+    keys: DataFrame,
+) -> DataFrame:
+    """Right-to-be-forgotten impact preview: given a subject-key set,
+    how many rows each table would lose under cascade deletion — the
+    audit run BEFORE any GDPR/CCPA erasure job, and the same plan a
+    tombstone-apply would use with the semi flipped to anti. Each table
+    counts via a LEFT SEMI join against the (broadcast when small) key
+    set; ``key_links`` maps table name → the column expression that
+    reaches the subject key (a direct FK, or a bridge expression for
+    tables linked through another — pre-join upstream and pass the
+    joined frame).
+
+    Returns one row per table: ``(table_name, n_rows, n_affected,
+    pct_affected)``.
+    """
+    outs = []
+    k = F.broadcast(keys.select(F.col(keys.columns[0]).alias("__k")).distinct())
+    for name, df in tables.items():
+        link = key_links[name]
+        tagged = df.select(link.alias("__link"))
+        affected = tagged.join(k, F.col("__link") == F.col("__k"), "left_semi")
+        total = tagged.agg(F.count(F.lit(1)).alias("n_rows"))
+        hit = affected.agg(F.count(F.lit(1)).alias("n_affected"))
+        outs.append(
+            total.crossJoin(hit).select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_affected",
+                F.round(
+                    F.col("n_affected") * 100.0 / F.col("n_rows"), 6
+                ).alias("pct_affected"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("table_name")

@@ -8823,6 +8823,67 @@ FROM ev, kk, q, tr
 GROUP BY n_train, n_cal, q_e2"""
 
 
+def _deletion_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure impact preview (discovery.deletion_preview):
+    subjects = customers with custkey % 97 == 0; cascade counts across
+    customer → orders → lineitem (lineitem reaches the subject through
+    its order)."""
+    from whiterrabbit_spark.extensions.discovery import deletion_preview
+
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    keys = cust.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    li_bridged = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return deletion_preview(
+        spark,
+        {"customer": cust, "orders": orders, "lineitem": li_bridged},
+        {
+            "customer": F.col("c_custkey"),
+            "orders": F.col("o_custkey"),
+            "lineitem": F.col("o_custkey"),
+        },
+        keys,
+    )
+
+
+_DELETION_PREVIEW_SQL = """
+WITH keys AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0
+)
+SELECT 'customer' AS table_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer
+        WHERE c_custkey IN (SELECT k FROM keys)) AS n_affected,
+       round((SELECT count(*) FROM customer
+              WHERE c_custkey IN (SELECT k FROM keys)) * 100.0
+             / (SELECT count(*) FROM customer), 6) AS pct_affected
+UNION ALL
+SELECT 'orders',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_custkey IN (SELECT k FROM keys)),
+       round((SELECT count(*) FROM orders
+              WHERE o_custkey IN (SELECT k FROM keys)) * 100.0
+             / (SELECT count(*) FROM orders), 6)
+UNION ALL
+SELECT 'lineitem',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        JOIN orders o ON l_orderkey = o_orderkey),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        JOIN orders o ON l_orderkey = o_orderkey
+        WHERE o_custkey IN (SELECT k FROM keys)),
+       round((SELECT count(*) FROM lineitem l
+              JOIN orders o ON l_orderkey = o_orderkey
+              WHERE o_custkey IN (SELECT k FROM keys)) * 100.0
+             / (SELECT count(*) FROM lineitem l
+                JOIN orders o ON l_orderkey = o_orderkey), 6)
+ORDER BY table_name"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -9172,5 +9233,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("file_report_tables", _file_report, _file_report_sql())
     add("l_diversity_customer", _l_diversity, _L_DIVERSITY_SQL)
     add("conformal_lineitem", _conformal, _CONFORMAL_SQL)
+    add("deletion_preview_tables", _deletion_preview,
+        _DELETION_PREVIEW_SQL)
 
     return queries, oracles
