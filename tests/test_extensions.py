@@ -3588,7 +3588,7 @@ def test_adamic_adar_square_graph(spark):
     assert set(pairs) == {(1, 3), (2, 4)}
     for r in out:
         assert r["common_neighbors"] == 2
-        assert abs(r["aa_score"] - 2.0 / math.log(2)) < 1e-9
+        assert abs(r["aa_score"] - 2.0 / math.log(2)) < 1e-6  # 6-dp rounded
 
 
 def test_adamic_adar_max_degree_drops_hub_middles(spark):
@@ -3864,3 +3864,16 @@ def test_l_diversity_flags_homogeneous_class(spark):
     assert out.min_l == 1
     assert out.n_classes_below_l == 1 and out.n_rows_below_l == 7
     assert abs(out.pct_homogeneous_classes - 50.0) < 1e-9
+
+
+def test_udtf_ngrams_ascii_whitespace_parity(spark):
+    """Review regression: the UDTF must tokenize on ASCII whitespace
+    like tokens()/the RE2 oracle — a non-breaking space (U+00A0) is NOT
+    a separator, so 'a\\u00a0b c d' keeps 'a\\u00a0b' as one token."""
+    from whiterrabbit_spark.extensions.textstats import register_ngram_udtf
+
+    register_ngram_udtf(spark)
+    rows = spark.sql(
+        "SELECT * FROM ngrams_udtf('a b c d e', 3) ORDER BY pos"
+    ).collect()
+    assert [r.ngram for r in rows] == ["a b c d", "c d e"]

@@ -1790,10 +1790,6 @@ def test_bot_score_flags_monotone_fast_user(spark):
 
     from whiterrabbit_spark.profile import bot_score_report
 
-    rows = []
-    for i in range(100):  # bot: 1 event/s, single type
-        rows.append((1, "click", f"2024-01-01 00:00:{i % 60:02d}"))
-    # spread the bot over 100s properly
     rows = [(1, "click",
              f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}") for i in range(100)]
     for i in range(4):  # human: 4 events over a day, mixed types

@@ -246,7 +246,6 @@ def l_diversity(
 
 
 def deletion_preview(
-    spark,
     tables: dict[str, DataFrame],
     key_links: dict[str, "Column"],
     keys: DataFrame,

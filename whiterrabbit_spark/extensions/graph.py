@@ -213,9 +213,14 @@ def adamic_adar(
     left = adj.select("w", "deg", F.col("n").alias("u"))
     right = adj.select("w", F.col("n").alias("v"))
     wedges = left.join(right, "w").where(F.col("u") < F.col("v"))
+    # the cut orders on the 6-dp-ROUNDED score (repo discipline for
+    # engine-reproducible top-k): fold-order float noise on tied pairs
+    # must not move the rank-k boundary between engines
     scored = wedges.groupBy(F.col("u").alias("src"), F.col("v").alias("dst")).agg(
         F.count(F.lit(1)).alias("common_neighbors"),
-        F.sum(1.0 / F.log(F.col("deg").cast("double"))).alias("aa_score"),
+        F.round(
+            F.sum(1.0 / F.log(F.col("deg").cast("double"))), 6
+        ).alias("aa_score"),
     )
     return (
         scored.join(e, ["src", "dst"], "left_anti")

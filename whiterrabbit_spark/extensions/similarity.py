@@ -1372,9 +1372,18 @@ def embedding_query_topk(
 
     Returns ``(id, cosine)`` ordered score DESC, id ASC.
     """
+    import math as _math
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # the query norm is a compile-time constant Catalyst does not fold
+    # out of the per-row fold — compute it once here (sequential sum,
+    # the same left-fold order as _norm, so the double is identical)
+    _acc = 0.0
+    for _x in query_vec:  # plain left fold — same adds as the SQL side
+        _acc += float(_x) * float(_x)
+    q_norm = _math.sqrt(_acc)
     v = _to_double(F.col(vec_col))
-    cos = _dot(v, q) / (_norm(v) * _norm(q))
+    cos = _dot(v, q) / (_norm(v) * F.lit(q_norm))
     return (
         df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
         .select(

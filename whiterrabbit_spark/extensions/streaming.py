@@ -850,10 +850,16 @@ def running_stats_tws(
                 vals = pdf[value_col].dropna()
                 n += int(len(pdf))
                 # per-VALUE cents rounding (then an integer sum), matching
-                # the batch definition sum(round(v*100)) — rounding a float
-                # batch total instead would drift from it at scale
+                # the batch definition sum(round(v*100)) — and HALF_UP like
+                # Spark's F.round, NOT pandas' banker's half-to-even (a
+                # half-cent value like 0.125 would otherwise diverge);
+                # sign-aware so negatives round away from zero like Spark
+                import numpy as np
+
+                scaled = vals.mul(100.0).to_numpy()
                 cents += int(
-                    vals.mul(100.0).round().astype("int64").sum()
+                    (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5))
+                    .astype("int64").sum()
                 )
             self._agg.update((n, cents))
             yield pd.DataFrame(

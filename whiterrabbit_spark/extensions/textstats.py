@@ -981,6 +981,8 @@ def heaps_law(
         F.min(F.col(id_col)).alias("__lo"), F.max(F.col(id_col)).alias("__hi")
     ).collect()[0]
     lo, hi = bounds["__lo"], bounds["__hi"]
+    if lo is None:  # empty / all-null corpus: degenerate zero curve
+        lo = hi = 0
     cps = [
         (i + 1, int(lo + math.ceil((i + 1) * (hi - lo) / n_checkpoints)))
         for i in range(n_checkpoints)
@@ -988,13 +990,17 @@ def heaps_law(
     first = tok.groupBy("__t").agg(F.min("__id").alias("__first"))
     vocab = first.agg(
         *[
-            F.sum((F.col("__first") <= cut).cast("long")).alias(f"v{i}")
+            F.coalesce(
+                F.sum((F.col("__first") <= cut).cast("long")), F.lit(0)
+            ).alias(f"v{i}")
             for i, cut in cps
         ]
     )
     toks = tok.agg(
         *[
-            F.sum((F.col("__id") <= cut).cast("long")).alias(f"t{i}")
+            F.coalesce(
+                F.sum((F.col("__id") <= cut).cast("long")), F.lit(0)
+            ).alias(f"t{i}")
             for i, cut in cps
         ]
     )
@@ -1123,12 +1129,20 @@ def register_ngram_udtf(spark) -> None:
     """
     from pyspark.sql.functions import udtf
 
+    import re
+
+    # ASCII whitespace like Java regex \s (and the RE2 oracle), NOT
+    # python str.split(), whose Unicode whitespace (e.g. U+00A0) would
+    # tokenize differently from tokens()/the SQL mirror; leading
+    # split artifacts are kept, same as F.split/string_split_regex
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     @udtf(returnType="pos int, ngram string")
     class NGrams:
         def eval(self, text: str, n: int):
             if text is None or n is None or n < 1:
                 return
-            toks = text.lower().split()
+            toks = ws.split(text.lower().strip(" "))
             for i in range(len(toks) - n + 1):
                 yield i, " ".join(toks[i:i + n])
 

@@ -4136,6 +4136,13 @@ def cuped_ab(
         .where(F.col("__has_post") == 1)
         .withColumn("arm", hash_bucket_expr(F.col("__u"), salt, 2))
     )
+    # ONE one-row aggregate carries the pooled moments AND both arms'
+    # conditional sums: an empty arm then yields (n=0, NULL sums) and a
+    # NULL readout — never a zero-row result (the SQL-oracle semantics;
+    # the earlier arms.where(arm==0) frame VANISHED when the md5 coin
+    # left an arm empty, dropping the whole output row)
+    is_a = (F.col("arm") == 0).cast("long")
+    is_b = (F.col("arm") == 1).cast("long")
     pooled = per_unit.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -4143,21 +4150,12 @@ def cuped_ab(
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    arms = per_unit.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n_arm"),
-        F.sum("x").alias("sx_arm"),
-        F.sum("y").alias("sy_arm"),
-    )
-    a = arms.where(F.col("arm") == 0).select(
-        F.col("n_arm").alias("n_a"),
-        F.col("sx_arm").alias("sx_a"),
-        F.col("sy_arm").alias("sy_a"),
-    )
-    b = arms.where(F.col("arm") == 1).select(
-        F.col("n_arm").alias("n_b"),
-        F.col("sx_arm").alias("sx_b"),
-        F.col("sy_arm").alias("sy_b"),
+        F.sum(is_a).alias("n_a"),
+        F.sum(F.col("x") * is_a).alias("sx_a"),
+        F.sum(F.col("y") * is_a).alias("sy_a"),
+        F.sum(is_b).alias("n_b"),
+        F.sum(F.col("x") * is_b).alias("sx_b"),
+        F.sum(F.col("y") * is_b).alias("sy_b"),
     )
     n = F.col("n").cast("double")
     # population (co)variances scaled by n² — the shared factor cancels
@@ -4166,7 +4164,10 @@ def cuped_ab(
     varx_n2 = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
     vary_n2 = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
     theta = F.when(varx_n2 > 0, cov_n2 / varx_n2).otherwise(F.lit(0.0))
-    raw_diff = F.col("sy_a") / F.col("n_a") - F.col("sy_b") / F.col("n_b")
+    raw_diff = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("sy_a") / F.col("n_a") - F.col("sy_b") / F.col("n_b"),
+    )
     adj_diff = raw_diff - theta * (
         F.col("sx_a") / F.col("n_a") - F.col("sx_b") / F.col("n_b")
     )
@@ -4175,8 +4176,7 @@ def cuped_ab(
         100.0 * cov_n2 * cov_n2 / (varx_n2 * vary_n2),
     ).otherwise(F.lit(0.0))
     return (
-        pooled.join(F.broadcast(a))
-        .join(F.broadcast(b))
+        pooled
         .select(
             "n_a",
             "n_b",

@@ -8401,13 +8401,15 @@ def _retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_parquet_table(spark, sf_dir, "documents")
     rel = docs.where(
-        F.size(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & (F.size(
             F.array_intersect(
                 F.array_distinct(ts.tokens(F.col("text"))),
                 F.array(*[F.lit(t) for t in sorted(set(BM25_QUERY))]),
             )
         )
-        == len(set(BM25_QUERY))
+        == len(set(BM25_QUERY)))
     ).select(F.col("doc_id").alias("rel_id"))
     n_rel = rel.agg(F.count(F.lit(1)).alias("n_relevant"))
 
@@ -8839,7 +8841,6 @@ def _deletion_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return deletion_preview(
-        spark,
         {"customer": cust, "orders": orders, "lineitem": li_bridged},
         {
             "customer": F.col("c_custkey"),
