@@ -245,6 +245,8 @@ def main() -> None:
         "l_diversity": queries["l_diversity_customer"],
         "conformal": queries["conformal_lineitem"],
         "deletion_preview": queries["deletion_preview_tables"],
+        "qte": queries["qte_orders"],
+        "mde": queries["mde_orders"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -1879,3 +1879,55 @@ def test_conformal_coverage_on_planted_noise(spark):
     assert out.n_unpredicted == 0
     assert out.coverage_pct >= 85.0  # guarantee is >=90 in expectation
     assert 0.0 < out.q_hat <= 5.5  # noise half-width is 5, + rounding
+
+
+def test_qte_detects_tail_only_effect(spark):
+    """Planted: arm differences only in the upper tail. The lower
+    deciles' QTE ~ 0 while the top decile's is large — the signature a
+    mean diff smears and QTE isolates. Arms are forced via a unit id
+    pre-picked to the md5 coin."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.extensions.splits import hash_bucket_expr
+    from whiterrabbit_spark.profile import quantile_treatment_effects
+
+    # discover ids for each arm deterministically
+    ids = spark.range(3000).select(
+        F.col("id"), hash_bucket_expr(F.col("id"), ":cuped", 2).alias("arm")
+    ).collect()
+    a_ids = [r.id for r in ids if r.arm == 0][:500]
+    b_ids = [r.id for r in ids if r.arm == 1][:500]
+    rows = []
+    for rank, u in enumerate(sorted(a_ids)):
+        base = 100 + (rank % 100)
+        boost = 500 if rank >= 450 else 0  # top ~10% of arm A only
+        rows.append((u, float(base + boost)))
+    for rank, u in enumerate(sorted(b_ids)):
+        rows.append((u, float(100 + (rank % 100))))
+    df = spark.createDataFrame(rows, "u long, v double")
+    out = quantile_treatment_effects(
+        df, "u", F.col("v"), F.lit(True)
+    ).collect()
+    by_q = {round(r.q, 1): r for r in out}
+    for q in (0.1, 0.2, 0.3, 0.4, 0.5):
+        assert abs(by_q[q]["qte"]) < 1e-9  # lower deciles untouched
+    assert by_q[0.9]["qte"] > 30  # the planted top-decile effect
+    assert by_q[0.9]["qte"] > 5 * max(abs(by_q[0.6]["qte"]), 1.0)
+
+
+def test_mde_shrinks_with_more_data(spark):
+    """MDE must scale ~1/sqrt(n): quadrupling units roughly halves the
+    detectable effect."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import mde_report
+
+    def build(n):
+        rows = [(i, float(100 + (i * 37) % 50)) for i in range(n)]
+        return spark.createDataFrame(rows, "u long, v double")
+
+    small = mde_report(build(1000), "u", F.col("v"), F.lit(True)).collect()[0]
+    big = mde_report(build(4000), "u", F.col("v"), F.lit(True)).collect()[0]
+    assert small.mde_abs > 0 and big.mde_abs > 0
+    ratio = small.mde_abs / big.mde_abs
+    assert 1.6 < ratio < 2.4  # ~2 expected

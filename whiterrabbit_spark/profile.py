@@ -4796,3 +4796,141 @@ def conformal_intervals(
         F.lit(round((1.0 - alpha) * 100.0, 6)).cast("double").alias("target_pct"),
     )
     return out
+
+
+def quantile_treatment_effects(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str | Column,
+    cond: Column,
+    quantiles: list[float] | None = None,
+    salt: str = ":cuped",
+) -> DataFrame:
+    """Quantile treatment effects: the arm-A-minus-arm-B difference at
+    each decile of the per-unit outcome — the DISTRIBUTIONAL readout a
+    mean diff (ab_test/cuped) hides: an effect that only moves the
+    tails, or moves the median opposite to the mean, shows up here.
+    Arms share :func:`cuped_ab`'s md5 coin (same salt default), so the
+    two readouts describe the same experiment.
+
+    Per-unit outcomes are exact integer sums; the per-arm quantiles are
+    exact type-7 percentiles over the |units| frame (one groupBy(unit),
+    one 2-group aggregate); the diff is a subtraction of two
+    deterministic doubles.
+
+    Returns one row per quantile: ``(q, n_a, n_b, q_a, q_b, qte)``.
+    """
+    from whiterrabbit_spark.extensions.splits import hash_bucket_expr
+
+    qs = quantiles or [round(0.1 * i, 1) for i in range(1, 10)]
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "long"
+    )
+    per_unit = (
+        df.where(F.col(unit_col).isNotNull() & cond)
+        .select(F.col(unit_col).alias("__u"), v.alias("__v"))
+        .groupBy("__u")
+        .agg(F.sum("__v").alias("y"))
+        .withColumn("arm", hash_bucket_expr(F.col("__u"), salt, 2))
+    )
+    arms = per_unit.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.percentile("y", q).alias(f"q{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    a = arms.where(F.col("arm") == 0)
+    b = arms.where(F.col("arm") == 1)
+    rows = []
+    for i, q in enumerate(qs):
+        rows.append(
+            a.crossJoin(
+                b.select(
+                    F.col("n").alias("n_b"),
+                    F.col(f"q{i}").alias("q_b"),
+                )
+            ).select(
+                F.lit(q).cast("double").alias("q"),
+                F.col("n").alias("n_a"),
+                "n_b",
+                F.round(F.col(f"q{i}"), 6).alias("q_a"),
+                F.round("q_b", 6).alias("q_b"),
+                F.round(F.col(f"q{i}") - F.col("q_b"), 6).alias("qte"),
+            )
+        )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionByName(r)
+    return res.orderBy("q")
+
+
+def mde_report(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str | Column,
+    cond: Column,
+    salt: str = ":cuped",
+    alpha_z: float = 1.959963984540054,  # Phi^-1(0.975)
+    power_z: float = 0.8416212335729143,  # Phi^-1(0.8)
+) -> DataFrame:
+    """Minimum detectable effect at 80% power / 5% two-sided alpha for
+    the experiment's CURRENT arms — the "is this test even worth
+    running" sizing readout: MDE = (z_{1−α/2} + z_{power}) ·
+    sqrt(s²_a/n_a + s²_b/n_b), with sample variances folded from exact
+    integer moments per arm (the cuped_ab discipline, so both engines
+    see identical operands). Also emitted relative to the pooled mean.
+
+    Returns one row: ``(n_a, n_b, mean_pooled, sd_a, sd_b, mde_abs,
+    mde_pct)``.
+    """
+    from whiterrabbit_spark.extensions.splits import hash_bucket_expr
+
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "long"
+    )
+    per_unit = (
+        df.where(F.col(unit_col).isNotNull() & cond)
+        .select(F.col(unit_col).alias("__u"), v.alias("__v"))
+        .groupBy("__u")
+        .agg(F.sum("__v").alias("y"))
+        .withColumn("arm", hash_bucket_expr(F.col("__u"), salt, 2))
+    )
+    is_a = (F.col("arm") == 0).cast("long")
+    is_b = (F.col("arm") == 1).cast("long")
+    m = per_unit.agg(
+        F.sum(is_a).alias("n_a"),
+        F.sum(F.col("y") * is_a).alias("sy_a"),
+        F.sum(F.col("y") * F.col("y") * is_a).alias("syy_a"),
+        F.sum(is_b).alias("n_b"),
+        F.sum(F.col("y") * is_b).alias("sy_b"),
+        F.sum(F.col("y") * F.col("y") * is_b).alias("syy_b"),
+    )
+
+    def var(n, sy, syy):
+        nn = F.col(n).cast("double")
+        return F.when(
+            F.col(n) > 1,
+            (F.col(syy).cast("double") - F.col(sy).cast("double")
+             * F.col(sy).cast("double") / nn) / (nn - 1.0),
+        )
+
+    var_a = var("n_a", "sy_a", "syy_a")
+    var_b = var("n_b", "sy_b", "syy_b")
+    mde = (alpha_z + power_z) * F.sqrt(
+        var_a / F.col("n_a").cast("double") + var_b / F.col("n_b").cast("double")
+    )
+    mean_pooled = (F.col("sy_a") + F.col("sy_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(mean_pooled, 6).alias("mean_pooled"),
+        F.round(F.sqrt(var_a), 6).alias("sd_a"),
+        F.round(F.sqrt(var_b), 6).alias("sd_b"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(
+            F.when(mean_pooled > 0, mde * 100.0 / mean_pooled), 6
+        ).alias("mde_pct"),
+    )

@@ -8885,6 +8885,128 @@ SELECT 'lineitem',
 ORDER BY table_name"""
 
 
+def _qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (profile.quantile_treatment_effects)
+    on per-customer 1997 spend, same md5 arms as cuped_orders — the
+    distributional readout next to CUPED's adjusted mean."""
+    from whiterrabbit_spark.profile import quantile_treatment_effects
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return quantile_treatment_effects(
+        orders,
+        "o_custkey",
+        F.round(F.col("o_totalprice")),
+        (d >= F.lit("1997-01-01")) & (d < F.lit("1998-01-01")),
+    )
+
+
+def _qte_sql() -> str:
+    # quantile_cont returns a 1-based array over [0.0, 0.1, ..., 0.9]:
+    # index i+1 is the 0.1*i quantile
+    decile_rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({round(0.1 * i, 1)} AS DOUBLE) AS q, n_a, n_b,
+       round(qa[{i + 1}], 6) AS q_a, round(qb[{i + 1}], 6) AS q_b,
+       round(qa[{i + 1}] - qb[{i + 1}], 6) AS qte
+FROM a, b"""
+        for i in range(1, 10)
+    )
+    return f"""
+WITH per_unit AS (
+  SELECT o_custkey AS u,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM orders
+  WHERE o_custkey IS NOT NULL
+    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1
+), units AS (
+  SELECT y,
+         (('0x' || substr(md5(u::VARCHAR || ':cuped'), 1, 15))::BIGINT % 2)
+           AS arm
+  FROM per_unit
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_a,
+         quantile_cont(y, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS qa
+  FROM units WHERE arm = 0
+), b AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_b,
+         quantile_cont(y, [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS qb
+  FROM units WHERE arm = 1
+)
+{decile_rows}
+ORDER BY q"""
+
+
+def _mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect (profile.mde_report) for the standing
+    A/B on per-customer 1997 spend — 80% power, 5% two-sided alpha,
+    variances folded from exact integer moments."""
+    from whiterrabbit_spark.profile import mde_report
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return mde_report(
+        orders,
+        "o_custkey",
+        F.round(F.col("o_totalprice")),
+        (d >= F.lit("1997-01-01")) & (d < F.lit("1998-01-01")),
+    )
+
+
+_MDE_SQL = """
+WITH per_unit AS (
+  SELECT o_custkey AS u,
+         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+  FROM orders
+  WHERE o_custkey IS NOT NULL
+    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1
+), units AS (
+  SELECT y,
+         (('0x' || substr(md5(u::VARCHAR || ':cuped'), 1, 15))::BIGINT % 2)
+           AS arm
+  FROM per_unit
+), m AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+         CAST(sum(CASE WHEN arm = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syy_a,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b,
+         CAST(sum(CASE WHEN arm = 1 THEN y * y ELSE 0 END) AS BIGINT) AS syy_b
+  FROM units
+), v AS (
+  SELECT n_a, n_b, sy_a, sy_b,
+         CASE WHEN n_a > 1
+              THEN (CAST(syy_a AS DOUBLE)
+                    - CAST(sy_a AS DOUBLE) * CAST(sy_a AS DOUBLE)
+                      / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+         END AS var_a,
+         CASE WHEN n_b > 1
+              THEN (CAST(syy_b AS DOUBLE)
+                    - CAST(sy_b AS DOUBLE) * CAST(sy_b AS DOUBLE)
+                      / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
+         END AS var_b
+  FROM m
+)
+SELECT n_a, n_b,
+       round((sy_a + sy_b) / (n_a + n_b), 6) AS mean_pooled,
+       round(sqrt(var_a), 6) AS sd_a,
+       round(sqrt(var_b), 6) AS sd_b,
+       round((1.959963984540054 + 0.8416212335729143)
+             * sqrt(var_a / CAST(n_a AS DOUBLE)
+                    + var_b / CAST(n_b AS DOUBLE)), 6) AS mde_abs,
+       round(CASE WHEN (sy_a + sy_b) / (n_a + n_b) > 0
+                  THEN (1.959963984540054 + 0.8416212335729143)
+                       * sqrt(var_a / CAST(n_a AS DOUBLE)
+                              + var_b / CAST(n_b AS DOUBLE)) * 100.0
+                       / ((sy_a + sy_b) / (n_a + n_b)) END, 6) AS mde_pct
+FROM v"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -9236,5 +9358,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("conformal_lineitem", _conformal, _CONFORMAL_SQL)
     add("deletion_preview_tables", _deletion_preview,
         _DELETION_PREVIEW_SQL)
+    add("qte_orders", _qte, _qte_sql())
+    add("mde_orders", _mde, _MDE_SQL)
 
     return queries, oracles
