@@ -4798,6 +4798,30 @@ def conformal_intervals(
     return out
 
 
+def _per_unit_arms(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str | Column,
+    cond: Column,
+    salt: str,
+) -> DataFrame:
+    """Shared experiment frame (QTE/MDE; arm discipline identical to
+    cuped_ab): per-unit exact integer outcome sum + the md5-coin arm.
+    One groupBy(unit); every consumer folds it in a single aggregate."""
+    from whiterrabbit_spark.extensions.splits import hash_bucket_expr
+
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "long"
+    )
+    return (
+        df.where(F.col(unit_col).isNotNull() & cond)
+        .select(F.col(unit_col).alias("__u"), v.alias("__v"))
+        .groupBy("__u")
+        .agg(F.sum("__v").alias("y"))
+        .withColumn("arm", hash_bucket_expr(F.col("__u"), salt, 2))
+    )
+
+
 def quantile_treatment_effects(
     df: DataFrame,
     unit_col: str,
@@ -4813,56 +4837,47 @@ def quantile_treatment_effects(
     Arms share :func:`cuped_ab`'s md5 coin (same salt default), so the
     two readouts describe the same experiment.
 
-    Per-unit outcomes are exact integer sums; the per-arm quantiles are
-    exact type-7 percentiles over the |units| frame (one groupBy(unit),
-    one 2-group aggregate); the diff is a subtraction of two
-    deterministic doubles.
+    ONE single-row aggregate computes both arms' counts and every
+    per-arm exact type-7 percentile (conditional percentiles over the
+    |units| frame — percentile ignores the other arm's NULLs), then
+    explodes into one row per quantile: one scan, two exchanges, and an
+    empty arm degrades to NULL quantiles rather than dropping the
+    output (the cuped_ab empty-arm lesson).
 
     Returns one row per quantile: ``(q, n_a, n_b, q_a, q_b, qte)``.
     """
-    from whiterrabbit_spark.extensions.splits import hash_bucket_expr
-
     qs = quantiles or [round(0.1 * i, 1) for i in range(1, 10)]
-    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
-        "long"
-    )
-    per_unit = (
-        df.where(F.col(unit_col).isNotNull() & cond)
-        .select(F.col(unit_col).alias("__u"), v.alias("__v"))
-        .groupBy("__u")
-        .agg(F.sum("__v").alias("y"))
-        .withColumn("arm", hash_bucket_expr(F.col("__u"), salt, 2))
-    )
-    arms = per_unit.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n"),
+    per_unit = _per_unit_arms(df, unit_col, value_col, cond, salt)
+    ya = F.when(F.col("arm") == 0, F.col("y"))
+    yb = F.when(F.col("arm") == 1, F.col("y"))
+    agg = per_unit.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
         *[
-            F.percentile("y", q).alias(f"q{i}")
+            e
             for i, q in enumerate(qs)
+            for e in (
+                F.percentile(ya, q).alias(f"qa{i}"),
+                F.percentile(yb, q).alias(f"qb{i}"),
+            )
         ],
     )
-    a = arms.where(F.col("arm") == 0)
-    b = arms.where(F.col("arm") == 1)
-    rows = []
-    for i, q in enumerate(qs):
-        rows.append(
-            a.crossJoin(
-                b.select(
-                    F.col("n").alias("n_b"),
-                    F.col(f"q{i}").alias("q_b"),
-                )
-            ).select(
-                F.lit(q).cast("double").alias("q"),
-                F.col("n").alias("n_a"),
-                "n_b",
-                F.round(F.col(f"q{i}"), 6).alias("q_a"),
-                F.round("q_b", 6).alias("q_b"),
-                F.round(F.col(f"q{i}") - F.col("q_b"), 6).alias("qte"),
-            )
+    entries = [
+        F.struct(
+            F.lit(q).cast("double").alias("q"),
+            F.col("n_a").alias("n_a"),
+            F.col("n_b").alias("n_b"),
+            F.round(F.col(f"qa{i}"), 6).alias("q_a"),
+            F.round(F.col(f"qb{i}"), 6).alias("q_b"),
+            F.round(F.col(f"qa{i}") - F.col(f"qb{i}"), 6).alias("qte"),
         )
-    res = rows[0]
-    for r in rows[1:]:
-        res = res.unionByName(r)
-    return res.orderBy("q")
+        for i, q in enumerate(qs)
+    ]
+    return (
+        agg.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.*")
+        .orderBy("q")
+    )
 
 
 def mde_report(
@@ -4884,18 +4899,7 @@ def mde_report(
     Returns one row: ``(n_a, n_b, mean_pooled, sd_a, sd_b, mde_abs,
     mde_pct)``.
     """
-    from whiterrabbit_spark.extensions.splits import hash_bucket_expr
-
-    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
-        "long"
-    )
-    per_unit = (
-        df.where(F.col(unit_col).isNotNull() & cond)
-        .select(F.col(unit_col).alias("__u"), v.alias("__v"))
-        .groupBy("__u")
-        .agg(F.sum("__v").alias("y"))
-        .withColumn("arm", hash_bucket_expr(F.col("__u"), salt, 2))
-    )
+    per_unit = _per_unit_arms(df, unit_col, value_col, cond, salt)
     is_a = (F.col("arm") == 0).cast("long")
     is_b = (F.col("arm") == 1).cast("long")
     m = per_unit.agg(
