@@ -782,3 +782,72 @@ def test_ewma_stays_in_running_envelope(spark, vals):
     for r, v in zip(out, vals):
         lo, hi = min(lo, v), max(hi, v)
         assert lo - 1e-6 <= r["ewma"] <= hi + 1e-6
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    ref_vals=st.lists(st.floats(0, 100, allow_nan=False), min_size=5, max_size=60),
+    cur_vals=st.lists(st.floats(0, 100, allow_nan=False), min_size=5, max_size=60),
+)
+def test_jsd_hellinger_bounds_property(spark, ref_vals, cur_vals):
+    """For ANY two samples: 0 <= JSD <= ln2, 0 <= Hellinger <= 1, and
+    both are exactly 0 when cur == ref."""
+    import math
+
+    from whiterrabbit_spark.profile import jsd_drift
+
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "v double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "v double")
+    r = jsd_drift(ref, cur, ["v"], bins=7).collect()[0]
+    assert -1e-12 <= r["jsd"] <= math.log(2) + 1e-9
+    assert -1e-12 <= r["hellinger"] <= 1.0 + 1e-9
+    same = jsd_drift(ref, ref, ["v"], bins=7).collect()[0]
+    assert abs(same["jsd"]) < 1e-12 and abs(same["hellinger"]) < 1e-12
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    keys=st.lists(st.integers(0, 30), min_size=10, max_size=150),
+    width=st.sampled_from([4, 16, 512]),
+)
+def test_cms_one_sided_property(spark, keys, width):
+    """CMS overestimate is one-sided for ANY key distribution and ANY
+    sketch width: estimate >= exact, always."""
+    from whiterrabbit_spark.profile import cms_estimate_report
+
+    df = spark.createDataFrame([(f"k{k}",) for k in keys], "v string")
+    out = cms_estimate_report(df, "v", depth=3, width=width, top_k=50).collect()
+    assert out, "non-empty input must produce rows"
+    for r in out:
+        assert r["cms_n"] >= r["exact_n"]
+        assert r["overestimate"] == r["cms_n"] - r["exact_n"]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 500), st.floats(1, 1000, allow_nan=False)),
+        min_size=20, max_size=120, unique_by=lambda t: t[0],
+    ),
+)
+def test_mde_positive_and_qte_monotone_property(spark, vals):
+    """For ANY per-unit outcome set with both arms populated: MDE > 0,
+    and per-arm QTE quantiles are monotone nondecreasing in q."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import (
+        mde_report,
+        quantile_treatment_effects,
+    )
+
+    df = spark.createDataFrame(vals, "u long, v double")
+    out = quantile_treatment_effects(df, "u", F.col("v"), F.lit(True)).collect()
+    qa = [r.q_a for r in out if r.q_a is not None]
+    qb = [r.q_b for r in out if r.q_b is not None]
+    assert qa == sorted(qa) and qb == sorted(qb)
+    m = mde_report(df, "u", F.col("v"), F.lit(True)).collect()[0]
+    if m.n_a > 1 and m.n_b > 1 and (m.sd_a or 0) + (m.sd_b or 0) > 0:
+        assert m.mde_abs > 0
