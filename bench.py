@@ -247,6 +247,7 @@ def main() -> None:
         "deletion_preview": queries["deletion_preview_tables"],
         "qte": queries["qte_orders"],
         "mde": queries["mde_orders"],
+        "eb_rates": queries["eb_rates_orders"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

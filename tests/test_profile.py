@@ -1931,3 +1931,27 @@ def test_mde_shrinks_with_more_data(spark):
     assert small.mde_abs > 0 and big.mde_abs > 0
     ratio = small.mde_abs / big.mde_abs
     assert 1.6 < ratio < 2.4  # ~2 expected
+
+
+def test_eb_shrinkage_pulls_small_segments_in(spark):
+    """A 2/2 segment must NOT outrank a 90/100 segment after
+    shrinkage, and shrunk rates sit strictly between the raw rate and
+    the prior mean for off-prior segments."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    rows += [("tiny", 1)] * 2                       # raw 1.0, n=2
+    rows += [("big", 1)] * 90 + [("big", 0)] * 10   # raw 0.9, n=100
+    for s in range(40):  # background segments around rate 0.5
+        ones = 5 + (s % 3)
+        rows += [(f"bg{s}", 1)] * ones + [(f"bg{s}", 0)] * (12 - ones)
+    df = spark.createDataFrame(rows, "seg string, y int")
+    from whiterrabbit_spark.profile import eb_shrunk_rates
+
+    out = eb_shrunk_rates(df, F.col("y") == 1, "seg", top_k=50).collect()
+    by = {r.segment: r for r in out}
+    assert by["tiny"]["kappa"] > 0
+    assert by["big"]["shrunk_rate"] > by["tiny"]["shrunk_rate"]
+    assert by["tiny"]["shrunk_rate"] < by["tiny"]["raw_rate"]  # pulled down
+    assert by["big"]["shrunk_rate"] < by["big"]["raw_rate"]
+    assert by["big"]["shrunk_rate"] > 0.8  # barely moved (n=100)

@@ -4938,3 +4938,66 @@ def mde_report(
             F.when(mean_pooled > 0, mde * 100.0 / mean_pooled), 6
         ).alias("mde_pct"),
     )
+
+
+def eb_shrunk_rates(
+    df: DataFrame,
+    success_cond: Column,
+    seg_col: str | Column,
+    top_k: int = 20,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-segment success rates
+    (beta-binomial, method of moments): tiny segments' raw rates are
+    noise-dominated — a 2/2 segment "beats" a 900/1000 one — so every
+    rate is pulled toward the global prior with strength κ = α+β
+    estimated FROM the segments themselves: shrunk = (y + m·κ)/(n + κ).
+    The standard fix before ranking/alerting on segment rates
+    (Robinson's batting-average construction).
+
+    Two aggregates: one groupBy(segment) for (n, y), one 1-row
+    broadcast fold for the moments m (unweighted mean of segment
+    rates) and var (their sample variance) → κ = clamp(m(1−m)/var − 1,
+    ≥ 0; κ=0 i.e. no shrinkage when the between-segment variance
+    already exceeds the binomial ceiling). Top-k segments by shrunk
+    rate, ties on segment.
+
+    Returns ``(segment, n, n_success, raw_rate, shrunk_rate, kappa)``.
+    """
+    seg = F.col(seg_col) if isinstance(seg_col, str) else seg_col
+    per_seg = (
+        df.select(
+            seg.cast("string").alias("segment"),
+            success_cond.cast("long").alias("__y"),
+        )
+        .where(F.col("segment").isNotNull())
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__y").alias("y"))
+        .withColumn("rate", F.col("y") / F.col("n"))
+    )
+    mom = per_seg.agg(
+        F.count(F.lit(1)).alias("k_seg"),
+        F.avg("rate").alias("m"),
+        F.var_samp("rate").alias("v"),
+    )
+    kappa = F.when(
+        (F.col("v") > 0)
+        & (F.col("m") > 0)
+        & (F.col("m") < 1)
+        & (F.col("m") * (1 - F.col("m")) / F.col("v") - 1 > 0),
+        F.col("m") * (1 - F.col("m")) / F.col("v") - 1,
+    ).otherwise(F.lit(0.0))
+    return (
+        per_seg.crossJoin(F.broadcast(mom))
+        .select(
+            "segment",
+            "n",
+            F.col("y").alias("n_success"),
+            F.round("rate", 6).alias("raw_rate"),
+            F.round(
+                (F.col("y") + F.col("m") * kappa) / (F.col("n") + kappa), 6
+            ).alias("shrunk_rate"),
+            F.round(kappa, 6).alias("kappa"),
+        )
+        .orderBy(F.col("shrunk_rate").desc(), "segment")
+        .limit(top_k)
+    )

@@ -9007,6 +9007,48 @@ SELECT n_a, n_b,
 FROM v"""
 
 
+def _eb_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunk fulfillment rates per customer bucket
+    (profile.eb_shrunk_rates): 500 deliberately-small segments so the
+    beta-binomial prior visibly pulls noisy raw rates in."""
+    from whiterrabbit_spark.profile import eb_shrunk_rates
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return eb_shrunk_rates(
+        orders,
+        F.col("o_orderstatus") == "F",
+        F.col("o_custkey") % 500,
+        top_k=20,
+    )
+
+
+_EB_RATES_SQL = """
+WITH per_seg AS (
+  SELECT CAST(o_custkey % 500 AS VARCHAR) AS segment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS y
+  FROM orders WHERE o_custkey IS NOT NULL
+  GROUP BY 1
+), r AS (
+  SELECT segment, n, y, y / CAST(n AS DOUBLE) AS rate FROM per_seg
+), mom AS (
+  SELECT avg(rate) AS m, var_samp(rate) AS v FROM r
+), k AS (
+  SELECT m,
+         CASE WHEN v > 0 AND m > 0 AND m < 1 AND m * (1 - m) / v - 1 > 0
+              THEN m * (1 - m) / v - 1 ELSE 0.0 END AS kappa
+  FROM mom
+)
+SELECT segment, n, y AS n_success,
+       round(rate, 6) AS raw_rate,
+       round((y + m * kappa) / (n + kappa), 6) AS shrunk_rate,
+       round(kappa, 6) AS kappa
+FROM r, k
+ORDER BY shrunk_rate DESC, segment
+LIMIT 20"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -9360,5 +9402,6 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _DELETION_PREVIEW_SQL)
     add("qte_orders", _qte, _qte_sql())
     add("mde_orders", _mde, _MDE_SQL)
+    add("eb_rates_orders", _eb_rates, _EB_RATES_SQL)
 
     return queries, oracles
