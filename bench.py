@@ -248,6 +248,7 @@ def main() -> None:
         "qte": queries["qte_orders"],
         "mde": queries["mde_orders"],
         "eb_rates": queries["eb_rates_orders"],
+        "seasonality_strength": queries["seasonality_strength_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

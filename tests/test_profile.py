@@ -1955,3 +1955,32 @@ def test_eb_shrinkage_pulls_small_segments_in(spark):
     assert by["tiny"]["shrunk_rate"] < by["tiny"]["raw_rate"]  # pulled down
     assert by["big"]["shrunk_rate"] < by["big"]["raw_rate"]
     assert by["big"]["shrunk_rate"] > 0.8  # barely moved (n=100)
+
+
+def test_seasonality_strength_separates_signal_from_noise(spark):
+    """A value that IS its hour profile scores ~1; adding dominant
+    iid noise drives the strength toward 0."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.profile import seasonality_strength
+
+    rows_pure, rows_noise = [], []
+    for day in range(1, 15):
+        for hr in range(24):
+            for rep in range(3):
+                ts = f"2024-01-{day:02d} {hr:02d}:{rep * 7 + 1:02d}:00"
+                seasonal = 100.0 + 10.0 * hr
+                noise = ((day * 24 * 3 + hr * 3 + rep) * 2654435761 % 1000) - 500.0
+                rows_pure.append((ts, seasonal))
+                rows_noise.append((ts, seasonal + noise))
+    pure = spark.createDataFrame(rows_pure, "ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    noisy = spark.createDataFrame(rows_noise, "ts string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    sp = seasonality_strength(pure, "ts", "value").collect()[0]
+    sn = seasonality_strength(noisy, "ts", "value").collect()[0]
+    assert sp["strength"] > 0.99
+    assert sn["strength"] < 0.35
+    assert sp["n_cells"] <= 168

@@ -5001,3 +5001,51 @@ def eb_shrunk_rates(
         .orderBy(F.col("shrunk_rate").desc(), "segment")
         .limit(top_k)
     )
+
+
+def seasonality_strength(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Seasonality-strength scalar (Hyndman's F_s): the share of the
+    metric's variance explained by its hour×day-of-week profile,
+    strength = max(0, 1 − var(residual)/var(value)) — the one-number
+    answer to "is this series seasonal enough that the dow-adjusted
+    monitors (dow_outliers, seasonality matrix) are worth wiring".
+    ~0 for white noise, →1 when the weekly profile is the signal.
+
+    One groupBy on the 168 (dow, hour) cells, broadcast back, two
+    variance folds — the residual never re-shuffles raw rows.
+
+    Returns one row ``(n, n_cells, var_total, var_residual, strength)``.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(F.col(ts_col).isNotNull() & v.isNotNull()).select(
+        F.dayofweek(ts_col).alias("__dow"),
+        F.hour(ts_col).alias("__hr"),
+        v.alias("__v"),
+    )
+    cells = base.groupBy("__dow", "__hr").agg(F.avg("__v").alias("__mu"))
+    resid = base.join(F.broadcast(cells), ["__dow", "__hr"]).select(
+        "__v", (F.col("__v") - F.col("__mu")).alias("__r")
+    )
+    n_cells = cells.agg(F.count(F.lit(1)).alias("n_cells"))
+    out = resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.var_pop("__v").alias("var_total"),
+        F.var_pop("__r").alias("var_residual"),
+    )
+    strength = F.when(
+        F.col("var_total") > 0,
+        F.greatest(
+            F.lit(0.0), 1.0 - F.col("var_residual") / F.col("var_total")
+        ),
+    )
+    return out.crossJoin(F.broadcast(n_cells)).select(
+        "n",
+        "n_cells",
+        F.round("var_total", 6).alias("var_total"),
+        F.round("var_residual", 6).alias("var_residual"),
+        F.round(strength, 6).alias("strength"),
+    )

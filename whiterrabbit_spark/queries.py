@@ -9049,6 +9049,37 @@ ORDER BY shrunk_rate DESC, segment
 LIMIT 20"""
 
 
+def _seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength of events.value against its hour×dow
+    profile (profile.seasonality_strength) — the wire-the-monitors
+    gate next to seasonality_events/dow_outliers_events."""
+    from whiterrabbit_spark.profile import seasonality_strength
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return seasonality_strength(ev, "ts", "value")
+
+
+_SEASONALITY_STRENGTH_SQL = """
+WITH base AS (
+  SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr, value::DOUBLE AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), cells AS (
+  SELECT dow, hr, avg(v) AS mu FROM base GROUP BY 1, 2
+), resid AS (
+  SELECT v, v - mu AS r FROM base JOIN cells USING (dow, hr)
+), nc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells
+)
+SELECT CAST(count(*) AS BIGINT) AS n, n_cells,
+       round(var_pop(v), 6) AS var_total,
+       round(var_pop(r), 6) AS var_residual,
+       round(CASE WHEN var_pop(v) > 0
+                  THEN greatest(0.0, 1.0 - var_pop(r) / var_pop(v)) END, 6)
+         AS strength
+FROM resid, nc
+GROUP BY n_cells"""
+
+
 def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     """Registry order IS the driver's verification order: the correctness
     harness signs the first ~50 entries per round, in insertion order.
@@ -9403,5 +9434,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("qte_orders", _qte, _qte_sql())
     add("mde_orders", _mde, _MDE_SQL)
     add("eb_rates_orders", _eb_rates, _EB_RATES_SQL)
+    add("seasonality_strength_events", _seasonality_strength,
+        _SEASONALITY_STRENGTH_SQL)
 
     return queries, oracles
