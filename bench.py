@@ -326,6 +326,19 @@ def main() -> None:
             with open(base_path, "w") as fh:
                 json.dump(base, fh, indent=1)
 
+    # VERDICT r3 #8: the driver records only the tail of stdout, which
+    # truncates the per-query seconds for large workloads. Persist the
+    # full result JSON alongside the repo so every round's numbers are
+    # auditable regardless of stdout capture limits.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json"
+    )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
     print(json.dumps(out))
     spark.stop()
 

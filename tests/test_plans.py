@@ -335,6 +335,21 @@ def test_zorder_and_layout_scans_push_value_filters(spark):
     assert "PushedFilters: [IsNotNull" in plan
 
 
+def test_layout_advisor_shares_hists_and_stats(spark):
+    """VERDICT r3 #2 pin: the layout advisor must (a) persist each
+    distinct sort-key histogram so the 3-traversal prefix-sum helper
+    reads the cache, not the fact table, and (b) fold every layout's
+    (n_rows, rows_matched) into ONE conditional-agg scan. Runtime scan
+    count per report call is then 1 + n_distinct_sort_keys (was ~10:
+    4 traversals x n_layouts)."""
+    plan = _plan(spark, "layout_prune_lineitem")
+    # (a) hists are cached: the plan references InMemoryRelation
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+    # (b) the single stats scan carries the per-layout conditional
+    # sums; no per-layout stats agg over the raw scan remains
+    assert plan.count("__nr_0") >= 1 and plan.count("__nr_1") >= 1
+
+
 def test_tpch_round3_family_plan_shapes(spark):
     """The Q2/Q8-Q21 wave: predicates reach the scans, dim legs
     broadcast, the semi/anti shapes survive into the physical plan,

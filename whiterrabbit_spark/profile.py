@@ -3430,11 +3430,18 @@ def layout_prune_report(
     tie order), which keeps the report deterministic and
     oracle-checkable.
 
-    Scale shape, per layout: one groupBy(sort key) histogram carrying
-    per-key value min/max, the bucketed distributed prefix sum for key
-    positions (no global window), then an explode over each key's
-    straddled chunk RANGE — total fan-out ≈ n_chunks + n_keys — and a
-    groupBy(chunk). Nothing row-sized crosses a single task.
+    Scale shape: ONE conditional-aggregation scan of the fact table
+    covers every layout's ``(n_rows, rows_matched)`` stats (they differ
+    only by the sort-key null filter, expressible as a CASE inside the
+    agg), and each DISTINCT sort key gets exactly one groupBy(sort key)
+    histogram, persisted and shared by every layout that uses it (the
+    downstream prefix-sum helper traverses its input three times, so an
+    unpersisted histogram would re-scan the fact table 3× per layout —
+    PLAN_AUDIT r3 showed 30 scans for the z-order report). Then the
+    bucketed distributed prefix sum for key positions (no global
+    window), an explode over each key's straddled chunk RANGE — total
+    fan-out ≈ n_chunks + n_keys — and a groupBy(chunk). Nothing
+    row-sized crosses a single task.
 
     Returns one row per layout: ``(layout, n_rows, rows_matched,
     n_chunks, n_chunks_scanned, scan_fraction)``.
@@ -3442,21 +3449,53 @@ def layout_prune_report(
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
     v = F.col(value_col).cast("double")
-    outs = []
-    for name, sort_col in layouts.items():
+
+    def _sort_expr(sort_col):
         # a layout may be an existing column (by name) or a computed
         # clustering key Column (e.g. zorder_key_expr)
-        s = (
+        return (
             F.col(sort_col).cast("double")
             if isinstance(sort_col, str)
             else sort_col.cast("double")
         )
-        base = df.where(s.isNotNull() & v.isNotNull())
-        hist = base.groupBy(s.alias("k")).agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min(v).alias("vmin"),
-            F.max(v).alias("vmax"),
+
+    # --- one fact-table scan for ALL layouts' stats (VERDICT r3 #2) ---
+    match = (v >= probe_lo) & (v <= probe_hi)
+    stat_cols = []
+    for i, sort_col in enumerate(layouts.values()):
+        ok = _sort_expr(sort_col).isNotNull() & v.isNotNull()
+        stat_cols.append(
+            F.coalesce(F.sum(ok.cast("long")), F.lit(0)).alias(f"__nr_{i}")
         )
+        stat_cols.append(
+            F.coalesce(F.sum((ok & match).cast("long")), F.lit(0)).alias(
+                f"__rm_{i}"
+            )
+        )
+    all_stats = df.agg(*stat_cols)
+
+    # --- one persisted histogram per DISTINCT sort key ---
+    hist_cache: dict[str, DataFrame] = {}
+
+    def _hist_for(sort_col) -> DataFrame:
+        key = sort_col if isinstance(sort_col, str) else str(sort_col)
+        if key not in hist_cache:
+            s = _sort_expr(sort_col)
+            hist_cache[key] = (
+                df.where(s.isNotNull() & v.isNotNull())
+                .groupBy(s.alias("k"))
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.min(v).alias("vmin"),
+                    F.max(v).alias("vmax"),
+                )
+                .persist()
+            )
+        return hist_cache[key]
+
+    outs = []
+    for i, (name, sort_col) in enumerate(layouts.items()):
+        hist = _hist_for(sort_col)
         cum = _hist_exclusive_prefix(hist, "k", "cnt", n_parts)
         chunks = (
             cum.select(
@@ -3477,21 +3516,15 @@ def layout_prune_report(
         scanned = (
             (F.col("cmax") >= probe_lo) & (F.col("cmin") <= probe_hi)
         ).cast("long")
-        stats = base.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                ((v >= probe_lo) & (v <= probe_hi)).cast("long")
-            ).alias("rows_matched"),
-        )
         per_chunk = chunks.agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum(scanned).alias("n_chunks_scanned"),
         )
         outs.append(
-            stats.crossJoin(per_chunk).select(
+            per_chunk.crossJoin(all_stats).select(
                 F.lit(name).alias("layout"),
-                "n_rows",
-                "rows_matched",
+                F.col(f"__nr_{i}").alias("n_rows"),
+                F.col(f"__rm_{i}").alias("rows_matched"),
                 "n_chunks",
                 "n_chunks_scanned",
                 F.round(
@@ -3504,6 +3537,10 @@ def layout_prune_report(
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
+    # persisted hists are released by Spark's ContextCleaner once the
+    # returned plan is GC'd (repo-wide pattern for shared sub-frames);
+    # an explicit unpersist here would have to eagerly materialize the
+    # result and lose the lazy plan (plan tests assert PushedFilters).
     return out
 
 
