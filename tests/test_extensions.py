@@ -3194,6 +3194,21 @@ def test_graph_primitives_known_values(spark):
     rr = [r["rank"] for r in pagerank(ring, n_iter=15).collect()]
     assert max(rr) - min(rr) < 1e-12
 
+    # early exit (VERDICT r3 #5): on the ring the ranks are stationary
+    # from iteration 0, so any tol > 0 exits at the first checkpoint
+    # with the same (uniform, mass-1) answer as the full run
+    re = {r["node"]: r["rank"]
+          for r in pagerank(ring, n_iter=15, checkpoint_every=2,
+                            tol=1e-6).collect()}
+    assert abs(sum(re.values()) - 1.0) < 1e-9
+    assert max(re.values()) - min(re.values()) < 1e-12
+    # and on the hand graph the tol run preserves mass + hub ordering
+    pe = {r["node"]: r["rank"]
+          for r in pagerank(edges, n_iter=20, checkpoint_every=2,
+                            tol=1e-3).collect()}
+    assert abs(sum(pe.values()) - 1.0) < 1e-9
+    assert min(pe[1], pe[3]) > max(pe[2], pe[4])
+
 
 def test_zipf_fit_distinguishes_natural_from_uniform(spark):
     """A Zipf-distributed corpus fits slope ~= -1 with high r2; a

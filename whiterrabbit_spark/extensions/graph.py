@@ -117,6 +117,7 @@ def pagerank(
     damping: float = 0.85,
     top_k: int = 20,
     checkpoint_every: int = 4,
+    tol: float = 0.0,
 ) -> DataFrame:
     """PageRank over the undirected graph (each edge contributes both
     directions), by power iteration: rank_v = (1−d)/N + d·Σ_u rank_u /
@@ -124,11 +125,21 @@ def pagerank(
     undirected graph (every node with an edge has out-degree ≥ 1), so
     Σ ranks stays 1 — an invariant the tests pin.
 
-    Each iteration is one join + one groupBy on the edge list;
-    ``localCheckpoint`` (lazy) every ``checkpoint_every`` iterations
+    Each iteration is one join + one groupBy on the edge list; every
+    ``checkpoint_every`` iterations an EAGER ``localCheckpoint``
     truncates the plan lineage that would otherwise grow linearly and
     blow up Catalyst analysis time — the canonical iterative-DataFrame
-    pattern.
+    pattern. When ``tol`` > 0, each checkpoint boundary also runs one
+    tiny O(nodes) join+aggregate of the just-materialized ranks
+    against the previous checkpoint's materialized ranks: if the L1
+    rank delta across the last ``checkpoint_every`` iterations fell
+    below ``tol``, iteration stops early (VERDICT r3 #5). Comparing
+    materialized checkpoints (rather than carrying per-iteration
+    deltas) keeps every iteration's plan referencing the prior ranks
+    exactly once — a self-referencing delta column would double the
+    lineage per iteration. Power iteration contracts the delta by
+    ~``damping`` per step, so Σ|Δ| ≤ tol bounds all remaining movement
+    by tol/(1−damping).
 
     Returns the top-``top_k`` ``(node, rank)`` rows, rank DESC.
     """
@@ -141,6 +152,7 @@ def pagerank(
     ranks = nodes.select(
         "node", F.lit(1.0 / n_nodes).alias("rank"), "__deg"
     )
+    prev_ck = ranks
     for i in range(n_iter):
         contribs = (
             both.join(
@@ -165,7 +177,23 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=False)
+            if tol > 0:
+                ranks = ranks.localCheckpoint(eager=True)
+                delta = (
+                    ranks.join(
+                        prev_ck.select(
+                            "node", F.col("rank").alias("__prev")
+                        ),
+                        "node",
+                    )
+                    .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))))
+                    .first()[0]
+                )
+                prev_ck = ranks
+                if delta is not None and delta < tol:
+                    break
+            else:
+                ranks = ranks.localCheckpoint(eager=False)
     return (
         ranks.select("node", "rank")
         .orderBy(F.col("rank").desc(), "node")
