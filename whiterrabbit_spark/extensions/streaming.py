@@ -800,6 +800,7 @@ def running_stats_tws(
     stream: DataFrame,
     key_col: str = "user_id",
     value_col: str = "value",
+    force_legacy: bool = False,
 ) -> DataFrame:
     """Per-key running count + exact-cents sum through Spark 4's
     ``transformWithStateInPandas`` — the successor API to
@@ -816,20 +817,63 @@ def running_stats_tws(
     arrival order. Update mode: each micro-batch emits the key's
     refreshed totals.
 
-    Environment gate: the transformWithState state-server protocol
-    needs ``google.protobuf`` on the PYTHON side (the JVM side ships
-    with Spark). Without it the stream crashes deep inside the driver
-    worker, so this raises the dependency error up front instead.
+    Environment gate → transparent fallback (VERDICT r3 #3): the
+    transformWithState state-server protocol needs ``google.protobuf``
+    on the PYTHON side (the JVM side ships with Spark); without it the
+    stream would crash deep inside the driver worker. Where protobuf is
+    absent, the SAME state machine runs on the legacy
+    ``applyInPandasWithState`` surface (protobuf-free wire protocol) —
+    identical output schema, identical exact-cents semantics, so the
+    drained-state == batch parity holds on either path. Pass
+    ``force_legacy=True`` to exercise the fallback explicitly.
     """
     try:
         from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env-dependent branch
-        raise RuntimeError(
-            "transformWithStateInPandas requires the python 'protobuf' "
-            "package (its state-server protocol); install protobuf or "
-            "use the applyInPandasWithState operators "
-            "(sessionize_stateful, funnel_stateful) on this cluster"
-        ) from e
+
+        has_protobuf = True
+    except ImportError:  # pragma: no cover - env-dependent branch
+        has_protobuf = False
+
+    out_schema = f"{key_col} LONG, n_events BIGINT, sum_cents BIGINT"
+
+    def _fold(n: int, cents: int, pdf):
+        # per-VALUE cents rounding (then an integer sum), matching
+        # the batch definition sum(round(v*100)) — and HALF_UP like
+        # Spark's F.round, NOT pandas' banker's half-to-even (a
+        # half-cent value like 0.125 would otherwise diverge);
+        # sign-aware so negatives round away from zero like Spark
+        import numpy as np
+
+        vals = pdf[value_col].dropna()
+        scaled = vals.mul(100.0).to_numpy()
+        cents += int(
+            (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5))
+            .astype("int64").sum()
+        )
+        return n + int(len(pdf)), cents
+
+    if not (has_protobuf and not force_legacy):
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            n, cents = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n, cents = _fold(n, cents, pdf)
+            state.update((n, cents))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "sum_cents": [cents]}
+            )
+
+        return stream.groupBy(key_col).applyInPandasWithState(
+            update,
+            out_schema,
+            "n BIGINT, c BIGINT",
+            "Update",
+            GroupStateTimeout.NoTimeout,
+        )
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -847,20 +891,7 @@ def running_stats_tws(
             else:
                 n, cents = 0, 0
             for pdf in rows:
-                vals = pdf[value_col].dropna()
-                n += int(len(pdf))
-                # per-VALUE cents rounding (then an integer sum), matching
-                # the batch definition sum(round(v*100)) — and HALF_UP like
-                # Spark's F.round, NOT pandas' banker's half-to-even (a
-                # half-cent value like 0.125 would otherwise diverge);
-                # sign-aware so negatives round away from zero like Spark
-                import numpy as np
-
-                scaled = vals.mul(100.0).to_numpy()
-                cents += int(
-                    (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5))
-                    .astype("int64").sum()
-                )
+                n, cents = _fold(n, cents, pdf)
             self._agg.update((n, cents))
             yield pd.DataFrame(
                 {
@@ -875,7 +906,7 @@ def running_stats_tws(
 
     return stream.groupBy(key_col).transformWithStateInPandas(
         RunningStats(),
-        f"{key_col} LONG, n_events BIGINT, sum_cents BIGINT",
+        out_schema,
         "Update",
         "None",
     )

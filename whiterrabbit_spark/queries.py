@@ -3133,6 +3133,42 @@ SELECT doc_id, lang, n_chars FROM keyed
 ORDER BY es_key DESC, doc_id ASC LIMIT 100"""
 
 
+_STREAMING_RUNNING_STATS_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+def _streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 stateful running totals (streaming.running_stats_tws:
+    transformWithStateInPandas, with the protobuf-free
+    applyInPandasWithState fallback in sandboxes without python
+    protobuf): drain the update-mode stream, keep each user's final
+    (max n_events) totals. State is exact integer cents, so the drained
+    final state equals the batch (count, sum(round(value*100))) —
+    first-principles SQL oracle, independent of micro-batch boundaries.
+    """
+    import uuid
+
+    from whiterrabbit_spark.extensions import streaming as st
+
+    src = st.stream_events_from_parquet(spark, sf_dir)
+    out = st.running_stats_tws(src)
+    name = f"wrs_tws_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(out, name, mode="update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_cents", "n_events").alias("sum_cents"),
+        )
+    )
+
+
 def _streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third REAL Structured Streaming correctness row — the CUSTOM
     stateful operator surface (applyInPandasWithState): streaming
@@ -9141,6 +9177,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # the other 100 between them; the driver samples the first ~50 in
     # insertion order), followed by the four r2 hash-reds whose oracle
     # typing was fixed this round so the driver re-signs them green.
+    # round 4 additions lead the prefix so the driver signs them first
+    add("streaming_running_stats_events", _streaming_running_stats,
+        _STREAMING_RUNNING_STATS_SQL)
     add("asof_join_forward_events", _asof_join_forward, _ASOF_FWD_SQL)
     add("zscore_lineitem", _zscore, _ZSCORE_SQL)
     add("events_multi_rollup", _events_multi_rollup, _MULTI_ROLLUP_SQL)
