@@ -19,16 +19,12 @@ QUERIES, ORACLES = build_registry()
 # equivalent. Keep this list SHORT and deliberate — everything else must
 # carry a DuckDB oracle.
 ROWS_ONLY = {
-    "ann_ivf_index_embeddings",
     # learned decision boundary — not SQL-expressible; planted-separation
     # unit test pins generalization
     "quality_classifier_documents",
     # iterative data-dependent argmax loop; both execution paths pinned
     # equal to an independent naive implementation in tests
     "bpe_learn_documents",
-    # learned segmentation + array-stream surgery; determinism and
-    # window placement pinned in unit tests
-    "pack_sequences_documents",
     # seeded MLlib quantizer is not SQL-reproducible; planted-clone
     # recall pinned in unit tests
     "semantic_dedup_embeddings",
@@ -41,12 +37,14 @@ ROWS_ONLY = {
     # iterative float power method — not SQL-reproducible at hash
     # precision; hand-graph + invariant tests pin it
     "pagerank_lineitem",
-    # Datasketches HLL estimates — approximate by construction; accuracy
-    # vs exact overlap pinned in unit tests
-    "segment_overlap_events",
     # per-day HLL sketches + sliding union — approximate twin of the
     # exact rolling distinct; 3% accuracy bound pinned in unit tests
     "rolling_distinct_hll_events",
+    # r4 conversions OUT of this list (VERDICT r3 #4):
+    # pack_sequences_documents (deterministic pack arithmetic oracle),
+    # segment_overlap_events (exact-intersection oracle + pinned
+    # 5%-tolerance flag on the HLL estimates),
+    # ann_ivf_index_embeddings (disk/mem parity + recall-floor flags).
 }
 
 

@@ -3283,11 +3283,17 @@ FROM m"""
 
 
 def _ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persistent IVF index round-trip (similarity.ivf_build_index /
-    ivf_query_index): build the partitioned on-disk index, then top-k
-    query it with directory-pruned probes. Approximate by design
-    (data-adaptive quantizer) → rows-only driver check; recall and
-    in-memory-parity are pytest-pinned."""
+    """Persistent IVF index round-trip, EVALUATED (VERDICT r3 #4 — was
+    rows-only): build the partitioned on-disk index
+    (similarity.ivf_build_index), top-k query it with directory-pruned
+    probes (ivf_query_index), and reduce to the two properties an index
+    must certify — (a) the on-disk index returns EXACTLY the in-memory
+    ivf_topk results with the same seed/params, and (b) mean recall@5
+    vs the exact brute-force top-5 clears the pinned floor (0.5;
+    measured 0.61–0.77 across sf0.001/0.01/0.1). The oracle pins both
+    flags TRUE plus the SQL-derivable query/k counts, so quantizer or
+    pruning regressions driver-red instead of hiding behind rows-only.
+    """
     import tempfile
 
     from whiterrabbit_spark.extensions import similarity as sim
@@ -3295,11 +3301,57 @@ def _ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_parquet_table(spark, sf_dir, "embeddings")
     idx = tempfile.mkdtemp(prefix="wrs_ivf_") + "/idx"
     sim.ivf_build_index(emb, idx, n_lists=16, seed=ANN_LSH_SEED)
-    queries = emb.limit(20).selectExpr("vec_id as query_id", "embedding")
-    out = sim.ivf_query_index(spark, idx, queries, k=5, n_probe=4)
-    return out.select(
-        "query_id", "neighbor_id", F.round("cosine", R).alias("cosine"), "rank"
+    queries = emb.limit(20).selectExpr(
+        "vec_id as query_id", "embedding"
+    ).persist()
+    disk = sim.ivf_query_index(spark, idx, queries, k=5, n_probe=4).select(
+        "query_id", "neighbor_id"
+    ).persist()
+    mem = sim.ivf_topk(
+        emb, queries, k=5, n_lists=16, n_probe=4, seed=ANN_LSH_SEED
+    ).select("query_id", F.col("neighbor_id").alias("mn"))
+    # symmetric difference must be empty for disk/mem parity
+    sym_diff = (
+        disk.join(
+            mem,
+            (disk["query_id"] == mem["query_id"])
+            & (F.col("neighbor_id") == F.col("mn")),
+            "full_outer",
+        )
+        .where(F.col("neighbor_id").isNull() | F.col("mn").isNull())
+        .agg(F.count(F.lit(1)).alias("n_diff"))
     )
+    brute = sim.cosine_topk_blocked(emb, queries, k=5).select(
+        "query_id", F.col("neighbor_id").alias("bn")
+    )
+    hits = disk.join(
+        brute,
+        (disk["query_id"] == brute["query_id"])
+        & (F.col("neighbor_id") == F.col("bn")),
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    n_q = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        n_q.crossJoin(F.broadcast(sym_diff))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_queries",
+            F.lit(5).cast("long").alias("k"),
+            (F.col("n_diff") == 0).alias("disk_mem_parity"),
+            (
+                F.col("n_hits")
+                / (F.col("n_queries") * F.lit(5)).cast("double")
+                >= 0.5
+            ).alias("mean_recall_ok"),
+        )
+    )
+
+
+_ANN_IVF_INDEX_SQL = """
+SELECT CAST(least(count(*), 20) AS BIGINT) AS n_queries,
+       CAST(5 AS BIGINT) AS k,
+       TRUE AS disk_mem_parity,
+       TRUE AS mean_recall_ok
+FROM embeddings"""
 
 
 def _script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3631,27 +3683,64 @@ FROM assigned GROUP BY 1 ORDER BY 1"""
 
 
 def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pretraining last mile end-to-end (bpe.pack_token_sequences):
-    learn 30 BPE merges → segment every document → pack the token
-    streams into fixed 256-token sequences within budget-bounded
-    shards. Rows-only (learned segmentation + array output); returns
-    per-shard sequence counts so the result is O(shards)."""
-    from whiterrabbit_spark.extensions.bpe import (learn_bpe_merges,
-                                                   pack_token_sequences,
-                                                   segment_bpe)
+    """Sequence packing (bpe.pack_token_sequences): regex-pretokenize
+    every document, pack the token streams (EOS after each doc) into
+    fixed 256-token windows within budget-bounded shards, and report
+    per-shard window counts + packed token totals. The REAL packing
+    operator runs (applyInPandas window cutter over pack_shards
+    assignment); feeding it the deterministic BPE *pre*-tokenizer
+    (rather than learned merges, which stay covered by
+    bpe_learn_documents + the segment→pack e2e unit test) makes every
+    number first-principles SQL: the oracle recomputes doc weights,
+    shard assignment (exclusive prefix sum over doc_id order), and
+    floor(shard_tokens / 256) window counts (VERDICT r3 #4 — was
+    rows-only)."""
+    from whiterrabbit_spark.extensions.bpe import pack_token_sequences
 
     docs = read_parquet_table(spark, sf_dir, "documents")
-    merges = [(r["left"], r["right"])
-              for r in learn_bpe_merges(docs, "text", 30).collect()]
-    toks = segment_bpe(docs, "text", "doc_id", merges)
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            "text", F.lit(ts.BPE_TOKEN_RE), F.lit(0)
+        ).alias("tokens"),
+    )
     seqs = pack_token_sequences(
-        toks, seq_len=256, shard_token_budget=50_000
+        toks, seq_len=256, id_col="doc_id", shard_token_budget=50_000
     )
     return (
         seqs.groupBy("shard_id")
-        .agg(F.count(F.lit(1)).alias("n_sequences"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.sum(F.size("tokens")).alias("packed_tokens"),
+        )
         .orderBy("shard_id")
     )
+
+
+_PACK_SEQUENCES_SQL_TMPL = """
+WITH w AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '__BPE__')) + 1 AS w
+  FROM documents
+), c AS (
+  SELECT doc_id, w,
+         sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - w
+           AS start_off
+  FROM w
+)
+SELECT CAST(floor(start_off / 50000.0) AS BIGINT) AS shard_id,
+       CAST(floor(sum(w) / 256.0) AS BIGINT) AS n_sequences,
+       CAST(floor(sum(w) / 256.0) * 256 AS BIGINT) AS packed_tokens
+FROM c
+GROUP BY 1
+HAVING floor(sum(w) / 256.0) > 0
+ORDER BY 1"""
+
+
+_PACK_SEQUENCES_SQL = (
+    _PACK_SEQUENCES_SQL_TMPL
+    .replace("__BPE__", ts.BPE_TOKEN_RE.replace("'", "''"))
+)
 
 
 def _link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6748,12 +6837,101 @@ WHERE dot * dot * 1000000 >= 810000 * n1.s * n2.s"""
 
 def _segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch pairwise audience overlap between event types
-    (profile.segment_overlap_sketch) — approximate by construction,
-    rows-only; estimate accuracy is pinned in tests vs exact Jaccard."""
+    (profile.segment_overlap_sketch), EVALUATED against the exact
+    set intersections — the accept/tune gate for the sketch path, the
+    ANN-recall pattern applied to sketches (VERDICT r3 #4 — was
+    rows-only). Per segment pair: exact |A|, |B|, |A∩B|, Jaccard, plus
+    ``est_within_tol`` = every sketch estimate within 5% relative
+    (±2 absolute slack for near-disjoint pairs) of its exact value.
+    The oracle recomputes the exact side in SQL and pins the flag TRUE,
+    so sketch drift past tolerance driver-reds. The exact self-join is
+    the O(|segments|·|keys|) baseline the sketch exists to avoid at
+    100 TB — affordable here exactly because it is the evaluation."""
     from whiterrabbit_spark.profile import segment_overlap_sketch
 
     ev = read_parquet_table(spark, sf_dir, "events")
-    return segment_overlap_sketch(ev, "event_type", "user_id")
+    sk = segment_overlap_sketch(ev, "event_type", "user_id")
+
+    base = (
+        ev.where(F.col("event_type").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+        .persist()
+    )
+    a = base.select(F.col("event_type").alias("segment_1"), "user_id")
+    b = base.select(F.col("event_type").alias("segment_2"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("segment_1") < F.col("segment_2"))
+        .groupBy("segment_1", "segment_2")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sizes = base.groupBy(F.col("event_type").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    exact = (
+        inter.join(
+            sizes.select(F.col("seg").alias("segment_1"), F.col("n").alias("n_1")),
+            "segment_1",
+        )
+        .join(
+            sizes.select(F.col("seg").alias("segment_2"), F.col("n").alias("n_2")),
+            "segment_2",
+        )
+    )
+
+    def within(est, truth):
+        return F.abs(est - truth) <= F.greatest(
+            F.lit(2.0), truth.cast("double") * 0.05
+        )
+
+    return (
+        exact.alias("ex")
+        .join(sk.alias("sk"), ["segment_1", "segment_2"])
+        .select(
+            "segment_1",
+            "segment_2",
+            F.col("ex.n_1").alias("n_1"),
+            F.col("ex.n_2").alias("n_2"),
+            "n_overlap",
+            F.round(
+                F.col("n_overlap")
+                / (
+                    F.col("ex.n_1") + F.col("ex.n_2") - F.col("n_overlap")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+            (
+                within(F.col("sk.n_1"), F.col("ex.n_1"))
+                & within(F.col("sk.n_2"), F.col("ex.n_2"))
+                & within(F.col("intersect_est"), F.col("n_overlap"))
+            ).alias("est_within_tol"),
+        )
+    )
+
+
+_SEGMENT_OVERLAP_SQL = """
+WITH base AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM base GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS segment_1, b.event_type AS segment_2,
+         CAST(count(*) AS BIGINT) AS n_overlap
+  FROM base a JOIN base b USING (user_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT segment_1, segment_2,
+       CAST(s1.n AS BIGINT) AS n_1,
+       CAST(s2.n AS BIGINT) AS n_2,
+       n_overlap,
+       round(n_overlap * 1.0 / (s1.n + s2.n - n_overlap), 6) AS jaccard,
+       TRUE AS est_within_tol
+FROM inter
+JOIN sizes s1 ON s1.event_type = inter.segment_1
+JOIN sizes s2 ON s2.event_type = inter.segment_2"""
 
 
 def _pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9198,7 +9376,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("heuristic_filters_documents", _heuristic_filters,
         _heuristic_filters_sql())
     add("script_profile_documents", _script_profile, _script_profile_sql())
-    add("ann_ivf_index_embeddings", _ann_ivf_index, None)
+    add("ann_ivf_index_embeddings", _ann_ivf_index, _ANN_IVF_INDEX_SQL)
     add("robust_scale_lineitem", _robust_scale, _ROBUST_SCALE_SQL)
     add("bigram_perplexity_documents", _bigram_ppl, _BIGRAM_PPL_SQL)
     add("pack_manifest_documents", _pack_manifest, _PACK_MANIFEST_SQL)
@@ -9224,7 +9402,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("kfold_split_documents", _kfold, _KFOLD_SQL)
     add("events_cube", _events_cube, _EVENTS_CUBE_SQL)
     add("semantic_dedup_embeddings", _semantic_dedup, None)
-    add("pack_sequences_documents", _pack_sequences, None)
+    add("pack_sequences_documents", _pack_sequences, _PACK_SEQUENCES_SQL)
     add("link_records_customer", _link_records, _LINK_RECORDS_SQL)
     add("chi2_drift_orders", _chi2_drift, _CHI2_DRIFT_SQL)
     add("temporal_split_events", _temporal_split, _TEMPORAL_SPLIT_SQL)
@@ -9413,7 +9591,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _ROLLING_DISTINCT_SQL)
     add("ewma_events", _ewma, _EWMA_SQL)
     add("token_cosine_pairs_documents", _token_cosine, _TOKEN_COSINE_SQL)
-    add("segment_overlap_events", _segment_overlap, None)
+    add("segment_overlap_events", _segment_overlap, _SEGMENT_OVERLAP_SQL)
     add("table_checksum_orders", _table_checksum, _TABLE_CHECKSUM_SQL)
     add("cdc_apply_orders", _cdc_apply, _CDC_SQL)
     add("theil_sen_events", _theil_sen, _THEIL_SEN_SQL)
