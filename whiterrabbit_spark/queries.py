@@ -3705,7 +3705,7 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tokens"),
     )
     seqs = pack_token_sequences(
-        toks, seq_len=256, id_col="doc_id", shard_token_budget=50_000
+        toks, seq_len=256, id_col="doc_id", shard_token_budget=8_000
     )
     return (
         seqs.groupBy("shard_id")
@@ -3728,7 +3728,7 @@ WITH w AS (
            AS start_off
   FROM w
 )
-SELECT CAST(floor(start_off / 50000.0) AS BIGINT) AS shard_id,
+SELECT CAST(floor(start_off / 8000.0) AS BIGINT) AS shard_id,
        CAST(floor(sum(w) / 256.0) AS BIGINT) AS n_sequences,
        CAST(floor(sum(w) / 256.0) * 256 AS BIGINT) AS packed_tokens
 FROM c
