@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from whiterrabbit_spark import scale
+
 
 @dataclass
 class ScanConfig:
@@ -69,7 +71,7 @@ class ScanConfig:
     # (or their distinct multiset) in a single reducer — measured ~170 s at
     # 2 cols × 20M rows vs ~4 s for the sketch (BASELINE.md). 5M rows keeps
     # exact well under that cliff while every oracle/test SF stays exact.
-    auto_approx_rows: int = 5_000_000
+    auto_approx_rows: int = scale.AUTO_APPROX_ROWS
     approx_percentile_accuracy: int = 2_000
     # 5% rsd: HLL++ update cost cliffs ~10× somewhere below 2% rsd (register
     # array falls out of cache); 5% is ample for profiling overviews.

@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from whiterrabbit_spark import scale
+
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
 
@@ -501,7 +503,7 @@ def line_dedup(
     id_col: str = "doc_id",
     delimiter: str = "\n",
     min_chars: int = 1,
-    hot_digest_threshold: int = 5_000_000,
+    hot_digest_threshold: int = scale.HOT_DIGEST_THRESHOLD,
     probe_fraction: float = 0.01,
     seed: int = 42,
 ) -> DataFrame:

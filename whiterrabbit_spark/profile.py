@@ -60,6 +60,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from whiterrabbit_spark import scale
 from whiterrabbit_spark.config import ScanConfig
 from whiterrabbit_spark.infer import nonempty
 
@@ -1023,7 +1024,8 @@ def all_empty_fields(raw: dict[str, dict]) -> list[str]:
 # values the sampling error on a 1st/99th-percentile rank is ~1e-4 —
 # far inside the sketch accuracy — and the sketch insert cost stops
 # scaling with the corpus.
-_APPROX_SAMPLE_ROWS = 1_000_000
+from whiterrabbit_spark.scale import (APPROX_SAMPLE_ROWS as
+                                      _APPROX_SAMPLE_ROWS)
 
 
 def _auto_approx_source(
@@ -1055,7 +1057,7 @@ def winsorize(
     hi: float = 0.99,
     approx: bool | None = None,
     accuracy: int = 10_000,
-    auto_approx_rows: int = 5_000_000,
+    auto_approx_rows: int = scale.AUTO_APPROX_ROWS,
 ) -> DataFrame:
     """Quantile winsorization (tail clamping) of numeric feature columns:
     values below the ``lo`` / above the ``hi`` exact type-7 quantile are
@@ -1257,7 +1259,7 @@ def mad_outlier_counts(
     k: float = 3.0,
     approx: bool | None = None,
     accuracy: int = 10_000,
-    auto_approx_rows: int = 5_000_000,
+    auto_approx_rows: int = scale.AUTO_APPROX_ROWS,
 ) -> DataFrame:
     """Robust outlier counts by median absolute deviation: a value is an
     outlier when ``|x − median| > k · 1.4826 · MAD`` (1.4826 scales MAD
@@ -1420,7 +1422,7 @@ def equi_depth_histogram(
     bins: int = 10,
     approx: bool | None = None,
     accuracy: int = 10_000,
-    auto_approx_rows: int = 5_000_000,
+    auto_approx_rows: int = scale.AUTO_APPROX_ROWS,
 ) -> DataFrame:
     """Equi-depth (quantile-bin) histogram: cut points at the exact type-7
     percentiles ``i/bins``, bucket = number of cuts strictly below the
@@ -1539,7 +1541,7 @@ def ecdf_lookup(
     df: DataFrame,
     column: str,
     n_partitions: int | None = None,
-    max_single_reducer: int = 4_000_000,
+    max_single_reducer: int = scale.MAX_SINGLE_REDUCER,
 ) -> DataFrame:
     """Exact empirical CDF as a (v, cume_dist) lookup table — the
     percentile-rank transform (feature scaling, drift comparison) without
@@ -1644,7 +1646,7 @@ def ecdf_attach(
     df: DataFrame,
     column: str,
     out_col: str = "pctile",
-    max_broadcast_distinct: int = 1_000_000,
+    max_broadcast_distinct: int = scale.MAX_BROADCAST_DISTINCT,
 ) -> DataFrame:
     """Attach each row's exact percentile rank for ``column`` (NULL rows
     get NULL) by joining the ``ecdf_lookup`` table back to the rows.
@@ -1766,7 +1768,7 @@ def spearman_corr(
     df: DataFrame,
     col_a: str,
     col_b: str,
-    max_broadcast_distinct: int = 1_000_000,
+    max_broadcast_distinct: int = scale.MAX_BROADCAST_DISTINCT,
 ) -> DataFrame:
     """Spearman-type rank correlation: Pearson correlation of the two
     columns' ECDF ranks — the monotonic-association measure Pearson's r
@@ -2329,7 +2331,7 @@ def mann_whitney_u(
     group_a,
     group_b,
     n_partitions: int | None = None,
-    max_single_reducer: int = 4_000_000,
+    max_single_reducer: int = scale.MAX_SINGLE_REDUCER,
 ) -> DataFrame:
     """Mann-Whitney U rank-sum test between two segments of one column —
     the nonparametric two-sample drift/difference test that complements
@@ -4351,7 +4353,7 @@ def kruskal_wallis(
     value_col: str,
     group_col: str,
     n_partitions: int | None = None,
-    max_single_reducer: int = 4_000_000,
+    max_single_reducer: int = scale.MAX_SINGLE_REDUCER,
 ) -> DataFrame:
     """Kruskal–Wallis rank test across k groups — the k-sample
     generalization of :func:`mann_whitney_u`: does at least one segment
@@ -4730,7 +4732,7 @@ def conformal_intervals(
     id_col: str,
     alpha: float = 0.1,
     n_partitions: int | None = None,
-    max_single_reducer: int = 4_000_000,
+    max_single_reducer: int = scale.MAX_SINGLE_REDUCER,
 ) -> DataFrame:
     """Split-conformal prediction interval around a grouped-mean
     regressor — the distribution-free coverage guarantee (Vovk;

@@ -1,0 +1,54 @@
+"""Scale-switch thresholds — the single source of truth (VERDICT r3 #6).
+
+Every adaptive operator in the package picks between an "exact /
+single-task / broadcast" plan and a "distributed / bucketed / merge"
+plan at some cardinality. Those switch points used to live as magic
+defaults scattered across profile.py and dedup.py; they are defined
+here once, with the reasoning, and the function signatures reference
+these constants. ``tests/test_docs_sync.py::test_scale_thresholds_single_source``
+pins every consuming default to these values via ``inspect``.
+
+The numbers are sized for a ~4 GiB-heap executor task (the common
+cluster shape) and verified at local[32]; they are DEFAULTS, not laws —
+every consumer takes the threshold as a parameter so a deployment can
+retune without code changes.
+"""
+
+from __future__ import annotations
+
+# A sorted/windowed pass over one task may buffer up to this many
+# histogram rows (distinct values), ~16-24 bytes each → ≤ ~100 MB of
+# task memory. At or below it, cumulative sums run as a plain ordered
+# window over the |distinct|-row histogram; above it, the bucketed
+# distributed prefix sum (extra shuffle + two broadcasts) takes over.
+# Consumers: profile.ecdf_lookup / type7 quantile cuts / calibration /
+# rank transforms (``max_single_reducer=``).
+MAX_SINGLE_REDUCER: int = 4_000_000
+
+# A broadcast side of this many rows is ≈ the 10 MB-per-row-ish
+# autoBroadcastJoinThreshold budget scaled to rank frames (two numeric
+# columns): below it the rank/ecdf attach joins broadcast; above it
+# they fall back to a merge-hint sort-merge join. Consumers:
+# profile.ecdf_attach / spearman rank attach
+# (``max_broadcast_distinct=``).
+MAX_BROADCAST_DISTINCT: int = 1_000_000
+
+# Hottest-group size a single window task comfortably holds. The line
+# dedup probe estimates the hottest line-digest's corpus-wide count
+# from a 1% sample; at or below this the one-shuffle window plan wins,
+# above it the algebraic min(struct) groupBy+join plan bounds any one
+# task. Consumers: dedup.dedup_lines (``hot_digest_threshold=``).
+HOT_DIGEST_THRESHOLD: int = 5_000_000
+
+# Exact-vs-sketch auto switch for the profiling pipeline: the exact
+# percentile/distinct path buffers one column's distinct multiset in a
+# single reducer — measured ~170 s at 2 cols × 20M rows vs ~4 s for
+# the sketch (BASELINE.md). 5M rows keeps exact well under that cliff
+# while every oracle/test SF stays exact. Consumers: ScanConfig
+# (``auto_approx_rows``) and profile.profile_table's tri-state
+# ``approx=None`` resolution.
+AUTO_APPROX_ROWS: int = 5_000_000
+
+# Row-count sample cap for the approx-mode distinct-values preview
+# (value frequency top-K under sketch mode samples this many rows).
+APPROX_SAMPLE_ROWS: int = 1_000_000
