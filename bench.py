@@ -79,6 +79,10 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "hash-split/packing operators: deterministic md5-threshold "
      "projections or the pack prefix-sum benched via pack_manifest and "
      "balanced_sample/neyman_sample"),
+    (r"^(shuffle_shards|epoch_upsample|padding_efficiency)_",
+     "map-side md5 assignment + one small groupBy — the same plan "
+     "shape as the benched balanced_sample / neyman_sample "
+     "hash-threshold family"),
     (r"^(embedding_stats|multimodal_features)_",
      "per-row array/binary feature extraction; the benched ann_* and "
      "curation entries dominate the same Arrow-batch path"),

@@ -3880,3 +3880,78 @@ def test_udtf_ngrams_ascii_whitespace_parity(spark):
         "SELECT * FROM ngrams_udtf('a b c d e', 3) ORDER BY pos"
     ).collect()
     assert [r.ngram for r in rows] == ["a b c d", "c d e"]
+
+
+def test_shuffle_shards_deterministic_and_interleaved(spark):
+    """Placement is a pure function of the id (repartition-invariant),
+    shards partition the corpus, and each shard mixes both sources on
+    a corpus where source correlates with id order."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    rows = [(i, "a" if i < 50 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = sp.shuffle_shards(df, "id", 4)
+    got = {r["id"]: (r["shard_id"], r["shuffle_key"]) for r in out.collect()}
+    again = {
+        r["id"]: (r["shard_id"], r["shuffle_key"])
+        for r in sp.shuffle_shards(df.repartition(7), "id", 4).collect()
+    }
+    assert got == again                       # partitioning-invariant
+    assert len(got) == 100
+    assert set(s for s, _ in got.values()) == {0, 1, 2, 3}
+    per_shard_srcs = {}
+    for (i, (s, _)) in got.items():
+        per_shard_srcs.setdefault(s, set()).add("a" if i < 50 else "b")
+    # md5 interleaves: every shard should see both halves
+    assert all(v == {"a", "b"} for v in per_shard_srcs.values())
+
+
+def test_epoch_upsample_realizes_weights(spark):
+    """floor(w) copies always; the hash-fraction extra converges to
+    frac(w); zero-weight fraction drops rows deterministically."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    rows = [(i, "hi" if i % 2 == 0 else "lo") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    up = sp.epoch_upsample(df, "id", "g", {"hi": 2.5, "lo": 0.25})
+    per = {
+        r["g"]: (r["n"], r["mx"])
+        for r in up.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("epoch_idx").alias("mx"))
+        .collect()
+    }
+    n_hi, mx_hi = per["hi"]
+    n_lo, mx_lo = per["lo"]
+    assert mx_hi == 3 and mx_lo == 1
+    assert 1000 * 2 <= n_hi <= 1000 * 3       # floor guaranteed
+    assert abs(n_hi - 2500) < 150             # ±~5σ of the hash fraction
+    assert abs(n_lo - 250) < 120
+    # per-row: every id appears exactly n_copies times, 1..n_copies
+    chk = up.groupBy("id", "n_copies").agg(
+        F.count(F.lit(1)).alias("c"), F.max("epoch_idx").alias("m")
+    )
+    bad = chk.where(
+        (F.col("c") != F.col("n_copies")) | (F.col("m") != F.col("n_copies"))
+    ).count()
+    assert bad == 0
+
+
+def test_padding_efficiency_hand_case(spark):
+    """Hand corpus: lengths 10,60 -> edge 64; 100 -> 128; 600 ->
+    overflow padded to its own max; waste arithmetic exact."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    df = spark.createDataFrame(
+        [(10,), (60,), (100,), (600,)], "l long"
+    )
+    out = {
+        r["bucket_edge"]: r
+        for r in sp.padding_efficiency(df, "l", [64, 128, 256, 512]).collect()
+    }
+    assert set(out) == {64, 128, 600}
+    assert out[64]["n_rows"] == 2 and out[64]["padded_tokens"] == 128
+    assert abs(out[64]["waste_frac"] - (128 - 70) / 128) < 1e-6
+    assert out[128]["padded_tokens"] == 128
+    assert out[600]["n_rows"] == 1 and out[600]["waste_frac"] == 0.0
+    base = out[64]["baseline_waste_frac"]
+    assert abs(base - (4 * 600 - 770) / (4 * 600)) < 1e-6

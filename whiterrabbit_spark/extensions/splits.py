@@ -736,3 +736,162 @@ def allocated_sample(
         .where(F.col("sample_rank") <= F.col("__k"))
         .drop("__h", "__s", "__k", "__n")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: a 60-bit
+    pseudorandom order key from ``md5(id + salt)`` assigns every row a
+    shard (``key % n_shards``) and a within-shard order (ascending
+    key) — the "shuffle the corpus before training" step, without RNG
+    state. Properties a 100 TB pipeline needs: reproducible across
+    engines/partitionings (pure function of the id, like
+    :func:`hash_split`), any row's placement computable in isolation,
+    and every shard an unbiased interleave of all sources (md5 is
+    uniform, so per-shard source mix converges to the corpus mix).
+
+    Pure map-side expression — zero shuffle to ASSIGN; materializing
+    training shards is ``.repartition(n_shards, "shard_id")`` +
+    ``sortWithinPartitions("shuffle_key")`` (one exchange, local sort),
+    never a global sort.
+
+    Extension beyond the reference surface (whiteRRabbit.R profiles
+    in place; it has no dataset-reordering operators).
+
+    Returns the input plus ``shuffle_key`` (long) and ``shard_id``
+    (int).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return df.withColumn("shuffle_key", h).withColumn(
+        "shard_id", (F.col("shuffle_key") % n_shards).cast("int")
+    )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    salt: str = "epoch",
+    buckets: int = SPLIT_BUCKETS,
+) -> DataFrame:
+    """Weighted multi-epoch repetition — the mixture knob that says
+    "this source is seen w times per training pass" (w may be
+    fractional; Llama-style data recipes): every row of group g emits
+    ``floor(w_g)`` copies, plus one more for the deterministic
+    hash-fraction ``frac(w_g)`` of its rows — so realized tokens/group
+    converge to ``w_g × group size`` with zero RNG state, and a row's
+    copy count is computable in isolation. Groups absent from
+    ``weights`` default to w = 1.0.
+
+    Plan shape: broadcast-free map-side expression (the weight table
+    folds into a CASE over ``group_col``) + ``explode(sequence(...))``
+    whose fan-out per row is bounded by ``ceil(max w)`` — no shuffle,
+    no skew hazard beyond the chosen weights themselves.
+
+    Returns the input plus ``n_copies`` (int) and ``epoch_idx``
+    (1-based int), rows with 0 copies dropped.
+    """
+    bucket = hash_bucket_expr(F.col(id_col), salt, buckets)
+    w_expr = None
+    for g, w in weights.items():
+        cond = F.col(group_col) == g
+        w_expr = (
+            F.when(cond, F.lit(float(w)))
+            if w_expr is None
+            else w_expr.when(cond, F.lit(float(w)))
+        )
+    w_expr = F.lit(1.0) if w_expr is None else w_expr.otherwise(F.lit(1.0))
+    base = F.floor(w_expr).cast("int")
+    extra = (
+        bucket < F.round((w_expr - F.floor(w_expr)) * buckets).cast("int")
+    ).cast("int")
+    n = (base + extra).alias("n_copies")
+    return (
+        df.withColumn("n_copies", n)
+        .where(F.col("n_copies") > 0)
+        .withColumn(
+            "epoch_idx",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))),
+        )
+    )
+
+
+def padding_efficiency(
+    df: DataFrame,
+    len_col,
+    bucket_edges: list[int],
+) -> DataFrame:
+    """Length-bucketed batching report: how many pad tokens does
+    bucketing save? Sequence batches pad every row to the longest row
+    in the batch; bucketing by length bounds that waste. Each row lands
+    in the bucket of the smallest edge ≥ its length (rows longer than
+    the last edge go to an overflow bucket padded to the observed max).
+    Per bucket: rows, real tokens, the bucket's pad target (its edge —
+    static, so the number is composition-independent and deterministic),
+    padded totals and waste fraction; plus the single-bucket baseline
+    waste (pad everything to the global max) for the comparison the
+    report exists to make.
+
+    One groupBy over a map-side bucket assignment + one broadcast of
+    the O(1) global-max row — scale-independent of row count.
+
+    Returns one row per non-empty bucket:
+    ``(bucket_edge, n_rows, real_tokens, padded_tokens, waste_frac,
+    baseline_waste_frac)``.
+    """
+    lc = (len_col if isinstance(len_col, Column) else F.col(len_col)).cast(
+        "long"
+    )
+    edges = sorted(int(e) for e in bucket_edges)
+    edge_expr = None
+    for e in edges:
+        cond = lc <= e
+        edge_expr = (
+            F.when(cond, F.lit(e)) if edge_expr is None
+            else edge_expr.when(cond, F.lit(e))
+        )
+    edge_expr = edge_expr.otherwise(F.lit(None).cast("long"))
+    base = df.select(lc.alias("__len"), edge_expr.alias("__edge")).where(
+        F.col("__len").isNotNull()
+    )
+    glob = base.agg(
+        F.max("__len").alias("__gmax"),
+        F.sum("__len").alias("__gsum"),
+        F.count(F.lit(1)).alias("__gn"),
+    )
+    per = base.groupBy("__edge").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__len").alias("real_tokens"),
+        F.max("__len").alias("__bmax"),
+    )
+    pad_target = F.coalesce(F.col("__edge"), F.col("__bmax"))
+    return (
+        per.join(F.broadcast(glob))
+        .select(
+            pad_target.alias("bucket_edge"),
+            "n_rows",
+            "real_tokens",
+            (F.col("n_rows") * pad_target).alias("padded_tokens"),
+            F.round(
+                (F.col("n_rows") * pad_target - F.col("real_tokens"))
+                / (F.col("n_rows") * pad_target).cast("double"),
+                6,
+            ).alias("waste_frac"),
+            F.round(
+                (F.col("__gn") * F.col("__gmax") - F.col("__gsum"))
+                / (F.col("__gn") * F.col("__gmax")).cast("double"),
+                6,
+            ).alias("baseline_waste_frac"),
+        )
+    )

@@ -7043,6 +7043,161 @@ SELECT node, CAST(degree AS BIGINT) AS degree,
 FROM deg ORDER BY degree DESC, node LIMIT 10"""
 
 
+_SHUFFLE_P = 1_000_000_007
+
+
+def _shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (splits.shuffle_shards): md5-keyed shard + order assignment, zero
+    RNG state. The report groups per shard — doc count, distinct
+    source languages (every shard should interleave all of them) and a
+    modular checksum of the shuffle keys, so the oracle verifies the
+    exact per-row shard placement, not just counts."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    sh = sp.shuffle_shards(docs, "doc_id", 8)
+    return (
+        sh.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.sum(F.col("shuffle_key") % _SHUFFLE_P) % _SHUFFLE_P).alias(
+                "key_checksum"
+            ),
+        )
+        .orderBy("shard_id")
+    )
+
+
+_SHUFFLE_SHARDS_SQL = f"""
+WITH h AS (
+  SELECT lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'shuffle'), 1, 15))::BIGINT
+           AS k
+  FROM documents
+)
+SELECT CAST(k % 8 AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(k % {_SHUFFLE_P}) % {_SHUFFLE_P} AS BIGINT) AS key_checksum
+FROM h
+GROUP BY 1
+ORDER BY 1"""
+
+
+_EPOCH_WEIGHTS = {"en": 2.0, "de": 1.5, "fr": 0.5, "zh": 1.0}
+
+
+def _epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-epoch mixture (splits.epoch_upsample): fractional
+    per-source repeat factors realized as floor(w) copies plus a
+    deterministic hash-fraction extra copy. Per language: source docs,
+    emitted rows, the realized rate (→ w as corpus grows) and the max
+    epoch index — the oracle recomputes each doc's exact copy count, so
+    the check is placement-exact."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    up = sp.epoch_upsample(docs, "doc_id", "lang", _EPOCH_WEIGHTS)
+    emitted = up.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.max("epoch_idx").alias("max_epoch"),
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_source_docs"))
+    return (
+        totals.join(emitted, "lang", "left")
+        .select(
+            "lang",
+            "n_source_docs",
+            F.coalesce(F.col("n_emitted"), F.lit(0)).alias("n_emitted"),
+            F.round(
+                F.coalesce(F.col("n_emitted"), F.lit(0))
+                / F.col("n_source_docs").cast("double"),
+                6,
+            ).alias("realized_rate"),
+            F.coalesce(F.col("max_epoch"), F.lit(0)).cast("long").alias(
+                "max_epoch"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _epoch_upsample_sql() -> str:
+    case = "CASE lang " + " ".join(
+        f"WHEN '{g}' THEN {w}" for g, w in _EPOCH_WEIGHTS.items()
+    ) + " ELSE 1.0 END"
+    return f"""
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'epoch'), 1, 15))::BIGINT
+           % 10000 AS bucket,
+         {case} AS w
+  FROM documents
+), n AS (
+  SELECT lang,
+         CAST(floor(w) + CASE WHEN bucket < round((w - floor(w)) * 10000)
+                              THEN 1 ELSE 0 END AS BIGINT) AS n
+  FROM b
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_source_docs,
+       CAST(sum(n) AS BIGINT) AS n_emitted,
+       round(sum(n) * 1.0 / count(*), 6) AS realized_rate,
+       CAST(max(n) AS BIGINT) AS max_epoch
+FROM n
+GROUP BY lang
+ORDER BY lang"""
+
+
+_PAD_EDGES = [64, 128, 256, 512]
+
+
+def _padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching payoff (splits.padding_efficiency):
+    per length bucket the pad-to-edge waste fraction vs the pad-to-
+    global-max single-bucket baseline — the report that justifies (or
+    rejects) bucketed batching for a corpus. Lengths are BPE-ish
+    pretokenizer counts (SQL-identical regex both sides)."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return sp.padding_efficiency(
+        docs, ts.bpe_token_count(F.col("text")), _PAD_EDGES
+    ).orderBy("bucket_edge")
+
+
+def _padding_efficiency_sql() -> str:
+    re_ = ts.BPE_TOKEN_RE.replace("'", "''")
+    edges = sorted(_PAD_EDGES)
+    edge_case = "CASE " + " ".join(
+        f"WHEN l <= {e} THEN {e}" for e in edges
+    ) + " ELSE NULL END"
+    return f"""
+WITH l AS (
+  SELECT len(regexp_extract_all(text, '{re_}')) AS l FROM documents
+), e AS (
+  SELECT l, {edge_case} AS edge FROM l
+), g AS (
+  SELECT max(l) AS gmax, sum(l) AS gsum, count(*) AS gn FROM l
+), per AS (
+  SELECT edge, count(*) AS n_rows, sum(l) AS real_tokens,
+         max(l) AS bmax
+  FROM e GROUP BY edge
+)
+SELECT CAST(coalesce(edge, bmax) AS BIGINT) AS bucket_edge,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(real_tokens AS BIGINT) AS real_tokens,
+       CAST(n_rows * coalesce(edge, bmax) AS BIGINT) AS padded_tokens,
+       round((n_rows * coalesce(edge, bmax) - real_tokens) * 1.0
+             / (n_rows * coalesce(edge, bmax)), 6) AS waste_frac,
+       round((g.gn * g.gmax - g.gsum) * 1.0 / (g.gn * g.gmax), 6)
+         AS baseline_waste_frac
+FROM per, g
+ORDER BY 1"""
+
+
 def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (graph.pagerank):
     power method capped at 10 iterations with L1-delta early exit
@@ -9358,6 +9513,10 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # round 4 additions lead the prefix so the driver signs them first
     add("streaming_running_stats_events", _streaming_running_stats,
         _STREAMING_RUNNING_STATS_SQL)
+    add("shuffle_shards_documents", _shuffle_shards, _SHUFFLE_SHARDS_SQL)
+    add("epoch_upsample_documents", _epoch_upsample, _epoch_upsample_sql())
+    add("padding_efficiency_documents", _padding_efficiency,
+        _padding_efficiency_sql())
     add("asof_join_forward_events", _asof_join_forward, _ASOF_FWD_SQL)
     add("zscore_lineitem", _zscore, _ZSCORE_SQL)
     add("events_multi_rollup", _events_multi_rollup, _MULTI_ROLLUP_SQL)
@@ -9672,6 +9831,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # its builder and oracle.
     _R4_PREFIX = [
         "streaming_running_stats_events",
+        "shuffle_shards_documents",
+        "epoch_upsample_documents",
+        "padding_efficiency_documents",
         "pack_sequences_documents",
         "segment_overlap_events",
         "ann_ivf_index_embeddings",
