@@ -3955,3 +3955,54 @@ def test_padding_efficiency_hand_case(spark):
     assert out[600]["n_rows"] == 1 and out[600]["waste_frac"] == 0.0
     base = out[64]["baseline_waste_frac"]
     assert abs(base - (4 * 600 - 770) / (4 * 600)) < 1e-6
+
+
+def test_image_ahash_near_dup_detection(spark):
+    """Perceptual image dedup: a lightly-noised re-render of an image
+    hashes within a small Hamming distance of the original (banded
+    join finds the pair); a structurally different image does not.
+    Runs on the stdlib PNG codec (no Pillow needed)."""
+    import whiterrabbit_spark.extensions.stdlib_codecs as sc
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    w, h = 32, 24
+
+    def gradient(noise: int) -> bytes:
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = (x * 255) // (w - 1)
+                if noise and (x * 7 + y * 3) % 53 == 0:
+                    v = min(255, v + noise)
+                px += bytes((v, v, v))
+        return sc.png_encode(w, h, "RGB", bytes(px))
+
+    def inverse() -> bytes:
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = 255 - (x * 255) // (w - 1)
+                px += bytes((v, v, v))
+        return sc.png_encode(w, h, "RGB", bytes(px))
+
+    rows = [
+        (1, bytearray(gradient(0))),
+        (2, bytearray(gradient(12))),   # near-dup of 1
+        (3, bytearray(inverse())),      # complement: far from both
+        (4, bytearray(b"not a png")),   # undecodable -> NULL hash
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = {r["media_id"]: r["ahash"] for r in mm.image_ahash(media).collect()}
+    assert hashes[4] is None
+    assert hashes[1] is not None and hashes[1] == hashes[1]
+    ham12 = bin((hashes[1] ^ hashes[2]) & ((1 << 64) - 1)).count("1")
+    ham13 = bin((hashes[1] ^ hashes[3]) & ((1 << 64) - 1)).count("1")
+    assert ham12 <= 3 < ham13
+
+    pairs = {(r["id1"], r["id2"]): r["hamming"]
+             for r in mm.ahash_near_pairs(media, max_hamming=3).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == ham12
+    # determinism: second run produces identical hashes
+    again = {r["media_id"]: r["ahash"] for r in mm.image_ahash(media).collect()}
+    assert again == hashes

@@ -436,3 +436,128 @@ def sample_frames_stub(media: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = "media_id long, ahash long"
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """64-bit perceptual average-hash per image — the content key for
+    image near-duplicate detection: decode → integer luma → bilinear
+    8×8 downsample → threshold each cell at the image mean → pack the
+    64 bits row-major (bit 63 = top-left, so the sign bit is image
+    content; Spark longs are signed and the hash is only ever compared
+    bitwise). Robust to re-encoding, resizing and small edits; bit
+    differences grow with visual difference, so Hamming distance is
+    the similarity metric (see :func:`ahash_near_pairs`).
+
+    Same Arrow ``mapInPandas`` shape as the decode stages: map-only,
+    no shuffle, codec inside the Python worker (Pillow when present,
+    else the stdlib PNG codec). Undecodable payloads yield NULL.
+    """
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        def gray_small(raw: bytes) -> "np.ndarray":
+            if HAS_PIL:
+                from PIL import Image
+
+                img = Image.open(io.BytesIO(raw)).convert("L")
+                img = img.resize((8, 8), Image.BILINEAR)
+                return np.asarray(img, dtype=np.float64)
+            w, h, mode, pixels = sc.png_decode(raw)
+            small = sc.resize_bilinear(w, h, mode, pixels, 8, 8)
+            ch = len(small) // 64
+            # int64 BEFORE the luma weights — uint8 arithmetic wraps
+            arr = (
+                np.frombuffer(small, dtype=np.uint8)
+                .reshape(8, 8, ch)
+                .astype(np.int64)
+            )
+            if ch >= 3:
+                lum = (
+                    arr[:, :, 0] * 299 + arr[:, :, 1] * 587 + arr[:, :, 2] * 114
+                ) // 1000
+            else:
+                lum = arr[:, :, 0]
+            return lum.astype(np.float64)
+
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                try:
+                    g = gray_small(bytes(p))
+                    bits = (g >= g.mean()).flatten()
+                    v = 0
+                    for bit in bits:
+                        v = (v << 1) | int(bit)
+                    # wrap into signed 64-bit (bit 63 may be set)
+                    if v >= 1 << 63:
+                        v -= 1 << 64
+                    out.append(v)
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ahash": pd.array(out, dtype="Int64")}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        hash_batches, AHASH_SCHEMA
+    )
+
+
+def ahash_near_pairs(
+    media: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Image near-duplicate pairs: aHash Hamming distance ≤
+    ``max_hamming``, found by the banded join (the simhash scheme on
+    the 64-bit image hash): ``n_bands`` bands of 64/n_bands bits; by
+    pigeonhole, Hamming ≤ n_bands−1 guarantees one identical band, so
+    the default (4 bands, ≤3) is EXACT while shuffling only bucket
+    collisions — never the quadratic image self-join. A larger
+    ``max_hamming`` needs more bands for exactness (documented recall
+    contract, same as ``dedup.simhash_near_pairs``).
+
+    Returns ``(id1, id2, hamming)``, id1 < id2.
+    """
+    sigs = image_ahash(media).where(F.col("ahash").isNotNull())
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    band_rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("ahash"), j * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        "media_id", "ahash", F.explode(band_rows).alias("bk")
+    ).select("media_id", "ahash", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id1"),
+            F.col("b.media_id").alias("id2"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -7043,6 +7043,64 @@ SELECT node, CAST(degree AS BIGINT) AS degree,
 FROM deg ORDER BY degree DESC, node LIMIT 10"""
 
 
+def _image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup E2E (multimodal.image_ahash +
+    ahash_near_pairs): a deterministic synthetic image corpus — each
+    doc renders a 32×24 PNG of 8×8 blocks whose dark/bright pattern is
+    the 64-bit md5 of its content group; every doc_id ≡ 1 (mod 10) is
+    a lightly-noised re-render of doc_id−1's image. The full pipeline
+    (stdlib PNG encode → decode → luma → bilinear 8×8 → threshold →
+    banded Hamming join) must recover EXACTLY the planted clone pairs:
+    block values (40/216) sit far from the mean, so noise (+3 on one
+    block) flips no hash bit, unplanted collisions need two 64-bit
+    md5 prefixes within Hamming 3 (P ≈ 3e-10 at sf0.1), and the oracle
+    reconstructs the planted pair set arithmetically."""
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp = d - 1 if d % 10 == 1 else d
+                hb = hashlib.md5(str(grp).encode()).digest()[:8]
+                bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+                px = bytearray()
+                for y in range(24):
+                    for x in range(32):
+                        v = 216 if bits[(y // 3) * 8 + (x // 4)] else 40
+                        if d % 10 == 1 and y < 3 and x < 4:
+                            v = min(255, v + 3)
+                        px.append(v)
+                ids.append(d)
+                payloads.append(sc.png_encode(32, 24, "L", bytes(px)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return (
+        mm.ahash_near_pairs(media, max_hamming=3)
+        .select("id1", "id2")
+        .orderBy("id1")
+    )
+
+
+_IMAGE_NEAR_DUPS_SQL = """
+SELECT CAST(doc_id - 1 AS BIGINT) AS id1,
+       CAST(doc_id AS BIGINT) AS id2
+FROM documents
+WHERE doc_id % 10 = 1
+  AND doc_id - 1 IN (SELECT doc_id FROM documents)
+ORDER BY id1"""
+
+
 _SHUFFLE_P = 1_000_000_007
 
 
@@ -9513,6 +9571,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # round 4 additions lead the prefix so the driver signs them first
     add("streaming_running_stats_events", _streaming_running_stats,
         _STREAMING_RUNNING_STATS_SQL)
+    add("image_near_dups_documents", _image_near_dups,
+        _IMAGE_NEAR_DUPS_SQL)
     add("shuffle_shards_documents", _shuffle_shards, _SHUFFLE_SHARDS_SQL)
     add("epoch_upsample_documents", _epoch_upsample, _epoch_upsample_sql())
     add("padding_efficiency_documents", _padding_efficiency,
@@ -9831,6 +9891,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # its builder and oracle.
     _R4_PREFIX = [
         "streaming_running_stats_events",
+        "image_near_dups_documents",
         "shuffle_shards_documents",
         "epoch_upsample_documents",
         "padding_efficiency_documents",
