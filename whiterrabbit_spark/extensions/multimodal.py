@@ -526,13 +526,41 @@ def ahash_near_pairs(
     Returns ``(id1, id2, hamming)``, id1 < id2.
     """
     sigs = image_ahash(media).where(F.col("ahash").isNotNull())
-    width = 64 // n_bands
+    return hash_near_pairs(sigs, "media_id", "ahash", max_hamming, n_bands)
+
+
+def audio_near_pairs(
+    media: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Audio near-duplicate pairs: spectral-hash Hamming distance ≤
+    ``max_hamming`` via the shared banded join (see
+    :func:`hash_near_pairs` for the exactness contract).
+    Returns ``(id1, id2, hamming)``, id1 < id2."""
+    sigs = audio_spectral_hash(media).where(F.col("shash").isNotNull())
+    return hash_near_pairs(sigs, "media_id", "shash", max_hamming, n_bands)
+
+
+def hash_near_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Banded Hamming join over any 64-bit perceptual signature frame
+    (the simhash scheme, shared by image aHash and the audio spectral
+    hash): ``n_bands`` bands of ``bits/n_bands`` bits; by pigeonhole,
+    Hamming ≤ n_bands−1 implies one identical band, so the default is
+    EXACT while shuffling only bucket collisions — never the quadratic
+    self-join. Returns ``(id1, id2, hamming)``, id1 < id2."""
+    width = bits // n_bands
     mask = (1 << width) - 1
     band_rows = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                F.shiftright(F.col("ahash"), j * width)
+                F.shiftright(F.col(hash_col), j * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("key"),
             )
@@ -540,8 +568,9 @@ def ahash_near_pairs(
         ]
     )
     bands = sigs.select(
-        "media_id", "ahash", F.explode(band_rows).alias("bk")
-    ).select("media_id", "ahash", "bk.band", "bk.key")
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"),
+        F.explode(band_rows).alias("bk"),
+    ).select("__id", "__h", "bk.band", "bk.key")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -549,15 +578,93 @@ def ahash_near_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+            & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
-            F.col("a.media_id").alias("id1"),
-            F.col("b.media_id").alias("id2"),
-            F.bit_count(
-                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
-            ).alias("hamming"),
+            F.col("a.__id").alias("id1"),
+            F.col("b.__id").alias("id2"),
+            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h"))).alias(
+                "hamming"
+            ),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+AUDIO_HASH_SCHEMA = "media_id long, shash long"
+
+# spectral-hash grid: 8 time blocks x 8 frequency bands over 200-3400 Hz
+_SHASH_FRAME = 1024
+_SHASH_BANDS_HZ = [200 + i * 400 for i in range(9)]   # 8 bands of 400 Hz
+
+
+def audio_spectral_hash(media: DataFrame) -> DataFrame:
+    """64-bit spectral fingerprint per audio payload — the audio twin
+    of :func:`image_ahash`: decode PCM WAV → frame the waveform
+    (1024-sample frames, half overlap) → FFT magnitude energy in 8
+    fixed 400 Hz bands → average frames into 8 time blocks → threshold
+    the 8×8 time×band energy grid at its mean → pack 64 bits
+    (row-major, time-major). Robust to low-level noise and small level
+    changes (threshold is relative); Hamming distance grows with
+    spectral difference, so near-duplicate audio joins through
+    :func:`hash_near_pairs` exactly like images.
+
+    Arrow ``mapInPandas``, map-only, numpy FFT inside the worker;
+    undecodable or too-short (< 2 frames) payloads yield NULL.
+    """
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        def shash(raw: bytes) -> int | None:
+            rate, x = sc.wav_decode_samples(raw)
+            hop = _SHASH_FRAME // 2
+            n_frames = (len(x) - _SHASH_FRAME) // hop + 1
+            if n_frames < 2:
+                return None
+            frames = np.lib.stride_tricks.sliding_window_view(
+                x, _SHASH_FRAME
+            )[::hop]
+            mags = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+            freqs = np.fft.rfftfreq(_SHASH_FRAME, 1.0 / rate)
+            bands = np.stack(
+                [
+                    mags[:, (freqs >= lo) & (freqs < hi)].sum(axis=1)
+                    for lo, hi in zip(_SHASH_BANDS_HZ, _SHASH_BANDS_HZ[1:])
+                ],
+                axis=1,
+            )  # (n_frames, 8)
+            # average frames into 8 equal time blocks
+            idx = (np.arange(len(bands)) * 8) // len(bands)
+            grid = np.zeros((8, 8))
+            for t in range(8):
+                sel = bands[idx == t]
+                grid[t] = sel.mean(axis=0) if len(sel) else 0.0
+            bits_arr = (grid >= grid.mean()).flatten()
+            v = 0
+            for bit in bits_arr:
+                v = (v << 1) | int(bit)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            return v
+
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                try:
+                    out.append(shash(bytes(p)))
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "shash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        hash_batches, AUDIO_HASH_SCHEMA
     )

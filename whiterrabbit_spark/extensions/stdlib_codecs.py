@@ -222,3 +222,33 @@ def wav_encode(
         w.setframerate(sample_rate)
         w.writeframes(arr.tobytes())
     return buf.getvalue()
+
+
+def wav_decode_samples(data: bytes):
+    """Parse a PCM WAV into ``(sample_rate, mono_float64_samples)`` —
+    the sample-returning sibling of :func:`wav_decode` for feature
+    extractors that need the waveform (spectral fingerprints).
+    Channels are mixed down by mean; normalization matches wav_decode
+    (int16/32768, uint8 offset-binary/128)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data)) as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        n = w.getnframes()
+        sw = w.getsampwidth()
+        frames = w.readframes(n)
+    if sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (
+            np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        arr = arr[: (len(arr) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return rate, arr
