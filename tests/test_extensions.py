@@ -4006,3 +4006,63 @@ def test_image_ahash_near_dup_detection(spark):
     # determinism: second run produces identical hashes
     again = {r["media_id"]: r["ahash"] for r in mm.image_ahash(media).collect()}
     assert again == hashes
+
+
+def test_audio_spectral_hash_near_dup_detection(spark):
+    """Audio fingerprint: the 8x8 time x band energy grid recovers a
+    planted md5 bit pattern exactly; a noised re-render matches within
+    Hamming 3; a different pattern does not; non-WAV payloads NULL."""
+    import hashlib
+
+    import numpy as np
+
+    import whiterrabbit_spark.extensions.stdlib_codecs as sc
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    RATE, BLOCK = 8000, 2048
+
+    def synth(grp: int, noise: float) -> bytes:
+        hb = hashlib.md5(str(grp).encode()).digest()[:8]
+        bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+        centers = [400 + i * 400 for i in range(8)]
+        t = np.arange(BLOCK) / RATE
+        x = np.zeros(8 * BLOCK)
+        for blk in range(8):
+            seg = np.zeros(BLOCK)
+            for b in range(8):
+                if bits[blk * 8 + b]:
+                    seg += 0.2 * np.sin(2 * np.pi * centers[b] * t)
+            x[blk * BLOCK:(blk + 1) * BLOCK] = seg
+        if noise:
+            x = x + noise * np.random.RandomState(grp).randn(len(x))
+        return sc.wav_encode(
+            np.clip(x * 32767, -32767, 32767).astype("<i2"), RATE
+        )
+
+    rows = [
+        (1, bytearray(synth(7, 0.0))),
+        (2, bytearray(synth(7, 0.01))),   # noised clone of 1
+        (3, bytearray(synth(8, 0.0))),    # different pattern
+        (4, bytearray(b"RIFF not wav")),  # undecodable
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = {
+        r["media_id"]: r["shash"]
+        for r in mm.audio_spectral_hash(media).collect()
+    }
+    assert hashes[4] is None
+    # hash 1 equals the planted md5 grid bit-for-bit
+    hb = hashlib.md5(b"7").digest()[:8]
+    want = 0
+    for i in range(64):
+        want = (want << 1) | ((hb[i // 8] >> (7 - i % 8)) & 1)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert hashes[1] == want
+    ham12 = bin((hashes[1] ^ hashes[2]) & ((1 << 64) - 1)).count("1")
+    ham13 = bin((hashes[1] ^ hashes[3]) & ((1 << 64) - 1)).count("1")
+    assert ham12 <= 3 < ham13
+
+    pairs = {(r["id1"], r["id2"]): r["hamming"]
+             for r in mm.audio_near_pairs(media, max_hamming=3).collect()}
+    assert set(pairs) == {(1, 2)}

@@ -7101,6 +7101,79 @@ WHERE doc_id % 10 = 1
 ORDER BY id1"""
 
 
+def _audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection E2E (multimodal.audio_spectral_hash
+    + audio_near_pairs): the audio twin of image_near_dups — each doc
+    renders a ~2 s PCM WAV whose 8×8 time-block × frequency-band tone
+    pattern is the 64-bit md5 of its content group; every doc_id ≡ 2
+    (mod 10) is a noise-added re-render of doc_id−2's audio. The full
+    pipeline (WAV encode → decode → framed FFT → banded energy grid →
+    threshold → banded Hamming join) must recover exactly the planted
+    clone pairs; the oracle reconstructs the planted set
+    arithmetically. Tones sit at band centers with silence elsewhere,
+    so the grid threshold is far from every cell's energy and low-level
+    noise flips no bit."""
+    import numpy as np  # noqa: F401  (worker-side import below)
+
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        RATE, BLOCK = 8000, 2048
+        t = np.arange(BLOCK) / RATE
+        tones = np.stack(
+            [np.sin(2 * np.pi * (400 + b * 400) * t) for b in range(8)]
+        )
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp = d - 2 if d % 10 == 2 else d
+                hb = hashlib.md5(str(grp).encode()).digest()[:8]
+                bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+                x = np.zeros(8 * BLOCK)
+                for blk in range(8):
+                    sel = [b for b in range(8) if bits[blk * 8 + b]]
+                    if sel:
+                        x[blk * BLOCK:(blk + 1) * BLOCK] = (
+                            0.2 * tones[sel].sum(axis=0)
+                        )
+                if d % 10 == 2:
+                    x = x + 0.01 * np.random.RandomState(d).randn(len(x))
+                ids.append(d)
+                payloads.append(
+                    sc.wav_encode(
+                        np.clip(x * 32767, -32767, 32767).astype("<i2"),
+                        RATE,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return (
+        mm.audio_near_pairs(media, max_hamming=3)
+        .select("id1", "id2")
+        .orderBy("id1")
+    )
+
+
+_AUDIO_NEAR_DUPS_SQL = """
+SELECT CAST(doc_id - 2 AS BIGINT) AS id1,
+       CAST(doc_id AS BIGINT) AS id2
+FROM documents
+WHERE doc_id % 10 = 2
+  AND doc_id - 2 IN (SELECT doc_id FROM documents)
+ORDER BY id1"""
+
+
 _SHUFFLE_P = 1_000_000_007
 
 
@@ -9573,6 +9646,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _STREAMING_RUNNING_STATS_SQL)
     add("image_near_dups_documents", _image_near_dups,
         _IMAGE_NEAR_DUPS_SQL)
+    add("audio_near_dups_documents", _audio_near_dups,
+        _AUDIO_NEAR_DUPS_SQL)
     add("shuffle_shards_documents", _shuffle_shards, _SHUFFLE_SHARDS_SQL)
     add("epoch_upsample_documents", _epoch_upsample, _epoch_upsample_sql())
     add("padding_efficiency_documents", _padding_efficiency,
@@ -9892,6 +9967,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     _R4_PREFIX = [
         "streaming_running_stats_events",
         "image_near_dups_documents",
+        "audio_near_dups_documents",
         "shuffle_shards_documents",
         "epoch_upsample_documents",
         "padding_efficiency_documents",
