@@ -4066,3 +4066,48 @@ def test_audio_spectral_hash_near_dup_detection(spark):
     pairs = {(r["id1"], r["id2"]): r["hamming"]
              for r in mm.audio_near_pairs(media, max_hamming=3).collect()}
     assert set(pairs) == {(1, 2)}
+
+
+def test_video_scene_cuts_hand_case(spark):
+    """Two synthetic 'videos' of PNG frames: within-shot frames are
+    noised re-renders (Hamming ~0), shot boundaries rewrite the block
+    pattern (Hamming ~32) — cuts land exactly at the planted
+    boundaries; frame 0 and undecodable frames are never cuts."""
+    import hashlib
+
+    import whiterrabbit_spark.extensions.stdlib_codecs as sc
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    def frame_png(scene_key: str, jitter: int) -> bytes:
+        hb = hashlib.md5(scene_key.encode()).digest()[:8]
+        bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+        px = bytearray()
+        for y in range(24):
+            for x in range(32):
+                v = 216 if bits[(y // 3) * 8 + (x // 4)] else 40
+                if jitter and y < 2 and x < 3:
+                    v = min(255, v + jitter)
+                px.append(v)
+        return sc.png_encode(32, 24, "L", bytes(px))
+
+    rows = []
+    for vid in (100, 200):
+        for i in range(9):
+            scene = f"{vid}-{i // 3}"          # cuts at frames 3 and 6
+            rows.append((vid, i, bytearray(frame_png(scene, i % 3))))
+    rows.append((100, 9, bytearray(b"broken frame")))
+    frames = spark.createDataFrame(
+        rows, "media_id long, frame_idx long, payload binary"
+    )
+    out = mm.video_scene_cuts(frames, hamming_threshold=16).collect()
+    cuts = {(r["media_id"], r["frame_idx"]) for r in out if r["is_cut"]}
+    assert cuts == {(100, 3), (100, 6), (200, 3), (200, 6)}
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in out}
+    assert by_key[(100, 0)]["hamming_prev"] is None
+    assert by_key[(100, 9)]["fhash"] is None
+    assert not by_key[(100, 9)]["is_cut"]
+    # within-shot distances are tiny
+    within = [r["hamming_prev"] for r in out
+              if r["hamming_prev"] is not None
+              and not r["is_cut"] and r["fhash"] is not None]
+    assert within and max(within) <= 4

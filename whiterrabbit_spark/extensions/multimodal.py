@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -441,35 +441,26 @@ def sample_frames_stub(media: DataFrame, n_frames: int = 4) -> DataFrame:
 AHASH_SCHEMA = "media_id long, ahash long"
 
 
-def image_ahash(media: DataFrame) -> DataFrame:
-    """64-bit perceptual average-hash per image — the content key for
-    image near-duplicate detection: decode → integer luma → bilinear
-    8×8 downsample → threshold each cell at the image mean → pack the
-    64 bits row-major (bit 63 = top-left, so the sign bit is image
-    content; Spark longs are signed and the hash is only ever compared
-    bitwise). Robust to re-encoding, resizing and small edits; bit
-    differences grow with visual difference, so Hamming distance is
-    the similarity metric (see :func:`ahash_near_pairs`).
+def ahash_bytes(raw: bytes) -> int | None:
+    """64-bit average-hash of one encoded image (worker-side core of
+    :func:`image_ahash` and the video frame hasher): decode → integer
+    luma → bilinear 8×8 → threshold each cell at the image mean → pack
+    row-major (bit 63 = top-left; wrapped into signed 64-bit for Spark
+    longs). Returns None on undecodable bytes."""
+    import io
 
-    Same Arrow ``mapInPandas`` shape as the decode stages: map-only,
-    no shuffle, codec inside the Python worker (Pillow when present,
-    else the stdlib PNG codec). Undecodable payloads yield NULL.
-    """
+    import numpy as np
 
-    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
+    from whiterrabbit_spark.extensions import stdlib_codecs as sc
 
-        import numpy as np
+    try:
+        if HAS_PIL:
+            from PIL import Image
 
-        from whiterrabbit_spark.extensions import stdlib_codecs as sc
-
-        def gray_small(raw: bytes) -> "np.ndarray":
-            if HAS_PIL:
-                from PIL import Image
-
-                img = Image.open(io.BytesIO(raw)).convert("L")
-                img = img.resize((8, 8), Image.BILINEAR)
-                return np.asarray(img, dtype=np.float64)
+            img = Image.open(io.BytesIO(raw)).convert("L")
+            img = img.resize((8, 8), Image.BILINEAR)
+            g = np.asarray(img, dtype=np.float64)
+        else:
             w, h, mode, pixels = sc.png_decode(raw)
             small = sc.resize_bilinear(w, h, mode, pixels, 8, 8)
             ch = len(small) // 64
@@ -481,27 +472,39 @@ def image_ahash(media: DataFrame) -> DataFrame:
             )
             if ch >= 3:
                 lum = (
-                    arr[:, :, 0] * 299 + arr[:, :, 1] * 587 + arr[:, :, 2] * 114
+                    arr[:, :, 0] * 299
+                    + arr[:, :, 1] * 587
+                    + arr[:, :, 2] * 114
                 ) // 1000
             else:
                 lum = arr[:, :, 0]
-            return lum.astype(np.float64)
+            g = lum.astype(np.float64)
+        bits = (g >= g.mean()).flatten()
+        v = 0
+        for bit in bits:
+            v = (v << 1) | int(bit)
+        if v >= 1 << 63:
+            v -= 1 << 64
+        return v
+    except Exception:
+        return None
 
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """64-bit perceptual average-hash per image — the content key for
+    image near-duplicate detection (see :func:`ahash_bytes` for the
+    hash definition). Robust to re-encoding, resizing and small edits;
+    bit differences grow with visual difference, so Hamming distance
+    is the similarity metric (see :func:`ahash_near_pairs`).
+
+    Same Arrow ``mapInPandas`` shape as the decode stages: map-only,
+    no shuffle, codec inside the Python worker (Pillow when present,
+    else the stdlib PNG codec). Undecodable payloads yield NULL.
+    """
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for p in pdf["payload"]:
-                try:
-                    g = gray_small(bytes(p))
-                    bits = (g >= g.mean()).flatten()
-                    v = 0
-                    for bit in bits:
-                        v = (v << 1) | int(bit)
-                    # wrap into signed 64-bit (bit 63 may be set)
-                    if v >= 1 << 63:
-                        v -= 1 << 64
-                    out.append(v)
-                except Exception:
-                    out.append(None)
+            out = [ahash_bytes(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "ahash": pd.array(out, dtype="Int64")}
             )
@@ -667,4 +670,59 @@ def audio_spectral_hash(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         hash_batches, AUDIO_HASH_SCHEMA
+    )
+
+
+FRAME_HASH_SCHEMA = "media_id long, frame_idx long, fhash long"
+
+
+def video_scene_cuts(
+    frames: DataFrame,
+    hamming_threshold: int = 16,
+) -> DataFrame:
+    """Scene-change detection over a frame table ``(media_id,
+    frame_idx, payload)`` — the video-curation primitive behind
+    keyframe selection and shot-boundary sampling: per frame the
+    64-bit perceptual aHash (:func:`ahash_bytes`), then within each
+    video (ordered by frame index) the Hamming distance to the
+    PREVIOUS frame; a distance above ``hamming_threshold`` marks a
+    cut. Consecutive frames of one shot hash nearly identically
+    (Hamming ≈ 0–4); a hard cut rewrites most of the grid (≈ 20–40).
+
+    Plan: one map-only Arrow hashing pass, then ONE window partitioned
+    by video — state per partition is bounded by frames-per-video
+    (metadata scale, thousands), never corpus scale, so the window
+    holds at 100 TB of video as long as single videos do.
+
+    Returns ``(media_id, frame_idx, fhash, hamming_prev, is_cut)``;
+    frame 0 and undecodable frames have NULL hamming_prev / FALSE
+    is_cut.
+    """
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [ahash_bytes(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "fhash": pd.array(out, dtype="Int64"),
+                }
+            )
+
+    hashed = frames.select("media_id", "frame_idx", "payload").mapInPandas(
+        hash_batches, FRAME_HASH_SCHEMA
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("fhash").over(w)
+    ham = F.when(
+        prev.isNotNull() & F.col("fhash").isNotNull(),
+        F.bit_count(F.col("fhash").bitwiseXOR(prev)),
+    )
+    return hashed.select(
+        "media_id",
+        "frame_idx",
+        "fhash",
+        ham.alias("hamming_prev"),
+        F.coalesce(ham > hamming_threshold, F.lit(False)).alias("is_cut"),
     )

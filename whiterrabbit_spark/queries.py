@@ -7174,6 +7174,72 @@ WHERE doc_id % 10 = 2
 ORDER BY id1"""
 
 
+def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot-boundary detection E2E (multimodal.video_scene_cuts):
+    per doc a synthetic 12-frame 'video' — frames are block-pattern
+    PNGs keyed by md5(doc, scene), scenes changing at doc-dependent
+    planted positions (c1 = 3 + doc_id%3, c2 = 8 + doc_id%2), with a
+    small per-frame jitter inside each shot. The frame-hash + lag
+    window pipeline must mark exactly the planted boundaries: jitter
+    keeps within-shot Hamming ≈ 0, scene rewrites ≈ half the grid, and
+    the oracle reconstructs the cut set arithmetically."""
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        for pdf in batches:
+            vids, idxs, payloads = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c1, c2 = 3 + d % 3, 8 + d % 2
+                for i in range(12):
+                    scene = 0 if i < c1 else (1 if i < c2 else 2)
+                    hb = hashlib.md5(f"{d}-{scene}".encode()).digest()[:8]
+                    bits = np.array(
+                        [(hb[k // 8] >> (7 - k % 8)) & 1 for k in range(64)]
+                    ).reshape(8, 8)
+                    img = np.kron(bits * 176 + 40, np.ones((3, 4))).astype(
+                        np.uint8
+                    )
+                    if i % 3:
+                        img = img.copy()
+                        img[:2, :3] = np.minimum(255, img[:2, :3] + 4)
+                    vids.append(d)
+                    idxs.append(i)
+                    payloads.append(
+                        sc.png_encode(32, 24, "L", img.tobytes())
+                    )
+            yield pd.DataFrame(
+                {"media_id": vids, "frame_idx": idxs, "payload": payloads}
+            )
+
+    frames = docs.mapInPandas(gen, "media_id long, frame_idx long, payload binary")
+    out = mm.video_scene_cuts(frames, hamming_threshold=16)
+    return (
+        out.where(F.col("is_cut"))
+        .select("media_id", "frame_idx")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+_VIDEO_SCENE_CUTS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(3 + doc_id % 3 AS BIGINT) AS frame_idx
+FROM documents
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), CAST(8 + doc_id % 2 AS BIGINT)
+FROM documents
+ORDER BY 1, 2"""
+
+
 _SHUFFLE_P = 1_000_000_007
 
 
@@ -9648,6 +9714,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _IMAGE_NEAR_DUPS_SQL)
     add("audio_near_dups_documents", _audio_near_dups,
         _AUDIO_NEAR_DUPS_SQL)
+    add("video_scene_cuts_documents", _video_scene_cuts,
+        _VIDEO_SCENE_CUTS_SQL)
     add("shuffle_shards_documents", _shuffle_shards, _SHUFFLE_SHARDS_SQL)
     add("epoch_upsample_documents", _epoch_upsample, _epoch_upsample_sql())
     add("padding_efficiency_documents", _padding_efficiency,
@@ -9968,6 +10036,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "streaming_running_stats_events",
         "image_near_dups_documents",
         "audio_near_dups_documents",
+        "video_scene_cuts_documents",
         "shuffle_shards_documents",
         "epoch_upsample_documents",
         "padding_efficiency_documents",
