@@ -1,13 +1,17 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+REAL decode and perceptual-similarity operators.
 
 Images/audio/video are carried as ``binary`` columns with a metadata
-struct; decode / feature-extract run as Arrow-batched ``mapInPandas``
-(the documented slow path — one Python hop, vectorized per batch, never
-per-row). The actual codec step is STUBBED with a deterministic fake
-(this container ships no image/audio libs): ``decode_stub_features``
-derives reproducible pseudo-features from the bytes, so the Spark-side
-plumbing — schema, batch shape, partitioning — is real and tested, and a
-real decoder (PIL/torchaudio/ffmpeg) drops into ``_decode_one``.
+struct; decode / feature-extract / hash run as Arrow-batched
+``mapInPandas`` (the documented slow path — one Python hop, vectorized
+per batch, never per-row). Codecs: Pillow/soundfile when installed,
+else the dependency-free stdlib PNG/WAV codecs
+(``extensions.stdlib_codecs``), so the real decode path always runs.
+``decode_stub_features`` remains the deterministic engine-independent
+fake for oracle comparisons. On top of decode sit the perceptual
+content operators: image aHash + banded near-dup join, audio spectral
+fingerprint + near-dup join, and video shot-boundary detection — the
+image/audio/video slice of the dedup/curation family.
 """
 
 from __future__ import annotations
