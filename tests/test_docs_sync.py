@@ -37,14 +37,13 @@ ROWS_ONLY = {
     # iterative float power method — not SQL-reproducible at hash
     # precision; hand-graph + invariant tests pin it
     "pagerank_lineitem",
-    # per-day HLL sketches + sliding union — approximate twin of the
-    # exact rolling distinct; 3% accuracy bound pinned in unit tests
-    "rolling_distinct_hll_events",
     # r4 conversions OUT of this list (VERDICT r3 #4):
     # pack_sequences_documents (deterministic pack arithmetic oracle),
     # segment_overlap_events (exact-intersection oracle + pinned
     # 5%-tolerance flag on the HLL estimates),
-    # ann_ivf_index_embeddings (disk/mem parity + recall-floor flags).
+    # ann_ivf_index_embeddings (disk/mem parity + recall-floor flags);
+    # and in r4 proper: rolling_distinct_hll_events (exact per-day
+    # rolling distinct + pinned 3%-tolerance flag on the HLL estimate).
 }
 
 
