@@ -181,3 +181,43 @@ def test_heavy_hitters_matches_naive_on_events(spark):
         .collect()
     )
     assert got == naive and len(got) > 0
+
+
+def test_shuffle_shard_materialization_local_sort_only(spark):
+    """Materializing training shards from shuffle_shards must compile
+    to one hash-partition exchange + per-partition sort — NEVER a
+    range-partitioned global sort (the single-total-order trap at
+    100 TB)."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    sh = sp.shuffle_shards(df, "doc_id", 8)
+    mat = sh.repartition(8, "shard_id").sortWithinPartitions("shuffle_key")
+    plan = mat._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan.lower()
+    # the sort is partition-local: formatted mode prints the Sort
+    # node's Arguments with "false" for global
+    import re
+    m = re.search(r"\(\d+\) Sort\nInput.*\nArguments: (.*)", plan)
+    assert m and "false" in m.group(1)
+
+
+def test_epoch_upsample_is_shuffle_free(spark):
+    """The weighted-repeat operator is a map-side CASE + bounded
+    explode: its plan must contain zero Exchange nodes."""
+    from whiterrabbit_spark.extensions import splits as sp
+
+    df = spark.range(1_000).selectExpr("id", "'a' AS g")
+    up = sp.epoch_upsample(df, "id", "g", {"a": 2.5})
+    plan = up._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
