@@ -7256,7 +7256,11 @@ def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     frames = docs.mapInPandas(gen, "media_id long, frame_idx long, payload binary")
-    out = mm.video_scene_cuts(frames, hamming_threshold=16)
+    # threshold 8: within-shot jitter flips ZERO hash bits (blocks sit
+    # far from the mean), while two independent md5 scene patterns land
+    # at Hamming ~32; at 16 the ~5e-5/boundary collision odds actually
+    # bit once in the 10,000 boundaries at sf0.1, at 8 they are ~2e-9
+    out = mm.video_scene_cuts(frames, hamming_threshold=8)
     return (
         out.where(F.col("is_cut"))
         .select("media_id", "frame_idx")
