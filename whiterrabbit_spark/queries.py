@@ -10076,6 +10076,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "image_near_dups_documents",
         "audio_near_dups_documents",
         "video_scene_cuts_documents",
+        "rolling_distinct_hll_events",
         "shuffle_shards_documents",
         "epoch_upsample_documents",
         "padding_efficiency_documents",
