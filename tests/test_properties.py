@@ -851,3 +851,47 @@ def test_mde_positive_and_qte_monotone_property(spark, vals):
     m = mde_report(df, "u", F.col("v"), F.lit(True)).collect()[0]
     if m.n_a > 1 and m.n_b > 1 and (m.sd_a or 0) + (m.sd_b or 0) > 0:
         assert m.mde_abs > 0
+
+
+class TestBandedHammingExactness:
+    """hash_near_pairs' pigeonhole contract: with 4 bands over 64 bits,
+    the banded join finds EXACTLY the pairs within Hamming <= 3 that a
+    brute-force quadratic comparison finds — for arbitrary signatures."""
+
+    @given(
+        st.lists(
+            st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+            min_size=2, max_size=24, unique=True,
+        ),
+        st.data(),
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_brute_force(self, spark, hashes, data):
+        from whiterrabbit_spark.extensions import multimodal as mm
+
+        # plant a near-dup: clone one hash with <=3 flipped bits
+        base = hashes[0]
+        flips = data.draw(st.sets(st.integers(0, 63), min_size=0, max_size=3))
+        clone = base
+        for b in flips:
+            clone ^= 1 << b
+            if clone >= 1 << 63:
+                clone -= 1 << 64
+            elif clone < -(1 << 63):
+                clone += 1 << 64
+        sigs_py = list(dict.fromkeys(hashes + [clone]))
+        rows = [(i, h) for i, h in enumerate(sigs_py)]
+        sigs = spark.createDataFrame(rows, "media_id long, h long")
+        got = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in mm.hash_near_pairs(sigs, "media_id", "h", 3, 4).collect()
+        }
+        want = {}
+        for i, a in rows:
+            for j, b in rows:
+                if i < j:
+                    ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+                    if ham <= 3:
+                        want[(i, j)] = ham
+        assert got == want
