@@ -4008,6 +4008,50 @@ def test_image_ahash_near_dup_detection(spark):
     assert again == hashes
 
 
+def test_image_keep_best_dedup(spark):
+    """Canonical image dedup: png_dims reads dims JVM-side from the
+    IHDR header (NULL for non-PNG), and keep-best keeps the
+    highest-resolution member of each aHash cluster while singletons
+    pass through kept."""
+    import whiterrabbit_spark.extensions.stdlib_codecs as sc
+    from pyspark.sql import functions as F
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    def checker(w, h, flip=False):
+        # 8x8 block checkerboard rendered at w x h — aHash-identical
+        # across resolutions (blocks survive the bilinear 8x8 resample)
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                b = ((x * 8 // w) + (y * 8 // h)) % 2
+                if flip:
+                    b = 1 - b
+                px.append(216 if b else 40)
+        return sc.png_encode(w, h, "L", bytes(px))
+
+    rows = [
+        (1, bytearray(checker(32, 24))),        # 768 px — cluster winner
+        (2, bytearray(checker(16, 16))),        # 256 px — loses to 1
+        (3, bytearray(checker(32, 24, True))),  # complement: singleton
+        (4, bytearray(b"not a png")),           # non-PNG: NULL dims/hash
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    w, h = mm.png_dims(F.col("payload"))
+    dims = {
+        r["media_id"]: (r["w"], r["h"])
+        for r in media.select("media_id", w.alias("w"), h.alias("h")).collect()
+    }
+    assert dims[1] == (32, 24) and dims[2] == (16, 16)
+    assert dims[4] == (None, None)
+
+    out = {r["media_id"]: r for r in mm.image_keep_best(media).collect()}
+    assert out[1]["kept"] and not out[2]["kept"]
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[3]["kept"] and out[3]["cluster_id"] is None
+    assert out[1]["score"] == 768.0 and out[2]["score"] == 256.0
+
+
 def test_audio_spectral_hash_near_dup_detection(spark):
     """Audio fingerprint: the 8x8 time x band energy grid recovers a
     planted md5 bit pattern exactly; a noised re-render matches within

@@ -7135,6 +7135,85 @@ WHERE doc_id % 10 = 1
 ORDER BY id1"""
 
 
+def _image_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical image dedup E2E (multimodal.image_keep_best): the
+    image_near_dups corpus, except every clone (doc_id ≡ 1 mod 10)
+    re-renders its group's block pattern at 16×16 instead of the
+    original 32×24 — same aHash (blocks survive the bilinear 8×8
+    resample exactly at both sizes), lower resolution. keep-best must
+    then (a) recover exactly the planted pairs via the banded Hamming
+    join, (b) cluster them (cluster_id = min id), and (c) keep the
+    32×24 original (score 768 px) over the 16×16 clone (256 px), with
+    singletons passing through kept. The score pass is the JVM-only
+    PNG-header sniff — the oracle reconstructs all four columns
+    arithmetically from doc_id."""
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                clone = d % 10 == 1
+                grp = d - 1 if clone else d
+                hb = hashlib.md5(str(grp).encode()).digest()[:8]
+                bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+                px = bytearray()
+                if clone:
+                    wpx, hpx = 16, 16
+                    for y in range(hpx):
+                        for x in range(wpx):
+                            v = 216 if bits[(y // 2) * 8 + (x // 2)] else 40
+                            if y < 2 and x < 2:
+                                v = min(255, v + 3)
+                            px.append(v)
+                else:
+                    wpx, hpx = 32, 24
+                    for y in range(hpx):
+                        for x in range(wpx):
+                            px.append(216 if bits[(y // 3) * 8 + (x // 4)] else 40)
+                ids.append(d)
+                payloads.append(sc.png_encode(wpx, hpx, "L", bytes(px)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    out = mm.image_keep_best(media, max_hamming=3)
+    # -1 sentinel for "no cluster" (compare harness sorts row tuples)
+    return out.select(
+        "media_id",
+        F.coalesce("cluster_id", F.lit(-1)).alias("cluster_id"),
+        "score", "kept",
+    ).orderBy("media_id")
+
+
+_IMAGE_KEEP_BEST_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 10 = 1 AS is_clone,
+         doc_id % 10 = 1
+           AND doc_id - 1 IN (SELECT doc_id FROM documents) AS paired_clone,
+         doc_id % 10 = 0
+           AND doc_id + 1 IN (SELECT doc_id FROM documents) AS paired_orig
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(CASE WHEN paired_clone THEN doc_id - 1
+                 WHEN paired_orig THEN doc_id
+                 ELSE -1 END AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN is_clone THEN 256.0 ELSE 768.0 END AS DOUBLE) AS score,
+       NOT paired_clone AS kept
+FROM d
+ORDER BY media_id"""
+
+
 def _audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate detection E2E (multimodal.audio_spectral_hash
     + audio_near_pairs): the audio twin of image_near_dups — each doc
@@ -9750,6 +9829,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _STREAMING_RUNNING_STATS_SQL)
     add("image_near_dups_documents", _image_near_dups,
         _IMAGE_NEAR_DUPS_SQL)
+    add("image_keep_best_documents", _image_keep_best,
+        _IMAGE_KEEP_BEST_SQL)
     add("audio_near_dups_documents", _audio_near_dups,
         _AUDIO_NEAR_DUPS_SQL)
     add("video_scene_cuts_documents", _video_scene_cuts,
@@ -10074,6 +10155,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     _R4_PREFIX = [
         "streaming_running_stats_events",
         "image_near_dups_documents",
+        "image_keep_best_documents",
         "audio_near_dups_documents",
         "video_scene_cuts_documents",
         "rolling_distinct_hll_events",
