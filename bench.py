@@ -79,7 +79,7 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "hash-split/packing operators: deterministic md5-threshold "
      "projections or the pack prefix-sum benched via pack_manifest and "
      "balanced_sample/neyman_sample"),
-    (r"^(shuffle_shards|epoch_upsample|padding_efficiency)_",
+    (r"^(shuffle_shards|epoch_upsample|padding_efficiency|curriculum_stages)_",
      "map-side md5 assignment + one small groupBy — the same plan "
      "shape as the benched balanced_sample / neyman_sample "
      "hash-threshold family"),

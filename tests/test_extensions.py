@@ -3936,6 +3936,32 @@ def test_epoch_upsample_realizes_weights(spark):
     assert bad == 0
 
 
+def test_curriculum_stages_quartiles(spark):
+    """Quartile staging: 100 evenly-spread scores land 25 per stage in
+    score order; threshold-boundary rows (score == quantile) stay in
+    the LOWER stage (strict > comparison); assignment is deterministic
+    across re-runs."""
+    from pyspark.sql import functions as F
+    from whiterrabbit_spark.extensions import splits as sp
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("double").alias("score")
+    )
+    out = sp.curriculum_stages(df, "score", "doc_id", n_stages=4)
+    rows = {r["doc_id"]: r["stage"] for r in out.collect()}
+    from collections import Counter
+    sizes = Counter(rows.values())
+    assert sizes == {1: 25, 2: 25, 3: 25, 4: 25}
+    # monotone: higher score -> stage never decreases
+    assert all(rows[i] <= rows[i + 1] for i in range(99))
+    # type-7 thresholds for 0..99 are 24.75/49.5/74.25: score 24 is
+    # below t1 (stage 1), score 25 is above (stage 2)
+    assert rows[24] == 1 and rows[25] == 2
+    again = {r["doc_id"]: r["stage"] for r in
+             sp.curriculum_stages(df, "score", "doc_id", n_stages=4).collect()}
+    assert again == rows
+
+
 def test_padding_efficiency_hand_case(spark):
     """Hand corpus: lengths 10,60 -> edge 64; 100 -> 128; 600 ->
     overflow padded to its own max; waste arithmetic exact."""

@@ -895,3 +895,50 @@ def padding_efficiency(
             ).alias("baseline_waste_frac"),
         )
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_stages: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Curriculum staging: assign every row to one of ``n_stages``
+    difficulty stages by exact score quantile — the easy-first (or
+    hard-first) training-order knob, feeding :func:`shuffle_shards`
+    for the within-stage interleave. Stage 1 holds the lowest scores;
+    stage ``i`` is the (i-1)/n..i/n quantile band.
+
+    Scale shape (no global sort, no window): scores are rounded to
+    ``round_dp`` first, which caps the exact ``percentile`` aggregate's
+    state at 10^round_dp + 1 distinct values REGARDLESS of row count —
+    partial maps merge map-side; the n_stages−1 thresholds come back as
+    ONE broadcast row; assignment is a map-side comparison chain.
+    Thresholds are re-rounded to ``round_dp`` so both engines compare
+    the same decimals (the derive-from-agreed-rounded-stats
+    discipline), making every row's stage engine-reproducible.
+
+    Extension beyond the reference surface (whiteRRabbit.R:265-303
+    profiles quantiles; it never orders a corpus by them).
+
+    Returns the input plus ``stage`` (int, 1-based).
+    """
+    sc = F.round(F.col(score_col).cast("double"), round_dp)
+    probs = [i / n_stages for i in range(1, n_stages)]
+    th = df.agg(
+        F.percentile(
+            F.round(F.col(score_col).cast("double"), round_dp),
+            F.array(*[F.lit(p) for p in probs]),
+        ).alias("__th")
+    )
+    stage = F.lit(1)
+    for i in range(n_stages - 1):
+        stage = stage + F.when(
+            sc > F.round(F.col("__th")[i], round_dp), 1
+        ).otherwise(0)
+    return (
+        df.join(F.broadcast(th))
+        .withColumn("stage", stage.cast("int"))
+        .drop("__th")
+    )

@@ -7468,6 +7468,69 @@ ORDER BY lang"""
 _PAD_EDGES = [64, 128, 256, 512]
 
 
+def _curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging (splits.curriculum_stages): every document
+    assigned to a quality-quartile stage — exact type-7 thresholds
+    from a bounded-state percentile over 6-dp-rounded scores (state ≤
+    10^6+1 entries at ANY corpus size), one broadcast threshold row,
+    map-side assignment; no global sort, no window. The rollup audits
+    the resulting curriculum: per stage the doc count, score band and
+    char mass. The oracle recomputes thresholds with quantile_cont
+    (same type-7 interpolation) and must agree on every row's stage."""
+    from whiterrabbit_spark.extensions import splits as sp
+    from whiterrabbit_spark.extensions import textstats as ts
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    scored = (
+        ts.quality_score(docs, "text", "doc_id")
+        .select("doc_id", "quality_score")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+    )
+    staged = sp.curriculum_stages(scored, "quality_score", "doc_id", n_stages=4)
+    s6 = F.round(F.col("quality_score"), 6)
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min(s6), 6).alias("min_score"),
+            F.round(F.max(s6), 6).alias("max_score"),
+            F.round(F.avg(s6), 6).alias("mean_score"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("stage")
+    )
+
+
+def _curriculum_stages_sql() -> str:
+    return f"""
+WITH {_quality_core_sql()},
+r AS (
+  SELECT s.doc_id, round(s.quality_score, 6) AS score, d.n_chars
+  FROM sc s JOIN documents d USING (doc_id)
+),
+th AS (
+  SELECT round(quantile_cont(score, 0.25), 6) AS t1,
+         round(quantile_cont(score, 0.50), 6) AS t2,
+         round(quantile_cont(score, 0.75), 6) AS t3
+  FROM r
+),
+a AS (
+  SELECT score, n_chars,
+         1 + (score > t1)::INT + (score > t2)::INT + (score > t3)::INT
+           AS stage
+  FROM r, th
+)
+SELECT CAST(stage AS BIGINT) AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(min(score), 6) AS min_score,
+       round(max(score), 6) AS max_score,
+       round(avg(score), 6) AS mean_score,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM a
+GROUP BY stage
+ORDER BY stage"""
+
+
 def _padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching payoff (splits.padding_efficiency):
     per length bucket the pad-to-edge waste fraction vs the pad-to-
@@ -9839,6 +9902,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("epoch_upsample_documents", _epoch_upsample, _epoch_upsample_sql())
     add("padding_efficiency_documents", _padding_efficiency,
         _padding_efficiency_sql())
+    add("curriculum_stages_documents", _curriculum_stages,
+        _curriculum_stages_sql())
     add("asof_join_forward_events", _asof_join_forward, _ASOF_FWD_SQL)
     add("zscore_lineitem", _zscore, _ZSCORE_SQL)
     add("events_multi_rollup", _events_multi_rollup, _MULTI_ROLLUP_SQL)
@@ -10156,6 +10221,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "streaming_running_stats_events",
         "image_near_dups_documents",
         "image_keep_best_documents",
+        "curriculum_stages_documents",
         "audio_near_dups_documents",
         "video_scene_cuts_documents",
         "rolling_distinct_hll_events",
