@@ -142,6 +142,8 @@ def main() -> None:
         # round 2: the scale-path embedding near-dup (banded hyperplane
         # LSH, no O(n^2) block replication)
         "hyperplane_near_pairs": queries["hyperplane_near_pairs_embeddings"],
+        # round 4: LSH pairs -> clusters -> keep-best argmax composite
+        "embedding_keep_best": queries["embedding_keep_best_embeddings"],
         # round 2 additions: WindowGroupLimit cap, full-outer snapshot
         # diff, map-only heuristic filters, histogram-derived quantile ops
         "cap_per_source": queries["cap_per_source_documents"],

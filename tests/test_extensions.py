@@ -3936,6 +3936,28 @@ def test_epoch_upsample_realizes_weights(spark):
     assert bad == 0
 
 
+def test_embedding_keep_best(spark):
+    """Semantic keep-best: two near-identical vectors cluster and the
+    higher-norm one wins; an orthogonal vector passes through kept as
+    a singleton."""
+    from pyspark.sql import functions as F
+    from whiterrabbit_spark.extensions import similarity as sim
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.02, 0.0, 0.0]),   # same direction, double norm
+        (3, [0.0, 0.0, 1.0, 0.0]),    # orthogonal singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in sim.embedding_keep_best(
+        df, threshold=0.9, dim=4, n_planes=4, n_tables=8, seed=42
+    ).collect()}
+    assert out[2]["kept"] and not out[1]["kept"]
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[3]["kept"] and out[3]["cluster_id"] is None
+    assert out[2]["score"] > out[1]["score"] == 1.0
+
+
 def test_curriculum_stages_quartiles(spark):
     """Quartile staging: 100 evenly-spread scores land 25 per stage in
     score order; threshold-boundary rows (score == quantile) stay in

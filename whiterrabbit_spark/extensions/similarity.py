@@ -385,6 +385,45 @@ def hyperplane_near_pairs(
     ).where(F.col("cosine") >= threshold)
 
 
+def embedding_keep_best(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact-oracle semantic dedup: LSH cosine near-pairs above
+    ``threshold`` → connected components → keep the HIGHEST-L2-NORM
+    member of each cluster (norm as the information-content proxy; any
+    per-vector score frame can be swapped in via
+    ``dedup.keep_best_dedup`` directly). The deterministic counterpart
+    of :func:`semantic_dedup` — where k-means cluster assignments are
+    only rows-checkable, every stage here (seeded hyperplanes, exact
+    candidate cosines, min-label clusters, 6-dp argmax) is
+    reproducible by an independent engine.
+
+    Scale shape: candidate generation is the bucketed LSH join (bare
+    ids, narrow shuffle); clustering is O(diameter) label propagation;
+    the argmax window runs per-cluster with singletons split off
+    map-only — no quadratic or single-task stage.
+
+    Returns ``(id, cluster_id, score, kept)`` — cluster_id NULL for
+    vectors with no near-dup, score = L2 norm rounded to 6 dp.
+    """
+    from whiterrabbit_spark.extensions import dedup
+
+    pairs = hyperplane_near_pairs(
+        df, threshold, dim, vec_col, id_col, n_planes, n_tables, seed
+    )
+    scored = df.select(
+        F.col(id_col), _norm(_to_double(F.col(vec_col))).alias("score")
+    )
+    return dedup.keep_best_dedup(scored, pairs, id_col=id_col, score_col="score")
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     planes = []

@@ -1123,7 +1123,11 @@ def _hyperplane_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id1", "id2", F.round("cosine", R).alias("cosine"))
 
 
-def _hyperplane_near_pairs_sql() -> str:
+def _hyperplane_cte() -> str:
+    """CTE chain ending in ``s`` = (id1, id2, cosine) — the DuckDB
+    mirror of ``sim.hyperplane_near_pairs``'s candidate generation +
+    exact scoring, shared by the near-pairs query and
+    ``embedding_keep_best`` (which clusters the same pair set)."""
     branches = []
     for t in range(ANN_LSH_TABLES):
         planes = sim.hyperplanes(EMB_DIM, ANN_LSH_PLANES, ANN_LSH_SEED + 1000 * t)
@@ -1134,8 +1138,7 @@ def _hyperplane_near_pairs_sql() -> str:
         )
         branches.append(f"SELECT vec_id, e, {t} AS tbl, ({bits})::BIGINT AS bucket FROM v")
     hashed = "\nUNION ALL\n".join(branches)
-    return f"""
-WITH v AS (
+    return f"""v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
 ), h AS (
 {hashed}
@@ -1150,9 +1153,77 @@ WITH v AS (
   FROM cand c
   JOIN v av ON av.vec_id = c.id1
   JOIN v bv ON bv.vec_id = c.id2
-)
+)"""
+
+
+def _hyperplane_near_pairs_sql() -> str:
+    return f"""
+WITH {_hyperplane_cte()}
 SELECT id1, id2, round(cosine, 6) AS cosine
 FROM s WHERE cosine >= {NEAR_DUP_COS_THRESHOLD}"""
+
+
+def _embedding_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle semantic dedup (similarity.embedding_keep_best):
+    hyperplane-LSH cosine near-pairs → connected components → keep the
+    highest-L2-norm member per cluster. The deterministic sibling of
+    rows-only ``semantic_dedup`` — the oracle re-derives the identical
+    pair set from the inlined seeded planes, rebuilds reachability with
+    a RECURSIVE CTE and applies the same 6-dp argmax, so every vector's
+    cluster and kept flag is cross-engine checkable."""
+    df = read_parquet_table(spark, sf_dir, "embeddings")
+    out = sim.embedding_keep_best(
+        df, NEAR_DUP_COS_THRESHOLD, dim=EMB_DIM,
+        n_planes=ANN_LSH_PLANES, n_tables=ANN_LSH_TABLES, seed=ANN_LSH_SEED,
+    )
+    # -1 sentinel for "no cluster" (compare harness sorts row tuples)
+    return out.select(
+        "vec_id",
+        F.coalesce("cluster_id", F.lit(-1)).alias("cluster_id"),
+        "score", "kept",
+    ).orderBy("vec_id")
+
+
+def _embedding_keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE {_hyperplane_cte()},
+pairs AS (
+  SELECT id1, id2 FROM s WHERE cosine >= {NEAR_DUP_COS_THRESHOLD}
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+),
+cc AS (
+  SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+),
+scored AS (
+  SELECT vec_id, round(sqrt(list_dot_product(e, e)), 6) AS score FROM v
+),
+j AS (
+  SELECT sc.vec_id, sc.score, cc.cluster_id
+  FROM scored sc LEFT JOIN cc ON cc.node = sc.vec_id
+),
+r AS (
+  SELECT vec_id, cluster_id, score,
+         CASE WHEN cluster_id IS NULL THEN TRUE
+              ELSE row_number() OVER (
+                     PARTITION BY cluster_id
+                     ORDER BY score DESC, vec_id ASC) = 1
+         END AS kept
+  FROM j
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(coalesce(cluster_id, -1) AS BIGINT) AS cluster_id,
+       score, kept
+FROM r
+ORDER BY vec_id"""
 
 
 def _quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9904,6 +9975,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _padding_efficiency_sql())
     add("curriculum_stages_documents", _curriculum_stages,
         _curriculum_stages_sql())
+    add("embedding_keep_best_embeddings", _embedding_keep_best,
+        _embedding_keep_best_sql())
     add("asof_join_forward_events", _asof_join_forward, _ASOF_FWD_SQL)
     add("zscore_lineitem", _zscore, _ZSCORE_SQL)
     add("events_multi_rollup", _events_multi_rollup, _MULTI_ROLLUP_SQL)
@@ -10222,6 +10295,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "image_near_dups_documents",
         "image_keep_best_documents",
         "curriculum_stages_documents",
+        "embedding_keep_best_embeddings",
         "audio_near_dups_documents",
         "video_scene_cuts_documents",
         "rolling_distinct_hll_events",
