@@ -10283,11 +10283,13 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _SEASONALITY_STRENGTH_SQL)
 
     # --- Round-4 verification prefix (driver signs the first ~50 rows
-    # per round, in dict order): the four entries changed this round
-    # (new streaming op + the three rows-only -> oracle conversions),
-    # then every oracle-backed entry that has NEVER appeared in a
-    # driver CORRECTNESS sample (123 as of r4 — CORRECTNESS_r01..r03
-    # union is 146 signed names). Rounds 5-6 continue the rotation.
+    # per round, in dict order): the entries new or changed this round
+    # (streaming op, multimodal near-dup family, image/embedding
+    # keep-best, curriculum staging, the rows-only -> oracle
+    # conversions), then every oracle-backed entry that has NEVER
+    # appeared in a driver CORRECTNESS sample (123 as of r4 —
+    # CORRECTNESS_r01..r03 union is 146 signed names). Rounds 5-6
+    # continue the rotation.
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
