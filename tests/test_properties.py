@@ -895,3 +895,101 @@ class TestBandedHammingExactness:
                     if ham <= 3:
                         want[(i, j)] = ham
         assert got == want
+
+
+class TestKeepBestDedup:
+    """Cluster-argmax contract of dedup.keep_best_dedup: exactly one
+    member kept per cluster — the (rounded score, -id) maximum — and
+    every unpaired id passes through kept with a NULL cluster."""
+
+    @given(
+        n=st.integers(min_value=2, max_value=20),
+        edges=st.data(),
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_one_winner_per_cluster(self, spark, n, edges):
+        from whiterrabbit_spark.extensions.dedup import keep_best_dedup
+
+        pair_list = edges.draw(
+            st.lists(
+                st.tuples(st.integers(0, n - 1), st.integers(0, n - 1))
+                .filter(lambda p: p[0] != p[1])
+                .map(lambda p: (min(p), max(p))),
+                max_size=n,
+                unique=True,
+            )
+        )
+        scores = edges.draw(
+            st.lists(
+                st.floats(0, 1, allow_nan=False, width=32),
+                min_size=n, max_size=n,
+            )
+        )
+        scored = spark.createDataFrame(
+            [(i, float(s)) for i, s in enumerate(scores)],
+            "doc_id long, score double",
+        )
+        pairs = spark.createDataFrame(
+            pair_list or [(None, None)], "id1 long, id2 long"
+        ).where(F.col("id1").isNotNull())
+        out = {r["doc_id"]: r for r in
+               keep_best_dedup(scored, pairs, "doc_id", "score").collect()}
+        assert set(out) == set(range(n))
+
+        # python-side reference clustering
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pair_list:
+            parent[find(a)] = find(b)
+        clusters: dict[int, list[int]] = {}
+        for i in range(n):
+            clusters.setdefault(find(i), []).append(i)
+        for members in clusters.values():
+            kept = [i for i in members if out[i]["kept"]]
+            if len(members) == 1:
+                assert kept == members
+                assert out[members[0]]["cluster_id"] is None
+            else:
+                want = max(
+                    members,
+                    key=lambda i: (round(scores[i], 6), -i),
+                )
+                assert kept == [want]
+                cids = {out[i]["cluster_id"] for i in members}
+                assert cids == {min(members)}
+
+
+class TestCurriculumStages:
+    """curriculum_stages is an exact quantile bucketing: stages are
+    monotone in score, and the threshold set matches numpy's type-7
+    quantiles of the 6-dp-rounded scores."""
+
+    @given(scores=st.lists(
+        st.floats(0, 100, allow_nan=False, width=32),
+        min_size=4, max_size=40,
+    ))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_numpy_type7(self, spark, scores):
+        import numpy as np
+
+        from whiterrabbit_spark.extensions.splits import curriculum_stages
+
+        df = spark.createDataFrame(
+            [(i, float(s)) for i, s in enumerate(scores)],
+            "doc_id long, score double",
+        )
+        out = {r["doc_id"]: r["stage"] for r in
+               curriculum_stages(df, "score", "doc_id", n_stages=4).collect()}
+        r6 = np.round(np.array(scores, dtype=np.float64), 6)
+        cuts = [round(float(np.quantile(r6, p)), 6) for p in (0.25, 0.5, 0.75)]
+        for i, s in enumerate(r6):
+            want = 1 + sum(s > c for c in cuts)
+            assert out[i] == want, (i, s, cuts)
