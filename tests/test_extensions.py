@@ -3936,6 +3936,30 @@ def test_epoch_upsample_realizes_weights(spark):
     assert bad == 0
 
 
+def test_json_schema_profile(spark):
+    """Schema discovery over free-form JSON: per-key presence, row
+    fraction and lexical type mix; JSON nulls counted separately;
+    malformed rows degrade to no keys (PERMISSIVE)."""
+    from whiterrabbit_spark.extensions.semistructured import json_schema_profile
+
+    rows = [
+        ('{"a": 1, "b": "x", "c": true}',),
+        ('{"a": 2.5, "b": null}',),
+        ('{"a": "3"}',),          # quoted number -> lexically int (caveat)
+        ("not json",),            # malformed: contributes no keys
+    ]
+    df = spark.createDataFrame(rows, "payload string")
+    out = {r["key"]: r for r in json_schema_profile(df, "payload").collect()}
+    assert set(out) == {"a", "b", "c"}
+    a = out["a"]
+    assert a["n_present"] == 3 and a["pct_rows"] == 0.75
+    assert (a["n_int"], a["n_double"], a["n_null"], a["n_string"]) == (2, 1, 0, 0)
+    b = out["b"]
+    assert b["n_present"] == 2 and b["n_null"] == 1 and b["n_string"] == 1
+    c = out["c"]
+    assert c["n_present"] == 1 and c["n_bool"] == 1
+
+
 def test_embedding_keep_best(spark):
     """Semantic keep-best: two near-identical vectors cluster and the
     higher-norm one wins; an orthogonal vector passes through kept as

@@ -112,3 +112,66 @@ def variant_field_rollup(
             F.countDistinct("__k").alias("distinct_vals"),
         )
     )
+
+
+_BOOL_RE = "^(true|false)$"
+_INT_RE = "^-?[0-9]+$"
+_DOUBLE_RE = r"^-?[0-9]+\.[0-9]+([eE][-+]?[0-9]+)?$"
+
+
+def json_schema_profile(df: DataFrame, json_col: str) -> DataFrame:
+    """Schema DISCOVERY over a free-form JSON column — the profile you
+    run before :func:`extract_json_fields` can be given its field list:
+    per top-level key, how many rows carry it, what fraction of the
+    table that is, and the lexical type mix of its values
+    (bool/int/double/string, JSON nulls counted separately). The drift
+    twin of the typed-column profile for telemetry payloads: a key
+    appearing, vanishing, or changing type between snapshots shows up
+    as a diffable row.
+
+    Fully JVM: ``from_json`` to ``map<string,string>`` (one codegen
+    expression — scalars arrive as their JSON literals, so typing is a
+    regexp classification), ``explode`` bounded by keys-per-row, ONE
+    groupBy(key) with conditional-sum type counts, and the row total
+    joined in as a broadcast one-row frame. No Python, no second scan.
+    Lexical caveat (documented): a QUOTED "123" classifies as int —
+    the map extraction strips quotes; type counts describe the value
+    lexicon, not the JSON quoting.
+
+    Returns one row per key:
+    ``(key, n_present, pct_rows, n_null, n_bool, n_int, n_double,
+    n_string)``.
+    """
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    kv = df.select(
+        F.explode(
+            F.from_json(F.col(json_col), "map<string,string>")
+        ).alias("key", "value")
+    )
+    v = F.col("value")
+    is_bool = v.rlike(_BOOL_RE)
+    is_int = v.rlike(_INT_RE)
+    is_double = v.rlike(_DOUBLE_RE)
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_null"),
+            F.sum(F.when(v.isNotNull() & is_bool, 1).otherwise(0)).alias("n_bool"),
+            F.sum(F.when(v.isNotNull() & is_int, 1).otherwise(0)).alias("n_int"),
+            F.sum(F.when(v.isNotNull() & is_double, 1).otherwise(0)).alias("n_double"),
+            F.sum(
+                F.when(
+                    v.isNotNull() & ~is_bool & ~is_int & ~is_double, 1
+                ).otherwise(0)
+            ).alias("n_string"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "key",
+            "n_present",
+            F.round(F.col("n_present") / F.col("__total"), 6).alias("pct_rows"),
+            "n_null", "n_bool", "n_int", "n_double", "n_string",
+        )
+        .orderBy("key")
+    )

@@ -2506,6 +2506,72 @@ SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
 FROM lineitem, s"""
 
 
+def _json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema discovery (semistructured.json_schema_profile) over a
+    synthetic variable-shape payload derived deterministically from
+    events columns — to_json(struct(...)) drops null fields, so key
+    presence and value type vary by row: ``t`` (string, every row),
+    ``uid`` (int, user_id % 3 != 0), ``v`` (double, click/view rows),
+    ``flag`` (boolean, even user_id). The profile must recover each
+    key's presence count, row fraction and lexical type mix; the oracle
+    reconstructs all of it ARITHMETICALLY from the same conditions —
+    no JSON on the DuckDB side, so cross-engine float/JSON formatting
+    can't enter the comparison."""
+    from whiterrabbit_spark.extensions.semistructured import json_schema_profile
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.when(F.col("user_id") % 3 != 0, F.col("user_id")).alias("uid"),
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("value")
+            ).alias("v"),
+            F.when(F.col("user_id") % 2 == 0, F.col("user_id") % 4 == 0).alias(
+                "flag"
+            ),
+        )
+    )
+    return json_schema_profile(ev.select(payload.alias("payload")), "payload")
+
+
+_JSON_SCHEMA_PROFILE_SQL = """
+WITH t AS (SELECT count(*) AS total FROM events),
+k AS (
+  SELECT 'flag' AS key,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_present,
+         sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_typed,
+         'bool' AS typ
+  FROM events
+  UNION ALL
+  SELECT 't', count(*), count(*), 'string' FROM events
+  UNION ALL
+  SELECT 'uid',
+         sum(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END),
+         sum(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END),
+         'int'
+  FROM events
+  UNION ALL
+  SELECT 'v',
+         sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END),
+         sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END),
+         'double'
+  FROM events
+)
+SELECT key,
+       CAST(n_present AS BIGINT) AS n_present,
+       round(n_present / total, 6) AS pct_rows,
+       CAST(0 AS BIGINT) AS n_null,
+       CAST(CASE WHEN typ = 'bool' THEN n_typed ELSE 0 END AS BIGINT) AS n_bool,
+       CAST(CASE WHEN typ = 'int' THEN n_typed ELSE 0 END AS BIGINT) AS n_int,
+       CAST(CASE WHEN typ = 'double' THEN n_typed ELSE 0 END AS BIGINT)
+         AS n_double,
+       CAST(CASE WHEN typ = 'string' THEN n_typed ELSE 0 END AS BIGINT)
+         AS n_string
+FROM k, t
+ORDER BY key"""
+
+
 def _json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed rollup of the JSON props.k field per event_type
     (semistructured.json_field_rollup): from_json extraction fused into
@@ -9977,6 +10043,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _curriculum_stages_sql())
     add("embedding_keep_best_embeddings", _embedding_keep_best,
         _embedding_keep_best_sql())
+    add("json_schema_profile_events", _json_schema_profile,
+        _JSON_SCHEMA_PROFILE_SQL)
     add("asof_join_forward_events", _asof_join_forward, _ASOF_FWD_SQL)
     add("zscore_lineitem", _zscore, _ZSCORE_SQL)
     add("events_multi_rollup", _events_multi_rollup, _MULTI_ROLLUP_SQL)
@@ -10298,6 +10366,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "image_keep_best_documents",
         "curriculum_stages_documents",
         "embedding_keep_best_embeddings",
+        "json_schema_profile_events",
         "audio_near_dups_documents",
         "video_scene_cuts_documents",
         "rolling_distinct_hll_events",
