@@ -3960,6 +3960,26 @@ def test_json_schema_profile(spark):
     assert c["n_present"] == 1 and c["n_bool"] == 1
 
 
+def test_json_schema_drift(spark):
+    """Drift between snapshots: appeared key, vanished key, dominant
+    type change, and presence delta all surface as diffable rows."""
+    from whiterrabbit_spark.extensions.semistructured import json_schema_drift
+
+    ref = spark.createDataFrame(
+        [('{"a": 1, "old": true}',), ('{"a": 2}',)], "payload string"
+    )
+    cur = spark.createDataFrame(
+        [('{"a": "x", "new": 1}',), ('{"a": "y"}',)], "payload string"
+    )
+    out = {r["key"]: r for r in json_schema_drift(ref, cur, "payload").collect()}
+    assert set(out) == {"a", "old", "new"}
+    a = out["a"]
+    assert a["type_changed"] and (a["ref_type"], a["cur_type"]) == ("int", "string")
+    assert a["delta_pct"] == 0.0
+    assert out["old"]["cur_pct"] == 0.0 and out["old"]["delta_pct"] == -0.5
+    assert out["new"]["ref_pct"] == 0.0 and out["new"]["cur_type"] == "int"
+
+
 def test_embedding_keep_best(spark):
     """Semantic keep-best: two near-identical vectors cluster and the
     higher-norm one wins; an orthogonal vector passes through kept as

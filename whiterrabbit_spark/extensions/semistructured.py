@@ -175,3 +175,63 @@ def json_schema_profile(df: DataFrame, json_col: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+def json_schema_drift(
+    ref: DataFrame, cur: DataFrame, json_col: str
+) -> DataFrame:
+    """Schema drift between two snapshots of a free-form JSON column —
+    the diffable follow-on :func:`json_schema_profile` exists for: per
+    key, presence fraction in each snapshot, the delta, and whether the
+    DOMINANT lexical type changed (the silent producer-side break that
+    typed pipelines hit as a cast error much later). Keys absent from
+    one snapshot read as 0.0 presence there (appeared/vanished rows).
+
+    Two profile passes + a FULL OUTER join on the tiny per-key frames —
+    the corpus is scanned once per snapshot, everything after is
+    key-cardinality-sized.
+
+    Returns one row per key:
+    ``(key, ref_pct, cur_pct, delta_pct, ref_type, cur_type,
+    type_changed)`` where *_type is the argmax of the type counts
+    (bool > int > double > string on ties, 'none' for a key absent or
+    all-null in that snapshot).
+    """
+    def prof(df: DataFrame, side: str) -> DataFrame:
+        p = json_schema_profile(df, json_col)
+        dom = (
+            F.when(
+                (F.col("n_bool") >= F.col("n_int"))
+                & (F.col("n_bool") >= F.col("n_double"))
+                & (F.col("n_bool") >= F.col("n_string"))
+                & (F.col("n_bool") > 0), "bool")
+            .when(
+                (F.col("n_int") >= F.col("n_double"))
+                & (F.col("n_int") >= F.col("n_string"))
+                & (F.col("n_int") > 0), "int")
+            .when(
+                (F.col("n_double") >= F.col("n_string"))
+                & (F.col("n_double") > 0), "double")
+            .when(F.col("n_string") > 0, "string")
+            .otherwise("none")
+        )
+        return p.select(
+            "key",
+            F.col("pct_rows").alias(f"{side}_pct"),
+            dom.alias(f"{side}_type"),
+        )
+
+    out = prof(ref, "ref").join(prof(cur, "cur"), "key", "full_outer")
+    rp = F.coalesce("ref_pct", F.lit(0.0))
+    cp = F.coalesce("cur_pct", F.lit(0.0))
+    rt = F.coalesce("ref_type", F.lit("none"))
+    ct = F.coalesce("cur_type", F.lit("none"))
+    return out.select(
+        "key",
+        rp.alias("ref_pct"),
+        cp.alias("cur_pct"),
+        F.round(cp - rp, 6).alias("delta_pct"),
+        rt.alias("ref_type"),
+        ct.alias("cur_type"),
+        (rt != ct).alias("type_changed"),
+    ).orderBy("key")

@@ -2572,6 +2572,87 @@ FROM k, t
 ORDER BY key"""
 
 
+def _json_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema drift (semistructured.json_schema_drift): events
+    split by event_id parity into two snapshots whose payload shape
+    DIFFERS by construction — ``uid`` flips int → string (the silent
+    producer-side type break), ``v`` widens its presence condition,
+    ``flag`` appears only in the current snapshot. The drift report
+    must surface exactly those three changes plus the stable ``t``
+    row; the oracle reconstructs every fraction and dominant type
+    arithmetically from the same parity conditions."""
+    from whiterrabbit_spark.extensions.semistructured import json_schema_drift
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_id") % 2 == 0).select(
+        F.to_json(F.struct(
+            F.col("event_type").alias("t"),
+            F.when(F.col("user_id") % 3 != 0, F.col("user_id")).alias("uid"),
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("value")
+            ).alias("v"),
+        )).alias("payload")
+    )
+    cur = ev.where(F.col("event_id") % 2 == 1).select(
+        F.to_json(F.struct(
+            F.col("event_type").alias("t"),
+            F.when(
+                F.col("user_id") % 3 != 0,
+                F.concat(F.lit("u"), F.col("user_id")),
+            ).alias("uid"),
+            F.when(
+                F.col("event_type").isin("click", "view", "purchase"),
+                F.col("value"),
+            ).alias("v"),
+            F.when(F.col("user_id") % 2 == 0, F.col("user_id") % 4 == 0).alias(
+                "flag"
+            ),
+        )).alias("payload")
+    )
+    return json_schema_drift(ref, cur, "payload")
+
+
+_JSON_SCHEMA_DRIFT_SQL = """
+WITH r AS (SELECT * FROM events WHERE event_id % 2 = 0),
+c AS (SELECT * FROM events WHERE event_id % 2 = 1),
+rt AS (SELECT count(*) AS n FROM r),
+ct AS (SELECT count(*) AS n FROM c),
+k AS (
+  SELECT 'flag' AS key,
+         0.0 AS ref_pct,
+         round((SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                FROM c) / (SELECT n FROM ct), 6) AS cur_pct,
+         'none' AS ref_type, 'bool' AS cur_type
+  UNION ALL
+  SELECT 't', round((SELECT count(*) FROM r) / (SELECT n FROM rt), 6),
+         round((SELECT count(*) FROM c) / (SELECT n FROM ct), 6),
+         'string', 'string'
+  UNION ALL
+  SELECT 'uid',
+         round((SELECT sum(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END)
+                FROM r) / (SELECT n FROM rt), 6),
+         round((SELECT sum(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END)
+                FROM c) / (SELECT n FROM ct), 6),
+         'int', 'string'
+  UNION ALL
+  SELECT 'v',
+         round((SELECT sum(CASE WHEN event_type IN ('click', 'view')
+                               THEN 1 ELSE 0 END)
+                FROM r) / (SELECT n FROM rt), 6),
+         round((SELECT sum(CASE WHEN event_type IN ('click', 'view',
+                                                    'purchase')
+                               THEN 1 ELSE 0 END)
+                FROM c) / (SELECT n FROM ct), 6),
+         'double', 'double'
+)
+SELECT key, ref_pct, cur_pct,
+       round(cur_pct - ref_pct, 6) AS delta_pct,
+       ref_type, cur_type,
+       ref_type <> cur_type AS type_changed
+FROM k
+ORDER BY key"""
+
+
 def _json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed rollup of the JSON props.k field per event_type
     (semistructured.json_field_rollup): from_json extraction fused into
@@ -10045,6 +10126,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _embedding_keep_best_sql())
     add("json_schema_profile_events", _json_schema_profile,
         _JSON_SCHEMA_PROFILE_SQL)
+    add("json_schema_drift_events", _json_schema_drift,
+        _JSON_SCHEMA_DRIFT_SQL)
     add("asof_join_forward_events", _asof_join_forward, _ASOF_FWD_SQL)
     add("zscore_lineitem", _zscore, _ZSCORE_SQL)
     add("events_multi_rollup", _events_multi_rollup, _MULTI_ROLLUP_SQL)
@@ -10367,6 +10450,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "curriculum_stages_documents",
         "embedding_keep_best_embeddings",
         "json_schema_profile_events",
+        "json_schema_drift_events",
         "audio_near_dups_documents",
         "video_scene_cuts_documents",
         "rolling_distinct_hll_events",
