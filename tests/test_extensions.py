@@ -4144,6 +4144,53 @@ def test_image_keep_best_dedup(spark):
     assert out[1]["score"] == 768.0 and out[2]["score"] == 256.0
 
 
+def test_audio_keep_best_dedup(spark):
+    """Audio keep-best: wav_n_samples reads the sample count JVM-side
+    from the canonical header (NULL for non-WAV); a half-duration
+    re-render of the same tone grid hashes identically and loses to
+    the longer original; different patterns stay singletons."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from whiterrabbit_spark.extensions import multimodal as mm
+    from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+    RATE = 8000
+
+    def render(grp, blk):
+        tones = np.stack([
+            np.sin(2 * np.pi * (400 + b * 400) * (np.arange(blk) / RATE))
+            for b in range(8)
+        ])
+        hb = hashlib.md5(str(grp).encode()).digest()[:8]
+        bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+        x = np.zeros(8 * blk)
+        for tb in range(8):
+            sel = [b for b in range(8) if bits[tb * 8 + b]]
+            if sel:
+                x[tb * blk:(tb + 1) * blk] = 0.2 * tones[sel].sum(axis=0)
+        return sc.wav_encode(
+            np.clip(x * 32767, -32767, 32767).astype("<i2"), RATE
+        )
+
+    rows = [
+        (1, bytearray(render(10, 2048))),   # original: 16384 samples
+        (2, bytearray(render(10, 1024))),   # half-duration clone
+        (3, bytearray(render(99, 2048))),   # different pattern
+        (4, bytearray(b"not a wav")),       # non-WAV: NULL score+hash
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    ns = {r["media_id"]: r["n"] for r in media.select(
+        "media_id", mm.wav_n_samples(F.col("payload")).alias("n")
+    ).collect()}
+    assert ns == {1: 16384, 2: 8192, 3: 16384, 4: None}
+    out = {r["media_id"]: r for r in mm.audio_keep_best(media).collect()}
+    assert out[1]["kept"] and not out[2]["kept"]
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[3]["kept"] and out[3]["cluster_id"] is None
+
+
 def test_audio_spectral_hash_near_dup_detection(spark):
     """Audio fingerprint: the 8x8 time x band energy grid recovers a
     planted md5 bit pattern exactly; a noised re-render matches within

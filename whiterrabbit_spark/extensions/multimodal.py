@@ -598,6 +598,62 @@ def audio_near_pairs(
     return hash_near_pairs(sigs, "media_id", "shash", max_hamming, n_bands)
 
 
+def _le_uint(payload: Column, pos: int, width: int) -> Column:
+    """Little-endian unsigned int read JVM-side from ``width`` bytes at
+    1-indexed ``pos``: reverse the byte order via substring concat,
+    then hex → conv — the LE twin of the big-endian PNG read."""
+    rev = F.concat(
+        *[F.substring(payload, pos + i, 1) for i in range(width - 1, -1, -1)]
+    )
+    return F.conv(F.hex(rev), 16, 10).cast("long")
+
+
+def wav_n_samples(payload: Column) -> Column:
+    """Per-channel sample count of a canonical 44-byte-header PCM WAV,
+    read ENTIRELY JVM-side: data-chunk byte size (LE u32 at bytes
+    41-44) over block align (channels at 23-24 × bits/8 at 35-36) — the
+    duration proxy for audio keep-best without decoding a sample.
+    Non-RIFF/WAVE payloads yield NULL (signature check), mirroring the
+    decoders' NULL-on-error contract. Non-canonical headers (extra
+    chunks before ``data``) belong to the decode path, not this sniff.
+    """
+    is_wav = (
+        (F.hex(F.substring(payload, 1, 4)) == F.lit("52494646"))  # RIFF
+        & (F.hex(F.substring(payload, 9, 4)) == F.lit("57415645"))  # WAVE
+        & (F.hex(F.substring(payload, 37, 4)) == F.lit("64617461"))  # data
+    )
+    block_align = _le_uint(payload, 23, 2) * (_le_uint(payload, 35, 2) / 8)
+    return F.when(
+        is_wav, (_le_uint(payload, 41, 4) / block_align).cast("long")
+    )
+
+
+def audio_keep_best(
+    media: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Canonical audio dedup: spectral-hash near-dup clusters keep the
+    LONGEST member (sample count as the keep-criterion — near-dup
+    audio differs by truncation/re-encode, and the longest copy
+    preserves the most signal). Completes the keep-best family:
+    text (``dedup.keep_best_dedup``), image (:func:`image_keep_best`),
+    embedding (``similarity.embedding_keep_best``), audio. Same plan
+    shape as the image form — the score pass is the pure-JVM
+    :func:`wav_n_samples` header sniff, only the spectral-hash leg
+    pays the Arrow hop. Returns ``(media_id, cluster_id, score,
+    kept)``, cluster_id NULL for singletons.
+    """
+    from whiterrabbit_spark.extensions import dedup
+
+    scored = media.select(
+        "media_id",
+        wav_n_samples(F.col("payload")).cast("double").alias("score"),
+    )
+    pairs = audio_near_pairs(media, max_hamming, n_bands)
+    return dedup.keep_best_dedup(
+        scored, pairs, id_col="media_id", score_col="score"
+    )
+
+
 def hash_near_pairs(
     sigs: DataFrame,
     id_col: str,

@@ -7505,6 +7505,95 @@ WHERE doc_id % 10 = 2
 ORDER BY id1"""
 
 
+def _audio_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical audio dedup E2E (multimodal.audio_keep_best): the
+    audio_near_dups corpus, except every clone (doc_id ≡ 2 mod 10)
+    renders its group's 8×8 tone grid at HALF duration (1024-sample
+    time blocks vs 2048) — the spectral hash is duration-invariant
+    (per-time-eighth content scales with the file), so the clone still
+    pairs, and keep-best must keep the longer original (16384 samples
+    vs 8192) with the score read by the pure-JVM WAV header sniff.
+    The oracle reconstructs clusters, scores and kept flags
+    arithmetically."""
+    import numpy as np  # noqa: F401  (worker-side import below)
+
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        RATE = 8000
+        tones = {
+            blk_len: np.stack([
+                np.sin(2 * np.pi * (400 + b * 400)
+                       * (np.arange(blk_len) / RATE))
+                for b in range(8)
+            ])
+            for blk_len in (1024, 2048)
+        }
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                clone = d % 10 == 2
+                grp = d - 2 if clone else d
+                blk = 1024 if clone else 2048
+                hb = hashlib.md5(str(grp).encode()).digest()[:8]
+                bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+                x = np.zeros(8 * blk)
+                for tb in range(8):
+                    sel = [b for b in range(8) if bits[tb * 8 + b]]
+                    if sel:
+                        x[tb * blk:(tb + 1) * blk] = (
+                            0.2 * tones[blk][sel].sum(axis=0)
+                        )
+                ids.append(d)
+                payloads.append(
+                    sc.wav_encode(
+                        np.clip(x * 32767, -32767, 32767).astype("<i2"),
+                        RATE,
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    out = mm.audio_keep_best(media, max_hamming=3)
+    # -1 sentinel for "no cluster" (compare harness sorts row tuples)
+    return out.select(
+        "media_id",
+        F.coalesce("cluster_id", F.lit(-1)).alias("cluster_id"),
+        "score", "kept",
+    ).orderBy("media_id")
+
+
+_AUDIO_KEEP_BEST_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 10 = 2 AS is_clone,
+         doc_id % 10 = 2
+           AND doc_id - 2 IN (SELECT doc_id FROM documents) AS paired_clone,
+         doc_id % 10 = 0
+           AND doc_id + 2 IN (SELECT doc_id FROM documents) AS paired_orig
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(CASE WHEN paired_clone THEN doc_id - 2
+                 WHEN paired_orig THEN doc_id
+                 ELSE -1 END AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN is_clone THEN 8192.0 ELSE 16384.0 END AS DOUBLE)
+         AS score,
+       NOT paired_clone AS kept
+FROM d
+ORDER BY media_id"""
+
+
 def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video shot-boundary detection E2E (multimodal.video_scene_cuts):
     per doc a synthetic 12-frame 'video' — frames are block-pattern
@@ -10128,6 +10217,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _JSON_SCHEMA_PROFILE_SQL)
     add("json_schema_drift_events", _json_schema_drift,
         _JSON_SCHEMA_DRIFT_SQL)
+    add("audio_keep_best_documents", _audio_keep_best,
+        _AUDIO_KEEP_BEST_SQL)
     add("asof_join_forward_events", _asof_join_forward, _ASOF_FWD_SQL)
     add("zscore_lineitem", _zscore, _ZSCORE_SQL)
     add("events_multi_rollup", _events_multi_rollup, _MULTI_ROLLUP_SQL)
@@ -10451,6 +10542,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "embedding_keep_best_embeddings",
         "json_schema_profile_events",
         "json_schema_drift_events",
+        "audio_keep_best_documents",
         "audio_near_dups_documents",
         "video_scene_cuts_documents",
         "rolling_distinct_hll_events",
