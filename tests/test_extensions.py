@@ -4144,6 +4144,44 @@ def test_image_keep_best_dedup(spark):
     assert out[1]["score"] == 768.0 and out[2]["score"] == 256.0
 
 
+def test_video_near_pairs(spark):
+    """Frame-set Jaccard over per-frame aHashes: a 3-of-4-shared clone
+    pairs at 3/5; a boilerplate frame present in EVERY video is dropped
+    by df_cap and creates no spurious pairs."""
+    import hashlib
+
+    import whiterrabbit_spark.extensions.stdlib_codecs as sc
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    def frame_png(key):
+        hb = hashlib.md5(key.encode()).digest()[:8]
+        bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+        px = bytearray()
+        for y in range(24):
+            for x in range(32):
+                px.append(216 if bits[(y // 3) * 8 + (x // 4)] else 40)
+        return sc.png_encode(32, 24, "L", bytes(px))
+
+    rows = []
+    for vid, keys in {
+        1: ["a0", "a1", "a2", "a3"],
+        2: ["a0", "a1", "a2", "own2"],   # 3 of 4 shared with 1 -> J=3/5
+        3: ["c0", "c1", "c2", "c3"],     # unrelated
+    }.items():
+        for j, k in enumerate(keys + ["intro"]):   # boilerplate everywhere
+            rows.append((vid, j, bytearray(frame_png(k))))
+    frames = spark.createDataFrame(
+        rows, "media_id long, frame_idx long, payload binary"
+    )
+    got = {(r["id1"], r["id2"]): (r["n_common"], r["jaccard"])
+           for r in mm.video_near_pairs(frames, min_jaccard=0.5, df_cap=2).collect()}
+    assert got == {(1, 2): (3, 0.6)}
+    # without the cap the intro frame counts into every intersection
+    loose = {(r["id1"], r["id2"]) for r in
+             mm.video_near_pairs(frames, min_jaccard=0.1, df_cap=100).collect()}
+    assert (1, 3) in loose and (2, 3) in loose
+
+
 def test_audio_keep_best_dedup(spark):
     """Audio keep-best: wav_n_samples reads the sample count JVM-side
     from the canonical header (NULL for non-WAV); a half-duration

@@ -787,6 +787,67 @@ def audio_spectral_hash(media: DataFrame) -> DataFrame:
 FRAME_HASH_SCHEMA = "media_id long, frame_idx long, fhash long"
 
 
+def video_near_pairs(
+    frames: DataFrame, min_jaccard: float = 0.5, df_cap: int = 1000
+) -> DataFrame:
+    """Video near-duplicate pairs: Jaccard similarity of the two
+    videos' DISTINCT frame-aHash sets ≥ ``min_jaccard`` — the
+    video-level dedup primitive (re-uploads, trims and re-encodes
+    share most frames; unrelated videos share none). One Arrow pass
+    hashes every frame (:func:`image_ahash`); everything after is the
+    exact inverted-index plan the text family uses for containment:
+    join videos through shared frame hashes, count the intersection
+    per pair, derive the union from per-video set sizes — candidate
+    fan-out is bounded by Σ df² over frame hashes, never the
+    quadratic video self-join. ``df_cap`` drops frame hashes shared
+    by more than that many videos (intros/outros/black frames — the
+    boilerplate that would otherwise pair everything with
+    everything), the same hot-postings bound as
+    ``dedup.containment_pairs``'s rare-shingle rule.
+
+    Returns ``(id1, id2, n_common, jaccard)``, id1 < id2.
+    """
+    fh = (
+        image_ahash(frames.select("media_id", "payload"))
+        .where(F.col("ahash").isNotNull())
+        .distinct()
+    )
+    rare = (
+        fh.groupBy("ahash")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") <= df_cap)
+        .select("ahash")
+    )
+    posts = fh.join(rare, "ahash")
+    # set sizes AFTER the cap: boilerplate frames leave numerator AND
+    # denominator, so shared intros can't dilute a true near-dup's score
+    sizes = posts.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    a = posts.alias("a")
+    b = posts.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.ahash") == F.col("b.ahash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id1"), F.col("b.media_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sizes.select(F.col("media_id").alias("id1"),
+                                 F.col("n_frames").alias("na")), "id1")
+        .join(sizes.select(F.col("media_id").alias("id2"),
+                           F.col("n_frames").alias("nb")), "id2")
+        .select("id1", "id2", "n_common", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def video_scene_cuts(
     frames: DataFrame,
     hamming_threshold: int = 16,

@@ -7654,6 +7654,71 @@ def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection E2E (multimodal.video_near_pairs):
+    per doc an 8-frame 'video' of 32×24 block-pattern PNGs keyed by
+    md5(group:frame); every doc_id ≡ 3 (mod 10) re-renders frames 0–6
+    of doc_id−3's video and adds one frame of its own — frame-set
+    Jaccard 7/9 against the original, 0 against everything else. The
+    full pipeline (PNG encode → aHash per frame → inverted-index
+    set-intersection join) must emit exactly the planted pairs with
+    the exact 7/9 Jaccard; the oracle reconstructs pair set and value
+    arithmetically."""
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        def frame_png(key: str) -> bytes:
+            hb = hashlib.md5(key.encode()).digest()[:8]
+            bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+            px = bytearray()
+            for y in range(24):
+                for x in range(32):
+                    px.append(216 if bits[(y // 3) * 8 + (x // 4)] else 40)
+            return sc.png_encode(32, 24, "L", bytes(px))
+
+        for pdf in batches:
+            vids, idxs, payloads = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                clone = d % 10 == 3
+                grp = d - 3 if clone else d
+                for j in range(8):
+                    key = (
+                        f"{d}:own" if clone and j == 7 else f"{grp}:{j}"
+                    )
+                    vids.append(d)
+                    idxs.append(j)
+                    payloads.append(frame_png(key))
+            yield pd.DataFrame(
+                {"media_id": vids, "frame_idx": idxs, "payload": payloads}
+            )
+
+    frames = docs.mapInPandas(gen, "media_id long, frame_idx long, payload binary")
+    return (
+        mm.video_near_pairs(frames, min_jaccard=0.5)
+        .orderBy("id1")
+    )
+
+
+_VIDEO_NEAR_DUPS_SQL = """
+SELECT CAST(doc_id - 3 AS BIGINT) AS id1,
+       CAST(doc_id AS BIGINT) AS id2,
+       CAST(7 AS BIGINT) AS n_common,
+       round(7.0 / 9.0, 6) AS jaccard
+FROM documents
+WHERE doc_id % 10 = 3
+  AND doc_id - 3 IN (SELECT doc_id FROM documents)
+ORDER BY id1"""
+
+
 _VIDEO_SCENE_CUTS_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(3 + doc_id % 3 AS BIGINT) AS frame_idx
@@ -10219,6 +10284,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _JSON_SCHEMA_DRIFT_SQL)
     add("audio_keep_best_documents", _audio_keep_best,
         _AUDIO_KEEP_BEST_SQL)
+    add("video_near_dups_documents", _video_near_dups,
+        _VIDEO_NEAR_DUPS_SQL)
     add("asof_join_forward_events", _asof_join_forward, _ASOF_FWD_SQL)
     add("zscore_lineitem", _zscore, _ZSCORE_SQL)
     add("events_multi_rollup", _events_multi_rollup, _MULTI_ROLLUP_SQL)
@@ -10543,6 +10610,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "json_schema_profile_events",
         "json_schema_drift_events",
         "audio_keep_best_documents",
+        "video_near_dups_documents",
         "audio_near_dups_documents",
         "video_scene_cuts_documents",
         "rolling_distinct_hll_events",
