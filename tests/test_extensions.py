@@ -4182,6 +4182,42 @@ def test_video_near_pairs(spark):
     assert (1, 3) in loose and (2, 3) in loose
 
 
+def test_video_keep_best_dedup(spark):
+    """Video keep-best: the member with more frames survives its
+    near-dup cluster; unrelated videos pass through kept."""
+    import hashlib
+
+    import whiterrabbit_spark.extensions.stdlib_codecs as sc
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    def frame_png(key):
+        hb = hashlib.md5(key.encode()).digest()[:8]
+        bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+        px = bytearray()
+        for y in range(24):
+            for x in range(32):
+                px.append(216 if bits[(y // 3) * 8 + (x // 4)] else 40)
+        return sc.png_encode(32, 24, "L", bytes(px))
+
+    rows = []
+    for vid, keys in {
+        1: ["a0", "a1", "a2", "a3"],      # original: 4 frames
+        2: ["a0", "a1", "a2"],            # trimmed clone: 3 frames, J=3/4
+        3: ["c0", "c1"],                  # unrelated
+    }.items():
+        for j, k in enumerate(keys):
+            rows.append((vid, j, bytearray(frame_png(k))))
+    frames = spark.createDataFrame(
+        rows, "media_id long, frame_idx long, payload binary"
+    )
+    out = {r["media_id"]: r for r in
+           mm.video_keep_best(frames, min_jaccard=0.5).collect()}
+    assert out[1]["kept"] and not out[2]["kept"]
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[1]["score"] == 4.0 and out[2]["score"] == 3.0
+    assert out[3]["kept"] and out[3]["cluster_id"] is None
+
+
 def test_audio_keep_best_dedup(spark):
     """Audio keep-best: wav_n_samples reads the sample count JVM-side
     from the canonical header (NULL for non-WAV); a half-duration

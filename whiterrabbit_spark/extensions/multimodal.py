@@ -848,6 +848,29 @@ def video_near_pairs(
     )
 
 
+def video_keep_best(
+    frames: DataFrame, min_jaccard: float = 0.5, df_cap: int = 1000
+) -> DataFrame:
+    """Canonical video dedup: frame-set-Jaccard near-dup clusters
+    (:func:`video_near_pairs`) keep the member with the MOST frames —
+    the longest/most-complete copy survives a re-upload/trim cluster.
+    Completes the near-pairs × keep-best matrix over all modalities.
+    The score pass is one ``groupBy(media_id).count()`` over the frame
+    table — no decode, no Python, cheaper than either header sniff.
+    Returns ``(media_id, cluster_id, score, kept)``, cluster_id NULL
+    for singletons, score = frame count.
+    """
+    from whiterrabbit_spark.extensions import dedup
+
+    scored = frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("double").alias("score")
+    )
+    pairs = video_near_pairs(frames, min_jaccard, df_cap)
+    return dedup.keep_best_dedup(
+        scored, pairs, id_col="media_id", score_col="score"
+    )
+
+
 def video_scene_cuts(
     frames: DataFrame,
     hamming_threshold: int = 16,

@@ -7719,6 +7719,79 @@ WHERE doc_id % 10 = 3
 ORDER BY id1"""
 
 
+def _video_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical video dedup E2E (multimodal.video_keep_best): the
+    video_near_dups corpus, except clones render only 7 frames (6
+    shared + 1 own — Jaccard 6/9 against the 8-frame original, still
+    above the 0.5 threshold), so keep-best must keep the more complete
+    8-frame original by pure frame count. Clusters, scores and kept
+    flags reconstructed arithmetically by the oracle."""
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        def frame_png(key: str) -> bytes:
+            hb = hashlib.md5(key.encode()).digest()[:8]
+            bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+            px = bytearray()
+            for y in range(24):
+                for x in range(32):
+                    px.append(216 if bits[(y // 3) * 8 + (x // 4)] else 40)
+            return sc.png_encode(32, 24, "L", bytes(px))
+
+        for pdf in batches:
+            vids, idxs, payloads = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                clone = d % 10 == 3
+                grp = d - 3 if clone else d
+                n = 7 if clone else 8
+                for j in range(n):
+                    key = f"{d}:own" if clone and j == 6 else f"{grp}:{j}"
+                    vids.append(d)
+                    idxs.append(j)
+                    payloads.append(frame_png(key))
+            yield pd.DataFrame(
+                {"media_id": vids, "frame_idx": idxs, "payload": payloads}
+            )
+
+    frames = docs.mapInPandas(gen, "media_id long, frame_idx long, payload binary")
+    out = mm.video_keep_best(frames, min_jaccard=0.5)
+    # -1 sentinel for "no cluster" (compare harness sorts row tuples)
+    return out.select(
+        "media_id",
+        F.coalesce("cluster_id", F.lit(-1)).alias("cluster_id"),
+        "score", "kept",
+    ).orderBy("media_id")
+
+
+_VIDEO_KEEP_BEST_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 10 = 3 AS is_clone,
+         doc_id % 10 = 3
+           AND doc_id - 3 IN (SELECT doc_id FROM documents) AS paired_clone,
+         doc_id % 10 = 0
+           AND doc_id + 3 IN (SELECT doc_id FROM documents) AS paired_orig
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(CASE WHEN paired_clone THEN doc_id - 3
+                 WHEN paired_orig THEN doc_id
+                 ELSE -1 END AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN is_clone THEN 7.0 ELSE 8.0 END AS DOUBLE) AS score,
+       NOT paired_clone AS kept
+FROM d
+ORDER BY media_id"""
+
+
 _VIDEO_SCENE_CUTS_SQL = """
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(3 + doc_id % 3 AS BIGINT) AS frame_idx
@@ -10286,6 +10359,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _AUDIO_KEEP_BEST_SQL)
     add("video_near_dups_documents", _video_near_dups,
         _VIDEO_NEAR_DUPS_SQL)
+    add("video_keep_best_documents", _video_keep_best,
+        _VIDEO_KEEP_BEST_SQL)
     add("asof_join_forward_events", _asof_join_forward, _ASOF_FWD_SQL)
     add("zscore_lineitem", _zscore, _ZSCORE_SQL)
     add("events_multi_rollup", _events_multi_rollup, _MULTI_ROLLUP_SQL)
@@ -10611,6 +10686,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "json_schema_drift_events",
         "audio_keep_best_documents",
         "video_near_dups_documents",
+        "video_keep_best_documents",
         "audio_near_dups_documents",
         "video_scene_cuts_documents",
         "rolling_distinct_hll_events",
