@@ -83,7 +83,7 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "map-side md5 assignment + one small groupBy — the same plan "
      "shape as the benched balanced_sample / neyman_sample "
      "hash-threshold family"),
-    (r"^(embedding_stats|multimodal_features|image_near_dups|image_keep_best|audio_near_dups|audio_keep_best|video_near_dups|video_keep_best|video_scene_cuts)_",
+    (r"^(embedding_stats|multimodal_features|image_near_dups|image_keep_best|image_dims_profile|audio_near_dups|audio_keep_best|video_near_dups|video_keep_best|video_scene_cuts)_",
      "per-row array/binary feature extraction; the benched ann_* and "
      "curation entries dominate the same Arrow-batch path"),
     (r"^(graph_degree|ann_ivf_index)_",

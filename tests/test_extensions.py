@@ -4100,6 +4100,31 @@ def test_image_ahash_near_dup_detection(spark):
     assert again == hashes
 
 
+def test_image_dims_profile(spark):
+    """Resolution histogram without decode: dims from the header sniff,
+    non-PNG payloads accounted in the NULL-dims row."""
+    import whiterrabbit_spark.extensions.stdlib_codecs as sc
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    def png(w, h):
+        return sc.png_encode(w, h, "L", bytes(bytearray(w * h)))
+
+    rows = [
+        (1, bytearray(png(32, 24))),
+        (2, bytearray(png(32, 24))),
+        (3, bytearray(png(16, 16))),
+        (4, bytearray(b"not a png")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {(r["width"], r["height"]): (r["n_images"], r["pct_images"])
+           for r in mm.image_dims_profile(media).collect()}
+    assert out == {
+        (32, 24): (2, 0.5),
+        (16, 16): (1, 0.25),
+        (None, None): (1, 0.25),
+    }
+
+
 def test_image_keep_best_dedup(spark):
     """Canonical image dedup: png_dims reads dims JVM-side from the
     IHDR header (NULL for non-PNG), and keep-best keeps the

@@ -558,6 +558,32 @@ def png_dims(payload: Column) -> tuple[Column, Column]:
     )
 
 
+def image_dims_profile(media: DataFrame) -> DataFrame:
+    """Resolution histogram of an image corpus WITHOUT decoding — the
+    pre-training curation audit (what resolutions are in here? how much
+    is thumbnail junk?) as a pure metadata pass: :func:`png_dims`
+    header sniff → one groupBy((width, height)). At 100 TB this reads
+    header bytes per image and shuffles only the tiny histogram;
+    non-PNG payloads land in the NULL-dims row so the report still
+    accounts for every byte. Returns ``(width, height, n_images,
+    pct_images)`` sorted by count desc, dims asc."""
+    w, h = png_dims(F.col("payload"))
+    total = media.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        media.select(w.alias("width"), h.alias("height"))
+        .groupBy("width", "height")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+        .join(F.broadcast(total))
+        .select(
+            "width", "height", "n_images",
+            F.round(F.col("n_images") / F.col("__total"), 6).alias(
+                "pct_images"
+            ),
+        )
+        .orderBy(F.col("n_images").desc(), "width", "height")
+    )
+
+
 def image_keep_best(
     media: DataFrame, max_hamming: int = 3, n_bands: int = 4
 ) -> DataFrame:

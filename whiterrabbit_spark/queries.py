@@ -7432,6 +7432,69 @@ FROM d
 ORDER BY media_id"""
 
 
+def _image_dims_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-pass resolution histogram
+    (multimodal.image_dims_profile) over the mixed-resolution
+    image_keep_best corpus (32×24 originals, 16×16 clones): dims come
+    from the JVM-only PNG IHDR sniff — no decode anywhere — and the
+    oracle reconstructs the histogram arithmetically from the doc_id
+    residues that drove the synthesis."""
+    from whiterrabbit_spark.extensions import multimodal as mm
+
+    docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                clone = d % 10 == 1
+                grp = d - 1 if clone else d
+                hb = hashlib.md5(str(grp).encode()).digest()[:8]
+                bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+                px = bytearray()
+                if clone:
+                    wpx, hpx = 16, 16
+                    for y in range(hpx):
+                        for x in range(wpx):
+                            px.append(216 if bits[(y // 2) * 8 + (x // 2)] else 40)
+                else:
+                    wpx, hpx = 32, 24
+                    for y in range(hpx):
+                        for x in range(wpx):
+                            px.append(216 if bits[(y // 3) * 8 + (x // 4)] else 40)
+                ids.append(d)
+                payloads.append(sc.png_encode(wpx, hpx, "L", bytes(px)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return mm.image_dims_profile(media)
+
+
+_IMAGE_DIMS_PROFILE_SQL = """
+WITH t AS (SELECT count(*) AS total FROM documents),
+k AS (
+  SELECT CAST(32 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+         CAST(sum(CASE WHEN doc_id % 10 <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_images
+  FROM documents
+  UNION ALL
+  SELECT 16, 16,
+         CAST(sum(CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+)
+SELECT width, height, n_images,
+       round(n_images / total, 6) AS pct_images
+FROM k, t
+ORDER BY n_images DESC, width, height"""
+
+
 def _audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate detection E2E (multimodal.audio_spectral_hash
     + audio_near_pairs): the audio twin of image_near_dups — each doc
@@ -10361,6 +10424,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _VIDEO_NEAR_DUPS_SQL)
     add("video_keep_best_documents", _video_keep_best,
         _VIDEO_KEEP_BEST_SQL)
+    add("image_dims_profile_documents", _image_dims_profile,
+        _IMAGE_DIMS_PROFILE_SQL)
     add("asof_join_forward_events", _asof_join_forward, _ASOF_FWD_SQL)
     add("zscore_lineitem", _zscore, _ZSCORE_SQL)
     add("events_multi_rollup", _events_multi_rollup, _MULTI_ROLLUP_SQL)
@@ -10687,6 +10752,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "audio_keep_best_documents",
         "video_near_dups_documents",
         "video_keep_best_documents",
+        "image_dims_profile_documents",
         "audio_near_dups_documents",
         "video_scene_cuts_documents",
         "rolling_distinct_hll_events",
