@@ -79,10 +79,15 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "hash-split/packing operators: deterministic md5-threshold "
      "projections or the pack prefix-sum benched via pack_manifest and "
      "balanced_sample/neyman_sample"),
-    (r"^(shuffle_shards|epoch_upsample|padding_efficiency|curriculum_stages)_",
+    (r"^(shuffle_shards|epoch_upsample|padding_efficiency)_",
      "map-side md5 assignment + one small groupBy — the same plan "
      "shape as the benched balanced_sample / neyman_sample "
      "hash-threshold family"),
+    (r"^curriculum_stages_",
+     "exact percentile over 6-dp-ROUNDED scores (state capped at "
+     "10^6+1 distincts) + one broadcast threshold row + map-side "
+     "assignment; the rounded-distinct percentile merge that "
+     "dominates is measured by the 20M smoke in PLANS.md"),
     (r"^(embedding_stats|multimodal_features|image_near_dups|image_keep_best|image_dims_profile|audio_near_dups|audio_keep_best|video_near_dups|video_keep_best|video_scene_cuts)_",
      "per-row array/binary feature extraction; the benched ann_* and "
      "curation entries dominate the same Arrow-batch path"),

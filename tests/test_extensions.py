@@ -4023,6 +4023,12 @@ def test_curriculum_stages_quartiles(spark):
     # type-7 thresholds for 0..99 are 24.75/49.5/74.25: score 24 is
     # below t1 (stage 1), score 25 is above (stage 2)
     assert rows[24] == 1 and rows[25] == 2
+    # NULL scores get NULL stage, not a silent stage-1 assignment
+    with_null = df.union(spark.createDataFrame(
+        [(100, None)], "doc_id long, score double"))
+    staged = {r["doc_id"]: r["stage"] for r in
+              sp.curriculum_stages(with_null, "score", "doc_id").collect()}
+    assert staged[100] is None and staged[24] == 1
     again = {r["doc_id"]: r["stage"] for r in
              sp.curriculum_stages(df, "score", "doc_id", n_stages=4).collect()}
     assert again == rows

@@ -585,7 +585,10 @@ def image_dims_profile(media: DataFrame) -> DataFrame:
 
 
 def image_keep_best(
-    media: DataFrame, max_hamming: int = 3, n_bands: int = 4
+    media: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical image dedup: near-dup clusters via the banded aHash
     join, keep the HIGHEST-RESOLUTION member of each cluster — the
@@ -600,13 +603,22 @@ def image_keep_best(
     collisions only), clustering is O(diameter) label propagation, and
     singletons bypass the argmax window — no stage is quadratic or
     single-task at 100 TB.
+
+    Default-score contract: the sniff reads PNG headers only. On a
+    mixed-format corpus (Pillow installed, so JPEG/WebP members hash
+    and cluster too), non-PNG members carry NULL score — they lose to
+    any PNG member and an all-NULL cluster falls back to the min-id
+    tie-break. For format-agnostic resolution scoring pass ``scored``
+    (a ``(media_id, score)`` frame, e.g. width×height from
+    :func:`decode_image_features` — one extra Arrow decode pass).
     """
     from whiterrabbit_spark.extensions import dedup
 
-    w, h = png_dims(F.col("payload"))
-    scored = media.select(
-        "media_id", (w * h).cast("double").alias("score")
-    )
+    if scored is None:
+        w, h = png_dims(F.col("payload"))
+        scored = media.select(
+            "media_id", (w * h).cast("double").alias("score")
+        )
     pairs = ahash_near_pairs(media, max_hamming, n_bands)
     return dedup.keep_best_dedup(
         scored, pairs, id_col="media_id", score_col="score"
@@ -655,7 +667,10 @@ def wav_n_samples(payload: Column) -> Column:
 
 
 def audio_keep_best(
-    media: DataFrame, max_hamming: int = 3, n_bands: int = 4
+    media: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Canonical audio dedup: spectral-hash near-dup clusters keep the
     LONGEST member (sample count as the keep-criterion — near-dup
@@ -667,13 +682,21 @@ def audio_keep_best(
     :func:`wav_n_samples` header sniff, only the spectral-hash leg
     pays the Arrow hop. Returns ``(media_id, cluster_id, score,
     kept)``, cluster_id NULL for singletons.
+
+    Default-score contract (same as :func:`image_keep_best`): the
+    sniff reads canonical-44-byte-header WAVs only; members the
+    decoder accepts but the sniff doesn't (extra RIFF chunks, FLAC via
+    soundfile) carry NULL score and lose to any sniffed member. For
+    decoder-accurate durations pass ``scored`` (a ``(media_id,
+    score)`` frame, e.g. n_samples from :func:`decode_audio_features`).
     """
     from whiterrabbit_spark.extensions import dedup
 
-    scored = media.select(
-        "media_id",
-        wav_n_samples(F.col("payload")).cast("double").alias("score"),
-    )
+    if scored is None:
+        scored = media.select(
+            "media_id",
+            wav_n_samples(F.col("payload")).cast("double").alias("score"),
+        )
     pairs = audio_near_pairs(media, max_hamming, n_bands)
     return dedup.keep_best_dedup(
         scored, pairs, id_col="media_id", score_col="score"
@@ -814,7 +837,10 @@ FRAME_HASH_SCHEMA = "media_id long, frame_idx long, fhash long"
 
 
 def video_near_pairs(
-    frames: DataFrame, min_jaccard: float = 0.5, df_cap: int = 1000
+    frames: DataFrame,
+    min_jaccard: float = 0.5,
+    df_cap: int = 1000,
+    frame_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Video near-duplicate pairs: Jaccard similarity of the two
     videos' DISTINCT frame-aHash sets ≥ ``min_jaccard`` — the
@@ -829,15 +855,20 @@ def video_near_pairs(
     by more than that many videos (intros/outros/black frames — the
     boilerplate that would otherwise pair everything with
     everything), the same hot-postings bound as
-    ``dedup.containment_pairs``'s rare-shingle rule.
+    ``dedup.containment_pairs``'s rare-shingle rule. The distinct
+    hash-set frame is PERSISTED (it feeds the df filter, both join
+    sides and the set sizes — without the cache each downstream branch
+    would re-run the Arrow decode pass, the dominant cost); pass
+    ``frame_hashes`` (a precomputed ``(media_id, ahash)`` frame) to
+    share one hash pass with :func:`video_keep_best`.
 
     Returns ``(id1, id2, n_common, jaccard)``, id1 < id2.
     """
-    fh = (
-        image_ahash(frames.select("media_id", "payload"))
-        .where(F.col("ahash").isNotNull())
-        .distinct()
-    )
+    if frame_hashes is None:
+        frame_hashes = image_ahash(frames.select("media_id", "payload")).where(
+            F.col("ahash").isNotNull()
+        )
+    fh = frame_hashes.select("media_id", "ahash").distinct().persist()
     rare = (
         fh.groupBy("ahash")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -878,20 +909,36 @@ def video_keep_best(
     frames: DataFrame, min_jaccard: float = 0.5, df_cap: int = 1000
 ) -> DataFrame:
     """Canonical video dedup: frame-set-Jaccard near-dup clusters
-    (:func:`video_near_pairs`) keep the member with the MOST frames —
-    the longest/most-complete copy survives a re-upload/trim cluster.
-    Completes the near-pairs × keep-best matrix over all modalities.
-    The score pass is one ``groupBy(media_id).count()`` over the frame
-    table — no decode, no Python, cheaper than either header sniff.
+    (:func:`video_near_pairs`) keep the member with the most DECODABLE
+    frames — the longest/most-complete copy survives a re-upload/trim
+    cluster, and corrupt frame rows can't inflate a score the way a
+    raw row count would let them. Completes the near-pairs ×
+    keep-best matrix over all modalities. The per-frame hashes are
+    computed ONCE and shared between the score count and the pairing
+    join (one Arrow pass total); videos with zero decodable frames
+    still appear, kept as score-0 singletons.
     Returns ``(media_id, cluster_id, score, kept)``, cluster_id NULL
-    for singletons, score = frame count.
+    for singletons, score = decodable frame count.
     """
     from whiterrabbit_spark.extensions import dedup
 
-    scored = frames.groupBy("media_id").agg(
-        F.count(F.lit(1)).cast("double").alias("score")
+    hashes = (
+        image_ahash(frames.select("media_id", "payload"))
+        .where(F.col("ahash").isNotNull())
+        .persist()
     )
-    pairs = video_near_pairs(frames, min_jaccard, df_cap)
+    counts = hashes.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("__n_decodable")
+    )
+    scored = (
+        frames.select("media_id").distinct()
+        .join(counts, "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce("__n_decodable", F.lit(0)).cast("double").alias("score"),
+        )
+    )
+    pairs = video_near_pairs(frames, min_jaccard, df_cap, frame_hashes=hashes)
     return dedup.keep_best_dedup(
         scored, pairs, id_col="media_id", score_col="score"
     )

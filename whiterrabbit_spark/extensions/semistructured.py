@@ -133,7 +133,9 @@ def json_schema_profile(df: DataFrame, json_col: str) -> DataFrame:
     expression — scalars arrive as their JSON literals, so typing is a
     regexp classification), ``explode`` bounded by keys-per-row, ONE
     groupBy(key) with conditional-sum type counts, and the row total
-    joined in as a broadcast one-row frame. No Python, no second scan.
+    joined in as a broadcast one-row frame (its count is a second,
+    column-pruned scan — at 100 TB parquet serves it from footer
+    metadata, but it IS a scan). No Python anywhere.
     Lexical caveat (documented): a QUOTED "123" classifies as int —
     the map extraction strips quotes; type counts describe the value
     lexicon, not the JSON quoting.
@@ -188,8 +190,8 @@ def json_schema_drift(
     one snapshot read as 0.0 presence there (appeared/vanished rows).
 
     Two profile passes + a FULL OUTER join on the tiny per-key frames —
-    the corpus is scanned once per snapshot, everything after is
-    key-cardinality-sized.
+    per snapshot one parse scan plus the profile's column-pruned count
+    scan; everything after is key-cardinality-sized.
 
     Returns one row per key:
     ``(key, ref_pct, cur_pct, delta_pct, ref_type, cur_type,

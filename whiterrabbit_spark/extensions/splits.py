@@ -918,6 +918,10 @@ def curriculum_stages(
     Thresholds are re-rounded to ``round_dp`` so both engines compare
     the same decimals (the derive-from-agreed-rounded-stats
     discipline), making every row's stage engine-reproducible.
+    NULL scores get a NULL stage (they are excluded from the
+    percentile state, so silently bucketing them — every comparison
+    is NULL → "not greater" → stage 1 — would pollute the easiest
+    stage with unscoreable rows).
 
     Extension beyond the reference surface (whiteRRabbit.R:265-303
     profiles quantiles; it never orders a corpus by them).
@@ -939,6 +943,8 @@ def curriculum_stages(
         ).otherwise(0)
     return (
         df.join(F.broadcast(th))
-        .withColumn("stage", stage.cast("int"))
+        .withColumn(
+            "stage", F.when(sc.isNotNull(), stage.cast("int"))
+        )
         .drop("__th")
     )

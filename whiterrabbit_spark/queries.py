@@ -12,6 +12,8 @@ SURVEY §7 / BASELINE.json north-star operators.
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -7295,6 +7297,68 @@ SELECT node, CAST(degree AS BIGINT) AS degree,
 FROM deg ORDER BY degree DESC, node LIMIT 10"""
 
 
+def _synth_block_png(key: str, wpx: int, hpx: int, noise: bool = False) -> bytes:
+    """Shared renderer for the synthetic image/video E2E corpora: a
+    wpx×hpx grayscale PNG of 8×8 blocks whose dark/bright (40/216)
+    pattern is the 64-bit md5 of ``key``; ``noise`` bumps block (0,0)
+    by +3 (the clone perturbation that must NOT flip an aHash bit).
+    Byte-exact behavior is load-bearing — the image_near_dups /
+    image_keep_best / image_dims_profile / video_* queries AND their
+    arithmetic oracles all assume this one definition."""
+    import hashlib
+
+    from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+    hb = hashlib.md5(key.encode()).digest()[:8]
+    bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+    px = bytearray()
+    for y in range(hpx):
+        for x in range(wpx):
+            v = 216 if bits[(y * 8 // hpx) * 8 + (x * 8 // wpx)] else 40
+            if noise and y < hpx // 8 and x < wpx // 8:
+                v = min(255, v + 3)
+            px.append(v)
+    return sc.png_encode(wpx, hpx, "L", bytes(px))
+
+
+@functools.lru_cache(maxsize=4)
+def _synth_tones(blk: int):
+    """Per-block-length tone bank for the synthetic audio corpora —
+    cached so per-row rendering doesn't recompute 8 sinusoids."""
+    import numpy as np
+
+    t = np.arange(blk) / 8000
+    return np.stack([np.sin(2 * np.pi * (400 + b * 400) * t) for b in range(8)])
+
+
+def _synth_tone_wav(key: str, blk: int, noise_seed: int | None = None) -> bytes:
+    """Shared renderer for the synthetic audio E2E corpora: an 8-block
+    PCM WAV whose 8×8 time-block × frequency-band tone pattern is the
+    64-bit md5 of ``key``; ``noise_seed`` adds the seeded low-level
+    noise that must NOT flip a spectral-hash bit. Byte-exact contract
+    shared by audio_near_dups / audio_keep_best and their oracles."""
+    import hashlib
+
+    import numpy as np
+
+    from whiterrabbit_spark.extensions import stdlib_codecs as sc
+
+    tones = _synth_tones(blk)
+    hb = hashlib.md5(key.encode()).digest()[:8]
+    bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
+    x = np.zeros(8 * blk)
+    for tb in range(8):
+        sel = [b for b in range(8) if bits[tb * 8 + b]]
+        if sel:
+            x[tb * blk:(tb + 1) * blk] = 0.2 * tones[sel].sum(axis=0)
+    if noise_seed is not None:
+        x = x + 0.01 * np.random.RandomState(noise_seed).randn(len(x))
+    return sc.wav_encode(
+        np.clip(x * 32767, -32767, 32767).astype("<i2"), 8000
+    )
+
+
+
 def _image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup E2E (multimodal.image_ahash +
     ahash_near_pairs): a deterministic synthetic image corpus — each
@@ -7312,28 +7376,18 @@ def _image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
-        import hashlib
-
         import pandas as pd
-
-        from whiterrabbit_spark.extensions import stdlib_codecs as sc
 
         for pdf in batches:
             ids, payloads = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                grp = d - 1 if d % 10 == 1 else d
-                hb = hashlib.md5(str(grp).encode()).digest()[:8]
-                bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
-                px = bytearray()
-                for y in range(24):
-                    for x in range(32):
-                        v = 216 if bits[(y // 3) * 8 + (x // 4)] else 40
-                        if d % 10 == 1 and y < 3 and x < 4:
-                            v = min(255, v + 3)
-                        px.append(v)
+                clone = d % 10 == 1
+                grp = d - 1 if clone else d
                 ids.append(d)
-                payloads.append(sc.png_encode(32, 24, "L", bytes(px)))
+                payloads.append(
+                    _synth_block_png(str(grp), 32, 24, noise=clone)
+                )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
@@ -7370,11 +7424,7 @@ def _image_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
-        import hashlib
-
         import pandas as pd
-
-        from whiterrabbit_spark.extensions import stdlib_codecs as sc
 
         for pdf in batches:
             ids, payloads = [], []
@@ -7382,24 +7432,11 @@ def _image_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 clone = d % 10 == 1
                 grp = d - 1 if clone else d
-                hb = hashlib.md5(str(grp).encode()).digest()[:8]
-                bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
-                px = bytearray()
-                if clone:
-                    wpx, hpx = 16, 16
-                    for y in range(hpx):
-                        for x in range(wpx):
-                            v = 216 if bits[(y // 2) * 8 + (x // 2)] else 40
-                            if y < 2 and x < 2:
-                                v = min(255, v + 3)
-                            px.append(v)
-                else:
-                    wpx, hpx = 32, 24
-                    for y in range(hpx):
-                        for x in range(wpx):
-                            px.append(216 if bits[(y // 3) * 8 + (x // 4)] else 40)
+                wpx, hpx = (16, 16) if clone else (32, 24)
                 ids.append(d)
-                payloads.append(sc.png_encode(wpx, hpx, "L", bytes(px)))
+                payloads.append(
+                    _synth_block_png(str(grp), wpx, hpx, noise=clone)
+                )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
@@ -7444,11 +7481,7 @@ def _image_dims_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
-        import hashlib
-
         import pandas as pd
-
-        from whiterrabbit_spark.extensions import stdlib_codecs as sc
 
         for pdf in batches:
             ids, payloads = [], []
@@ -7456,21 +7489,9 @@ def _image_dims_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 clone = d % 10 == 1
                 grp = d - 1 if clone else d
-                hb = hashlib.md5(str(grp).encode()).digest()[:8]
-                bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
-                px = bytearray()
-                if clone:
-                    wpx, hpx = 16, 16
-                    for y in range(hpx):
-                        for x in range(wpx):
-                            px.append(216 if bits[(y // 2) * 8 + (x // 2)] else 40)
-                else:
-                    wpx, hpx = 32, 24
-                    for y in range(hpx):
-                        for x in range(wpx):
-                            px.append(216 if bits[(y // 3) * 8 + (x // 4)] else 40)
+                wpx, hpx = (16, 16) if clone else (32, 24)
                 ids.append(d)
-                payloads.append(sc.png_encode(wpx, hpx, "L", bytes(px)))
+                payloads.append(_synth_block_png(str(grp), wpx, hpx))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
@@ -7514,39 +7535,18 @@ def _audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
-        import hashlib
-
-        import numpy as np
         import pandas as pd
 
-        from whiterrabbit_spark.extensions import stdlib_codecs as sc
-
-        RATE, BLOCK = 8000, 2048
-        t = np.arange(BLOCK) / RATE
-        tones = np.stack(
-            [np.sin(2 * np.pi * (400 + b * 400) * t) for b in range(8)]
-        )
         for pdf in batches:
             ids, payloads = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
-                grp = d - 2 if d % 10 == 2 else d
-                hb = hashlib.md5(str(grp).encode()).digest()[:8]
-                bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
-                x = np.zeros(8 * BLOCK)
-                for blk in range(8):
-                    sel = [b for b in range(8) if bits[blk * 8 + b]]
-                    if sel:
-                        x[blk * BLOCK:(blk + 1) * BLOCK] = (
-                            0.2 * tones[sel].sum(axis=0)
-                        )
-                if d % 10 == 2:
-                    x = x + 0.01 * np.random.RandomState(d).randn(len(x))
+                clone = d % 10 == 2
+                grp = d - 2 if clone else d
                 ids.append(d)
                 payloads.append(
-                    sc.wav_encode(
-                        np.clip(x * 32767, -32767, 32767).astype("<i2"),
-                        RATE,
+                    _synth_tone_wav(
+                        str(grp), 2048, noise_seed=d if clone else None
                     )
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
@@ -7585,44 +7585,17 @@ def _audio_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
-        import hashlib
-
-        import numpy as np
         import pandas as pd
 
-        from whiterrabbit_spark.extensions import stdlib_codecs as sc
-
-        RATE = 8000
-        tones = {
-            blk_len: np.stack([
-                np.sin(2 * np.pi * (400 + b * 400)
-                       * (np.arange(blk_len) / RATE))
-                for b in range(8)
-            ])
-            for blk_len in (1024, 2048)
-        }
         for pdf in batches:
             ids, payloads = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
                 clone = d % 10 == 2
                 grp = d - 2 if clone else d
-                blk = 1024 if clone else 2048
-                hb = hashlib.md5(str(grp).encode()).digest()[:8]
-                bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
-                x = np.zeros(8 * blk)
-                for tb in range(8):
-                    sel = [b for b in range(8) if bits[tb * 8 + b]]
-                    if sel:
-                        x[tb * blk:(tb + 1) * blk] = (
-                            0.2 * tones[blk][sel].sum(axis=0)
-                        )
                 ids.append(d)
                 payloads.append(
-                    sc.wav_encode(
-                        np.clip(x * 32767, -32767, 32767).astype("<i2"),
-                        RATE,
-                    )
+                    _synth_tone_wav(str(grp), 1024 if clone else 2048)
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
@@ -7732,20 +7705,7 @@ def _video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
-        import hashlib
-
         import pandas as pd
-
-        from whiterrabbit_spark.extensions import stdlib_codecs as sc
-
-        def frame_png(key: str) -> bytes:
-            hb = hashlib.md5(key.encode()).digest()[:8]
-            bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
-            px = bytearray()
-            for y in range(24):
-                for x in range(32):
-                    px.append(216 if bits[(y // 3) * 8 + (x // 4)] else 40)
-            return sc.png_encode(32, 24, "L", bytes(px))
 
         for pdf in batches:
             vids, idxs, payloads = [], [], []
@@ -7759,7 +7719,7 @@ def _video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     vids.append(d)
                     idxs.append(j)
-                    payloads.append(frame_png(key))
+                    payloads.append(_synth_block_png(key, 32, 24))
             yield pd.DataFrame(
                 {"media_id": vids, "frame_idx": idxs, "payload": payloads}
             )
@@ -7794,20 +7754,7 @@ def _video_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_parquet_table(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
-        import hashlib
-
         import pandas as pd
-
-        from whiterrabbit_spark.extensions import stdlib_codecs as sc
-
-        def frame_png(key: str) -> bytes:
-            hb = hashlib.md5(key.encode()).digest()[:8]
-            bits = [(hb[i // 8] >> (7 - i % 8)) & 1 for i in range(64)]
-            px = bytearray()
-            for y in range(24):
-                for x in range(32):
-                    px.append(216 if bits[(y // 3) * 8 + (x // 4)] else 40)
-            return sc.png_encode(32, 24, "L", bytes(px))
 
         for pdf in batches:
             vids, idxs, payloads = [], [], []
@@ -7820,7 +7767,7 @@ def _video_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                     key = f"{d}:own" if clone and j == 6 else f"{grp}:{j}"
                     vids.append(d)
                     idxs.append(j)
-                    payloads.append(frame_png(key))
+                    payloads.append(_synth_block_png(key, 32, 24))
             yield pd.DataFrame(
                 {"media_id": vids, "frame_idx": idxs, "payload": payloads}
             )
