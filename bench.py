@@ -319,6 +319,7 @@ def main() -> None:
         "drift_attribution": queries["drift_attribution_orders"],
         "file_report": queries["file_report_tables"],
         "l_diversity": queries["l_diversity_customer"],
+        "t_closeness": queries["t_closeness_customer"],
         "conformal": queries["conformal_lineitem"],
         "deletion_preview": queries["deletion_preview_tables"],
         "qte": queries["qte_orders"],

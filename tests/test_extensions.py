@@ -4399,3 +4399,21 @@ def test_video_scene_cuts_hand_case(spark):
               if r["hamming_prev"] is not None
               and not r["is_cut"] and r["fhash"] is not None]
     assert within and max(within) <= 4
+
+
+def test_t_closeness_hand_values(spark):
+    """Planted: global sensitive distribution is 50/50 s1:s2. Class qa
+    is all-s1 (TVD = 0.5 — the absent-s2 mass must be counted), class
+    qb is exactly 50/50 (TVD = 0). max/avg/threshold counts follow by
+    hand."""
+    from whiterrabbit_spark.extensions.discovery import t_closeness
+
+    rows = [("qa", "s1")] * 4 + [("qb", "s1")] * 2 + [("qb", "s2")] * 6
+    df = spark.createDataFrame(rows, "qi string, sens string")
+    out = t_closeness(df, ["qi"], "sens", t_threshold=0.3).collect()[0]
+    assert out.n_rows == 12 and out.n_classes == 2
+    # global: s1 6/12, s2 6/12. qa: |1-.5|+(1-.5) over 2 = 0.5
+    assert abs(out.max_tvd - 0.5) < 1e-9
+    # qb: p(s1)=.25 vs .5, p(s2)=.75 vs .5 -> TVD 0.25
+    assert abs(out.avg_tvd - (0.5 + 0.25) / 2) < 1e-9
+    assert out.n_classes_above_t == 1 and out.n_rows_above_t == 4

@@ -285,3 +285,93 @@ def deletion_preview(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("table_name")
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_threshold: float = 0.3,
+) -> DataFrame:
+    """t-closeness audit — the third rung of the k-anonymity ladder
+    (k-anonymity -> l-diversity -> t-closeness): a QI class can be
+    large AND diverse yet still leak when its sensitive-value
+    DISTRIBUTION deviates sharply from the corpus-wide one (e.g. a
+    class that is 90% one diagnosis in a corpus where it is 5%). Per
+    QI class we measure the total-variation distance between the
+    class's categorical sensitive distribution and the global
+    distribution — the standard discrete-EMD instantiation of
+    Li et al.'s t-closeness for nominal attributes:
+
+        TVD(c) = 0.5 * sum_v |p_c(v) - p_g(v)|
+
+    including the mass of globally-present values ABSENT from the
+    class (|0 - p_g(v)| = p_g(v)), folded in algebraically as
+    ``1 - sum_{v in c} p_g(v)`` so the plan never expands the
+    class x value cross product.
+
+    Plan: one groupBy on (QI, sensitive) cells, one groupBy of cells
+    down to classes (the per-class TVD folds present-value terms),
+    the |values|-sized global distribution joined in as a broadcast —
+    all partial-aggregable, no window, no cross join; at 100 TB the
+    only shuffles are the two groupBys on bounded key spaces.
+
+    Returns one row ``(n_rows, n_classes, max_tvd, avg_tvd,
+    n_classes_above_t, n_rows_above_t, t)``.
+    """
+    cells = (
+        df.where(F.col(sensitive_col).isNotNull())
+        .groupBy(*[F.col(c) for c in quasi_cols], F.col(sensitive_col))
+        .agg(F.count(F.lit(1)).alias("n_cv"))
+    )
+    cells = cells.persist()
+    # global distribution over the sensitive values: |values| rows
+    glob = cells.groupBy(sensitive_col).agg(F.sum("n_cv").alias("n_v"))
+    total = glob.agg(F.sum("n_v").alias("n_total"))
+    glob = glob.crossJoin(F.broadcast(total)).select(
+        sensitive_col, (F.col("n_v") / F.col("n_total")).alias("p_g")
+    )
+    joined = cells.join(F.broadcast(glob), sensitive_col)
+    per_class = (
+        joined.groupBy(*quasi_cols)
+        .agg(
+            F.sum("n_cv").alias("n_c"),
+            # per-class cell list is bounded by |distinct sensitive
+            # values|, not by class size — safe to fold as an array
+            F.collect_list(F.struct("n_cv", "p_g")).alias("__cells"),
+        )
+        .select(
+            *quasi_cols,
+            "n_c",
+            (
+                (
+                    F.aggregate(
+                        # deterministic fold order: doubles don't
+                        # associate, and collect_list order is not
+                        # stable across retries
+                        F.array_sort("__cells"),
+                        F.lit(0.0),
+                        lambda acc, x: acc
+                        + F.abs(
+                            x["n_cv"] / F.col("n_c") - x["p_g"]
+                        )
+                        - x["p_g"],
+                    )
+                    + F.lit(1.0)
+                )
+                / F.lit(2.0)
+            ).alias("tvd"),
+        )
+    )
+    above = F.col("tvd") > t_threshold
+    return per_class.agg(
+        F.sum("n_c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.round(F.max("tvd"), 6).alias("max_tvd"),
+        F.round(F.avg("tvd"), 6).alias("avg_tvd"),
+        F.sum(above.cast("long")).alias("n_classes_above_t"),
+        F.sum(F.when(above, F.col("n_c")).otherwise(F.lit(0))).alias(
+            "n_rows_above_t"
+        ),
+        F.round(F.lit(float(t_threshold)), 6).alias("t"),
+    )

@@ -9988,6 +9988,59 @@ def _conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (discovery.t_closeness): per (nationkey,
+    acctbal-sign) quasi-identifier class, the total-variation distance
+    between the class's market-segment distribution and the global one
+    — the distribution-leak check that k-anonymity and l-diversity
+    both miss. Two bounded groupBys + one broadcast join; the oracle
+    recomputes the same fold arithmetic relationally."""
+    from whiterrabbit_spark.extensions.discovery import t_closeness
+
+    cust = read_parquet_table(spark, sf_dir, "customer").withColumn(
+        "bal_sign", F.signum("c_acctbal").cast("long")
+    )
+    return t_closeness(
+        cust, ["c_nationkey", "bal_sign"], "c_mktsegment", t_threshold=0.25
+    )
+
+
+_T_CLOSENESS_SQL = """
+WITH cells AS (
+  SELECT c_nationkey, CAST(sign(c_acctbal) AS BIGINT) AS bal_sign,
+         c_mktsegment AS seg, count(*) AS n_cv
+  FROM customer WHERE c_mktsegment IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+gdist AS (
+  SELECT seg, sum(n_cv) * 1.0 / (SELECT sum(n_cv) FROM cells) AS p_g
+  FROM cells GROUP BY seg
+),
+cls AS (
+  SELECT c_nationkey, bal_sign, sum(n_cv) AS n_c
+  FROM cells GROUP BY 1, 2
+),
+pc AS (
+  SELECT c.c_nationkey, c.bal_sign, max(cl.n_c) AS n_c,
+         (sum(abs(c.n_cv * 1.0 / cl.n_c - g.p_g) - g.p_g) + 1.0) / 2.0
+           AS tvd
+  FROM cells c
+  JOIN cls cl USING (c_nationkey, bal_sign)
+  JOIN gdist g USING (seg)
+  GROUP BY 1, 2
+)
+SELECT CAST(sum(n_c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       round(max(tvd), 6) AS max_tvd,
+       round(avg(tvd), 6) AS avg_tvd,
+       CAST(sum(CASE WHEN tvd > 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_above_t,
+       CAST(sum(CASE WHEN tvd > 0.25 THEN n_c ELSE 0 END) AS BIGINT)
+         AS n_rows_above_t,
+       CAST(0.25 AS DOUBLE) AS t
+FROM pc"""
+
+
 _CONFORMAL_SQL = """
 WITH base AS (
   SELECT l_quantity AS x,
@@ -10669,6 +10722,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("drift_attribution_orders", _drift_attribution, _DRIFT_ATTR_SQL)
     add("file_report_tables", _file_report, _file_report_sql())
     add("l_diversity_customer", _l_diversity, _L_DIVERSITY_SQL)
+    add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("conformal_lineitem", _conformal, _CONFORMAL_SQL)
     add("deletion_preview_tables", _deletion_preview,
         _DELETION_PREVIEW_SQL)
@@ -10689,6 +10743,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "t_closeness_customer",
         "streaming_running_stats_events",
         "image_near_dups_documents",
         "image_keep_best_documents",
