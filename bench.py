@@ -83,6 +83,10 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "map-side md5 assignment + one small groupBy — the same plan "
      "shape as the benched balanced_sample / neyman_sample "
      "hash-threshold family"),
+    (r"^dp_counts_",
+     "one bounded groupBy + a map-side seeded-noise projection — a "
+     "plan prefix of the benched k_anonymity / l_diversity privacy "
+     "rollups"),
     (r"^curriculum_stages_",
      "exact percentile over 6-dp-ROUNDED scores (state capped at "
      "10^6+1 distincts) + one broadcast threshold row + map-side "

@@ -4417,3 +4417,27 @@ def test_t_closeness_hand_values(spark):
     # qb: p(s1)=.25 vs .5, p(s2)=.75 vs .5 -> TVD 0.25
     assert abs(out.avg_tvd - (0.5 + 0.25) / 2) < 1e-9
     assert out.n_classes_above_t == 1 and out.n_rows_above_t == 4
+
+
+def test_dp_noisy_counts_seeded_and_calibrated(spark):
+    """The release is a pure function of (group value, seed) — identical
+    across re-runs and repartitioning; a different seed gives different
+    noise; and noise magnitude is Laplace(1/eps)-sized (bounded by the
+    inverse-CDF of the hash-uniform, < 30/eps for any u)."""
+    from whiterrabbit_spark.extensions.discovery import dp_noisy_counts
+
+    rows = [(f"g{i % 7}",) for i in range(700)]
+    df = spark.createDataFrame(rows, "g string")
+    a = {r.g: r.noisy_count for r in dp_noisy_counts(df, "g", 1.0).collect()}
+    b = {
+        r.g: r.noisy_count
+        for r in dp_noisy_counts(df.repartition(13), "g", 1.0).collect()
+    }
+    assert a == b  # retry/partitioning-stable
+    c = {
+        r.g: r.noisy_count
+        for r in dp_noisy_counts(df, "g", 1.0, seed="other").collect()
+    }
+    assert any(a[k] != c[k] for k in a)  # seed actually enters the draw
+    for k, v in a.items():
+        assert v != 100.0 and abs(v - 100.0) < 45.0  # noised, Laplace-scaled

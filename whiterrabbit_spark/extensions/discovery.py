@@ -375,3 +375,56 @@ def t_closeness(
         ),
         F.round(F.lit(float(t_threshold)), 6).alias("t"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism
+    — the publishable histogram a privacy review asks for before any
+    per-segment count leaves the boundary. Count queries have
+    sensitivity 1 under add/remove-one-row adjacency, so noise is
+    Laplace(1/ε) added to each group's count.
+
+    Noise is SEEDED: the Laplace draw derives from an md5 of
+    (group value, seed) via inverse-CDF — u = hash/16^15 ∈ [0,1),
+    noise = -(1/ε)·sign(u-½)·ln(1-2|u-½|) — so releases are
+    reproducible and, crucially, STABLE across retries/stragglers on
+    a cluster (a nondeterministic rand() would re-noise a recomputed
+    partition and silently double-spend the budget). One groupBy, one
+    map-side noise projection; no second pass, no window.
+
+    Returns ``(group, noisy_count, epsilon)`` — the true count never
+    leaves this function.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(group_col), F.lit(seed))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(float(16**15))
+    )
+    half = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / float(epsilon))
+        * F.signum(half)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(half))
+    )
+    return (
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            group_col,
+            F.round(F.col("__n") + noise, 6).alias("noisy_count"),
+            F.round(F.lit(float(epsilon)), 6).alias("epsilon"),
+        )
+    )

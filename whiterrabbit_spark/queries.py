@@ -8868,6 +8868,41 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP order-priority histogram (discovery.dp_noisy_counts):
+    Laplace(1/ε) noise on each group count, drawn by seeded md5
+    inverse-CDF so the release is reproducible and retry-stable on a
+    cluster (a rand() draw would re-noise recomputed partitions). The
+    oracle replays the identical hash -> uniform -> Laplace arithmetic
+    relationally."""
+    from whiterrabbit_spark.extensions.discovery import dp_noisy_counts
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return dp_noisy_counts(
+        orders, "o_orderpriority", epsilon=1.0, seed="dp"
+    ).orderBy("o_orderpriority")
+
+
+_DP_COUNTS_SQL = """
+WITH g AS (
+  SELECT o_orderpriority, count(*) AS n
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  GROUP BY 1
+),
+u AS (
+  SELECT o_orderpriority, n,
+         ('0x' || substr(md5(o_orderpriority || ':dp'), 1, 15))::BIGINT
+           * 1.0 / 1152921504606846976 AS u
+  FROM g
+)
+SELECT o_orderpriority,
+       round(n + (-1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
+         AS noisy_count,
+       CAST(1.0 AS DOUBLE) AS epsilon
+FROM u
+ORDER BY o_orderpriority"""
+
+
 def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact φ-heavy-hitters via the two-pass Misra-Gries scheme
     (profile.heavy_hitters): bounded-memory candidate pass + broadcast
@@ -10723,6 +10758,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("file_report_tables", _file_report, _file_report_sql())
     add("l_diversity_customer", _l_diversity, _L_DIVERSITY_SQL)
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
+    add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("conformal_lineitem", _conformal, _CONFORMAL_SQL)
     add("deletion_preview_tables", _deletion_preview,
         _DELETION_PREVIEW_SQL)
@@ -10743,6 +10779,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "dp_counts_orders",
         "t_closeness_customer",
         "streaming_running_stats_events",
         "image_near_dups_documents",
