@@ -4441,3 +4441,21 @@ def test_dp_noisy_counts_seeded_and_calibrated(spark):
     assert any(a[k] != c[k] for k in a)  # seed actually enters the draw
     for k, v in a.items():
         assert v != 100.0 and abs(v - 100.0) < 45.0  # noised, Laplace-scaled
+
+
+def test_readability_hand_values(spark):
+    """'The cat sat. The dog ran!' — 6 words, 6 vowel groups, 2
+    sentences: Flesch = 206.835 − 1.015·3 − 84.6·1. Empty text yields
+    zero counts, min-1 sentence and a NULL score."""
+    from whiterrabbit_spark.extensions.textstats import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "")], "id long, t string"
+    )
+    rows = {r.id: r for r in readability(df, "t", "id").collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_syllables, r1.n_sentences) == (6, 6, 2)
+    assert abs(r1.flesch - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9
+    r2 = rows[2]
+    assert (r2.n_words, r2.n_syllables, r2.n_sentences) == (0, 0, 1)
+    assert r2.flesch is None

@@ -1147,3 +1147,61 @@ def register_ngram_udtf(spark) -> None:
                 yield i, " ".join(toks[i:i + n])
 
     spark.udtf.register("ngrams_udtf", NGrams)
+
+
+def readability_exprs(t: Column) -> dict[str, Column]:
+    """Deterministic Flesch-reading-ease ingredients over lowercased
+    text, defined so a SQL engine reproduces them exactly:
+
+    - words     = matches of ``[a-z]+`` in lower(text)
+    - syllables = matches of ``[aeiouy]+`` in lower(text) (vowel-group
+      heuristic; groups can't span words since words are letter runs)
+    - sentences = max(1, matches of ``[.!?]+``)
+
+    Flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    The classic heuristic's per-word min-1-syllable clamp is dropped on
+    purpose — it needs a per-word explode; this closed form keeps the
+    whole computation one JVM-side regexp projection.
+    """
+    low = F.lower(t)
+    words = F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+"), 0))
+    syll = F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), 0))
+    sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(low, F.lit(r"[.!?]+"), 0))
+    )
+    return {
+        "n_words": words.cast("long"),
+        "n_syllables": syll.cast("long"),
+        "n_sentences": sent.cast("long"),
+        "flesch": F.when(
+            words > 0,
+            F.lit(206.835)
+            - F.lit(1.015) * (words / sent)
+            - F.lit(84.6) * (syll / words),
+        ),
+    }
+
+
+def readability(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document readability: word/syllable/sentence counts and the
+    Flesch reading-ease score (higher = easier; ~60-70 is plain
+    English). In a pretraining pipeline this is a curation signal
+    orthogonal to the Gopher/C4 filters: both too-low (legalese, OCR
+    soup) and implausibly-high (listicles, boilerplate fragments)
+    scores mark documents for the quality classifier to weigh.
+
+    Pure map-side single-projection plan — three RE2-compatible regex
+    counts per row, no shuffle, no UDF; scales linearly and pushes
+    straight through whole-stage codegen at any corpus size.
+    """
+    ex = readability_exprs(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        *[v.alias(k) for k, v in ex.items()],
+    )

@@ -8868,6 +8868,72 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language readability rollup (textstats.readability): Flesch
+    reading-ease from a closed-form vowel-group/sentence-ender count —
+    one map-side regexp projection + one bounded groupBy(lang). The
+    curation signal orthogonal to the Gopher/C4 filters."""
+    from whiterrabbit_spark.extensions.textstats import readability
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    r = readability(docs, "text", "doc_id", keep_cols=("lang",))
+    wps = F.when(
+        F.col("n_words") > 0, F.col("n_words") / F.col("n_sentences")
+    )
+    spw = F.when(
+        F.col("n_words") > 0, F.col("n_syllables") / F.col("n_words")
+    )
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.coalesce(F.avg(wps), F.lit(-1.0)), R).alias(
+                "avg_words_per_sentence"
+            ),
+            F.round(F.coalesce(F.avg(spw), F.lit(-1.0)), R).alias(
+                "avg_syllables_per_word"
+            ),
+            F.round(F.coalesce(F.avg("flesch"), F.lit(-1.0)), R).alias(
+                "avg_flesch"
+            ),
+            F.round(F.coalesce(F.min("flesch"), F.lit(-1.0)), R).alias(
+                "min_flesch"
+            ),
+            F.round(F.coalesce(F.max("flesch"), F.lit(-1.0)), R).alias(
+                "max_flesch"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_READABILITY_SQL = """
+WITH r AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS s,
+         greatest(1, len(regexp_extract_all(lower(text), '[.!?]+'))) AS st
+  FROM documents
+),
+f AS (
+  SELECT lang, w, s, st,
+         CASE WHEN w > 0 THEN 206.835 - 1.015 * (w * 1.0 / st)
+                              - 84.6 * (s * 1.0 / w) END AS flesch
+  FROM r
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(coalesce(avg(CASE WHEN w > 0 THEN w * 1.0 / st END), -1.0), 6)
+         AS avg_words_per_sentence,
+       round(coalesce(avg(CASE WHEN w > 0 THEN s * 1.0 / w END), -1.0), 6)
+         AS avg_syllables_per_word,
+       round(coalesce(avg(flesch), -1.0), 6) AS avg_flesch,
+       round(coalesce(min(flesch), -1.0), 6) AS min_flesch,
+       round(coalesce(max(flesch), -1.0), 6) AS max_flesch
+FROM f
+GROUP BY lang
+ORDER BY lang"""
+
+
 def _dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-DP order-priority histogram (discovery.dp_noisy_counts):
     Laplace(1/ε) noise on each group count, drawn by seeded md5
@@ -10759,6 +10825,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("l_diversity_customer", _l_diversity, _L_DIVERSITY_SQL)
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
+    add("readability_documents", _readability, _READABILITY_SQL)
     add("conformal_lineitem", _conformal, _CONFORMAL_SQL)
     add("deletion_preview_tables", _deletion_preview,
         _DELETION_PREVIEW_SQL)
@@ -10779,6 +10846,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "readability_documents",
         "dp_counts_orders",
         "t_closeness_customer",
         "streaming_running_stats_events",
