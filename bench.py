@@ -53,7 +53,7 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      r"functional_dependencies|profile_drift|psi_drift)",
      "association/drift scalars sharing the two-pass agg shape of the "
      "benched spearman_corr / ks_drift / jsd_drift / chi2_drift"),
-    (r"^(events_cube|events_multi_rollup|json_props_rollup|json_schema_(profile|drift)|seasonality|"
+    (r"^(ohlc_bars|events_cube|events_multi_rollup|json_props_rollup|json_schema_(profile|drift)|seasonality|"
      r"active_users|cohort_retention|event_transitions|"
      r"missingness_patterns|range_moving_stats|asof_join_forward)_?",
      "rollup/window variants of the benched events_hourly_rollup, "
@@ -324,6 +324,7 @@ def main() -> None:
         "file_report": queries["file_report_tables"],
         "l_diversity": queries["l_diversity_customer"],
         "t_closeness": queries["t_closeness_customer"],
+        "activity_streaks": queries["activity_streaks_events"],
         "conformal": queries["conformal_lineitem"],
         "deletion_preview": queries["deletion_preview_tables"],
         "qte": queries["qte_orders"],

@@ -4459,3 +4459,46 @@ def test_readability_hand_values(spark):
     r2 = rows[2]
     assert (r2.n_words, r2.n_syllables, r2.n_sentences) == (0, 0, 1)
     assert r2.flesch is None
+
+
+def test_ohlc_bars_tie_break_and_values(spark):
+    """Two same-timestamp rows at the bar edge: open/close must follow
+    the (ts, event_id) struct order, not executor order; high/low/
+    volume by hand."""
+    from whiterrabbit_spark.extensions.sequences import ohlc_bars
+
+    rows = [
+        (1, "2024-01-01 10:00:05", 7.0),
+        (0, "2024-01-01 10:00:05", 3.0),   # same ts, lower id -> open
+        (2, "2024-01-01 10:59:59", 9.0),
+        (3, "2024-01-01 10:59:59", 1.0),   # same ts, higher id -> close
+        (4, "2024-01-01 11:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        str(r.bar_ts): r
+        for r in ohlc_bars(df, "ts", "value", "event_id").collect()
+    }
+    b = out["2024-01-01 10:00:00"]
+    assert (b.open, b.high, b.low, b.close) == (3.0, 9.0, 1.0, 1.0)
+    assert b.n_events == 4 and abs(b.volume - 20.0) < 1e-9
+    assert out["2024-01-01 11:00:00"].open == 5.0
+
+
+def test_activity_streaks_hand_case(spark):
+    """u1: days 1,2,3 then 5 (max streak 3); u2: 1 and 3 (max 1);
+    duplicate events on one day collapse before the window."""
+    from whiterrabbit_spark.extensions.sequences import activity_streaks
+
+    rows = [
+        ("u1", "2024-03-01"), ("u1", "2024-03-02"), ("u1", "2024-03-02"),
+        ("u1", "2024-03-03"), ("u1", "2024-03-05"),
+        ("u2", "2024-03-01"), ("u2", "2024-03-03"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r.max_streak: r.n_users for r in activity_streaks(df).collect()}
+    assert out == {3: 1, 1: 1}

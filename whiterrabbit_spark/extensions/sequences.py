@@ -573,3 +573,77 @@ def funnel_timing(
         )
         .orderBy("transition")
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    bar: str = "hour",
+) -> DataFrame:
+    """Open/high/low/close bars — the classic market-data downsample,
+    equally the right telemetry rollup for any numeric signal: per
+    ``bar`` bucket the first and last observed value (ties on the
+    timestamp broken deterministically by ``tie_col`` so retries and
+    executor order can't flip open/close), the extremes, and the mass.
+
+    One partial-aggregable groupBy — ``min_by``/``max_by`` over a
+    (ts, tie) struct compute first/last WITHOUT a sort or window, so
+    the plan is a single Exchange on the bar key at any scale; a
+    windowed first_value() formulation would instead sort every
+    bucket. Null values are excluded (they carry no price).
+    """
+    t = F.col(ts_col)
+    key = F.struct(t, F.col(tie_col))
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .groupBy(F.date_trunc(bar, t).alias("bar_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by(F.col(value_col), key).alias("open"),
+            F.max(F.col(value_col)).alias("high"),
+            F.min(F.col(value_col)).alias("low"),
+            F.max_by(F.col(value_col), key).alias("close"),
+            F.sum(F.col(value_col)).alias("volume"),
+        )
+    )
+
+
+def activity_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user, rolled up to
+    a distribution (max_streak -> n_users) — the retention shape
+    engagement teams watch, and a pure gaps-and-islands exercise: a
+    day is in the same island as the previous iff day − row_number is
+    constant.
+
+    Plan: distinct (user, day) first (partial-aggregable, collapses
+    the raw event volume BEFORE any window), then ONE window over the
+    per-user day sequence — partitioned by user so tasks hold only a
+    user's distinct days — then two bounded groupBys. The window never
+    sees raw events; at 100 TB the sort is over |users|·|active days|,
+    not |events|.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    per_day = events.select(F.col(user_col), day).distinct()
+    w = Window.partitionBy(user_col).orderBy("day")
+    islands = per_day.withColumn(
+        "island",
+        F.datediff(F.col("day"), F.lit("1970-01-01"))
+        - F.row_number().over(w),
+    )
+    streaks = islands.groupBy(user_col, "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    per_user = streaks.groupBy(user_col).agg(
+        F.max("streak_len").alias("max_streak")
+    )
+    return (
+        per_user.groupBy("max_streak")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("max_streak")
+    )

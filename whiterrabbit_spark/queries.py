@@ -8868,6 +8868,83 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC/volume bars over the event value signal
+    (sequences.ohlc_bars): first/last via min_by/max_by over a
+    (ts, event_id) tie-break struct — one partial-aggregable groupBy,
+    no sort, no window. The oracle reproduces open/close with
+    per-bar row_number picks."""
+    from whiterrabbit_spark.extensions.sequences import ohlc_bars
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    out = ohlc_bars(events, "ts", "value", "event_id", bar="hour")
+    return out.select(
+        "bar_ts", "n_events", "open", "high", "low", "close",
+        F.round("volume", R).alias("volume"),
+    ).orderBy("bar_ts")
+
+
+_OHLC_SQL = """
+WITH e AS (
+  SELECT date_trunc('hour', ts) AS bar_ts, ts, event_id, value
+  FROM events WHERE value IS NOT NULL
+),
+o AS (
+  SELECT bar_ts, value,
+         row_number() OVER (PARTITION BY bar_ts
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY bar_ts
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT bar_ts, CAST(count(*) AS BIGINT) AS n_events,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       round(sum(value), 6) AS volume
+FROM o
+GROUP BY bar_ts
+ORDER BY bar_ts"""
+
+
+def _activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day streak distribution
+    (sequences.activity_streaks): distinct (user, day) collapses raw
+    volume BEFORE the one per-user window; gaps-and-islands via
+    day − row_number."""
+    from whiterrabbit_spark.extensions.sequences import activity_streaks
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    return activity_streaks(events, "user_id", "ts")
+
+
+_ACTIVITY_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+i AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM d
+),
+s AS (
+  SELECT user_id, island, count(*) AS streak_len
+  FROM i GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id, max(streak_len) AS max_streak FROM s GROUP BY 1
+)
+SELECT CAST(max_streak AS BIGINT) AS max_streak,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM p
+GROUP BY max_streak
+ORDER BY max_streak"""
+
+
 def _readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language readability rollup (textstats.readability): Flesch
     reading-ease from a closed-form vowel-group/sentence-ender count —
@@ -10826,6 +10903,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("ohlc_bars_events", _ohlc_bars, _OHLC_SQL)
+    add("activity_streaks_events", _activity_streaks, _ACTIVITY_STREAKS_SQL)
     add("conformal_lineitem", _conformal, _CONFORMAL_SQL)
     add("deletion_preview_tables", _deletion_preview,
         _DELETION_PREVIEW_SQL)
@@ -10846,6 +10925,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "ohlc_bars_events",
+        "activity_streaks_events",
         "readability_documents",
         "dp_counts_orders",
         "t_closeness_customer",
