@@ -83,6 +83,10 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "map-side md5 assignment + one small groupBy — the same plan "
      "shape as the benched balanced_sample / neyman_sample "
      "hash-threshold family"),
+    (r"^approx_quantile_gate_",
+     "two single-row aggregate scans (percentile + conditional "
+     "counts) — the same physical shape as the benched "
+     "profile_lineitem summary aggregates"),
     (r"^dp_counts_",
      "one bounded groupBy + a map-side seeded-noise projection — a "
      "plan prefix of the benched k_anonymity / l_diversity privacy "

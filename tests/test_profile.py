@@ -1984,3 +1984,18 @@ def test_seasonality_strength_separates_signal_from_noise(spark):
     assert sp["strength"] > 0.99
     assert sn["strength"] < 0.35
     assert sp["n_cells"] <= 168
+
+
+def test_approx_quantile_gate_duplicates_and_violation_detect(spark):
+    """Heavy-duplicate column: the returned sketch element's rank is an
+    INTERVAL — the gate must pass via interval intersection where a
+    point check on max-rank would false-alarm. All flags 1 on clean
+    data; exact median by hand."""
+    from whiterrabbit_spark.profile import approx_quantile_gate
+
+    rows = [(5.0,)] * 900 + [(1.0,)] * 50 + [(9.0,)] * 50
+    df = spark.createDataFrame(rows, "x double")
+    out = {r.q: r for r in approx_quantile_gate(df, "x", (0.5,), 100).collect()}
+    assert out[0.5].within_bound == 1
+    assert abs(out[0.5].exact_value - 5.0) < 1e-12
+    assert out[0.5].n_rows == 1000

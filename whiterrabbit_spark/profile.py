@@ -5084,3 +5084,70 @@ def seasonality_strength(
         F.round("var_residual", 6).alias("var_residual"),
         F.round(strength, 6).alias("strength"),
     )
+
+
+def approx_quantile_gate(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.01, 0.25, 0.5, 0.75, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-accuracy gate for ``percentile_approx``: computes the
+    exact type-7 percentiles AND the Greenwald-Khanna approximations
+    in ONE scan, then verifies in a second scan that each approximate
+    answer's true rank sits within the sketch's contract
+    (|rank(approx) − q·n| ≤ n/accuracy + 1). The CI check to run
+    before trusting sketch mode (``--approx``) on a new corpus: if
+    Spark's sketch ever broke its bound the ``within_bound`` flag
+    drops to 0 and the oracle comparison fails loudly.
+
+    The approximate values themselves are sketch-internal (merge-order
+    dependent across engines) so they are NOT part of the output
+    contract — only the exact percentiles and the boolean gate are.
+
+    Scale: scan 1 is one aggregate row (the exact percentile carries
+    O(values-per-partition) sort state — acceptable for a gate that
+    runs on validation samples; the production exact path for full
+    corpora is the bucketed-prefix ECDF in :func:`ecdf_lookup`).
+    Scan 2 ranks all |qs| approx values in one pass of conditional
+    counts. Nothing is quadratic; output is |qs| rows.
+    """
+    qlit = list(qs)
+    agg = df.where(F.col(col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(F.col(col), F.lit(qlit)).alias("exact"),
+        F.percentile_approx(
+            F.col(col), F.lit(qlit), F.lit(int(accuracy))
+        ).alias("approx"),
+    )
+    n, exact, approx = agg.collect()[0]
+    # duplicates give the returned element a rank INTERVAL
+    # [count(<a)+1, count(<=a)]; the sketch contract holds if that
+    # interval intersects [q·n − n/acc, q·n + n/acc]
+    checks = df.where(F.col(col).isNotNull()).agg(
+        *[
+            F.sum((F.col(col) < F.lit(float(a))).cast("long")).alias(
+                f"lo_{i}"
+            )
+            for i, a in enumerate(approx)
+        ],
+        *[
+            F.sum((F.col(col) <= F.lit(float(a))).cast("long")).alias(
+                f"hi_{i}"
+            )
+            for i, a in enumerate(approx)
+        ],
+    )
+    ranks = checks.collect()[0]
+    spark = df.sparkSession
+    tol = float(n) / float(accuracy) + 1.0
+    rows = []
+    for i, (q, e) in enumerate(zip(qlit, exact)):
+        lo = float(ranks[f"lo_{i}"]) + 1.0
+        hi = float(ranks[f"hi_{i}"])
+        target = q * float(n)
+        ok = (lo <= target + tol) and (hi >= target - tol)
+        rows.append((float(q), int(n), float(e), int(ok)))
+    return spark.createDataFrame(
+        rows, "q double, n_rows long, exact_value double, within_bound long"
+    )

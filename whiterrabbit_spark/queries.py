@@ -8868,6 +8868,43 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy gate (profile.approx_quantile_gate): exact
+    type-7 percentiles + GK approx in one scan, rank-interval contract
+    check in a second. The approx values are sketch-internal and NOT
+    in the contract — the exact values and the within-bound flags
+    are; a sketch violation drops a flag to 0 and reds the oracle."""
+    from whiterrabbit_spark.profile import approx_quantile_gate
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    out = approx_quantile_gate(
+        li, "l_extendedprice", (0.01, 0.25, 0.5, 0.75, 0.99), 10_000
+    )
+    return out.select(
+        "q", "n_rows",
+        F.round("exact_value", R).alias("exact_value"),
+        "within_bound",
+    ).orderBy("q")
+
+
+_APPROX_QUANTILE_GATE_SQL = """
+WITH e AS (
+  SELECT quantile_cont(l_extendedprice, [0.01, 0.25, 0.5, 0.75, 0.99]) AS v,
+         count(l_extendedprice) AS n
+  FROM lineitem
+),
+u AS (
+  SELECT unnest([1, 2, 3, 4, 5]) AS i,
+         unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS q
+)
+SELECT CAST(u.q AS DOUBLE) AS q,
+       CAST(e.n AS BIGINT) AS n_rows,
+       round(e.v[u.i], 6) AS exact_value,
+       CAST(1 AS BIGINT) AS within_bound
+FROM e, u
+ORDER BY q"""
+
+
 def _ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC/volume bars over the event value signal
     (sequences.ohlc_bars): first/last via min_by/max_by over a
@@ -10903,6 +10940,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("approx_quantile_gate_lineitem", _approx_quantile_gate,
+        _APPROX_QUANTILE_GATE_SQL)
     add("ohlc_bars_events", _ohlc_bars, _OHLC_SQL)
     add("activity_streaks_events", _activity_streaks, _ACTIVITY_STREAKS_SQL)
     add("conformal_lineitem", _conformal, _CONFORMAL_SQL)
@@ -10925,6 +10964,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "approx_quantile_gate_lineitem",
         "ohlc_bars_events",
         "activity_streaks_events",
         "readability_documents",
