@@ -38,7 +38,7 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
     (r"^overview_tables$",
      "parse-free count(*) per file — a strict subset of every benched "
      "profile entry's scan"),
-    (r"^streaming_(sessionize|join|psi|dedup|frequencies|"
+    (r"^streaming_(sessionize|join|psi|dedup|frequencies|topk|"
      r"windowed_profile|running_stats)_",
      "bounded micro-batch streams: wall time is streaming-engine fixed "
      "overhead, pinned once by the benched streaming_active_users / "
@@ -329,6 +329,8 @@ def main() -> None:
         "l_diversity": queries["l_diversity_customer"],
         "t_closeness": queries["t_closeness_customer"],
         "activity_streaks": queries["activity_streaks_events"],
+        "episode_pairs": queries["episode_pairs_events"],
+        "weighted_median": queries["weighted_median_lineitem"],
         "conformal": queries["conformal_lineitem"],
         "deletion_preview": queries["deletion_preview_tables"],
         "qte": queries["qte_orders"],

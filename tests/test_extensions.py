@@ -4502,3 +4502,25 @@ def test_activity_streaks_hand_case(spark):
     )
     out = {r.max_streak: r.n_users for r in activity_streaks(df).collect()}
     assert out == {3: 1, 1: 1}
+
+
+def test_episode_pairs_gapped_vs_adjacent(spark):
+    """u1: A C B — (A,B) IS an episode though never adjacent; (B,A)
+    is not (B's first is after A's last... B occurs before nothing A).
+    u2: B then A — (B,A) supported only there."""
+    from whiterrabbit_spark.extensions.sequences import episode_pairs
+
+    rows = [
+        ("u1", 1, "A"), ("u1", 2, "C"), ("u1", 3, "B"),
+        ("u2", 1, "B"), ("u2", 2, "A"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, t long, event_type string")
+    df = df.withColumn("ts", F.timestamp_seconds("t"))
+    out = {
+        (r.type_a, r.type_b): (r.n_users_both, r.n_users_ordered)
+        for r in episode_pairs(df).collect()
+    }
+    assert out[("A", "B")] == (2, 1)       # only u1 has A before B
+    assert out[("B", "A")] == (2, 1)       # only u2
+    assert out[("A", "C")] == (1, 1) and out[("C", "B")] == (1, 1)
+    assert ("C", "A") not in out           # support-0 pair filtered

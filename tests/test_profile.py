@@ -1999,3 +1999,17 @@ def test_approx_quantile_gate_duplicates_and_violation_detect(spark):
     assert out[0.5].within_bound == 1
     assert abs(out[0.5].exact_value - 5.0) < 1e-12
     assert out[0.5].n_rows == 1000
+
+
+def test_grouped_weighted_median_hand_case(spark):
+    """Group g: values 1(w=1), 2(w=1), 10(w=8) — half of 10 total is 5,
+    first value reaching it is 10. Unweighted median would be 2."""
+    from whiterrabbit_spark.profile import grouped_weighted_median
+
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 10.0, 8.0),
+            ("h", 5.0, 2.0), ("h", 7.0, 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    out = {r.g: r for r in grouped_weighted_median(df, "g", "v", "w").collect()}
+    assert out["g"].weighted_median == 10.0 and out["g"].total_weight == 10.0
+    # h: cum at 5 is exactly half (2 >= 2) -> lower median 5
+    assert out["h"].weighted_median == 5.0

@@ -647,3 +647,67 @@ def activity_streaks(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("max_streak")
     )
+
+
+def episode_pairs(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    min_support: int = 1,
+) -> DataFrame:
+    """Gapped sequential-pattern mining, pair order: for every ordered
+    event-type pair (a, b), how many users exhibit "a happens, then —
+    any number of events later — b happens". The episode complement of
+    the ADJACENT-transition matrix: transitions count consecutive
+    steps; episodes tolerate arbitrary gaps, which is what funnel
+    hypotheses actually assert.
+
+    "a before b" for a user reduces to min_ts(a) < max_ts(b) — no
+    per-event scan, no per-user sequence reconstruction. So the plan
+    collapses events to the per-(user, type) time envelope FIRST (one
+    partial-aggregable groupBy; |users|·|types| rows), self-joins that
+    bounded frame per user (|types|² pairs per user — types is a small
+    vocabulary, the join never touches raw events), and aggregates to
+    pair support. At 100 TB the only event-volume shuffle is the first
+    groupBy.
+
+    Returns ``(type_a, type_b, n_users_both, n_users_ordered,
+    support_frac)`` for pairs with ``n_users_ordered >= min_support``.
+    """
+    env = (
+        events.where(
+            F.col(type_col).isNotNull() & F.col(user_col).isNotNull()
+        )
+        .groupBy(user_col, type_col)
+        .agg(
+            F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
+        )
+    )
+    a = env.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("type_a"),
+        F.col("first_ts").alias("a_first"),
+    )
+    b = env.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("type_b"),
+        F.col("last_ts").alias("b_last"),
+    )
+    pairs = a.join(b, "__u").where(F.col("type_a") != F.col("type_b"))
+    out = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_users_both"),
+        F.sum(
+            (F.col("a_first") < F.col("b_last")).cast("long")
+        ).alias("n_users_ordered"),
+    )
+    return (
+        out.where(F.col("n_users_ordered") >= min_support)
+        .select(
+            "type_a", "type_b", "n_users_both", "n_users_ordered",
+            F.round(
+                F.col("n_users_ordered") / F.col("n_users_both"), 6
+            ).alias("support_frac"),
+        )
+        .orderBy("type_a", "type_b")
+    )

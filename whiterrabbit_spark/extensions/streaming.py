@@ -910,3 +910,46 @@ def running_stats_tws(
         "Update",
         "None",
     )
+
+
+def windowed_topk_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-safe per-(event-time window, key) running counts — the
+    state layer of a streaming leaderboard. Ranking does NOT happen
+    in-stream: a row_number over a running aggregate is not an
+    incremental operator (a late event can reorder a whole window), so
+    state here is the rank-free (window, key) count — bounded,
+    partial-aggregable, watermark-evictable — and
+    :func:`finish_topk` applies the rank as a batch finishing pass on
+    the sink table, exactly like ``finish_frequency_table`` does for
+    the F1 report."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.where(F.col(key_col).isNotNull())
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(F.col("w.start").alias("window_start"), key_col, "count")
+    )
+
+
+def finish_topk(counts: DataFrame, key_col: str, k: int = 3) -> DataFrame:
+    """Batch finishing pass: rank each window's keys (count DESC, key
+    ASC — deterministic under ties) and keep the top ``k``. The window
+    partitions are tiny (|keys| rows each), so the sort never sees raw
+    events."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("count").desc(), F.col(key_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

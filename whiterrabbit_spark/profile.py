@@ -5151,3 +5151,53 @@ def approx_quantile_gate(
     return spark.createDataFrame(
         rows, "q double, n_rows long, exact_value double, within_bound long"
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group lower weighted median: the smallest value whose
+    cumulative weight reaches half the group's total — the
+    order-statistic that answers "the median DOLLAR was spent at what
+    price?" where the plain median answers "the median LINE was".
+
+    Plan discipline mirrors the ECDF family: collapse to per-(group,
+    value) weight first (partial-aggregable; the window then runs over
+    |distinct values| per group, not raw rows), one cumulative-sum
+    window per group, and a single conditional-min rollup. Ties in
+    ``value_col`` are pre-merged by the groupBy so the cumulative
+    order is total and both engines add identical partial sums in
+    identical order — float associativity can't diverge.
+
+    Returns ``(group, total_weight, weighted_median)``.
+    """
+    g = F.col(group_col)
+    per_value = (
+        df.where(F.col(value_col).isNotNull() & F.col(weight_col).isNotNull())
+        .groupBy(g, F.col(value_col).alias("v"))
+        .agg(F.sum(weight_col).alias("w"))
+    )
+    win = (
+        Window.partitionBy(group_col)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(group_col)
+    cum = per_value.select(
+        g,
+        "v",
+        F.sum("w").over(win).alias("cw"),
+        F.sum("w").over(tot).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") >= F.col("tw") / 2)
+        .groupBy(group_col)
+        .agg(
+            F.round(F.max("tw"), 6).alias("total_weight"),
+            F.min("v").alias("weighted_median"),
+        )
+        .orderBy(group_col)
+    )

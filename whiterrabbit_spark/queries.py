@@ -662,6 +662,46 @@ FROM events
 GROUP BY 1, 2"""
 
 
+def _streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: file stream → per-(day window, type)
+    running counts (complete mode, bounded rank-free state — a
+    row_number over a running agg is not incremental, so ranking is a
+    batch finishing pass on the sink, streaming.finish_topk). Oracle =
+    the same daily top-3 in batch SQL."""
+    import uuid
+
+    from whiterrabbit_spark.extensions import streaming as st
+
+    src = st.stream_events_from_parquet(spark, sf_dir)
+    counts = st.windowed_topk_counts(src, window="1 day")
+    name = f"wrs_streamtopk_{uuid.uuid4().hex[:8]}"
+    st.run_stream_to_memory(counts, name, mode="complete")
+    out = st.finish_topk(spark.table(name), "event_type", k=3)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "event_type", "count", "rank",
+    ).orderBy("day", "rank")
+
+
+_STREAMING_TOPK_SQL = """
+WITH cnt AS (
+  SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+         event_type, count(*) AS count
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT day, event_type, count,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY count DESC, event_type ASC) AS rank
+  FROM cnt
+)
+SELECT day, event_type, CAST(count AS BIGINT) AS count,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+ORDER BY day, rank"""
+
+
 def _streaming_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second REAL Structured Streaming correctness row: file stream →
     running value counts (complete mode, bounded state: one row per
@@ -8868,6 +8908,73 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _episode_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapped sequential patterns (sequences.episode_pairs): "a then —
+    eventually — b" per ordered type pair, reduced to per-(user, type)
+    time envelopes so the self-join never touches raw events."""
+    from whiterrabbit_spark.extensions.sequences import episode_pairs
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    return episode_pairs(events, "user_id", "ts", "event_type")
+
+
+_EPISODE_PAIRS_SQL = """
+WITH env AS (
+  SELECT user_id, event_type,
+         min(ts) AS first_ts, max(ts) AS last_ts
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users_both,
+       CAST(sum(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_users_ordered,
+       round(sum(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS support_frac
+FROM env a JOIN env b
+  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+GROUP BY 1, 2
+HAVING sum(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END) >= 1
+ORDER BY 1, 2"""
+
+
+def _weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price median per return flag
+    (profile.grouped_weighted_median): per-(group, value) weight
+    collapse BEFORE the cumulative window, tie-merged so both engines
+    add identical partial sums in identical order."""
+    from whiterrabbit_spark.profile import grouped_weighted_median
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return grouped_weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH pv AS (
+  SELECT l_returnflag, l_extendedprice AS v, sum(l_quantity) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM pv
+)
+SELECT l_returnflag,
+       round(max(tw), 6) AS total_weight,
+       min(v) AS weighted_median
+FROM c
+WHERE cw >= tw / 2
+GROUP BY l_returnflag
+ORDER BY l_returnflag"""
+
+
 def _approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy gate (profile.approx_quantile_gate): exact
     type-7 percentiles + GK approx in one scan, rank-interval contract
@@ -10721,6 +10828,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("pack_shards_documents", _pack_shards, _PACK_SQL)
     add("hyperplane_near_pairs_embeddings", _hyperplane_near_pairs,
         _hyperplane_near_pairs_sql())
+    add("streaming_topk_events", _streaming_topk, _STREAMING_TOPK_SQL)
     add("streaming_frequencies_events", _streaming_frequencies,
         _STREAMING_FREQ_SQL)
     add("range_join_events", _range_join, _RANGE_JOIN_SQL)
@@ -10940,6 +11048,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("episode_pairs_events", _episode_pairs, _EPISODE_PAIRS_SQL)
+    add("weighted_median_lineitem", _weighted_median, _WEIGHTED_MEDIAN_SQL)
     add("approx_quantile_gate_lineitem", _approx_quantile_gate,
         _APPROX_QUANTILE_GATE_SQL)
     add("ohlc_bars_events", _ohlc_bars, _OHLC_SQL)
@@ -10964,6 +11074,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "episode_pairs_events",
+        "weighted_median_lineitem",
+        "streaming_topk_events",
         "approx_quantile_gate_lineitem",
         "ohlc_bars_events",
         "activity_streaks_events",
