@@ -684,6 +684,10 @@ def episode_pairs(
             F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
         )
     )
+    # the two join branches prune DIFFERENT envelope columns, so
+    # ReuseExchange can't kick in — without this persist the raw-event
+    # scan + groupBy would run twice
+    env = env.persist()
     a = env.select(
         F.col(user_col).alias("__u"),
         F.col(type_col).alias("type_a"),
