@@ -83,6 +83,10 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "map-side md5 assignment + one small groupBy — the same plan "
      "shape as the benched balanced_sample / neyman_sample "
      "hash-threshold family"),
+    (r"^bucket_join_",
+     "CTAS write cost dominates and is environment-bound (bucketed "
+     "managed-table write); the join itself is exchange-free by "
+     "construction and plan-pinned in test_scale_techniques"),
     (r"^approx_quantile_gate_",
      "two single-row aggregate scans (percentile + conditional "
      "counts) — the same physical shape as the benched "
@@ -231,6 +235,7 @@ def main() -> None:
         "tpch_q1": queries["tpch_q1_lineitem"],
         "tpch_q3": queries["tpch_q3_pricing"],
         "gini": queries["gini_lineitem"],
+        "theil_index": queries["theil_index_orders"],
         "spearman_matrix": queries["spearman_matrix_lineitem"],
         "mi_ranking": queries["mi_ranking_orders"],
         "qq_drift": queries["qq_drift_orders"],

@@ -2013,3 +2013,26 @@ def test_grouped_weighted_median_hand_case(spark):
     assert out["g"].weighted_median == 10.0 and out["g"].total_weight == 10.0
     # h: cum at 5 is exactly half (2 >= 2) -> lower median 5
     assert out["h"].weighted_median == 5.0
+
+
+def test_theil_decomposition_identity_and_equal_case(spark):
+    """Perfectly equal values give T = 0 everywhere; an unequal corpus
+    satisfies T_total = T_between + Σ s_g·T_g to rounding."""
+    from whiterrabbit_spark.profile import theil_decomposition
+
+    eq = spark.createDataFrame(
+        [("a", 5.0)] * 4 + [("b", 5.0)] * 6, "g string, x double"
+    )
+    rows = theil_decomposition(eq, "g", "x").collect()
+    assert all(
+        r.theil_total == 0.0 and r.theil_within == 0.0
+        and r.theil_between == 0.0 for r in rows
+    )
+
+    uneq = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("b", 4.0), ("b", 4.0), ("b", 32.0)],
+        "g string, x double",
+    )
+    r0 = theil_decomposition(uneq, "g", "x").collect()[0]
+    assert abs(r0.theil_total - (r0.theil_between + r0.within_total)) < 2e-6
+    assert r0.theil_total > 0

@@ -221,3 +221,27 @@ def test_epoch_upsample_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_write_bucketed_table_self_heals_orphaned_location(spark, tmp_path):
+    """A fresh session's in-memory metastore doesn't know about tables a
+    previous run left in the warehouse dir — saveAsTable would refuse the
+    orphaned location. write_bucketed_table(mode=overwrite) must clear it
+    and succeed (regression for the bucket_join_orders registry query)."""
+    import os
+    import uuid
+
+    from whiterrabbit_spark.extensions.sink import write_bucketed_table
+
+    name = f"heal_{uuid.uuid4().hex[:8]}"
+    df = spark.range(100).select(F.col("id").alias("k"))
+    write_bucketed_table(df, name, ["k"], n_buckets=2)
+    # simulate the orphan: drop ONLY the catalog entry, keep the files
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, name)
+    assert os.path.isdir(loc)
+    spark.sql(f"DROP TABLE {name}")
+    os.makedirs(loc, exist_ok=True)  # dir may survive drop on some stores
+    write_bucketed_table(df, name, ["k"], n_buckets=2)  # must not raise
+    assert spark.table(name).count() == 100
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

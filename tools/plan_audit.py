@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # queries whose *construction* runs real jobs (model fits, index builds,
 # collect-at-build scale probes) — auditing their plan would execute them
 EFFECTFUL_PREFIXES = ("streaming_", "ann_ivf_index", "bpe_learn",
+                      "bucket_join",
                       "pack_sequences", "quality_classifier",
                       "semantic_dedup", "keep_best_dedup", "dedup_clusters",
                       "edit_distance_pairs", "corpus_report",

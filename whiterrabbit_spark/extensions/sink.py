@@ -18,6 +18,9 @@ layout serves the downstream reader:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -195,6 +198,19 @@ def write_bucketed_table(
     working set at target scale (buckets are the join's parallelism
     ceiling: too few = stragglers, too many = small files).
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # a fresh session has an empty in-memory metastore but may face
+        # a warehouse dir left by an earlier run: saveAsTable refuses to
+        # adopt an ORPHANED location (LOCATION_ALREADY_EXISTS), so drop
+        # the catalog entry AND clear a location no table owns
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(wh, table_name.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.bucketBy(n_buckets, *key_cols)
     if sort:
         writer = writer.sortBy(*key_cols)

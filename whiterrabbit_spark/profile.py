@@ -5201,3 +5201,68 @@ def grouped_weighted_median(
         )
         .orderBy(group_col)
     )
+
+
+def theil_decomposition(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-T inequality index with exact between/within-group
+    decomposition — the property the Gini famously lacks:
+
+        T = Σᵢ (xᵢ/(n·μ))·ln(xᵢ/μ)
+          = T_between + Σ_g s_g·T_g,   s_g = group income share
+
+    so a concentration report can say HOW MUCH inequality lives
+    inside groups vs between their means. Values must be positive
+    (log of a ratio); non-positive rows are excluded and counted.
+
+    Plan: one groupBy(group) computing (n_g, sum_g, Σ x·ln x) — all
+    partial-aggregable, the per-row x·ln(x) folds map-side — then a
+    broadcast of the one-row global frame onto the |groups| frame.
+    Two scans of nothing: the global row derives from the per-group
+    frame. T_g needs Σ x·ln(x/μ_g) = Σ x·ln x − sum_g·ln(μ_g), so no
+    second pass over raw rows is needed for the within terms either.
+
+    Returns one row per group ``(group, n_rows, value_share,
+    theil_within, within_contrib)`` plus the roll-up columns repeated
+    per row (``theil_total, theil_between, within_total``) so the
+    decomposition identity is visible in-row.
+    """
+    x = F.col(value_col)
+    g = (
+        df.where(x.isNotNull() & (x > 0))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(x).alias("s_g"),
+            F.sum(x * F.log(x)).alias("xlx_g"),
+        )
+    )
+    g = g.persist()
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("xlx_g").alias("xlx"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    mu_g = F.col("s_g") / F.col("n_g")
+    mu = F.col("s") / F.col("n")
+    # T_g = (1/s_g)·Σ x·ln x − ln(μ_g)
+    t_g = F.col("xlx_g") / F.col("s_g") - F.log(mu_g)
+    share = F.col("s_g") / F.col("s")
+    t_between_term = share * F.log(mu_g / mu)
+    t_total = F.col("xlx") / F.col("s") - F.log(mu)
+    w = Window.partitionBy()
+    out = j.select(
+        F.col(group_col),
+        F.col("n_g").alias("n_rows"),
+        F.round(share, 6).alias("value_share"),
+        F.round(t_g, 6).alias("theil_within"),
+        F.round(share * t_g, 6).alias("within_contrib"),
+        F.round(t_total, 6).alias("theil_total"),
+        F.round(F.sum(t_between_term).over(w), 6).alias("theil_between"),
+        F.round(F.sum(share * t_g).over(w), 6).alias("within_total"),
+    )
+    return out.orderBy(group_col)

@@ -8908,6 +8908,85 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join end-to-end (sink.write_bucketed_table):
+    orders and lineitem land as 16-bucket tables on the order key, and
+    the revenue rollup joins them bucket-to-bucket — the shuffle is
+    paid once at write time, ZERO join-side Exchange afterwards
+    (plan-pinned in test_scale_techniques::
+    test_bucketed_join_has_no_shuffle; merge hint keeps the SMJ path
+    so the bucket layout, not a broadcast, carries the demo). The 100
+    TB shape for any fact table joined on the same key every day."""
+    from whiterrabbit_spark.extensions.sink import write_bucketed_table
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    lineitem = read_parquet_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(
+        orders.select("o_orderkey", "o_orderpriority"),
+        "wrs_bucket_orders", ["o_orderkey"], n_buckets=16,
+    )
+    write_bucketed_table(
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "wrs_bucket_lineitem", ["l_orderkey"], n_buckets=16,
+    )
+    o = spark.table("wrs_bucket_orders")
+    li = spark.table("wrs_bucket_lineitem").hint("merge")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_BUCKET_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+
+def _theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality with between/within decomposition
+    (profile.theil_decomposition): the additively-decomposable
+    concentration index Gini lacks — per-group partial sums of
+    x·ln(x) fold map-side; no second pass for the within terms."""
+    from whiterrabbit_spark.profile import theil_decomposition
+
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    return theil_decomposition(orders, "o_orderpriority", "o_totalprice")
+
+
+_THEIL_INDEX_SQL = """
+WITH g AS (
+  SELECT o_orderpriority, count(*) AS n_g, sum(o_totalprice) AS s_g,
+         sum(o_totalprice * ln(o_totalprice)) AS xlx_g
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+  GROUP BY 1
+),
+t AS (SELECT sum(n_g) AS n, sum(s_g) AS s, sum(xlx_g) AS xlx FROM g)
+SELECT o_orderpriority, CAST(n_g AS BIGINT) AS n_rows,
+       round(s_g / s, 6) AS value_share,
+       round(xlx_g / s_g - ln(s_g / n_g), 6) AS theil_within,
+       round((s_g / s) * (xlx_g / s_g - ln(s_g / n_g)), 6)
+         AS within_contrib,
+       round(xlx / s - ln(s / n), 6) AS theil_total,
+       round(sum((s_g / s) * ln((s_g / n_g) / (s / n))) OVER (), 6)
+         AS theil_between,
+       round(sum((s_g / s) * (xlx_g / s_g - ln(s_g / n_g))) OVER (), 6)
+         AS within_total
+FROM g, t
+ORDER BY o_orderpriority"""
+
+
 def _episode_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gapped sequential patterns (sequences.episode_pairs): "a then —
     eventually — b" per ordered type pair, reduced to per-(user, type)
@@ -11048,6 +11127,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("bucket_join_orders", _bucket_join, _BUCKET_JOIN_SQL)
+    add("theil_index_orders", _theil_index, _THEIL_INDEX_SQL)
     add("episode_pairs_events", _episode_pairs, _EPISODE_PAIRS_SQL)
     add("weighted_median_lineitem", _weighted_median, _WEIGHTED_MEDIAN_SQL)
     add("approx_quantile_gate_lineitem", _approx_quantile_gate,
@@ -11074,6 +11155,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "bucket_join_orders",
+        "theil_index_orders",
         "episode_pairs_events",
         "weighted_median_lineitem",
         "streaming_topk_events",
