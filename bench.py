@@ -236,6 +236,7 @@ def main() -> None:
         "tpch_q3": queries["tpch_q3_pricing"],
         "gini": queries["gini_lineitem"],
         "theil_index": queries["theil_index_orders"],
+        "hurst_exponent": queries["hurst_exponent_events"],
         "spearman_matrix": queries["spearman_matrix_lineitem"],
         "mi_ranking": queries["mi_ranking_orders"],
         "qq_drift": queries["qq_drift_orders"],

@@ -2036,3 +2036,40 @@ def test_theil_decomposition_identity_and_equal_case(spark):
     r0 = theil_decomposition(uneq, "g", "x").collect()[0]
     assert abs(r0.theil_total - (r0.theil_between + r0.within_total)) < 2e-6
     assert r0.theil_total > 0
+
+
+def test_hurst_random_vs_trending_series(spark):
+    """Seeded iid arrivals give H near 0.5; a strongly trending
+    (integrated) series gives H near 1 — the R/S slope must separate
+    them. Uses synthetic per-hour frames fed through the same operator
+    by pre-bucketed timestamps."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.profile import hurst_rescaled_range
+
+    rng = random.Random(7)
+    base = 1_700_000_000
+    rows_iid = []
+    for h in range(512):
+        # k events in hour h, k iid in [1, 100]
+        rows_iid += [(base + h * 3600 + j,) for j in range(rng.randint(1, 100))]
+    df_iid = spark.createDataFrame(rows_iid, "sec long").select(
+        F.timestamp_seconds("sec").alias("ts")
+    )
+    h_iid = hurst_rescaled_range(df_iid).collect()[0].hurst
+
+    rows_tr = []
+    for h in range(512):
+        # monotone-trending count series: h + small jitter
+        k = 1 + h + rng.randint(0, 3)
+        rows_tr += [(base + h * 3600 + j,) for j in range(k)]
+    df_tr = spark.createDataFrame(rows_tr, "sec long").select(
+        F.timestamp_seconds("sec").alias("ts")
+    )
+    h_tr = hurst_rescaled_range(df_tr).collect()[0].hurst
+
+    assert 0.3 < h_iid < 0.72, h_iid
+    assert h_tr > 0.85, h_tr
+    assert h_tr > h_iid + 0.2

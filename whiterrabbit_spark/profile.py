@@ -5266,3 +5266,110 @@ def theil_decomposition(
         F.round(F.sum(share * t_g).over(w), 6).alias("within_total"),
     )
     return out.orderBy(group_col)
+
+
+def hurst_rescaled_range(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    block_sizes: tuple[int, ...] = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent of the event-arrival series by classic rescaled-
+    range (R/S) analysis: H ≈ 0.5 means memoryless arrivals, H > 0.5
+    long-range dependence (bursts cluster — the property that breaks
+    naive Poisson capacity planning), H < 0.5 mean reversion.
+
+    The series is the per-``bucket`` event count. For each block size
+    n the series splits into ⌊N/n⌋ complete blocks; per block R is the
+    range of cumulative deviations from the block mean and S the
+    population sd; H is the least-squares slope of ln(mean R/S) vs
+    ln(n).
+
+    Engine-parity by construction: block sizes are POWERS OF TWO, so
+    block means (count/2^k) and every cumulative deviation are exact
+    in binary floating point — the only cross-engine float freedom is
+    the final ~⌊N/n⌋-term average, far below the 6-dp contract.
+
+    Plan: one event-volume groupBy to the bucket series, a |sizes|-way
+    broadcast expand of the tiny series frame, per-(n, block) windows
+    (partitions ≤ 64 rows), two bounded rollups. Raw events are
+    touched exactly once at any scale.
+
+    Returns one row per block size ``(block_size, n_blocks, mean_rs)``
+    with the fitted ``hurst`` repeated on each row.
+    """
+    series = (
+        df.groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("b"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    idx_w = Window.orderBy("b")
+    series = series.select(
+        (F.row_number().over(idx_w) - 1).alias("i"),
+        F.col("x").cast("double").alias("x"),
+    )
+    sizes = df.sparkSession.createDataFrame(
+        [(int(n),) for n in block_sizes], "n long"
+    )
+    total = series.agg(F.count(F.lit(1)).alias("series_len"))
+    e = (
+        series.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(total))
+        .where(
+            # complete blocks only
+            (F.floor(F.col("i") / F.col("n")) + 1) * F.col("n")
+            <= F.col("series_len")
+        )
+    )
+    blk = F.floor(F.col("i") / F.col("n")).alias("blk")
+    e = e.select("n", "i", "x", blk)
+    bw = Window.partitionBy("n", "blk")
+    cw = (
+        Window.partitionBy("n", "blk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.avg("x").over(bw)
+    dev = e.select(
+        "n", "blk", "x",
+        F.sum(F.col("x") - m).over(cw).alias("cum"),
+        m.alias("m"),
+    )
+    per_block = dev.groupBy("n", "blk").agg(
+        (F.max("cum") - F.min("cum")).alias("r"),
+        F.sqrt(
+            F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")
+        ).alias("s"),
+    )
+    per_n = (
+        per_block.where(F.col("s") > 0)
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.avg(F.col("r") / F.col("s")).alias("mean_rs"),
+        )
+    )
+    # least-squares slope of ln(mean_rs) on ln(n) over |sizes| points
+    fit = per_n.agg(
+        (
+            (
+                F.sum(F.log("n") * F.log("mean_rs"))
+                - F.sum(F.log("n")) * F.sum(F.log("mean_rs"))
+                / F.count(F.lit(1))
+            )
+            / (
+                F.sum(F.log("n") * F.log("n"))
+                - F.sum(F.log("n")) * F.sum(F.log("n"))
+                / F.count(F.lit(1))
+            )
+        ).alias("hurst")
+    )
+    return (
+        per_n.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("n").alias("block_size"),
+            "n_blocks",
+            F.round("mean_rs", 6).alias("mean_rs"),
+            F.round("hurst", 6).alias("hurst"),
+        )
+        .orderBy("block_size")
+    )

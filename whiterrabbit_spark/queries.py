@@ -8908,6 +8908,63 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of hourly arrivals by rescaled-range analysis
+    (profile.hurst_rescaled_range): power-of-two block sizes make
+    every block mean and cumulative deviation EXACT in binary floats,
+    so both engines agree by construction; raw events are scanned
+    once."""
+    from whiterrabbit_spark.profile import hurst_rescaled_range
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    return hurst_rescaled_range(events, "ts", "hour", (8, 16, 32, 64))
+
+
+_HURST_SQL = """
+WITH series AS (
+  SELECT date_trunc('hour', ts) AS b, count(*) AS x FROM events GROUP BY 1
+),
+s2 AS (
+  SELECT row_number() OVER (ORDER BY b) - 1 AS i, CAST(x AS DOUBLE) AS x
+  FROM series
+),
+tot AS (SELECT count(*) AS series_len FROM s2),
+e AS (
+  SELECT n, i, x, (i // n) AS blk
+  FROM s2, (SELECT unnest([8, 16, 32, 64]) AS n) sizes, tot
+  WHERE ((i // n) + 1) * n <= series_len
+),
+d AS (
+  SELECT n, blk, x,
+         sum(x - m) OVER (PARTITION BY n, blk ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT n, blk, i, x,
+               avg(x) OVER (PARTITION BY n, blk) AS m FROM e) t
+),
+pb AS (
+  SELECT n, blk, max(cum) - min(cum) AS r,
+         sqrt(avg(x * x) - avg(x) * avg(x)) AS s
+  FROM d GROUP BY 1, 2
+),
+pn AS (
+  SELECT n, count(*) AS n_blocks, avg(r / s) AS mean_rs
+  FROM pb WHERE s > 0 GROUP BY 1
+),
+fit AS (
+  SELECT (sum(ln(n) * ln(mean_rs))
+            - sum(ln(n)) * sum(ln(mean_rs)) / count(*))
+       / (sum(ln(n) * ln(n)) - sum(ln(n)) * sum(ln(n)) / count(*))
+         AS hurst
+  FROM pn
+)
+SELECT CAST(n AS BIGINT) AS block_size,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       round(mean_rs, 6) AS mean_rs,
+       round(hurst, 6) AS hurst
+FROM pn, fit
+ORDER BY block_size"""
+
+
 def _bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located bucketed join end-to-end (sink.write_bucketed_table):
     orders and lineitem land as 16-bucket tables on the order key, and
@@ -11127,6 +11184,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("hurst_exponent_events", _hurst, _HURST_SQL)
     add("bucket_join_orders", _bucket_join, _BUCKET_JOIN_SQL)
     add("theil_index_orders", _theil_index, _THEIL_INDEX_SQL)
     add("episode_pairs_events", _episode_pairs, _EPISODE_PAIRS_SQL)
@@ -11155,6 +11213,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "hurst_exponent_events",
         "bucket_join_orders",
         "theil_index_orders",
         "episode_pairs_events",
