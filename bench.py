@@ -60,7 +60,7 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "variant_props_rollup, seasonality_strength, rolling_distinct, "
      "funnel, moving_stats and asof_join entries (same shuffle shape, "
      "different grouping sets or direction)"),
-    (r"^(dedup_exact|dedup_clusters|dedup_ngram_jaccard|"
+    (r"^(dedup_exact|dedup_clusters|dedup_ngram_jaccard|dedup_threshold_sweep|"
      r"edit_distance_pairs|semantic_dedup|fingerprint|novel|"
      r"winnow_fingerprint|corpus_report)_",
      "dedup family: the benched dedup_minhash_lsh / dedup_simhash / "

@@ -8908,6 +8908,84 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup operating curve (dedup.ngram_jaccard_pairs at a LOW floor,
+    then binned): per Jaccard decile the pair count, docs touched, and
+    the cumulative pairs-at-or-above — the report that picks the
+    near-dup threshold BEFORE committing a corpus-wide dedup run,
+    from one banded pass instead of one run per candidate threshold.
+    Bins come from the same double division in both engines, so the
+    decile edges can't disagree."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    pairs = X.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.1)
+    # explode pair endpoints instead of collecting per-bin id arrays —
+    # a hot bin at corpus scale must stay partial-aggregable
+    binned = pairs.select(
+        (F.floor(F.col("jaccard") * 10) / 10).alias("bin_lo"),
+        F.explode(F.array("id1", "id2")).alias("d"),
+    )
+    per_bin = binned.groupBy("bin_lo").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("d").alias("n_docs"),
+    )
+    w = (
+        Window.orderBy(F.col("bin_lo").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_bin.select(
+        "bin_lo", "n_pairs", "n_docs",
+        F.sum("n_pairs").over(w).alias("cum_pairs_at_or_above"),
+    ).orderBy("bin_lo")
+
+
+_DEDUP_SWEEP_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), rare AS (
+  SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 100
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM sh a
+  JOIN rare r ON a.shingle = r.shingle
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT c.id1, c.id2, count(*) AS inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id1
+  JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id1, id2,
+         floor((inter * 1.0 / (s1.n + s2.n - inter)) * 10) / 10 AS bin_lo
+  FROM pairs
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= 0.1
+), per_bin AS (
+  SELECT bin_lo, count(*) AS n_pairs,
+         count(DISTINCT d) AS n_docs
+  FROM scored, unnest([id1, id2]) AS u(d)
+  GROUP BY bin_lo
+),
+pb2 AS (
+  SELECT bin_lo, n_pairs / 2 AS n_pairs, n_docs FROM per_bin
+)
+SELECT bin_lo,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum(n_pairs) OVER (ORDER BY bin_lo DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_pairs_at_or_above
+FROM pb2
+ORDER BY bin_lo"""
+
+
 def _hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hurst exponent of hourly arrivals by rescaled-range analysis
     (profile.hurst_rescaled_range): power-of-two block sizes make
@@ -11184,6 +11262,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("dedup_threshold_sweep_documents", _dedup_threshold_sweep,
+        _DEDUP_SWEEP_SQL)
     add("hurst_exponent_events", _hurst, _HURST_SQL)
     add("bucket_join_orders", _bucket_join, _BUCKET_JOIN_SQL)
     add("theil_index_orders", _theil_index, _THEIL_INDEX_SQL)
@@ -11213,6 +11293,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "dedup_threshold_sweep_documents",
         "hurst_exponent_events",
         "bucket_join_orders",
         "theil_index_orders",
