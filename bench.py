@@ -237,6 +237,7 @@ def main() -> None:
         "gini": queries["gini_lineitem"],
         "theil_index": queries["theil_index_orders"],
         "hurst_exponent": queries["hurst_exponent_events"],
+        "rfm_segments": queries["rfm_segments_orders"],
         "spearman_matrix": queries["spearman_matrix_lineitem"],
         "mi_ranking": queries["mi_ranking_orders"],
         "qq_drift": queries["qq_drift_orders"],

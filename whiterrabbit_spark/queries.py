@@ -8908,6 +8908,88 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer the recency (days since last
+    order), frequency (order count) and monetary (total spend) metrics,
+    each scored into quartiles by ntile, rolled up to segment counts —
+    the classic CRM cut, expressed as one groupBy + three ntile windows
+    over the |customers| frame (raw orders are scanned once; every
+    window runs on the aggregated frame). Ntile ties are broken by the
+    customer key so both engines rank identically.
+
+    Scale note: a global ntile is a single-reducer sort of the
+    AGGREGATED frame — fine to ~MAX_SINGLE_REDUCER customers; past
+    that, swap each score for the bounded-state quantile-threshold
+    binning curriculum_stages uses (splits.curriculum_stages), which
+    this registry already pins at 20M+ rows."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("anchor"))
+    scored = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("anchor", "last_order"))
+        .withColumn(
+            "r_score",
+            F.ntile(4).over(
+                Window.orderBy(F.col("recency_days").asc(),
+                               F.col("o_custkey").asc())
+            ),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(4).over(
+                Window.orderBy(F.col("frequency").desc(),
+                               F.col("o_custkey").asc())
+            ),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(4).over(
+                Window.orderBy(F.col("monetary").desc(),
+                               F.col("o_custkey").asc())
+            ),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_RFM_SQL = """
+WITH pc AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY 1
+),
+a AS (SELECT max(last_order) AS anchor FROM pc),
+s AS (
+  SELECT o_custkey, monetary,
+         ntile(4) OVER (ORDER BY date_diff('day', last_order, anchor) ASC,
+                        o_custkey ASC) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+  FROM pc, a
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(monetary), 2) AS segment_value
+FROM s
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3"""
+
+
 def _dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup operating curve (dedup.ngram_jaccard_pairs at a LOW floor,
     then binned): per Jaccard decile the pair count, docs touched, and
@@ -11262,6 +11344,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("rfm_segments_orders", _rfm_segments, _RFM_SQL)
     add("dedup_threshold_sweep_documents", _dedup_threshold_sweep,
         _DEDUP_SWEEP_SQL)
     add("hurst_exponent_events", _hurst, _HURST_SQL)
@@ -11293,6 +11376,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "rfm_segments_orders",
         "dedup_threshold_sweep_documents",
         "hurst_exponent_events",
         "bucket_join_orders",
