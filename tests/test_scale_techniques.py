@@ -245,3 +245,54 @@ def test_write_bucketed_table_self_heals_orphaned_location(spark, tmp_path):
     write_bucketed_table(df, name, ["k"], n_buckets=2)  # must not raise
     assert spark.table(name).count() == 100
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """With runtime bloom filters enabled and a selective dim filter,
+    the optimized plan injects might_contain on the fact side — the
+    fact rows that can't join die BEFORE the shuffle (the 100 TB
+    fact/dim join saver). Result parity with the plain join."""
+    from whiterrabbit_spark.extensions.joins import (
+        enable_runtime_bloom_filter,
+    )
+
+    fact = spark.range(500_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("x")
+    )
+    dim = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("tag")
+    )
+    fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    prev = {
+        c: spark.conf.get(c, None)
+        for c in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        enable_runtime_bloom_filter(
+            spark, application_side_threshold="0"
+        )
+        # force the shuffle-join path: a broadcast join has no shuffle
+        # to protect, so injection rightly skips it
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        d = spark.read.parquet(str(tmp_path / "dim")).where(
+            F.col("tag") == 3
+        )
+        j = f.join(d, "k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert j.count() == sum(1 for i in range(50_000) if i % 13 == 3)
+    finally:
+        for c, v in prev.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)

@@ -26,7 +26,7 @@ cross-checked against an independent engine's dedicated operator.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _SIDE = "__wrs_is_left"
@@ -286,3 +286,35 @@ def salted_join(
     )
     out = l.join(r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def enable_runtime_bloom_filter(
+    spark: SparkSession,
+    creation_side_threshold: str = "100MB",
+    application_side_threshold: str = "10GB",
+) -> None:
+    """Turn on Catalyst's runtime bloom-filter injection for shuffle
+    joins: when one join side carries a selective filter, the
+    optimizer aggregates a bloom filter over its join keys and pushes
+    a ``might_contain`` predicate into the OTHER side's scan — rows
+    that can't match die before the shuffle. On a 100 TB fact /
+    filtered-dim join this is the difference between shuffling the
+    full fact table and shuffling only the ~matching slice, without
+    any manual semi-join staging.
+
+    Spark's defaults only fire for large estimated scans; the
+    thresholds are exposed here because local tests and mid-size
+    clusters need them lowered to see the effect (plan-pinned in
+    ``tests/test_scale_techniques.py::test_runtime_bloom_filter_
+    prunes_fact_side``).
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        creation_side_threshold,
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        application_side_threshold,
+    )
