@@ -53,7 +53,7 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      r"functional_dependencies|profile_drift|psi_drift)",
      "association/drift scalars sharing the two-pass agg shape of the "
      "benched spearman_corr / ks_drift / jsd_drift / chi2_drift"),
-    (r"^(ohlc_bars|events_cube|events_multi_rollup|json_props_rollup|json_schema_(profile|drift)|seasonality|"
+    (r"^(ohlc_bars|peak_detection|events_cube|events_multi_rollup|json_props_rollup|json_schema_(profile|drift)|seasonality|"
      r"active_users|cohort_retention|event_transitions|"
      r"missingness_patterns|range_moving_stats|asof_join_forward)_?",
      "rollup/window variants of the benched events_hourly_rollup, "

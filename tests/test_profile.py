@@ -2073,3 +2073,28 @@ def test_hurst_random_vs_trending_series(spark):
     assert 0.3 < h_iid < 0.72, h_iid
     assert h_tr > 0.85, h_tr
     assert h_tr > h_iid + 0.2
+
+
+def test_peak_detection_planted_spike(spark):
+    """Flat series of 10/hour with one 40-event hour: exactly that hour
+    is a peak, lift = 4; a plateau pair (two equal elevated hours) must
+    NOT fire (strict maxima)."""
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.profile import peak_detection
+
+    base = 1_700_000_000
+    rows = []
+    for h in range(60):
+        k = 10
+        if h == 30:
+            k = 40
+        if h in (45, 46):     # plateau: equal neighbors, suppressed
+            k = 35
+        rows += [(base + h * 3600 + j,) for j in range(k)]
+    df = spark.createDataFrame(rows, "sec long").select(
+        F.timestamp_seconds("sec").alias("ts")
+    )
+    out = peak_detection(df, baseline_window=12, lift=2.0).collect()
+    assert len(out) == 1
+    assert out[0].n_events == 40 and abs(out[0].lift_ratio - 4.0) < 1e-9

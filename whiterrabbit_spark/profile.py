@@ -5373,3 +5373,55 @@ def hurst_rescaled_range(
         )
         .orderBy("block_size")
     )
+
+
+def peak_detection(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    baseline_window: int = 12,
+    lift: float = 2.0,
+) -> DataFrame:
+    """Traffic-spike detector over the per-``bucket`` arrival series: a
+    bucket is a peak when it is a strict local maximum (greater than
+    both neighbors — ties suppress, so plateaus don't spray alerts)
+    AND exceeds ``lift``× the trailing-``baseline_window`` mean
+    (excluding itself). The on-call summary for "when did we spike and
+    how hard", computed exactly — no smoothing parameters to disagree
+    about between engines.
+
+    One raw-event groupBy to the bounded series, then lag/lead and one
+    trailing-mean window over that series — every post-scan stage is
+    O(series length) regardless of corpus size.
+
+    Returns ``(bucket_ts, n_events, baseline_mean, lift_ratio)`` for
+    peaks, ordered by time.
+    """
+    series = df.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy("bucket_ts")
+    trail = w.rowsBetween(-baseline_window, -1)
+    x = F.col("n_events")
+    scored = series.select(
+        "bucket_ts",
+        "n_events",
+        F.lag("n_events").over(w).alias("prev"),
+        F.lead("n_events").over(w).alias("next"),
+        F.avg("n_events").over(trail).alias("baseline_mean"),
+        F.count("n_events").over(trail).alias("n_base"),
+    )
+    peaks = scored.where(
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (x > F.col("prev"))
+        & (x > F.col("next"))
+        & (F.col("n_base") == baseline_window)
+        & (x > F.lit(float(lift)) * F.col("baseline_mean"))
+    )
+    return peaks.select(
+        "bucket_ts",
+        "n_events",
+        F.round("baseline_mean", 6).alias("baseline_mean"),
+        F.round(x / F.col("baseline_mean"), 6).alias("lift_ratio"),
+    ).orderBy("bucket_ts")

@@ -8908,6 +8908,49 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-spike report (profile.peak_detection): strict local
+    maxima of the hourly series with a trailing-mean lift gate —
+    exact, parameter-light, every post-scan stage O(series)."""
+    from whiterrabbit_spark.profile import peak_detection
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    out = peak_detection(events, "ts", "hour", baseline_window=12,
+                         lift=1.2)
+    return out.withColumn(
+        "bucket_ts", F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
+_PEAK_DETECTION_SQL = """
+WITH series AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, count(*) AS n_events
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT bucket_ts, n_events,
+         lag(n_events) OVER (ORDER BY bucket_ts) AS prev,
+         lead(n_events) OVER (ORDER BY bucket_ts) AS next,
+         avg(n_events) OVER (ORDER BY bucket_ts
+                             ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+           AS baseline_mean,
+         count(n_events) OVER (ORDER BY bucket_ts
+                               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+           AS n_base
+  FROM series
+)
+SELECT strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(baseline_mean, 6) AS baseline_mean,
+       round(n_events / baseline_mean, 6) AS lift_ratio
+FROM scored
+WHERE prev IS NOT NULL AND next IS NOT NULL
+  AND n_events > prev AND n_events > next
+  AND n_base = 12
+  AND n_events > 1.2 * baseline_mean
+ORDER BY bucket_ts"""
+
+
 def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer the recency (days since last
     order), frequency (order count) and monetary (total spend) metrics,
@@ -11344,6 +11387,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("peak_detection_events", _peak_detection, _PEAK_DETECTION_SQL)
     add("rfm_segments_orders", _rfm_segments, _RFM_SQL)
     add("dedup_threshold_sweep_documents", _dedup_threshold_sweep,
         _DEDUP_SWEEP_SQL)
@@ -11376,6 +11420,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "peak_detection_events",
         "rfm_segments_orders",
         "dedup_threshold_sweep_documents",
         "hurst_exponent_events",
