@@ -100,7 +100,7 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "10^6+1 distincts) + one broadcast threshold row + map-side "
      "assignment; the rounded-distinct percentile merge that "
      "dominates is measured by the 20M smoke in PLANS.md"),
-    (r"^(embedding_stats|multimodal_features|image_near_dups|image_keep_best|image_dims_profile|audio_near_dups|audio_keep_best|video_near_dups|video_keep_best|video_scene_cuts)_",
+    (r"^(centroid_matrix|embedding_stats|multimodal_features|image_near_dups|image_keep_best|image_dims_profile|audio_near_dups|audio_keep_best|video_near_dups|video_keep_best|video_scene_cuts)_",
      "per-row array/binary feature extraction; the benched ann_* and "
      "curation entries dominate the same Arrow-batch path"),
     (r"^(graph_degree|ann_ivf_index)_",

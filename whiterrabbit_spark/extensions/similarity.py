@@ -1432,3 +1432,64 @@ def embedding_query_topk(
         .orderBy(F.col("cosine").desc(), "id")
         .limit(k)
     )
+
+
+def centroid_similarity_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-centroid cosine matrix — the class-confusability report:
+    which labels' embedding mass points the same way (candidates for
+    merging, relabeling, or hard-negative mining between them). One
+    row per unordered label pair with the cosine of their mean
+    vectors plus both class sizes.
+
+    Plan: posexplode to (label, dim, value) — the ONLY pass over the
+    vector volume — then a partial-aggregable groupBy(label, dim) mean,
+    and all pairwise arithmetic happens on the |labels|·d centroid
+    frame (tiny; the pair join is broadcast). No collect, no UDF, no
+    |rows|² anything.
+    """
+    exploded = (
+        df.where(F.col(vec_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).alias("lbl"),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        )
+    )
+    cent = exploded.groupBy("lbl", "dim").agg(F.avg("v").alias("c"))
+    cent = cent.persist()
+    norms = cent.groupBy("lbl").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    sizes = (
+        df.where(F.col(vec_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(label_col).alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = cent.select(F.col("lbl").alias("label_a"), "dim", F.col("c").alias("ca"))
+    b = cent.select(F.col("lbl").alias("label_b"), "dim", F.col("c").alias("cb"))
+    dots = (
+        a.join(F.broadcast(b), "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("lbl").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("lbl").alias("label_b"), F.col("nrm").alias("nb"))
+    sa = sizes.select(F.col("lbl").alias("label_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("lbl").alias("label_b"), F.col("n").alias("n_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .join(F.broadcast(sa), "label_a")
+        .join(F.broadcast(sb), "label_b")
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            F.round(
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -8908,6 +8908,48 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-confusability matrix (similarity.centroid_similarity_
+    matrix): cosine between label centroids — one posexplode pass over
+    the vector volume, all pairwise arithmetic on the |labels|·d
+    frame."""
+    from whiterrabbit_spark.extensions.similarity import (
+        centroid_similarity_matrix,
+    )
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return centroid_similarity_matrix(emb, "embedding", "label")
+
+
+_CENTROID_MATRIX_SQL = """
+WITH ex AS (
+  SELECT label AS lbl, i AS dim, embedding[i + 1] AS v
+  FROM embeddings, unnest(generate_series(0, len(embedding) - 1)) AS t(i)
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+cent AS (SELECT lbl, dim, avg(v) AS c FROM ex GROUP BY 1, 2),
+norms AS (SELECT lbl, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY 1),
+sizes AS (
+  SELECT label AS lbl, count(*) AS n FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL GROUP BY 1
+),
+dots AS (
+  SELECT a.lbl AS label_a, b.lbl AS label_b, sum(a.c * b.c) AS dot
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.lbl < b.lbl
+  GROUP BY 1, 2
+)
+SELECT CAST(label_a AS BIGINT) AS label_a,
+       CAST(label_b AS BIGINT) AS label_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS centroid_cosine
+FROM dots
+JOIN norms na ON na.lbl = label_a
+JOIN norms nb ON nb.lbl = label_b
+JOIN sizes sa ON sa.lbl = label_a
+JOIN sizes sb ON sb.lbl = label_b
+ORDER BY label_a, label_b"""
+
+
 def _peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traffic-spike report (profile.peak_detection): strict local
     maxima of the hourly series with a trailing-mean lift gate —
@@ -11387,6 +11429,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("centroid_matrix_embeddings", _centroid_matrix,
+        _CENTROID_MATRIX_SQL)
     add("peak_detection_events", _peak_detection, _PEAK_DETECTION_SQL)
     add("rfm_segments_orders", _rfm_segments, _RFM_SQL)
     add("dedup_threshold_sweep_documents", _dedup_threshold_sweep,
@@ -11420,6 +11464,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "centroid_matrix_embeddings",
         "peak_detection_events",
         "rfm_segments_orders",
         "dedup_threshold_sweep_documents",
