@@ -993,3 +993,95 @@ class TestCurriculumStages:
         for i, s in enumerate(r6):
             want = 1 + sum(s > c for c in cuts)
             assert out[i] == want, (i, s, cuts)
+
+
+class TestGroupedWeightedMedian:
+    """The lower weighted median must match a naive python fold: the
+    smallest value whose cumulative weight (values ascending, ties
+    pre-merged) reaches half the total."""
+
+    @given(rows=st.lists(
+        st.tuples(
+            st.integers(0, 8),                      # value (small -> ties)
+            st.integers(1, 9),                      # weight
+        ),
+        min_size=1, max_size=30,
+    ))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_naive(self, spark, rows):
+        from whiterrabbit_spark.profile import grouped_weighted_median
+
+        df = spark.createDataFrame(
+            [("g", float(v), float(w)) for v, w in rows],
+            "g string, v double, w double",
+        )
+        got = grouped_weighted_median(df, "g", "v", "w").collect()[0]
+
+        agg = {}
+        for v, w in rows:
+            agg[v] = agg.get(v, 0) + w
+        total = sum(agg.values())
+        cum = 0.0
+        want = None
+        for v in sorted(agg):
+            cum += agg[v]
+            if cum >= total / 2:
+                want = float(v)
+                break
+        assert got.weighted_median == want
+        assert abs(got.total_weight - total) < 1e-9
+
+
+class TestEpisodePairs:
+    """Pair support must equal the brute-force 'exists an a-event
+    strictly before a b-event' count over per-user sequences."""
+
+    @given(events=st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # user
+            st.integers(0, 50),                     # second offset
+            st.sampled_from(["A", "B", "C"]),       # type
+        ),
+        min_size=1, max_size=40,
+    ))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_brute_force(self, spark, events):
+        from collections import defaultdict
+
+        from whiterrabbit_spark.extensions.sequences import episode_pairs
+
+        df = spark.createDataFrame(
+            [(f"u{u}", 1_700_000_000 + t, ty) for u, t, ty in events],
+            "user_id string, sec long, event_type string",
+        ).select(
+            "user_id",
+            F.timestamp_seconds("sec").alias("ts"),
+            "event_type",
+        )
+        got = {
+            (r.type_a, r.type_b): (r.n_users_both, r.n_users_ordered)
+            for r in episode_pairs(df).collect()
+        }
+
+        seqs = defaultdict(list)
+        for u, t, ty in events:
+            seqs[u].append((t, ty))
+        types = sorted({ty for _, _, ty in events})
+        for a in types:
+            for b in types:
+                if a == b:
+                    continue
+                both = ordered = 0
+                for sq in seqs.values():
+                    ts_a = [t for t, ty in sq if ty == a]
+                    ts_b = [t for t, ty in sq if ty == b]
+                    if ts_a and ts_b:
+                        both += 1
+                        if min(ts_a) < max(ts_b):
+                            ordered += 1
+                if ordered >= 1:
+                    assert got[(a, b)] == (both, ordered), (a, b)
+                else:
+                    assert (a, b) not in got
