@@ -5121,6 +5121,11 @@ def approx_quantile_gate(
         ).alias("approx"),
     )
     n, exact, approx = agg.collect()[0]
+    spark = df.sparkSession
+    schema = "q double, n_rows long, exact_value double, within_bound long"
+    if not n:
+        # no rows -> nothing to gate; empty frame keeps the contract
+        return spark.createDataFrame([], schema)
     # duplicates give the returned element a rank INTERVAL
     # [count(<a)+1, count(<=a)]; the sketch contract holds if that
     # interval intersects [q·n − n/acc, q·n + n/acc]
@@ -5139,7 +5144,6 @@ def approx_quantile_gate(
         ],
     )
     ranks = checks.collect()[0]
-    spark = df.sparkSession
     tol = float(n) / float(accuracy) + 1.0
     rows = []
     for i, (q, e) in enumerate(zip(qlit, exact)):
@@ -5148,9 +5152,7 @@ def approx_quantile_gate(
         target = q * float(n)
         ok = (lo <= target + tol) and (hi >= target - tol)
         rows.append((float(q), int(n), float(e), int(ok)))
-    return spark.createDataFrame(
-        rows, "q double, n_rows long, exact_value double, within_bound long"
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 def grouped_weighted_median(
@@ -5369,7 +5371,9 @@ def hurst_rescaled_range(
             F.col("n").alias("block_size"),
             "n_blocks",
             F.round("mean_rs", 6).alias("mean_rs"),
-            F.round("hurst", 6).alias("hurst"),
+            # degenerate series (<2 usable sizes) -> slope undefined;
+            # -1 sentinel keeps the no-NULL output contract
+            F.coalesce(F.round("hurst", 6), F.lit(-1.0)).alias("hurst"),
         )
         .orderBy("block_size")
     )
