@@ -238,6 +238,8 @@ def main() -> None:
         "theil_index": queries["theil_index_orders"],
         "hurst_exponent": queries["hurst_exponent_events"],
         "rfm_segments": queries["rfm_segments_orders"],
+        "skyline": queries["skyline_lineitem"],
+        "generalization_advisor": queries["generalization_advisor_customer"],
         "spearman_matrix": queries["spearman_matrix_lineitem"],
         "mi_ranking": queries["mi_ranking_orders"],
         "qq_drift": queries["qq_drift_orders"],

@@ -2098,3 +2098,45 @@ def test_peak_detection_planted_spike(spark):
     out = peak_detection(df, baseline_window=12, lift=2.0).collect()
     assert len(out) == 1
     assert out[0].n_events == 40 and abs(out[0].lift_ratio - 4.0) < 1e-9
+
+
+def test_skyline_2d_dominance_exact(spark):
+    """Brute-force dominance check on a hand corpus: output must be
+    exactly the non-dominated set (min x, max y; one strict)."""
+    from whiterrabbit_spark.profile import skyline_2d
+
+    pts = [(1.0, 3.0), (1.0, 5.0), (2.0, 5.0), (2.0, 7.0), (3.0, 6.0),
+           (4.0, 7.0), (5.0, 9.0), (5.0, 2.0)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "g string, x double, y double"
+    )
+    got = {(r.x, r.y) for r in skyline_2d(df, "g", "x", "y").collect()}
+    want = {
+        (x, y) for x, y in pts
+        if not any(
+            (a <= x and b >= y and (a < x or b > y)) for a, b in pts
+        )
+    }
+    assert got == want
+    assert got == {(1.0, 5.0), (2.0, 7.0), (5.0, 9.0)}
+
+
+def test_generalization_advisor_ladder_monotone(spark):
+    """Coarser buckets can only merge classes: n_classes decreases and
+    min_class_size increases monotonically up the ladder; the planted
+    corpus meets k only at the coarsest numeric level."""
+    from whiterrabbit_spark.extensions.discovery import (
+        generalization_advisor,
+    )
+
+    rows = [(i % 3, float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    out = generalization_advisor(df, "id", "x", (1, 10, 100), k=5).collect()
+    levels = {r.level: r for r in out}
+    assert [levels[i].width for i in range(4)] == [1, 10, 100, -1]
+    ncls = [levels[i].n_classes for i in range(4)]
+    assert ncls == sorted(ncls, reverse=True)
+    mns = [levels[i].min_class_size for i in range(4)]
+    assert mns == sorted(mns)
+    # width-1 buckets hold exactly 1 row each -> fails k=5
+    assert levels[0].meets_k == 0 and levels[3].meets_k == 1

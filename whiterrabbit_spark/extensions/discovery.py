@@ -428,3 +428,74 @@ def dp_noisy_counts(
             F.round(F.lit(float(epsilon)), 6).alias("epsilon"),
         )
     )
+
+
+def generalization_advisor(
+    df: DataFrame,
+    id_qi: str,
+    numeric_qi: str,
+    widths: tuple[int, ...] = (1, 10, 100, 1000),
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity generalization ladder: how coarse does the numeric
+    quasi-identifier have to get before the table is k-anonymous?
+    Each candidate level buckets ``numeric_qi`` to a ``widths`` grain
+    (level i = floor(x / w_i) · w_i, plus a final level that drops the
+    column entirely), and every level's equivalence-class histogram is
+    computed in ONE pass via GROUPING SETS — one Expand feeds all
+    levels' partial aggregates, instead of |widths|+1 scans.
+
+    Returns one row per level ``(level, width, n_classes,
+    min_class_size, n_rows_below_k, pct_rows_below_k, meets_k)``,
+    coarsest-sufficient first — the row an anonymization job should
+    pick is the first with ``meets_k = 1`` and the smallest width.
+    """
+    buckets = [
+        (F.floor(F.col(numeric_qi) / int(w)) * int(w)).alias(f"__g{i}")
+        for i, w in enumerate(widths)
+    ]
+    base = df.select(F.col(id_qi).alias("__id"), *buckets)
+    sets = [
+        [F.col("__id"), F.col(f"__g{i}")] for i in range(len(widths))
+    ] + [[F.col("__id")]]
+    # grouping() must be computed inside the aggregate select — carry
+    # one flag per ladder column out of the Expand
+    classes = base.groupingSets(
+        sets, F.col("__id"), *[F.col(f"__g{i}") for i in range(len(widths))]
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.grouping(f"__g{i}").cast("int").alias(f"__gf{i}")
+            for i in range(len(widths))
+        ],
+    )
+    # level id: the __g column that participates (flag 0) names the
+    # level; all-grouped-out = the drop-the-column level
+    lvl = F.lit(len(widths))
+    for i in range(len(widths) - 1, -1, -1):
+        lvl = F.when(F.col(f"__gf{i}") == 0, F.lit(i)).otherwise(lvl)
+    per_class = classes.select(lvl.alias("level"), F.col("n"))
+    agg = per_class.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("n").alias("min_class_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < k, F.col("n"))), F.lit(0)
+        ).alias("n_rows_below_k"),
+        F.sum("n").alias("n_rows"),
+    )
+    width_expr = F.lit(None).cast("long")
+    for i, w in enumerate(widths):
+        width_expr = F.when(F.col("level") == i, F.lit(int(w))).otherwise(
+            width_expr
+        )
+    return agg.select(
+        F.col("level").cast("long").alias("level"),
+        F.coalesce(width_expr, F.lit(-1)).cast("long").alias("width"),
+        "n_classes",
+        "min_class_size",
+        "n_rows_below_k",
+        F.round(
+            F.col("n_rows_below_k") * 100.0 / F.col("n_rows"), 6
+        ).alias("pct_rows_below_k"),
+        (F.col("min_class_size") >= k).cast("long").alias("meets_k"),
+    ).orderBy("level")

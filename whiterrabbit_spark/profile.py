@@ -5429,3 +5429,52 @@ def peak_detection(
         F.round("baseline_mean", 6).alias("baseline_mean"),
         F.round(x / F.col("baseline_mean"), 6).alias("lift_ratio"),
     ).orderBy("bucket_ts")
+
+
+def skyline_2d(
+    df: DataFrame,
+    group_col: str,
+    min_col: str,
+    max_col: str,
+) -> DataFrame:
+    """Per-group 2-D skyline (Pareto frontier): the rows no other row
+    dominates, where domination means ``min_col`` ≤ AND ``max_col`` ≥
+    with at least one strict — "no cheaper row gives at least as much".
+    The multi-objective shortlist query (price vs quantity, latency vs
+    throughput) that a plain ORDER BY can't answer.
+
+    Exploits the 2-D structure instead of the O(n²) dominance
+    self-join: collapse to the best ``max_col`` per (group, min_col)
+    value — partial-aggregable, kills all same-price dominations —
+    then ONE ordered window per group keeps a point iff its value
+    strictly exceeds the running maximum over all strictly-better
+    ``min_col`` rows. O(n log n) by sort, window partitions bounded by
+    per-group distinct ``min_col`` values.
+
+    Returns ``(group, min_col, max_col)`` — the frontier, price-
+    ascending.
+    """
+    g = F.col(group_col)
+    collapsed = (
+        df.where(F.col(min_col).isNotNull() & F.col(max_col).isNotNull())
+        .groupBy(g, F.col(min_col).alias("__x"))
+        .agg(F.max(max_col).alias("__y"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        collapsed.withColumn("__prev_best", F.max("__y").over(w))
+        .where(
+            F.col("__prev_best").isNull()
+            | (F.col("__y") > F.col("__prev_best"))
+        )
+        .select(
+            g,
+            F.col("__x").alias(min_col),
+            F.col("__y").alias(max_col),
+        )
+        .orderBy(group_col, min_col)
+    )

@@ -8908,6 +8908,89 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier per return flag (profile.skyline_2d): cheapest
+    price for at least each quantity level — per-(group, price)
+    collapse then one running-max window; no O(n²) dominance join."""
+    from whiterrabbit_spark.profile import skyline_2d
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return skyline_2d(li, "l_returnflag", "l_extendedprice", "l_quantity")
+
+
+_SKYLINE_SQL = """
+WITH collapsed AS (
+  SELECT l_returnflag, l_extendedprice AS x, max(l_quantity) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT l_returnflag, x, y,
+         max(y) OVER (PARTITION BY l_returnflag ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_best
+  FROM collapsed
+)
+SELECT l_returnflag, x AS l_extendedprice, y AS l_quantity
+FROM s
+WHERE prev_best IS NULL OR y > prev_best
+ORDER BY l_returnflag, l_extendedprice"""
+
+
+def _generalization_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder (discovery.generalization_
+    advisor): every acctbal-bucket grain's equivalence-class histogram
+    from ONE GROUPING SETS Expand — |levels|+1 audits for one scan."""
+    from whiterrabbit_spark.extensions.discovery import (
+        generalization_advisor,
+    )
+
+    cust = read_parquet_table(spark, sf_dir, "customer")
+    return generalization_advisor(
+        cust, "c_nationkey", "c_acctbal", (1, 10, 100, 1000), k=5
+    )
+
+
+_GENERALIZATION_SQL = """
+WITH base AS (
+  SELECT c_nationkey AS id,
+         floor(c_acctbal / 1) * 1 AS g0,
+         floor(c_acctbal / 10) * 10 AS g1,
+         floor(c_acctbal / 100) * 100 AS g2,
+         floor(c_acctbal / 1000) * 1000 AS g3
+  FROM customer
+),
+cls AS (
+  SELECT id, g0, g1, g2, g3, count(*) AS n,
+         grouping(g0) AS f0, grouping(g1) AS f1,
+         grouping(g2) AS f2, grouping(g3) AS f3
+  FROM base
+  GROUP BY GROUPING SETS ((id, g0), (id, g1), (id, g2), (id, g3), (id))
+),
+lv AS (
+  SELECT CASE WHEN f0 = 0 THEN 0 WHEN f1 = 0 THEN 1 WHEN f2 = 0 THEN 2
+              WHEN f3 = 0 THEN 3 ELSE 4 END AS level, n
+  FROM cls
+),
+agg AS (
+  SELECT level, count(*) AS n_classes, min(n) AS mn,
+         coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS below,
+         sum(n) AS nr
+  FROM lv GROUP BY 1
+)
+SELECT CAST(level AS BIGINT) AS level,
+       CAST(CASE level WHEN 0 THEN 1 WHEN 1 THEN 10 WHEN 2 THEN 100
+                       WHEN 3 THEN 1000 ELSE -1 END AS BIGINT) AS width,
+       CAST(n_classes AS BIGINT) AS n_classes,
+       CAST(mn AS BIGINT) AS min_class_size,
+       CAST(below AS BIGINT) AS n_rows_below_k,
+       round(below * 100.0 / nr, 6) AS pct_rows_below_k,
+       CAST((mn >= 5) AS BIGINT) AS meets_k
+FROM agg
+ORDER BY level"""
+
+
 def _centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-confusability matrix (similarity.centroid_similarity_
     matrix): cosine between label centroids — one posexplode pass over
@@ -11429,6 +11512,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("skyline_lineitem", _skyline, _SKYLINE_SQL)
+    add("generalization_advisor_customer", _generalization_advisor,
+        _GENERALIZATION_SQL)
     add("centroid_matrix_embeddings", _centroid_matrix,
         _CENTROID_MATRIX_SQL)
     add("peak_detection_events", _peak_detection, _PEAK_DETECTION_SQL)
@@ -11464,6 +11550,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "skyline_lineitem",
+        "generalization_advisor_customer",
         "centroid_matrix_embeddings",
         "peak_detection_events",
         "rfm_segments_orders",
