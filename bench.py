@@ -60,7 +60,7 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "variant_props_rollup, seasonality_strength, rolling_distinct, "
      "funnel, moving_stats and asof_join entries (same shuffle shape, "
      "different grouping sets or direction)"),
-    (r"^(dedup_exact|dedup_clusters|dedup_ngram_jaccard|dedup_threshold_sweep|"
+    (r"^(dup_weighted_size|dedup_exact|dedup_clusters|dedup_ngram_jaccard|dedup_threshold_sweep|"
      r"edit_distance_pairs|semantic_dedup|fingerprint|novel|"
      r"winnow_fingerprint|corpus_report)_",
      "dedup family: the benched dedup_minhash_lsh / dedup_simhash / "
@@ -239,6 +239,7 @@ def main() -> None:
         "hurst_exponent": queries["hurst_exponent_events"],
         "rfm_segments": queries["rfm_segments_orders"],
         "skyline": queries["skyline_lineitem"],
+        "twap": queries["twap_events"],
         "generalization_advisor": queries["generalization_advisor_customer"],
         "spearman_matrix": queries["spearman_matrix_lineitem"],
         "mi_ranking": queries["mi_ranking_orders"],

@@ -4524,3 +4524,62 @@ def test_episode_pairs_gapped_vs_adjacent(spark):
     assert out[("B", "A")] == (2, 1)       # only u2
     assert out[("A", "C")] == (1, 1) and out[("C", "B")] == (1, 1)
     assert ("C", "A") not in out           # support-0 pair filtered
+
+
+def test_twap_vs_plain_avg_hand_case(spark):
+    """Value 100 held for 1 s then 0 held for the rest of the day: the
+    plain avg says 50, the TWAP is ~0 — the burst-bias the operator
+    exists to correct. Weights by hand: (100·1 + 0·86398)/86399."""
+    import __spark_entry__  # noqa: F401  (builder under test lives there)
+    from whiterrabbit_spark.queries import _twap
+
+    # drive through a temp parquet dir shaped like the events table
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    d = tempfile.mkdtemp()
+    rows = [
+        (1, "2024-01-01 00:00:01", 100.0),
+        (2, "2024-01-01 00:00:02", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, value double")
+    df = df.select(
+        "event_id", F2.col("ts").cast("timestamp").alias("ts"),
+        F2.lit(1).alias("user_id"), F2.lit("t").alias("event_type"),
+        "value", F2.lit("{}").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = _twap(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 2 and abs(r.plain_avg - 50.0) < 1e-9
+    want = (100.0 * 1 + 0.0 * 86398) / 86399
+    assert abs(r.twap - want) < 1e-6
+
+
+def test_dup_weighted_size_split_across_sources(spark):
+    """Three copies of one text across two sources: each copy weighs
+    1/3, so source A (2 copies) has effective size 2/3 and B 1/3 plus
+    its unique doc."""
+    import os
+    import tempfile
+
+    from whiterrabbit_spark.queries import _dup_weighted_size
+
+    d = tempfile.mkdtemp()
+    rows = [
+        (1, "same text", "en", "A", 9),
+        (2, "same text", "en", "A", 9),
+        (3, "same text", "en", "B", 9),
+        (4, "unique", "en", "B", 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.source: r for r in _dup_weighted_size(spark, d).collect()}
+    assert abs(out["A"].effective_size - 2 / 3) < 1e-6
+    assert abs(out["B"].effective_size - (1 / 3 + 1.0)) < 1e-6
+    assert out["A"].n_docs == 2 and out["B"].n_docs == 2

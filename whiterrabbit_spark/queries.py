@@ -8908,6 +8908,121 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average of the event value signal: each
+    observation holds until the next one THAT DAY (lead window per
+    day; the day's last observation carries to midnight), so sparse
+    bursts don't bias the mean the way a plain avg does — the TWAP
+    fairness metric, and the right daily rollup for any
+    sampled-when-it-changes signal. One window over (day, ts) + one
+    groupBy; the window partitions by day so state is a day's events."""
+    events = read_parquet_table(spark, sf_dir, "events")
+    e = events.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.to_date("ts").alias("day"),
+        F.col("ts").cast("timestamp").cast("double").alias("t"),
+        F.col("event_id"),
+        "value",
+    )
+    w = Window.partitionBy("day").orderBy("t", "event_id")
+    e = e.withColumn(
+        "t_next",
+        F.coalesce(
+            F.lead("t").over(w),
+            # end of day: midnight after the day's start
+            (F.unix_timestamp(F.col("day").cast("timestamp"))
+             + F.lit(86400)).cast("double"),
+        ),
+    ).withColumn("dt", F.col("t_next") - F.col("t"))
+    return (
+        e.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6
+            ).alias("twap"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+        )
+        .orderBy("day")
+    )
+
+
+_TWAP_SQL = """
+WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         epoch(ts) AS t, event_id, value
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+x AS (
+  SELECT day, value,
+         coalesce(
+           lead(t) OVER (PARTITION BY day ORDER BY t, event_id),
+           epoch(CAST(day AS TIMESTAMP)) + 86400
+         ) - t AS dt
+  FROM e
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value * dt) / sum(dt), 6) AS twap,
+       round(avg(value), 6) AS plain_avg
+FROM x
+GROUP BY day
+ORDER BY day"""
+
+
+def _dup_weighted_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware effective dataset size per source: exact-dup
+    clusters down-weight to 1/dup_count per copy, so Σ weight = number
+    of UNIQUE texts — the "how much signal am I actually training on"
+    report (the count a naive per-source row count overstates). One
+    digest groupBy + one source rollup; the cross-source case (one
+    text in several sources) splits its unit weight across copies,
+    which is exactly the training-time effect of global dedup."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    counts = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    # counts is one row per DISTINCT text — never broadcast it; the
+    # equi-join on the digest shuffles both sides on h and AQE may
+    # still elect broadcast at small scale on its own
+    weighted = docs.select("source", F.md5("text").alias("h")).join(
+        counts, "h"
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.lit(1.0) / F.col("dup_count")), 6
+            ).alias("effective_size"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.lit(1.0) / F.col("dup_count"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("redundancy_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_DUP_WEIGHTED_SQL = """
+WITH c AS (
+  SELECT md5(text) AS h, count(*) AS dup_count
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT d.source, 1.0 / c.dup_count AS wgt
+  FROM documents d JOIN c ON md5(d.text) = c.h
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(wgt), 6) AS effective_size,
+       round(1.0 - sum(wgt) / count(*), 6) AS redundancy_frac
+FROM w
+GROUP BY source
+ORDER BY source"""
+
+
 def _skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier per return flag (profile.skyline_2d): cheapest
     price for at least each quantity level — per-(group, price)
@@ -11512,6 +11627,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("twap_events", _twap, _TWAP_SQL)
+    add("dup_weighted_size_documents", _dup_weighted_size,
+        _DUP_WEIGHTED_SQL)
     add("skyline_lineitem", _skyline, _SKYLINE_SQL)
     add("generalization_advisor_customer", _generalization_advisor,
         _GENERALIZATION_SQL)
@@ -11550,6 +11668,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "twap_events",
+        "dup_weighted_size_documents",
         "skyline_lineitem",
         "generalization_advisor_customer",
         "centroid_matrix_embeddings",
