@@ -67,7 +67,7 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "containment_pairs / line_dedup / keep_best_dedup rows cover the "
      "shingle, banded-join and cluster plans; these are their exact / "
      "clustering / cross-snapshot / threshold-curve variants"),
-    (r"^(readability|lang_id|quality_score|repetition_signals|normalize_text|"
+    (r"^(code_detect|readability|lang_id|quality_score|repetition_signals|normalize_text|"
      r"pii_redact|tfidf_top_terms|token_count_bpe|source_diversity|"
      r"topk_quality_per_lang|temperature_mixture|chunk)_",
      "map-mostly text operators; the benched text_stats / "

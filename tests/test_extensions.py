@@ -4583,3 +4583,27 @@ def test_dup_weighted_size_split_across_sources(spark):
     assert abs(out["A"].effective_size - 2 / 3) < 1e-6
     assert abs(out["B"].effective_size - (1 / 3 + 1.0)) < 1e-6
     assert out["A"].n_docs == 2 and out["B"].n_docs == 2
+
+
+def test_code_detect_separates_code_from_prose(spark):
+    """A python snippet routes to code (keywords + assigns + indent);
+    plain prose does not; a brace-heavy config does via structural
+    fraction."""
+    from whiterrabbit_spark.extensions.textstats import code_detect
+
+    code = (
+        "import os\n"
+        "def main():\n"
+        "    x = 1\n"
+        "    y = x + 2\n"
+        "    return y\n"
+    )
+    prose = "The quick brown fox jumps over the lazy dog. " * 5
+    braces = "{\n  a: 1;\n  b: 2;\n}\n{\n  c: 3;\n}"
+    df = spark.createDataFrame(
+        [(1, code), (2, prose), (3, braces)], "id long, t string"
+    )
+    out = {r.id: r for r in code_detect(df, "t", "id").collect()}
+    assert out[1].is_code == 1 and out[1].kw_hits >= 3
+    assert out[2].is_code == 0 and out[2].structural_frac == 0.0
+    assert out[3].is_code == 1 and out[3].symbol_lines >= 5

@@ -1205,3 +1205,71 @@ def readability(
         *[F.col(c) for c in keep_cols],
         *[v.alias(k) for k, v in ex.items()],
     )
+
+
+def code_signal_exprs(t: Column) -> dict[str, Column]:
+    """Deterministic code-likeness signals, SQL-reproducible (RE2-safe
+    patterns, no backreferences):
+
+    - ``symbol_lines``: lines ending in ``;``, ``{`` or ``}``
+    - ``indent_lines``: lines starting with 4+ spaces or a tab
+    - ``kw_hits``: occurrences of hard code keywords with word
+      boundaries (def/return/import/void/class/function/const)
+    - ``assign_hits``: ``=`` signs (assignment/attr density)
+    """
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    sym = F.size(
+        F.filter(lines, lambda l: l.rlike(r"[;{}]\s*$"))
+    )
+    ind = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^(    |\t)"))
+    )
+    kw = F.size(
+        F.regexp_extract_all(
+            t,
+            F.lit(
+                r"\b(def|return|import|void|class|function|const)\b"
+            ),
+            0,
+        )
+    )
+    eq = F.size(F.regexp_extract_all(t, F.lit(r"="), 0))
+    return {
+        "n_lines": n_lines.cast("long"),
+        "symbol_lines": sym.cast("long"),
+        "indent_lines": ind.cast("long"),
+        "kw_hits": kw.cast("long"),
+        "assign_hits": eq.cast("long"),
+    }
+
+
+def code_detect(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.15,
+) -> DataFrame:
+    """Code-vs-prose heuristic — the pretraining router that decides
+    whether a document goes to the code pipeline (keep formatting,
+    code tokenizer) or the text pipeline (NFC, boilerplate strip). A
+    document is code-like when its structural-line fraction
+    ((symbol_lines + indent_lines) / n_lines) clears ``threshold`` or
+    it has keyword AND assignment density.
+
+    Pure JVM single projection (split + higher-order filter + RE2
+    counts) — no UDF, no shuffle; the decision column is exactly
+    reproducible in SQL, unlike a learned classifier
+    (quality_classifier covers that, rows-only by design).
+    """
+    ex = code_signal_exprs(F.col(text_col))
+    base = df.select(F.col(id_col), *[v.alias(k) for k, v in ex.items()])
+    frac = (F.col("symbol_lines") + F.col("indent_lines")) / F.col("n_lines")
+    kw_dense = (F.col("kw_hits") >= 3) & (F.col("assign_hits") >= 3)
+    return base.select(
+        id_col,
+        "n_lines", "symbol_lines", "indent_lines", "kw_hits",
+        "assign_hits",
+        F.round(frac, 6).alias("structural_frac"),
+        ((frac > threshold) | kw_dense).cast("long").alias("is_code"),
+    )

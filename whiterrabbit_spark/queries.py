@@ -8908,6 +8908,61 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing report (textstats.code_detect): per lang
+    the code-like share and mean structural-line fraction — pure JVM
+    split + higher-order filter + RE2 counts, SQL-identical."""
+    from whiterrabbit_spark.extensions.textstats import code_detect
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    scored = code_detect(docs, "text", "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_code").alias("n_code"),
+            F.round(F.avg("structural_frac"), 6).alias(
+                "avg_structural_frac"
+            ),
+            F.round(F.avg("kw_hits"), 6).alias("avg_kw_hits"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CODE_DETECT_SQL = r"""
+WITH s AS (
+  SELECT lang,
+         greatest(len(string_split(text, chr(10))), 1) AS n_lines,
+         len(list_filter(string_split(text, chr(10)),
+             x -> regexp_matches(x, '[;{}]\s*$'))) AS symbol_lines,
+         len(list_filter(string_split(text, chr(10)),
+             x -> regexp_matches(x, '^(    |\t)'))) AS indent_lines,
+         len(regexp_extract_all(text,
+             '\b(def|return|import|void|class|function|const)\b'))
+           AS kw_hits,
+         len(regexp_extract_all(text, '=')) AS assign_hits
+  FROM documents
+),
+d AS (
+  SELECT lang, kw_hits,
+         (symbol_lines + indent_lines) * 1.0 / n_lines AS frac,
+         CASE WHEN (symbol_lines + indent_lines) * 1.0 / n_lines > 0.15
+                   OR (kw_hits >= 3 AND assign_hits >= 3)
+              THEN 1 ELSE 0 END AS is_code
+  FROM s
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_code) AS BIGINT) AS n_code,
+       round(avg(round(frac, 6)), 6) AS avg_structural_frac,
+       round(avg(kw_hits), 6) AS avg_kw_hits
+FROM d
+GROUP BY lang
+ORDER BY lang"""
+
+
 def _twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily time-weighted average of the event value signal: each
     observation holds until the next one THAT DAY (lead window per
@@ -11627,6 +11682,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("code_detect_documents", _code_detect, _CODE_DETECT_SQL)
     add("twap_events", _twap, _TWAP_SQL)
     add("dup_weighted_size_documents", _dup_weighted_size,
         _DUP_WEIGHTED_SQL)
@@ -11668,6 +11724,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "code_detect_documents",
         "twap_events",
         "dup_weighted_size_documents",
         "skyline_lineitem",
