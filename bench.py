@@ -240,6 +240,8 @@ def main() -> None:
         "rfm_segments": queries["rfm_segments_orders"],
         "skyline": queries["skyline_lineitem"],
         "twap": queries["twap_events"],
+        "rolling_corr": queries["rolling_corr_events"],
+        "var_es": queries["var_es_orders"],
         "generalization_advisor": queries["generalization_advisor_customer"],
         "spearman_matrix": queries["spearman_matrix_lineitem"],
         "mi_ranking": queries["mi_ranking_orders"],

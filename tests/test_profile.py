@@ -2140,3 +2140,22 @@ def test_generalization_advisor_ladder_monotone(spark):
     assert mns == sorted(mns)
     # width-1 buckets hold exactly 1 row each -> fails k=5
     assert levels[0].meets_k == 0 and levels[3].meets_k == 1
+
+
+def test_var_es_hand_case(spark):
+    """20 values 1..20: type-7 P95 = 1 + 0.95·19 = 19.05; the only
+    value at or beyond it is 20, so ES = 20 and the tail has 1 row."""
+    from whiterrabbit_spark.queries import _var_es
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    rows = [(i, float(i), "P") for i in range(1, 21)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderpriority string"
+    )
+    df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    out = _var_es(spark, d).collect()[0]
+    assert abs(out.var_95 - 19.05) < 1e-9     # 1 + 0.95*19 = 19.05
+    assert abs(out.es_95 - 20.0) < 1e-9
+    assert out.n_tail == 1 and out.n_orders == 20

@@ -8908,6 +8908,141 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk + Expected Shortfall per order priority: the exact
+    type-7 P95 of the spend distribution and the mean of the tail at or
+    beyond it — the pair risk desks quote, and for a data platform the
+    canonical 'how heavy is the tail really' rollup (ES is coherent
+    where VaR alone is not). Exact percentile per group over the
+    bounded priority partitions, then one conditional tail average —
+    two bounded aggs, no window over raw rows."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    q = (
+        orders.where(F.col("o_totalprice").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(F.percentile("o_totalprice", F.lit(0.95)).alias("var95"))
+    )
+    joined = orders.join(F.broadcast(q), "o_orderpriority")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.max("var95"), 6).alias("var_95"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("o_totalprice") >= F.col("var95"),
+                        F.col("o_totalprice"),
+                    )
+                ),
+                6,
+            ).alias("es_95"),
+            F.sum(
+                (F.col("o_totalprice") >= F.col("var95")).cast("long")
+            ).alias("n_tail"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_VAR_ES_SQL = """
+WITH q AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.95) AS var95
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY 1
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(max(q.var95), 6) AS var_95,
+       round(avg(CASE WHEN o.o_totalprice >= q.var95
+                      THEN o.o_totalprice END), 6) AS es_95,
+       CAST(sum(CASE WHEN o.o_totalprice >= q.var95 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tail
+FROM orders o JOIN q USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority"""
+
+
+def _rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling Pearson correlation between two event types'
+    hourly arrival series — the co-movement monitor that flags when
+    two signals decouple. Raw events collapse to the bounded (hour,
+    type) count grid in one groupBy; the full-outer hour alignment
+    and the rolling-moment windows all run on the series frame.
+    Pearson from rolling sums (Σx, Σy, Σxy, Σx², Σy²) — one window
+    pass, exact integer sums, identical arithmetic in the oracle."""
+    events = read_parquet_table(spark, sf_dir, "events")
+    top2 = ["click", "view"]
+    grid = (
+        events.where(F.col("event_type").isin(top2))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("h")
+        .pivot("event_type", top2)
+        .agg(F.first("n"))
+        .select(
+            "h",
+            F.coalesce(F.col(top2[0]), F.lit(0)).cast("double").alias("x"),
+            F.coalesce(F.col(top2[1]), F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    w = Window.orderBy("h").rowsBetween(-23, 0)
+    k = F.count(F.lit(1)).over(w)
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    cov = k * sxy - sx * sy
+    den = F.sqrt(k * sxx - sx * sx) * F.sqrt(k * syy - sy * sy)
+    out = grid.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        k.alias("window_n"),
+        F.round(
+            F.when(den > 0, cov / den).otherwise(F.lit(0.0)), 6
+        ).alias("rolling_corr"),
+    )
+    return out.where(F.col("window_n") == 24).orderBy("hour")
+
+
+_ROLLING_CORR_SQL = """
+WITH grid AS (
+  SELECT h,
+         CAST(coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0)
+              AS DOUBLE) AS x,
+         CAST(coalesce(max(CASE WHEN event_type = 'view' THEN n END), 0)
+              AS DOUBLE) AS y
+  FROM (
+    SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+    FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY 1, 2
+  )
+  GROUP BY h
+),
+r AS (
+  SELECT h,
+         count(*) OVER w AS k,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+  FROM grid
+  WINDOW w AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(k AS BIGINT) AS window_n,
+       round(CASE WHEN sqrt(k * sxx - sx * sx) * sqrt(k * syy - sy * sy) > 0
+                  THEN (k * sxy - sx * sy)
+                       / (sqrt(k * sxx - sx * sx) * sqrt(k * syy - sy * sy))
+                  ELSE 0.0 END, 6) AS rolling_corr
+FROM r
+WHERE k = 24
+ORDER BY hour"""
+
+
 def _code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-vs-prose routing report (textstats.code_detect): per lang
     the code-like share and mean structural-line fraction — pure JVM
@@ -11682,6 +11817,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("var_es_orders", _var_es, _VAR_ES_SQL)
+    add("rolling_corr_events", _rolling_corr, _ROLLING_CORR_SQL)
     add("code_detect_documents", _code_detect, _CODE_DETECT_SQL)
     add("twap_events", _twap, _TWAP_SQL)
     add("dup_weighted_size_documents", _dup_weighted_size,
@@ -11724,6 +11861,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "var_es_orders",
+        "rolling_corr_events",
         "code_detect_documents",
         "twap_events",
         "dup_weighted_size_documents",
