@@ -55,7 +55,8 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "benched spearman_corr / ks_drift / jsd_drift / chi2_drift"),
     (r"^(ohlc_bars|peak_detection|events_cube|events_multi_rollup|json_props_rollup|json_schema_(profile|drift)|seasonality|"
      r"active_users|cohort_retention|event_transitions|"
-     r"missingness_patterns|range_moving_stats|asof_join_forward)_?",
+     r"missingness_patterns|range_moving_stats|asof_join_forward|"
+     r"resample_interpolate)_?",
      "rollup/window variants of the benched events_hourly_rollup, "
      "variant_props_rollup, seasonality_strength, rolling_distinct, "
      "funnel, moving_stats and asof_join entries (same shuffle shape, "

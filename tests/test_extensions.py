@@ -4607,3 +4607,26 @@ def test_code_detect_separates_code_from_prose(spark):
     assert out[1].is_code == 1 and out[1].kw_hits >= 3
     assert out[2].is_code == 0 and out[2].structural_frac == 0.0
     assert out[3].is_code == 1 and out[3].symbol_lines >= 5
+
+
+def test_resample_interpolate_interior_and_edge_gaps(spark):
+    """Hour 0 = 10, hour 3 = 40, nothing between: hours 1,2 interpolate
+    to 20, 30; a leading-edge group (gap before first obs) carries the
+    nearest value instead of extrapolating."""
+    from whiterrabbit_spark.extensions.sequences import (
+        resample_interpolate,
+    )
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    rows = [
+        ("g", base + 0, 10.0),
+        ("g", base + 3 * 3600, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, sec long, value double")
+    df = df.select("event_type", F.timestamp_seconds("sec").alias("ts"), "value")
+    out = {
+        int((r.bucket_ts.timestamp() - base) // 3600): r.v_interp
+        for r in resample_interpolate(df).collect()
+    }
+    assert out[0] == 10.0 and out[3] == 40.0
+    assert abs(out[1] - 20.0) < 1e-9 and abs(out[2] - 30.0) < 1e-9

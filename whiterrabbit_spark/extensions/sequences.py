@@ -715,3 +715,53 @@ def episode_pairs(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def resample_interpolate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Regular-grid resample with LINEAR interpolation — the sibling of
+    :func:`resample_fill` for continuously-varying signals (a sensor
+    reading interpolates; a price forward-fills). Interior gaps fill
+    with the time-weighted blend of the surrounding observations; edge
+    gaps (nothing on one side) carry the nearest observation instead
+    of inventing a trend.
+
+    Same scale shape as resample_fill: the grid work happens on the
+    O(groups × buckets) aggregate; two symmetric windows (last-before,
+    first-after) on the series frame; raw events are scanned once.
+    """
+    base = resample_fill(
+        events, ts_col, group_col, value_col, step=step, unit=unit
+    ).select("group_key", "bucket_ts", "n_events", "v_sum")
+    w = Window.partitionBy("group_key").orderBy("bucket_ts")
+    before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t = F.col("bucket_ts").cast("timestamp").cast("double")
+    prev_v = F.last("v_sum", ignorenulls=True).over(before)
+    next_v = F.first("v_sum", ignorenulls=True).over(after)
+    prev_t = F.last(
+        F.when(F.col("v_sum").isNotNull(), t), ignorenulls=True
+    ).over(before)
+    next_t = F.first(
+        F.when(F.col("v_sum").isNotNull(), t), ignorenulls=True
+    ).over(after)
+    frac = F.when(
+        next_t > prev_t, (t - prev_t) / (next_t - prev_t)
+    ).otherwise(F.lit(0.0))
+    interp = F.when(
+        prev_v.isNotNull() & next_v.isNotNull(),
+        prev_v + (next_v - prev_v) * frac,
+    ).otherwise(F.coalesce(prev_v, next_v))
+    return base.select(
+        "group_key",
+        "bucket_ts",
+        "n_events",
+        "v_sum",
+        interp.alias("v_interp"),
+    )

@@ -8908,6 +8908,66 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolated resample (sequences.resample_interpolate):
+    interior grid gaps blend the surrounding observations by time;
+    edges carry the nearest. Same grid plan as resample_fill."""
+    from whiterrabbit_spark.extensions.sequences import (
+        resample_interpolate,
+    )
+
+    events = read_parquet_table(spark, sf_dir, "events")
+    out = resample_interpolate(events, "ts", "event_type", "value")
+    return out.select(
+        "group_key", "bucket_ts", "n_events",
+        F.round("v_sum", R).alias("v_sum"),
+        F.round("v_interp", R).alias("v_interp"),
+    )
+
+
+_RESAMPLE_INTERP_SQL = """
+WITH agg AS (
+  SELECT event_type AS group_key, date_trunc('hour', ts) AS bucket_ts,
+         count(*) AS n_events, sum(value) AS v_sum
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT group_key, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+  FROM agg GROUP BY 1
+), grid AS (
+  SELECT group_key,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM bounds
+), joined AS (
+  SELECT g.group_key, g.bucket_ts,
+         coalesce(a.n_events, 0) AS n_events, a.v_sum,
+         epoch(g.bucket_ts) AS t
+  FROM grid g LEFT JOIN agg a USING (group_key, bucket_ts)
+), x AS (
+  SELECT group_key, bucket_ts, n_events, v_sum, t,
+         last_value(v_sum IGNORE NULLS) OVER wb AS prev_v,
+         first_value(v_sum IGNORE NULLS) OVER wa AS next_v,
+         last_value(CASE WHEN v_sum IS NOT NULL THEN t END IGNORE NULLS)
+           OVER wb AS prev_t,
+         first_value(CASE WHEN v_sum IS NOT NULL THEN t END IGNORE NULLS)
+           OVER wa AS next_t
+  FROM joined
+  WINDOW wb AS (PARTITION BY group_key ORDER BY bucket_ts
+                ROWS UNBOUNDED PRECEDING),
+         wa AS (PARTITION BY group_key ORDER BY bucket_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT group_key, bucket_ts, CAST(n_events AS BIGINT) AS n_events,
+       round(v_sum, 6) AS v_sum,
+       round(CASE
+         WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+           prev_v + (next_v - prev_v) *
+             (CASE WHEN next_t > prev_t
+                   THEN (t - prev_t) / (next_t - prev_t) ELSE 0.0 END)
+         ELSE coalesce(prev_v, next_v) END, 6) AS v_interp
+FROM x"""
+
+
 def _var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-at-Risk + Expected Shortfall per order priority: the exact
     type-7 P95 of the spend distribution and the mean of the tail at or
@@ -11817,6 +11877,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("resample_interpolate_events", _resample_interpolate,
+        _RESAMPLE_INTERP_SQL)
     add("var_es_orders", _var_es, _VAR_ES_SQL)
     add("rolling_corr_events", _rolling_corr, _ROLLING_CORR_SQL)
     add("code_detect_documents", _code_detect, _CODE_DETECT_SQL)
@@ -11861,6 +11923,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "resample_interpolate_events",
         "var_es_orders",
         "rolling_corr_events",
         "code_detect_documents",
