@@ -45,7 +45,7 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
      "streaming_sliding_rate pair"),
     (r"^(zscore|winsorize)_",
      "map-only standardization — plan prefix of the benched robust_scale"),
-    (r"^(mad_outliers|outlier_counts|value_entropy|check_constraints|"
+    (r"^(extremes|row_dups|mad_outliers|outlier_counts|value_entropy|check_constraints|"
      r"histogram|grouped_quantiles|grouped_profile)_",
      "small-aggregate profiling variants of benched family members "
      "(dow_outliers, equi_depth_hist, grouped_freq, key_skew)"),

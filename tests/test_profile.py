@@ -2159,3 +2159,42 @@ def test_var_es_hand_case(spark):
     assert abs(out.var_95 - 19.05) < 1e-9     # 1 + 0.95*19 = 19.05
     assert abs(out.es_95 - 20.0) < 1e-9
     assert out.n_tail == 1 and out.n_orders == 20
+
+
+def test_row_dups_and_extremes_queries(spark):
+    """row_dups: a doubled row is 1 redundant row / 1 dup group;
+    extremes: sentinel spike (-1 x 50) shows as bottom rank 1 with its
+    multiplicity."""
+    import os
+    import tempfile
+
+    from whiterrabbit_spark.queries import _extremes, _row_dups
+
+    d = tempfile.mkdtemp()
+    rows = [(1, 10, "O", 5.0, "1995-01-01", "1-URGENT")] * 2 + [
+        (2, 11, "F", 7.0, "1995-01-02", "2-HIGH")
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    out = _row_dups(spark, d).collect()[0]
+    assert out.n_rows == 3 and out.n_distinct_rows == 2
+    assert out.n_redundant_rows == 1 and out.n_dup_groups == 1
+    assert out.max_multiplicity == 2
+
+    li = [(float(v), 1.0, 0.05, 0.02) for v in range(100)] + [
+        (-1.0, 1.0, 0.05, 0.02)
+    ] * 50
+    spark.createDataFrame(
+        li, "l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    ext = _extremes(spark, d).collect()
+    q_bottom1 = [
+        r for r in ext
+        if r.column_name == "l_quantity" and r.side == "bottom"
+        and r.rank == 1
+    ][0]
+    assert q_bottom1.value == -1.0 and q_bottom1.n == 50

@@ -8908,6 +8908,121 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
 FROM classes"""
 
 
+def _extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top/bottom-3 values with multiplicities per numeric lineitem
+    column — the extension of the reference's bare min/max (N1,
+    whiteRRabbit.R:377-388): extremes WITH counts expose sentinel
+    spikes (a million -1s) that a min alone hides. One melt + one
+    groupBy(col, value) + per-column rank windows over the distinct
+    values; the windows never see raw rows."""
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = []
+    for c in cols:
+        pairs += [F.lit(c), F.col(c).cast("double")]
+    melted = li.select(
+        F.stack(F.lit(len(cols)), *pairs).alias("column_name", "value")
+    ).where(F.col("value").isNotNull())
+    counts = melted.groupBy("column_name", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    asc = Window.partitionBy("column_name").orderBy(F.col("value").asc())
+    desc = Window.partitionBy("column_name").orderBy(F.col("value").desc())
+    ranked = counts.select(
+        "column_name", "value", "n",
+        F.row_number().over(asc).alias("r_lo"),
+        F.row_number().over(desc).alias("r_hi"),
+    )
+    return (
+        ranked.where((F.col("r_lo") <= 3) | (F.col("r_hi") <= 3))
+        .select(
+            "column_name",
+            F.when(F.col("r_lo") <= 3, F.lit("bottom"))
+            .otherwise(F.lit("top")).alias("side"),
+            F.when(F.col("r_lo") <= 3, F.col("r_lo"))
+            .otherwise(F.col("r_hi")).cast("long").alias("rank"),
+            "value",
+            "n",
+        )
+        .orderBy("column_name", "side", "rank")
+    )
+
+
+_EXTREMES_SQL = """
+WITH melted AS (
+  SELECT 'l_quantity' AS column_name, CAST(l_quantity AS DOUBLE) AS value
+  FROM lineitem WHERE l_quantity IS NOT NULL
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  UNION ALL
+  SELECT 'l_discount', CAST(l_discount AS DOUBLE)
+  FROM lineitem WHERE l_discount IS NOT NULL
+  UNION ALL
+  SELECT 'l_tax', CAST(l_tax AS DOUBLE)
+  FROM lineitem WHERE l_tax IS NOT NULL
+),
+counts AS (
+  SELECT column_name, value, count(*) AS n
+  FROM melted GROUP BY 1, 2
+),
+ranked AS (
+  SELECT column_name, value, n,
+         row_number() OVER (PARTITION BY column_name
+                            ORDER BY value ASC) AS r_lo,
+         row_number() OVER (PARTITION BY column_name
+                            ORDER BY value DESC) AS r_hi
+  FROM counts
+)
+SELECT column_name,
+       CASE WHEN r_lo <= 3 THEN 'bottom' ELSE 'top' END AS side,
+       CAST(CASE WHEN r_lo <= 3 THEN r_lo ELSE r_hi END AS BIGINT)
+         AS rank,
+       value,
+       CAST(n AS BIGINT) AS n
+FROM ranked
+WHERE r_lo <= 3 OR r_hi <= 3
+ORDER BY column_name, side, rank"""
+
+
+def _row_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row duplicate audit: how many orders rows are byte-for-byte
+    repeats of another — the load-went-twice detector run before any
+    aggregate is trusted. One groupBy over ALL columns (count>1 rows
+    are the dups), one single-row rollup; partial-aggregable at any
+    width because the grouping key is the row itself."""
+    orders = read_parquet_table(spark, sf_dir, "orders")
+    groups = orders.groupBy(*orders.columns).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return groups.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > 1, F.col("n") - 1)), F.lit(0)
+        ).alias("n_redundant_rows"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_dup_groups"),
+        F.max("n").alias("max_multiplicity"),
+    )
+
+
+_ROW_DUPS_SQL = """
+WITH g AS (
+  SELECT count(*) AS n
+  FROM orders
+  GROUP BY o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_rows,
+       CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT)
+         AS n_redundant_rows,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_groups,
+       CAST(max(n) AS BIGINT) AS max_multiplicity
+FROM g"""
+
+
 def _resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolated resample (sequences.resample_interpolate):
     interior grid gaps blend the surrounding observations by time;
@@ -11877,6 +11992,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("extremes_lineitem", _extremes, _EXTREMES_SQL)
+    add("row_dups_orders", _row_dups, _ROW_DUPS_SQL)
     add("resample_interpolate_events", _resample_interpolate,
         _RESAMPLE_INTERP_SQL)
     add("var_es_orders", _var_es, _VAR_ES_SQL)
@@ -11923,6 +12040,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "extremes_lineitem",
+        "row_dups_orders",
         "resample_interpolate_events",
         "var_es_orders",
         "rolling_corr_events",
