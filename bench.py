@@ -38,7 +38,7 @@ BENCH_EXCLUSIONS: list[tuple[str, str]] = [
     (r"^overview_tables$",
      "parse-free count(*) per file — a strict subset of every benched "
      "profile entry's scan"),
-    (r"^streaming_(sessionize|join|psi|dedup|frequencies|topk|"
+    (r"^streaming_(sessionize|join|psi|dedup|frequencies|topk|pysource|"
      r"windowed_profile|running_stats)_",
      "bounded micro-batch streams: wall time is streaming-engine fixed "
      "overhead, pinned once by the benched streaming_active_users / "

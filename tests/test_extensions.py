@@ -4630,3 +4630,33 @@ def test_resample_interpolate_interior_and_edge_gaps(spark):
     }
     assert out[0] == 10.0 and out[3] == 40.0
     assert abs(out[1] - 20.0) < 1e-9 and abs(out[2] - 30.0) < 1e-9
+
+
+def test_streaming_pysource_drains_all_batches(spark):
+    """The streaming reader must emit ALL n rows across micro-batches
+    (not just the single batch the AvailableNow fallback would give)
+    and replay any slice identically via readBetweenOffsets."""
+    from whiterrabbit_spark import pysource
+
+    pysource.register(spark)
+    stream = (
+        spark.readStream.format("wrs_synth")
+        .option("n", 1100).option("rows_per_batch", 170).load()
+    )
+    agg = stream.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("pys_drain_test")
+        .outputMode("complete").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    row = spark.table("pys_drain_test").collect()[0]
+    assert row.n == 1100 and row.s == 1100 * 1099 // 2
+
+    r = pysource.SyntheticStreamReader({"n": 50, "rows_per_batch": 7})
+    it, off = r.read({"pos": 0})
+    assert off == {"pos": 7}
+    replay = list(r.readBetweenOffsets({"pos": 0}, {"pos": 7}))
+    assert list(it) == replay

@@ -60,7 +60,44 @@ class SyntheticDataSource(DataSource):
     def reader(self, schema) -> SyntheticReader:
         return SyntheticReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SyntheticStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the source with a session."""
     spark.dataSource.register(SyntheticDataSource)
+
+
+try:  # Spark 4 streaming Python data source API
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover - pyspark < 4 fallback
+    SimpleDataSourceStreamReader = object
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the synthetic source: the same Knuth-hash rows
+    arrive in ``rows_per_batch`` micro-batch slices until ``n`` rows
+    have been emitted, then the offset stops advancing — a bounded,
+    exactly-replayable stream (``readBetweenOffsets`` regenerates any
+    slice), so a drained stream equals the batch table row-for-row and
+    the DuckDB oracle can check a STREAMING pipeline's final state."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n", 10_000))
+        self.batch = max(1, int(options.get("rows_per_batch", 1000)))
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        return iter([(i, i % 7, (i * KNUTH) % 1000) for i in range(lo, hi)])
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        end = min(pos + self.batch, self.n)
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["pos"]), int(end["pos"]))

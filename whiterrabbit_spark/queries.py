@@ -11080,6 +11080,46 @@ FROM (SELECT unnest(generate_series(0, {PYSOURCE_N - 1})) AS i) t
 GROUP BY 1 ORDER BY 1"""
 
 
+def _streaming_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python Data Source (Spark 4
+    ``SimpleDataSourceStreamReader``): the same deterministic Knuth-
+    hash table arrives as bounded micro-batches (offset = row position,
+    any slice exactly replayable), drains through a complete-mode
+    running rollup into a memory sink, and the final state must equal
+    the batch answer — the oracle regenerates it from generate_series.
+    Python micro-batch streams don't support Trigger.AvailableNow (it
+    falls back to ONE batch), so the drain uses processAllAvailable —
+    the offset stops advancing at n, which is exactly the
+    caught-up condition it waits on."""
+    import uuid
+
+    from whiterrabbit_spark import pysource
+
+    pysource.register(spark)
+    stream = (
+        spark.readStream.format("wrs_synth")
+        .option("n", PYSOURCE_N)
+        .option("rows_per_batch", PYSOURCE_N // 8)
+        .load()
+    )
+    agg = stream.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("sum_value"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+    name = f"wrs_pys_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).orderBy("day")
+
+
 def _udtf_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 corpus trigrams via the Spark 4 Python UDTF lateral join
     (textstats.register_ngram_udtf) — the SQL-native form of n-gram
@@ -11992,6 +12032,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("t_closeness_customer", _t_closeness, _T_CLOSENESS_SQL)
     add("dp_counts_orders", _dp_counts, _DP_COUNTS_SQL)
     add("readability_documents", _readability, _READABILITY_SQL)
+    add("streaming_pysource_rollup", _streaming_pysource, _PYSOURCE_SQL)
     add("extremes_lineitem", _extremes, _EXTREMES_SQL)
     add("row_dups_orders", _row_dups, _ROW_DUPS_SQL)
     add("resample_interpolate_events", _resample_interpolate,
@@ -12040,6 +12081,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # Reordering only permutes dict insertion order; every entry keeps
     # its builder and oracle.
     _R4_PREFIX = [
+        "streaming_pysource_rollup",
         "extremes_lineitem",
         "row_dups_orders",
         "resample_interpolate_events",
