@@ -761,6 +761,39 @@ def test_spearman_corr(spark):
     assert spearman_corr(withnull, "a", "b").collect()[0].n == 2
 
 
+def test_spearman_matrix_matches_pairwise(spark):
+    """The one-scan melted form agrees with per-pair spearman_corr
+    (same max-rank tie semantics), keeps pair order, excludes NULLs
+    per pair independently, and emits (NULL, 0) for an empty pair."""
+    import random
+
+    from pyspark.sql import Row
+
+    from whiterrabbit_spark.profile import spearman_corr, spearman_matrix
+
+    rng = random.Random(7)
+    rows = [
+        Row(
+            a=float(rng.randint(1, 20)),
+            b=float(rng.randint(1, 20)) ** 2,
+            c=rng.gauss(0.0, 1.0),
+            d=None,
+        )
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "a double, b double, c double, d double"
+    )
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")]
+    out = spearman_matrix(df, pairs).collect()
+    assert [(r.col_a, r.col_b) for r in out] == pairs
+    for r in out[:3]:
+        ref = spearman_corr(df, r.col_a, r.col_b).collect()[0]
+        assert abs(r.spearman - ref.spearman) < 1e-9
+        assert r.n == ref.n == 500
+    assert out[3].spearman is None and out[3].n == 0
+
+
 def test_grouped_ols(spark):
     from pyspark.sql import Row
 

@@ -1810,6 +1810,102 @@ def spearman_corr(
     )
 
 
+def spearman_matrix(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Spearman rank correlation for MANY column pairs in ONE fact
+    scan (VERDICT r4 #2 — replaces one :func:`spearman_corr` call per
+    pair, which cost ~3 scans each / 9 for the 3-pair registry query).
+
+    Identity: with max-rank (cume_dist) tie handling, the rank of a
+    value depends only on the pair's marginal histogram, and Pearson
+    over ranks needs only Σw, Σwx, Σwy, Σwx², Σwy², Σwxy over the
+    JOINT value histogram — so one ``posexplode`` melt builds every
+    pair's joint hist in a single scan+shuffle, marginals and ranks
+    re-aggregate from it (no second fact scan; the joint hist is
+    ``localCheckpoint``-pinned, O(distinct value pairs) rows), and each
+    correlation is one O(cells) weighted aggregate. Same tie semantics
+    as :func:`spearman_corr`, mirrored by the oracle.
+
+    Returns one row per pair, in order: ``(col_a, col_b, spearman, n)``.
+    """
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    joint = (
+        df.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(a).cast("double").alias("va"),
+                            F.col(b).cast("double").alias("vb"),
+                        )
+                        for a, b in pairs
+                    ]
+                )
+            ).alias("__pid", "__p")
+        )
+        .select("__pid", "__p.va", "__p.vb")
+        .where(F.col("va").isNotNull() & F.col("vb").isNotNull())
+        .groupBy("__pid", "va", "vb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    totals = joint.groupBy("__pid").agg(F.sum("cnt").alias("__ntot"))
+
+    def _marg_ranks(side: str) -> DataFrame:
+        h = joint.groupBy("__pid", side).agg(F.sum("cnt").alias("cnt"))
+        cum = _hist_exclusive_prefix_grouped(
+            h, ["__pid"], side, "cnt", n_parts
+        )
+        return cum.join(F.broadcast(totals), "__pid").select(
+            "__pid",
+            F.col(side),
+            (
+                (F.col("before") + F.col("cnt"))
+                / F.col("__ntot").cast("double")
+            ).alias(f"__r_{side}"),
+        )
+
+    ranked = joint.join(_marg_ranks("va"), ["__pid", "va"]).join(
+        _marg_ranks("vb"), ["__pid", "vb"]
+    )
+    w = F.col("cnt").cast("double")
+    x, y = F.col("__r_va"), F.col("__r_vb")
+    stats = ranked.groupBy("__pid").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(x * w).alias("sx"),
+        F.sum(y * w).alias("sy"),
+        F.sum(x * x * w).alias("sxx"),
+        F.sum(y * y * w).alias("syy"),
+        F.sum(x * y * w).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    corr = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    spine = spark.range(len(pairs)).select(
+        F.col("id").cast("int").alias("__pid")
+    )
+    return (
+        spine.join(stats, "__pid", "left")
+        .orderBy("__pid")
+        .select(
+            F.element_at(
+                F.array(*[F.lit(a) for a, _ in pairs]), F.col("__pid") + 1
+            ).alias("col_a"),
+            F.element_at(
+                F.array(*[F.lit(b) for _, b in pairs]), F.col("__pid") + 1
+            ).alias("col_b"),
+            corr.alias("spearman"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
 def grouped_ols(
     df: DataFrame, group_col: str, x_col: str, y_col: str
 ) -> DataFrame:
@@ -2272,6 +2368,68 @@ def _hist_exclusive_prefix(
         .join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__off") + F.col("__lcum"))
         .drop("__pid", "__lo", "__hi", "__lcum", "__off")
+    )
+
+
+def _hist_exclusive_prefix_grouped(
+    hist: DataFrame,
+    grp_cols: list[str],
+    order_col: str,
+    cnt_col: str,
+    n_partitions: int,
+    out_col: str = "before",
+) -> DataFrame:
+    """Per-group exclusive running sum over a melted value histogram —
+    :func:`_hist_exclusive_prefix` with the prefix resetting on
+    ``grp_cols`` (VERDICT r4 #2: lets one melted ``groupBy(col, v)``
+    scan serve every column's prefix instead of a scan per column).
+    Groups are few (columns / pairs), so the per-group (lo, hi) bounds
+    and the per-(group, bucket) offset frames stay O(groups ×
+    n_buckets) broadcasts; per-bucket local windows keep all row-sized
+    work distributed exactly as in the ungrouped form.
+    """
+    oc = F.col(order_col)
+    bounds = hist.groupBy(*grp_cols).agg(
+        F.min(oc).alias("__lo"), F.max(oc).alias("__hi")
+    )
+    bucket = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.floor(
+                (oc - F.col("__lo"))
+                / ((F.col("__hi") - F.col("__lo")) / n_partitions)
+            ),
+            F.lit(n_partitions - 1),
+        ),
+    ).otherwise(F.lit(0))
+    hist = hist.join(F.broadcast(bounds), grp_cols).withColumn(
+        "__bkt", bucket.cast("int")
+    )
+    totals = hist.groupBy(*grp_cols, "__bkt").agg(
+        F.sum(cnt_col).alias("__ptot")
+    )
+    w_off = (
+        Window.partitionBy(*grp_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *grp_cols,
+        "__bkt",
+        F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_loc = (
+        Window.partitionBy(*grp_cols, "__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        hist.withColumn(
+            "__lcum", F.coalesce(F.sum(cnt_col).over(w_loc), F.lit(0))
+        )
+        .join(F.broadcast(offsets), [*grp_cols, "__bkt"])
+        .withColumn(out_col, F.col("__off") + F.col("__lcum"))
+        .drop("__bkt", "__lo", "__hi", "__lcum", "__off")
     )
 
 
@@ -2743,50 +2901,67 @@ def gini_coefficient(
 
     Computed from the value histogram with the tied-rank identity
     Σ rank·x = Σ_v x·(c·B + c(c+1)/2), where B is the exclusive
-    cumulative count — so the only machinery is one ``groupBy(v)`` per
-    column and :func:`_hist_exclusive_prefix` (bucketed distributed
-    prefix sum, its third consumer): no global sort of rows, no
+    cumulative count. Scale shape (VERDICT r4 #2): ALL columns' value
+    histograms come out of ONE fact scan — a ``posexplode`` melt to
+    (column, v) pairs and one ``groupBy(col, v)`` (shuffle bytes equal
+    the sum of the old per-column hists, so the melt is a pure scan
+    saving — the old form paid one fact scan per column, 8 for
+    ``gini_lineitem``). The per-column prefix comes from
+    :func:`_hist_exclusive_prefix_grouped` (bucketed distributed
+    prefix sum resetting per column): no global sort of rows, no
     single-reducer window over a near-unique column.
 
-    Returns one row per column: ``(column_name, n_rows, gini)``.
+    Returns one row per column: ``(column_name, n_rows, gini)`` in the
+    order given.
     """
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
-    outs = []
-    for col in cols:
-        v = F.col(col).cast("double")
-        hist = (
-            df.where(v.isNotNull() & (v >= 0))
-            .groupBy(v.alias("v"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
+    v = F.col("v")
+    melted = (
+        df.select(
+            F.posexplode(
+                F.array(*[F.col(c).cast("double") for c in cols])
+            ).alias("__pos", "v")
         )
-        cum = _hist_exclusive_prefix(hist, "v", "cnt", n_parts)
-        c = F.col("cnt").cast("double")
-        b = F.col("before").cast("double")
-        s = cum.agg(
-            F.sum(F.col("v") * c).alias("t"),
-            F.sum("cnt").alias("n"),
-            F.sum(F.col("v") * (c * b + c * (c + 1) / 2.0)).alias("rw"),
+        .where(v.isNotNull() & (v >= 0))
+        .groupBy("__pos", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # pin the O(Σ distinct) hist: the prefix helper traverses it 3×
+        # and each lazy traversal would re-scan the fact table
+        .localCheckpoint(eager=True)
+    )
+    cum = _hist_exclusive_prefix_grouped(melted, ["__pos"], "v", "cnt", n_parts)
+    c = F.col("cnt").cast("double")
+    b = F.col("before").cast("double")
+    s = cum.groupBy("__pos").agg(
+        F.sum(v * c).alias("t"),
+        F.sum("cnt").alias("n"),
+        F.sum(v * (c * b + c * (c + 1) / 2.0)).alias("rw"),
+    )
+    # all-null/all-negative columns vanish from the melt; a range spine
+    # restores their (col, NULL, 0.0) row (pre-melt agg-on-empty shape)
+    spine = spark.range(len(cols)).select(
+        F.col("id").cast("int").alias("__pos")
+    )
+    s = spine.join(s, "__pos", "left")
+    n = F.col("n").cast("double")
+    gini = F.when(
+        (F.col("t") > 0) & (F.col("n") > 0),
+        F.greatest(
+            F.lit(0.0),
+            2.0 * F.col("rw") / (n * F.col("t")) - (n + 1.0) / n,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        s.orderBy("__pos")
+        .select(
+            F.element_at(
+                F.array(*[F.lit(c_) for c_ in cols]), F.col("__pos") + 1
+            ).alias("column_name"),
+            F.col("n").alias("n_rows"),
+            gini.alias("gini"),
         )
-        n = F.col("n").cast("double")
-        gini = F.when(
-            (F.col("t") > 0) & (F.col("n") > 0),
-            F.greatest(
-                F.lit(0.0),
-                2.0 * F.col("rw") / (n * F.col("t")) - (n + 1.0) / n,
-            ),
-        ).otherwise(F.lit(0.0))
-        outs.append(
-            s.select(
-                F.lit(col).alias("column_name"),
-                F.col("n").alias("n_rows"),
-                gini.alias("gini"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
 
 
 def qq_drift(

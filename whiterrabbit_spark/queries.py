@@ -8172,22 +8172,17 @@ SPEARMAN_PAIRS = [
 
 def _spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation for a set of lineitem pairs — the
-    monotone-association matrix (one profile.spearman_corr per pair,
-    unioned with pair labels; each pair reuses the histogram-rank
-    machinery and its broadcast-vs-merge scale guard)."""
-    from whiterrabbit_spark.profile import spearman_corr
+    monotone-association matrix. profile.spearman_matrix builds ALL
+    pairs' joint value histograms from ONE fact scan (posexplode melt
+    + checkpointed joint hist; ranks and moments re-aggregate from the
+    hist) instead of one ~3-scan spearman_corr per pair."""
+    from whiterrabbit_spark.profile import spearman_matrix
 
     li = read_parquet_table(spark, sf_dir, "lineitem")
-    out = None
-    for a, b in SPEARMAN_PAIRS:
-        one = spearman_corr(li, a, b).select(
-            F.lit(a).alias("col_a"),
-            F.lit(b).alias("col_b"),
-            F.round("spearman", R).alias("spearman"),
-            "n",
-        )
-        out = one if out is None else out.unionByName(one)
-    return out
+    out = spearman_matrix(li, SPEARMAN_PAIRS)
+    return out.select(
+        "col_a", "col_b", F.round("spearman", R).alias("spearman"), "n"
+    )
 
 
 def _spearman_matrix_sql() -> str:
