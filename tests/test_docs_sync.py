@@ -34,9 +34,9 @@ ROWS_ONLY = {
     # same eigendecomposition applied as a transform; cov(output) ≈ I
     # pinned in unit tests
     "whiten_embeddings_embeddings",
-    # iterative float power method — not SQL-reproducible at hash
-    # precision; hand-graph + invariant tests pin it
-    "pagerank_lineitem",
+    # r5 conversion OUT of this list (VERDICT r4 #4): pagerank_lineitem
+    # — the power iteration unrolls into 10 chained CTEs with the same
+    # checkpoint-window early-exit selection; green at all three SFs.
     # r4 conversions OUT of this list (VERDICT r3 #4):
     # pack_sequences_documents (deterministic pack arithmetic oracle),
     # segment_overlap_events (exact-intersection oracle + pinned

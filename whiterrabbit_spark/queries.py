@@ -8073,10 +8073,12 @@ ORDER BY 1"""
 def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (graph.pagerank):
     power method capped at 10 iterations with L1-delta early exit
-    (tol=1e-3 across each 2-iteration checkpoint window — measured
-    identical top-20 ranks to the full run at sf0.1, max |Δrank| 4e-9).
-    Rows-only (iterative float accumulation is not SQL-reproducible at
-    hash precision); invariants pinned in unit tests."""
+    (tol=1e-3 across each 2-iteration checkpoint window). Oracle-backed
+    as of r5 (VERDICT r4 #4): the iteration count is a deterministic
+    function of the data, so the oracle UNROLLS all 10 iterations as
+    chained CTEs, computes the same checkpoint-window L1 deltas, and
+    selects the first window that clears tol — bitwise the same
+    recurrence, rounded to R digits on both sides."""
     from whiterrabbit_spark.extensions.graph import pagerank
 
     out = pagerank(
@@ -8087,6 +8089,55 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol=1e-3,
     )
     return out.select("node", F.round("rank", R).alias("rank"))
+
+
+def _pagerank_sql() -> str:
+    """Unrolled power iteration mirroring graph.pagerank exactly:
+    r0 = 1/N; r_k = (1-d)/N + d * Σ_in r_{k-1}/deg; boundary deltas
+    d_b = Σ|r_b - r_{b-2}| at b ∈ {2,4,6,8} (never at the final
+    iteration, matching the `i+1 < n_iter` guard); the result is the
+    first boundary with d_b < tol, else r10."""
+    d, n_iter, ck, tol = 0.85, 10, 2, 1e-3
+    its = []
+    for k in range(1, n_iter + 1):
+        its.append(f"""r{k} AS (
+  SELECT n.node, n.deg,
+         (1.0 - {d}) / (SELECT n FROM nn) + {d} * coalesce(c.inc, 0.0) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT b.dst AS node, sum(r.pr / r.deg) AS inc
+    FROM sym b JOIN r{k - 1} r ON b.src = r.node GROUP BY b.dst
+  ) c ON n.node = c.node
+)""")
+    deltas = [
+        f"d{b} AS (SELECT sum(abs(a.pr - p.pr)) AS d "
+        f"FROM r{b} a JOIN r{b - ck} p ON a.node = p.node)"
+        for b in range(ck, n_iter, ck)
+    ]
+    branches, prior = [], []
+    for b in range(ck, n_iter, ck):
+        cond = " AND ".join(prior + [f"(SELECT d FROM d{b}) < {tol}"])
+        branches.append(f"SELECT node, pr FROM r{b} WHERE {cond}")
+        prior.append(f"NOT ((SELECT d FROM d{b}) < {tol})")
+    branches.append(
+        f"SELECT node, pr FROM r{n_iter} WHERE " + " AND ".join(prior)
+    )
+    final = " UNION ALL ".join(branches)
+    return f"""
+WITH {_COPURCHASE_EDGES_SQL},
+sym AS (
+  SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e
+), nodes AS (
+  SELECT src AS node, count(*) AS deg FROM sym GROUP BY src
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), r0 AS (
+  SELECT node, deg, 1.0 / (SELECT n FROM nn) AS pr FROM nodes
+),
+{", ".join(its)},
+{", ".join(deltas)},
+final AS ({final})
+SELECT node, round(pr, {R}) AS rank
+FROM final ORDER BY pr DESC, node LIMIT 20"""
 
 
 def _running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11923,7 +11974,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("neyman_allocation_lineitem", _neyman, _NEYMAN_SQL)
     add("term_burstiness_documents", _term_burstiness, _BURSTINESS_SQL)
     add("graph_degree_lineitem", _graph_degree, _GRAPH_DEGREE_SQL)
-    add("pagerank_lineitem", _pagerank, None)
+    add("pagerank_lineitem", _pagerank, _pagerank_sql())
 
     # --- Block 5: the TPC-H-shaped join family (tpch.py) — semi/anti
     # joins, snowflake dims, conditional-aggregate ratios, HAVING
