@@ -367,6 +367,13 @@ def main() -> None:
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         read_parquet_table(spark, SF_DIR, t).limit(1).collect()
 
+    def measure(name: str, fn) -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count() if hasattr(df, "count") else len(df)
+        assert n >= 0
+        return round(time.perf_counter() - t0, 3)
+
     # Two passes, keep the per-query minimum: single-shot numbers on this
     # shared-host VM carry multi-second hypervisor noise (BASELINE.md —
     # steady-state minima are the comparable figures).
@@ -374,29 +381,15 @@ def main() -> None:
     times: dict[str, float] = {}
     for _ in range(runs):
         for name, fn in bench.items():
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count() if hasattr(df, "count") else len(df)
-            el = round(time.perf_counter() - t0, 3)
-            assert n >= 0
+            el = measure(name, fn)
             times[name] = min(times.get(name, el), el)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(times.values()), 3),
-        "unit": "sec",
-        "queries": times,
-        "runs_per_query": runs,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # Mechanical round-over-round comparison (VERDICT r1 #9): per-query
     # baselines live in BENCH_BASELINE.json — prior-round repo-best plus
-    # the BASELINE.md reference band. Emit the ratio vs repo-best for
-    # every query the file knows; a ratio drifting past ~1.5 on a quiet
-    # host is a regression, not noise. The file is only rewritten when
-    # SPARK_GRAFT_UPDATE_BASELINE=1 (records new bests, keeps bands).
+    # the BASELINE.md reference band.
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
     try:
@@ -404,6 +397,46 @@ def main() -> None:
             base = json.load(fh)
     except (OSError, ValueError):
         base = None
+
+    # Noise-vs-regression separation (VERDICT r4 #5): in r4, 9 queries
+    # exceeded the documented noise ceiling with ZERO code change —
+    # two passes don't reliably dodge hypervisor stalls on this host.
+    # Any query whose min still sits above 1.4x its repo-best gets up
+    # to 3 extra trials (keep min); only a ratio that SURVIVES retries
+    # is a candidate regression. Retry counts ship in the artifact so
+    # the record distinguishes "was noisy, converged" from "real".
+    retries: dict[str, int] = {}
+    if base and base.get("sf") == sf_val:
+        retry_ceiling = float(
+            os.environ.get("SPARK_GRAFT_RETRY_RATIO", "1.4")
+        )
+        for name, fn in bench.items():
+            ent = base["queries"].get(name)
+            best = (ent or {}).get("best_s") or 0
+            if best <= 0:
+                continue
+            extra = 0
+            while times[name] / best > retry_ceiling and extra < 3:
+                el = measure(name, fn)
+                times[name] = min(times[name], el)
+                extra += 1
+            if extra:
+                retries[name] = extra
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "runs_per_query": runs,
+        "retries": retries,
+        "sf": sf_val,
+    }
+
+    # Emit the ratio vs repo-best for every query the baseline file
+    # knows; after the retry pass, a ratio still past 1.4 is a
+    # regression candidate, not noise. The file is only rewritten when
+    # SPARK_GRAFT_UPDATE_BASELINE=1 (records new bests, keeps bands).
     if base and base.get("sf") == out["sf"]:
         ratios = {
             q: round(t / base["queries"][q]["best_s"], 2)
