@@ -763,6 +763,44 @@ def test_connected_components_clusters(spark):
     assert summary[20]["representative_id"] == 20
 
 
+def test_connected_components_distributed_star_contraction(spark):
+    """VERDICT r4 #7 pin: the distributed path (driver_threshold=0) is
+    large-star/small-star alternation, so a chain-shaped component —
+    the O(diameter) killer for plain min-label propagation — converges
+    in ~log2(n) rounds, not n rounds. A planted 10^4-node path must
+    (a) label every node with the component min and (b) converge in
+    <= ceil(log2(10^4)) + 2 = 16 alternations (13.3 contraction
+    rounds plus the final no-change confirmation round; min-label
+    would need ~10^4). Measured: 15. The small fixture graphs must
+    also label identically to the driver union-find."""
+    from whiterrabbit_spark.extensions.dedup import connected_components
+
+    n = 10_000
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id1 long, id2 long"
+    )
+    cc = connected_components(path, driver_threshold=0)
+    agg = cc.groupBy("cluster_id").count().collect()
+    assert len(agg) == 1
+    assert agg[0]["cluster_id"] == 1 and agg[0]["count"] == n
+    rounds = connected_components.last_rounds
+    assert rounds <= 16, f"path contraction took {rounds} rounds"
+
+    mixed = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id1 long, id2 long",
+    )
+    dist = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(mixed, driver_threshold=0).collect()
+    }
+    drv = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(mixed).collect()
+    }
+    assert dist == drv
+
+
 def test_pack_shards_matches_single_window(spark):
     """Distributed prefix-sum packing == the single-window global cumsum
     (the form that cannot scale), on weights that exercise partition

@@ -686,17 +686,19 @@ def connected_components(
     PAIRS into dedup CLUSTERS (the step after any of the pair generators
     above: keep min-id per component, drop the rest).
 
-    Algorithm: iterative label propagation — every node starts labeled
-    with itself; each round takes the min of its own and its neighbors'
-    labels; converges in O(diameter) rounds. Near-dup graphs are
-    small-diameter (clusters of rewrites of one source), so this
-    terminates in a handful of shuffles; each round is one equi-join +
-    groupBy, both partitioned on the node id. ``localCheckpoint`` truncates
-    the growing lineage each round (without it, round k replays rounds
-    1..k-1 — quadratic). For web-scale graphs with long chains, swap in
-    the large-star/small-star alternation (Kiveris et al., "Connected
-    Components in MapReduce"), which contracts paths doubly-logarithmically;
-    same join/groupBy building blocks.
+    Algorithm (VERDICT r4 #7): large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — each round rewires every node toward the minimum of its
+    closed neighborhood (large-star from the smaller endpoint,
+    small-star on larger→smaller oriented edges), contracting paths
+    exponentially: O(log² n) rounds worst case, ~log₂ n in practice,
+    INDEPENDENT of component diameter. Plain min-label propagation is
+    O(diameter) — a 100 TB near-dup graph with chain-shaped clusters
+    (OCR shingle chains) stalls at thousands of rounds; a planted
+    10⁴-node path converges here in ≤ log₂ n alternations
+    (test-pinned). Each star step is one groupBy(min) + one equi-join
+    on the node id; ``localCheckpoint`` truncates lineage per round
+    (without it, round k replays rounds 1..k-1 — quadratic).
 
     Returns (node, cluster_id) — cluster_id = min node id in the component.
     Nodes = every id appearing in ``edges`` (singletons never enter a pair
@@ -773,40 +775,86 @@ def connected_components(
         )
         return edges.sparkSession.createDataFrame(out, schema)
 
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    def _large_star(e: DataFrame) -> DataFrame:
+        # from every endpoint u: connect each STRICTLY LARGER neighbor
+        # to min(closed neighborhood of u)
+        sym = e.union(
+            e.select(F.col("a").alias("b"), F.col("b").alias("a"))
+            .select("a", "b")
+        )
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        return (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient larger -> smaller; connect each smaller neighbor AND
+        # the center to min(neighborhood)
+        d = e.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        j = d.join(mins, "u")
+        return (
+            j.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .distinct()
+        )
+
+    # canonical larger->smaller orientation up front so the converged
+    # edge-set comparison sees one row per undirected edge
+    cur = (
+        edges.select(
+            F.greatest(src, dst).alias("a"), F.least(src, dst).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        rounds += 1
+        # converged when the (canonically oriented) edge sets coincide;
+        # both sides are O(edges) and shrink monotonically in practice
+        a = cur.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+        b = nxt.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        unchanged = (
+            a.unionAll(b)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") != 2)
+            .isEmpty()
+        )
+        cur = nxt
+        if unchanged:
+            # converged: every edge points node -> component-min root
+            connected_components.last_rounds = rounds
+            lab = (
+                cur.select(
+                    F.greatest("a", "b").alias("node"),
+                    F.least("a", "b").alias("cluster_id"),
+                )
+                .groupBy("node")
+                .agg(F.min("cluster_id").alias("cluster_id"))
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels.select("node", F.col("label").alias("cluster_id"))
+            roots = (
+                lab.select(F.col("cluster_id").alias("node"))
+                .distinct()
+                .join(lab.select("node"), "node", "left_anti")
+                .select("node", F.col("node").alias("cluster_id"))
+            )
+            return lab.unionByName(roots)
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 
@@ -881,7 +929,7 @@ def keep_best_dedup(
     Ranking uses the 6-dp-rounded score (engine-agreed) with the id as
     the total-order tie-break, so the winner is deterministic.
 
-    Scale shape: clusters from :func:`connected_components` (O(diameter)
+    Scale shape: clusters from :func:`connected_components` (star-contraction,
     label-propagation rounds); the argmax is a row_number window
     partitioned BY CLUSTER — bounded by cluster size — computed only
     over the clustered subset. Singletons (the overwhelming majority)
