@@ -4181,6 +4181,32 @@ def test_image_ahash_near_dup_detection(spark):
     assert again == hashes
 
 
+def test_hash_near_pairs_max_bucket_guard(spark):
+    """VERDICT r4 #8 pin: the banded Hamming join's giant-bucket guard
+    drops hyper-duplicated signatures from CANDIDATE GENERATION only —
+    a planted 100-copy signature (whose bucket would emit C(100,2)x4
+    join rows) vanishes under the cap while a normal near-dup pair
+    through uncrowded buckets is still found with its exact Hamming.
+    Default None keeps the exact pigeonhole contract (both planted
+    findings present)."""
+    from whiterrabbit_spark.extensions.multimodal import hash_near_pairs
+
+    giant = [(i, 0x0123456789ABCDEF) for i in range(100)]
+    pair = [(200, 0x7777000011112222), (201, 0x7777000011112223)]
+    uniq = [(300 + i, (i * 0x9E3779B97F4A7C15) & ((1 << 63) - 1))
+            for i in range(50)]
+    sigs = spark.createDataFrame(
+        giant + pair + uniq, "media_id long, ahash long"
+    )
+    capped = hash_near_pairs(
+        sigs, "media_id", "ahash", max_hamming=3, max_bucket_size=10
+    ).collect()
+    assert {(r["id1"], r["id2"]) for r in capped} == {(200, 201)}
+    assert capped[0]["hamming"] == 1
+    full = hash_near_pairs(sigs, "media_id", "ahash", max_hamming=3)
+    assert full.count() == 100 * 99 // 2 + 1
+
+
 def test_image_dims_profile(spark):
     """Resolution histogram without decode: dims from the header sniff,
     non-PNG payloads accounted in the NULL-dims row."""

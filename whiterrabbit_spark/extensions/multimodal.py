@@ -519,7 +519,8 @@ def image_ahash(media: DataFrame) -> DataFrame:
 
 
 def ahash_near_pairs(
-    media: DataFrame, max_hamming: int = 3, n_bands: int = 4
+    media: DataFrame, max_hamming: int = 3, n_bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs: aHash Hamming distance ≤
     ``max_hamming``, found by the banded join (the simhash scheme on
@@ -533,7 +534,8 @@ def ahash_near_pairs(
     Returns ``(id1, id2, hamming)``, id1 < id2.
     """
     sigs = image_ahash(media).where(F.col("ahash").isNotNull())
-    return hash_near_pairs(sigs, "media_id", "ahash", max_hamming, n_bands)
+    return hash_near_pairs(sigs, "media_id", "ahash", max_hamming, n_bands,
+                           max_bucket_size=max_bucket_size)
 
 
 def png_dims(payload: Column) -> tuple[Column, Column]:
@@ -626,14 +628,16 @@ def image_keep_best(
 
 
 def audio_near_pairs(
-    media: DataFrame, max_hamming: int = 3, n_bands: int = 4
+    media: DataFrame, max_hamming: int = 3, n_bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Audio near-duplicate pairs: spectral-hash Hamming distance ≤
     ``max_hamming`` via the shared banded join (see
     :func:`hash_near_pairs` for the exactness contract).
     Returns ``(id1, id2, hamming)``, id1 < id2."""
     sigs = audio_spectral_hash(media).where(F.col("shash").isNotNull())
-    return hash_near_pairs(sigs, "media_id", "shash", max_hamming, n_bands)
+    return hash_near_pairs(sigs, "media_id", "shash", max_hamming, n_bands,
+                           max_bucket_size=max_bucket_size)
 
 
 def _le_uint(payload: Column, pos: int, width: int) -> Column:
@@ -710,13 +714,26 @@ def hash_near_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     bits: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded Hamming join over any 64-bit perceptual signature frame
     (the simhash scheme, shared by image aHash and the audio spectral
     hash): ``n_bands`` bands of ``bits/n_bands`` bits; by pigeonhole,
     Hamming ≤ n_bands−1 implies one identical band, so the default is
     EXACT while shuffling only bucket collisions — never the quadratic
-    self-join. Returns ``(id1, id2, hamming)``, id1 < id2."""
+    self-join. Returns ``(id1, id2, hamming)``, id1 < id2.
+
+    ``max_bucket_size`` is the giant-bucket guard for scale runs (same
+    contract as ``dedup.simhash_near_pairs``): a band key shared by d
+    signatures emits d² join rows, so ONE hyper-duplicated asset (a
+    site logo across half the corpus) is a quadratic blowup inside a
+    single bucket. Buckets above the cap are dropped from CANDIDATE
+    GENERATION only — pairs still reachable through a rarer band are
+    kept, and exact duplicates should be collapsed by the digest pass
+    first (their pairs carry no information the digest groupBy lacks).
+    Measured failure mode: 200k copies of one signature → 2·10¹⁰ join
+    rows without the cap (PLANS.md round-5 media smoke). ``None`` (the
+    default) keeps the pigeonhole guarantee exact for oracle runs."""
     width = bits // n_bands
     mask = (1 << width) - 1
     band_rows = F.array(
@@ -734,6 +751,17 @@ def hash_near_pairs(
         F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"),
         F.explode(band_rows).alias("bk"),
     ).select("__id", "__h", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        bands = (
+            bands.join(
+                bands.groupBy("band", "key").agg(
+                    F.count(F.lit(1)).alias("__bsz")
+                ),
+                ["band", "key"],
+            )
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -346,12 +346,24 @@ def hyperplane_near_pairs(
     n_planes: int = 4,
     n_tables: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidate pairs are ids sharing a
     random-hyperplane bucket in ANY of the L tables (one narrow shuffle on
     (table, bucket)); candidates are scored exactly and filtered by the
     cosine threshold. Approximate only in recall (a missed bucket collision
-    drops a pair); every emitted pair's cosine is exact."""
+    drops a pair); every emitted pair's cosine is exact.
+
+    Scale knobs: ``n_planes`` must grow with the corpus (2^planes
+    buckets per table; target ~10²-10³ rows per bucket, i.e. planes ≈
+    log2(n/500)) — the registry default 4 is sized for the sf0.1
+    corpus. ``max_bucket_size`` is the giant-bucket guard: identical
+    or near-identical vectors collide in EVERY table no matter how
+    many planes, so one hyper-duplicated embedding makes a d² bucket;
+    buckets above the cap leave candidate generation (collapse exact
+    duplicates with a digest pass first — their pairs carry no
+    information). Measured: 100k copies of one vector → ~8·10¹⁰
+    candidate rows without the cap (PLANS.md round-5 media smoke)."""
     # Candidate generation and dedup run on BARE ids: the (table, bucket)
     # self-join and the pair-dedup shuffle 2 longs per candidate instead of
     # two dim-wide vectors (~64x less shuffle payload at dim=64), and the
@@ -364,6 +376,17 @@ def hyperplane_near_pairs(
         df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
         include_vec=False,
     )
+    if max_bucket_size is not None:
+        buckets = (
+            buckets.join(
+                buckets.groupBy("table", "bucket").agg(
+                    F.count(F.lit(1)).alias("__bsz")
+                ),
+                ["table", "bucket"],
+            )
+            .where(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["table", "bucket"])
@@ -394,6 +417,7 @@ def embedding_keep_best(
     n_planes: int = 4,
     n_tables: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Exact-oracle semantic dedup: LSH cosine near-pairs above
     ``threshold`` → connected components → keep the HIGHEST-L2-NORM
@@ -416,7 +440,8 @@ def embedding_keep_best(
     from whiterrabbit_spark.extensions import dedup
 
     pairs = hyperplane_near_pairs(
-        df, threshold, dim, vec_col, id_col, n_planes, n_tables, seed
+        df, threshold, dim, vec_col, id_col, n_planes, n_tables, seed,
+        max_bucket_size=max_bucket_size,
     )
     scored = df.select(
         F.col(id_col), _norm(_to_double(F.col(vec_col))).alias("score")
