@@ -350,6 +350,10 @@ def main() -> None:
         "mde": queries["mde_orders"],
         "eb_rates": queries["eb_rates_orders"],
         "seasonality_strength": queries["seasonality_strength_events"],
+        # round 5: cross-document exact-substring family (Lee et al.
+        # detection pass — hashed k-gram catalog + coverage rollup)
+        "dup_spans": queries["dup_spans_documents"],
+        "dup_span_coverage": queries["dup_span_coverage_documents"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

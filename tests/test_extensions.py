@@ -801,6 +801,51 @@ def test_connected_components_distributed_star_contraction(spark):
     assert dist == drv
 
 
+def test_duplicated_spans_catalog_and_coverage(spark):
+    """Cross-doc exact-substring family on a hand-computed fixture
+    (k=3): the catalog finds exactly the spans shared across distinct
+    docs with correct doc/occurrence counts, and coverage computes the
+    INTERVAL UNION of overlapping spans (identical docs -> frac 1.0,
+    one shared trigram in a 6-token doc -> 0.5, clean doc -> 0)."""
+    from whiterrabbit_spark.extensions.dedup import (
+        duplicated_span_coverage,
+        duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "s1"),
+            (2, "x x a b c y", "s1"),
+            (3, "z z z q q q", "s2"),
+            (4, "a b c d e f", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    cat = {
+        r["example"]: (r["n_docs"], r["n_occurrences"])
+        for r in duplicated_spans(docs, k=3).collect()
+    }
+    assert cat == {
+        "a b c": (3, 3),
+        "b c d": (2, 2),
+        "c d e": (2, 2),
+        "d e f": (2, 2),
+    }
+
+    cov = {
+        r["group"]: r
+        for r in duplicated_span_coverage(docs, k=3).collect()
+    }
+    # doc1: all 4 spans duplicated -> union covers all 6 tokens (1.0);
+    # doc2: one span at pos 2 -> 3/6; doc4 same as doc1
+    assert cov["s1"]["n_docs"] == 2 and cov["s1"]["docs_with_dups"] == 2
+    assert abs(cov["s1"]["mean_dup_frac"] - 0.75) < 1e-9
+    assert abs(cov["s1"]["max_dup_frac"] - 1.0) < 1e-9
+    assert cov["s2"]["docs_with_dups"] == 0
+    assert cov["s2"]["mean_dup_frac"] == 0.0
+    assert abs(cov["s3"]["mean_dup_frac"] - 1.0) < 1e-9
+
+
 def test_pack_shards_matches_single_window(spark):
     """Distributed prefix-sum packing == the single-window global cumsum
     (the form that cannot scale), on weights that exercise partition

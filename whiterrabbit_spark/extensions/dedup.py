@@ -1060,6 +1060,156 @@ def span_dedup(
     )
 
 
+def _span_table(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, pos, span_hash) for every overlapping ``k``-token span
+    (0-based pos). One map-side explode — O(total tokens) rows."""
+    toks = tokens_expr(F.col(text_col))
+    n_spans = F.size(toks) - (k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_spans),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    return (
+        df.where(n_spans >= 1)
+        .select(F.col(id_col), F.posexplode(hashes).alias("pos", "span_hash"))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_docs: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Cross-document exact-substring catalog — the detection pass of
+    exact substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): every overlapping ``k``-token span
+    that appears in ≥ ``min_docs`` DISTINCT documents, with its doc
+    and occurrence counts and one example rendering. The catalog is
+    what a scrub pass consumes, and on its own it surfaces licence
+    headers, templated boilerplate and syndicated passages that
+    document-level near-dup (MinHash/SimHash on whole docs) cannot see.
+
+    Scale shape: one explode to O(total tokens) (pos, hash) rows and
+    one ``groupBy(hash)`` with map-side combine — linear, no self-join
+    (the classic suffix-array formulation is single-machine; the
+    hashed-k-gram inverted index is its distributed counterpart). The
+    example text joins back through a BROADCAST of the ``top_k``
+    winning hashes rather than carrying span text through the main
+    shuffle (text would multiply shuffle bytes by ~k words per token).
+
+    Returns ``(span_hash, n_docs, n_occurrences, example)`` ordered
+    n_occurrences DESC, n_docs DESC, span_hash ASC, limit ``top_k``.
+    """
+    spans = _span_table(df, text_col, id_col, k)
+    top = (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.col("n_occurrences").desc(), F.col("n_docs").desc(), "span_hash"
+        )
+        .limit(top_k)
+    )
+    toks = tokens_expr(F.col(text_col))
+    n_spans = F.size(toks) - (k - 1)
+    rendered = df.where(n_spans >= 1).select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_spans),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ).alias("pos", "span_text")
+    ).select(F.md5("span_text").alias("span_hash"), "span_text")
+    return (
+        rendered.join(F.broadcast(top), "span_hash")
+        .groupBy("span_hash", "n_docs", "n_occurrences")
+        .agg(F.min("span_text").alias("example"))
+        .orderBy(
+            F.col("n_occurrences").desc(), F.col("n_docs").desc(), "span_hash"
+        )
+    )
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-group exposure to cross-document duplicated substrings: for
+    each document, the fraction of its tokens covered by the union of
+    its corpus-duplicated ``k``-token spans (interval union of
+    fixed-length spans = Σ min(gap to previous start, k) over sorted
+    start positions), rolled up per ``group_col``. The triage view on
+    top of :func:`duplicated_spans`: which sources ship how much
+    syndicated/templated text, and how bad the worst document is.
+
+    Scale shape: the span table and duplicate catalog are the linear
+    explode + groupBy above; coverage joins each doc's spans to the
+    catalog on the hash (shuffle bounded by span count) and the union
+    window is partitioned PER DOCUMENT — bounded by document length,
+    never corpus-sized. Documents shorter than ``k`` tokens or with no
+    duplicated span count as 0 coverage (left join).
+
+    Returns ``(group, n_docs, docs_with_dups, mean_dup_frac,
+    max_dup_frac)`` ordered by group.
+    """
+    spans = _span_table(df, text_col, id_col, k)
+    dup_hashes = (
+        spans.groupBy("span_hash")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("span_hash")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    covered = (
+        spans.join(dup_hashes, "span_hash")
+        .withColumn("__prev", F.lag("pos").over(w))
+        .select(
+            id_col,
+            F.when(
+                F.col("__prev").isNull(), F.lit(k)
+            ).otherwise(F.least(F.col("pos") - F.col("__prev"), F.lit(k)))
+            .alias("__cov"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__cov").alias("__dup_tokens"))
+    )
+    toks = tokens_expr(F.col(text_col))
+    docs = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("group"),
+        F.size(toks).alias("__n_tokens"),
+    )
+    per_doc = docs.join(covered, id_col, "left").select(
+        "group",
+        (
+            F.coalesce(F.col("__dup_tokens"), F.lit(0))
+            / F.greatest(F.col("__n_tokens"), F.lit(1)).cast("double")
+        ).alias("__frac"),
+    )
+    return (
+        per_doc.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("__frac") > 0).cast("long")).alias("docs_with_dups"),
+            F.round(F.avg("__frac"), 6).alias("mean_dup_frac"),
+            F.round(F.max("__frac"), 6).alias("max_dup_frac"),
+        )
+        .orderBy("group")
+    )
+
+
 def boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",

@@ -1802,6 +1802,87 @@ SELECT cluster_id,
 FROM cc GROUP BY cluster_id"""
 
 
+_SPAN_K = 10
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring catalog (dedup.duplicated_spans,
+    k=10 tokens): the detection pass of Lee-et-al-style exact substring
+    dedup — hashed overlapping k-grams, one linear groupBy, example
+    text via a broadcast join-back of the top-20 hashes."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return X.duplicated_spans(docs, "text", "doc_id", k=_SPAN_K)
+
+
+def _dup_spans_sql() -> str:
+    km1 = _SPAN_K - 1
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i:i+{km1}], ' ')) AS span_hash,
+         array_to_string(toks[i:i+{km1}], ' ') AS span_text
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - {km1})) AS u(i)
+), top AS (
+  SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM s GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+  ORDER BY n_occurrences DESC, n_docs DESC, span_hash LIMIT 20
+)
+SELECT span_hash, n_docs, n_occurrences, min(span_text) AS example
+FROM top JOIN s USING (span_hash)
+GROUP BY span_hash, n_docs, n_occurrences
+ORDER BY n_occurrences DESC, n_docs DESC, span_hash"""
+
+
+def _dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-substring exposure
+    (dedup.duplicated_span_coverage): fraction of each doc's tokens
+    under the union of its corpus-duplicated 10-token spans (interval
+    union via per-doc lag window), rolled up per source."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return X.duplicated_span_coverage(docs, "text", "doc_id", "source",
+                                      k=_SPAN_K)
+
+
+def _dup_span_coverage_sql() -> str:
+    k, km1 = _SPAN_K, _SPAN_K - 1
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i:i+{km1}], ' ')) AS h
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - {km1})) AS u(i)
+), dup AS (
+  SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT doc_id,
+         sum(CASE WHEN prev IS NULL THEN {k}
+                  ELSE least(pos - prev, {k}) END) AS dup_tokens
+  FROM (
+    SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM s JOIN dup USING (h)
+  ) GROUP BY doc_id
+), per AS (
+  SELECT t.source AS "group",
+         coalesce(cov.dup_tokens, 0)
+           / greatest(len(t.toks), 1)::DOUBLE AS frac
+  FROM t LEFT JOIN cov USING (doc_id)
+)
+SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN frac > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_dups,
+       round(avg(frac), 6) AS mean_dup_frac,
+       round(max(frac), 6) AS max_dup_frac
+FROM per GROUP BY "group" ORDER BY "group" """
+
+
 def _grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group profile: events value/user_id stats segmented by
     event_type — one grouped wide agg, single shuffle."""
@@ -11855,6 +11936,9 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("funnel_events", _funnel, _funnel_sql())
     add("line_dedup_documents", _line_dedup, _LINE_DEDUP_SQL)
     add("dedup_clusters_documents", _dedup_clusters, _dedup_clusters_sql())
+    add("dup_spans_documents", _dup_spans, _dup_spans_sql())
+    add("dup_span_coverage_documents", _dup_span_coverage,
+        _dup_span_coverage_sql())
     add("pack_shards_documents", _pack_shards, _PACK_SQL)
     add("hyperplane_near_pairs_embeddings", _hyperplane_near_pairs,
         _hyperplane_near_pairs_sql())
