@@ -12380,9 +12380,85 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "eb_rates_orders",
         "seasonality_strength_events",
     ]
+    # --- Round-5 verification prefix (same contract as _R4_PREFIX):
+    # first every entry NEW or materially CHANGED this round (the
+    # exact-substring family, the oracle-converted pagerank, the
+    # one-scan melts, the checkpointed layout advisor, the
+    # star-contraction cluster consumers, the guard-touched near-dup
+    # paths), then the ENTIRE never-driver-sampled oracle-backed
+    # backlog (114 entries — everything absent from the union of
+    # CORRECTNESS_r01..r04), so the driver's ~50 draws land on changed
+    # + unseen entries, never on re-samples.
+    _R5_PREFIX = [
+        "dup_spans_documents",
+        "dup_span_coverage_documents",
+        "pagerank_lineitem",
+        "gini_lineitem",
+        "spearman_matrix_lineitem",
+        "layout_prune_lineitem",
+        "zorder_layout_lineitem",
+        "dedup_clusters_documents",
+        "keep_best_dedup_documents",
+        "image_near_dups_documents",
+        "audio_near_dups_documents",
+        "hyperplane_near_pairs_embeddings",
+        "embedding_keep_best_embeddings",
+        "image_keep_best_documents",
+        # never-sampled backlog, registry order
+        "seasonality_events", "tokenizer_fertility_documents",
+        "centroid_dispersion_embeddings", "span_dedup_documents",
+        "attribution_events", "source_diversity_documents",
+        "mannwhitney_orders", "quantize_error_embeddings",
+        "heavy_hitters_events", "join_discovery_customer_orders",
+        "k_anonymity_customer", "binned_mi_lineitem",
+        "session_paths_events", "cusum_changepoint_events",
+        "boilerplate_lines_documents", "cross_source_dups_documents",
+        "grouped_trimmed_mean_lineitem", "item_associations_events",
+        "lifetime_survival_events", "tpch_q1_lineitem", "tpch_q3_pricing",
+        "mi_ranking_orders", "qq_drift_orders", "tpch_q6_lineitem",
+        "running_zscore_events", "graph_triangles_lineitem",
+        "ann_recall_embeddings", "bootstrap_ci_orders", "ab_test_orders",
+        "zipf_fit_documents", "acf_events", "neyman_allocation_lineitem",
+        "term_burstiness_documents", "graph_degree_lineitem",
+        "tpch_q4_semijoin", "tpch_q5_regional", "tpch_q7_nation_volume",
+        "tpch_q10_returns", "tpch_q14_promo", "tpch_q15_top_supplier",
+        "tpch_q18_large_orders", "tpch_q22_antijoin",
+        "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
+        "tpch_q9_product_profit", "tpch_q11_important_stock",
+        "tpch_q12_late_lines", "tpch_q13_order_distribution",
+        "tpch_q16_supplier_count", "tpch_q17_small_quantity",
+        "tpch_q19_disjunctive", "tpch_q20_promo_suppliers",
+        "tpch_q21_waiting_orders", "pareto_concentration_orders",
+        "rolling_distinct_users_events", "ewma_events",
+        "token_cosine_pairs_documents", "table_checksum_orders",
+        "cdc_apply_orders", "theil_sen_events",
+        "negative_sampling_documents", "srm_check_customer",
+        "streaming_active_users_events", "matryoshka_eval_embeddings",
+        "ship_delay_orders", "minhash_recall_documents",
+        "balanced_sample_documents", "woe_orders", "target_encode_orders",
+        "blocking_report_customer", "km_survival_events", "impute_lineitem",
+        "merge_intervals_orders", "streaming_sliding_rate_events",
+        "nearest_centroid_embeddings", "neyman_sample_lineitem",
+        "lateness_profile_events", "wilson_ci_orders",
+        "concurrency_profile_events", "rank_movers_events", "apdex_events",
+        "embedding_drift_embeddings", "forecast_eval_events",
+        "lang_id_eval_documents", "dow_outliers_events",
+        "grouped_theil_sen_events", "jsd_drift_orders", "cuped_orders",
+        "calibration_documents", "adamic_adar_lineitem",
+        "funnel_timing_events", "cms_heavy_hitters_events",
+        "kruskal_wallis_lineitem", "levene_lineitem", "interarrival_events",
+        "bot_score_events", "heaps_law_documents", "bm25_search_documents",
+        "hard_negatives_embeddings", "rrf_hybrid_documents",
+        "simpson_orders", "retrieval_eval_documents",
+        "variant_props_rollup_events", "pysource_synth_rollup",
+        "udtf_trigrams_documents", "drift_attribution_orders",
+        "file_report_tables", "l_diversity_customer", "conformal_lineitem",
+        "deletion_preview_tables", "qte_orders", "mde_orders",
+        "eb_rates_orders", "seasonality_strength_events",
+    ]
     queries = {
-        **{n: queries[n] for n in _R4_PREFIX if n in queries},
-        **{n: q for n, q in queries.items() if n not in set(_R4_PREFIX)},
+        **{n: queries[n] for n in _R5_PREFIX if n in queries},
+        **{n: q for n, q in queries.items() if n not in set(_R5_PREFIX)},
     }
 
     return queries, oracles
