@@ -152,7 +152,12 @@ def main() -> None:
         }
     }
     summary.update(out)
-    path = os.path.join(REPO, f"ORACLE_FULL_r{rnd}.json")
+    # WRS_ORACLE_OUT overrides the artifact name — used for the sf0.1
+    # sweep (ORACLE_SF01_r{N}.json, VERDICT r4 #6) vs the sf0.01 matrix
+    path = os.path.join(
+        REPO,
+        os.environ.get("WRS_ORACLE_OUT", f"ORACLE_FULL_r{rnd}.json"),
+    )
     with open(path, "w") as fh:
         json.dump(summary, fh, indent=1)
     print(f"wrote {path}: {n_green} green / {n_rows_only} rows-only / {n_bad} failures")
