@@ -1064,15 +1064,26 @@ def _span_table(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
     """(doc_id, pos, span_hash) for every overlapping ``k``-token span
-    (0-based pos). One map-side explode — O(total tokens) rows."""
-    toks = tokens_expr(F.col(text_col))
+    (0-based pos). One map-side explode — O(total tokens) rows.
+
+    The token split is HOISTED into its own projection alias: an
+    expression written inline inside the ``transform`` lambda is
+    re-evaluated PER ELEMENT (one regex split per span position —
+    measured 5.8 s vs 0.6 s at sf0.1), while a projected alias
+    referenced twice is non-cheap to CollapseProject and stays
+    materialized once per row.
+    """
+    base = df.select(
+        F.col(id_col), tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n_spans = F.size(toks) - (k - 1)
     hashes = F.transform(
         F.sequence(F.lit(1), n_spans),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
     )
     return (
-        df.where(n_spans >= 1)
+        base.where(n_spans >= 1)
         .select(F.col(id_col), F.posexplode(hashes).alias("pos", "span_hash"))
     )
 
@@ -1118,9 +1129,11 @@ def duplicated_spans(
         )
         .limit(top_k)
     )
-    toks = tokens_expr(F.col(text_col))
+    # same hoist as _span_table: split once per row, slice per element
+    base = df.select(tokens_expr(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     n_spans = F.size(toks) - (k - 1)
-    rendered = df.where(n_spans >= 1).select(
+    rendered = base.where(n_spans >= 1).select(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), n_spans),
