@@ -1035,12 +1035,29 @@ def span_dedup(
 
     Returns ``(id_col, n_chunks, n_removed, text_scrubbed)``.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+    # split and chunk arrays are HOISTED into projection aliases: an
+    # expression inline in a lambda body re-evaluates per element, so
+    # the unhoisted form re-split per chunk AND re-built the whole
+    # chunk array per first-occurrence probe — O(n_chunks²) array
+    # builds × O(n) splits per doc (the dup_spans lesson, PLANS.md r5)
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
     )
+    words = F.col("__words")
+    n_chunks_e = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    staged = base.select(
+        F.col(id_col),
+        F.col(text_col),
+        n_chunks_e.alias("__n_chunks"),
+        F.transform(
+            F.sequence(F.lit(0), n_chunks_e - 1),
+            lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+        ).alias("__chunks"),
+    )
+    chunks = F.col("__chunks")
+    n_chunks = F.col("__n_chunks")
     kept = F.filter(
         chunks,
         lambda x, i: F.array_position(F.slice(chunks, F.lit(1), i), x) == 0,
@@ -1048,7 +1065,7 @@ def span_dedup(
     # coalesce: NULL text must take the empty branch (0, 0, ""), not
     # propagate NULL through the otherwise() outputs
     empty = F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) == 0
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.when(empty, F.lit(0)).otherwise(n_chunks).alias("n_chunks"),
         F.when(empty, F.lit(0))

@@ -281,11 +281,19 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Every signal is a row-wise expression over the token array (split /
     array_distinct / sort + run-length fold) — no explode, no shuffle;
-    the whole operator is a projection fused into the scan stage.
+    the whole operator is a projection fused into the scan stage. The
+    token split is hoisted into its own projection alias: inline inside
+    the bigram ``transform`` lambda it would re-run per position (an
+    expression in a lambda body evaluates per element — the dup_spans
+    lesson, PLANS.md round 5).
     """
     t = F.col(text_col)
-    toks = tokens(t)
-    n_tok = token_count(t)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(t).alias("__n_tok"),
+        tokens(t).alias("__toks"),
+    )
+    toks, n_tok = F.col("__toks"), F.col("__n_tok")
     n_distinct = F.when(n_tok == 0, F.lit(0)).otherwise(F.size(F.array_distinct(toks)))
     bigrams = F.when(
         n_tok >= 2,
@@ -296,8 +304,8 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     n_bigrams = F.size(bigrams)
     top_count = _max_run_length(F.array_sort(bigrams))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        "doc_id",
         n_tok.alias("n_tokens"),
         ((n_tok - n_distinct) / F.greatest(n_tok, F.lit(1))).alias("dup_token_frac"),
         top_count.alias("top_bigram_count"),
@@ -367,9 +375,18 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    grams = df.select(
+    # normalization hoisted to its own projection: inline inside the
+    # transform lambda the regexp_replace would re-run per character
+    # position (lambda bodies evaluate per element)
+    normed = df.select(
         F.col(id_col).alias("doc_id"),
+        F.regexp_replace(
+            F.lower(F.trim(F.col(text_col))), r"\s+", " "
+        ).alias("__norm"),
+    )
+    norm = F.col("__norm")
+    grams = normed.select(
+        "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1))),
