@@ -6951,11 +6951,28 @@ def _matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("trunc_nn"),
     )
     # true (full-dim) cosine of the truncated pick — the real cost of
-    # trusting the prefix
-    all_cos = sim.cosine_topk(df, q, k=10_000_000).select(
+    # trusting the prefix. Fetched by joining the 20 picked neighbor
+    # ids back to the vector table (broadcast picks, one id-equi-join)
+    # instead of scoring every (query, corpus) pair with an unbounded
+    # top-k (the r4 form used k=10M — a 20×n scored frame feeding a
+    # driver-sized heap at scale, for 20 needed rows).
+    pick_vecs = trunc.join(
+        df.select(
+            F.col("vec_id").alias("trunc_nn"),
+            F.col("embedding").alias("__nn_emb"),
+        ),
+        "trunc_nn",
+    )
+    qv = q.select("query_id", F.col("embedding").alias("__q_emb"))
+    all_cos = pick_vecs.join(F.broadcast(qv), "query_id").select(
         "query_id",
-        F.col("neighbor_id").alias("trunc_nn"),
-        F.col("cosine").alias("cos_of_trunc_pick"),
+        "trunc_nn",
+        (
+            sim._dot(sim._to_double(F.col("__q_emb")),
+                     sim._to_double(F.col("__nn_emb")))
+            / (sim._norm(sim._to_double(F.col("__q_emb")))
+               * sim._norm(sim._to_double(F.col("__nn_emb"))))
+        ).alias("cos_of_trunc_pick"),
     )
     joined = full.join(trunc, "query_id").join(
         all_cos, ["query_id", "trunc_nn"]
