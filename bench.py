@@ -354,6 +354,7 @@ def main() -> None:
         # detection pass — hashed k-gram catalog + coverage rollup)
         "dup_spans": queries["dup_spans_documents"],
         "dup_span_coverage": queries["dup_span_coverage_documents"],
+        "encoding_artifacts": queries["encoding_artifacts_documents"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

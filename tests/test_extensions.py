@@ -801,6 +801,39 @@ def test_connected_components_distributed_star_contraction(spark):
     assert dist == drv
 
 
+def test_encoding_artifacts_planted(spark):
+    """Encoding-damage audit on planted fixtures: mojibake sequences
+    (UTF-8 read as Latin-1), U+FFFD replacement chars, C0 control
+    bytes each counted; clean ASCII and legitimate non-ASCII text
+    unflagged (non-ASCII ratio is a ranking signal, not a flag)."""
+    from whiterrabbit_spark.extensions.textstats import encoding_artifacts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean ascii text here", "bad"),
+            # mojibake: \u00c3\u00a9 ("\xc3\xa9" as latin-1, 1 hit)
+            # and \u00e2\u20ac ("\xe2\x80" as cp1252, 2 hits)
+            (2, "caf\u00c3\u00a9 \u00e2\u20ac\u0153quote\u00e2\u20ac", "bad"),
+            (3, "lossy �� transcode", "bad"),                                      # 2 replacement chars
+            (4, "ctrl\x01\x02 bytes\ttab ok\nnewline ok", "bad"),                            # 2 control chars
+            (5, "日本語のきれいなテキスト", "intl"),                                          # clean non-ASCII
+            (None if False else 6, None, "intl"),                                            # NULL text
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["group"]: r for r in encoding_artifacts(docs).collect()}
+    bad = out["bad"]
+    assert bad["n_docs"] == 4
+    assert bad["mojibake_seqs"] == 3          # Ã© once, â€ twice
+    assert bad["repl_chars"] == 2
+    assert bad["ctrl_chars"] == 2             # \t and \n are NOT control hits
+    assert bad["docs_flagged"] == 3           # docs 2, 3, 4
+    intl = out["intl"]
+    assert intl["docs_flagged"] == 0
+    assert abs(intl["max_non_ascii_ratio"] - 1.0) < 1e-9
+    assert intl["n_docs"] == 2                # NULL text counts as 0-char doc
+
+
 def test_duplicated_spans_catalog_and_coverage(spark):
     """Cross-doc exact-substring family on a hand-computed fixture
     (k=3): the catalog finds exactly the spans shared across distinct

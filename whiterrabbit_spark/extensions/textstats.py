@@ -1290,3 +1290,71 @@ def code_detect(
         F.round(frac, 6).alias("structural_frac"),
         ((frac > threshold) | kw_dense).cast("long").alias("is_code"),
     )
+
+
+def encoding_artifacts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group encoding-damage audit — the curation signal that
+    catches double-encoded UTF-8 ("mojibake": Ã©/â€™ sequences from
+    UTF-8 bytes read as Latin-1), U+FFFD replacement characters
+    (lossy transcoding) and stray C0 control bytes (binary bleed,
+    broken extractors) BEFORE they poison a tokenizer's vocabulary.
+    Extension beyond the reference surface (whiteRRabbit.R profiles
+    typed values, never byte health).
+
+    All signals are JVM string/regexp expressions fused into the scan
+    (one projection + one bounded groupBy — no explode, no Python):
+
+    * ``repl_chars``   — U+FFFD count (length-difference, no regex)
+    * ``ctrl_chars``   — C0 controls except tab/newline/CR
+    * ``mojibake_seqs``— ``Ã<non-space>`` or ``â€`` occurrences, the
+      two classic UTF-8-as-Latin-1 fingerprints (RE2-safe pattern, so
+      the DuckDB oracle runs it verbatim)
+    * ``non_ascii_ratio`` — share of chars outside printable ASCII +
+      tab/newline/CR (legitimate for non-English text — a RANKING
+      signal, only flagged via the artifact counters above)
+
+    Returns per ``group_col``: ``(group, n_docs, n_chars,
+    docs_flagged, repl_chars, ctrl_chars, mojibake_seqs,
+    max_non_ascii_ratio)`` ordered by group.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t)
+    repl = n_chars - F.length(F.replace(t, F.lit("�"), F.lit("")))
+    ctrl = n_chars - F.length(
+        F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    )
+    moji = F.size(F.regexp_extract_all(t, F.lit(r"Ã[^\s]|â€"), F.lit(0)))
+    ascii_n = F.length(
+        F.regexp_replace(t, r"[^\x09\x0A\x0D\x20-\x7E]", "")
+    )
+    per = df.select(
+        F.col(group_col).alias("group"),
+        n_chars.alias("__n"),
+        repl.alias("__repl"),
+        ctrl.alias("__ctrl"),
+        moji.alias("__moji"),
+        F.when(
+            n_chars > 0, (n_chars - ascii_n) / n_chars.cast("double")
+        ).otherwise(F.lit(0.0)).alias("__na_ratio"),
+    )
+    flagged = (
+        (F.col("__repl") > 0) | (F.col("__ctrl") > 0) | (F.col("__moji") > 0)
+    )
+    return (
+        per.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("n_chars"),
+            F.sum(flagged.cast("long")).alias("docs_flagged"),
+            F.sum("__repl").alias("repl_chars"),
+            F.sum("__ctrl").alias("ctrl_chars"),
+            F.sum("__moji").alias("mojibake_seqs"),
+            F.round(F.max("__na_ratio"), 6).alias("max_non_ascii_ratio"),
+        )
+        .orderBy("group")
+    )

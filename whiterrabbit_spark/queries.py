@@ -1883,6 +1883,43 @@ SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
 FROM per GROUP BY "group" ORDER BY "group" """
 
 
+def _encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-damage audit (textstats.encoding_artifacts):
+    mojibake fingerprints, U+FFFD replacement chars, C0 control bytes,
+    worst non-ASCII ratio — one projection + one bounded groupBy."""
+    from whiterrabbit_spark.extensions.textstats import encoding_artifacts
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return encoding_artifacts(docs, "text", "doc_id", "source")
+
+
+def _encoding_artifacts_sql() -> str:
+    return r"""
+WITH per AS (
+  SELECT source AS "group",
+         length(t) AS n,
+         length(t) - length(replace(t, '�', '')) AS repl,
+         length(t) - length(regexp_replace(t,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctrl,
+         len(regexp_extract_all(t, 'Ã[^\s]|â€')) AS moji,
+         CASE WHEN length(t) > 0
+              THEN (length(t) - length(regexp_replace(t,
+                   '[^\x09\x0A\x0D\x20-\x7E]', '', 'g')))
+                   / length(t)::DOUBLE
+              ELSE 0.0 END AS na_ratio
+  FROM (SELECT source, coalesce(text, '') AS t FROM documents)
+)
+SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN repl > 0 OR ctrl > 0 OR moji > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+       CAST(sum(repl) AS BIGINT) AS repl_chars,
+       CAST(sum(ctrl) AS BIGINT) AS ctrl_chars,
+       CAST(sum(moji) AS BIGINT) AS mojibake_seqs,
+       round(max(na_ratio), 6) AS max_non_ascii_ratio
+FROM per GROUP BY "group" ORDER BY "group" """
+
+
 def _grouped_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group profile: events value/user_id stats segmented by
     event_type — one grouped wide agg, single shuffle."""
@@ -11956,6 +11993,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("dup_spans_documents", _dup_spans, _dup_spans_sql())
     add("dup_span_coverage_documents", _dup_span_coverage,
         _dup_span_coverage_sql())
+    add("encoding_artifacts_documents", _encoding_artifacts,
+        _encoding_artifacts_sql())
     add("pack_shards_documents", _pack_shards, _PACK_SQL)
     add("hyperplane_near_pairs_embeddings", _hyperplane_near_pairs,
         _hyperplane_near_pairs_sql())
