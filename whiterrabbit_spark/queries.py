@@ -12448,6 +12448,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     _R5_PREFIX = [
         "dup_spans_documents",
         "dup_span_coverage_documents",
+        "encoding_artifacts_documents",
         "pagerank_lineitem",
         "gini_lineitem",
         "spearman_matrix_lineitem",
