@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""2M-document exact-substring-family scale smoke (round 5).
+
+The span table is O(total tokens) rows (one hashed k-gram per token
+position); at 2M docs x ~55 tokens that is ~90M span rows through one
+groupBy(span_hash) with a countDistinct expand - the family's only
+shuffle. Verifies wall-time stays linear-ish, planted cross-doc spans
+are found exactly, and the coverage rollup's per-doc windows stay
+bounded (partitioned by doc, max window = doc length).
+
+Usage: python tools/smoke_spans_2m.py [n_docs]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+PLANTED = 50_000          # docs that embed the SAME 10-token passage
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from whiterrabbit_spark.extensions.dedup import (
+        duplicated_span_coverage,
+        duplicated_spans,
+    )
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "48g")
+        .appName("smoke-spans-2m")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ~55 unique tokens per doc from the doc id; PLANTED docs embed one
+    # shared 10-token passage in the middle
+    uniq = F.concat_ws(
+        " ",
+        *[F.concat(F.lit(f"w{j}x"), F.col("id")) for j in range(55)],
+    )
+    passage = " ".join(f"shared{j}" for j in range(10))
+    text = F.when(
+        F.col("id") < PLANTED,
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"w{j}x"), F.col("id")) for j in range(20)],
+            F.lit(passage),
+            *[F.concat(F.lit(f"w{j}x"), F.col("id")) for j in range(20, 45)],
+        ),
+    ).otherwise(uniq)
+    docs = spark.range(N, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        (F.col("id") % 10).cast("string").alias("source"),
+    )
+
+    t0 = time.time()
+    cat = duplicated_spans(docs, k=10, top_k=20).collect()
+    t_cat = time.time() - t0
+    # the planted passage alone is shared verbatim by PLANTED docs; the
+    # surrounding 9-token flanks differ per doc, so spans fully inside
+    # the passage (exactly one at k=10) dominate the catalog
+    top = cat[0]
+    print(
+        f"dup_spans: {len(cat)} rows in {t_cat:.1f}s; top n_docs="
+        f"{top['n_docs']:,} occ={top['n_occurrences']:,} "
+        f"example={top['example'][:40]!r}"
+    )
+    assert top["n_docs"] == PLANTED and top["example"] == passage
+
+    t0 = time.time()
+    cov = {
+        r["group"]: r
+        for r in duplicated_span_coverage(docs, k=10).collect()
+    }
+    t_cov = time.time() - t0
+    total_flagged = sum(r["docs_with_dups"] for r in cov.values())
+    print(
+        f"coverage: {len(cov)} groups in {t_cov:.1f}s; "
+        f"docs_with_dups={total_flagged:,}"
+    )
+    assert total_flagged == PLANTED
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
