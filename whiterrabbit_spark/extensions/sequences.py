@@ -35,35 +35,41 @@ def funnel_completion_times(
     after the completion of step i−1), plus ``steps_completed``.
 
     Returns (user_col, t_step1..t_stepK as double epochs, steps_completed).
+
+    Each step's completion time is MATERIALIZED as its own projected
+    column before the next step references it: written inline, step
+    i's filter lambda would re-evaluate the whole step-(i-1)
+    expression per array element, compounding to O(n^steps) array
+    scans per user (the round-5 lambda-hoist lesson, PLANS.md); as an
+    attribute reference it is O(1) per element and the chain is
+    O(steps × events-per-user).
     """
     ep = F.col(ts_col).cast("timestamp").cast("double")
     aggs = [
         F.collect_list(F.when(F.col(type_col) == s, ep)).alias(f"__a{i}")
         for i, s in enumerate(steps)
     ]
-    per_user = events.groupBy(user_col).agg(*aggs)
-
-    t_prev: Column | None = None
-    t_cols: list[Column] = []
+    cur = events.groupBy(user_col).agg(*aggs)
     for i, _ in enumerate(steps):
         arr = F.col(f"__a{i}")
-        if t_prev is None:
+        if i == 0:
             t = F.array_min(arr)
         else:
-            prev = t_prev
+            prev = F.col(f"__t{i - 1}")
             t = F.array_min(F.filter(arr, lambda x: x > prev))
-        t_cols.append(t)
-        t_prev = t
+        cur = cur.withColumn(f"__t{i}", t)
 
     completed = F.lit(0)
     for i in range(len(steps)):
-        completed = F.when(t_cols[i].isNotNull(), F.lit(i + 1)).otherwise(completed)
-    # t_cols[i] non-null implies all earlier non-null (greedy chain), so
+        completed = F.when(
+            F.col(f"__t{i}").isNotNull(), F.lit(i + 1)
+        ).otherwise(completed)
+    # __t{i} non-null implies all earlier non-null (greedy chain), so
     # scanning ascending and keeping the last non-null index is correct.
 
-    return per_user.select(
+    return cur.select(
         F.col(user_col),
-        *[t_cols[i].alias(f"t_{s}") for i, s in enumerate(steps)],
+        *[F.col(f"__t{i}").alias(f"t_{s}") for i, s in enumerate(steps)],
         completed.alias("steps_completed"),
     )
 
