@@ -1085,3 +1085,61 @@ class TestEpisodePairs:
                     assert got[(a, b)] == (both, ordered), (a, b)
                 else:
                     assert (a, b) not in got
+
+
+class TestDuplicatedSpanCoverage:
+    """Property pin for the exact-substring coverage rollup: against a
+    brute-force python reference on arbitrary small corpora — coverage
+    fraction in [0, 1], interval union computed exactly, docs under k
+    tokens or with no cross-doc span always 0."""
+
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(list("abcdef")), min_size=1, max_size=12
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_brute_force(self, spark, corpora):
+        from whiterrabbit_spark.extensions.dedup import (
+            duplicated_span_coverage,
+        )
+
+        k = 3
+        docs = [(i, " ".join(toks), "s") for i, toks in enumerate(corpora)]
+        df = spark.createDataFrame(
+            docs, "doc_id long, text string, source string"
+        )
+        got = duplicated_span_coverage(df, k=k).collect()[0]
+
+        # brute force: spans per doc, cross-doc duplicated hash set,
+        # interval union per doc
+        spans = {
+            i: [tuple(t[j:j + k]) for j in range(len(t) - k + 1)]
+            for i, t in ((i, toks) for i, toks in enumerate(corpora))
+        }
+        docs_of = {}
+        for i, ss in spans.items():
+            for s in set(ss):
+                docs_of.setdefault(s, set()).add(i)
+        dup = {s for s, ds in docs_of.items() if len(ds) >= 2}
+        fracs = []
+        for i, toks in enumerate(corpora):
+            pos = sorted(
+                j for j, s in enumerate(spans[i]) if s in dup
+            )
+            cov = prev = None
+            total = 0
+            for p in pos:
+                total += k if prev is None else min(p - prev, k)
+                prev = p
+            fracs.append(total / max(len(toks), 1))
+        assert got["n_docs"] == len(corpora)
+        assert got["docs_with_dups"] == sum(1 for f in fracs if f > 0)
+        assert abs(got["mean_dup_frac"] - round(sum(fracs) / len(fracs), 6)) < 1e-6
+        assert abs(got["max_dup_frac"] - round(max(fracs), 6)) < 1e-6
+        assert 0.0 <= got["max_dup_frac"] <= 1.0
