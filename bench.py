@@ -372,7 +372,7 @@ def main() -> None:
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         read_parquet_table(spark, SF_DIR, t).limit(1).collect()
 
-    def measure(name: str, fn) -> float:
+    def measure(fn) -> float:
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         n = df.count() if hasattr(df, "count") else len(df)
@@ -386,7 +386,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for _ in range(runs):
         for name, fn in bench.items():
-            el = measure(name, fn)
+            el = measure(fn)
             times[name] = min(times.get(name, el), el)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -422,7 +422,7 @@ def main() -> None:
                 continue
             extra = 0
             while times[name] / best > retry_ceiling and extra < 3:
-                el = measure(name, fn)
+                el = measure(fn)
                 times[name] = min(times[name], el)
                 extra += 1
             if extra:

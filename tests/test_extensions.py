@@ -800,6 +800,21 @@ def test_connected_components_distributed_star_contraction(spark):
     }
     assert dist == drv
 
+    # self-loop-only nodes must survive BOTH paths as their own
+    # singleton clusters (review finding: the star iteration drops
+    # a==b edges, so such nodes need explicit restoration)
+    loops = spark.createDataFrame(
+        [(7, 7), (1, 2), (9, 9)], "id1 long, id2 long"
+    )
+    for thr in (0, 2_000_000):
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(
+                loops, driver_threshold=thr
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 7: 7, 9: 9}, (thr, got)
+
 
 def test_encoding_artifacts_planted(spark):
     """Encoding-damage audit on planted fixtures: mojibake sequences

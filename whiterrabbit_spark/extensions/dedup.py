@@ -747,6 +747,7 @@ def connected_components(
             "or repair upstream; NULL cannot label a component"
         )
     if n_edges <= driver_threshold:
+        connected_components.last_rounds = 0  # driver path: no rounds
         rows = edges.collect()
         parent: dict = {}
 
@@ -807,8 +808,12 @@ def connected_components(
             .distinct()
         )
 
+    connected_components.last_rounds = None  # reset; stale reads lie
     # canonical larger->smaller orientation up front so the converged
-    # edge-set comparison sees one row per undirected edge
+    # edge-set comparison sees one row per undirected edge; nodes whose
+    # only edges are self-loops leave the star iteration here and are
+    # restored as their own singleton clusters at the end (parity with
+    # the driver union-find path, which labels them (n, n))
     cur = (
         edges.select(
             F.greatest(src, dst).alias("a"), F.least(src, dst).alias("b")
@@ -816,6 +821,11 @@ def connected_components(
         .where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
+    )
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
     )
     rounds = 0
     for _ in range(max_iter):
@@ -848,10 +858,22 @@ def connected_components(
                 .groupBy("node")
                 .agg(F.min("cluster_id").alias("cluster_id"))
             )
+            # roots (targets never appearing as a source) label
+            # themselves; so do self-loop-only nodes, which never
+            # entered the star iteration at all
+            selfs = (
+                all_nodes.join(lab.select("node"), "node", "left_anti")
+                .join(
+                    lab.select(F.col("cluster_id").alias("node")).distinct(),
+                    "node",
+                    "left_anti",
+                )
+            )
             roots = (
                 lab.select(F.col("cluster_id").alias("node"))
                 .distinct()
                 .join(lab.select("node"), "node", "left_anti")
+                .unionByName(selfs)
                 .select("node", F.col("node").alias("cluster_id"))
             )
             return lab.unionByName(roots)
@@ -1194,17 +1216,22 @@ def duplicated_span_coverage(
     top of :func:`duplicated_spans`: which sources ship how much
     syndicated/templated text, and how bad the worst document is.
 
-    Scale shape: the span table and duplicate catalog are the linear
-    explode + groupBy above; coverage joins each doc's spans to the
-    catalog on the hash (shuffle bounded by span count) and the union
-    window is partitioned PER DOCUMENT — bounded by document length,
-    never corpus-sized. Documents shorter than ``k`` tokens or with no
-    duplicated span count as 0 coverage (left join).
+    Scale shape: the span table feeds BOTH the duplicate-hash groupBy
+    and the coverage join, so it is eagerly ``localCheckpoint``-pinned
+    — left lazy, the corpus would be re-tokenized and re-hashed once
+    per consumer (the round-5 layout-advisor lesson: differing
+    subplans defeat ReusedExchange); the pinned rows are three compact
+    columns, smaller than the text they derive from. Coverage then
+    joins spans to the catalog on the hash (shuffle bounded by span
+    count) and the union window is partitioned PER DOCUMENT — bounded
+    by document length, never corpus-sized. Documents shorter than
+    ``k`` tokens or with no duplicated span count as 0 coverage
+    (left join).
 
     Returns ``(group, n_docs, docs_with_dups, mean_dup_frac,
     max_dup_frac)`` ordered by group.
     """
-    spans = _span_table(df, text_col, id_col, k)
+    spans = _span_table(df, text_col, id_col, k).localCheckpoint(eager=True)
     dup_hashes = (
         spans.groupBy("span_hash")
         .agg(F.countDistinct(id_col).alias("__nd"))

@@ -1311,9 +1311,11 @@ def encoding_artifacts(
 
     * ``repl_chars``   — U+FFFD count (length-difference, no regex)
     * ``ctrl_chars``   — C0 controls except tab/newline/CR
-    * ``mojibake_seqs``— ``Ã<non-space>`` or ``â€`` occurrences, the
-      two classic UTF-8-as-Latin-1 fingerprints (RE2-safe pattern, so
-      the DuckDB oracle runs it verbatim)
+    * ``mojibake_seqs``— ``Ã<non-whitespace>`` or ``â€`` occurrences,
+      the two classic UTF-8-as-Latin-1 fingerprints (the whitespace
+      class is spelled out character-by-character because Java's \\s
+      includes U+000B and RE2's does not — the explicit class makes
+      the DuckDB oracle's verbatim pattern exactly equivalent)
     * ``non_ascii_ratio`` — share of chars outside printable ASCII +
       tab/newline/CR (legitimate for non-English text — a RANKING
       signal, only flagged via the artifact counters above)
@@ -1328,7 +1330,11 @@ def encoding_artifacts(
     ctrl = n_chars - F.length(
         F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
     )
-    moji = F.size(F.regexp_extract_all(t, F.lit(r"Ã[^\s]|â€"), F.lit(0)))
+    # whitespace class spelled out: Java \s includes U+000B, RE2 \s
+    # does not — an explicit class pins ONE semantics in both engines
+    moji = F.size(
+        F.regexp_extract_all(t, F.lit("Ã[^ \t\n\x0b\f\r]|â€"), F.lit(0))
+    )
     ascii_n = F.length(
         F.regexp_replace(t, r"[^\x09\x0A\x0D\x20-\x7E]", "")
     )

@@ -1901,7 +1901,7 @@ WITH per AS (
          length(t) - length(replace(t, '�', '')) AS repl,
          length(t) - length(regexp_replace(t,
              '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctrl,
-         len(regexp_extract_all(t, 'Ã[^\s]|â€')) AS moji,
+         len(regexp_extract_all(t, 'Ã[^ \t\n\x0B\f\r]|â€')) AS moji,
          CASE WHEN length(t) > 0
               THEN (length(t) - length(regexp_replace(t,
                    '[^\x09\x0A\x0D\x20-\x7E]', '', 'g')))
