@@ -11067,6 +11067,9 @@ def _retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == len(set(BM25_QUERY)))
     ).select(F.col("doc_id").alias("rel_id"))
+    # the relevance set feeds three consumers (count + one semi-join
+    # per ranked list); pinned so the corpus scan happens once
+    rel = rel.localCheckpoint(eager=True)
     n_rel = rel.agg(F.count(F.lit(1)).alias("n_relevant"))
 
     def ranked(df: DataFrame, score_col: str, id_out: str) -> DataFrame:
