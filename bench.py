@@ -355,6 +355,8 @@ def main() -> None:
         "dup_spans": queries["dup_spans_documents"],
         "dup_span_coverage": queries["dup_span_coverage_documents"],
         "encoding_artifacts": queries["encoding_artifacts_documents"],
+        "attribution_decay": queries["attribution_decay_events"],
+        "percentile_bands": queries["percentile_bands_events"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

@@ -816,6 +816,64 @@ def test_connected_components_distributed_star_contraction(spark):
         assert got == {1: 1, 2: 1, 7: 7, 9: 9}, (thr, got)
 
 
+def test_attribution_decay_hand_computed(spark):
+    """Time-decay attribution on a hand-computed fixture: exponential
+    half-life weights normalized to one credit per converter; touches
+    after the first conversion ignored; touchless converters credit
+    (none) in full; sum of credits equals converting users."""
+    from whiterrabbit_spark.extensions.sequences import attribution_decay
+
+    t0 = 1_700_000_000
+    rows = [
+        # user 1: view 2h before, click 1h before -> 0.25 vs 0.5 raw
+        (1, t0, "view"), (1, t0 + 3600, "click"), (1, t0 + 7200, "purchase"),
+        # user 2: converts with no prior touch
+        (2, t0, "purchase"),
+        # user 3: converts first, touch AFTER conversion ignored
+        (3, t0, "purchase"), (3, t0 + 10, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, sec long, event_type string"
+    ).select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"), "event_type"
+    )
+    out = {
+        r["channel"]: r
+        for r in attribution_decay(ev, "purchase", 3600.0).collect()
+    }
+    assert abs(out["view"]["credit"] - round(1 / 3, 6)) < 1e-9
+    assert abs(out["click"]["credit"] - round(2 / 3, 6)) < 1e-9
+    assert out["click"]["n_touches"] == 1 and out["click"]["n_users"] == 1
+    assert out["(none)"]["credit"] == 2.0 and out["(none)"]["n_users"] == 2
+    assert abs(sum(r["credit"] for r in out.values()) - 3.0) < 1e-6
+
+
+def test_percentile_bands_type7(spark):
+    """Hourly percentile bands: exact R type-7 quantiles per (hour,
+    segment) cell over 1..100 — P50=50.5, P95=95.05, P99=99.01 — and
+    cells keep separate distributions."""
+    from whiterrabbit_spark.profile import percentile_bands
+
+    t0 = 1_700_000_000  # falls inside one hour bucket
+    t0 -= t0 % 3600
+    rows = [(t0 + i, "a", float(i + 1)) for i in range(100)] + [
+        (t0 + 3600 + i, "a", 5.0) for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows, "sec long, event_type string, value double"
+    ).select(
+        F.timestamp_seconds("sec").alias("ts"), "event_type", "value"
+    )
+    out = percentile_bands(ev, "ts", "value", "event_type").collect()
+    assert len(out) == 2
+    first, second = out
+    assert first["n"] == 100
+    assert abs(first["q_0_5"] - 50.5) < 1e-9
+    assert abs(first["q_0_95"] - 95.05) < 1e-9
+    assert abs(first["q_0_99"] - 99.01) < 1e-9
+    assert second["n"] == 10 and second["q_0_99"] == 5.0
+
+
 def test_encoding_artifacts_planted(spark):
     """Encoding-damage audit on planted fixtures: mojibake sequences
     (UTF-8 read as Latin-1), U+FFFD replacement chars, C0 control

@@ -282,6 +282,77 @@ def attribution(
     )
 
 
+def attribution_decay(
+    events: DataFrame,
+    conversion_type: str,
+    halflife_s: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    none_label: str = "(none)",
+) -> DataFrame:
+    """Time-decay conversion attribution — the standard middle ground
+    between :func:`attribution`'s first/last-touch endpoints: every
+    touch before a user's FIRST conversion earns weight
+    0.5^(Δt / halflife), normalized so each converting user distributes
+    exactly one credit across their touches; converters with no prior
+    touch credit ``none_label`` in full. Extension beyond the reference
+    surface (whiteRRabbit.R has no per-entity ordering).
+
+    Scale shape: conversion times are one ``groupBy(user).min`` (one
+    partial-aggregable shuffle, |users| rows) joined back to the touch
+    stream on the user key; per-user weight normalization is a window
+    partitioned BY USER (bounded by a user's touch count); the final
+    rollup is a |channels|-row groupBy. ``pow(0.5, Δt/h)`` is IEEE
+    math both engines reproduce, and credits round at 6 dp.
+
+    Returns ``(channel, credit, n_touches, n_users)`` ordered by
+    channel — Σ credit = number of converting users.
+    """
+    ep = F.col(ts_col).cast("timestamp").cast("double")
+    conv = (
+        events.where(F.col(type_col) == conversion_type)
+        .groupBy(user_col)
+        .agg(F.min(ep).alias("__tc"))
+    )
+    touches = (
+        events.where(F.col(type_col) != conversion_type)
+        .select(user_col, ep.alias("__t"), F.col(type_col).alias("channel"))
+        .join(conv, user_col)
+        .where(F.col("__t") < F.col("__tc"))
+        .withColumn(
+            "__w",
+            F.pow(
+                F.lit(0.5),
+                (F.col("__tc") - F.col("__t")) / F.lit(float(halflife_s)),
+            ),
+        )
+    )
+    w_user = Window.partitionBy(user_col)
+    credited = touches.withColumn(
+        "__credit", F.col("__w") / F.sum("__w").over(w_user)
+    )
+    per_channel = credited.groupBy("channel").agg(
+        F.round(F.sum("__credit"), 6).alias("credit"),
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct(user_col).alias("n_users"),
+    )
+    touchless = (
+        conv.join(
+            credited.select(user_col).distinct(), user_col, "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 0)
+        .select(
+            F.lit(none_label).alias("channel"),
+            F.col("__n").cast("double").alias("credit"),
+            F.lit(0).cast("long").alias("n_touches"),
+            F.col("__n").alias("n_users"),
+        )
+    )
+    return per_channel.unionByName(touchless).orderBy("channel")
+
+
 def session_paths(
     events: DataFrame,
     gap: str = "28800 seconds",

@@ -634,6 +634,58 @@ def grouped_quantiles(
     return qs.select("group_key", *cols)
 
 
+def percentile_bands(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    segment_col: str,
+    bucket: str = "hour",
+    probs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Per-segment percentile bands over time — the canonical
+    observability rollup (hourly P50/P95/P99 latency per endpoint):
+    one row per (time bucket, segment) with exact R type-7 quantiles
+    and the sample count. The distribution-aware companion to
+    ``events_hourly_rollup``'s mean/sum view — tail regressions are
+    invisible in means.
+
+    Scale shape: same histogram trick as :func:`grouped_quantiles` —
+    ``groupBy(bucket, segment, value)`` collapses duplicates in one
+    partial-aggregable shuffle, then ``percentile(v, probs, cnt)``
+    buffers |distinct values per cell|, never |rows|. Both shuffles
+    key on the (bucket, segment) pair, so cells parallelize across
+    the cluster and no task ever holds more than one cell's
+    distinct-value multiset.
+
+    Returns ``(bucket_ts, segment, n, q_<p>...)`` ordered by
+    (bucket_ts, segment).
+    """
+    v = F.col(value_col).cast("double")
+    b = F.date_trunc(bucket, F.col(ts_col))
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(
+            b.alias("bucket_ts"),
+            F.col(segment_col).alias("segment"),
+            v.alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    qs = hist.groupBy("bucket_ts", "segment").agg(
+        F.sum("__cnt").alias("n"),
+        F.percentile(
+            F.col("__v"), F.lit(list(probs)), F.col("__cnt")
+        ).alias("__q"),
+    )
+    cols = [
+        F.element_at("__q", i + 1).alias(f"q_{str(p).replace('.', '_')}")
+        for i, p in enumerate(probs)
+    ]
+    return qs.select("bucket_ts", "segment", "n", *cols).orderBy(
+        "bucket_ts", "segment"
+    )
+
+
 def missingness_patterns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Row-level missingness co-occurrence: each row maps to the bit
     pattern of which of ``cols`` are NULL (string like ``"a=1,b=0"``,

@@ -1883,6 +1883,78 @@ SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
 FROM per GROUP BY "group" ORDER BY "group" """
 
 
+_DECAY_HALFLIFE_S = 3600.0
+
+
+def _attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay conversion attribution
+    (sequences.attribution_decay): touches before each user's first
+    purchase earn 0.5^(Δt/1h), normalized to one credit per converter;
+    touchless converters credit '(none)' — the standard middle ground
+    between first- and last-touch."""
+    from whiterrabbit_spark.extensions.sequences import attribution_decay
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    return attribution_decay(ev, "purchase", _DECAY_HALFLIFE_S)
+
+
+def _attribution_decay_sql() -> str:
+    return f"""
+WITH conv AS (
+  SELECT user_id, min(epoch(ts)) AS tc FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), touches AS (
+  SELECT e.user_id, e.event_type AS channel,
+         pow(0.5, (c.tc - epoch(e.ts)) / {_DECAY_HALFLIFE_S}) AS w
+  FROM events e JOIN conv c USING (user_id)
+  WHERE e.event_type <> 'purchase' AND epoch(e.ts) < c.tc
+), credited AS (
+  SELECT channel, user_id,
+         w / sum(w) OVER (PARTITION BY user_id) AS credit
+  FROM touches
+), per AS (
+  SELECT channel, round(sum(credit), 6) AS credit,
+         CAST(count(*) AS BIGINT) AS n_touches,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM credited GROUP BY channel
+), tl AS (
+  SELECT count(*) AS n FROM conv
+  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM touches)
+)
+SELECT * FROM per
+UNION ALL
+SELECT '(none)', n::DOUBLE, CAST(0 AS BIGINT), CAST(n AS BIGINT)
+FROM tl WHERE n > 0
+ORDER BY channel"""
+
+
+def _percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly P50/P95/P99 value bands per event type
+    (profile.percentile_bands): the observability tail-latency rollup —
+    exact type-7 quantiles from the per-cell value histogram."""
+    from whiterrabbit_spark.profile import percentile_bands
+
+    ev = read_parquet_table(spark, sf_dir, "events")
+    out = percentile_bands(ev, "ts", "value", "event_type")
+    return out.select(
+        "bucket_ts", "segment", "n",
+        F.round("q_0_5", R).alias("q_0_5"),
+        F.round("q_0_95", R).alias("q_0_95"),
+        F.round("q_0_99", R).alias("q_0_99"),
+    )
+
+
+def _percentile_bands_sql() -> str:
+    return f"""
+SELECT date_trunc('hour', ts) AS bucket_ts, event_type AS segment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), {R}) AS q_0_5,
+       round(quantile_cont(value, 0.95), {R}) AS q_0_95,
+       round(quantile_cont(value, 0.99), {R}) AS q_0_99
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def _encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source encoding-damage audit (textstats.encoding_artifacts):
     mojibake fingerprints, U+FFFD replacement chars, C0 control bytes,
@@ -11998,6 +12070,10 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _dup_span_coverage_sql())
     add("encoding_artifacts_documents", _encoding_artifacts,
         _encoding_artifacts_sql())
+    add("attribution_decay_events", _attribution_decay,
+        _attribution_decay_sql())
+    add("percentile_bands_events", _percentile_bands,
+        _percentile_bands_sql())
     add("pack_shards_documents", _pack_shards, _PACK_SQL)
     add("hyperplane_near_pairs_embeddings", _hyperplane_near_pairs,
         _hyperplane_near_pairs_sql())
@@ -12452,6 +12528,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "dup_spans_documents",
         "dup_span_coverage_documents",
         "encoding_artifacts_documents",
+        "attribution_decay_events",
+        "percentile_bands_events",
         "pagerank_lineitem",
         "gini_lineitem",
         "spearman_matrix_lineitem",
