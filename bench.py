@@ -357,6 +357,7 @@ def main() -> None:
         "encoding_artifacts": queries["encoding_artifacts_documents"],
         "attribution_decay": queries["attribution_decay_events"],
         "percentile_bands": queries["percentile_bands_events"],
+        "nzv_screen": queries["nzv_screen_lineitem"],
     }
 
     # Warm the JVM/codegen, parquet-reader, and Python-worker paths once so

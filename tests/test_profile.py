@@ -2231,3 +2231,43 @@ def test_row_dups_and_extremes_queries(spark):
         and r.rank == 1
     ][0]
     assert q_bottom1.value == -1.0 and q_bottom1.n == 50
+
+
+def test_nzv_screen_hand_computed(spark):
+    """caret nearZeroVar semantics on a hand-built frame: a degenerate
+    column (199:1 top ratio, 2 distinct) flags; a balanced binary
+    column does not (ratio 1); a near-unique id column does not
+    (pct_unique ~1); a constant column reports NULL freq_ratio and
+    flags via pct_unique alone; an all-NULL column yields (0, 0) and
+    flags as degenerate."""
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.profile import nzv_screen
+
+    n = 200
+    df = spark.range(n).select(
+        F.when(F.col("id") < n - 1, "a").otherwise("b").alias("degen"),
+        F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("bal"),
+        F.col("id").cast("string").alias("uid"),
+        F.lit("c").alias("const"),
+        F.lit(None).cast("string").alias("allnull"),
+    )
+    out = {
+        r["column_name"]: r
+        for r in nzv_screen(
+            df, ["degen", "bal", "uid", "const", "allnull"]
+        ).collect()
+    }
+    d = out["degen"]
+    assert d["near_zero_var"] == 1
+    assert d["top_value"] == "a" and d["top_count"] == n - 1
+    assert abs(d["freq_ratio"] - (n - 1)) < 1e-9
+    assert out["bal"]["near_zero_var"] == 0
+    assert abs(out["bal"]["freq_ratio"] - 1.0) < 1e-9
+    assert out["uid"]["near_zero_var"] == 0
+    assert abs(out["uid"]["pct_unique"] - 1.0) < 1e-9
+    c = out["const"]
+    assert c["freq_ratio"] is None and c["near_zero_var"] == 1
+    a = out["allnull"]
+    assert a["n_rows"] == 0 and a["n_distinct"] == 0
+    assert a["near_zero_var"] == 1

@@ -686,6 +686,96 @@ def percentile_bands(
     )
 
 
+def nzv_screen(
+    df: DataFrame,
+    cols: list[str],
+    freq_cut: float = 19.0,
+    unique_cut: float = 0.1,
+) -> DataFrame:
+    """Near-zero-variance feature screen (caret's ``nearZeroVar``
+    semantics): a column is flagged when its most frequent value
+    dominates the second (freq_ratio = top1/top2 ≥ ``freq_cut``) AND
+    distinct values are scarce (pct_unique = distinct/n ≤
+    ``unique_cut``) — the degenerate-predictor filter run before any
+    feature ever reaches training. Constant columns (no second value)
+    report NULL freq_ratio and flag by pct_unique alone.
+
+    Scale shape: ALL columns melt out of ONE scan (posexplode →
+    groupBy(col, value) — the gini/spearman pattern); per-column
+    top-2 counts come from a bounded row_number window over the
+    O(distinct) counts frame, never over rows. NULLs are excluded per
+    aggregate convention.
+
+    Returns one row per column, in the order given: ``(column_name,
+    n_rows, n_distinct, top_value, top_count, second_count,
+    freq_ratio, pct_unique, near_zero_var)``.
+    """
+    spark = df.sparkSession
+    melted = (
+        df.select(
+            F.posexplode(
+                F.array(*[F.col(c).cast("string") for c in cols])
+            ).alias("__pos", "v")
+        )
+        .where(F.col("v").isNotNull())
+        .groupBy("__pos", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("__pos").orderBy(F.col("cnt").desc(), "v")
+    ranked = melted.withColumn("__rk", F.row_number().over(w))
+    per = (
+        ranked.groupBy("__pos")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max(F.when(F.col("__rk") == 1, F.col("v"))).alias("top_value"),
+            F.max(F.when(F.col("__rk") == 1, F.col("cnt"))).alias("top_count"),
+            F.max(F.when(F.col("__rk") == 2, F.col("cnt"))).alias(
+                "second_count"
+            ),
+        )
+    )
+    spine = spark.range(len(cols)).select(
+        F.col("id").cast("int").alias("__pos")
+    )
+    per = spine.join(per, "__pos", "left")
+    freq_ratio = F.when(
+        F.col("second_count").isNotNull(),
+        F.round(F.col("top_count") / F.col("second_count").cast("double"), 6),
+    )
+    pct_unique = F.round(
+        F.coalesce(F.col("n_distinct"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("n_rows"), F.lit(0)), F.lit(1)).cast(
+            "double"
+        ),
+        6,
+    )
+    nzv = (
+        (
+            F.coalesce(freq_ratio >= freq_cut, F.lit(True))
+            & (pct_unique <= unique_cut)
+        )
+        .cast("long")
+        .alias("near_zero_var")
+    )
+    return (
+        per.orderBy("__pos")
+        .select(
+            F.element_at(
+                F.array(*[F.lit(c) for c in cols]), F.col("__pos") + 1
+            ).alias("column_name"),
+            F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+            "top_value",
+            "top_count",
+            "second_count",
+            freq_ratio.alias("freq_ratio"),
+            pct_unique.alias("pct_unique"),
+            nzv,
+        )
+    )
+
+
 def missingness_patterns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Row-level missingness co-occurrence: each row maps to the bit
     pattern of which of ``cols`` are NULL (string like ``"a=1,b=0"``,

@@ -1883,6 +1883,53 @@ SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
 FROM per GROUP BY "group" ORDER BY "group" """
 
 
+NZV_COLS = [
+    "l_returnflag", "l_linestatus", "l_tax", "l_quantity",
+    "l_linenumber", "l_extendedprice",
+]
+
+
+def _nzv_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-zero-variance feature screen (profile.nzv_screen, caret
+    semantics): top1/top2 frequency ratio + percent-unique per column,
+    all columns melted out of one scan."""
+    from whiterrabbit_spark.profile import nzv_screen
+
+    li = read_parquet_table(spark, sf_dir, "lineitem")
+    return nzv_screen(li, NZV_COLS)
+
+
+def _nzv_screen_sql() -> str:
+    parts = []
+    for c in NZV_COLS:
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_rows,
+       CAST(coalesce(count(*), 0) AS BIGINT) AS n_distinct,
+       max(CASE WHEN rk = 1 THEN v END) AS top_value,
+       max(CASE WHEN rk = 1 THEN cnt END) AS top_count,
+       max(CASE WHEN rk = 2 THEN cnt END) AS second_count,
+       CASE WHEN max(CASE WHEN rk = 2 THEN cnt END) IS NOT NULL
+            THEN round(max(CASE WHEN rk = 1 THEN cnt END)
+                       / max(CASE WHEN rk = 2 THEN cnt END)::DOUBLE, 6)
+       END AS freq_ratio,
+       round(count(*) / greatest(sum(cnt), 1)::DOUBLE, 6) AS pct_unique,
+       CAST(CASE WHEN coalesce(
+                 round(max(CASE WHEN rk = 1 THEN cnt END)
+                       / max(CASE WHEN rk = 2 THEN cnt END)::DOUBLE, 6)
+                 >= 19.0, TRUE)
+             AND round(count(*) / greatest(sum(cnt), 1)::DOUBLE, 6) <= 0.1
+            THEN 1 ELSE 0 END AS BIGINT) AS near_zero_var
+FROM (
+  SELECT v, cnt, row_number() OVER (ORDER BY cnt DESC, v) AS rk
+  FROM (
+    SELECT CAST({c} AS VARCHAR) AS v, count(*) AS cnt FROM lineitem
+    WHERE {c} IS NOT NULL GROUP BY 1
+  )
+)""")
+    return " UNION ALL ".join(parts)
+
+
 _DECAY_HALFLIFE_S = 3600.0
 
 
@@ -12072,6 +12119,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _encoding_artifacts_sql())
     add("attribution_decay_events", _attribution_decay,
         _attribution_decay_sql())
+    add("nzv_screen_lineitem", _nzv_screen, _nzv_screen_sql())
     add("percentile_bands_events", _percentile_bands,
         _percentile_bands_sql())
     add("pack_shards_documents", _pack_shards, _PACK_SQL)
@@ -12530,6 +12578,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         "encoding_artifacts_documents",
         "attribution_decay_events",
         "percentile_bands_events",
+        "nzv_screen_lineitem",
         "pagerank_lineitem",
         "gini_lineitem",
         "spearman_matrix_lineitem",
