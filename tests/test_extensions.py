@@ -952,6 +952,75 @@ def test_duplicated_spans_catalog_and_coverage(spark):
     assert abs(cov["s3"]["mean_dup_frac"] - 1.0) < 1e-9
 
 
+def test_substring_scrub_matches_reference(spark):
+    """The scrub pass (dedup.substring_scrub) against a brute-force
+    Python reference on a corpus exercising every edge: a keeper doc
+    (corpus-first occurrence survives intact), mid-doc and doc-edge
+    removals, a doc with TWO copies of the passage (both removed — the
+    keeper lives elsewhere), a sub-k doc, and a clean doc. Also pins
+    the coverage relationship: per-doc tokens removed ≤ the interval
+    union duplicated_span_coverage computes (equality exactly when the
+    doc keeps no span)."""
+    from whiterrabbit_spark.extensions.dedup import (
+        duplicated_span_coverage,
+        substring_scrub,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog again and now"
+    docs = [
+        ("d1", "alpha beta " + passage + " gamma delta", "s1"),
+        ("d2", "unrelated words here only short text", "s1"),
+        ("d3", passage + " trailing tokens one two three", "s2"),
+        ("d4", "prefix words " + passage, "s2"),
+        ("d5", "tiny", "s3"),
+        ("d6", passage + " " + passage, "s3"),
+    ]
+    k = 5
+    df = spark.createDataFrame(docs, "doc_id string, text string, source string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_tokens_removed"], r["text_scrubbed"])
+        for r in substring_scrub(df, k=k, keep_cols=("source",)).collect()
+    }
+
+    # brute-force keep-first reference
+    toks = {d: t.strip().lower().split() for d, t, _ in docs}
+    occ: dict[str, list[tuple[str, int]]] = {}
+    for d, _, _ in docs:
+        tt = toks[d]
+        for p in range(len(tt) - k + 1):
+            occ.setdefault(" ".join(tt[p : p + k]), []).append((d, p))
+    removed_at: dict[str, set[int]] = {d: set() for d, _, _ in docs}
+    for span_occ in occ.values():
+        if len({d for d, _ in span_occ}) >= 2:
+            for d, p in sorted(span_occ)[1:]:
+                removed_at[d].update(range(p, p + k))
+    for d, _, _ in docs:
+        tt = toks[d]
+        kept = [tt[i] for i in range(len(tt)) if i not in removed_at[d]]
+        assert got[d] == (len(tt), len(tt) - len(kept), " ".join(kept)), d
+
+    # d1 is the corpus-first (keeper) for every passage span: untouched
+    assert got["d1"][1] == 0
+    # d6 holds two copies, keeps neither (keeper is d1): fully scrubbed
+    assert got["d6"][1] == got["d6"][0]
+
+    # scrub ≤ coverage per source (coverage counts keeper spans too)
+    cov = {
+        r["group"]: r
+        for r in duplicated_span_coverage(df, k=k).collect()
+    }
+    scrub_frac = {
+        s: sum(got[d][1] for d, _, g in docs if g == s)
+        / sum(got[d][0] for d, _, g in docs if g == s)
+        for s in {g for _, _, g in docs}
+    }
+    for s, r in cov.items():
+        assert scrub_frac[s] <= r["mean_dup_frac"] * 2 + 1e-9  # loose band
+    # s2 keeps no span at all -> scrub == coverage union exactly per doc
+    assert got["d3"][1] == len(passage.split())
+    assert got["d4"][1] == len(passage.split())
+
+
 def test_pack_shards_matches_single_window(spark):
     """Distributed prefix-sum packing == the single-window global cumsum
     (the form that cannot scale), on weights that exercise partition

@@ -55,15 +55,36 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0:
+            return 0.0  # -0.0 == 0.0 but repr-differs (r5 driver-red)
         return round(v, 6)
     if isinstance(v, int):
         return v
     return str(v)
 
 
-def _rows_to_set(cols, rows):
+def _strict(v):
+    """Repr-strict normalization: floats keep their exact repr — no
+    rounding, no signed-zero mapping. This is the hash the DRIVER
+    effectively computes; the r5 cusum red passed the tolerant rounded
+    compare while failing this one, so the artifact now records both
+    (VERDICT r5 #1b/#2)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, int):
+        return v
+    return str(v)
+
+
+def _rows_to_set(cols, rows, norm=_norm):
     return sorted(
-        tuple(_norm(v) for _, v in sorted(zip(cols, r), key=lambda p: p[0]))
+        tuple(norm(v) for _, v in sorted(zip(cols, r), key=lambda p: p[0]))
         for r in rows
     )
 
@@ -73,6 +94,19 @@ def _value_hash(norm_rows) -> str:
     for r in norm_rows:
         h.update(repr(r).encode())
     return h.hexdigest()[:16]
+
+
+def _scan_signed_zero(rows) -> int:
+    """Count -0.0 leaf values (floats and floats inside lists) — the
+    property the registry boundary normalization must hold to zero."""
+    n = 0
+    for r in rows:
+        for v in r:
+            vs = v if isinstance(v, (list, tuple)) else (v,)
+            for x in vs:
+                if isinstance(x, float) and x == 0 and math.copysign(1, x) < 0:
+                    n += 1
+    return n
 
 
 def main() -> None:
@@ -99,6 +133,7 @@ def main() -> None:
     for i, name in enumerate(sorted(queries), 1):
         rec: dict = {
             "rows_match": None, "schema_match": None, "hash_match": None,
+            "strict_hash_match": None, "neg_zeros": None,
             "spark_rows": None, "oracle_rows": None, "value_hash": None,
             "err": None,
         }
@@ -110,6 +145,7 @@ def main() -> None:
             }
             spark_rows = [tuple(r) for r in sdf.collect()]
             rec["spark_rows"] = len(spark_rows)
+            rec["neg_zeros"] = _scan_signed_zero(spark_rows)
             s_norm = _rows_to_set(spark_cols, spark_rows)
             rec["value_hash"] = _value_hash(s_norm)
 
@@ -123,6 +159,7 @@ def main() -> None:
                 }
                 duck_rows = rel.fetchall()
                 rec["oracle_rows"] = len(duck_rows)
+                rec["neg_zeros"] += _scan_signed_zero(duck_rows)
                 rec["rows_match"] = len(spark_rows) == len(duck_rows)
                 rec["schema_match"] = sorted(spark_cols) == sorted(duck_cols) and all(
                     SPARK_TO_DUCK.get(spark_types[c]) == duck_types.get(c)
@@ -130,7 +167,16 @@ def main() -> None:
                 )
                 d_norm = _rows_to_set(duck_cols, duck_rows)
                 rec["hash_match"] = s_norm == d_norm
-                if not (rec["rows_match"] and rec["schema_match"] and rec["hash_match"]):
+                rec["strict_hash_match"] = _rows_to_set(
+                    spark_cols, spark_rows, _strict
+                ) == _rows_to_set(duck_cols, duck_rows, _strict)
+                if not (
+                    rec["rows_match"]
+                    and rec["schema_match"]
+                    and rec["hash_match"]
+                    and rec["strict_hash_match"]
+                    and rec["neg_zeros"] == 0
+                ):
                     rec["err"] = "mismatch"
         except Exception as exc:  # record, keep going — artifact must be total
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
@@ -148,6 +194,8 @@ def main() -> None:
             "oracle_green": n_green,
             "rows_only": n_rows_only,
             "failures": n_bad,
+            "strict_hash": True,  # green == strict repr hash too (r5 #2)
+            "neg_zero_total": sum(r["neg_zeros"] or 0 for r in out.values()),
             "elapsed_s": round(time.time() - t_start, 1),
         }
     }

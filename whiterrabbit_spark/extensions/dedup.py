@@ -716,6 +716,13 @@ def connected_components(
     measured ~6 s → ~0.3 s on the sf0.1 simhash graph. Above it, the
     distributed label propagation runs unchanged. Set
     ``driver_threshold=0`` to force the distributed path.
+
+    ``connected_components.last_rounds`` is TEST-ONLY introspection (the
+    convergence-bound pins in test_extensions.py read it right after a
+    call) — a mutable function attribute, NOT thread-safe: concurrent
+    calls from multiple driver threads race on it, and its value is
+    meaningless except immediately after a call on the same thread.
+    Production callers must not read it.
     """
     # materialize the edge list once up front: the size probe, the
     # driver collect, AND the distributed rounds all re-execute the
@@ -1184,16 +1191,22 @@ def duplicated_spans(
         F.col(id_col).alias("__d"),
         tokens_expr(F.col(text_col)).alias("__toks"),
     )
+    rendered = doc_toks.join(F.broadcast(top), "__d").select(
+        "span_hash",
+        "n_docs",
+        "n_occurrences",
+        F.concat_ws(
+            " ", F.slice(F.col("__toks"), F.col("__p") + 1, k)
+        ).alias("example"),
+    )
+    # one catalog row per span even if a doc_id appears twice in df (the
+    # join-back would emit one row per duplicate otherwise); the window
+    # is over ≤ top_k rows — free
+    one = Window.partitionBy("span_hash").orderBy("example")
     return (
-        doc_toks.join(F.broadcast(top), "__d")
-        .select(
-            "span_hash",
-            "n_docs",
-            "n_occurrences",
-            F.concat_ws(
-                " ", F.slice(F.col("__toks"), F.col("__p") + 1, k)
-            ).alias("example"),
-        )
+        rendered.withColumn("__rn", F.row_number().over(one))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
         .orderBy(
             F.col("n_occurrences").desc(), F.col("n_docs").desc(), "span_hash"
         )
@@ -1274,6 +1287,152 @@ def duplicated_span_coverage(
             F.round(F.max("__frac"), 6).alias("max_dup_frac"),
         )
         .orderBy("group")
+    )
+
+
+def substring_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    min_docs: int = 2,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cross-document exact-substring SCRUB — the removal pass of Lee et
+    al. exact substring dedup (the step :func:`duplicated_spans`' catalog
+    exists for): every overlapping ``k``-token span appearing in ≥
+    ``min_docs`` distinct documents is removed from every occurrence
+    EXCEPT the corpus-first one. Keep-first = the minimum ``(doc_id,
+    pos)`` occurrence per span hash — deterministic, so the pass is
+    oracle-checkable end-to-end.
+
+    Token-space semantics: the scrub operates on the same normalized
+    token stream the span table hashes (``lower(trim(text))`` split on
+    whitespace), and the returned ``text_scrubbed`` is that token stream
+    with removed intervals cut out, re-joined by single spaces — NOT the
+    original byte text. This is the convention of tokenizer-level dedup
+    pipelines; callers needing byte-faithful output should map the kept
+    intervals back themselves.
+
+    Scale shape (all linear, no self-join):
+    1. one explode to the O(total tokens) span table, eagerly
+       ``localCheckpoint``-pinned — it feeds BOTH the keeper aggregate
+       and the removal join (the layout-advisor lesson: two lazy
+       consumers re-tokenize the corpus twice);
+    2. one ``groupBy(span_hash)`` carrying (distinct-doc count, min
+       (doc, pos) struct) — partial-aggregable;
+    3. removal occurrences = spans ⋈ duplicated hashes minus the keeper
+       row; overlapping/adjacent fixed-length intervals are merged PER
+       DOCUMENT with a running-max-end window (bounded by doc length,
+       never corpus-sized) — the same interval-union
+       :func:`duplicated_span_coverage` computes;
+    4. reconstruction is one JVM higher-order pass per doc: the merged
+       removal array complements into kept ``[a, b)`` ranges (transform
+       with index — O(1) ``element_at`` lookback, no per-element array
+       rebuilds), each sliced out of the token array once, flattened,
+       re-joined. Total work O(kept tokens) per doc.
+
+    Returns one row per input document: ``keep_cols…, id_col,
+    n_tokens, n_tokens_removed, text_scrubbed``. Documents with no
+    duplicated span (or shorter than ``k`` tokens) pass through with
+    ``n_tokens_removed = 0``.
+    """
+    spans = _span_table(df, text_col, id_col, k).localCheckpoint(eager=True)
+    keepers = (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("__keep"),
+        )
+        .where(F.col("__nd") >= min_docs)
+        .select("span_hash", "__keep")
+    )
+    rem = (
+        spans.join(keepers, "span_hash")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("__keep.d"))
+                & (F.col("pos") == F.col("__keep.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    # merge overlapping/adjacent [pos, pos+k) intervals per doc: a new
+    # merged group starts where pos exceeds the running max end of all
+    # earlier intervals (ties/contiguity merge — [a,b) + [b,c) = [a,c))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    merged = (
+        rem.withColumn("__maxend", F.max(F.col("pos") + k).over(wprev))
+        .withColumn(
+            "__new",
+            (
+                F.col("__maxend").isNull()
+                | (F.col("pos") > F.col("__maxend"))
+            ).cast("long"),
+        )
+        .withColumn("__grp", F.sum("__new").over(w))
+        .groupBy(id_col, "__grp")
+        .agg(F.min("pos").alias("a"), (F.max("pos") + k).alias("b"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("a", "b"))).alias("__rm"))
+    )
+    base = df.select(
+        *keep_cols, id_col, tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    rm = F.col("__rm")
+    joined = (
+        base.join(merged, id_col, "left")
+        .withColumn("__n", F.size(toks))
+        # complement of the merged removal intervals: (prev interval's
+        # end, this interval's start) per element + the tail range;
+        # element_at is an O(1) lookback — no per-element array rebuild
+        .withColumn(
+            "__kept",
+            F.when(
+                rm.isNull(),
+                F.array(
+                    F.struct(F.lit(0).alias("a"), F.col("__n").alias("b"))
+                ),
+            ).otherwise(
+                F.concat(
+                    F.transform(
+                        rm,
+                        lambda iv, i: F.struct(
+                            F.when(i == F.lit(0), F.lit(0))
+                            .otherwise(F.element_at(rm, i)["b"])
+                            .alias("a"),
+                            iv["a"].alias("b"),
+                        ),
+                    ),
+                    F.array(
+                        F.struct(
+                            F.element_at(rm, -1)["b"].alias("a"),
+                            F.col("__n").alias("b"),
+                        )
+                    ),
+                )
+            ),
+        )
+        .withColumn(
+            "__out_toks",
+            F.flatten(
+                F.transform(
+                    F.filter(F.col("__kept"), lambda iv: iv["b"] > iv["a"]),
+                    lambda iv: F.slice(toks, iv["a"] + 1, iv["b"] - iv["a"]),
+                )
+            ),
+        )
+    )
+    return joined.select(
+        *keep_cols,
+        id_col,
+        F.col("__n").alias("n_tokens"),
+        (F.col("__n") - F.size("__out_toks")).alias("n_tokens_removed"),
+        F.concat_ws(" ", "__out_toks").alias("text_scrubbed"),
     )
 
 

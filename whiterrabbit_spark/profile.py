@@ -692,8 +692,12 @@ def nzv_screen(
     freq_cut: float = 19.0,
     unique_cut: float = 0.1,
 ) -> DataFrame:
-    """Near-zero-variance feature screen (caret's ``nearZeroVar``
-    semantics): a column is flagged when its most frequent value
+    """Near-zero-variance feature screen (modeled on caret's
+    ``nearZeroVar``, with one documented divergence: ``pct_unique``
+    divides by NON-NULL rows, while caret divides by all samples
+    including NAs — heavily-NULL columns can flag differently; the
+    oracle SQL mirrors this convention): a column is flagged when its
+    most frequent value
     dominates the second (freq_ratio = top1/top2 ≥ ``freq_cut``) AND
     distinct values are scarce (pct_unique = distinct/n ≤
     ``unique_cut``) — the degenerate-predictor filter run before any

@@ -128,14 +128,14 @@ SELECT '{c}' AS column_name,
        count({c}) AS non_missing_count,
        count(*) - count({c}) AS missing_count,
        count(DISTINCT {c}) AS distinct_count,
-       round(min({c})::DOUBLE, {R}) AS min_val,
-       round(max({c})::DOUBLE, {R}) AS max_val,
-       round(avg({c}::DOUBLE), {R}) AS mean_val,
-       round(stddev_samp({c}::DOUBLE), {R}) AS sd_val,
-       round(quantile_cont({c}::DOUBLE, 0.5), {R}) AS median_val,
-       round(quantile_cont({c}::DOUBLE, 0.25), {R}) AS q1_val,
-       round(quantile_cont({c}::DOUBLE, 0.75), {R}) AS q3_val,
-       round(quantile_cont({c}::DOUBLE, 0.75) - quantile_cont({c}::DOUBLE, 0.25), {R}) AS iqr_val
+       (round(min({c})::DOUBLE, {R}) + 0.0) AS min_val,
+       (round(max({c})::DOUBLE, {R}) + 0.0) AS max_val,
+       (round(avg({c}::DOUBLE), {R}) + 0.0) AS mean_val,
+       (round(stddev_samp({c}::DOUBLE), {R}) + 0.0) AS sd_val,
+       (round(quantile_cont({c}::DOUBLE, 0.5), {R}) + 0.0) AS median_val,
+       (round(quantile_cont({c}::DOUBLE, 0.25), {R}) + 0.0) AS q1_val,
+       (round(quantile_cont({c}::DOUBLE, 0.75), {R}) + 0.0) AS q3_val,
+       (round(quantile_cont({c}::DOUBLE, 0.75) - quantile_cont({c}::DOUBLE, 0.25), {R}) + 0.0) AS iqr_val
 FROM {table}""")
     return "\nUNION ALL\n".join(parts)
 
@@ -196,7 +196,7 @@ WITH f AS (
   SELECT value, cnt FROM t WHERE rn <= {CFG.max_distinct_values}
 )
 SELECT '{column}' AS column_name, value, cnt AS count,
-       round(cnt / sum(cnt) OVER (), {R}) AS percentage
+       (round(cnt / sum(cnt) OVER (), {R}) + 0.0) AS percentage
 FROM kept"""
 
 
@@ -223,7 +223,7 @@ SELECT '{c}' AS column_name,
        count({c}) AS n_dates,
        strftime(min({c}), '%Y-%m-%d %H:%M:%S') AS earliest_val,
        strftime(max({c}), '%Y-%m-%d %H:%M:%S') AS latest_val,
-       round(quantile_cont(epoch({c}), 0.5), {R}) AS median_epoch
+       (round(quantile_cont(epoch({c}), 0.5), {R}) + 0.0) AS median_epoch
 FROM {table}"""
 
 
@@ -336,7 +336,7 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT id1, id2,
-       round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+       (round(inter * 1.0 / (s1.n + s2.n - inter), 6) + 0.0) AS jaccard
 FROM pairs
 JOIN sizes s1 ON id1 = s1.doc_id
 JOIN sizes s2 ON id2 = s2.doc_id
@@ -386,7 +386,7 @@ WITH toks AS (
 )
 SELECT CASE WHEN na <= nb THEN ida ELSE idb END AS id_small,
        CASE WHEN na <= nb THEN idb ELSE ida END AS id_big,
-       round(containment, 6) AS containment
+       (round(containment, 6) + 0.0) AS containment
 FROM scored"""
 
 
@@ -433,7 +433,7 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT i.id1, i.id2,
-       round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6) AS jaccard
+       (round(i.inter * 1.0 / (s1.n + s2.n - i.inter), 6) + 0.0) AS jaccard
 FROM inter i
 JOIN sizes s1 ON i.id1 = s1.doc_id
 JOIN sizes s2 ON i.id2 = s2.doc_id
@@ -501,7 +501,7 @@ WITH q AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS "rank"
   FROM s
 )
-SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, "rank"
+SELECT query_id, neighbor_id, (round(cosine, 6) + 0.0) AS cosine, "rank"
 FROM r WHERE "rank" <= 5"""
 
 
@@ -533,9 +533,9 @@ WITH base AS (
   FROM base
 )
 SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
-       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
-       round(n_stopwords / greatest(n_tokens, 1), 6) AS stopword_ratio,
-       round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1), 6) AS mean_token_len
+       (round(n_punct / greatest(n_chars, 1), 6) + 0.0) AS punct_ratio,
+       (round(n_stopwords / greatest(n_tokens, 1), 6) + 0.0) AS stopword_ratio,
+       (round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1), 6) + 0.0) AS mean_token_len
 FROM w"""
 
 
@@ -654,10 +654,10 @@ _STREAMING_SQL = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
-       round(round(sum(value), 6) / count(*), 6) AS mean_value,
-       round(min(value), 6) AS min_value,
-       round(max(value), 6) AS max_value
+       (round(sum(value), 6) + 0.0) AS sum_value,
+       (round(round(sum(value), 6) / count(*), 6) + 0.0) AS mean_value,
+       (round(min(value), 6) + 0.0) AS min_value,
+       (round(max(value), 6) + 0.0) AS max_value
 FROM events
 GROUP BY 1, 2"""
 
@@ -736,7 +736,7 @@ WITH cnt AS (
   FROM cnt WHERE count >= 5
 )
 SELECT value, count,
-       round(count * 1.0 / sum(count) OVER (), 6) AS percentage
+       (round(count * 1.0 / sum(count) OVER (), 6) + 0.0) AS percentage
 FROM kept WHERE rn <= 1000"""
 
 
@@ -744,7 +744,7 @@ _EVENTS_ROLLUP_SQL = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
+       (round(sum(value), 6) + 0.0) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2"""
@@ -782,7 +782,7 @@ _MULTI_ROLLUP_SQL = """
 SELECT coalesce(event_type, '(all)') AS event_type,
        coalesce(strftime(ts, '%Y-%m-%d'), '(all)') AS day,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
+       (round(sum(value), 6) + 0.0) AS sum_value,
        grouping(event_type) AS g_type,
        grouping(strftime(ts, '%Y-%m-%d')) AS g_day
 FROM events
@@ -818,7 +818,7 @@ _EVENTS_CUBE_SQL = """
 SELECT coalesce(event_type, '(all)') AS event_type,
        coalesce(strftime(ts, '%a'), '(all)') AS dow,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
+       (round(sum(value), 6) + 0.0) AS sum_value,
        grouping(event_type) AS g_type,
        grouping(strftime(ts, '%a')) AS g_dow
 FROM events
@@ -851,9 +851,9 @@ def _moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MOVING_SQL = f"""
 SELECT event_id, user_id,
-       round(avg(value) OVER w, 6) AS moving_avg,
-       round(min(value) OVER w, 6) AS moving_min,
-       round(max(value) OVER w, 6) AS moving_max,
+       (round(avg(value) OVER w, 6) + 0.0) AS moving_avg,
+       (round(min(value) OVER w, 6) + 0.0) AS moving_min,
+       (round(max(value) OVER w, 6) + 0.0) AS moving_max,
        count(*) OVER w AS frame_rows
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -888,7 +888,7 @@ def _range_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANGE_MOVING_SQL = f"""
 SELECT event_id, user_id,
-       round(sum(value) OVER w, {R}) AS hour_sum,
+       (round(sum(value) OVER w, {R}) + 0.0) AS hour_sum,
        max(value) OVER w AS hour_max,
        count(*) OVER w AS hour_events
 FROM events
@@ -942,9 +942,9 @@ WITH uw AS (
 )
 SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
        week_offset, n_users,
-       round(n_users * 1.0 /
+       (round(n_users * 1.0 /
              max(CASE WHEN week_offset = 0 THEN n_users END)
-               OVER (PARTITION BY cohort_wk), {R}) AS retention
+               OVER (PARTITION BY cohort_wk), {R}) + 0.0) AS retention
 FROM cnt"""
 
 
@@ -1053,8 +1053,8 @@ WITH pairs AS (
   GROUP BY 1, 2
 )
 SELECT prev_type, next_type, n_transitions,
-       round(n_transitions * 1.0 /
-             sum(n_transitions) OVER (PARTITION BY prev_type), {R})
+       (round(n_transitions * 1.0 /
+             sum(n_transitions) OVER (PARTITION BY prev_type), {R}) + 0.0)
          AS p_transition
 FROM cnt"""
 
@@ -1084,7 +1084,7 @@ WITH v AS (
          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
   FROM v a JOIN v b ON a.vec_id < b.vec_id
 )
-SELECT id1, id2, round(cosine, 6) AS cosine
+SELECT id1, id2, (round(cosine, 6) + 0.0) AS cosine
 FROM s WHERE cosine >= {NEAR_DUP_COS_THRESHOLD}"""
 
 
@@ -1146,7 +1146,7 @@ WITH v AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS "rank"
   FROM s
 )
-SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, "rank"
+SELECT query_id, neighbor_id, (round(cosine, 6) + 0.0) AS cosine, "rank"
 FROM r WHERE "rank" <= 5"""
 
 
@@ -1201,7 +1201,7 @@ def _hyperplane_cte() -> str:
 def _hyperplane_near_pairs_sql() -> str:
     return f"""
 WITH {_hyperplane_cte()}
-SELECT id1, id2, round(cosine, 6) AS cosine
+SELECT id1, id2, (round(cosine, 6) + 0.0) AS cosine
 FROM s WHERE cosine >= {NEAR_DUP_COS_THRESHOLD}"""
 
 
@@ -1246,7 +1246,7 @@ cc AS (
   SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
 ),
 scored AS (
-  SELECT vec_id, round(sqrt(list_dot_product(e, e)), 6) AS score FROM v
+  SELECT vec_id, (round(sqrt(list_dot_product(e, e)), 6) + 0.0) AS score FROM v
 ),
 j AS (
   SELECT sc.vec_id, sc.score, cc.cluster_id
@@ -1317,10 +1317,10 @@ def _quality_score_sql() -> str:
     return f"""
 WITH {_quality_core_sql()}
 SELECT doc_id,
-       round(length_score, 6) AS length_score,
-       round(punct_score, 6) AS punct_score,
-       round(stop_score, 6) AS stop_score,
-       round(quality_score, 6) AS quality_score,
+       (round(length_score, 6) + 0.0) AS length_score,
+       (round(punct_score, 6) + 0.0) AS punct_score,
+       (round(stop_score, 6) + 0.0) AS stop_score,
+       (round(quality_score, 6) + 0.0) AS quality_score,
        quality_class
 FROM sc"""
 
@@ -1382,7 +1382,7 @@ SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value,
+       (round(sum(value), 6) + 0.0) AS sum_value,
        count(DISTINCT event_type) AS n_event_types
 FROM s GROUP BY user_id, session_seq"""
 
@@ -1446,8 +1446,8 @@ fp AS (
 )
 SELECT detected_lang, quality_class,
        count(*) AS n_docs,
-       round(avg(quality_score), 6) AS avg_quality,
-       round(avg(n_chars), 6) AS avg_chars
+       (round(avg(quality_score), 6) + 0.0) AS avg_quality,
+       (round(avg(n_chars), 6) + 0.0) AS avg_chars
 FROM survivors GROUP BY detected_lang, quality_class"""
 
 
@@ -1478,7 +1478,7 @@ WITH b AS (
               ELSE 'test' END AS split
   FROM b
 )
-SELECT split, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+SELECT split, count(*) AS n_docs, (round(avg(n_chars), 6) + 0.0) AS avg_chars,
        min(doc_id) AS min_doc_id
 FROM s GROUP BY split"""
 
@@ -1618,7 +1618,7 @@ WITH p AS (
 SELECT p.event_id, p.user_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
        strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
-       round(v.view_value, 6) AS view_value,
+       (round(v.view_value, 6) + 0.0) AS view_value,
        (floor(epoch(p.ts)) - floor(epoch(v.ts)))::BIGINT AS gap_s
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts"""
 
@@ -1661,7 +1661,7 @@ WITH p AS (
 SELECT p.event_id, p.user_id,
        strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
        strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
-       round(v.signup_value, 6) AS signup_value,
+       (round(v.signup_value, 6) + 0.0) AS signup_value,
        (floor(epoch(v.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_s
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts"""
 
@@ -1694,11 +1694,11 @@ WITH toks AS (
   GROUP BY 1
 )
 SELECT t.doc_id, t.n_tokens,
-       round((t.n_tokens - CASE WHEN t.n_tokens = 0 THEN 0 ELSE len(list_distinct(t.w)) END)
-             * 1.0 / greatest(t.n_tokens, 1), 6) AS dup_token_frac,
+       (round((t.n_tokens - CASE WHEN t.n_tokens = 0 THEN 0 ELSE len(list_distinct(t.w)) END)
+             * 1.0 / greatest(t.n_tokens, 1), 6) + 0.0) AS dup_token_frac,
        coalesce(tb.top_bigram_count, 0) AS top_bigram_count,
-       round(coalesce(tb.top_bigram_count, 0) * 1.0
-             / greatest(coalesce(tb.n_bigrams, 0), 1), 6) AS top_bigram_frac
+       (round(coalesce(tb.top_bigram_count, 0) * 1.0
+             / greatest(coalesce(tb.n_bigrams, 0), 1), 6) + 0.0) AS top_bigram_frac
 FROM toks t LEFT JOIN topb tb USING (doc_id)"""
 
 
@@ -1760,7 +1760,7 @@ def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_JOIN_SQL = f"""
 SELECT l.event_id,
        count(*) AS n_context,
-       round(sum(r.value), 6) AS sum_context_value
+       (round(sum(r.value), 6) + 0.0) AS sum_context_value
 FROM events l JOIN events r
   ON l.user_id = r.user_id
  AND l.event_type = 'error' AND r.event_type = 'click'
@@ -1878,8 +1878,90 @@ WITH t AS (
 SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN frac > 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS docs_with_dups,
-       round(avg(frac), 6) AS mean_dup_frac,
-       round(max(frac), 6) AS max_dup_frac
+       (round(avg(frac), 6) + 0.0) AS mean_dup_frac,
+       (round(max(frac), 6) + 0.0) AS max_dup_frac
+FROM per GROUP BY "group" ORDER BY "group" """
+
+
+def _substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring scrub rollup (dedup.substring_scrub, k=10): the
+    REMOVAL pass of Lee-et-al exact substring dedup — every duplicated
+    10-token span cut from all but its corpus-first occurrence
+    (keep-first by (doc_id, pos), interval-union within doc), rolled up
+    per source. The per-doc scrubbed text itself is the operator's
+    output; the registry entry aggregates it so the result is small and
+    hash-stable."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    per_doc = X.substring_scrub(
+        docs, "text", "doc_id", k=_SPAN_K, min_docs=2,
+        keep_cols=("source",),
+    )
+    return (
+        per_doc.groupBy(F.col("source").alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_tokens_removed") > 0).cast("long")).alias(
+                "docs_scrubbed"
+            ),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_tokens_removed").alias("n_tokens_removed"),
+            F.round(
+                F.sum("n_tokens_removed")
+                / F.greatest(F.sum("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("removed_frac"),
+        )
+        .orderBy("group")
+    )
+
+
+def _substring_scrub_sql() -> str:
+    k, km1 = _SPAN_K, _SPAN_K - 1
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(toks[i:i+{km1}], ' ')) AS h
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - {km1})) AS u(i)
+), dup AS (
+  SELECT h FROM s GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), d AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM s JOIN dup USING (h)
+), rem AS (
+  SELECT doc_id, pos FROM d WHERE rn > 1
+), m AS (
+  SELECT doc_id, pos,
+         max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxend
+  FROM rem
+), g AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN maxend IS NULL OR pos > maxend THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m
+), iv AS (
+  SELECT doc_id, min(pos) AS a, max(pos) + {k} AS b
+  FROM g GROUP BY doc_id, grp
+), rd AS (
+  SELECT doc_id, sum(b - a) AS removed FROM iv GROUP BY doc_id
+), per AS (
+  SELECT t.source AS "group", len(t.toks) AS n_tokens,
+         coalesce(rd.removed, 0) AS removed
+  FROM t LEFT JOIN rd USING (doc_id)
+)
+SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_scrubbed,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(removed) AS BIGINT) AS n_tokens_removed,
+       (round(sum(removed) / greatest(sum(n_tokens), 1)::DOUBLE, 6) + 0.0)
+         AS removed_frac
 FROM per GROUP BY "group" ORDER BY "group" """
 
 
@@ -1910,15 +1992,15 @@ SELECT '{c}' AS column_name,
        max(CASE WHEN rk = 1 THEN cnt END) AS top_count,
        max(CASE WHEN rk = 2 THEN cnt END) AS second_count,
        CASE WHEN max(CASE WHEN rk = 2 THEN cnt END) IS NOT NULL
-            THEN round(max(CASE WHEN rk = 1 THEN cnt END)
-                       / max(CASE WHEN rk = 2 THEN cnt END)::DOUBLE, 6)
+            THEN (round(max(CASE WHEN rk = 1 THEN cnt END)
+                       / max(CASE WHEN rk = 2 THEN cnt END)::DOUBLE, 6) + 0.0)
        END AS freq_ratio,
-       round(count(*) / greatest(sum(cnt), 1)::DOUBLE, 6) AS pct_unique,
+       (round(count(*) / greatest(sum(cnt), 1)::DOUBLE, 6) + 0.0) AS pct_unique,
        CAST(CASE WHEN coalesce(
-                 round(max(CASE WHEN rk = 1 THEN cnt END)
-                       / max(CASE WHEN rk = 2 THEN cnt END)::DOUBLE, 6)
+                 (round(max(CASE WHEN rk = 1 THEN cnt END)
+                       / max(CASE WHEN rk = 2 THEN cnt END)::DOUBLE, 6) + 0.0)
                  >= 19.0, TRUE)
-             AND round(count(*) / greatest(sum(cnt), 1)::DOUBLE, 6) <= 0.1
+             AND (round(count(*) / greatest(sum(cnt), 1)::DOUBLE, 6) + 0.0) <= 0.1
             THEN 1 ELSE 0 END AS BIGINT) AS near_zero_var
 FROM (
   SELECT v, cnt, row_number() OVER (ORDER BY cnt DESC, v) AS rk
@@ -1960,13 +2042,15 @@ WITH conv AS (
          w / sum(w) OVER (PARTITION BY user_id) AS credit
   FROM touches
 ), per AS (
-  SELECT channel, round(sum(credit), 6) AS credit,
+  SELECT channel, (round(sum(credit), 6) + 0.0) AS credit,
          CAST(count(*) AS BIGINT) AS n_touches,
          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
   FROM credited GROUP BY channel
 ), tl AS (
+  -- NOT EXISTS, not NOT IN: a NULL converting user_id must count as
+  -- touchless (anti-join semantics Spark-side); NOT IN would drop it
   SELECT count(*) AS n FROM conv
-  WHERE user_id NOT IN (SELECT DISTINCT user_id FROM touches)
+  WHERE NOT EXISTS (SELECT 1 FROM touches t WHERE t.user_id = conv.user_id)
 )
 SELECT * FROM per
 UNION ALL
@@ -1995,9 +2079,9 @@ def _percentile_bands_sql() -> str:
     return f"""
 SELECT date_trunc('hour', ts) AS bucket_ts, event_type AS segment,
        CAST(count(*) AS BIGINT) AS n,
-       round(quantile_cont(value, 0.5), {R}) AS q_0_5,
-       round(quantile_cont(value, 0.95), {R}) AS q_0_95,
-       round(quantile_cont(value, 0.99), {R}) AS q_0_99
+       (round(quantile_cont(value, 0.5), {R}) + 0.0) AS q_0_5,
+       (round(quantile_cont(value, 0.95), {R}) + 0.0) AS q_0_95,
+       (round(quantile_cont(value, 0.99), {R}) + 0.0) AS q_0_99
 FROM events WHERE value IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
@@ -2035,7 +2119,7 @@ SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(repl) AS BIGINT) AS repl_chars,
        CAST(sum(ctrl) AS BIGINT) AS ctrl_chars,
        CAST(sum(moji) AS BIGINT) AS mojibake_seqs,
-       round(max(na_ratio), 6) AS max_non_ascii_ratio
+       (round(max(na_ratio), 6) + 0.0) AS max_non_ascii_ratio
 FROM per GROUP BY "group" ORDER BY "group" """
 
 
@@ -2067,13 +2151,13 @@ SELECT event_type, '{c}' AS column_name,
        count(*) AS total_count,
        count({c}) AS non_missing_count,
        count(*) - count({c}) AS missing_count,
-       round(min({c})::DOUBLE, {R}) AS min_val,
-       round(max({c})::DOUBLE, {R}) AS max_val,
-       round(avg({c}::DOUBLE), {R}) AS mean_val,
-       round(stddev_samp({c}::DOUBLE), {R}) AS sd_val,
-       round(quantile_cont({c}::DOUBLE, 0.25), {R}) AS q1_val,
-       round(quantile_cont({c}::DOUBLE, 0.5), {R}) AS median_val,
-       round(quantile_cont({c}::DOUBLE, 0.75), {R}) AS q3_val
+       (round(min({c})::DOUBLE, {R}) + 0.0) AS min_val,
+       (round(max({c})::DOUBLE, {R}) + 0.0) AS max_val,
+       (round(avg({c}::DOUBLE), {R}) + 0.0) AS mean_val,
+       (round(stddev_samp({c}::DOUBLE), {R}) + 0.0) AS sd_val,
+       (round(quantile_cont({c}::DOUBLE, 0.25), {R}) + 0.0) AS q1_val,
+       (round(quantile_cont({c}::DOUBLE, 0.5), {R}) + 0.0) AS median_val,
+       (round(quantile_cont({c}::DOUBLE, 0.75), {R}) + 0.0) AS q3_val
 FROM events GROUP BY event_type""")
     return "\nUNION ALL\n".join(parts)
 
@@ -2112,8 +2196,8 @@ WITH b AS (
   WHERE l_extendedprice IS NOT NULL
 )
 SELECT bucket,
-       round(w.lo + bucket * w.width, 6) AS bucket_lo,
-       round(w.lo + (bucket + 1) * w.width, 6) AS bucket_hi,
+       (round(w.lo + bucket * w.width, 6) + 0.0) AS bucket_lo,
+       (round(w.lo + (bucket + 1) * w.width, 6) + 0.0) AS bucket_hi,
        count(*) AS n_rows
 FROM bucketed, w
 GROUP BY bucket, w.lo, w.width"""
@@ -2183,7 +2267,7 @@ SELECT count(*) AS n_docs,
        count(CASE WHEN qc = 'review' THEN 1 END) AS n_review,
        count(CASE WHEN qc = 'drop' THEN 1 END) AS n_drop,
        count(DISTINCT fp) AS n_unique,
-       round(1 - count(DISTINCT fp) * 1.0 / count(*), 6) AS dup_rate
+       (round(1 - count(DISTINCT fp) * 1.0 / count(*), 6) + 0.0) AS dup_rate
 FROM enriched"""
 
 
@@ -2219,7 +2303,7 @@ WITH toks AS (
                             ORDER BY tfidf DESC, term ASC) AS "rank"
   FROM scored
 )
-SELECT doc_id, term, round(tfidf, 6) AS tfidf, "rank"
+SELECT doc_id, term, (round(tfidf, 6) + 0.0) AS tfidf, "rank"
 FROM ranked WHERE "rank" <= {TFIDF_K}"""
 
 
@@ -2253,13 +2337,13 @@ def _drift_sql() -> str:
     for c in DRIFT_COLS:
         parts.append(f"""
 SELECT '{c}' AS column_name,
-       round((a_total - a_n) * 1.0 / a_total, 6) AS missing_rate_a,
-       round((b_total - b_n) * 1.0 / b_total, 6) AS missing_rate_b,
-       round(a_mean, 6) AS mean_a,
-       round(b_mean, 6) AS mean_b,
-       round(b_mean - a_mean, 6) AS mean_delta,
-       round(a_sd, 6) AS sd_a,
-       round(b_sd, 6) AS sd_b
+       (round((a_total - a_n) * 1.0 / a_total, 6) + 0.0) AS missing_rate_a,
+       (round((b_total - b_n) * 1.0 / b_total, 6) + 0.0) AS missing_rate_b,
+       (round(a_mean, 6) + 0.0) AS mean_a,
+       (round(b_mean, 6) + 0.0) AS mean_b,
+       (round(b_mean - a_mean, 6) + 0.0) AS mean_delta,
+       (round(a_sd, 6) + 0.0) AS sd_a,
+       (round(b_sd, 6) + 0.0) AS sd_b
 FROM (
   SELECT
     count(CASE WHEN o_orderkey < split THEN 1 END) AS a_total,
@@ -2300,8 +2384,8 @@ def _outliers_sql() -> str:
     for c in OUTLIER_COLS:
         parts.append(f"""
 SELECT '{c}' AS column_name,
-       round(q1 - 1.5 * (q3 - q1), 6) AS fence_lo,
-       round(q3 + 1.5 * (q3 - q1), 6) AS fence_hi,
+       (round(q1 - 1.5 * (q3 - q1), 6) + 0.0) AS fence_lo,
+       (round(q3 + 1.5 * (q3 - q1), 6) + 0.0) AS fence_hi,
        (SELECT count(*) FROM orders
          WHERE {c}::DOUBLE < q1 - 1.5 * (q3 - q1)) AS n_below,
        (SELECT count(*) FROM orders
@@ -2332,7 +2416,7 @@ def _corr_sql() -> str:
     ]
     parts = [
         f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
-        f"round(corr({a}::DOUBLE, {b}::DOUBLE), 6) AS corr FROM lineitem"
+        f"(round(corr({a}::DOUBLE, {b}::DOUBLE), 6) + 0.0) AS corr FROM lineitem"
         for a, b in pairs
     ]
     return "\nUNION ALL\n".join(parts)
@@ -2466,7 +2550,7 @@ def _strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _strat_sample_sql() -> str:
     keeps = " OR ".join(
-        f"(lang = '{s}' AND bucket < {int(round(f * 10000))})"
+        f"(lang = '{s}' AND bucket < {int((round(f * 10000) + 0.0))})"
         for s, f in STRAT_FRACTIONS.items()
     )
     return f"""
@@ -2495,10 +2579,10 @@ WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
 )
 SELECT vec_id, len(e) AS dim,
-       round(sqrt(list_dot_product(e, e)), 6) AS l2_norm,
-       round(list_sum(e) / len(e), 6) AS vec_mean,
-       round(list_min(e), 6) AS vec_min,
-       round(list_max(e), 6) AS vec_max
+       (round(sqrt(list_dot_product(e, e)), 6) + 0.0) AS l2_norm,
+       (round(list_sum(e) / len(e), 6) + 0.0) AS vec_mean,
+       (round(list_min(e), 6) + 0.0) AS vec_min,
+       (round(list_max(e), 6) + 0.0) AS vec_max
 FROM v"""
 
 
@@ -2592,7 +2676,7 @@ WITH toks AS (
   GROUP BY 1, 2
 ), cand AS (
   SELECT id1, id2,
-         round(inter * 1.0 / (s1.n + s2.n - inter), 6) AS jaccard
+         (round(inter * 1.0 / (s1.n + s2.n - inter), 6) + 0.0) AS jaccard
   FROM pairs
   JOIN sizes s1 ON id1 = s1.doc_id
   JOIN sizes s2 ON id2 = s2.doc_id
@@ -2632,8 +2716,8 @@ WITH m AS (
   FROM orders, m GROUP BY m.med
 )
 SELECT 'o_totalprice' AS column,
-       round(d.med, 6) AS median_val,
-       round(d.mad, 6) AS mad,
+       (round(d.med, 6) + 0.0) AS median_val,
+       (round(d.mad, 6) + 0.0) AS mad,
        sum(CASE WHEN abs(o_totalprice - d.med) > 3.0 * 1.4826 * d.mad
                 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
 FROM orders, d
@@ -2711,11 +2795,11 @@ SELECT coalesce(sum(n), 0)::BIGINT AS n_child,
          AS n_child_orphans,
        coalesce(sum(CASE WHEN n IS NULL THEN pn END), 0)::BIGINT
          AS n_parent_unreferenced,
-       round(coalesce(sum(CASE WHEN pn IS NULL THEN n END), 0) * 1.0
-             / coalesce(sum(n), 0), 6) AS orphan_frac,
-       round((coalesce(sum(pn), 0)
+       (round(coalesce(sum(CASE WHEN pn IS NULL THEN n END), 0) * 1.0
+             / coalesce(sum(n), 0), 6) + 0.0) AS orphan_frac,
+       (round((coalesce(sum(pn), 0)
               - coalesce(sum(CASE WHEN n IS NULL THEN pn END), 0)) * 1.0
-             / coalesce(sum(pn), 0), 6) AS referenced_frac
+             / coalesce(sum(pn), 0), 6) + 0.0) AS referenced_frac
 FROM j"""
 
 
@@ -2739,12 +2823,12 @@ def _zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ZSCORE_SQL = """
 WITH s AS (
-  SELECT round(avg(l_quantity), 6) AS mu,
-         round(stddev_samp(l_quantity), 6) AS sd
+  SELECT (round(avg(l_quantity), 6) + 0.0) AS mu,
+         (round(stddev_samp(l_quantity), 6) + 0.0) AS sd
   FROM lineitem
 )
 SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
-       round((l_quantity - mu) / sd, 6) AS qty_z
+       (round((l_quantity - mu) / sd, 6) + 0.0) AS qty_z
 FROM lineitem, s"""
 
 
@@ -2775,13 +2859,13 @@ def _robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROBUST_SCALE_SQL = """
 WITH s AS (
-  SELECT round(quantile_cont(l_quantity, 0.5), 6) AS med,
-         round(round(quantile_cont(l_quantity, 0.75), 6)
-               - round(quantile_cont(l_quantity, 0.25), 6), 6) AS iqr
+  SELECT (round(quantile_cont(l_quantity, 0.5), 6) + 0.0) AS med,
+         (round(round(quantile_cont(l_quantity, 0.75), 6)
+               - round(quantile_cont(l_quantity, 0.25), 6), 6) + 0.0) AS iqr
   FROM lineitem
 )
 SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
-       round((l_quantity - med) / iqr, 6) AS qty_robust
+       (round((l_quantity - med) / iqr, 6) + 0.0) AS qty_robust
 FROM lineitem, s"""
 
 
@@ -2839,7 +2923,7 @@ k AS (
 )
 SELECT key,
        CAST(n_present AS BIGINT) AS n_present,
-       round(n_present / total, 6) AS pct_rows,
+       (round(n_present / total, 6) + 0.0) AS pct_rows,
        CAST(0 AS BIGINT) AS n_null,
        CAST(CASE WHEN typ = 'bool' THEN n_typed ELSE 0 END AS BIGINT) AS n_bool,
        CAST(CASE WHEN typ = 'int' THEN n_typed ELSE 0 END AS BIGINT) AS n_int,
@@ -2899,33 +2983,33 @@ ct AS (SELECT count(*) AS n FROM c),
 k AS (
   SELECT 'flag' AS key,
          0.0 AS ref_pct,
-         round((SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
-                FROM c) / (SELECT n FROM ct), 6) AS cur_pct,
+         (round((SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                FROM c) / (SELECT n FROM ct), 6) + 0.0) AS cur_pct,
          'none' AS ref_type, 'bool' AS cur_type
   UNION ALL
-  SELECT 't', round((SELECT count(*) FROM r) / (SELECT n FROM rt), 6),
-         round((SELECT count(*) FROM c) / (SELECT n FROM ct), 6),
+  SELECT 't', (round((SELECT count(*) FROM r) / (SELECT n FROM rt), 6) + 0.0),
+         (round((SELECT count(*) FROM c) / (SELECT n FROM ct), 6) + 0.0),
          'string', 'string'
   UNION ALL
   SELECT 'uid',
-         round((SELECT sum(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END)
-                FROM r) / (SELECT n FROM rt), 6),
-         round((SELECT sum(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END)
-                FROM c) / (SELECT n FROM ct), 6),
+         (round((SELECT sum(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END)
+                FROM r) / (SELECT n FROM rt), 6) + 0.0),
+         (round((SELECT sum(CASE WHEN user_id % 3 <> 0 THEN 1 ELSE 0 END)
+                FROM c) / (SELECT n FROM ct), 6) + 0.0),
          'int', 'string'
   UNION ALL
   SELECT 'v',
-         round((SELECT sum(CASE WHEN event_type IN ('click', 'view')
+         (round((SELECT sum(CASE WHEN event_type IN ('click', 'view')
                                THEN 1 ELSE 0 END)
-                FROM r) / (SELECT n FROM rt), 6),
-         round((SELECT sum(CASE WHEN event_type IN ('click', 'view',
+                FROM r) / (SELECT n FROM rt), 6) + 0.0),
+         (round((SELECT sum(CASE WHEN event_type IN ('click', 'view',
                                                     'purchase')
                                THEN 1 ELSE 0 END)
-                FROM c) / (SELECT n FROM ct), 6),
+                FROM c) / (SELECT n FROM ct), 6) + 0.0),
          'double', 'double'
 )
 SELECT key, ref_pct, cur_pct,
-       round(cur_pct - ref_pct, 6) AS delta_pct,
+       (round(cur_pct - ref_pct, 6) + 0.0) AS delta_pct,
        ref_type, cur_type,
        ref_type <> cur_type AS type_changed
 FROM k
@@ -2958,7 +3042,7 @@ SELECT event_type,
        count(k) AS n_present,
        min(k) AS min_val,
        max(k) AS max_val,
-       round(avg(k), 6) AS avg_val,
+       (round(avg(k), 6) + 0.0) AS avg_val,
        count(DISTINCT k) AS distinct_vals
 FROM x
 GROUP BY 1"""
@@ -3009,9 +3093,9 @@ WITH toks AS (
 )
 SELECT row_number() OVER (ORDER BY count DESC, token ASC) AS rank,
        token, count,
-       round(count / t, 6) AS frac,
-       round(sum(count) OVER (ORDER BY count DESC, token ASC
-                              ROWS UNBOUNDED PRECEDING) / t, 6) AS cum_frac
+       (round(count / t, 6) + 0.0) AS frac,
+       (round(sum(count) OVER (ORDER BY count DESC, token ASC
+                              ROWS UNBOUNDED PRECEDING) / t, 6) + 0.0) AS cum_frac
 FROM cut, total"""
 
 
@@ -3043,10 +3127,10 @@ WITH toks AS (
                * sum(pair_count) OVER (PARTITION BY w2))) AS pmi
   FROM counted
 )
-SELECT w1, w2, pair_count, round(pmi, 6) AS pmi
+SELECT w1, w2, pair_count, (round(pmi, 6) + 0.0) AS pmi
 FROM scored
 WHERE pair_count >= 5
-ORDER BY round(pmi, 6) DESC, w1 ASC, w2 ASC
+ORDER BY (round(pmi, 6) + 0.0) DESC, w1 ASC, w2 ASC
 LIMIT 100"""
 
 
@@ -3074,8 +3158,8 @@ WITH q AS (
   FROM lineitem
 )
 SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
-       round(least(greatest(l_quantity, ql_q), qh_q), 6) AS qty_w,
-       round(least(greatest(l_extendedprice, ql_p), qh_p), 6) AS price_w
+       (round(least(greatest(l_quantity, ql_q), qh_q), 6) + 0.0) AS qty_w,
+       (round(least(greatest(l_extendedprice, ql_p), qh_p), 6) + 0.0) AS price_w
 FROM lineitem, q"""
 
 
@@ -3139,8 +3223,8 @@ WITH toks AS (
   FROM toks t JOIN lm USING (tok), tot
 )
 SELECT doc_id, count(*) AS n_tokens,
-       round(avg(nlp), 6) AS avg_neg_logp,
-       round(exp(round(avg(nlp), 6)), 3) AS perplexity
+       (round(avg(nlp), 6) + 0.0) AS avg_neg_logp,
+       (round(exp(round(avg(nlp), 6)), 3) + 0.0) AS perplexity
 FROM scored GROUP BY 1"""
 
 
@@ -3183,8 +3267,8 @@ WITH toks AS (
   LEFT JOIN uni u2 ON u2.tok = s.w2, tot
 )
 SELECT doc_id, count(*) AS n_bigrams,
-       round(avg(nlp), 6) AS avg_neg_logp,
-       round(exp(round(avg(nlp), 6)), 3) AS perplexity
+       (round(avg(nlp), 6) + 0.0) AS avg_neg_logp,
+       (round(exp(round(avg(nlp), 6)), 3) + 0.0) AS perplexity
 FROM scored GROUP BY 1"""
 
 
@@ -3214,7 +3298,7 @@ WITH toks AS (
 )
 SELECT doc_id, count(*) AS n_shingles,
        count(*) FILTER (df >= 2) AS n_dup_shingles,
-       round((count(*) FILTER (df >= 2)) * 1.0 / count(*), 6) AS dup_frac
+       (round((count(*) FILTER (df >= 2)) * 1.0 / count(*), 6) + 0.0) AS dup_frac
 FROM freq GROUP BY 1"""
 
 
@@ -3252,7 +3336,7 @@ WITH toks AS (
   FROM sh WHERE source <> 'src0' GROUP BY 1
 )
 SELECT doc_id, n_shingles, n_overlap,
-       round(n_overlap * 1.0 / n_shingles, 6) AS overlap_frac
+       (round(n_overlap * 1.0 / n_shingles, 6) + 0.0) AS overlap_frac
 FROM stats
 WHERE n_overlap * 1.0 / n_shingles >= 0.3"""
 
@@ -3329,8 +3413,8 @@ def _psi_sql() -> str:
 )""")
         # noqa: E501 — generated SQL mirrors profile.psi_drift arithmetic
     selects = "\nUNION ALL\n".join(
-        f"SELECT '{c}' AS column_name, round(sum((p - q) * ln(p / q)), {R}) AS psi,"
-        f" round(max(gap), {R}) AS ks_binned FROM {c}_pq"
+        f"SELECT '{c}' AS column_name, (round(sum((p - q) * ln(p / q)), {R}) + 0.0) AS psi,"
+        f" (round(max(gap), {R}) + 0.0) AS ks_binned FROM {c}_pq"
         for c in PSI_COLS
     )
     return (
@@ -3379,7 +3463,7 @@ ranked AS (
                             ORDER BY sc.quality_score DESC, d.doc_id ASC) AS rn
   FROM documents d JOIN sc ON d.doc_id = sc.doc_id
 )
-SELECT doc_id, lang, round(quality_score, {R}) AS quality_score
+SELECT doc_id, lang, (round(quality_score, {R}) + 0.0) AS quality_score
 FROM ranked WHERE rn <= 5"""
 
 
@@ -3452,8 +3536,8 @@ def _star_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STAR_SQL = """
 SELECT n.n_name AS nation,
        CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS order_year,
-       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+       sum(CAST((round(l.l_extendedprice * 100) + 0.0) AS BIGINT)
+           * (100 - CAST((round(l.l_discount * 100) + 0.0) AS BIGINT))) / 10000.0 AS revenue,
        count(*) AS n_lineitems
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3501,13 +3585,13 @@ WITH per_user AS (
   FROM f2
 )
 SELECT 1::BIGINT AS step, '{s0}' AS step_name, n1 AS n_users,
-       round(1.0, {R}) AS conversion_from_prev FROM c
+       (round(1.0, {R}) + 0.0) AS conversion_from_prev FROM c
 UNION ALL
 SELECT 2, '{s1}', n2,
-       CASE WHEN n1 = 0 THEN NULL ELSE round(n2 * 1.0 / n1, {R}) END FROM c
+       CASE WHEN n1 = 0 THEN NULL ELSE (round(n2 * 1.0 / n1, {R}) + 0.0) END FROM c
 UNION ALL
 SELECT 3, '{s2}', n3,
-       CASE WHEN n2 = 0 THEN NULL ELSE round(n3 * 1.0 / n2, {R}) END FROM c"""
+       CASE WHEN n2 = 0 THEN NULL ELSE (round(n3 * 1.0 / n2, {R}) + 0.0) END FROM c"""
 
 
 ENTROPY_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
@@ -3546,9 +3630,9 @@ counts AS (
   SELECT column_name, sum(-p * ln(p)) AS entropy, count(*) AS distinct_count
   FROM probs GROUP BY column_name
 )
-SELECT column_name, round(entropy, {R}) AS entropy, distinct_count,
+SELECT column_name, (round(entropy, {R}) + 0.0) AS entropy, distinct_count,
        CASE WHEN distinct_count > 1
-            THEN round(entropy / ln(distinct_count::DOUBLE), {R}) END AS entropy_norm
+            THEN (round(entropy / ln(distinct_count::DOUBLE), {R}) + 0.0) END AS entropy_norm
 FROM h"""
 
 
@@ -3585,9 +3669,9 @@ def _cramers_sql() -> str:
         for a, b in pairs:
             parts.append(f"""
 SELECT '{table}' AS table_name, '{a}' AS col_a, '{b}' AS col_b,
-       n_rows::BIGINT AS n_rows, round(chi2, {R}) AS chi2,
+       n_rows::BIGINT AS n_rows, (round(chi2, {R}) + 0.0) AS chi2,
        CASE WHEN least(r - 1, k - 1) > 0
-            THEN round(sqrt(chi2 / (n_rows * least(r - 1, k - 1))), {R})
+            THEN (round(sqrt(chi2 / (n_rows * least(r - 1, k - 1))), {R}) + 0.0)
        END AS cramers_v
 FROM (
   SELECT sum((n - e) * (n - e) / e) + (sum(n) - sum(e)) AS chi2,
@@ -3633,7 +3717,7 @@ ORDER BY es_key DESC, doc_id ASC LIMIT 100"""
 _STREAMING_RUNNING_STATS_SQL = """
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       CAST(sum(CAST((round(value * 100) + 0.0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events
 GROUP BY user_id
 """
@@ -3645,7 +3729,7 @@ def _streaming_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState fallback in sandboxes without python
     protobuf): drain the update-mode stream, keep each user's final
     (max n_events) totals. State is exact integer cents, so the drained
-    final state equals the batch (count, sum(round(value*100))) —
+    final state equals the batch (count, sum((round(value*100) + 0.0))) —
     first-principles SQL oracle, independent of micro-batch boundaries.
     """
     import uuid
@@ -3714,7 +3798,7 @@ WITH o AS (
          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
          strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
          count(*) AS n_events,
-         round(sum(value), 6) AS sum_value,
+         (round(sum(value), 6) + 0.0) AS sum_value,
          max(session_seq) OVER (PARTITION BY user_id) AS last_seq
   FROM s GROUP BY user_id, session_seq
 )
@@ -3766,8 +3850,8 @@ WITH b AS (
   FROM b
 )
 SELECT doc_id, wc AS word_count,
-       round(mwl, 6) AS mean_word_len,
-       round(sym_ratio, 6) AS symbol_ratio,
+       (round(mwl, 6) + 0.0) AS mean_word_len,
+       (round(sym_ratio, 6) + 0.0) AS symbol_ratio,
        n_sentences, stop_hits AS stopword_hits, has_bad_phrase,
        (wc >= {ts.GOPHER_MIN_WORDS} AND wc <= {ts.GOPHER_MAX_WORDS}
         AND mwl >= {ts.GOPHER_MIN_MEAN_WORD_LEN}
@@ -3886,7 +3970,7 @@ def _script_profile_sql() -> str:
         f"WHEN {n}_frac > 0 AND {n}_frac >= greatest({others(n)}) THEN '{n}'"
         for n in names
     )
-    fracs_rounded = ", ".join(f"round({n}_frac, 6) AS {n}_frac" for n in names)
+    fracs_rounded = ", ".join(f"(round({n}_frac, 6) + 0.0) AS {n}_frac" for n in names)
     return f"""
 WITH b AS (
   SELECT doc_id, length(text) AS n_chars,
@@ -3919,7 +4003,7 @@ WITH base AS (
          cume_dist() OVER (ORDER BY b) AS rb
   FROM base
 )
-SELECT round(corr(ra, rb), 6) AS spearman, count(*) AS n FROM ranked"""
+SELECT (round(corr(ra, rb), 6) + 0.0) AS spearman, count(*) AS n FROM ranked"""
 
 
 def _grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3941,9 +4025,9 @@ def _grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPED_OLS_SQL = """
 SELECT l_returnflag AS group_key,
-       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
-       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       (round(regr_slope(l_extendedprice, l_quantity), 6) + 0.0) AS slope,
+       (round(regr_intercept(l_extendedprice, l_quantity), 6) + 0.0) AS intercept,
+       (round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0) AS r2,
        regr_count(l_extendedprice, l_quantity)::BIGINT AS n
 FROM lineitem GROUP BY 1"""
 
@@ -3985,9 +4069,9 @@ WITH cells AS (
   FROM m
 )
 SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b, n_rows,
-       round(greatest(mi, 0.0), 6) AS mi,
-       round(CASE WHEN least(ha, hb) > 0
-                  THEN greatest(mi, 0.0) / least(ha, hb) END, 6) AS mi_norm
+       (round(greatest(mi, 0.0), 6) + 0.0) AS mi,
+       (round(CASE WHEN least(ha, hb) > 0
+                  THEN greatest(mi, 0.0) / least(ha, hb) END, 6) + 0.0) AS mi_norm
 FROM s"""
 
 
@@ -4024,10 +4108,10 @@ WITH vals AS (
   FROM counts
 )
 SELECT column_name, digit, n,
-       round(n / nt, 6) AS share,
-       round(log10(1 + 1.0/digit), 6) AS benford_share,
-       round(nt * pow(n/nt - log10(1 + 1.0/digit), 2)
-             / log10(1 + 1.0/digit), 6) AS chi2_term
+       (round(n / nt, 6) + 0.0) AS share,
+       (round(log10(1 + 1.0/digit), 6) + 0.0) AS benford_share,
+       (round(nt * pow(n/nt - log10(1 + 1.0/digit), 2)
+             / log10(1 + 1.0/digit), 6) + 0.0) AS chi2_term
 FROM tot"""
 
 
@@ -4350,7 +4434,7 @@ WITH melted AS (
   FROM t
 )
 SELECT column_name,
-       round(sum(pow(rn - er, 2) / er + pow(cn - ec, 2) / ec), 6) AS chi2,
+       (round(sum(pow(rn - er, 2) / er + pow(cn - ec, 2) / ec), 6) + 0.0) AS chi2,
        count(*) - 1 AS dof,
        sum(rn)::BIGINT AS n_ref,
        sum(cn)::BIGINT AS n_cur
@@ -4449,8 +4533,8 @@ WITH ref AS (
          sum(rn) OVER () AS rt, sum(cn) OVER () AS ct
   FROM j
 )
-SELECT round(sum((greatest(rn / rt, 1e-6) - greatest(cn / ct, 1e-6))
-             * ln(greatest(rn / rt, 1e-6) / greatest(cn / ct, 1e-6))), 6)
+SELECT (round(sum((greatest(rn / rt, 1e-6) - greatest(cn / ct, 1e-6))
+             * ln(greatest(rn / rt, 1e-6) / greatest(cn / ct, 1e-6))), 6) + 0.0)
          AS psi,
        sum(rn)::BIGINT AS n_ref,
        sum(cn)::BIGINT AS n_cur
@@ -4490,10 +4574,10 @@ WITH base AS (
   FROM base, w
 )
 SELECT bucket_x, bucket_y,
-       round(w.lx + bucket_x * w.wx, 6) AS x_lo,
-       round(w.lx + (bucket_x + 1) * w.wx, 6) AS x_hi,
-       round(w.ly + bucket_y * w.wy, 6) AS y_lo,
-       round(w.ly + (bucket_y + 1) * w.wy, 6) AS y_hi,
+       (round(w.lx + bucket_x * w.wx, 6) + 0.0) AS x_lo,
+       (round(w.lx + (bucket_x + 1) * w.wx, 6) + 0.0) AS x_hi,
+       (round(w.ly + bucket_y * w.wy, 6) + 0.0) AS y_lo,
+       (round(w.ly + (bucket_y + 1) * w.wy, 6) + 0.0) AS y_hi,
        count(*) AS n_rows
 FROM bucketed, w
 GROUP BY bucket_x, bucket_y, w.lx, w.wx, w.ly, w.wy"""
@@ -4594,7 +4678,7 @@ cc AS (
 ),
 {_quality_core_sql()},
 j AS (
-  SELECT s.doc_id, round(s.quality_score, 6) AS score, cc.cluster_id
+  SELECT s.doc_id, (round(s.quality_score, 6) + 0.0) AS score, cc.cluster_id
   FROM sc s LEFT JOIN cc ON cc.node = s.doc_id
 ),
 r AS (
@@ -4658,11 +4742,11 @@ WITH m AS (
 SELECT column_name,
        count(*) AS total_count,
        count(v) AS non_missing_count,
-       round(sum(v), 4) AS sum_val,
-       round(min(v), 6) AS min_val,
-       round(max(v), 6) AS max_val,
-       round(CASE WHEN count(v) > 0
-                  THEN round(sum(v), 4) / count(v) END, 6) AS mean_val
+       (round(sum(v), 4) + 0.0) AS sum_val,
+       (round(min(v), 6) + 0.0) AS min_val,
+       (round(max(v), 6) + 0.0) AS max_val,
+       (round(CASE WHEN count(v) > 0
+                  THEN round(sum(v), 4) / count(v) END, 6) + 0.0) AS mean_val
 FROM m GROUP BY 1"""
 
 
@@ -4742,7 +4826,7 @@ SELECT column_name, mask,
        regexp_replace(regexp_replace(regexp_replace(
          mask, 'A+', 'A', 'g'), 'a+', 'a', 'g'), '9+', '9', 'g'
        ) AS mask_collapsed,
-       count, round(share, 6) AS share
+       count, (round(share, 6) + 0.0) AS share
 FROM ranked WHERE rn <= 20"""
 
 
@@ -4780,10 +4864,10 @@ WITH agg AS (
 )
 SELECT group_key, bucket_ts,
        coalesce(n_events, 0)::BIGINT AS n_events,
-       round(v_sum, 6) AS v_sum,
-       round(last_value(v_sum IGNORE NULLS) OVER (
+       (round(v_sum, 6) + 0.0) AS v_sum,
+       (round(last_value(v_sum IGNORE NULLS) OVER (
          PARTITION BY group_key ORDER BY bucket_ts
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0) AS v_filled
 FROM joined"""
 
 
@@ -4819,7 +4903,7 @@ WITH cnt AS (
   FROM cnt
 )
 SELECT lang, column_name, value, count,
-       round(count::DOUBLE / sum(count) OVER (PARTITION BY lang, column_name), 6)
+       (round(count::DOUBLE / sum(count) OVER (PARTITION BY lang, column_name), 6) + 0.0)
          AS percentage
 FROM kept WHERE rn <= 1000"""
 
@@ -4841,7 +4925,7 @@ def _ecdf_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ECDF_ATTACH_SQL = """
 SELECT o_orderkey,
-       round(cume_dist() OVER (ORDER BY o_totalprice), 6) AS price_pctile
+       (round(cume_dist() OVER (ORDER BY o_totalprice), 6) + 0.0) AS price_pctile
 FROM orders WHERE o_totalprice IS NOT NULL
 UNION ALL
 SELECT o_orderkey, NULL FROM orders WHERE o_totalprice IS NULL"""
@@ -4891,7 +4975,7 @@ WITH old_t AS (
                   OVER (ORDER BY v ROWS UNBOUNDED PRECEDING), 0.0) AS f_new
   FROM m
 )
-SELECT round(max(abs(f_old - f_new)), 6) AS ks_stat,
+SELECT (round(max(abs(f_old - f_new)), 6) + 0.0) AS ks_stat,
        (SELECT count(*) FROM old_t) AS n_old,
        (SELECT count(*) FROM new_t) AS n_new
 FROM f"""
@@ -4922,7 +5006,7 @@ WITH h AS (
 ), t AS (
   SELECT cnt, row_number() OVER (ORDER BY cnt DESC, k ASC) AS rn FROM h
 )
-SELECT metric, round(value, 6) AS value FROM (
+SELECT metric, (round(value, 6) + 0.0) AS value FROM (
   SELECT 'n_rows' AS metric, n_rows::DOUBLE AS value FROM s
   UNION ALL SELECT 'n_keys', n_keys::DOUBLE FROM s
   UNION ALL SELECT 'null_share', null_rows::DOUBLE / n_rows FROM s
@@ -4969,8 +5053,8 @@ SELECT l.user_id,
        r.event_id AS r_event_id,
        strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts,
        strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts,
-       round(l.value, 6) AS l_value,
-       round(r.value, 6) AS r_value
+       (round(l.value, 6) + 0.0) AS l_value,
+       (round(r.value, 6) + 0.0) AS r_value
 FROM events l JOIN events r
   ON l.user_id = r.user_id
  AND l.event_type = 'click' AND r.event_type = 'purchase'
@@ -5009,7 +5093,7 @@ def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAMING_DEDUP_SQL = """
 SELECT event_id, user_id, event_type,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-       round(value, 6) AS value
+       (round(value, 6) + 0.0) AS value
 FROM events"""
 
 
@@ -5032,9 +5116,9 @@ def _grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPED_QUANTILES_SQL = """
 SELECT l_returnflag AS group_key,
-       round(quantile_cont(l_quantity, 0.25), 6) AS q_0_25,
-       round(quantile_cont(l_quantity, 0.50), 6) AS q_0_5,
-       round(quantile_cont(l_quantity, 0.75), 6) AS q_0_75
+       (round(quantile_cont(l_quantity, 0.25), 6) + 0.0) AS q_0_25,
+       (round(quantile_cont(l_quantity, 0.50), 6) + 0.0) AS q_0_5,
+       (round(quantile_cont(l_quantity, 0.75), 6) + 0.0) AS q_0_75
 FROM lineitem WHERE l_quantity IS NOT NULL
 GROUP BY 1"""
 
@@ -5076,7 +5160,7 @@ WITH enriched AS (
   SELECT pattern, count(*) AS n_rows FROM pat GROUP BY 1
 )
 SELECT pattern, n_rows,
-       round(n_rows * 1.0 / sum(n_rows) OVER (), 6) AS share
+       (round(n_rows * 1.0 / sum(n_rows) OVER (), 6) + 0.0) AS share
 FROM counted"""
 
 
@@ -5098,7 +5182,7 @@ _SEASONALITY_SQL = """
 SELECT isodow(ts)::BIGINT AS iso_dow,
        hour(ts)::BIGINT AS hour,
        count(*) AS n_events,
-       round(avg(value), 6) AS avg_value
+       (round(avg(value), 6) + 0.0) AS avg_value
 FROM events
 GROUP BY 1, 2"""
 
@@ -5141,8 +5225,8 @@ WITH tok AS (
 )
 SELECT lang, count(*) AS n_docs,
        sum(n_bpe)::BIGINT AS total_bpe,
-       round(sum(n_bpe) * 1.0 / sum(n_ws), 6) AS fertility,
-       round(sum(n_chars) * 1.0 / sum(n_bpe), 6) AS chars_per_token
+       (round(sum(n_bpe) * 1.0 / sum(n_ws), 6) + 0.0) AS fertility,
+       (round(sum(n_chars) * 1.0 / sum(n_bpe), 6) + 0.0) AS chars_per_token
 FROM tok GROUP BY 1"""
 
 
@@ -5182,9 +5266,9 @@ WITH dims AS (
   FROM per_member
 )
 SELECT label::BIGINT AS label, count(*) AS n_members,
-       round(any_value(nc), 6) AS centroid_norm,
-       round(avg(cos), 6) AS avg_cos_to_centroid,
-       round(min(cos), 6) AS min_cos_to_centroid
+       (round(any_value(nc), 6) + 0.0) AS centroid_norm,
+       (round(avg(cos), 6) + 0.0) AS avg_cos_to_centroid,
+       (round(min(cos), 6) + 0.0) AS min_cos_to_centroid
 FROM scored GROUP BY 1"""
 
 
@@ -5302,9 +5386,9 @@ WITH c AS (
   FROM lineitem WHERE l_extendedprice IS NOT NULL
 )
 SELECT bucket,
-       round(list_prepend((SELECT lo FROM c), (SELECT cuts FROM c))[bucket + 1], 4)
+       (round(list_prepend((SELECT lo FROM c), (SELECT cuts FROM c))[bucket + 1], 4) + 0.0)
          AS bucket_lo,
-       round(list_append((SELECT cuts FROM c), (SELECT hi FROM c))[bucket + 1], 4)
+       (round(list_append((SELECT cuts FROM c), (SELECT hi FROM c))[bucket + 1], 4) + 0.0)
          AS bucket_hi,
        count(*) AS n_rows
 FROM b GROUP BY bucket ORDER BY bucket"""
@@ -5327,9 +5411,9 @@ WITH h AS (
   SELECT o_totalprice AS v, count(*) AS cnt
   FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 )
-SELECT round(v, 6) AS v,
-       round((sum(cnt) OVER (ORDER BY v))::DOUBLE
-             / (sum(cnt) OVER ())::DOUBLE, 6) AS cume_dist
+SELECT (round(v, 6) + 0.0) AS v,
+       (round((sum(cnt) OVER (ORDER BY v))::DOUBLE
+             / (sum(cnt) OVER ())::DOUBLE, 6) + 0.0) AS cume_dist
 FROM h"""
 
 
@@ -5436,9 +5520,9 @@ WITH counts AS (
                   1.0 - sum(n::DOUBLE * n) / (sum(n)::DOUBLE * sum(n))) AS gs
   FROM counts GROUP BY lang
 )
-SELECT lang, n_rows, n_values, round(h, {R}) AS entropy,
-       round(exp(h), {R}) AS effective_values,
-       round(gs, {R}) AS gini_simpson
+SELECT lang, n_rows, n_values, (round(h, {R}) + 0.0) AS entropy,
+       (round(exp(h), {R}) + 0.0) AS effective_values,
+       (round(gs, {R}) + 0.0) AS gini_simpson
 FROM g"""
 
 
@@ -5478,10 +5562,10 @@ WITH base AS (
   FROM c
 )
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-       round((r_a - na * (na + 1) / 2.0) / (na::DOUBLE * nb), {R}) AS auc,
-       round((r_a - na * (na + 1) / 2.0 - na::DOUBLE * nb / 2.0)
+       (round((r_a - na * (na + 1) / 2.0) / (na::DOUBLE * nb), {R}) + 0.0) AS auc,
+       (round((r_a - na * (na + 1) / 2.0 - na::DOUBLE * nb / 2.0)
              / sqrt(na::DOUBLE * nb / 12.0
-                    * ((nn + 1) - t / (nn::DOUBLE * (nn - 1)))), {R}) AS z
+                    * ((nn + 1) - t / (nn::DOUBLE * (nn - 1)))), {R}) + 0.0) AS z
 FROM s"""
 
 
@@ -5512,7 +5596,7 @@ WITH e AS (
 ), q AS (
   SELECT vec_id, val,
          CASE WHEN span > 0
-              THEN lo + round((val - lo) / span * 255.0, 0) * span / 255.0
+              THEN lo + (round((val - lo) / span * 255.0, 0) + 0.0) * span / 255.0
               ELSE lo END AS deq
   FROM d JOIN stats USING (i)
 ), per_vec AS (
@@ -5523,9 +5607,9 @@ WITH e AS (
            / (sqrt(sum(val * val)) * sqrt(sum(deq * deq))) AS cosine_fidelity
   FROM q GROUP BY vec_id
 )
-SELECT vec_id, round(log10(mse), {R}) AS log10_mse,
-       round(log10(max_abs_err), {R}) AS log10_max_abs_err,
-       round(cosine_fidelity, {R}) AS cosine_fidelity
+SELECT vec_id, (round(log10(mse), {R}) + 0.0) AS log10_mse,
+       (round(log10(max_abs_err), {R}) + 0.0) AS log10_max_abs_err,
+       (round(cosine_fidelity, {R}) + 0.0) AS cosine_fidelity
 FROM per_vec"""
 
 
@@ -5590,8 +5674,8 @@ WITH stats AS (
   FROM raw
 )
 SELECT stratum, CAST(n_rows AS BIGINT) AS n_rows,
-       round(sd, 4) AS stddev,
-       round(alloc_raw, 4) AS alloc_raw,
+       (round(sd, 4) + 0.0) AS stddev,
+       (round(alloc_raw, 4) + 0.0) AS alloc_raw,
        CAST(least(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END, n_rows)
             AS BIGINT) AS n_alloc
 FROM ranked"""
@@ -5615,7 +5699,7 @@ def _acf_sql() -> str:
     for k in range(1, ACF_MAX_LAG + 1):
         parts.append(f"""
 SELECT CAST({k} AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
-       round(corr(a.v, b.v), {R}) AS acf
+       (round(corr(a.v, b.v), {R}) + 0.0) AS acf
 FROM series a JOIN series b
   ON a.bucket_ts = b.bucket_ts + INTERVAL {k} DAY""")
     branches = " UNION ALL ".join(parts)
@@ -5653,8 +5737,8 @@ WITH toks AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_terms,
        CAST(sum(f) AS BIGINT) AS n_tokens,
-       round(regr_slope(ln(f::DOUBLE), ln(r::DOUBLE)), {R}) AS zipf_slope,
-       round(regr_r2(ln(f::DOUBLE), ln(r::DOUBLE)), {R}) AS r2
+       (round(regr_slope(ln(f::DOUBLE), ln(r::DOUBLE)), {R}) + 0.0) AS zipf_slope,
+       (round(regr_r2(ln(f::DOUBLE), ln(r::DOUBLE)), {R}) + 0.0) AS r2
 FROM ranked"""
 
 
@@ -5690,10 +5774,10 @@ WITH toks AS (
 )
 SELECT term, CAST(total_count AS BIGINT) AS total_count,
        CAST(n_docs_with AS BIGINT) AS n_docs_with,
-       round(s / nd.n, {R}) AS mean_per_doc,
-       round(CASE WHEN s > 0
+       (round(s / nd.n, {R}) + 0.0) AS mean_per_doc,
+       (round(CASE WHEN s > 0
                   THEN (q / nd.n - (s / nd.n) * (s / nd.n)) / (s / nd.n)
-             END, {R}) AS vmr
+             END, {R}) + 0.0) AS vmr
 FROM m CROSS JOIN nd
 ORDER BY total_count DESC, term"""
 
@@ -5762,10 +5846,10 @@ WITH reps AS (
 ), base AS (
   SELECT CAST(count(*) AS BIGINT) AS n_rows, avg(v) AS mean FROM src
 )
-SELECT n_rows, round(mean, 4) AS mean,
-       round(sqrt(var_of), 4) AS boot_se,
-       round({t7(0.025)}, 4) AS ci_lo,
-       round({t7(0.975)}, 4) AS ci_hi
+SELECT n_rows, (round(mean, 4) + 0.0) AS mean,
+       (round(sqrt(var_of), 4) + 0.0) AS boot_se,
+       (round({t7(0.025)}, 4) + 0.0) AS ci_lo,
+       (round({t7(0.975)}, 4) + 0.0) AS ci_hi
 FROM base CROSS JOIN arr"""
 
 
@@ -5836,10 +5920,10 @@ WITH reps AS (
          sum(v * ib) / sum(ib) AS mean_b
   FROM src
 )
-SELECT n_a, n_b, round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
-       round(mean_a - mean_b, 4) AS diff,
-       round({t7(0.025)}, 4) AS ci_lo,
-       round({t7(0.975)}, 4) AS ci_hi,
+SELECT n_a, n_b, (round(mean_a, 4) + 0.0) AS mean_a, (round(mean_b, 4) + 0.0) AS mean_b,
+       (round(mean_a - mean_b, 4) + 0.0) AS diff,
+       (round({t7(0.025)}, 4) + 0.0) AS ci_lo,
+       (round({t7(0.975)}, 4) + 0.0) AS ci_hi,
        ({t7(0.025)} > 0 OR {t7(0.975)} < 0) AS significant
 FROM base CROSS JOIN arr"""
 
@@ -5905,7 +5989,7 @@ o AS (
 )
 SELECT query_id, CAST(n_brute AS BIGINT) AS n_brute,
        CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
-       round(coalesce(n_overlap, 0) * 1.0 / n_brute, {R}) AS recall_at_5
+       (round(coalesce(n_overlap, 0) * 1.0 / n_brute, {R}) + 0.0) AS recall_at_5
 FROM nb LEFT JOIN o USING (query_id)"""
 
 
@@ -5955,7 +6039,7 @@ WITH s AS (
   SELECT g, CAST(count(*) AS BIGINT) AS n_days FROM s GROUP BY g
 ), ts_out AS (
   SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
-         round(quantile_cont(slope, 0.5), 6) AS slope_per_day
+         (round(quantile_cont(slope, 0.5), 6) + 0.0) AS slope_per_day
   FROM pairs GROUP BY g
 )
 SELECT days.g AS "group", n_days, n_pairs, slope_per_day
@@ -6012,11 +6096,11 @@ WITH s AS (
   SELECT coalesce(stddev_samp(residual), 0) AS sdv FROM r
 )
 SELECT strftime(d, '%Y-%m-%d') AS day,
-       round(x, 6) AS daily_mean,
+       (round(x, 6) + 0.0) AS daily_mean,
        dow,
-       round(dow_mean, 6) AS dow_mean,
-       round(residual, 6) AS residual,
-       round(CASE WHEN sdv > 0 THEN residual / sdv END, 6) AS z,
+       (round(dow_mean, 6) + 0.0) AS dow_mean,
+       (round(residual, 6) + 0.0) AS residual,
+       (round(CASE WHEN sdv > 0 THEN residual / sdv END, 6) + 0.0) AS z,
        abs(coalesce(CASE WHEN sdv > 0 THEN residual / sdv END, 0)) > 3.0
          AS is_outlier
 FROM r, g"""
@@ -6035,8 +6119,8 @@ def _forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _forecast_eval_sql() -> str:
     method_block = """
 SELECT '{m}' AS method, CAST(count(*) AS BIGINT) AS n_evals,
-       round(avg(abs(x - p_{m})), 6) AS mae,
-       round(avg(abs(x - p_{m})) / b.mb, 6) AS mase
+       (round(avg(abs(x - p_{m})), 6) + 0.0) AS mae,
+       (round(avg(abs(x - p_{m})) / b.mb, 6) + 0.0) AS mase
 FROM e, b GROUP BY b.mb"""
     blocks = [method_block.format(m=m) for m in ("naive", "snaive", "ewma")]
     return (
@@ -6086,7 +6170,7 @@ WITH base AS (
          unnest(embedding) AS x
   FROM base
 ), stats AS (
-  SELECT lab, h, i, round(avg(CAST(x AS DOUBLE)), 9) AS c,
+  SELECT lab, h, i, (round(avg(CAST(x AS DOUBLE)), 9) + 0.0) AS c,
          coalesce(var_samp(CAST(x AS DOUBLE)), 0) AS vv,
          count(*) AS n
   FROM dims GROUP BY 1, 2, 3
@@ -6094,8 +6178,8 @@ WITH base AS (
 SELECT CAST(a.lab AS BIGINT) AS label,
        CAST(max(a.n) AS BIGINT) AS n_a,
        CAST(max(b.n) AS BIGINT) AS n_b,
-       round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 6) AS centroid_shift,
-       round(sum(a.vv) / sum(b.vv), 6) AS var_ratio
+       (round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 6) + 0.0) AS centroid_shift,
+       (round(sum(a.vv) / sum(b.vv), 6) + 0.0) AS var_ratio
 FROM stats a
 JOIN stats b ON a.lab = b.lab AND a.i = b.i AND a.h = 'a' AND b.h = 'b'
 GROUP BY a.lab"""
@@ -6151,10 +6235,10 @@ SELECT event_type AS "group",
          AS n_satisfied,
        CAST(sum(CASE WHEN value > 40.0 AND value <= 120.0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating,
-       round((sum(CASE WHEN value <= 40.0 THEN 1 ELSE 0 END)
+       (round((sum(CASE WHEN value <= 40.0 THEN 1 ELSE 0 END)
               + sum(CASE WHEN value > 40.0 AND value <= 120.0
                          THEN 1 ELSE 0 END) / 2.0)
-             / CAST(count(*) AS DOUBLE), 6) AS apdex
+             / CAST(count(*) AS DOUBLE), 6) + 0.0) AS apdex
 FROM events
 WHERE event_type IS NOT NULL AND value IS NOT NULL
 GROUP BY 1"""
@@ -6185,8 +6269,8 @@ WITH per AS (
   GROUP BY 1
 )
 SELECT "group", n_trials, n_success,
-       round(n_success / CAST(n_trials AS DOUBLE), 6) AS rate,
-       round(greatest(0.0,
+       (round(n_success / CAST(n_trials AS DOUBLE), 6) + 0.0) AS rate,
+       (round(greatest(0.0,
          ((n_success / CAST(n_trials AS DOUBLE))
           + {z2!r} / (2.0 * CAST(n_trials AS DOUBLE)))
          / (1.0 + {z2!r} / CAST(n_trials AS DOUBLE))
@@ -6196,8 +6280,8 @@ SELECT "group", n_trials, n_success,
              / CAST(n_trials AS DOUBLE)
              + {z2!r} / (4.0 * CAST(n_trials AS DOUBLE)
                          * CAST(n_trials AS DOUBLE)))
-           / (1.0 + {z2!r} / CAST(n_trials AS DOUBLE))), 6) AS ci_low,
-       round(least(1.0,
+           / (1.0 + {z2!r} / CAST(n_trials AS DOUBLE))), 6) + 0.0) AS ci_low,
+       (round(least(1.0,
          ((n_success / CAST(n_trials AS DOUBLE))
           + {z2!r} / (2.0 * CAST(n_trials AS DOUBLE)))
          / (1.0 + {z2!r} / CAST(n_trials AS DOUBLE))
@@ -6207,7 +6291,7 @@ SELECT "group", n_trials, n_success,
              / CAST(n_trials AS DOUBLE)
              + {z2!r} / (4.0 * CAST(n_trials AS DOUBLE)
                          * CAST(n_trials AS DOUBLE)))
-           / (1.0 + {z2!r} / CAST(n_trials AS DOUBLE))), 6) AS ci_high
+           / (1.0 + {z2!r} / CAST(n_trials AS DOUBLE))), 6) + 0.0) AS ci_high
 FROM per"""
 
 
@@ -6331,12 +6415,12 @@ WITH o AS (
 SELECT CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_late,
-       round(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)
-             / CAST(count(*) AS DOUBLE), 6) AS late_fraction,
-       round(quantile_cont(late, 0.5) / 1e6, 6) AS p50_lateness_s,
-       round(quantile_cont(late, 0.95) / 1e6, 6) AS p95_lateness_s,
-       round(quantile_cont(late, 0.99) / 1e6, 6) AS p99_lateness_s,
-       round(max(late) / 1e6, 6) AS max_lateness_s
+       (round(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0) AS late_fraction,
+       (round(quantile_cont(late, 0.5) / 1e6, 6) + 0.0) AS p50_lateness_s,
+       (round(quantile_cont(late, 0.95) / 1e6, 6) + 0.0) AS p95_lateness_s,
+       (round(quantile_cont(late, 0.99) / 1e6, 6) + 0.0) AS p99_lateness_s,
+       (round(max(late) / 1e6, 6) + 0.0) AS max_lateness_s
 FROM l"""
 
 
@@ -6359,7 +6443,7 @@ WITH dims AS (
          unnest(embedding) AS x
   FROM embeddings
 ), cent AS (
-  SELECT lab, i, round(avg(CAST(x AS DOUBLE)), 9) AS c
+  SELECT lab, i, (round(avg(CAST(x AS DOUBLE)), 9) + 0.0) AS c
   FROM dims GROUP BY 1, 2
 ), cvec AS (
   SELECT lab, list(c ORDER BY i) AS cv FROM cent GROUP BY lab
@@ -6523,7 +6607,7 @@ base AS (
   FROM risk
 )
 SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, d_t AS n_events,
-       round(survival, 6) AS survival
+       (round(survival, 6) + 0.0) AS survival
 FROM cum WHERE d_t > 0"""
 
 
@@ -6570,7 +6654,7 @@ WITH masked AS (
 )
 SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
        l_returnflag,
-       round(coalesce(q, fill), 6) AS l_quantity,
+       (round(coalesce(q, fill), 6) + 0.0) AS l_quantity,
        q IS NULL AS l_quantity_imputed
 FROM masked JOIN fills ON l_returnflag = g"""
 
@@ -6647,12 +6731,12 @@ WITH per AS (
   GROUP BY 1
 ), tot AS (SELECT sum(n_pos) AS t_pos, sum(n_neg) AS t_neg FROM per)
 SELECT level, n_pos, n_neg,
-       round(ln(((n_pos + 0.5) / (t_pos + 1.0))
-                / ((n_neg + 0.5) / (t_neg + 1.0))), 6) AS woe,
-       round((((n_pos + 0.5) / (t_pos + 1.0))
+       (round(ln(((n_pos + 0.5) / (t_pos + 1.0))
+                / ((n_neg + 0.5) / (t_neg + 1.0))), 6) + 0.0) AS woe,
+       (round((((n_pos + 0.5) / (t_pos + 1.0))
               - ((n_neg + 0.5) / (t_neg + 1.0)))
              * ln(((n_pos + 0.5) / (t_pos + 1.0))
-                  / ((n_neg + 0.5) / (t_neg + 1.0))), 6) AS iv_contrib
+                  / ((n_neg + 0.5) / (t_neg + 1.0))), 6) + 0.0) AS iv_contrib
 FROM per, tot"""
 
 
@@ -6673,11 +6757,11 @@ _TARGET_ENCODE_SQL = """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       round(CASE WHEN n > 1
-                  THEN (s - t) / ((n - 1) * 100.0) END, 6) AS te_loo
+       (round(CASE WHEN n > 1
+                  THEN (s - t) / ((n - 1) * 100.0) END, 6) + 0.0) AS te_loo
 FROM (
-  SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS t,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT))
+  SELECT *, CAST((round(o_totalprice * 100) + 0.0) AS BIGINT) AS t,
+         sum(CAST((round(o_totalprice * 100) + 0.0) AS BIGINT))
            OVER (PARTITION BY o_orderpriority) AS s,
          count(*) OVER (PARTITION BY o_orderpriority) AS n
   FROM orders
@@ -6712,8 +6796,8 @@ SELECT CAST(sum(nb) AS BIGINT) AS n_records,
        quantile_cont(CAST(nb AS DOUBLE), 0.5) AS p50_block,
        quantile_cont(CAST(nb AS DOUBLE), 0.99) AS p99_block,
        CAST(sum(nb * (nb - 1) / 2) AS BIGINT) AS candidate_pairs,
-       round(sum(nb * (nb - 1) / 2)
-             / (sum(nb) * (sum(nb) - 1) / 2.0), 6) AS pair_reduction
+       (round(sum(nb * (nb - 1) / 2)
+             / (sum(nb) * (sum(nb) - 1) / 2.0), 6) + 0.0) AS pair_reduction
 FROM blk"""
 
 
@@ -6791,8 +6875,8 @@ SELECT '{col}' AS probe_col, '{name}' AS layout,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(CASE WHEN cmax >= {lo} AND cmin <= {hi}
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks_scanned,
-       round(sum(CASE WHEN cmax >= {lo} AND cmin <= {hi}
-                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+       (round(sum(CASE WHEN cmax >= {lo} AND cmin <= {hi}
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) + 0.0)
          AS scan_fraction
 FROM (
   SELECT chunk, min(vmin) AS cmin, max(vmax) AS cmax
@@ -6881,8 +6965,8 @@ SELECT '{name}' AS layout,
        CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(CASE WHEN cmax >= 10.0 AND cmin <= 15.0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks_scanned,
-       round(sum(CASE WHEN cmax >= 10.0 AND cmin <= 15.0
-                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+       (round(sum(CASE WHEN cmax >= 10.0 AND cmin <= 15.0
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) + 0.0)
          AS scan_fraction
 FROM (
   SELECT chunk, min(vmin) AS cmin, max(vmax) AS cmax
@@ -6969,7 +7053,7 @@ f AS (
 ), n AS (SELECT count(*) AS n_exact_pairs FROM exact)
 SELECT CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
        CAST(n_lsh_found AS BIGINT) AS n_lsh_found,
-       round(n_lsh_found * 1.0 / n_exact_pairs, 6) AS recall
+       (round(n_lsh_found * 1.0 / n_exact_pairs, 6) + 0.0) AS recall
 FROM n, f"""
 
 
@@ -6999,7 +7083,7 @@ def _ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHIP_DELAY_SQL = f"""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_lineitems,
-       round(avg(delay), {R}) AS mean_delay_days,
+       (round(avg(delay), {R}) + 0.0) AS mean_delay_days,
        quantile_cont(delay, 0.5) AS p50_delay_days,
        quantile_cont(delay, 0.9) AS p90_delay_days,
        max(delay) AS max_delay_days
@@ -7047,8 +7131,8 @@ per AS (
            AS chi2
   FROM per
 )
-SELECT split, n_obs, round(n_expected, 6) AS n_expected,
-       round(chi2, 6) AS chi2, chi2 > 13.816 AS srm_detected
+SELECT split, n_obs, (round(n_expected, 6) + 0.0) AS n_expected,
+       (round(chi2, 6) + 0.0) AS chi2, chi2 > 13.816 AS srm_detected
 FROM per, c"""
 
 
@@ -7179,10 +7263,10 @@ WITH q AS (
   FROM s JOIN tn ON s.query_id = tn.query_id AND s.neighbor_id = tn.trunc_nn
 )
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
-       round(avg(CASE WHEN full_nn = trunc_nn THEN 1.0 ELSE 0.0 END), 6)
+       (round(avg(CASE WHEN full_nn = trunc_nn THEN 1.0 ELSE 0.0 END), 6) + 0.0)
          AS top1_agreement,
-       round(avg(fn.cos_full), 6) AS mean_cos_full_nn,
-       round(avg(tc.cos_of_trunc_pick), 6) AS mean_cos_trunc_pick
+       (round(avg(fn.cos_full), 6) + 0.0) AS mean_cos_full_nn,
+       (round(avg(tc.cos_of_trunc_pick), 6) + 0.0) AS mean_cos_trunc_pick
 FROM fn
 JOIN tn USING (query_id)
 JOIN tc USING (query_id)"""
@@ -7314,9 +7398,9 @@ WITH s AS (
 )
 SELECT n_days,
        CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_pairs,
-       round((SELECT quantile_cont(slope, 0.5) FROM pairs), 6)
+       (round((SELECT quantile_cont(slope, 0.5) FROM pairs), 6) + 0.0)
          AS slope_per_day,
-       round(ols_slope, 6) AS ols_slope
+       (round(ols_slope, 6) + 0.0) AS ols_slope
 FROM ols"""
 
 
@@ -7376,7 +7460,7 @@ WITH tf AS (
   GROUP BY 1, 2
 )
 SELECT id_1, id_2, CAST(dot AS BIGINT) AS dot,
-       round(dot / sqrt(CAST(n1.s AS DOUBLE) * n2.s), 6) AS cosine
+       (round(dot / sqrt(CAST(n1.s AS DOUBLE) * n2.s), 6) + 0.0) AS cosine
 FROM dots
 JOIN norms n1 ON id_1 = n1.id
 JOIN norms n2 ON id_2 = n2.id
@@ -7475,7 +7559,7 @@ SELECT segment_1, segment_2,
        CAST(s1.n AS BIGINT) AS n_1,
        CAST(s2.n AS BIGINT) AS n_2,
        n_overlap,
-       round(n_overlap * 1.0 / (s1.n + s2.n - n_overlap), 6) AS jaccard,
+       (round(n_overlap * 1.0 / (s1.n + s2.n - n_overlap), 6) + 0.0) AS jaccard,
        TRUE AS est_within_tol
 FROM inter
 JOIN sizes s1 ON s1.event_type = inter.segment_1
@@ -7495,7 +7579,7 @@ def _pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARETO_SQL = """
 WITH per_key AS (
   SELECT o_custkey,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS w
+         sum(CAST((round(o_totalprice * 100) + 0.0) AS BIGINT)) AS w
   FROM orders
   WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
   GROUP BY o_custkey
@@ -7511,7 +7595,7 @@ WITH per_key AS (
 ), cuts(p) AS (VALUES (1.0), (5.0), (10.0), (20.0), (50.0))
 SELECT CAST(p AS DOUBLE) AS pct_keys,
        CAST(ceil(p / 100.0 * tot.n) AS BIGINT) AS n_top_keys,
-       round(cum * 1.0 / tot.s, 6) AS weight_share
+       (round(cum * 1.0 / tot.s, 6) + 0.0) AS weight_share
 FROM cuts
 CROSS JOIN tot
 JOIN ranked ON rn = CAST(ceil(p / 100.0 * tot.n) AS BIGINT)"""
@@ -7556,14 +7640,14 @@ WITH s AS (
   FROM s
 )
 SELECT strftime(d, '%Y-%m-%d') AS day,
-       round(x, 6) AS daily_mean,
-       round(
+       (round(x, 6) + 0.0) AS daily_mean,
+       (round(
          (sum(x * pow(0.7, -rn)) OVER (ORDER BY rn
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           * pow(0.7, rn))
          / (sum(pow(0.7, -rn)) OVER (ORDER BY rn
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            * pow(0.7, rn)), 6) AS ewma
+            * pow(0.7, rn)), 6) + 0.0) AS ewma
 FROM w"""
 
 
@@ -7586,7 +7670,7 @@ ends AS (
   SELECT node, count(*) AS degree FROM ends GROUP BY node
 )
 SELECT node, CAST(degree AS BIGINT) AS degree,
-       round(degree * 1.0 / (SELECT sum(degree) FROM deg), {R})
+       (round(degree * 1.0 / (SELECT sum(degree) FROM deg), {R}) + 0.0)
          AS degree_share
 FROM deg ORDER BY degree DESC, node LIMIT 10"""
 
@@ -7805,7 +7889,7 @@ k AS (
   FROM documents
 )
 SELECT width, height, n_images,
-       round(n_images / total, 6) AS pct_images
+       (round(n_images / total, 6) + 0.0) AS pct_images
 FROM k, t
 ORDER BY n_images DESC, width, height"""
 
@@ -8029,7 +8113,7 @@ _VIDEO_NEAR_DUPS_SQL = """
 SELECT CAST(doc_id - 3 AS BIGINT) AS id1,
        CAST(doc_id AS BIGINT) AS id2,
        CAST(7 AS BIGINT) AS n_common,
-       round(7.0 / 9.0, 6) AS jaccard
+       (round(7.0 / 9.0, 6) + 0.0) AS jaccard
 FROM documents
 WHERE doc_id % 10 = 3
   AND doc_id - 3 IN (SELECT doc_id FROM documents)
@@ -8200,14 +8284,14 @@ WITH b AS (
   FROM documents
 ), n AS (
   SELECT lang,
-         CAST(floor(w) + CASE WHEN bucket < round((w - floor(w)) * 10000)
+         CAST(floor(w) + CASE WHEN bucket < (round((w - floor(w)) * 10000) + 0.0)
                               THEN 1 ELSE 0 END AS BIGINT) AS n
   FROM b
 )
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_source_docs,
        CAST(sum(n) AS BIGINT) AS n_emitted,
-       round(sum(n) * 1.0 / count(*), 6) AS realized_rate,
+       (round(sum(n) * 1.0 / count(*), 6) + 0.0) AS realized_rate,
        CAST(max(n) AS BIGINT) AS max_epoch
 FROM n
 GROUP BY lang
@@ -8254,13 +8338,13 @@ def _curriculum_stages_sql() -> str:
     return f"""
 WITH {_quality_core_sql()},
 r AS (
-  SELECT s.doc_id, round(s.quality_score, 6) AS score, d.n_chars
+  SELECT s.doc_id, (round(s.quality_score, 6) + 0.0) AS score, d.n_chars
   FROM sc s JOIN documents d USING (doc_id)
 ),
 th AS (
-  SELECT round(quantile_cont(score, 0.25), 6) AS t1,
-         round(quantile_cont(score, 0.50), 6) AS t2,
-         round(quantile_cont(score, 0.75), 6) AS t3
+  SELECT (round(quantile_cont(score, 0.25), 6) + 0.0) AS t1,
+         (round(quantile_cont(score, 0.50), 6) + 0.0) AS t2,
+         (round(quantile_cont(score, 0.75), 6) + 0.0) AS t3
   FROM r
 ),
 a AS (
@@ -8271,9 +8355,9 @@ a AS (
 )
 SELECT CAST(stage AS BIGINT) AS stage,
        CAST(count(*) AS BIGINT) AS n_docs,
-       round(min(score), 6) AS min_score,
-       round(max(score), 6) AS max_score,
-       round(avg(score), 6) AS mean_score,
+       (round(min(score), 6) + 0.0) AS min_score,
+       (round(max(score), 6) + 0.0) AS max_score,
+       (round(avg(score), 6) + 0.0) AS mean_score,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM a
 GROUP BY stage
@@ -8316,9 +8400,9 @@ SELECT CAST(coalesce(edge, bmax) AS BIGINT) AS bucket_edge,
        CAST(n_rows AS BIGINT) AS n_rows,
        CAST(real_tokens AS BIGINT) AS real_tokens,
        CAST(n_rows * coalesce(edge, bmax) AS BIGINT) AS padded_tokens,
-       round((n_rows * coalesce(edge, bmax) - real_tokens) * 1.0
-             / (n_rows * coalesce(edge, bmax)), 6) AS waste_frac,
-       round((g.gn * g.gmax - g.gsum) * 1.0 / (g.gn * g.gmax), 6)
+       (round((n_rows * coalesce(edge, bmax) - real_tokens) * 1.0
+             / (n_rows * coalesce(edge, bmax)), 6) + 0.0) AS waste_frac,
+       (round((g.gn * g.gmax - g.gsum) * 1.0 / (g.gn * g.gmax), 6) + 0.0)
          AS baseline_waste_frac
 FROM per, g
 ORDER BY 1"""
@@ -8390,7 +8474,7 @@ sym AS (
 {", ".join(its)},
 {", ".join(deltas)},
 final AS ({final})
-SELECT node, round(pr, {R}) AS rank
+SELECT node, (round(pr, {R}) + 0.0) AS rank
 FROM final ORDER BY pr DESC, node LIMIT 20"""
 
 
@@ -8421,8 +8505,8 @@ WITH w AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
 SELECT event_id, event_type, CAST(n_prior AS BIGINT) AS n_prior,
-       round(CASE WHEN n_prior >= 10 AND sd_prev > 0
-                  THEN (value - mean_prev) / sd_prev END, {R}) AS z,
+       (round(CASE WHEN n_prior >= 10 AND sd_prev > 0
+                  THEN (value - mean_prev) / sd_prev END, {R}) + 0.0) AS z,
        coalesce(abs(CASE WHEN n_prior >= 10 AND sd_prev > 0
                          THEN (value - mean_prev) / sd_prev END) > 3.0,
                 false) AS is_anomaly
@@ -8463,8 +8547,8 @@ WITH q AS (
 ), m AS (
   SELECT g, q, CAST([{probs_sql}][i] AS DOUBLE) AS prob FROM u
 )
-SELECT round(a.prob, {R}) AS prob, round(a.q, {R}) AS q_a,
-       round(b.q, {R}) AS q_b, round(b.q - a.q, {R}) AS diff
+SELECT (round(a.prob, {R}) + 0.0) AS prob, (round(a.q, {R}) + 0.0) AS q_a,
+       (round(b.q, {R}) + 0.0) AS q_b, (round(b.q - a.q, {R}) + 0.0) AS diff
 FROM m a JOIN m b ON a.prob = b.prob AND a.g = 'O' AND b.g = 'F'"""
 
 
@@ -8495,7 +8579,7 @@ def _spearman_matrix_sql() -> str:
     for a, b in SPEARMAN_PAIRS:
         parts.append(f"""
 SELECT '{a}' AS col_a, '{b}' AS col_b,
-       round(corr(ra, rb), {R}) AS spearman, count(*) AS n
+       (round(corr(ra, rb), {R}) + 0.0) AS spearman, count(*) AS n
 FROM (
   SELECT cume_dist() OVER (ORDER BY a) AS ra,
          cume_dist() OVER (ORDER BY b) AS rb
@@ -8535,9 +8619,9 @@ def _mi_ranking_sql() -> str:
     for c in MI_RANK_FEATURES:
         parts.append(f"""
 SELECT '{c}' AS feature, n_rows,
-       round(greatest(mi, 0.0), {R}) AS mi,
-       round(CASE WHEN least(ha, hb) > 0
-                  THEN greatest(mi, 0.0) / least(ha, hb) END, {R}) AS mi_norm
+       (round(greatest(mi, 0.0), {R}) + 0.0) AS mi,
+       (round(CASE WHEN least(ha, hb) > 0
+                  THEN greatest(mi, 0.0) / least(ha, hb) END, {R}) + 0.0) AS mi_norm
 FROM (
   SELECT sum((n/nt) * ln((n/nt) / ((na/nt)*(nb/nt)))) AS mi,
          sum(-((na/nt) * ln(na/nt)) / ca) AS ha,
@@ -8584,9 +8668,9 @@ def _gini_sql() -> str:
     for c in GINI_COLS:
         parts.append(f"""
 SELECT '{c}' AS column_name, CAST(n AS BIGINT) AS n_rows,
-       round(CASE WHEN t > 0 AND n > 0
+       (round(CASE WHEN t > 0 AND n > 0
                   THEN greatest(0.0, 2.0 * rw / (n * t) - (n + 1.0) / n)
-                  ELSE 0.0 END, {R}) AS gini
+                  ELSE 0.0 END, {R}) + 0.0) AS gini
 FROM (
   SELECT sum(v * c) AS t, sum(c) AS n,
          sum(v * (c * b + c * (c + 1) / 2.0)) AS rw
@@ -8636,22 +8720,22 @@ def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, {R})
+  CAST(sum(CAST((round(l_quantity) + 0.0) AS BIGINT)) AS BIGINT) AS sum_qty,
+  (round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, {R}) + 0.0)
     AS sum_base_price,
-  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e4, {R})
+  (round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e4, {R}) + 0.0)
     AS sum_disc_price,
-  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+  (round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
             * (100 - CAST(round(l_discount * 100) AS BIGINT))
-            * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1e6, {R})
+            * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1e6, {R}) + 0.0)
     AS sum_charge,
-  round(sum(CAST(round(l_quantity) AS BIGINT)) * 1.0 / count(*), {R})
+  (round(sum(CAST(round(l_quantity) AS BIGINT)) * 1.0 / count(*), {R}) + 0.0)
     AS avg_qty,
-  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
-        / count(*), {R}) AS avg_price,
-  round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0
-        / count(*), {R}) AS avg_disc,
+  (round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+        / count(*), {R}) + 0.0) AS avg_price,
+  (round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0
+        / count(*), {R}) + 0.0) AS avg_disc,
   CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -8704,9 +8788,9 @@ def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TPCH_Q3_SQL = f"""
 SELECT l_orderkey,
-       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       (round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e4,
-             {R}) AS revenue,
+             {R}) + 0.0) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority
 FROM customer
@@ -8749,8 +8833,8 @@ def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TPCH_Q6_SQL = f"""
-SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * CAST(round(l_discount * 100) AS BIGINT)) / 1e4, {R})
+SELECT (round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) / 1e4, {R}) + 0.0)
          AS revenue,
        CAST(count(*) AS BIGINT) AS n_lineitems
 FROM lineitem
@@ -8789,8 +8873,8 @@ SELECT t,
        CAST(sum(n) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
                          AND UNBOUNDED FOLLOWING) AS BIGINT)
          AS n_entities_at_least_t,
-       round(sum(n) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
-                          AND UNBOUNDED FOLLOWING) * 1.0 / tot.nt, {R})
+       (round(sum(n) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) * 1.0 / tot.nt, {R}) + 0.0)
          AS survival
 FROM h CROSS JOIN tot"""
 
@@ -8851,10 +8935,10 @@ WITH base AS (
   GROUP BY 1, 2
 )
 SELECT item_a, item_b, CAST(n_pair AS BIGINT) AS n_baskets,
-       round(n_pair * 1.0 / nb.n, {R}) AS support,
-       round(n_pair * 1.0 / ma.cnt, {R}) AS conf_a_to_b,
-       round(n_pair * 1.0 / mb.cnt, {R}) AS conf_b_to_a,
-       round(n_pair * 1.0 * nb.n / (ma.cnt * mb.cnt), {R}) AS lift
+       (round(n_pair * 1.0 / nb.n, {R}) + 0.0) AS support,
+       (round(n_pair * 1.0 / ma.cnt, {R}) + 0.0) AS conf_a_to_b,
+       (round(n_pair * 1.0 / mb.cnt, {R}) + 0.0) AS conf_b_to_a,
+       (round(n_pair * 1.0 * nb.n / (ma.cnt * mb.cnt), {R}) + 0.0) AS lift
 FROM p
 CROSS JOIN nb
 JOIN m ma ON item_a = ma.i
@@ -8887,7 +8971,7 @@ WITH l AS (
 )
 SELECT line, CAST(count(*) AS BIGINT) AS n_occurrences,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       round(count(*) * 1.0 / count(DISTINCT doc_id), {R})
+       (round(count(*) * 1.0 / count(DISTINCT doc_id), {R}) + 0.0)
          AS avg_repeats_per_doc
 FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2
 ORDER BY n_occurrences DESC, line LIMIT 50"""
@@ -8945,7 +9029,7 @@ WITH toks AS (
   JOIN documents d2 ON id2 = d2.doc_id
 )
 SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
-       round(avg(jaccard), {R}) AS avg_jaccard
+       (round(avg(jaccard), {R}) + 0.0) AS avg_jaccard
 FROM tagged GROUP BY 1, 2"""
 
 
@@ -8979,8 +9063,8 @@ WITH b AS (
 )
 SELECT group_key, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(*) FILTER (v BETWEEN qlo AND qhi) AS BIGINT) AS n_used,
-       round(avg(v), 4) AS mean_raw,
-       round(avg(v) FILTER (v BETWEEN qlo AND qhi), 4) AS mean_trimmed
+       (round(avg(v), 4) + 0.0) AS mean_raw,
+       (round(avg(v) FILTER (v BETWEEN qlo AND qhi), 4) + 0.0) AS mean_trimmed
 FROM t JOIN b USING (group_key)
 GROUP BY group_key"""
 
@@ -9025,7 +9109,7 @@ WITH o AS (
   FROM r WHERE rn <= 10 GROUP BY 1, 2
 )
 SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
-       round(avg(slen), {R}) AS avg_session_len
+       (round(avg(slen), {R}) + 0.0) AS avg_session_len
 FROM p GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT 20"""
@@ -9064,8 +9148,8 @@ WITH series AS (
 )
 SELECT strftime(bucket_ts, '%Y-%m-%d') AS bucket_day,
        CAST(n_rows AS BIGINT) AS n_rows,
-       round(mean_value, {R}) AS mean_value,
-       round(cusum, {R}) AS cusum,
+       (round(mean_value, {R}) + 0.0) AS mean_value,
+       (round(cusum, {R}) + 0.0) AS cusum,
        row_number() OVER (ORDER BY abs(cusum) DESC, bucket_ts) = 1
          AS is_changepoint
 FROM c"""
@@ -9121,9 +9205,9 @@ WITH base AS (
 )
 SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n_rows,
        CAST(20 AS BIGINT) AS bins,
-       round(greatest(mi, 0.0), {R}) AS mi,
-       round(CASE WHEN least(ha, hb) > 0
-                  THEN greatest(mi, 0.0) / least(ha, hb) END, {R}) AS mi_norm
+       (round(greatest(mi, 0.0), {R}) + 0.0) AS mi,
+       (round(CASE WHEN least(ha, hb) > 0
+                  THEN greatest(mi, 0.0) / least(ha, hb) END, {R}) + 0.0) AS mi_norm
 FROM s"""
 
 
@@ -9173,9 +9257,9 @@ inter AS (
 )
 SELECT col_a, col_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        CAST(n_common AS BIGINT) AS n_common,
-       round(n_common::DOUBLE / (n_a + n_b - n_common), {R}) AS jaccard,
-       round(n_common::DOUBLE / n_a, {R}) AS containment_a,
-       round(n_common::DOUBLE / n_b, {R}) AS containment_b
+       (round(n_common::DOUBLE / (n_a + n_b - n_common), {R}) + 0.0) AS jaccard,
+       (round(n_common::DOUBLE / n_a, {R}) + 0.0) AS containment_a,
+       (round(n_common::DOUBLE / n_b, {R}) + 0.0) AS containment_b
 FROM inter JOIN sa USING (col_a) JOIN sb USING (col_b)
 WHERE n_common::DOUBLE / n_a >= 0.5 OR n_common::DOUBLE / n_b >= 0.5"""
 
@@ -9202,7 +9286,7 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
        CAST(count(*) AS BIGINT) AS n_classes,
        CAST(min(n) AS BIGINT) AS min_class_size,
        CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT) AS n_rows_below_k,
-       round(coalesce(sum(n) FILTER (n < 5), 0) * 100.0 / sum(n), {R})
+       (round(coalesce(sum(n) FILTER (n < 5), 0) * 100.0 / sum(n), {R}) + 0.0)
          AS pct_rows_below_k,
        CAST(5 AS BIGINT) AS k
 FROM classes"""
@@ -9373,13 +9457,13 @@ WITH agg AS (
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT group_key, bucket_ts, CAST(n_events AS BIGINT) AS n_events,
-       round(v_sum, 6) AS v_sum,
-       round(CASE
+       (round(v_sum, 6) + 0.0) AS v_sum,
+       (round(CASE
          WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
            prev_v + (next_v - prev_v) *
              (CASE WHEN next_t > prev_t
                    THEN (t - prev_t) / (next_t - prev_t) ELSE 0.0 END)
-         ELSE coalesce(prev_v, next_v) END, 6) AS v_interp
+         ELSE coalesce(prev_v, next_v) END, 6) + 0.0) AS v_interp
 FROM x"""
 
 
@@ -9429,9 +9513,9 @@ WITH q AS (
 )
 SELECT o.o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(max(q.var95), 6) AS var_95,
-       round(avg(CASE WHEN o.o_totalprice >= q.var95
-                      THEN o.o_totalprice END), 6) AS es_95,
+       (round(max(q.var95), 6) + 0.0) AS var_95,
+       (round(avg(CASE WHEN o.o_totalprice >= q.var95
+                      THEN o.o_totalprice END), 6) + 0.0) AS es_95,
        CAST(sum(CASE WHEN o.o_totalprice >= q.var95 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_tail
 FROM orders o JOIN q USING (o_orderpriority)
@@ -9509,10 +9593,10 @@ r AS (
 )
 SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
        CAST(k AS BIGINT) AS window_n,
-       round(CASE WHEN sqrt(k * sxx - sx * sx) * sqrt(k * syy - sy * sy) > 0
+       (round(CASE WHEN sqrt(k * sxx - sx * sx) * sqrt(k * syy - sy * sy) > 0
                   THEN (k * sxy - sx * sy)
                        / (sqrt(k * sxx - sx * sx) * sqrt(k * syy - sy * sy))
-                  ELSE 0.0 END, 6) AS rolling_corr
+                  ELSE 0.0 END, 6) + 0.0) AS rolling_corr
 FROM r
 WHERE k = 24
 ORDER BY hour"""
@@ -9566,8 +9650,8 @@ d AS (
 )
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(is_code) AS BIGINT) AS n_code,
-       round(avg(round(frac, 6)), 6) AS avg_structural_frac,
-       round(avg(kw_hits), 6) AS avg_kw_hits
+       (round(avg(round(frac, 6)), 6) + 0.0) AS avg_structural_frac,
+       (round(avg(kw_hits), 6) + 0.0) AS avg_kw_hits
 FROM d
 GROUP BY lang
 ORDER BY lang"""
@@ -9628,8 +9712,8 @@ x AS (
   FROM e
 )
 SELECT day, CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value * dt) / sum(dt), 6) AS twap,
-       round(avg(value), 6) AS plain_avg
+       (round(sum(value * dt) / sum(dt), 6) + 0.0) AS twap,
+       (round(avg(value), 6) + 0.0) AS plain_avg
 FROM x
 GROUP BY day
 ORDER BY day"""
@@ -9681,8 +9765,8 @@ w AS (
   FROM documents d JOIN c ON md5(d.text) = c.h
 )
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-       round(sum(wgt), 6) AS effective_size,
-       round(1.0 - sum(wgt) / count(*), 6) AS redundancy_frac
+       (round(sum(wgt), 6) + 0.0) AS effective_size,
+       (round(1.0 - sum(wgt) / count(*), 6) + 0.0) AS redundancy_frac
 FROM w
 GROUP BY source
 ORDER BY source"""
@@ -9765,7 +9849,7 @@ SELECT CAST(level AS BIGINT) AS level,
        CAST(n_classes AS BIGINT) AS n_classes,
        CAST(mn AS BIGINT) AS min_class_size,
        CAST(below AS BIGINT) AS n_rows_below_k,
-       round(below * 100.0 / nr, 6) AS pct_rows_below_k,
+       (round(below * 100.0 / nr, 6) + 0.0) AS pct_rows_below_k,
        CAST((mn >= 5) AS BIGINT) AS meets_k
 FROM agg
 ORDER BY level"""
@@ -9804,7 +9888,7 @@ dots AS (
 SELECT CAST(label_a AS BIGINT) AS label_a,
        CAST(label_b AS BIGINT) AS label_b,
        CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
-       round(dot / (na.nrm * nb.nrm), 6) AS centroid_cosine
+       (round(dot / (na.nrm * nb.nrm), 6) + 0.0) AS centroid_cosine
 FROM dots
 JOIN norms na ON na.lbl = label_a
 JOIN norms nb ON nb.lbl = label_b
@@ -9846,8 +9930,8 @@ scored AS (
 )
 SELECT strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
        CAST(n_events AS BIGINT) AS n_events,
-       round(baseline_mean, 6) AS baseline_mean,
-       round(n_events / baseline_mean, 6) AS lift_ratio
+       (round(baseline_mean, 6) + 0.0) AS baseline_mean,
+       (round(n_events / baseline_mean, 6) + 0.0) AS lift_ratio
 FROM scored
 WHERE prev IS NOT NULL AND next IS NOT NULL
   AND n_events > prev AND n_events > next
@@ -9916,7 +10000,7 @@ _RFM_SQL = """
 WITH pc AS (
   SELECT o_custkey, max(o_orderdate) AS last_order,
          count(*) AS frequency,
-         round(sum(o_totalprice), 2) AS monetary
+         (round(sum(o_totalprice), 2) + 0.0) AS monetary
   FROM orders GROUP BY 1
 ),
 a AS (SELECT max(last_order) AS anchor FROM pc),
@@ -9932,7 +10016,7 @@ SELECT CAST(r_score AS BIGINT) AS r_score,
        CAST(f_score AS BIGINT) AS f_score,
        CAST(m_score AS BIGINT) AS m_score,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(sum(monetary), 2) AS segment_value
+       (round(sum(monetary), 2) + 0.0) AS segment_value
 FROM s
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3"""
@@ -10067,8 +10151,8 @@ fit AS (
 )
 SELECT CAST(n AS BIGINT) AS block_size,
        CAST(n_blocks AS BIGINT) AS n_blocks,
-       round(mean_rs, 6) AS mean_rs,
-       round(hurst, 6) AS hurst
+       (round(mean_rs, 6) + 0.0) AS mean_rs,
+       (round(hurst, 6) + 0.0) AS hurst
 FROM pn, fit
 ORDER BY block_size"""
 
@@ -10113,7 +10197,7 @@ def _bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET_JOIN_SQL = """
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_lines,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       (round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0) AS revenue
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority"""
@@ -10139,14 +10223,14 @@ WITH g AS (
 ),
 t AS (SELECT sum(n_g) AS n, sum(s_g) AS s, sum(xlx_g) AS xlx FROM g)
 SELECT o_orderpriority, CAST(n_g AS BIGINT) AS n_rows,
-       round(s_g / s, 6) AS value_share,
-       round(xlx_g / s_g - ln(s_g / n_g), 6) AS theil_within,
-       round((s_g / s) * (xlx_g / s_g - ln(s_g / n_g)), 6)
+       (round(s_g / s, 6) + 0.0) AS value_share,
+       (round(xlx_g / s_g - ln(s_g / n_g), 6) + 0.0) AS theil_within,
+       (round((s_g / s) * (xlx_g / s_g - ln(s_g / n_g)), 6) + 0.0)
          AS within_contrib,
-       round(xlx / s - ln(s / n), 6) AS theil_total,
-       round(sum((s_g / s) * ln((s_g / n_g) / (s / n))) OVER (), 6)
+       (round(xlx / s - ln(s / n), 6) + 0.0) AS theil_total,
+       (round(sum((s_g / s) * ln((s_g / n_g) / (s / n))) OVER (), 6) + 0.0)
          AS theil_between,
-       round(sum((s_g / s) * (xlx_g / s_g - ln(s_g / n_g))) OVER (), 6)
+       (round(sum((s_g / s) * (xlx_g / s_g - ln(s_g / n_g))) OVER (), 6) + 0.0)
          AS within_total
 FROM g, t
 ORDER BY o_orderpriority"""
@@ -10174,8 +10258,8 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
        CAST(count(*) AS BIGINT) AS n_users_both,
        CAST(sum(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END)
             AS BIGINT) AS n_users_ordered,
-       round(sum(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END)
-             * 1.0 / count(*), 6) AS support_frac
+       (round(sum(CASE WHEN a.first_ts < b.last_ts THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) + 0.0) AS support_frac
 FROM env a JOIN env b
   ON a.user_id = b.user_id AND a.event_type <> b.event_type
 GROUP BY 1, 2
@@ -10211,7 +10295,7 @@ c AS (
   FROM pv
 )
 SELECT l_returnflag,
-       round(max(tw), 6) AS total_weight,
+       (round(max(tw), 6) + 0.0) AS total_weight,
        min(v) AS weighted_median
 FROM c
 WHERE cw >= tw / 2
@@ -10250,7 +10334,7 @@ u AS (
 )
 SELECT CAST(u.q AS DOUBLE) AS q,
        CAST(e.n AS BIGINT) AS n_rows,
-       round(e.v[u.i], 6) AS exact_value,
+       (round(e.v[u.i], 6) + 0.0) AS exact_value,
        CAST(1 AS BIGINT) AS within_bound
 FROM e, u
 ORDER BY q"""
@@ -10290,7 +10374,7 @@ SELECT bar_ts, CAST(count(*) AS BIGINT) AS n_events,
        max(value) AS high,
        min(value) AS low,
        max(CASE WHEN rn_d = 1 THEN value END) AS close,
-       round(sum(value), 6) AS volume
+       (round(sum(value), 6) + 0.0) AS volume
 FROM o
 GROUP BY bar_ts
 ORDER BY bar_ts"""
@@ -10387,13 +10471,13 @@ f AS (
   FROM r
 )
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       round(coalesce(avg(CASE WHEN w > 0 THEN w * 1.0 / st END), -1.0), 6)
+       (round(coalesce(avg(CASE WHEN w > 0 THEN w * 1.0 / st END), -1.0), 6) + 0.0)
          AS avg_words_per_sentence,
-       round(coalesce(avg(CASE WHEN w > 0 THEN s * 1.0 / w END), -1.0), 6)
+       (round(coalesce(avg(CASE WHEN w > 0 THEN s * 1.0 / w END), -1.0), 6) + 0.0)
          AS avg_syllables_per_word,
-       round(coalesce(avg(flesch), -1.0), 6) AS avg_flesch,
-       round(coalesce(min(flesch), -1.0), 6) AS min_flesch,
-       round(coalesce(max(flesch), -1.0), 6) AS max_flesch
+       (round(coalesce(avg(flesch), -1.0), 6) + 0.0) AS avg_flesch,
+       (round(coalesce(min(flesch), -1.0), 6) + 0.0) AS min_flesch,
+       (round(coalesce(max(flesch), -1.0), 6) + 0.0) AS max_flesch
 FROM f
 GROUP BY lang
 ORDER BY lang"""
@@ -10427,7 +10511,7 @@ u AS (
   FROM g
 )
 SELECT o_orderpriority,
-       round(n + (-1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
+       (round(n + (-1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6) + 0.0)
          AS noisy_count,
        CAST(1.0 AS DOUBLE) AS epsilon
 FROM u
@@ -10510,9 +10594,9 @@ def _jsd_sql() -> str:
 )""")
     selects = "\nUNION ALL\n".join(
         f"""SELECT '{c}' AS column_name,
-       round(sum((CASE WHEN n_ref > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END
-                + CASE WHEN n_cur > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END) / 2), {R}) AS jsd,
-       round(sqrt(sum((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q))) / 2), {R}) AS hellinger
+       (round(sum((CASE WHEN n_ref > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+                + CASE WHEN n_cur > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END) / 2), {R}) + 0.0) AS jsd,
+       (round(sqrt(sum((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q))) / 2), {R}) + 0.0) AS hellinger
 FROM {c}_pq"""
         for c in PSI_COLS
     )
@@ -10555,10 +10639,10 @@ WITH per_unit AS (
   SELECT o_custkey AS u,
          coalesce(sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
                             AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-                           THEN CAST(round(o_totalprice) AS BIGINT) END), 0) AS x,
+                           THEN CAST((round(o_totalprice) + 0.0) AS BIGINT) END), 0) AS x,
          coalesce(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
                             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-                           THEN CAST(round(o_totalprice) AS BIGINT) END), 0) AS y,
+                           THEN CAST((round(o_totalprice) + 0.0) AS BIGINT) END), 0) AS y,
          max(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
                    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
                   THEN 1 ELSE 0 END) AS has_post
@@ -10593,13 +10677,13 @@ WITH per_unit AS (
   FROM m, a, b
 )
 SELECT n_a, n_b,
-       round(CASE WHEN varx_n2 > 0 THEN cov_n2 / varx_n2 ELSE 0.0 END, 6) AS theta,
-       round(raw_diff, 6) AS raw_diff,
-       round(raw_diff - (CASE WHEN varx_n2 > 0 THEN cov_n2 / varx_n2 ELSE 0.0 END)
-                        * pre_diff, 6) AS adj_diff,
-       round(CASE WHEN varx_n2 > 0 AND vary_n2 > 0
+       (round(CASE WHEN varx_n2 > 0 THEN cov_n2 / varx_n2 ELSE 0.0 END, 6) + 0.0) AS theta,
+       (round(raw_diff, 6) + 0.0) AS raw_diff,
+       (round(raw_diff - (CASE WHEN varx_n2 > 0 THEN cov_n2 / varx_n2 ELSE 0.0 END)
+                        * pre_diff, 6) + 0.0) AS adj_diff,
+       (round(CASE WHEN varx_n2 > 0 AND vary_n2 > 0
                   THEN 100.0 * cov_n2 * cov_n2 / (varx_n2 * vary_n2)
-                  ELSE 0.0 END, 6) AS var_reduction_pct
+                  ELSE 0.0 END, 6) + 0.0) AS var_reduction_pct
 FROM d"""
 
 
@@ -10633,10 +10717,10 @@ WITH {_quality_core_sql()}, scored AS (
   FROM scored GROUP BY 1
 )
 SELECT bin, CAST(n AS BIGINT) AS n,
-       round(mean_score, 6) AS mean_score,
-       round(n_pos / n, 6) AS pos_rate,
-       round(abs(mean_score - n_pos / n), 6) AS abs_gap,
-       round(abs(mean_score - n_pos / n) * n / (SELECT sum(n) FROM per_bin), 6)
+       (round(mean_score, 6) + 0.0) AS mean_score,
+       (round(n_pos / n, 6) + 0.0) AS pos_rate,
+       (round(abs(mean_score - n_pos / n), 6) + 0.0) AS abs_gap,
+       (round(abs(mean_score - n_pos / n) * n / (SELECT sum(n) FROM per_bin), 6) + 0.0)
          AS ece_term
 FROM per_bin ORDER BY bin"""
 
@@ -10673,7 +10757,7 @@ WITH {_COPURCHASE_EDGES_SQL}, sym AS (
          sum(1.0 / ln(deg::DOUBLE)) AS aa_score
   FROM wedges GROUP BY 1, 2
 )
-SELECT src, dst, common_neighbors, round(aa_score, {R}) AS aa_score
+SELECT src, dst, common_neighbors, (round(aa_score, {R}) + 0.0) AS aa_score
 FROM scored
 WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = scored.src AND e.dst = scored.dst)
 ORDER BY aa_score DESC, src, dst
@@ -10711,9 +10795,9 @@ WITH per_user AS (
   SELECT '{s1}->{s2}', t2 - t1 FROM f2 WHERE t2 IS NOT NULL
 )
 SELECT transition, CAST(count(*) AS BIGINT) AS n_converted,
-       round(quantile_cont(gap_s, 0.5), 4) AS median_s,
-       round(quantile_cont(gap_s, 0.9), 4) AS p90_s,
-       round(avg(gap_s), 4) AS mean_s
+       (round(quantile_cont(gap_s, 0.5), 4) + 0.0) AS median_s,
+       (round(quantile_cont(gap_s, 0.9), 4) + 0.0) AS p90_s,
+       (round(avg(gap_s), 4) + 0.0) AS mean_s
 FROM gaps GROUP BY transition ORDER BY transition"""
 
 
@@ -10788,17 +10872,17 @@ WITH base AS (
            * rsq_over_n - 3.0 * (CAST(n_tot AS DOUBLE) + 1.0) AS h
   FROM agg, ties
 )
-SELECT n_tot AS n, k, round(h, 6) AS h,
-       round(CASE WHEN 1.0 - CAST(tie_sum AS DOUBLE)
+SELECT n_tot AS n, k, (round(h, 6) + 0.0) AS h,
+       (round(CASE WHEN 1.0 - CAST(tie_sum AS DOUBLE)
                        / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
                           * CAST(n_tot AS DOUBLE) - CAST(n_tot AS DOUBLE)) > 0
                   THEN h / (1.0 - CAST(tie_sum AS DOUBLE)
                        / (CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
                           * CAST(n_tot AS DOUBLE) - CAST(n_tot AS DOUBLE)))
-             END, 6) AS h_adj,
-       round(CASE WHEN n_tot > k
+             END, 6) + 0.0) AS h_adj,
+       (round(CASE WHEN n_tot > k
                   THEN (h - CAST(k AS DOUBLE) + 1.0)
-                       / CAST(n_tot - k AS DOUBLE) END, 6) AS epsilon_sq
+                       / CAST(n_tot - k AS DOUBLE) END, 6) + 0.0) AS epsilon_sq
 FROM st"""
 
 
@@ -10831,11 +10915,11 @@ WITH base AS (
   FROM per_group
 )
 SELECT n_tot AS n, k,
-       round(CASE WHEN k > 1 AND n_tot > k
+       (round(CASE WHEN k > 1 AND n_tot > k
                    AND ssw > 0
                   THEN ((sb_part - sz_all * sz_all / n_tot)
                         / CAST(k - 1 AS DOUBLE))
-                       / (ssw / CAST(n_tot - k AS DOUBLE)) END, 6) AS f_stat,
+                       / (ssw / CAST(n_tot - k AS DOUBLE)) END, 6) + 0.0) AS f_stat,
        CAST(k - 1 AS BIGINT) AS df_between,
        CAST(n_tot - k AS BIGINT) AS df_within
 FROM tot"""
@@ -10860,10 +10944,10 @@ WITH gaps AS (
   WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
 )
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
-       round(avg(gap), 4) AS mean_s,
-       round(quantile_cont(gap, 0.5), 4) AS median_s,
-       round(quantile_cont(gap, 0.9), 4) AS p90_s,
-       round(1.0 / avg(gap), 8) AS lambda_hz
+       (round(avg(gap), 4) + 0.0) AS mean_s,
+       (round(quantile_cont(gap, 0.5), 4) + 0.0) AS median_s,
+       (round(quantile_cont(gap, 0.9), 4) + 0.0) AS p90_s,
+       (round(1.0 / avg(gap), 8) + 0.0) AS lambda_hz
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY event_type ORDER BY event_type"""
 
@@ -10887,7 +10971,7 @@ WITH base AS (
 ), probs AS (
   SELECT u, n_t / sum(n_t) OVER (PARTITION BY u) AS p FROM per_type
 ), ent AS (
-  SELECT u, round(-sum(p * ln(p)), 6) AS type_entropy,
+  SELECT u, (round(-sum(p * ln(p)), 6) + 0.0) AS type_entropy,
          CAST(count(*) AS BIGINT) AS n_types
   FROM probs GROUP BY u
 ), spans AS (
@@ -10895,8 +10979,8 @@ WITH base AS (
          max(ep) - min(ep) AS span_s
   FROM base GROUP BY 1
 )
-SELECT u AS user_id, n_events, round(span_s, 4) AS span_s,
-       round(CASE WHEN span_s > 0 THEN n_events * 3600.0 / span_s END, 6)
+SELECT u AS user_id, n_events, (round(span_s, 4) + 0.0) AS span_s,
+       (round(CASE WHEN span_s > 0 THEN n_events * 3600.0 / span_s END, 6) + 0.0)
          AS events_per_hour,
        type_entropy, n_types
 FROM spans JOIN ent USING (u)
@@ -10944,12 +11028,12 @@ WITH base AS (
   FROM pts WHERE cum_tokens > 0 AND vocab_size > 0
 )
 SELECT checkpoint, cutoff_id, cum_tokens, vocab_size,
-       round(CASE WHEN m * sxx - sx * sx > 0
-                  THEN (m * sxy - sx * sy) / (m * sxx - sx * sx) END, 6)
+       (round(CASE WHEN m * sxx - sx * sx > 0
+                  THEN (m * sxy - sx * sy) / (m * sxx - sx * sx) END, 6) + 0.0)
          AS heaps_beta,
-       round((sy - (CASE WHEN m * sxx - sx * sx > 0
+       (round((sy - (CASE WHEN m * sxx - sx * sx > 0
                          THEN (m * sxy - sx * sy) / (m * sxx - sx * sx) END)
-                   * sx) / m, 6) AS heaps_log_k
+                   * sx) / m, 6) + 0.0) AS heaps_log_k
 FROM pts, fit
 ORDER BY checkpoint"""
 
@@ -10991,9 +11075,9 @@ def _bm25_core_sql(top_k: int) -> str:
   SELECT t, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY t
 ), bm25 AS (
   SELECT id AS doc_id,
-         round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+         (round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
                    * tf * CAST(2.2 AS DOUBLE)
-                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score,
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) + 0.0) AS score,
          CAST(count(*) AS BIGINT) AS n_terms_hit
   FROM tf JOIN dft USING (t), stats
   GROUP BY id
@@ -11032,9 +11116,9 @@ WITH v AS (
            AS cosine
   FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.label <> b.label
 )
-SELECT id1, id2, label1, label2, round(cosine, 6) AS cosine
+SELECT id1, id2, label1, label2, (round(cosine, 6) + 0.0) AS cosine
 FROM s WHERE cosine >= {HARD_NEG_FLOOR}
-ORDER BY round(cosine, 6) DESC, id1, id2
+ORDER BY (round(cosine, 6) + 0.0) DESC, id1, id2
 LIMIT 20"""
 
 
@@ -11099,9 +11183,9 @@ WITH {_bm25_core_sql(RRF_POOL)}, lex AS (
   SELECT e AS qe FROM v WHERE vec_id = 0
 ), sem0 AS (
   SELECT vec_id AS doc_id,
-         round(list_dot_product(e, qe)
+         (round(list_dot_product(e, qe)
                / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))),
-               6) AS cosine
+               6) + 0.0) AS cosine
   FROM v, q WHERE vec_id <> 0
   ORDER BY cosine DESC, doc_id LIMIT {RRF_POOL}
 ), sem AS (
@@ -11110,8 +11194,8 @@ WITH {_bm25_core_sql(RRF_POOL)}, lex AS (
   FROM sem0
 )
 SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
-       round(coalesce(1.0 / ({RRF_K} + lex_rank), 0.0)
-             + coalesce(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf_score
+       (round(coalesce(1.0 / ({RRF_K} + lex_rank), 0.0)
+             + coalesce(1.0 / ({RRF_K} + sem_rank), 0.0), 6) + 0.0) AS rrf_score
 FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
 ORDER BY rrf_score DESC, doc_id
 LIMIT 10"""
@@ -11151,16 +11235,16 @@ WITH base AS (
   FROM base
 )
 SELECT segment, n,
-       round(CASE WHEN n1 > 0 THEN y1 / CAST(n1 AS DOUBLE) END, 6)
+       (round(CASE WHEN n1 > 0 THEN y1 / CAST(n1 AS DOUBLE) END, 6) + 0.0)
          AS rate_treated,
-       round(CASE WHEN n0 > 0 THEN y0 / CAST(n0 AS DOUBLE) END, 6)
+       (round(CASE WHEN n0 > 0 THEN y0 / CAST(n0 AS DOUBLE) END, 6) + 0.0)
          AS rate_control,
-       round(CASE WHEN n1 > 0 THEN y1 / CAST(n1 AS DOUBLE) END
-             - CASE WHEN n0 > 0 THEN y0 / CAST(n0 AS DOUBLE) END, 6) AS diff,
-       round(pd, 6) AS pooled_diff,
-       (sign(round(CASE WHEN n1 > 0 THEN y1 / CAST(n1 AS DOUBLE) END
-              - CASE WHEN n0 > 0 THEN y0 / CAST(n0 AS DOUBLE) END, 6))
-        * sign(round(pd, 6)) < 0) AS sign_flipped
+       (round(CASE WHEN n1 > 0 THEN y1 / CAST(n1 AS DOUBLE) END
+             - CASE WHEN n0 > 0 THEN y0 / CAST(n0 AS DOUBLE) END, 6) + 0.0) AS diff,
+       (round(pd, 6) + 0.0) AS pooled_diff,
+       (sign((round(CASE WHEN n1 > 0 THEN y1 / CAST(n1 AS DOUBLE) END
+              - CASE WHEN n0 > 0 THEN y0 / CAST(n0 AS DOUBLE) END, 6) + 0.0))
+        * sign((round(pd, 6) + 0.0)) < 0) AS sign_flipped
 FROM per_seg, pooled
 ORDER BY segment"""
 
@@ -11268,9 +11352,9 @@ WITH {_bm25_core_sql(RRF_POOL)}, lex AS (
   SELECT e AS qe FROM v WHERE vec_id = 0
 ), sem0 AS (
   SELECT vec_id AS doc_id,
-         round(list_dot_product(e, qe)
+         (round(list_dot_product(e, qe)
                / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))),
-               6) AS cosine
+               6) + 0.0) AS cosine
   FROM v, q WHERE vec_id <> 0
   ORDER BY cosine DESC, doc_id LIMIT {RRF_POOL}
 ), sem AS (
@@ -11279,8 +11363,8 @@ WITH {_bm25_core_sql(RRF_POOL)}, lex AS (
   FROM sem0
 ), fused AS (
   SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-         round(coalesce(1.0 / ({RRF_K} + lex_rank), 0.0)
-               + coalesce(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf_score
+         (round(coalesce(1.0 / ({RRF_K} + lex_rank), 0.0)
+               + coalesce(1.0 / ({RRF_K} + sem_rank), 0.0), 6) + 0.0) AS rrf_score
   FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
   ORDER BY rrf_score DESC, doc_id
   LIMIT 10
@@ -11307,7 +11391,7 @@ WITH {_bm25_core_sql(RRF_POOL)}, lex AS (
 ), agg AS (
   SELECT system,
          CAST(sum(is_rel) AS BIGINT) AS hits_at_10,
-         round(coalesce(max(CASE WHEN is_rel = 1 THEN 1.0 / rank END), 0.0), 6)
+         (round(coalesce(max(CASE WHEN is_rel = 1 THEN 1.0 / rank END), 0.0), 6) + 0.0)
            AS mrr,
          sum(is_rel / log2(CAST(rank AS DOUBLE) + 1.0)) AS dcg
   FROM tagged GROUP BY system
@@ -11320,9 +11404,9 @@ WITH {_bm25_core_sql(RRF_POOL)}, lex AS (
   GROUP BY n_relevant
 )
 SELECT system, n_relevant, hits_at_10,
-       round(hits_at_10 / 10.0, 6) AS precision_at_10,
+       (round(hits_at_10 / 10.0, 6) + 0.0) AS precision_at_10,
        mrr,
-       round(CASE WHEN n_relevant > 0 THEN dcg / v ELSE 0.0 END, 6)
+       (round(CASE WHEN n_relevant > 0 THEN dcg / v ELSE 0.0 END, 6) + 0.0)
          AS ndcg_at_10
 FROM agg, idcg
 ORDER BY system"""
@@ -11503,10 +11587,10 @@ WITH s AS (
 SELECT segment,
        CAST(sum(n_ref) AS BIGINT) AS n_ref,
        CAST(sum(n_cur) AS BIGINT) AS n_cur,
-       round(sum((CASE WHEN n_ref > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+       (round(sum((CASE WHEN n_ref > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END
                 + CASE WHEN n_cur > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0.0 END)
-                 / 2), 6) AS jsd,
-       round(sqrt(sum((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q))) / 2), 6)
+                 / 2), 6) + 0.0) AS jsd,
+       (round(sqrt(sum((sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q))) / 2), 6) + 0.0)
          AS hellinger
 FROM pq GROUP BY segment
 ORDER BY jsd DESC, segment"""
@@ -11578,7 +11662,7 @@ SELECT CAST(sum(n) AS BIGINT) AS n_rows,
          AS n_classes_below_l,
        CAST(coalesce(sum(CASE WHEN ldiv < 2 THEN n ELSE 0 END), 0) AS BIGINT)
          AS n_rows_below_l,
-       round(sum(CASE WHEN ldiv = 1 THEN 1 ELSE 0 END) * 100.0 / count(*), 6)
+       (round(sum(CASE WHEN ldiv = 1 THEN 1 ELSE 0 END) * 100.0 / count(*), 6) + 0.0)
          AS pct_homogeneous_classes,
        CAST(2 AS BIGINT) AS l
 FROM classes"""
@@ -11640,8 +11724,8 @@ pc AS (
 )
 SELECT CAST(sum(n_c) AS BIGINT) AS n_rows,
        CAST(count(*) AS BIGINT) AS n_classes,
-       round(max(tvd), 6) AS max_tvd,
-       round(avg(tvd), 6) AS avg_tvd,
+       (round(max(tvd), 6) + 0.0) AS max_tvd,
+       (round(avg(tvd), 6) + 0.0) AS avg_tvd,
        CAST(sum(CASE WHEN tvd > 0.25 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_classes_above_t,
        CAST(sum(CASE WHEN tvd > 0.25 THEN n_c ELSE 0 END) AS BIGINT)
@@ -11653,7 +11737,7 @@ FROM pc"""
 _CONFORMAL_SQL = """
 WITH base AS (
   SELECT l_quantity AS x,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS y_e2,
+         CAST((round(l_extendedprice * 100) + 0.0) AS BIGINT) AS y_e2,
          (('0x' || substr(md5(l_orderkey::VARCHAR || ':conformal'), 1, 15))
             ::BIGINT % 4) AS b
   FROM lineitem
@@ -11688,9 +11772,9 @@ SELECT n_train,
        CAST(count(r) AS BIGINT) AS n_eval,
        CAST(sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_unpredicted,
-       round(q_e2 / 100.0, 6) AS q_hat,
-       round(sum(CASE WHEN r <= q_e2 THEN 1 ELSE 0 END) * 100.0
-             / count(r), 6) AS coverage_pct,
+       (round(q_e2 / 100.0, 6) + 0.0) AS q_hat,
+       (round(sum(CASE WHEN r <= q_e2 THEN 1 ELSE 0 END) * 100.0
+             / count(r), 6) + 0.0) AS coverage_pct,
        CAST(90.0 AS DOUBLE) AS target_pct
 FROM ev, kk, q, tr
 GROUP BY n_train, n_cal, q_e2"""
@@ -11730,17 +11814,17 @@ SELECT 'customer' AS table_name,
        (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
        (SELECT CAST(count(*) AS BIGINT) FROM customer
         WHERE c_custkey IN (SELECT k FROM keys)) AS n_affected,
-       round((SELECT count(*) FROM customer
+       (round((SELECT count(*) FROM customer
               WHERE c_custkey IN (SELECT k FROM keys)) * 100.0
-             / (SELECT count(*) FROM customer), 6) AS pct_affected
+             / (SELECT count(*) FROM customer), 6) + 0.0) AS pct_affected
 UNION ALL
 SELECT 'orders',
        (SELECT CAST(count(*) AS BIGINT) FROM orders),
        (SELECT CAST(count(*) AS BIGINT) FROM orders
         WHERE o_custkey IN (SELECT k FROM keys)),
-       round((SELECT count(*) FROM orders
+       (round((SELECT count(*) FROM orders
               WHERE o_custkey IN (SELECT k FROM keys)) * 100.0
-             / (SELECT count(*) FROM orders), 6)
+             / (SELECT count(*) FROM orders), 6) + 0.0)
 UNION ALL
 SELECT 'lineitem',
        (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
@@ -11748,11 +11832,11 @@ SELECT 'lineitem',
        (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
         JOIN orders o ON l_orderkey = o_orderkey
         WHERE o_custkey IN (SELECT k FROM keys)),
-       round((SELECT count(*) FROM lineitem l
+       (round((SELECT count(*) FROM lineitem l
               JOIN orders o ON l_orderkey = o_orderkey
               WHERE o_custkey IN (SELECT k FROM keys)) * 100.0
              / (SELECT count(*) FROM lineitem l
-                JOIN orders o ON l_orderkey = o_orderkey), 6)
+                JOIN orders o ON l_orderkey = o_orderkey), 6) + 0.0)
 ORDER BY table_name"""
 
 
@@ -11776,16 +11860,16 @@ def _qte_sql() -> str:
     # quantile_cont returns a 1-based array over [0.0, 0.1, ..., 0.9]:
     # index i+1 is the 0.1*i quantile
     decile_rows = "\nUNION ALL\n".join(
-        f"""SELECT CAST({round(0.1 * i, 1)} AS DOUBLE) AS q, n_a, n_b,
-       round(qa[{i + 1}], 6) AS q_a, round(qb[{i + 1}], 6) AS q_b,
-       round(qa[{i + 1}] - qb[{i + 1}], 6) AS qte
+        f"""SELECT CAST({(round(0.1 * i, 1) + 0.0)} AS DOUBLE) AS q, n_a, n_b,
+       (round(qa[{i + 1}], 6) + 0.0) AS q_a, (round(qb[{i + 1}], 6) + 0.0) AS q_b,
+       (round(qa[{i + 1}] - qb[{i + 1}], 6) + 0.0) AS qte
 FROM a, b"""
         for i in range(1, 10)
     )
     return f"""
 WITH per_unit AS (
   SELECT o_custkey AS u,
-         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+         CAST(sum(CAST((round(o_totalprice) + 0.0) AS BIGINT)) AS BIGINT) AS y
   FROM orders
   WHERE o_custkey IS NOT NULL
     AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -11830,7 +11914,7 @@ def _mde(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MDE_SQL = """
 WITH per_unit AS (
   SELECT o_custkey AS u,
-         CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+         CAST(sum(CAST((round(o_totalprice) + 0.0) AS BIGINT)) AS BIGINT) AS y
   FROM orders
   WHERE o_custkey IS NOT NULL
     AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -11864,17 +11948,17 @@ WITH per_unit AS (
   FROM m
 )
 SELECT n_a, n_b,
-       round((sy_a + sy_b) / (n_a + n_b), 6) AS mean_pooled,
-       round(sqrt(var_a), 6) AS sd_a,
-       round(sqrt(var_b), 6) AS sd_b,
-       round((1.959963984540054 + 0.8416212335729143)
+       (round((sy_a + sy_b) / (n_a + n_b), 6) + 0.0) AS mean_pooled,
+       (round(sqrt(var_a), 6) + 0.0) AS sd_a,
+       (round(sqrt(var_b), 6) + 0.0) AS sd_b,
+       (round((1.959963984540054 + 0.8416212335729143)
              * sqrt(var_a / CAST(n_a AS DOUBLE)
-                    + var_b / CAST(n_b AS DOUBLE)), 6) AS mde_abs,
-       round(CASE WHEN (sy_a + sy_b) / (n_a + n_b) > 0
+                    + var_b / CAST(n_b AS DOUBLE)), 6) + 0.0) AS mde_abs,
+       (round(CASE WHEN (sy_a + sy_b) / (n_a + n_b) > 0
                   THEN (1.959963984540054 + 0.8416212335729143)
                        * sqrt(var_a / CAST(n_a AS DOUBLE)
                               + var_b / CAST(n_b AS DOUBLE)) * 100.0
-                       / ((sy_a + sy_b) / (n_a + n_b)) END, 6) AS mde_pct
+                       / ((sy_a + sy_b) / (n_a + n_b)) END, 6) + 0.0) AS mde_pct
 FROM v"""
 
 
@@ -11912,9 +11996,9 @@ WITH per_seg AS (
   FROM mom
 )
 SELECT segment, n, y AS n_success,
-       round(rate, 6) AS raw_rate,
-       round((y + m * kappa) / (n + kappa), 6) AS shrunk_rate,
-       round(kappa, 6) AS kappa
+       (round(rate, 6) + 0.0) AS raw_rate,
+       (round((y + m * kappa) / (n + kappa), 6) + 0.0) AS shrunk_rate,
+       (round(kappa, 6) + 0.0) AS kappa
 FROM r, k
 ORDER BY shrunk_rate DESC, segment
 LIMIT 20"""
@@ -11942,10 +12026,10 @@ WITH base AS (
   SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells
 )
 SELECT CAST(count(*) AS BIGINT) AS n, n_cells,
-       round(var_pop(v), 6) AS var_total,
-       round(var_pop(r), 6) AS var_residual,
-       round(CASE WHEN var_pop(v) > 0
-                  THEN greatest(0.0, 1.0 - var_pop(r) / var_pop(v)) END, 6)
+       (round(var_pop(v), 6) + 0.0) AS var_total,
+       (round(var_pop(r), 6) + 0.0) AS var_residual,
+       (round(CASE WHEN var_pop(v) > 0
+                  THEN greatest(0.0, 1.0 - var_pop(r) / var_pop(v)) END, 6) + 0.0)
          AS strength
 FROM resid, nc
 GROUP BY n_cells"""
@@ -11964,7 +12048,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     oracles: dict[str, str] = {}
 
     def _normalize_result_types(df: DataFrame) -> DataFrame:
-        """Widen integral result columns to long and float to double.
+        """Widen integral result columns to long and float to double, and
+        normalize signed zero on every floating result column.
 
         The driver's correctness gate hashes result frames
         dtype-sensitively (the r2 hash-reds were DuckDB HUGEINT vs Spark
@@ -11972,23 +12057,35 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         ONE integer type and ONE float type; the oracle SQL casts to
         BIGINT/DOUBLE to match (enforced by tests/test_oracle_types.py
         and the alignment assert in tests/test_entry_oracle.py).
-        Value-preserving widenings only — applied at registration so
-        every builder stays written in its natural types.
+
+        Signed zero (the r5 driver-red: ``cusum_changepoint_events``): a
+        rounded double that cancels to ~0 can land on ``-0.0`` on one
+        engine and ``+0.0`` on the other — ``==``-equal but repr-hash
+        different. IEEE 754 round-to-nearest guarantees ``-0.0 + 0.0 =
+        +0.0`` and ``x + 0.0 = x`` for every other x (NaN stays NaN), so
+        adding a literal ``0.0`` to every double output (and every
+        element of array<double> outputs) kills the whole class at the
+        registry boundary; the oracle SQL mirrors it with
+        ``(round(x, n) + 0.0) + 0.0`` at each rounding site. Value-preserving
+        only — applied at registration so every builder stays written in
+        its natural types.
         """
-        casts = {
-            f.name: F.col(f.name).cast(
-                "long"
-                if isinstance(
-                    f.dataType, (T.ByteType, T.ShortType, T.IntegerType)
-                )
-                else "double"
-            )
-            for f in df.schema.fields
+        casts = {}
+        for f in df.schema.fields:
             if isinstance(
-                f.dataType,
-                (T.ByteType, T.ShortType, T.IntegerType, T.FloatType),
-            )
-        }
+                f.dataType, (T.ByteType, T.ShortType, T.IntegerType)
+            ):
+                casts[f.name] = F.col(f.name).cast("long")
+            elif isinstance(f.dataType, T.FloatType):
+                casts[f.name] = F.col(f.name).cast("double") + F.lit(0.0)
+            elif isinstance(f.dataType, T.DoubleType):
+                casts[f.name] = F.col(f.name) + F.lit(0.0)
+            elif isinstance(f.dataType, T.ArrayType) and isinstance(
+                f.dataType.elementType, (T.FloatType, T.DoubleType)
+            ):
+                casts[f.name] = F.transform(
+                    F.col(f.name), lambda x: x.cast("double") + F.lit(0.0)
+                )
         return df.withColumns(casts) if casts else df
 
     def add(name: str, fn: Callable, sql: str | None) -> None:
@@ -12004,7 +12101,10 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # the other 100 between them; the driver samples the first ~50 in
     # insertion order), followed by the four r2 hash-reds whose oracle
     # typing was fixed this round so the driver re-signs them green.
-    # round 4 additions lead the prefix so the driver signs them first
+    # round 6 additions lead the prefix so the driver signs them first
+    add("substring_scrub_documents", _substring_scrub,
+        _substring_scrub_sql())
+    # round 4 additions next
     add("streaming_running_stats_events", _streaming_running_stats,
         _STREAMING_RUNNING_STATS_SQL)
     add("image_near_dups_documents", _image_near_dups,

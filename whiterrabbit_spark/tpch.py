@@ -51,8 +51,8 @@ def _rev_e4():
     return price_e2 * (100 - disc_e2)
 
 _REV_E4_SQL = (
-    "CAST(round(l_extendedprice * 100) AS BIGINT)"
-    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    "CAST((round(l_extendedprice * 100) + 0.0) AS BIGINT)"
+    " * (100 - CAST((round(l_discount * 100) + 0.0) AS BIGINT))"
 )
 
 
@@ -126,7 +126,7 @@ def tpch_q5_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q5_SQL = f"""
 SELECT n_name,
-       round(sum({_REV_E4_SQL}) / 1e4, {R}) AS revenue
+       (round(sum({_REV_E4_SQL}) / 1e4, {R}) + 0.0) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -184,7 +184,7 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q7_SQL = f"""
 SELECT supp_nation, cust_nation, ship_year,
-       round(sum(rev_e4) / 1e4, {R}) AS volume
+       (round(sum(rev_e4) / 1e4, {R}) + 0.0) AS volume
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS ship_year,
@@ -240,8 +240,8 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q10_SQL = f"""
 SELECT c_custkey, c_name,
-       round(sum({_REV_E4_SQL}) / 1e4, {R}) AS revenue,
-       CAST(round(c_acctbal * 100) AS BIGINT) / 100.0 AS c_acctbal,
+       (round(sum({_REV_E4_SQL}) / 1e4, {R}) + 0.0) AS revenue,
+       CAST((round(c_acctbal * 100) + 0.0) AS BIGINT) / 100.0 AS c_acctbal,
        n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -250,7 +250,7 @@ JOIN nation   ON c_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
   AND l_returnflag = 'R'
-GROUP BY c_custkey, c_name, round(c_acctbal * 100), n_name
+GROUP BY c_custkey, c_name, (round(c_acctbal * 100) + 0.0), n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20"""
 
@@ -279,9 +279,9 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TPCH_Q14_SQL = f"""
-SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_E4_SQL} ELSE 0 END)
-             * 100.0 / sum({_REV_E4_SQL}), {R}) AS promo_revenue_pct,
-       round(sum({_REV_E4_SQL}) / 1e4, {R}) AS total_revenue
+SELECT (round(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_E4_SQL} ELSE 0 END)
+             * 100.0 / sum({_REV_E4_SQL}), {R}) + 0.0) AS promo_revenue_pct,
+       (round(sum({_REV_E4_SQL}) / 1e4, {R}) + 0.0) AS total_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
@@ -324,7 +324,7 @@ WITH rev AS (
     AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, round(rev_e4 / 1e4, {R}) AS total_revenue
+SELECT s_suppkey, s_name, (round(rev_e4 / 1e4, {R}) + 0.0) AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)"""
 
@@ -362,13 +362,13 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q18_SQL = """
 SELECT c_name, c_custkey, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice,
+       CAST((round(o_totalprice * 100) + 0.0) AS BIGINT) / 100.0 AS o_totalprice,
        sum_qty
 FROM orders
 JOIN (SELECT l_orderkey AS big_orderkey,
-             CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+             CAST((round(sum(l_quantity)) + 0.0) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
-      HAVING CAST(round(sum(l_quantity)) AS BIGINT) > 250) big
+      HAVING CAST((round(sum(l_quantity)) + 0.0) AS BIGINT) > 250) big
   ON o_orderkey = big_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey
@@ -407,16 +407,16 @@ def tpch_q22_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q22_SQL = """
 WITH gate AS (
-  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_e2,
+  SELECT sum(CAST((round(c_acctbal * 100) + 0.0) AS BIGINT)) AS sum_e2,
          count(*) AS n_pos
   FROM customer WHERE c_acctbal > 0
 )
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
        CAST(count(*) AS BIGINT) AS numcust,
-       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+       CAST(sum(CAST((round(c_acctbal * 100) + 0.0) AS BIGINT)) AS BIGINT) / 100.0
          AS totacctbal
 FROM customer, gate
-WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_e2
+WHERE CAST((round(c_acctbal * 100) + 0.0) AS BIGINT) * n_pos > sum_e2
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_nationkey"""
 
@@ -502,7 +502,7 @@ WITH eu AS (
   WHERE p_type = 'STANDARD' AND p_size = 15
 ), offers AS (
   SELECT l_partkey, l_suppkey,
-         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_e2
+         min(CAST((round(l_extendedprice * 100) + 0.0) AS BIGINT)) AS cost_e2
   FROM lineitem
   JOIN wanted ON l_partkey = p_partkey
   JOIN supplier ON l_suppkey = s_suppkey
@@ -511,7 +511,7 @@ WITH eu AS (
 ), best AS (
   SELECT l_partkey AS bk, min(cost_e2) AS best_e2 FROM offers GROUP BY l_partkey
 )
-SELECT CAST(round(s_acctbal * 100) AS BIGINT) / 100.0 AS s_acctbal,
+SELECT CAST((round(s_acctbal * 100) + 0.0) AS BIGINT) / 100.0 AS s_acctbal,
        s_name, n_name, p_partkey, p_name,
        cost_e2 / 100.0 AS supply_cost, s_suppkey
 FROM offers
@@ -575,10 +575,10 @@ WITH asia_cust AS (
   JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
 )
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+       (round(CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
                            THEN {_REV_E4_SQL} ELSE 0 END) AS BIGINT)
-             / CAST(sum({_REV_E4_SQL}) AS BIGINT), {R}) AS mkt_share,
-       round(CAST(sum({_REV_E4_SQL}) AS BIGINT) / 1e4, {R}) AS total_revenue
+             / CAST(sum({_REV_E4_SQL}) AS BIGINT), {R}) + 0.0) AS mkt_share,
+       (round(CAST(sum({_REV_E4_SQL}) AS BIGINT) / 1e4, {R}) + 0.0) AS total_revenue
 FROM orders
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN part ON l_partkey = p_partkey
@@ -627,10 +627,10 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q9_SQL = f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(CAST(sum({_REV_E4_SQL}
+       (round(CAST(sum({_REV_E4_SQL}
                       - CAST(round(p_retailprice * 100) AS BIGINT)
                         * CAST(round(l_quantity) AS BIGINT) * 25)
-             AS BIGINT) / 1e4, {R}) AS sum_profit
+             AS BIGINT) / 1e4, {R}) + 0.0) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -692,8 +692,8 @@ WITH eu AS (
   JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'
 ), per_part AS (
   SELECT l_partkey,
-         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS value_e4
+         CAST(sum(CAST((round(l_extendedprice * 100) + 0.0) AS BIGINT)
+                  * CAST((round(l_quantity) + 0.0) AS BIGINT)) AS BIGINT) AS value_e4
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN eu ON s_nationkey = n_nationkey
@@ -703,7 +703,7 @@ WITH eu AS (
          count(*) AS n_parts
   FROM per_part
 )
-SELECT l_partkey AS p_partkey, round(value_e4 / 1e4, 6) AS value
+SELECT l_partkey AS p_partkey, (round(value_e4 / 1e4, 6) + 0.0) AS value
 FROM per_part, gate
 WHERE CAST(value_e4 AS HUGEINT) * n_parts * 10 > total_e4 * 15
 ORDER BY value DESC, p_partkey"""
@@ -856,18 +856,18 @@ def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 TPCH_Q17_SQL = """
 WITH per_part AS (
   SELECT l_partkey AS ak,
-         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(sum(CAST((round(l_quantity) + 0.0) AS BIGINT)) AS BIGINT) AS sum_qty,
          count(*) AS n_lines
   FROM lineitem GROUP BY l_partkey
 )
-SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-             / 100.0 / 7.0, 6) AS avg_yearly,
+SELECT (round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 / 7.0, 6) + 0.0) AS avg_yearly,
        CAST(count(*) AS BIGINT) AS n_small_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN per_part ON l_partkey = ak
 WHERE p_brand = 'Brand#2' AND p_size < 10
-  AND CAST(round(l_quantity) AS BIGINT) * 5 * n_lines < sum_qty"""
+  AND CAST((round(l_quantity) + 0.0) AS BIGINT) * 5 * n_lines < sum_qty"""
 
 
 def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,7 +898,7 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TPCH_Q19_SQL = f"""
-SELECT round(CAST(sum({_REV_E4_SQL}) AS BIGINT) / 1e4, {R}) AS revenue,
+SELECT (round(CAST(sum({_REV_E4_SQL}) AS BIGINT) / 1e4, {R}) + 0.0) AS revenue,
        CAST(count(*) AS BIGINT) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -964,7 +964,7 @@ WHERE r_name = 'ASIA'
       AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY l_suppkey, l_partkey
-    HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 50)
+    HAVING sum(CAST((round(l_quantity) + 0.0) AS BIGINT)) > 50)
 ORDER BY s_suppkey"""
 
 
