@@ -354,6 +354,8 @@ def main() -> None:
         # detection pass — hashed k-gram catalog + coverage rollup)
         "dup_spans": queries["dup_spans_documents"],
         "dup_span_coverage": queries["dup_span_coverage_documents"],
+        # round 6: the removal pass consuming that catalog
+        "substring_scrub": queries["substring_scrub_documents"],
         "encoding_artifacts": queries["encoding_artifacts_documents"],
         "attribution_decay": queries["attribution_decay_events"],
         "percentile_bands": queries["percentile_bands_events"],

@@ -8879,29 +8879,70 @@ SELECT t,
 FROM h CROSS JOIN tot"""
 
 
+_WHITEN_K = 8
+
+
 def _whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA-whitened embeddings (similarity.whiten_embeddings): partial-
-    Gram collect + broadcast (k×d) matmul in mapInPandas. Rows-only
-    (driver-side eigendecomposition); unit tests pin cov(output) ≈ I.
-    The registered row projects SCALARS (leading components + norm) —
-    an array column would break the driver's hashable-dtype contract
-    the pack_manifest fix established."""
+    """Whitening INVARIANT frame (similarity.whiten_embeddings, k=8) —
+    VERDICT r5 #5: whitening's defining property IS SQL-checkable
+    without an eigensolver, so the registered entry emits the property
+    itself: for the whitened output, population covariance == I (unit
+    diagonal, zero off-diagonal) and per-dimension mean == 0. One
+    pass over the whitened vectors computes E[wi], E[wi·wj] as 44
+    shuffle-free partial aggregates; the (i ≤ j) pairs explode out of
+    the single agg row. Rounding IS the tolerance: cov to 4 decimals
+    (the eps=1e-8 eigenvalue shift perturbs the diagonal by ~4e-7 at
+    λ≈0.027 — measured), mean to 6 (float error ~1e-13). The oracle
+    is the literal identity frame plus the table's row count."""
     from whiterrabbit_spark.extensions.similarity import whiten_embeddings
 
     emb = read_parquet_table(spark, sf_dir, "embeddings")
-    out = whiten_embeddings(emb, "embedding", k=8)
+    k = _WHITEN_K
+    out = whiten_embeddings(emb, "embedding", k=k)
     w = F.col("embedding")
-    norm = F.sqrt(
-        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + x * x)
+    proj = out.select(
+        *[F.element_at(w, i + 1).alias(f"w{i}") for i in range(k)]
     )
-    return out.select(
-        "vec_id",
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.avg(f"w{i}").alias(f"m{i}") for i in range(k)]
+    aggs += [
+        F.avg(F.col(f"w{i}") * F.col(f"w{j}")).alias(f"p{i}_{j}")
+        for i in range(k)
+        for j in range(i, k)
+    ]
+    one = proj.agg(*aggs)
+    pairs = F.array(
         *[
-            F.round(F.element_at(w, i + 1), R).alias(f"w_{i}")
-            for i in range(4)
-        ],
-        F.round(norm, R).alias("w_norm"),
+            F.struct(
+                F.lit(i).alias("dim_i"),
+                F.lit(j).alias("dim_j"),
+                F.round(
+                    F.col(f"p{i}_{j}") - F.col(f"m{i}") * F.col(f"m{j}"), 4
+                ).alias("cov"),
+                F.round(F.col(f"m{i}"), R).alias("mean_i"),
+            )
+            for i in range(k)
+            for j in range(i, k)
+        ]
     )
+    return (
+        one.select(F.col("n"), F.explode(pairs).alias("s"))
+        .select("s.dim_i", "s.dim_j", "s.cov", "s.mean_i", "n")
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+_WHITEN_SQL = f"""
+WITH dims AS (
+  SELECT CAST(unnest(generate_series(0, {_WHITEN_K - 1})) AS BIGINT) AS d
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+)
+SELECT a.d AS dim_i, b.d AS dim_j,
+       (CASE WHEN a.d = b.d THEN 1.0 ELSE 0.0 END)::DOUBLE AS cov,
+       0.0::DOUBLE AS mean_i, n.n
+FROM dims a JOIN dims b ON b.d >= a.d, n
+ORDER BY dim_i, dim_j"""
 
 
 def _item_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12322,7 +12363,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         _TRIMMED_MEAN_SQL)
     add("item_associations_events", _item_associations, _ITEM_ASSOC_SQL)
     add("lifetime_survival_events", _lifetime_survival, _LIFETIME_SQL)
-    add("whiten_embeddings_embeddings", _whiten_embeddings, None)
+    add("whiten_embeddings_embeddings", _whiten_embeddings, _WHITEN_SQL)
     add("tpch_q1_lineitem", _tpch_q1, _TPCH_Q1_SQL)
     add("tpch_q3_pricing", _tpch_q3, _TPCH_Q3_SQL)
     add("gini_lineitem", _gini, _gini_sql())
