@@ -41,17 +41,47 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0:
+            return 0.0  # -0.0 == 0.0 but repr-differs (r5 driver-red)
         return round(v, 6)
     if isinstance(v, int):
         return v
     return str(v)
 
 
-def _rows_to_set(cols, rows):
+def _strict(v):
+    """Repr-strict: floats keep their exact repr — what the driver's
+    value hash effectively sees (VERDICT r5 #1/#2)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, int):
+        return v
+    return str(v)
+
+
+def _rows_to_set(cols, rows, norm=_norm):
     return sorted(
-        tuple(_norm(v) for _, v in sorted(zip(cols, r), key=lambda p: p[0]))
+        tuple(norm(v) for _, v in sorted(zip(cols, r), key=lambda p: p[0]))
         for r in rows
     )
+
+
+def _assert_no_negative_zero(name, rows):
+    """Property (VERDICT r5 #1c): no registry query may emit -0.0 — a
+    repr-hash coin flip. The boundary normalization in build_registry
+    adds +0.0 to every double (and array<double>) output."""
+    hits = [
+        v
+        for r in rows
+        for v in r
+        for v in (v if isinstance(v, (list, tuple)) else (v,))
+        if isinstance(v, float) and v == 0 and math.copysign(1, v) < 0
+    ]
+    assert not hits, f"{name}: emitted {len(hits)} -0.0 leaf value(s)"
 
 
 QUERIES = entry_mod.queries()
@@ -80,6 +110,7 @@ def test_query_matches_oracle(spark, name):
     sdf = QUERIES[name](spark, SF_DIR)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
+    _assert_no_negative_zero(name, spark_rows)
 
     if name not in ORACLES:
         assert len(spark_rows) >= 0  # rows-only check
@@ -107,6 +138,14 @@ def test_query_matches_oracle(spark, name):
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
+    _assert_no_negative_zero(name, duck_rows)
     s, d = _rows_to_set(spark_cols, spark_rows), _rows_to_set(duck_cols, duck_rows)
     mismatches = [(a, b) for a, b in zip(s, d) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+    ss = _rows_to_set(spark_cols, spark_rows, _strict)
+    dd = _rows_to_set(duck_cols, duck_rows, _strict)
+    strict_mismatches = [(a, b) for a, b in zip(ss, dd) if a != b]
+    assert not strict_mismatches, (
+        f"{name}: repr-strict divergence the rounded compare cannot see "
+        f"(the r5 cusum failure mode): {strict_mismatches[:3]}"
+    )

@@ -384,3 +384,44 @@ def test_tpch_round3_family_plan_shapes(spark):
     # Q13's LEFT JOIN keeps customers with zero orders (no inner rewrite)
     q13 = _plan(spark, "tpch_q13_order_distribution")
     assert "LeftOuter" in q13 or "BuildRight" in q13
+
+
+def test_funnel_depth_stays_linear(spark):
+    """VERDICT r5 #7 pin: funnel_completion_times materializes each
+    step's time as its own projected alias, and CollapseProject must
+    NOT re-inline the chain — re-inlined, step i's filter lambda would
+    re-evaluate the whole step-(i-1) expression per array element,
+    compounding to O(n^steps). The optimized plan is the witness:
+    exactly ONE array_min per step at any depth (exponential
+    re-inlining would double the count per level), and plan text grows
+    ~linearly from depth 3 to depth 8, not 2^d. The 50M-row runtime
+    counterpart is tools/smoke_funnel_depth8.py."""
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.extensions.sequences import (
+        funnel_completion_times,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.concat(F.lit("s"), (F.col("id") % 8).cast("string")).alias(
+            "event_type"
+        ),
+    )
+    sizes = {}
+    for depth in (3, 8):
+        steps = [f"s{i}" for i in range(depth)]
+        plan = (
+            funnel_completion_times(df, steps)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("array_min") == depth, (
+            f"depth {depth}: {plan.count('array_min')} array_min nodes — "
+            f"the step chain is being re-inlined"
+        )
+        sizes[depth] = len(plan)
+    # linear growth: depth 8 plan is ~8/3 the depth-3 plan, never 2^5 x
+    assert sizes[8] < sizes[3] * 5, f"superlinear plan growth: {sizes}"
