@@ -356,6 +356,8 @@ def main() -> None:
         "dup_span_coverage": queries["dup_span_coverage_documents"],
         # round 6: the removal pass consuming that catalog
         "substring_scrub": queries["substring_scrub_documents"],
+        # round 6: recall@5-vs-n_probe curve, one scoring pass
+        "ann_ivf_tuning": queries["ann_ivf_tuning_embeddings"],
         "encoding_artifacts": queries["encoding_artifacts_documents"],
         "attribution_decay": queries["attribution_decay_events"],
         "percentile_bands": queries["percentile_bands_events"],

@@ -4981,3 +4981,42 @@ def test_streaming_pysource_drains_all_batches(spark):
     assert off == {"pos": 7}
     replay = list(r.readBetweenOffsets({"pos": 0}, {"pos": 7}))
     assert list(it) == replay
+
+
+def test_ivf_tuning_curve_anchors(spark):
+    """ivf_tuning_curve on PLANTED clustered data: 4 tight clusters,
+    n_lists=4 — queries drawn from cluster members must reach recall
+    1.0 at n_probe well below n_lists (the quantizer isolates the
+    clusters), recall at full probe is EXACTLY 1.0 by construction,
+    and the curve is monotone at every level."""
+    import random
+
+    from whiterrabbit_spark.extensions.similarity import ivf_tuning_curve
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(4):
+        center = [4.0 * (c == d) for d in range(8)]
+        for i in range(40):
+            rows.append(
+                (
+                    c * 100 + i,
+                    [x + rng.gauss(0, 0.05) for x in center],
+                )
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.limit(8).selectExpr("vec_id as query_id", "embedding")
+    curve = {
+        r["n_probe"]: r
+        for r in ivf_tuning_curve(
+            df, queries, k=5, n_lists=4, probes=(1, 2, 4), seed=11
+        ).collect()
+    }
+    assert set(curve) == {1, 2, 4}
+    # full probe scans every list -> exact by construction
+    assert curve[4]["recall_at_k"] == 1.0
+    # tight planted clusters: the nearest single list already holds the
+    # true neighbors
+    assert curve[1]["recall_at_k"] == 1.0
+    assert all(r["monotone_ok"] for r in curve.values())
+    assert all(r["n_queries"] == 8 and r["k"] == 5 for r in curve.values())

@@ -3935,6 +3935,55 @@ SELECT CAST(least(count(*), 20) AS BIGINT) AS n_queries,
 FROM embeddings"""
 
 
+# Regression floors per probe level, comfortably below the measured
+# minima across sf0.001/0.01/0.1 (0.20/0.40/0.61/0.86/1.000): the curve
+# shape is the assertion, the exactness anchor at n_probe == n_lists is
+# provable (every list scanned ⇒ the exact top-k), and monotonicity in
+# n_probe is provable (nested candidate sets; a displacer always ranks
+# inside the exact top-k whenever the displaced member did).
+_IVF_TUNING_FLOORS = [(1, 0.10), (2, 0.25), (4, 0.45), (8, 0.70),
+                      (16, 1.0)]
+
+
+def _ann_ivf_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@5 tuning curve (similarity.ivf_tuning_curve — VERDICT
+    r5 #8): recall vs n_probe in one scoring pass, floor-gated per
+    level. The operating point a 100 TB user reads off: on this
+    isotropic worst-case corpus ≥0.9 recall needs n_probe ≥ 8 of 16
+    lists and n_probe = n_lists is EXACTLY 1.0; clustered production
+    embeddings reach 0.9 far earlier — re-run the curve on the target
+    corpus to place the dial."""
+    from whiterrabbit_spark.extensions import similarity as sim
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(20).selectExpr("vec_id as query_id", "embedding")
+    curve = sim.ivf_tuning_curve(
+        emb, queries, k=5, n_lists=16,
+        probes=tuple(p for p, _ in _IVF_TUNING_FLOORS), seed=ANN_LSH_SEED,
+    )
+    floor = F.lit(None).cast("double")
+    for p, f in _IVF_TUNING_FLOORS:
+        floor = F.when(F.col("n_probe") == p, F.lit(f)).otherwise(floor)
+    return curve.select(
+        "n_probe",
+        "n_queries",
+        "k",
+        floor.alias("recall_floor"),
+        (F.col("recall_at_k") >= floor).alias("floor_ok"),
+        "monotone_ok",
+    ).orderBy("n_probe")
+
+
+_ANN_IVF_TUNING_SQL = f"""
+WITH n AS (SELECT CAST(least(count(*), 20) AS BIGINT) AS nq FROM embeddings)
+SELECT CAST(p.n_probe AS BIGINT) AS n_probe, n.nq AS n_queries,
+       CAST(5 AS BIGINT) AS k, p.floor::DOUBLE AS recall_floor,
+       TRUE AS floor_ok, TRUE AS monotone_ok
+FROM (VALUES {', '.join(f'({p}, {f})' for p, f in _IVF_TUNING_FLOORS)})
+     AS p(n_probe, floor), n
+ORDER BY n_probe"""
+
+
 def _script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Writing-script char-class profile (textstats.script_profile):
     map-only regexp_count projection over explicit codepoint ranges
@@ -12145,6 +12194,7 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     # round 6 additions lead the prefix so the driver signs them first
     add("substring_scrub_documents", _substring_scrub,
         _substring_scrub_sql())
+    add("ann_ivf_tuning_embeddings", _ann_ivf_tuning, _ANN_IVF_TUNING_SQL)
     # round 4 additions next
     add("streaming_running_stats_events", _streaming_running_stats,
         _STREAMING_RUNNING_STATS_SQL)
