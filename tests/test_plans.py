@@ -276,11 +276,21 @@ def test_plan_audit_tool(spark):
     a = audit_plan(plan)
     assert a["parquet_scans"] >= 1
     assert "SortMergeJoin" in a["key_nodes"]
-    # committed snapshot parses and covers the registry's non-effectful set
+    # committed snapshot parses, has no errors, and covers the FULL
+    # registry (VERDICT r5 #3): every queries() entry has a line —
+    # audited, or an explicit {"skipped": "streaming"} marker
+    import __spark_entry__ as entry_mod
+
     rows = [json.loads(l) for l in open("PLAN_AUDIT.jsonl")]
-    assert len(rows) > 100 and not any("error" in r for r in rows)
+    assert not any("error" in r for r in rows)
     names = {r["query"] for r in rows}
-    assert "line_dedup_documents" in names and "heuristic_filters_documents" in names
+    missing = set(entry_mod.queries()) - names
+    assert not missing, f"registry queries absent from PLAN_AUDIT: {missing}"
+    audited = {r["query"] for r in rows if "skipped" not in r}
+    skipped = names - audited
+    assert all(n.startswith("streaming_") for n in skipped), (
+        f"only streaming sinks may be skip-marked: {skipped}"
+    )
 
 
 def test_tpch_joins_broadcast_dims_and_push_filters(spark):

@@ -1,12 +1,16 @@
 #!/usr/bin/env python
-"""2M-document exact-substring-family scale smoke (round 5).
+"""2M-document exact-substring-family scale smoke (round 5; scrub pass
+added in round 6 — VERDICT r5 #4 done-criterion).
 
 The span table is O(total tokens) rows (one hashed k-gram per token
 position); at 2M docs x ~55 tokens that is ~90M span rows through one
 groupBy(span_hash) with a countDistinct expand - the family's only
 shuffle. Verifies wall-time stays linear-ish, planted cross-doc spans
-are found exactly, and the coverage rollup's per-doc windows stay
-bounded (partitioned by doc, max window = doc length).
+are found exactly, the coverage rollup's per-doc windows stay bounded
+(partitioned by doc, max window = doc length), and the SCRUB pass
+removes the planted passage from exactly PLANTED-1 documents (the
+corpus-first occurrence keeps it), with tokens-removed equal to the
+passage length times the scrubbed-doc count.
 
 Usage: python tools/smoke_spans_2m.py [n_docs]
 """
@@ -90,6 +94,30 @@ def main() -> None:
         f"docs_with_dups={total_flagged:,}"
     )
     assert total_flagged == PLANTED
+
+    # scrub: keep-first on (doc_id, pos) — doc 0 holds the corpus-first
+    # passage occurrence and keeps it; every other planted doc loses
+    # exactly the 10 passage tokens (flanks are per-doc unique)
+    from whiterrabbit_spark.extensions.dedup import substring_scrub
+
+    t0 = time.time()
+    scrub = (
+        substring_scrub(docs, k=10)
+        .agg(
+            F.sum((F.col("n_tokens_removed") > 0).cast("long")).alias(
+                "docs_scrubbed"
+            ),
+            F.sum("n_tokens_removed").alias("tok_removed"),
+        )
+        .collect()[0]
+    )
+    t_scrub = time.time() - t0
+    print(
+        f"scrub: docs_scrubbed={scrub['docs_scrubbed']:,} "
+        f"tokens_removed={scrub['tok_removed']:,} in {t_scrub:.1f}s"
+    )
+    assert scrub["docs_scrubbed"] == PLANTED - 1
+    assert scrub["tok_removed"] == (PLANTED - 1) * 10
     spark.stop()
 
 

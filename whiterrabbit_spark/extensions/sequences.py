@@ -306,6 +306,18 @@ def attribution_decay(
     rollup is a |channels|-row groupBy. ``pow(0.5, Δt/h)`` is IEEE
     math both engines reproduce, and credits round at 6 dp.
 
+    Both multi-consumer frames are eagerly ``localCheckpoint``-pinned
+    (the layout-advisor lesson — ReusedExchange does NOT deduplicate
+    differing subplans): ``conv`` feeds the touch join AND the
+    touchless anti-join (|converting users| rows — tiny), and
+    ``credited`` feeds the channel rollup AND the touched-user set
+    (three narrow columns, MEMORY_AND_DISK). Left lazy, the round-6
+    plan audit counted FIVE parquet scans of the events table for this
+    one query; pinned, it is two (one per filter leg, each with its
+    predicate pushed down — deliberately not fused into one scan: at
+    scale the pushed ``event_type`` filters read less than a shared
+    full-width scan would).
+
     Returns ``(channel, credit, n_touches, n_users)`` ordered by
     channel — Σ credit = number of converting users.
     """
@@ -314,6 +326,7 @@ def attribution_decay(
         events.where(F.col(type_col) == conversion_type)
         .groupBy(user_col)
         .agg(F.min(ep).alias("__tc"))
+        .localCheckpoint(eager=True)
     )
     touches = (
         events.where(F.col(type_col) != conversion_type)
@@ -331,7 +344,9 @@ def attribution_decay(
     w_user = Window.partitionBy(user_col)
     credited = touches.withColumn(
         "__credit", F.col("__w") / F.sum("__w").over(w_user)
-    )
+    ).select(
+        user_col, "channel", "__credit"
+    ).localCheckpoint(eager=True)
     per_channel = credited.groupBy("channel").agg(
         F.round(F.sum("__credit"), 6).alias("credit"),
         F.count(F.lit(1)).alias("n_touches"),
