@@ -358,6 +358,8 @@ def main() -> None:
         "substring_scrub": queries["substring_scrub_documents"],
         # round 6: recall@5-vs-n_probe curve, one scoring pass
         "ann_ivf_tuning": queries["ann_ivf_tuning_embeddings"],
+        # round 6: training-vs-benchmark n-gram decontamination audit
+        "decontamination": queries["decontamination_documents"],
         "encoding_artifacts": queries["encoding_artifacts_documents"],
         "attribution_decay": queries["attribution_decay_events"],
         "percentile_bands": queries["percentile_bands_events"],

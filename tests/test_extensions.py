@@ -5020,3 +5020,39 @@ def test_ivf_tuning_curve_anchors(spark):
     assert curve[1]["recall_at_k"] == 1.0
     assert all(r["monotone_ok"] for r in curve.values())
     assert all(r["n_queries"] == 8 and r["k"] == 5 for r in curve.values())
+
+
+def test_benchmark_contamination_planted(spark):
+    """benchmark_contamination on planted overlap: a training doc
+    embedding a benchmark item verbatim scores its full passage
+    coverage; an un-contaminated doc scores 0; sub-k docs score 0."""
+    from whiterrabbit_spark.extensions.dedup import benchmark_contamination
+
+    bench_item = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+    bench = spark.createDataFrame(
+        [("b1", bench_item), ("b2", "other eval question entirely here")],
+        "doc_id string, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            ("t1", "intro words " + bench_item + " outro words", "sA"),
+            ("t2", "completely clean document with novel text only", "sA"),
+            ("t3", bench_item, "sB"),          # verbatim benchmark item
+            ("t4", "tiny", "sB"),              # sub-k: no spans
+        ],
+        "doc_id string, text string, source string",
+    )
+    out = {
+        r["group"]: r
+        for r in benchmark_contamination(
+            train, bench, k=4, group_col="source"
+        ).collect()
+    }
+    # t1: 8 contaminated tokens of 12 -> 2/3; t2: 0
+    assert out["sA"]["n_docs"] == 2
+    assert out["sA"]["docs_contaminated"] == 1
+    assert abs(out["sA"]["max_overlap_frac"] - 8 / 12) < 1e-6  # 6dp rounding
+    assert abs(out["sA"]["mean_overlap_frac"] - (8 / 12) / 2) < 1e-6
+    # t3 fully covered (1.0); t4 has no k-token span at all
+    assert out["sB"]["docs_contaminated"] == 1
+    assert out["sB"]["max_overlap_frac"] == 1.0

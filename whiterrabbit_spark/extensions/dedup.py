@@ -1290,6 +1290,87 @@ def duplicated_span_coverage(
     )
 
 
+def benchmark_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 10,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Training-vs-benchmark n-gram DECONTAMINATION audit — the overlap
+    pass every serious pretraining pipeline runs before training (the
+    GPT-3 appendix-C / Llama-report method): for each training
+    document, the fraction of its tokens covered by the union of
+    ``k``-token spans that also appear ANYWHERE in the ``benchmark``
+    corpus (the eval set), rolled up per ``group_col``. A training doc
+    that embeds a benchmark item verbatim scores ~1.0; incidental
+    k-gram collisions score near 0. The audit view; a caller scrubs or
+    drops flagged docs with :func:`substring_scrub`-style machinery or
+    a filter on the per-doc frame.
+
+    Scale shape — the asymmetry IS the design: eval sets are small by
+    definition, so the benchmark's distinct span hashes BROADCAST
+    (``broadcast_benchmark=True``; set False for a multi-GB benchmark
+    and the join falls back to shuffle) and the corpus span table
+    (O(total tokens), one map-side explode) never shuffles for the
+    match — only the MATCHED spans (tiny when contamination is rare)
+    enter the per-doc interval-union window, which is partitioned by
+    document and bounded by doc length. One corpus scan, one benchmark
+    scan.
+
+    Returns ``(group, n_docs, docs_contaminated, mean_overlap_frac,
+    max_overlap_frac)`` ordered by group.
+    """
+    bench_hashes = (
+        _span_table(benchmark, text_col, id_col, k)
+        .select("span_hash")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_hashes = F.broadcast(bench_hashes)
+    spans = _span_table(df, text_col, id_col, k)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    covered = (
+        spans.join(bench_hashes, "span_hash")
+        .withColumn("__prev", F.lag("pos").over(w))
+        .select(
+            id_col,
+            F.when(F.col("__prev").isNull(), F.lit(k))
+            .otherwise(F.least(F.col("pos") - F.col("__prev"), F.lit(k)))
+            .alias("__cov"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__cov").alias("__hit_tokens"))
+    )
+    toks = tokens_expr(F.col(text_col))
+    docs = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("group"),
+        F.size(toks).alias("__n_tokens"),
+    )
+    per_doc = docs.join(covered, id_col, "left").select(
+        "group",
+        (
+            F.coalesce(F.col("__hit_tokens"), F.lit(0))
+            / F.greatest(F.col("__n_tokens"), F.lit(1)).cast("double")
+        ).alias("__frac"),
+    )
+    return (
+        per_doc.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("__frac") > 0).cast("long")).alias(
+                "docs_contaminated"
+            ),
+            F.round(F.avg("__frac"), 6).alias("mean_overlap_frac"),
+            F.round(F.max("__frac"), 6).alias("max_overlap_frac"),
+        )
+        .orderBy("group")
+    )
+
+
 def substring_scrub(
     df: DataFrame,
     text_col: str = "text",

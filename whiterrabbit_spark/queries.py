@@ -1965,6 +1965,57 @@ SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
 FROM per GROUP BY "group" ORDER BY "group" """
 
 
+def _decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-vs-benchmark n-gram decontamination audit
+    (dedup.benchmark_contamination, k=10): per-source fraction of
+    training tokens covered by spans that also appear in the benchmark
+    corpus — here the 'src0' slice plays the eval set and every other
+    source is the training corpus. Benchmark hashes broadcast; the
+    corpus span table never shuffles for the match."""
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return X.benchmark_contamination(
+        corpus, bench, "text", "doc_id", "source", k=_SPAN_K
+    )
+
+
+def _decontamination_sql() -> str:
+    k, km1 = _SPAN_K, _SPAN_K - 1
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, source, i - 1 AS pos,
+         md5(array_to_string(toks[i:i+{km1}], ' ')) AS h
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - {km1})) AS u(i)
+), bh AS (
+  SELECT DISTINCT h FROM s WHERE source = 'src0'
+), cov AS (
+  SELECT doc_id,
+         sum(CASE WHEN prev IS NULL THEN {k}
+                  ELSE least(pos - prev, {k}) END) AS hit
+  FROM (
+    SELECT s.doc_id, s.pos,
+           lag(s.pos) OVER (PARTITION BY s.doc_id ORDER BY s.pos) AS prev
+    FROM s JOIN bh USING (h) WHERE s.source <> 'src0'
+  ) GROUP BY doc_id
+), per AS (
+  SELECT t.source AS "group",
+         coalesce(cov.hit, 0)
+           / greatest(len(t.toks), 1)::DOUBLE AS frac
+  FROM t LEFT JOIN cov USING (doc_id) WHERE t.source <> 'src0'
+)
+SELECT "group", CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN frac > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_contaminated,
+       (round(avg(frac), 6) + 0.0) AS mean_overlap_frac,
+       (round(max(frac), 6) + 0.0) AS max_overlap_frac
+FROM per GROUP BY "group" ORDER BY "group" """
+
+
 NZV_COLS = [
     "l_returnflag", "l_linestatus", "l_tax", "l_quantity",
     "l_linenumber", "l_extendedprice",
@@ -12195,6 +12246,8 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
     add("substring_scrub_documents", _substring_scrub,
         _substring_scrub_sql())
     add("ann_ivf_tuning_embeddings", _ann_ivf_tuning, _ANN_IVF_TUNING_SQL)
+    add("decontamination_documents", _decontamination,
+        _decontamination_sql())
     # round 4 additions next
     add("streaming_running_stats_events", _streaming_running_stats,
         _STREAMING_RUNNING_STATS_SQL)
