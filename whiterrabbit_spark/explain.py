@@ -22,7 +22,7 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     sys.path.insert(0, ".")
-    from tools.plan_audit import EFFECTFUL_PREFIXES, audit_plan
+    from tools.plan_audit import STREAMING_PREFIXES, audit_plan
 
     from whiterrabbit_spark.queries import build_registry
     from whiterrabbit_spark.session import get_spark
@@ -57,8 +57,10 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             rc = 2
             continue
-        if name.startswith(EFFECTFUL_PREFIXES):
-            out = {"query": name, "skipped": "effectful at construction"}
+        if name.startswith(STREAMING_PREFIXES):
+            # a streaming sink runs a real stream to completion at
+            # construction — mirror the audit tool's explicit skip
+            out = {"query": name, "skipped": "streaming"}
             print(json.dumps(out))
             continue
         df = queries[name](spark, args.sf)
