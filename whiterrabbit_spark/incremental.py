@@ -133,10 +133,10 @@ def scan_folder_incremental(
     for res in fresh:
         d = _digest(res.file_path)
         sum_dir = os.path.join(state_dir, "summary", d)
-        res.summary.coalesce(1).write.mode("overwrite").parquet(sum_dir)
+        res.summary.repartition(1).write.mode("overwrite").parquet(sum_dir)
         freq_dir = os.path.join(state_dir, "freq", d)
         if res.frequencies is not None:
-            res.frequencies.coalesce(1).write.mode("overwrite").parquet(freq_dir)
+            res.frequencies.repartition(1).write.mode("overwrite").parquet(freq_dir)
         elif os.path.isdir(freq_dir):
             shutil.rmtree(freq_dir)
         # hand downstream consumers the just-written parquet, not the

@@ -105,7 +105,12 @@ def write_parquet_report(
 
     def sink(df: DataFrame, name: str) -> None:
         p = os.path.join(output_dir, f"{prefix}_{name}")
-        df.coalesce(1).write.mode("overwrite").parquet(p)
+        # repartition(1), NOT coalesce(1): these frames sit on
+        # driver-parallelized partitions (defaultParallelism slices), and
+        # a coalesced single task drains all parents SERIALLY — measured
+        # ~0.15 s per slice = ~5 s per tiny write at local[32]. The
+        # one-round shuffle runs the parents in parallel first (~0.7 s).
+        df.repartition(1).write.mode("overwrite").parquet(p)
         written.append(p)
 
     sink(overview, "overview")

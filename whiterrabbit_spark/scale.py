@@ -52,3 +52,14 @@ AUTO_APPROX_ROWS: int = 5_000_000
 # Row-count sample cap for the approx-mode distinct-values preview
 # (value frequency top-K under sketch mode samples this many rows).
 APPROX_SAMPLE_ROWS: int = 1_000_000
+
+# Coarse-quantizer fit: below this many training vectors the seeded
+# spherical k-means runs DRIVER-SIDE in numpy (one collect of ~d×8
+# bytes per row; 50k × 64-dim ≈ 25 MB) — a distributed MLlib fit costs
+# 20+ scheduler round-trips that dwarf the arithmetic at this size
+# (measured 6.5 s MLlib vs ~0.2 s numpy on 2k vectors). Above it, the
+# MLlib path runs unchanged; at real corpus scale the quantizer should
+# be fit on a sample anyway (``sample_fraction``), which is exactly how
+# single-node ANN libraries train their coarse quantizers. Consumers:
+# similarity.fit_spherical_centers (``driver_fit_threshold=``).
+DRIVER_KMEANS_THRESHOLD: int = 50_000
