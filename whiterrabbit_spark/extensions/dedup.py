@@ -1310,6 +1310,15 @@ def benchmark_contamination(
     drops flagged docs with :func:`substring_scrub`-style machinery or
     a filter on the per-doc frame.
 
+    Complements ``decontam.contamination_stats`` (the distinct-shingle
+    SET-overlap ratio per document, with a bloom-filter path for
+    benchmarks too big to broadcast exactly): set overlap answers
+    "what fraction of this doc's distinct n-grams appear in the
+    benchmark", insensitive to position and repetition; this operator
+    answers "what fraction of this doc's TOKEN STREAM is benchmark
+    text" via the positional interval union — the quantity an
+    overlap-removal policy thresholds on — and rolls up per source.
+
     Scale shape — the asymmetry IS the design: eval sets are small by
     definition, so the benchmark's distinct span hashes BROADCAST
     (``broadcast_benchmark=True``; set False for a multi-GB benchmark
