@@ -5056,3 +5056,49 @@ def test_benchmark_contamination_planted(spark):
     # t3 fully covered (1.0); t4 has no k-token span at all
     assert out["sB"]["docs_contaminated"] == 1
     assert out["sB"]["max_overlap_frac"] == 1.0
+
+
+def test_driver_side_quantizer_edges(spark):
+    """fit_spherical_centers' driver path (scale.DRIVER_KMEANS_THRESHOLD):
+    deterministic per seed, k capped at n, empty input returns [], and
+    planted tight clusters recover their centers; the threshold default
+    references the single-source constant."""
+    import inspect
+    import math
+    import random
+
+    from whiterrabbit_spark import scale
+    from whiterrabbit_spark.extensions.similarity import (
+        fit_spherical_centers,
+    )
+
+    sig = inspect.signature(fit_spherical_centers)
+    assert (
+        sig.parameters["driver_fit_threshold"].default
+        == scale.DRIVER_KMEANS_THRESHOLD
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for c in range(3):
+        center = [3.0 * (c == d) for d in range(6)]
+        rows.extend(
+            (c * 50 + i, [x + rng.gauss(0, 0.02) for x in center])
+            for i in range(30)
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = fit_spherical_centers(df, "embedding", 3, seed=5)
+    c2 = fit_spherical_centers(df, "embedding", 3, seed=5)
+    assert c1 == c2  # deterministic per seed
+    # each recovered center is ~a unit vector along one planted axis
+    axes = sorted(max(range(6), key=lambda d: abs(c[d])) for c in c1)
+    assert axes == [0, 1, 2]
+    for c in c1:
+        n = math.sqrt(sum(x * x for x in c))
+        assert abs(n - 1.0) < 0.05  # mean of tight unit cluster ≈ unit
+
+    # k > n caps; empty input returns []
+    tiny = spark.createDataFrame(rows[:2], "vec_id long, embedding array<double>")
+    assert len(fit_spherical_centers(tiny, "embedding", 16, seed=1)) == 2
+    empty = df.where("vec_id < 0")
+    assert fit_spherical_centers(empty, "embedding", 4, seed=1) == []
