@@ -5102,3 +5102,51 @@ def test_driver_side_quantizer_edges(spark):
     assert len(fit_spherical_centers(tiny, "embedding", 16, seed=1)) == 2
     empty = df.where("vec_id < 0")
     assert fit_spherical_centers(empty, "embedding", 4, seed=1) == []
+
+
+def test_substring_scrub_mask_mode(spark):
+    """mode='mask' preserves token count and positions (the alignment-
+    sensitive form): every removed token becomes mask_token, kept
+    tokens stay at their original indices, and n_tokens_removed counts
+    masked tokens exactly as remove mode would. Edge docs: dup at doc
+    START (empty head slice), dup at doc END (empty tail slice), fully
+    masked doc."""
+    from whiterrabbit_spark.extensions.dedup import substring_scrub
+
+    p = "the quick brown fox jumps over the lazy dog again and now"
+    docs = [
+        ("d1", "alpha beta " + p + " gamma delta", "s1"),
+        ("d3", p + " trailing tokens one two three", "s2"),
+        ("d4", "prefix words " + p, "s2"),
+        ("d6", p + " " + p, "s3"),
+    ]
+    k = 5
+    df = spark.createDataFrame(docs, "doc_id string, text string, source string")
+    rm = {
+        r["doc_id"]: r
+        for r in substring_scrub(df, k=k, mode="remove").collect()
+    }
+    mk = {
+        r["doc_id"]: r
+        for r in substring_scrub(df, k=k, mode="mask", mask_token="<X>").collect()
+    }
+    for d, t, _ in docs:
+        toks = t.strip().lower().split()
+        # counts identical across modes; mask output keeps every position
+        assert mk[d]["n_tokens_removed"] == rm[d]["n_tokens_removed"], d
+        out = mk[d]["text_scrubbed"].split()
+        assert len(out) == len(toks), d
+        for i, (a, b) in enumerate(zip(out, toks)):
+            assert a == b or a == "<X>", (d, i)
+        assert out.count("<X>") == mk[d]["n_tokens_removed"], d
+    # d1 is the keeper: untouched in both modes
+    assert mk["d1"]["text_scrubbed"] == " ".join(
+        docs[0][1].strip().lower().split()
+    )
+    # d6 fully masked, count preserved
+    assert set(mk["d6"]["text_scrubbed"].split()) == {"<X>"}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        substring_scrub(df, mode="nope")

@@ -1387,6 +1387,8 @@ def substring_scrub(
     k: int = 10,
     min_docs: int = 2,
     keep_cols: tuple[str, ...] = (),
+    mode: str = "remove",
+    mask_token: str = "<DUP>",
 ) -> DataFrame:
     """Cross-document exact-substring SCRUB — the removal pass of Lee et
     al. exact substring dedup (the step :func:`duplicated_spans`' catalog
@@ -1422,11 +1424,22 @@ def substring_scrub(
        rebuilds), each sliced out of the token array once, flattened,
        re-joined. Total work O(kept tokens) per doc.
 
+    ``mode="remove"`` (default) cuts the spans out; ``mode="mask"``
+    replaces each removed token with ``mask_token`` instead — output
+    token COUNT and positions are preserved, the form alignment-
+    sensitive consumers need (span offsets into the original stream
+    stay valid). Masking is the same ordered interleave of kept slices
+    and ``array_repeat(mask, len)`` runs — O(tokens), never a
+    per-token scan of the interval list. ``n_tokens_removed`` counts
+    masked tokens identically in both modes.
+
     Returns one row per input document: ``keep_cols…, id_col,
     n_tokens, n_tokens_removed, text_scrubbed``. Documents with no
     duplicated span (or shorter than ``k`` tokens) pass through with
     ``n_tokens_removed = 0``.
     """
+    if mode not in ("remove", "mask"):
+        raise ValueError(f"substring_scrub: unknown mode {mode!r}")
     spans = _span_table(df, text_col, id_col, k).localCheckpoint(eager=True)
     keepers = (
         spans.groupBy("span_hash")
@@ -1514,6 +1527,51 @@ def substring_scrub(
                     F.filter(F.col("__kept"), lambda iv: iv["b"] > iv["a"]),
                     lambda iv: F.slice(toks, iv["a"] + 1, iv["b"] - iv["a"]),
                 )
+            )
+            if mode == "remove"
+            # mask: ordered interleave of (kept slice before interval i,
+            # mask run for interval i) + the tail slice — token count
+            # and positions preserved, O(tokens) total
+            else F.when(rm.isNull(), toks).otherwise(
+                F.concat(
+                    F.flatten(
+                        F.transform(
+                            rm,
+                            lambda iv, i: F.concat(
+                                F.slice(
+                                    toks,
+                                    F.when(i == F.lit(0), F.lit(0))
+                                    .otherwise(F.element_at(rm, i)["b"])
+                                    + 1,
+                                    iv["a"]
+                                    - F.when(i == F.lit(0), F.lit(0))
+                                    .otherwise(F.element_at(rm, i)["b"]),
+                                ),
+                                F.array_repeat(
+                                    F.lit(mask_token), iv["b"] - iv["a"]
+                                ),
+                            ),
+                        )
+                    ),
+                    F.slice(
+                        toks,
+                        F.element_at(rm, -1)["b"] + 1,
+                        F.col("__n") - F.element_at(rm, -1)["b"],
+                    ),
+                )
+            ),
+        )
+        # disjoint merged intervals: removed/masked tokens = Σ (b − a);
+        # identical in both modes (size(__out_toks) shrinks only under
+        # remove)
+        .withColumn(
+            "__removed",
+            F.when(rm.isNull(), F.lit(0).cast("long")).otherwise(
+                F.aggregate(
+                    rm,
+                    F.lit(0).cast("long"),
+                    lambda acc, iv: acc + (iv["b"] - iv["a"]),
+                )
             ),
         )
     )
@@ -1521,7 +1579,7 @@ def substring_scrub(
         *keep_cols,
         id_col,
         F.col("__n").alias("n_tokens"),
-        (F.col("__n") - F.size("__out_toks")).alias("n_tokens_removed"),
+        F.col("__removed").alias("n_tokens_removed"),
         F.concat_ws(" ", "__out_toks").alias("text_scrubbed"),
     )
 
