@@ -118,6 +118,27 @@ def main() -> None:
     )
     assert scrub["docs_scrubbed"] == PLANTED - 1
     assert scrub["tok_removed"] == (PLANTED - 1) * 10
+
+    # decontamination: one benchmark doc holding the planted passage —
+    # its span hashes broadcast, the 2M-doc span table never shuffles
+    # for the match; every planted doc flags as contaminated
+    from whiterrabbit_spark.extensions.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [("b0", "x1 x2 x3 " + passage + " x4 x5")],
+        "doc_id string, text string",
+    )
+    t0 = time.time()
+    con = benchmark_contamination(docs, bench, k=10).agg(
+        F.sum("docs_contaminated").alias("n"),
+        F.max("max_overlap_frac").alias("mx"),
+    ).collect()[0]
+    t_con = time.time() - t0
+    print(
+        f"contamination: docs_contaminated={con['n']:,} "
+        f"max_frac={con['mx']} in {t_con:.1f}s"
+    )
+    assert con["n"] == PLANTED
     spark.stop()
 
 
