@@ -478,6 +478,44 @@ def main() -> None:
             out["vs_repo_best_geomean"] = round(
                 math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios)), 3
             )
+        # Band-relative verdict (VERDICT r6 #7): vs_repo_best alone
+        # false-alarms under uniform host drift (r6's 1.255 geomean
+        # lift with zero code change). The driver's actual contract
+        # anchor is the absolute BASELINE.md band, so record per query
+        # where the measured time sits relative to it: "below" /
+        # "in_band" / a ratio >1.0 of time over the band's upper edge.
+        # Queries without a band (the post-baseline extensions) report
+        # vs the 2x-of-repo-best contract bound instead.
+        vs_band: dict[str, object] = {}
+        band_ratios: list[float] = []
+        for q, t in times.items():
+            ent = base["queries"].get(q) or {}
+            band = ent.get("baseline_band_s")
+            if band:
+                lo, hi = float(band[0]), float(band[1])
+                if t < lo:
+                    vs_band[q] = "below"
+                elif t <= hi:
+                    vs_band[q] = "in_band"
+                else:
+                    vs_band[q] = round(t / hi, 2)
+                band_ratios.append(max(t / hi, 1e-9))
+            elif ent.get("best_s"):
+                bound = 2.0 * float(ent["best_s"])
+                vs_band[q] = (
+                    "in_2x_bound" if t <= bound else round(t / bound, 2)
+                )
+        out["vs_band"] = vs_band
+        if band_ratios:
+            import math
+
+            out["vs_band_geomean"] = round(
+                math.exp(
+                    sum(math.log(r) for r in band_ratios)
+                    / len(band_ratios)
+                ),
+                3,
+            )
         if os.environ.get("SPARK_GRAFT_UPDATE_BASELINE") == "1":
             for q, t in times.items():
                 ent = base["queries"].setdefault(

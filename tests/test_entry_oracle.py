@@ -74,11 +74,23 @@ def _assert_no_negative_zero(name, rows):
     """Property (VERDICT r5 #1c): no registry query may emit -0.0 — a
     repr-hash coin flip. The boundary normalization in build_registry
     adds +0.0 to every double (and array<double>) output."""
+    def leaves(v):
+        # Recursive: structs collect as Row (tuple subclass), maps as
+        # dict — a flat scan would miss nested doubles entirely.
+        if isinstance(v, (list, tuple)):
+            for x in v:
+                yield from leaves(x)
+        elif isinstance(v, dict):
+            for k, x in v.items():
+                yield from leaves(k)
+                yield from leaves(x)
+        else:
+            yield v
+
     hits = [
         v
         for r in rows
-        for v in r
-        for v in (v if isinstance(v, (list, tuple)) else (v,))
+        for v in leaves(tuple(r))
         if isinstance(v, float) and v == 0 and math.copysign(1, v) < 0
     ]
     assert not hits, f"{name}: emitted {len(hits)} -0.0 leaf value(s)"

@@ -99,13 +99,24 @@ def _value_hash(norm_rows) -> str:
 def _scan_signed_zero(rows) -> int:
     """Count -0.0 leaf values (floats and floats inside lists) — the
     property the registry boundary normalization must hold to zero."""
+    def leaves(v):
+        # Recursive: structs collect as Row (tuple subclass), maps as
+        # dict — a flat scan would miss nested doubles entirely.
+        if isinstance(v, (list, tuple)):
+            for x in v:
+                yield from leaves(x)
+        elif isinstance(v, dict):
+            for k, x in v.items():
+                yield from leaves(k)
+                yield from leaves(x)
+        else:
+            yield v
+
     n = 0
     for r in rows:
-        for v in r:
-            vs = v if isinstance(v, (list, tuple)) else (v,)
-            for x in vs:
-                if isinstance(x, float) and x == 0 and math.copysign(1, x) < 0:
-                    n += 1
+        for x in leaves(tuple(r)):
+            if isinstance(x, float) and x == 0 and math.copysign(1, x) < 0:
+                n += 1
     return n
 
 

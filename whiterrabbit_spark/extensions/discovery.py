@@ -253,12 +253,15 @@ def deletion_preview(
     """Right-to-be-forgotten impact preview: given a subject-key set,
     how many rows each table would lose under cascade deletion — the
     audit run BEFORE any GDPR/CCPA erasure job, and the same plan a
-    tombstone-apply would use with the semi flipped to anti. Each table
-    counts via a LEFT SEMI join against the (broadcast when small) key
-    set; ``key_links`` maps table name → the column expression that
-    reaches the subject key (a direct FK, or a bridge expression for
-    tables linked through another — pre-join upstream and pass the
-    joined frame).
+    tombstone-apply would use with the join flipped to left anti. Each
+    table is scanned ONCE: a LEFT join against the broadcast distinct
+    key set preserves row count (the key side is deduplicated), so one
+    aggregation yields both the total and the conditional hit-sum —
+    the old two-counted-frames-crossJoined form cost two scans per
+    table (VERDICT r6 #4). ``key_links`` maps table name → the column
+    expression that reaches the subject key (a direct FK, or a bridge
+    expression for tables linked through another — pre-join upstream
+    and pass the joined frame).
 
     Returns one row per table: ``(table_name, n_rows, n_affected,
     pct_affected)``.
@@ -268,11 +271,14 @@ def deletion_preview(
     for name, df in tables.items():
         link = key_links[name]
         tagged = df.select(link.alias("__link"))
-        affected = tagged.join(k, F.col("__link") == F.col("__k"), "left_semi")
-        total = tagged.agg(F.count(F.lit(1)).alias("n_rows"))
-        hit = affected.agg(F.count(F.lit(1)).alias("n_affected"))
+        joined = tagged.join(k, F.col("__link") == F.col("__k"), "left")
         outs.append(
-            total.crossJoin(hit).select(
+            joined.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("__k").isNotNull().cast("long")).alias(
+                    "n_affected"
+                ),
+            ).select(
                 F.lit(name).alias("table_name"),
                 "n_rows",
                 "n_affected",

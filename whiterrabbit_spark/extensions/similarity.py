@@ -610,6 +610,11 @@ def _numpy_spherical_kmeans(
         centers[j] = m[rng.choice(n, p=p)]
         d2 = np.minimum(d2, ((m - centers[j]) ** 2).sum(1))
     assign = None
+    # ‖x‖² is only constant across rows when every row is unit; _unit
+    # keeps all-zero vectors at zero norm, so the 'farthest point'
+    # reseed must use the FULL squared distance or zero vectors bias
+    # the pick on corpora that contain them.
+    row_n2 = (m**2).sum(1)
     for _ in range(max_iter):
         d = (centers**2).sum(1)[None, :] - 2.0 * (m @ centers.T)
         new_assign = d.argmin(1)
@@ -621,7 +626,19 @@ def _numpy_spherical_kmeans(
             if len(members):
                 centers[j] = members.mean(0)
             else:
-                centers[j] = m[d.min(1).argmax()]
+                # farthest point from its nearest center, skipping any
+                # point that already coincides with a live center (a
+                # duplicate reseed would empty again next iteration).
+                full = row_n2 + d.min(1)
+                pick = int(full.argmax())
+                for cand in np.argsort(-full):
+                    cand = int(cand)
+                    if not (np.abs(centers - m[cand]) < 1e-12).all(
+                        1
+                    ).any():
+                        pick = cand
+                        break
+                centers[j] = m[pick]
     return [list(map(float, c)) for c in centers]
 
 
@@ -957,6 +974,18 @@ def ivf_tuning_curve(
         )
         .groupBy("n_probe")
         .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # Every requested level must emit a row: a level with ZERO hits
+    # (recall 0.0) groups away entirely, silently vanishing from the
+    # curve — and a vanished worst-case row is exactly the one the
+    # floor gate needs to see. Left-join a literal probe frame.
+    spark = corpus.sparkSession
+    probe_frame = spark.createDataFrame(
+        [(int(p),) for p in sorted(set(int(x) for x in probes))],
+        "n_probe long",
+    )
+    hits = probe_frame.join(hits, "n_probe", "left").select(
+        "n_probe", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
     )
     wl = Window.orderBy("n_probe")  # |probes| rows — single-task window
     return (

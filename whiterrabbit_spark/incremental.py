@@ -133,10 +133,17 @@ def scan_folder_incremental(
     for res in fresh:
         d = _digest(res.file_path)
         sum_dir = os.path.join(state_dir, "summary", d)
-        res.summary.repartition(1).write.mode("overwrite").parquet(sum_dir)
+        # sortWithinPartitions: single-reducer shuffle order is
+        # nondeterministic; sorted writes keep snapshot bytes stable
+        # run-to-run for file-level diffing.
+        res.summary.repartition(1).sortWithinPartitions(
+            *res.summary.columns
+        ).write.mode("overwrite").parquet(sum_dir)
         freq_dir = os.path.join(state_dir, "freq", d)
         if res.frequencies is not None:
-            res.frequencies.repartition(1).write.mode("overwrite").parquet(freq_dir)
+            res.frequencies.repartition(1).sortWithinPartitions(
+                *res.frequencies.columns
+            ).write.mode("overwrite").parquet(freq_dir)
         elif os.path.isdir(freq_dir):
             shutil.rmtree(freq_dir)
         # hand downstream consumers the just-written parquet, not the

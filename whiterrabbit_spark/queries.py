@@ -12211,22 +12211,69 @@ def build_registry() -> tuple[dict[str, Callable], dict[str, str]]:
         only — applied at registration so every builder stays written in
         its natural types.
         """
+        def norm(col, dt):
+            """(normalized_column, changed) — recurses through arrays,
+            structs, and maps so nested doubles can't leak -0.0 past
+            the boundary (they'd dodge the flat version AND the flat
+            property scan — same blind spot on both sides)."""
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+                return col.cast("long"), True
+            if isinstance(dt, T.FloatType):
+                return col.cast("double") + F.lit(0.0), True
+            if isinstance(dt, T.DoubleType):
+                return col + F.lit(0.0), True
+            if isinstance(dt, T.ArrayType):
+                _, ch = norm(F.lit(None).cast(dt.elementType),
+                             dt.elementType)
+                if ch:
+                    return (
+                        F.transform(
+                            col, lambda x: norm(x, dt.elementType)[0]
+                        ),
+                        True,
+                    )
+                return col, False
+            if isinstance(dt, T.MapType):
+                _, kch = norm(F.lit(None).cast(dt.keyType), dt.keyType)
+                _, vch = norm(F.lit(None).cast(dt.valueType), dt.valueType)
+                out = col
+                if kch:
+                    out = F.transform_keys(
+                        out, lambda k, _v: norm(k, dt.keyType)[0]
+                    )
+                if vch:
+                    out = F.transform_values(
+                        out, lambda _k, v: norm(v, dt.valueType)[0]
+                    )
+                return out, kch or vch
+            if isinstance(dt, T.StructType):
+                changed = any(
+                    norm(F.lit(None).cast(f.dataType), f.dataType)[1]
+                    for f in dt.fields
+                )
+                if changed:
+                    rebuilt = F.struct(
+                        *[
+                            norm(col[f.name], f.dataType)[0].alias(f.name)
+                            for f in dt.fields
+                        ]
+                    )
+                    # struct(...) of a NULL struct yields a non-null
+                    # struct of nulls; preserve top-level nullness.
+                    return (
+                        F.when(col.isNull(), F.lit(None)).otherwise(
+                            rebuilt
+                        ),
+                        True,
+                    )
+                return col, False
+            return col, False
+
         casts = {}
         for f in df.schema.fields:
-            if isinstance(
-                f.dataType, (T.ByteType, T.ShortType, T.IntegerType)
-            ):
-                casts[f.name] = F.col(f.name).cast("long")
-            elif isinstance(f.dataType, T.FloatType):
-                casts[f.name] = F.col(f.name).cast("double") + F.lit(0.0)
-            elif isinstance(f.dataType, T.DoubleType):
-                casts[f.name] = F.col(f.name) + F.lit(0.0)
-            elif isinstance(f.dataType, T.ArrayType) and isinstance(
-                f.dataType.elementType, (T.FloatType, T.DoubleType)
-            ):
-                casts[f.name] = F.transform(
-                    F.col(f.name), lambda x: x.cast("double") + F.lit(0.0)
-                )
+            expr, changed = norm(F.col(f.name), f.dataType)
+            if changed:
+                casts[f.name] = expr
         return df.withColumns(casts) if casts else df
 
     def add(name: str, fn: Callable, sql: str | None) -> None:

@@ -110,7 +110,12 @@ def write_parquet_report(
         # a coalesced single task drains all parents SERIALLY — measured
         # ~0.15 s per slice = ~5 s per tiny write at local[32]. The
         # one-round shuffle runs the parents in parallel first (~0.7 s).
-        df.repartition(1).write.mode("overwrite").parquet(p)
+        # sortWithinPartitions: the single reducer fetches map outputs
+        # in nondeterministic order, so without it persisted row order
+        # varies run-to-run and any downstream file-level diff breaks.
+        df.repartition(1).sortWithinPartitions(*df.columns).write.mode(
+            "overwrite"
+        ).parquet(p)
         written.append(p)
 
     sink(overview, "overview")
