@@ -296,3 +296,102 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+
+
+def test_distributed_row_number_matches_global_window(spark):
+    """distributed_row_number == the single-reducer global window on a
+    composite ordering with a massive tie block (the shape that breaks
+    value-bucketed schemes: 80% of rows tie on the leading key and can
+    only be balanced by splitting the tie on the tiebreak column)."""
+    from pyspark.sql import Window
+
+    from whiterrabbit_spark.profile import distributed_row_number
+
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(1))
+        .otherwise(F.col("id") % 97)
+        .alias("n"),
+        F.concat(F.lit("k"), F.col("id")).alias("key"),
+    )
+    order = [F.col("n").desc(), F.col("key").asc()]
+    got = {
+        r["key"]: r["rn"]
+        for r in distributed_row_number(df, order, "rn").collect()
+    }
+    want = {
+        r["key"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rank_movers_distributed_matches_plain(spark):
+    """rank_movers forced down the distributed-rank path
+    (max_single_reducer=0) == the plain global-window path, including
+    the n==0 -> NULL-rank masking."""
+    from whiterrabbit_spark.profile import rank_movers
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 731).cast("string").alias("k"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("p"),
+    )
+    kw = dict(key_col="k", period_col="p", period_a="a", period_b="b")
+    plain = {
+        r["key"]: (r["rank_a"], r["rank_b"], r["rank_change"])
+        for r in rank_movers(df, **kw).collect()
+    }
+    dist = {
+        r["key"]: (r["rank_a"], r["rank_b"], r["rank_change"])
+        for r in rank_movers(df, max_single_reducer=0, **kw).collect()
+    }
+    assert dist == plain and len(plain) == 731
+
+
+def test_zipf_fit_distributed_matches_plain(spark):
+    """zipf_fit's distributed rank path == the plain path (identical
+    one-row regression output — ranks are exact, not just
+    tie-permuted)."""
+    from whiterrabbit_spark.extensions.textstats import zipf_fit
+
+    docs = spark.range(2_000).select(
+        F.concat_ws(
+            " ",
+            F.lit("the common word"),
+            F.concat(F.lit("tok"), (F.col("id") % 321)),
+            F.concat(F.lit("u"), F.col("id")),
+        ).alias("text")
+    )
+    plain = zipf_fit(docs).collect()[0]
+    dist = zipf_fit(docs, max_single_reducer=0).collect()[0]
+    assert plain["n_terms"] == dist["n_terms"]
+    assert plain["n_tokens"] == dist["n_tokens"]
+    assert abs(plain["zipf_slope"] - dist["zipf_slope"]) < 1e-9
+    assert abs(plain["r2"] - dist["r2"]) < 1e-9
+
+
+def test_km_survival_distributed_matches_plain(spark):
+    """km_survival's chained-distributed-prefix path == the plain
+    window path row-for-row (risk sets AND the ln/exp survival chain),
+    including an everyone-dies terminal bucket (survival -> 0.0)."""
+    from whiterrabbit_spark.profile import km_survival
+
+    df = spark.range(30_000).select(
+        (F.pmod(F.xxhash64("id"), 400)).alias("dur"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), 3) < 2).alias("ev"),
+    )
+    plain = {
+        r["t"]: (r["n_at_risk"], r["n_events"], r["survival"])
+        for r in km_survival(df, "dur", "ev").collect()
+    }
+    dist = {
+        r["t"]: (r["n_at_risk"], r["n_events"], r["survival"])
+        for r in km_survival(
+            df, "dur", "ev", max_single_reducer=0
+        ).collect()
+    }
+    assert dist == plain and len(plain) > 100

@@ -35,7 +35,10 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from whiterrabbit_spark.scale import DRIVER_KMEANS_THRESHOLD
+from whiterrabbit_spark.scale import (
+    DRIVER_KMEANS_THRESHOLD,
+    QUANTIZER_TRAIN_PER_LIST,
+)
 
 
 def _to_double(arr: Column) -> Column:
@@ -650,6 +653,7 @@ def fit_spherical_centers(
     max_iter: int = 20,
     sample_fraction: float | None = None,
     driver_fit_threshold: int = DRIVER_KMEANS_THRESHOLD,
+    auto_train_per_list: int = QUANTIZER_TRAIN_PER_LIST,
 ) -> list[list[float]]:
     """Seeded spherical k-means coarse quantizer, shared by the
     in-memory IVF search, the tuning curve, and the persistent index
@@ -657,9 +661,15 @@ def fit_spherical_centers(
 
     Vectors are L2-normalized first: squared L2 on unit vectors is
     monotone in cosine, so the quantizer partitions by the metric being
-    searched. At real scale pass ``sample_fraction`` — the quantizer
-    needs thousands of points per centroid, not the corpus (exactly how
-    single-node ANN libraries train coarse quantizers on a sample).
+    searched. AUTO-SAMPLING (SCALE_r7: the un-sampled default burned
+    90+ s of a 99 s tuning-curve run at a 250k corpus): with no
+    explicit ``sample_fraction`` the fit trains on at most
+    ``max(driver_fit_threshold, auto_train_per_list × n_lists)``
+    vectors — a coarse quantizer needs thousands of points per
+    centroid, not the corpus (exactly how single-node ANN libraries
+    train on a sample); assignment, probing, and scoring still cover
+    the FULL corpus downstream. Pass ``sample_fraction`` to override
+    the policy in either direction (``1.0`` forces a full-corpus fit).
 
     Scale-adaptive (the connected-components pattern): at or below
     ``driver_fit_threshold`` training vectors the fit runs DRIVER-SIDE
@@ -673,6 +683,11 @@ def fit_spherical_centers(
     if sample_fraction is not None:
         train = corpus.sample(fraction=sample_fraction, seed=seed)
     n = train.count()
+    if sample_fraction is None:
+        target = max(driver_fit_threshold, auto_train_per_list * n_lists)
+        if n > target:
+            train = corpus.sample(fraction=target / n, seed=seed)
+            n = train.count()
     if n == 0:
         return []
     if n <= driver_fit_threshold:

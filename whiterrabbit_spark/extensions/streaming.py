@@ -112,12 +112,13 @@ def finish_frequency_table(
     from pyspark.sql import Window
 
     kept = counts.where(F.col("count") >= min_cell_count)
-    w = Window.orderBy(F.col("count").desc(), F.col("value").asc())
-    topk = (
-        kept.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= max_distinct_values)
-        .drop("__rn")
-    )
+    # sort().limit() = distributed TakeOrderedAndProject (per-partition
+    # top-K, merged on the driver) — the global row_number window it
+    # replaces funneled the whole post-threshold value table through
+    # one reducer (VERDICT r6 #5); the kept SET is identical.
+    topk = kept.orderBy(
+        F.col("count").desc(), F.col("value").asc()
+    ).limit(max_distinct_values)
     return topk.withColumn(
         "percentage",
         F.col("count") / F.sum("count").over(Window.partitionBy()),
@@ -199,6 +200,14 @@ def stream_events_from_parquet(
     return df
 
 
+# Executed micro-batch plans captured by run_stream_to_memory, newest
+# last: (query_name, explainInternal string). The streaming plan audit
+# (tools/stream_plan_audit.py — VERDICT r6 #6) reads these to check
+# state-store placement the same way plan_audit.py checks batch plans;
+# capture is best-effort and costs one JVM string per drained stream.
+_LAST_STREAM_PLANS: list[tuple[str, str]] = []
+
+
 def run_stream_to_memory(
     profiled: DataFrame, query_name: str, mode: str = "append"
 ) -> None:
@@ -212,6 +221,10 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+    try:
+        _LAST_STREAM_PLANS.append((query_name, q._jsq.explainInternal(True)))
+    except Exception:  # plan capture must never fail the drain
+        pass
 
 
 def sessionize(

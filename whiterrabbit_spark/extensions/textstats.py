@@ -869,7 +869,11 @@ def bigram_logppl(
     )
 
 
-def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    max_single_reducer: int | None = None,
+) -> DataFrame:
     """Zipf's-law fit for the corpus vocabulary: OLS slope of
     ln(frequency) against ln(rank) over the term-frequency table (a
     natural corpus has slope ≈ −1; a flat slope screams synthetic /
@@ -878,17 +882,38 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Scale shape: one explode→groupBy(term) collapses the corpus to its
     |vocab|-row frequency table; the rank window and the regr_* fold
-    run over THAT (vocabulary-sized, the standard bound), never over
-    tokens. Rank ties break by term so both engines rank identically.
+    run over THAT, never over tokens. Rank ties break by term so both
+    engines rank identically. ADAPTIVE (VERDICT r6 #5): Heaps' law
+    puts a 100 TB web corpus's vocabulary in the billions — past
+    ``max_single_reducer`` approx-distinct terms (one extra
+    partial-aggregable probe pass) the rank runs as
+    ``profile.distributed_row_number`` over the same (f DESC, term)
+    ordering — range partitioning splits even the huge f=1 tie block
+    across tasks — instead of a single-reducer global window.
 
     Returns one row ``(n_terms, n_tokens, zipf_slope, r2)``.
     """
+    from whiterrabbit_spark import scale as _scale
+    from whiterrabbit_spark.profile import (
+        _approx_distinct,
+        distributed_row_number,
+    )
+
+    if max_single_reducer is None:
+        max_single_reducer = _scale.MAX_SINGLE_REDUCER
     toks = df.select(
         F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("f"))
-    w = Window.orderBy(F.col("f").desc(), "term")
-    ranked = freq.withColumn("r", F.row_number().over(w))
+    order = [F.col("f").desc(), F.col("term").asc()]
+    if max_single_reducer > 0 and (
+        _approx_distinct(toks, "term") <= max_single_reducer
+    ):
+        ranked = freq.withColumn(
+            "r", F.row_number().over(Window.orderBy(*order))
+        )
+    else:
+        ranked = distributed_row_number(freq, order, "r")
     lf, lr = F.log(F.col("f").cast("double")), F.log(
         F.col("r").cast("double")
     )

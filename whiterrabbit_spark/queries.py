@@ -11644,6 +11644,14 @@ def _streaming_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.processAllAvailable()
+    try:  # feed the streaming plan audit (best-effort, like the helper)
+        from whiterrabbit_spark.extensions.streaming import (
+            _LAST_STREAM_PLANS,
+        )
+
+        _LAST_STREAM_PLANS.append((name, q._jsq.explainInternal(True)))
+    except Exception:
+        pass
     q.stop()
     return spark.table(name).orderBy("day")
 

@@ -63,3 +63,14 @@ APPROX_SAMPLE_ROWS: int = 1_000_000
 # single-node ANN libraries train their coarse quantizers. Consumers:
 # similarity.fit_spherical_centers (``driver_fit_threshold=``).
 DRIVER_KMEANS_THRESHOLD: int = 50_000
+
+# Coarse-quantizer AUTO-sampling (VERDICT r6 #3 / SCALE_r7 finding:
+# the un-sampled MLlib fit was 90+ s of a 99 s tuning-curve run at a
+# 250k-vector corpus): when no explicit ``sample_fraction`` is given,
+# the fit trains on at most max(DRIVER_KMEANS_THRESHOLD, this ×
+# n_lists) vectors. A coarse quantizer needs thousands of points per
+# centroid — not the corpus — which is how FAISS/ScaNN-style libraries
+# train IVF quantizers; everything downstream (assignment, probing,
+# scoring) remains distributed over the FULL corpus. Consumers:
+# similarity.fit_spherical_centers (``auto_train_per_list=``).
+QUANTIZER_TRAIN_PER_LIST: int = 2_048
