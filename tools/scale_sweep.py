@@ -23,8 +23,14 @@ from scratch so the corpus has realistic structure at 1M+ rows:
   10 doc-unique. 2% of docs sit in planted 4-member near-dup clusters
   (shared 40-token body + 1 member token) that MinHash / SimHash /
   containment / token-cosine must find.
-* embeddings — 64-dim, 32 planted spherical clusters (center + small
-  jitter), 0.8% in 4-member keep-best dup groups.
+* embeddings — 64-dim, 4096 planted spherical clusters with jitter
+  sized so SAME-cluster cosine ≈ 0.7 (cluster structure for the IVF
+  quantizer WITHOUT making the whole corpus near-duplicate: a first
+  cut with 32 tight clusters put ~10⁹ genuinely-true pairs above the
+  near-dup threshold and filled the disk — realistic corpora have
+  sparse near-dups); 0.8% of vectors sit in planted 4-member dup
+  groups (shared jitter seed, cosine ≈ 1.0) the near-pair ops must
+  find at threshold 0.9.
 
 Skew variants plant the adversarial shape each family's guards exist
 for: one 20k-member near-identical document cluster (hot LSH band /
@@ -202,30 +208,39 @@ def gen_embeddings(spark, out: str, n_vecs: int, skew: bool) -> None:
     from pyspark.sql import functions as F
 
     i = F.col("id")
-    cluster = F.pmod(F.xxhash64(i, F.lit(11)), 32)
-    if skew:
-        cluster = F.when(
-            F.pmod(F.xxhash64(i, F.lit(17)), 100)
-            < int(HOT_VEC_FRAC * 100),
-            F.lit(0),
-        ).otherwise(cluster)
     member = F.pmod(i, 4)
     grouped = F.pmod(i, 500) < 4
     jitter_seed = F.when(grouped, i - member).otherwise(i)
     if skew:
+        grouped = grouped | (i < HOT_DUP_VECS)
         jitter_seed = F.when(i < HOT_DUP_VECS, F.lit(-1)).otherwise(
             jitter_seed
         )
+    # cluster derives from the GROUP base so dup-group members share
+    # their center too (center+jitter both shared -> cosine ≈ 1.0)
+    cluster = F.pmod(F.xxhash64(jitter_seed, F.lit(11)), 4096)
+    if skew:
+        # 30% of non-grouped vectors pile into ONE quantizer list
+        cluster = F.when(
+            (~grouped)
+            & (
+                F.pmod(F.xxhash64(i, F.lit(17)), 100)
+                < int(HOT_VEC_FRAC * 100)
+            ),
+            F.lit(0),
+        ).otherwise(cluster)
 
     def dim(d: int):
         center = (
             F.pmod(F.xxhash64(cluster, F.lit(d * 31 + 2)), 1000) / 500.0
             - 1.0
         )
+        # jitter var ≈ 0.43 × center var → same-cluster cosine ≈ 0.7:
+        # clustered for the quantizer, NOT near-duplicate
         jit = (
             F.pmod(F.xxhash64(jitter_seed, F.lit(d * 37 + 5)), 1000)
-            / 2500.0
-            - 0.2
+            / 750.0
+            - 0.667
         )
         # per-member epsilon keeps dup-group members distinct
         eps = (member * 0.001) if d == 0 else F.lit(0.0)
@@ -280,15 +295,39 @@ def _targets():
     from whiterrabbit_spark.queries import build_registry
 
     queries, _ = build_registry()
+
+    # The two LSH near-pair entries run with the SCALE dials a 100 TB
+    # user would set (the operator docstrings' own guidance): auto
+    # n_planes (log2(n/500); the registry's explicit 4 is sized for the
+    # 2k-vector sf0.1 corpus and degenerates to ~15k-row buckets here)
+    # + the giant-bucket guard + a true near-dup threshold (0.9 — the
+    # registry's 0.4 matches the testdata's cluster spacing, not
+    # dedup semantics).
+    def _hyperplane_scale(spark, sf_dir):
+        from whiterrabbit_spark.extensions import similarity as sim
+        from whiterrabbit_spark.io import read_parquet_table
+
+        df = read_parquet_table(spark, sf_dir, "embeddings")
+        return sim.hyperplane_near_pairs(
+            df, 0.9, dim=64, n_tables=8, seed=42, max_bucket_size=4000
+        )
+
+    def _keep_best_scale(spark, sf_dir):
+        from whiterrabbit_spark.extensions import similarity as sim
+        from whiterrabbit_spark.io import read_parquet_table
+
+        df = read_parquet_table(spark, sf_dir, "embeddings")
+        return sim.embedding_keep_best(
+            df, 0.9, dim=64, n_tables=8, seed=42, max_bucket_size=4000
+        )
+
     t = {
         "pagerank": queries["pagerank_lineitem"],
         "ann_ivf_tuning": queries["ann_ivf_tuning_embeddings"],
         "zorder_layout": queries["zorder_layout_lineitem"],
         "adamic_adar": queries["adamic_adar_lineitem"],
-        "embedding_keep_best": queries["embedding_keep_best_embeddings"],
-        "hyperplane_near_pairs": queries[
-            "hyperplane_near_pairs_embeddings"
-        ],
+        "embedding_keep_best": _keep_best_scale,
+        "hyperplane_near_pairs": _hyperplane_scale,
         "keep_best_dedup": queries["keep_best_dedup_documents"],
         "cross_source_dups": queries["cross_source_dups_documents"],
         "ab_test": queries["ab_test_orders"],

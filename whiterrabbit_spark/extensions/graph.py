@@ -89,24 +89,59 @@ def degree_stats(edges: DataFrame, top_k: int = 10) -> DataFrame:
 
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Exact global triangle count plus basic graph size — the
-    clustering/community-signal scalar. Two-hop join over the oriented
-    edge list: (a<b) ⋈ (b<c) ⋈ (a<c) touches each triangle exactly
-    once.
+    clustering/community-signal scalar, by the two-hop join over a
+    DEGREE-ORIENTED edge list.
+
+    Orientation is the whole ballgame at power-law scale: any acyclic
+    orientation counts each triangle exactly once as a→b→c with a→c,
+    but the two-hop fan-out is Σ_b in(b)·fwd(b). Orienting by node ID
+    (the r1-r6 form) lets a random-ID hub keep ~deg/2 forward
+    neighbors — a 160k-degree hub alone yields ~6×10⁹ two-hop rows
+    (measured shape in tools/smoke_graph_powerlaw.py). Orienting each
+    edge from its lower-(degree, id) endpoint to the higher caps every
+    forward degree at ~√(2m) — the classic m^(3/2) triangle-join bound
+    (Schank/Wagner forward algorithm) — because a node's forward set
+    only holds neighbors of equal-or-larger degree, and at most √(2m)
+    nodes have degree ≥ √(2m). Two extra degree joins buy the bound;
+    the (deg, id) tiebreak keeps the orientation a total order, hence
+    acyclic, hence exactly-once.
 
     Returns one row ``(n_nodes, n_edges, n_triangles)``.
     """
     e = edges.select("src", "dst").distinct().persist()
-    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    deg = (
+        e.select(F.col("src").alias("n"))
+        .unionAll(e.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    # orient each edge low-(deg, id) -> high-(deg, id)
+    oriented = (
+        e.join(deg.select(F.col("n").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("n").alias("dst"), F.col("d").alias("dd")), "dst")
+        .select(
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+                F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+            )
+            .otherwise(
+                F.struct(F.col("dst").alias("a"), F.col("src").alias("b"))
+            )
+            .alias("o")
+        )
+        .select("o.a", "o.b")
+        .persist()
+    )
+    ab = oriented.select("a", "b")
+    bc = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = oriented.select(F.col("a").alias("a"), F.col("b").alias("c"))
     tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    nodes = e.select(F.col("src").alias("n")).unionAll(
-        e.select(F.col("dst").alias("n"))
-    ).distinct()
     return (
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))
         .join(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
-        .join(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .join(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .select("n_nodes", "n_edges", "n_triangles")
     )
 

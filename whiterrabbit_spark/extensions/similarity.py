@@ -358,7 +358,7 @@ def hyperplane_near_pairs(
     dim: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 16,
     seed: int = 42,
     max_bucket_size: int | None = None,
@@ -370,15 +370,25 @@ def hyperplane_near_pairs(
     drops a pair); every emitted pair's cosine is exact.
 
     Scale knobs: ``n_planes`` must grow with the corpus (2^planes
-    buckets per table; target ~10²-10³ rows per bucket, i.e. planes ≈
-    log2(n/500)) — the registry default 4 is sized for the sf0.1
-    corpus. ``max_bucket_size`` is the giant-bucket guard: identical
+    buckets per table; target ~10²-10³ rows per bucket). The default
+    ``None`` AUTO-SIZES planes = max(4, ceil(log2(n/500))) from one
+    count probe — SCALE_r7 found the old fixed default (4, sized for
+    the sf0.1 corpus) quietly degenerates at 250k vectors: 16 buckets
+    per table ⇒ ~15k-row buckets ⇒ ~10⁹ candidate pairs and a
+    disk-filling spill; the registry entries keep passing an explicit
+    4 so their inlined-plane oracles stay byte-stable.
+    ``max_bucket_size`` is the giant-bucket guard: identical
     or near-identical vectors collide in EVERY table no matter how
     many planes, so one hyper-duplicated embedding makes a d² bucket;
     buckets above the cap leave candidate generation (collapse exact
     duplicates with a digest pass first — their pairs carry no
     information). Measured: 100k copies of one vector → ~8·10¹⁰
     candidate rows without the cap (PLANS.md round-5 media smoke)."""
+    if n_planes is None:
+        import math
+
+        n = df.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 1) / 500.0)))
     # Candidate generation and dedup run on BARE ids: the (table, bucket)
     # self-join and the pair-dedup shuffle 2 longs per candidate instead of
     # two dim-wide vectors (~64x less shuffle payload at dim=64), and the
@@ -429,7 +439,7 @@ def embedding_keep_best(
     dim: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 16,
     seed: int = 42,
     max_bucket_size: int | None = None,
