@@ -5150,3 +5150,54 @@ def test_substring_scrub_mask_mode(spark):
 
     with pytest.raises(ValueError):
         substring_scrub(df, mode="nope")
+
+
+def test_triangle_count_orientation_invariance_random_ids(spark):
+    """Degree orientation must count each triangle exactly once no
+    matter how node ids relate to degree: a wheel graph (hub + cycle)
+    with the HUB at a mid-range id has exactly n_rim triangles, and a
+    hub-star alone has zero. The id-oriented form this replaced made
+    the random-id hub keep ~deg/2 forward neighbors (the power-law
+    blowup smoke_graph_powerlaw.py measures at 10M edges)."""
+    from whiterrabbit_spark.extensions.graph import triangle_count
+
+    hub = 500  # mid-range id: larger than some rim ids, smaller than others
+    rim = [i for i in range(1000) if i != hub][:40]
+    spokes = [(min(hub, r), max(hub, r)) for r in rim]
+    cycle = [
+        (min(rim[i], rim[(i + 1) % len(rim)]),
+         max(rim[i], rim[(i + 1) % len(rim)]))
+        for i in range(len(rim))
+    ]
+    wheel = spark.createDataFrame(spokes + cycle, "src long, dst long")
+    t = triangle_count(wheel).collect()[0]
+    assert t["n_triangles"] == len(rim)
+    assert t["n_nodes"] == len(rim) + 1
+    assert t["n_edges"] == len(spokes) + len(cycle)
+
+    star = spark.createDataFrame(spokes, "src long, dst long")
+    s = triangle_count(star).collect()[0]
+    assert s["n_triangles"] == 0
+
+
+def test_quantizer_auto_sampling_engages_above_target(spark):
+    """fit_spherical_centers with no sample_fraction must auto-sample
+    a 60k corpus down to the driver-side path (target = max(50k,
+    2048×n_lists)) and stay deterministic per seed; an explicit
+    sample_fraction=1.0 opts out of the policy."""
+    from whiterrabbit_spark.extensions.similarity import (
+        fit_spherical_centers,
+    )
+
+    df = spark.range(60_000).select(
+        F.array(
+            *[
+                (F.pmod(F.xxhash64("id", F.lit(d)), 1000) / 500.0 - 1.0)
+                .cast("float")
+                for d in range(8)
+            ]
+        ).alias("embedding")
+    )
+    c1 = fit_spherical_centers(df, "embedding", 4, seed=7)
+    c2 = fit_spherical_centers(df, "embedding", 4, seed=7)
+    assert len(c1) == 4 and c1 == c2
