@@ -389,17 +389,26 @@ def hyperplane_near_pairs(
 
         n = df.count()
         n_planes = max(4, math.ceil(math.log2(max(n, 1) / 500.0)))
-    # Candidate generation and dedup run on BARE ids: the (table, bucket)
-    # self-join and the pair-dedup shuffle 2 longs per candidate instead of
-    # two dim-wide vectors (~64x less shuffle payload at dim=64), and the
-    # bucketing UDF itself omits vectors (include_vec=False — Spark can't
-    # prune inside mapInPandas output). Vectors are fetched once per
-    # SURVIVING pair from the n-row vector table — two id-equi-joins
-    # Catalyst can broadcast when the corpus side fits, and plain
-    # shuffle-hash otherwise.
+    # Scoring happens IN-BUCKET (SCALE_r7 finding): the r1-r6 form
+    # generated bare-id candidates, deduped them, then fetched vectors
+    # with two id-equi-joins — fine while the corpus side fits a
+    # broadcast (every sf scale), but past the broadcast threshold the
+    # second fetch join SHUFFLES every candidate row carrying a
+    # dim-wide array (~260 GB at 500M candidates × 64 dims; Java-heap
+    # OOM at a 250k-vector corpus, measured). Here the bucket frame
+    # carries vectors ONCE (n × n_tables rows — the only wide
+    # shuffle), the (table, bucket) self-join scores pairs with
+    # vectors already co-located, the threshold prunes IN-TASK, and
+    # only SURVIVORS reach the pair dedup — candidates never cross a
+    # shuffle at all. Same pair set and bit-identical cosine
+    # arithmetic (dot/(‖a‖·‖b‖) on the raw doubles) as the fetch
+    # form, so the inlined-plane oracles are unaffected. Duplicate
+    # (pair × table) collisions re-score instead of deduping first:
+    # ≤ n_tables codegen dot products per pair is CPU noise next to
+    # the removed shuffle.
     buckets = hyperplane_buckets_pandas(
         df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
-        include_vec=False,
+        include_vec=True,
     )
     if max_bucket_size is not None:
         buckets = (
@@ -412,25 +421,28 @@ def hyperplane_near_pairs(
             .where(F.col("__bsz") <= max_bucket_size)
             .drop("__bsz")
         )
-    cand = (
-        buckets.alias("a")
-        .join(buckets.alias("b"), ["table", "bucket"])
-        .where(F.col("a.vid") < F.col("b.vid"))
-        .select(F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2"))
+    a = buckets.select(
+        "table", "bucket",
+        F.col("vid").alias("id1"), F.col("v").alias("va"),
+    )
+    b = buckets.select(
+        "table", "bucket",
+        F.col("vid").alias("id2"), F.col("v").alias("vb"),
+    )
+    return (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id1", "id2"])
     )
-    vecs = df.select(
-        F.col(id_col).alias("vid"), _to_double(F.col(vec_col)).alias("v")
-    )
-    scored = (
-        cand.join(vecs.select(F.col("vid").alias("id1"), F.col("v").alias("va")), "id1")
-        .join(vecs.select(F.col("vid").alias("id2"), F.col("v").alias("vb")), "id2")
-    )
-    return scored.select(
-        "id1",
-        "id2",
-        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine"),
-    ).where(F.col("cosine") >= threshold)
 
 
 def embedding_keep_best(

@@ -29,6 +29,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Big shuffles start wide and AQE coalesces DOWN — the static
+        # shuffle.partitions alone capped a 500M-row LSH scoring join
+        # at 64 reducers (~8 GB per task, Java-heap OOM in SCALE_r7);
+        # small queries still end at few partitions post-coalesce.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(shuffle_partitions * 8, 256)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
