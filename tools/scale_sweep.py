@@ -314,7 +314,8 @@ def _targets():
 
         df = read_parquet_table(spark, sf_dir, "embeddings")
         return sim.hyperplane_near_pairs(
-            df, 0.9, dim=64, n_tables=8, seed=42, max_bucket_size=4000
+            df, 0.9, dim=64, n_tables=8, seed=42, max_bucket_size=4000,
+            auto_bucket_target=64,
         )
 
     def _keep_best_scale(spark, sf_dir):
@@ -323,7 +324,8 @@ def _targets():
 
         df = read_parquet_table(spark, sf_dir, "embeddings")
         return sim.embedding_keep_best(
-            df, 0.9, dim=64, n_tables=8, seed=42, max_bucket_size=4000
+            df, 0.9, dim=64, n_tables=8, seed=42, max_bucket_size=4000,
+            auto_bucket_target=64,
         )
 
     t = {

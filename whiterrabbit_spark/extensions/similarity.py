@@ -362,6 +362,7 @@ def hyperplane_near_pairs(
     n_tables: int = 16,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    auto_bucket_target: int = 500,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidate pairs are ids sharing a
     random-hyperplane bucket in ANY of the L tables (one narrow shuffle on
@@ -388,7 +389,14 @@ def hyperplane_near_pairs(
         import math
 
         n = df.count()
-        n_planes = max(4, math.ceil(math.log2(max(n, 1) / 500.0)))
+        # candidate volume ~ n x target x n_tables / 2: the 500-row
+        # default is recall-lenient for LOOSE thresholds; a 0.9-style
+        # dedup threshold tolerates far smaller buckets (near-identical
+        # vectors agree on almost every plane sign), so pass ~64 to cut
+        # candidates ~8x at the same recall class.
+        n_planes = max(
+            4, math.ceil(math.log2(max(n, 1) / float(auto_bucket_target)))
+        )
     # Scoring happens IN-BUCKET (SCALE_r7 finding): the r1-r6 form
     # generated bare-id candidates, deduped them, then fetched vectors
     # with two id-equi-joins — fine while the corpus side fits a
@@ -455,6 +463,7 @@ def embedding_keep_best(
     n_tables: int = 16,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    auto_bucket_target: int = 500,
 ) -> DataFrame:
     """Exact-oracle semantic dedup: LSH cosine near-pairs above
     ``threshold`` → connected components → keep the HIGHEST-L2-NORM
@@ -479,6 +488,7 @@ def embedding_keep_best(
     pairs = hyperplane_near_pairs(
         df, threshold, dim, vec_col, id_col, n_planes, n_tables, seed,
         max_bucket_size=max_bucket_size,
+        auto_bucket_target=auto_bucket_target,
     )
     scored = df.select(
         F.col(id_col), _norm(_to_double(F.col(vec_col))).alias("score")
