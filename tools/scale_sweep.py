@@ -436,7 +436,22 @@ def cmd_report() -> None:
     vec_fams = (
         "ann_ivf_tuning", "embedding_keep_best", "hyperplane_near_pairs",
     )
-    out = {"scales": SCALES, "queries": {}}
+    out = {
+        "scales": SCALES,
+        "dials": {
+            "hyperplane_near_pairs": "operator direct: threshold=0.9, "
+            "auto n_planes (target 64 rows/bucket), n_tables=8, "
+            "max_bucket_size=4000 — the dials a user sets for near-dup "
+            "at this corpus size; registry entry keeps sf0.1 dials for "
+            "oracle stability",
+            "embedding_keep_best": "same dials as hyperplane_near_pairs",
+            "adamic_adar": "registry entry (no max_degree cap — the "
+            "co-purchase graph's degrees are bounded by order size; "
+            "tools/smoke_graph_powerlaw.py exercises the cap on a "
+            "10M-edge power-law graph)",
+        },
+        "queries": {},
+    }
     for q in queries:
         b = rows.get((q, "base"))
         s = rows.get((q, "skew"))

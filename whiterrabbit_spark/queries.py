@@ -10869,10 +10869,17 @@ FROM per_bin ORDER BY bin"""
 def _adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic–Adar link prediction (graph.adamic_adar) over the sampled
     co-purchase graph — top 20 non-adjacent part pairs most likely to
-    co-occur next, hub-discounted."""
+    co-occur next, hub-discounted. ``max_degree=10_000`` is the wedge
+    cap SCALE_r7's hot-partkey variant showed this entry needs (29×
+    wall-time blowup uncapped at a 20M-line hub; a 10k-degree middle
+    contributes ≤ 1/ln(10⁴) ≈ 0.11 per wedge, the standard
+    approximation) — degrees at every oracle SF stay far below it, so
+    the cap is inert where the SQL mirror verifies."""
     from whiterrabbit_spark.extensions.graph import adamic_adar
 
-    out = adamic_adar(_copurchase_edges(spark, sf_dir), top_k=20)
+    out = adamic_adar(
+        _copurchase_edges(spark, sf_dir), top_k=20, max_degree=10_000
+    )
     return out.select(
         "src", "dst", "common_neighbors",
         F.round("aa_score", R).alias("aa_score"),
