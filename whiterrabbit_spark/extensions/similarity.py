@@ -419,15 +419,18 @@ def hyperplane_near_pairs(
         include_vec=True,
     )
     if max_bucket_size is not None:
-        buckets = (
-            buckets.join(
-                buckets.groupBy("table", "bucket").agg(
-                    F.count(F.lit(1)).alias("__bsz")
-                ),
-                ["table", "bucket"],
-            )
-            .where(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+        # broadcast anti-join of only the OVERSIZED buckets (few by
+        # definition) — the attach-size inner join this replaces
+        # re-shuffled the whole bucket table against a
+        # |distinct buckets|-row side just to filter
+        big = (
+            buckets.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") > max_bucket_size)
+            .select("table", "bucket")
+        )
+        buckets = buckets.join(
+            F.broadcast(big), ["table", "bucket"], "left_anti"
         )
     a = buckets.select(
         "table", "bucket",

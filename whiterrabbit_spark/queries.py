@@ -391,9 +391,14 @@ FROM scored"""
 
 
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket_size: SCALE_r7's 20k-member hot cluster made the
+    # unguarded band self-join emit C(20k,2)x16 pair rows (spill OOM);
+    # the cap is inert at every oracle SF (no band bucket nears 2000)
+    # and such clusters belong to the linear fingerprint pass anyway.
     df = read_parquet_table(spark, sf_dir, "documents")
     out = X.minhash_dedup_pairs(df, "text", "doc_id", k=3, num_hashes=32,
-                                rows_per_band=2, threshold=0.5, seed=CFG.seed)
+                                rows_per_band=2, threshold=0.5, seed=CFG.seed,
+                                max_bucket_size=2_000)
     return out.select("id1", "id2", F.round("jaccard", R).alias("jaccard"))
 
 
@@ -7122,6 +7127,7 @@ def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = X.minhash_dedup_pairs(
         docs, "text", "doc_id", k=3, num_hashes=32,
         rows_per_band=2, threshold=0.5, seed=CFG.seed,
+        max_bucket_size=2_000,  # same hot-cluster guard as _dedup_minhash
     ).select(F.col("id1").alias("l1"), F.col("id2").alias("l2"))
     found = exact.join(
         lsh,
