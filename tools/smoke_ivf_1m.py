@@ -139,7 +139,17 @@ def main() -> None:
     )
     got = hits.select("query_id", "neighbor_id").collect()
     t_query = time.time() - t0
-    pruned = "PartitionFilters" in plan and "list_id IN" in plan
+    import re
+
+    # v1 scans print the pruning literal as `list_id#284 IN (…)` below
+    # ~10 values and `list_id#284 INSET …` above (the optimizer's
+    # inSetConversionThreshold) — match both through the attribute id
+    pruned = bool(
+        re.search(
+            r"PartitionFilters: \[[^\]]*list_id#?\d* (?:IN \(|INSET )",
+            plan,
+        )
+    )
     # the probed literal set in the plan must have <= N_PROBE * queries
     # distinct ids; directory pruning is the point of the layout
     print(
