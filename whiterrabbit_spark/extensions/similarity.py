@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from whiterrabbit_spark.scale import (
     DRIVER_KMEANS_THRESHOLD,
+    LSH_FETCH_JOIN_THRESHOLD,
     QUANTIZER_TRAIN_PER_LIST,
 )
 
@@ -385,10 +386,10 @@ def hyperplane_near_pairs(
     duplicates with a digest pass first — their pairs carry no
     information). Measured: 100k copies of one vector → ~8·10¹⁰
     candidate rows without the cap (PLANS.md round-5 media smoke)."""
+    n = df.count()
     if n_planes is None:
         import math
 
-        n = df.count()
         # candidate volume ~ n x target x n_tables / 2: the 500-row
         # default is recall-lenient for LOOSE thresholds; a 0.9-style
         # dedup threshold tolerates far smaller buckets (near-identical
@@ -397,41 +398,68 @@ def hyperplane_near_pairs(
         n_planes = max(
             4, math.ceil(math.log2(max(n, 1) / float(auto_bucket_target)))
         )
-    # Scoring happens IN-BUCKET (SCALE_r7 finding): the r1-r6 form
-    # generated bare-id candidates, deduped them, then fetched vectors
-    # with two id-equi-joins — fine while the corpus side fits a
-    # broadcast (every sf scale), but past the broadcast threshold the
-    # second fetch join SHUFFLES every candidate row carrying a
-    # dim-wide array (~260 GB at 500M candidates × 64 dims; Java-heap
-    # OOM at a 250k-vector corpus, measured). Here the bucket frame
-    # carries vectors ONCE (n × n_tables rows — the only wide
-    # shuffle), the (table, bucket) self-join scores pairs with
-    # vectors already co-located, the threshold prunes IN-TASK, and
-    # only SURVIVORS reach the pair dedup — candidates never cross a
-    # shuffle at all. Same pair set and bit-identical cosine
-    # arithmetic (dot/(‖a‖·‖b‖) on the raw doubles) as the fetch
-    # form, so the inlined-plane oracles are unaffected. Duplicate
-    # (pair × table) collisions re-score instead of deduping first:
-    # ≤ n_tables codegen dot products per pair is CPU noise next to
-    # the removed shuffle.
+    # ADAPTIVE scoring (SCALE_r7 finding + bench follow-up). Two plans,
+    # identical pair set and bit-identical cosine arithmetic:
+    #
+    # * FETCH-JOIN (corpus ≤ LSH_FETCH_JOIN_THRESHOLD): bare-id
+    #   candidates from the (table, bucket) self-join, deduped, then
+    #   vectors attached by two EXPLICITLY-BROADCAST id-joins and each
+    #   distinct pair scored ONCE. Cheapest while the vector table
+    #   broadcasts (the r1-r6 form; 3.3x faster than in-bucket at the
+    #   2k-vector bench scale, where per-table re-scoring dominates).
+    # * IN-BUCKET (above threshold): vectors ride the bucket shuffle
+    #   ONCE, pairs are scored with vectors already co-located, the
+    #   threshold prunes in-task, and only survivors reach the pair
+    #   dedup. Past broadcast scale the fetch form's second join
+    #   SHUFFLES a dim-wide array per candidate row (~260 GB at 500M
+    #   candidates x 64 dims; Java-heap OOM at a 250k-vector corpus,
+    #   measured) — the per-table re-scoring (≤ n_tables codegen dots
+    #   per pair) is CPU noise next to that shuffle.
+    if n <= LSH_FETCH_JOIN_THRESHOLD:
+        buckets = hyperplane_buckets_pandas(
+            df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
+            include_vec=False,
+        )
+        if max_bucket_size is not None:
+            buckets = _drop_oversized(buckets, max_bucket_size)
+        cand = (
+            buckets.alias("a")
+            .join(buckets.alias("b"), ["table", "bucket"])
+            .where(F.col("a.vid") < F.col("b.vid"))
+            .select(
+                F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2")
+            )
+            .dropDuplicates(["id1", "id2"])
+        )
+        vecs = df.select(
+            F.col(id_col).alias("vid"),
+            _to_double(F.col(vec_col)).alias("v"),
+        )
+        scored = cand.join(
+            F.broadcast(
+                vecs.select(F.col("vid").alias("id1"), F.col("v").alias("va"))
+            ),
+            "id1",
+        ).join(
+            F.broadcast(
+                vecs.select(F.col("vid").alias("id2"), F.col("v").alias("vb"))
+            ),
+            "id2",
+        )
+        return scored.select(
+            "id1",
+            "id2",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb")))
+            ).alias("cosine"),
+        ).where(F.col("cosine") >= threshold)
     buckets = hyperplane_buckets_pandas(
         df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
         include_vec=True,
     )
     if max_bucket_size is not None:
-        # broadcast anti-join of only the OVERSIZED buckets (few by
-        # definition) — the attach-size inner join this replaces
-        # re-shuffled the whole bucket table against a
-        # |distinct buckets|-row side just to filter
-        big = (
-            buckets.groupBy("table", "bucket")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .where(F.col("__bsz") > max_bucket_size)
-            .select("table", "bucket")
-        )
-        buckets = buckets.join(
-            F.broadcast(big), ["table", "bucket"], "left_anti"
-        )
+        buckets = _drop_oversized(buckets, max_bucket_size)
     a = buckets.select(
         "table", "bucket",
         F.col("vid").alias("id1"), F.col("v").alias("va"),
@@ -454,6 +482,20 @@ def hyperplane_near_pairs(
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id1", "id2"])
     )
+
+
+def _drop_oversized(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Giant-bucket guard as a broadcast ANTI-join of only the OVERSIZED
+    (table, bucket) keys — few by definition; the window-count and
+    attach-size-join forms this replaces re-shuffled (and sorted) the
+    whole bucket table just to filter (SCALE_r7: +260 s at 2M docs)."""
+    big = (
+        buckets.groupBy("table", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .where(F.col("__bsz") > max_bucket_size)
+        .select("table", "bucket")
+    )
+    return buckets.join(F.broadcast(big), ["table", "bucket"], "left_anti")
 
 
 def embedding_keep_best(
