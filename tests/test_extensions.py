@@ -5180,6 +5180,74 @@ def test_triangle_count_orientation_invariance_random_ids(spark):
     assert s["n_triangles"] == 0
 
 
+def test_triangle_count_symmetrized_input(spark):
+    """The standard undirected representation carries BOTH (u,v) and
+    (v,u); both orient to the same (a,b), so without the
+    post-orientation distinct every oriented edge doubles and the
+    triangle count inflates up to 8x (ADVICE r7). A symmetrized
+    triangle must still count 1 / 3 edges, identical to the
+    one-row-per-edge form."""
+    from whiterrabbit_spark.extensions.graph import triangle_count
+
+    one_row = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)],
+        "src long, dst long",
+    )
+    a = triangle_count(one_row).collect()[0]
+    b = triangle_count(sym).collect()[0]
+    assert (a["n_nodes"], a["n_edges"], a["n_triangles"]) == (3, 3, 1)
+    assert (b["n_nodes"], b["n_edges"], b["n_triangles"]) == (3, 3, 1)
+
+
+def test_deletion_preview_empty_table_zero_affected(spark):
+    """n_affected must stay 0 (not NULL) for an empty table: SUM over
+    zero rows is NULL and the single-scan rewrite has to coalesce it
+    (ADVICE r7)."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.extensions.discovery import deletion_preview
+
+    empty = spark.createDataFrame([], "uid long, x string")
+    full = spark.createDataFrame([(1, "a"), (9, "b")], "uid long, x string")
+    keys = spark.createDataFrame([(1,)], "uid long")
+    out = {
+        r["table_name"]: (r["n_rows"], r["n_affected"])
+        for r in deletion_preview(
+            {"empty": empty, "full": full},
+            {"empty": F.col("uid"), "full": F.col("uid")},
+            keys,
+        ).collect()
+    }
+    assert out["empty"] == (0, 0)
+    assert out["full"] == (2, 1)
+
+
+def test_report_sort_skips_map_columns(spark, tmp_path):
+    """write_parquet_report's byte-stability sort must skip unorderable
+    (map-typed) columns instead of throwing AnalysisException
+    (ADVICE r7)."""
+    import pyspark.sql.functions as F
+
+    from whiterrabbit_spark.report import sortable_columns
+
+    df = spark.range(3).select(
+        "id",
+        F.create_map(F.lit("k"), F.col("id")).alias("m"),
+        F.array(F.create_map(F.lit("k"), F.col("id"))).alias("am"),
+        F.struct(F.create_map(F.lit("k"), F.col("id")).alias("im")).alias("sm"),
+        F.array(F.lit(1)).alias("ok_arr"),
+        F.struct(F.lit(1).alias("a")).alias("ok_struct"),
+    )
+    assert sortable_columns(df) == ["id", "ok_arr", "ok_struct"]
+    # the filtered sort must execute
+    df.repartition(1).sortWithinPartitions(*sortable_columns(df)).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "p"))
+
+
 def test_quantizer_auto_sampling_engages_above_target(spark):
     """fit_spherical_centers with no sample_fraction must auto-sample
     a 60k corpus down to the driver-side path (target = max(50k,

@@ -384,6 +384,16 @@ def test_km_survival_distributed_matches_plain(spark):
         (F.pmod(F.xxhash64("id"), 400)).alias("dur"),
         (F.pmod(F.xxhash64("id", F.lit(7)), 3) < 2).alias("ev"),
     )
+    # Terminal everyone-dies bucket: every subject still at risk at the
+    # max duration has an event, so d_t == n_at_risk there and the
+    # log(1 - d/n) term is log(0) -> NULL. The window path's SUM skips
+    # that NULL (survival = prior value); the distributed path must
+    # coalesce the term to reproduce that, not propagate NULL.
+    df = df.unionByName(
+        spark.range(500).select(
+            F.lit(1000).alias("dur"), F.lit(True).alias("ev")
+        )
+    )
     plain = {
         r["t"]: (r["n_at_risk"], r["n_events"], r["survival"])
         for r in km_survival(df, "dur", "ev").collect()
@@ -395,3 +405,5 @@ def test_km_survival_distributed_matches_plain(spark):
         ).collect()
     }
     assert dist == plain and len(plain) > 100
+    assert 1000 in plain and plain[1000][1] == plain[1000][0]
+    assert plain[1000][2] is not None

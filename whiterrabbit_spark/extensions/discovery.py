@@ -275,9 +275,12 @@ def deletion_preview(
         outs.append(
             joined.agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col("__k").isNotNull().cast("long")).alias(
-                    "n_affected"
-                ),
+                # SUM over zero rows is NULL — keep the empty-table
+                # answer at 0 like the old count-based form (ADVICE r7)
+                F.coalesce(
+                    F.sum(F.col("__k").isNotNull().cast("long")),
+                    F.lit(0).cast("long"),
+                ).alias("n_affected"),
             ).select(
                 F.lit(name).alias("table_name"),
                 "n_rows",

@@ -132,18 +132,39 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             .alias("o")
         )
         .select("o.a", "o.b")
+        # a symmetrized input (both (u,v) and (v,u) present — the
+        # standard undirected representation) survives e.distinct();
+        # both rows orient to the SAME (a, b), so dedupe AFTER
+        # orientation or every oriented edge doubles and triangles
+        # overcount up to 8x (ADVICE r7). Cheap next to the two-hop.
+        .distinct()
         .persist()
     )
     ab = oriented.select("a", "b")
     bc = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
     ac = oriented.select(F.col("a").alias("a"), F.col("b").alias("c"))
     tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    return (
+    out = (
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))
-        .join(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        # n_edges from the deduped ORIENTED frame: equals |e| on a
+        # one-row-per-edge input and the true undirected edge count on
+        # a symmetrized one (where |e| would double-count)
+        .join(F.broadcast(oriented.agg(F.count(F.lit(1)).alias("n_edges"))))
         .join(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+    try:
+        # one row: materialize before unpersist so the returned frame
+        # doesn't lazily recompute the two-hop after the caches drop,
+        # and so repeated calls don't accumulate executor storage
+        rows = out.collect()
+        return edges.sparkSession.createDataFrame(
+            rows, "n_nodes long, n_edges long, n_triangles long"
+        )
+    finally:
+        oriented.unpersist()
+        deg.unpersist()
+        e.unpersist()
 
 
 def pagerank(

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from whiterrabbit_spark.scale import (
     DRIVER_KMEANS_THRESHOLD,
-    LSH_FETCH_JOIN_THRESHOLD,
+    LSH_FETCH_JOIN_MAX_BYTES,
     QUANTIZER_TRAIN_PER_LIST,
 )
 
@@ -401,7 +401,7 @@ def hyperplane_near_pairs(
     # ADAPTIVE scoring (SCALE_r7 finding + bench follow-up). Two plans,
     # identical pair set and bit-identical cosine arithmetic:
     #
-    # * FETCH-JOIN (corpus ≤ LSH_FETCH_JOIN_THRESHOLD): bare-id
+    # * FETCH-JOIN (n × dim × 8 B ≤ LSH_FETCH_JOIN_MAX_BYTES): bare-id
     #   candidates from the (table, bucket) self-join, deduped, then
     #   vectors attached by two EXPLICITLY-BROADCAST id-joins and each
     #   distinct pair scored ONCE. Cheapest while the vector table
@@ -415,7 +415,10 @@ def hyperplane_near_pairs(
     #   candidates x 64 dims; Java-heap OOM at a 250k-vector corpus,
     #   measured) — the per-table re-scoring (≤ n_tables codegen dots
     #   per pair) is CPU noise next to that shuffle.
-    if n <= LSH_FETCH_JOIN_THRESHOLD:
+    #   The gate is ESTIMATED BYTES (n x dim x 8), not rows:
+    #   the broadcast cost scales with dim, and a row gate forced
+    #   ~600 MB broadcasts for 50k x 1536-dim vectors (ADVICE r7).
+    if n * dim * 8 <= LSH_FETCH_JOIN_MAX_BYTES:
         buckets = hyperplane_buckets_pandas(
             df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
             include_vec=False,

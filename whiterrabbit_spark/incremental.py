@@ -40,6 +40,7 @@ from pyspark.sql import SparkSession
 from whiterrabbit_spark import io as wio
 from whiterrabbit_spark.config import ScanConfig
 from whiterrabbit_spark.overview import FileScanResult, build_overview
+from whiterrabbit_spark.report import sortable_columns
 from whiterrabbit_spark.scan import scan_file
 
 _MANIFEST = "manifest.json"
@@ -135,14 +136,15 @@ def scan_folder_incremental(
         sum_dir = os.path.join(state_dir, "summary", d)
         # sortWithinPartitions: single-reducer shuffle order is
         # nondeterministic; sorted writes keep snapshot bytes stable
-        # run-to-run for file-level diffing.
+        # run-to-run for file-level diffing. Orderable columns only —
+        # a map-typed column would make the sort throw (ADVICE r7).
         res.summary.repartition(1).sortWithinPartitions(
-            *res.summary.columns
+            *sortable_columns(res.summary)
         ).write.mode("overwrite").parquet(sum_dir)
         freq_dir = os.path.join(state_dir, "freq", d)
         if res.frequencies is not None:
             res.frequencies.repartition(1).sortWithinPartitions(
-                *res.frequencies.columns
+                *sortable_columns(res.frequencies)
             ).write.mode("overwrite").parquet(freq_dir)
         elif os.path.isdir(freq_dir):
             shutil.rmtree(freq_dir)

@@ -4137,10 +4137,19 @@ def km_survival(
             .drop("before", "__tot")
             .localCheckpoint(eager=True)
         )
+        # d_t == n_at_risk (everyone remaining dies at the terminal
+        # event time) makes log(0) NULL. The window path's SUM silently
+        # skips that NULL (survival = prior value); coalesce the term to
+        # 0 so the distributed path reproduces the same null-skipping
+        # semantics instead of propagating NULL into survival.
         out = _hist_exclusive_prefix(
             pre, "t", "__lnterm", n_parts, out_col="__lnbefore"
         ).withColumn(
-            "survival", F.exp(F.col("__lnbefore") + F.col("__lnterm"))
+            "survival",
+            F.exp(
+                F.col("__lnbefore")
+                + F.coalesce(F.col("__lnterm"), F.lit(0.0))
+            ),
         )
     return (
         out.where(F.col("d_t") > 0)

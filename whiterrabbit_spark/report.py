@@ -26,6 +26,26 @@ def _to_pandas(df: DataFrame):
     return df.toPandas()
 
 
+def sortable_columns(df: DataFrame) -> list[str]:
+    """Columns whose types Spark can ORDER BY — MapType (at any nesting
+    depth) is unorderable and makes ``sortWithinPartitions(*columns)``
+    throw AnalysisException. The report/snapshot sinks sort on every
+    ORDERABLE column for byte-stable output; a map-typed column simply
+    drops out of the sort key (ADVICE r7: latent crash guard)."""
+    from pyspark.sql import types as T
+
+    def orderable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(orderable(f.dataType) for f in dt.fields)
+        return True
+
+    return [f.name for f in df.schema.fields if orderable(f.dataType)]
+
+
 def write_tsv_report(
     overview: DataFrame,
     results: list[FileScanResult],
@@ -113,9 +133,12 @@ def write_parquet_report(
         # sortWithinPartitions: the single reducer fetches map outputs
         # in nondeterministic order, so without it persisted row order
         # varies run-to-run and any downstream file-level diff breaks.
-        df.repartition(1).sortWithinPartitions(*df.columns).write.mode(
-            "overwrite"
-        ).parquet(p)
+        # Orderable columns only — a map-typed column would throw.
+        one = df.repartition(1)
+        keys = sortable_columns(df)
+        if keys:
+            one = one.sortWithinPartitions(*keys)
+        one.write.mode("overwrite").parquet(p)
         written.append(p)
 
     sink(overview, "overview")

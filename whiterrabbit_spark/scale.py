@@ -75,14 +75,17 @@ DRIVER_KMEANS_THRESHOLD: int = 50_000
 # similarity.fit_spherical_centers (``auto_train_per_list=``).
 QUANTIZER_TRAIN_PER_LIST: int = 2_048
 
-# LSH pair scoring plan switch: at or below this many corpus vectors
-# the near-pair scorer uses the fetch-join form (bare-id candidates,
-# dedup, vectors attached by two EXPLICITLY-broadcast id-joins, each
-# distinct pair scored once — 3.3× faster at bench scale); above it,
-# in-bucket scoring (vectors ride the bucket shuffle once) — past
-# broadcast scale the fetch form's second join shuffles a dim-wide
-# array PER CANDIDATE (~260 GB at 500M candidates, OOM — SCALE_r7).
-# 50k × 64 dims × 8 B ≈ 26 MB broadcast, comfortably under executor
-# budgets. Consumers: similarity.hyperplane_near_pairs
-# (``fetch_join_threshold=`` via LSH_FETCH_JOIN_THRESHOLD).
-LSH_FETCH_JOIN_THRESHOLD: int = 50_000
+# LSH pair scoring plan switch: at or below this estimated vector-table
+# size (n_vectors × dim × 8 B doubles) the near-pair scorer uses the
+# fetch-join form (bare-id candidates, dedup, vectors attached by two
+# EXPLICITLY-broadcast id-joins, each distinct pair scored once — 3.3×
+# faster at bench scale); above it, in-bucket scoring (vectors ride the
+# bucket shuffle once) — past broadcast scale the fetch form's second
+# join shuffles a dim-wide array PER CANDIDATE (~260 GB at 500M
+# candidates, OOM — SCALE_r7). The gate is BYTES, not rows (ADVICE r7):
+# a row-count gate at 50k forced ~600 MB broadcasts for 1536-dim
+# embeddings — driver collect + per-executor copy right below the
+# switch. 26 MB keeps the measured 64-dim switch point at exactly 50k
+# rows while high-dim corpora flip to in-bucket far earlier.
+# Consumers: similarity.hyperplane_near_pairs.
+LSH_FETCH_JOIN_MAX_BYTES: int = 50_000 * 64 * 8
