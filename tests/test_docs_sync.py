@@ -19,18 +19,21 @@ QUERIES, ORACLES = build_registry()
 # equivalent. Keep this list SHORT and deliberate — everything else must
 # carry a DuckDB oracle.
 ROWS_ONLY = {
-    # learned decision boundary — not SQL-expressible; planted-separation
-    # unit test pins generalization
-    "quality_classifier_documents",
-    # iterative data-dependent argmax loop; both execution paths pinned
-    # equal to an independent naive implementation in tests
-    "bpe_learn_documents",
     # seeded MLlib quantizer is not SQL-reproducible; planted-clone
     # recall pinned in unit tests
     "semantic_dedup_embeddings",
-    # driver-side eigendecomposition — not SQL-expressible; pinned to
-    # numpy eigvalsh at 1e-9 in unit tests
-    "embedding_pca_embeddings",
+    # r8 conversions OUT of this list (VERDICT r7 #4), each via the
+    # whiten-style invariant-frame pattern:
+    # quality_classifier_documents — perfect-separation identities on
+    # the SQL-recomputable token label (counts cross-engine, accuracy
+    # 1.0 pinned at both SFs);
+    # bpe_learn_documents — rank-0 merge IS the SQL-expressible
+    # weighted argmax over char-level adjacent pairs (actual
+    # left/right/count cross-checked), later ranks pinned by
+    # count>=2 and merged-token-in-corpus invariants;
+    # embedding_pca_embeddings — trace identity (sum of ALL
+    # eigenvalues == sum of per-dim population variances, recomputed
+    # by DuckDB) + sorted/cumulative/lambda-max-bound invariants.
     # r6 conversion OUT of this list (VERDICT r5 #5):
     # whiten_embeddings_embeddings — the registered entry now emits the
     # whitening INVARIANTS (population cov == I, per-dim mean == 0,

@@ -62,6 +62,47 @@ def test_simhash_pairs_symmetric_threshold(spark, docs):
         assert 0 <= r.hamming <= 3
 
 
+def test_simhash_guard_and_precollapse(spark, docs):
+    """The r8 rewrite (VERDICT r7 #1) must be semantics-exact: the
+    guarded form with an inert cap returns EXACTLY the unguarded pair
+    set; an identical-text cluster emits all its C(k,2) hamming-0 pairs
+    through the pre-collapse path; and a cap below the cluster size
+    drops that cluster's pairs (the documented contract — exact dups
+    belong to the linear fingerprint pass) without touching others."""
+    base = {
+        tuple(r)
+        for r in X.simhash_near_pairs(docs, "text", "doc_id", 3).collect()
+    }
+    inert = {
+        tuple(r)
+        for r in X.simhash_near_pairs(
+            docs, "text", "doc_id", 3, max_bucket_size=100_000
+        ).collect()
+    }
+    assert inert == base and len(base) > 0
+
+    # planted identical cluster: 6 copies of one text + 2 unrelated docs
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(6)]
+    rows += [(100, "zebra yak xylophone wombat"), (200, "one two three")]
+    clus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.simhash_near_pairs(clus, "text", "doc_id", 3).collect()
+    zero = {(r.id1, r.id2) for r in out if r.hamming == 0}
+    assert {(i, j) for i in range(6) for j in range(i + 1, 6)} <= zero
+
+    capped = X.simhash_near_pairs(
+        clus, "text", "doc_id", 3, max_bucket_size=4
+    ).collect()
+    ids = {i for r in capped for i in (r.id1, r.id2)}
+    assert not ids & set(range(6))  # oversized group's pairs dropped
+
+    auto = X.simhash_near_pairs(
+        clus, "text", "doc_id", 3, max_bucket_size="auto"
+    )
+    assert {(r.id1, r.id2) for r in auto.collect() if r.hamming == 0} >= {
+        (0, 1)
+    }  # auto cap scales with corpus size, inert on a tiny one
+
+
 def test_exact_dedup_counts(spark, docs):
     out = X.exact_duplicates(docs, "text", "doc_id")
     total = out.agg(F.sum("dup_count")).collect()[0][0]
@@ -2903,6 +2944,47 @@ def test_minhash_bucket_guard_passthrough(spark):
     # the guard drops oversized buckets -> strictly fewer (or equal) pairs,
     # and the job completes without a quadratic blowup
     assert guarded.count() <= unguarded.count()
+
+
+def test_auto_minhash_banding_probe(spark):
+    """The corpus probe (VERDICT r7 #2) must hold the recall contract
+    and spend hashes only when the corpus needs them: a diverse corpus
+    keeps r=2 (b=17 from the 0.99-recall law, H=34); a shared-
+    vocabulary corpus whose band buckets collapse projects a candidate
+    volume over budget and escalates to r=3 (H=105). The auto dial
+    must thread through minhash_dedup_pairs and still return
+    exact-Jaccard-verified pairs."""
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.extensions.dedup import (auto_minhash_banding,
+                                                     minhash_dedup_pairs)
+
+    diverse = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"w{j}_"), F.col("id")) for j in range(12)]
+        ).alias("text"),
+    )
+    assert auto_minhash_banding(diverse, "text", "doc_id") == (34, 2)
+
+    words = F.array(*[F.lit(w) for w in
+                      ("aa", "bb", "cc", "dd", "ee", "ff")])
+    homog = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.element_at(words, ((F.col("id") * (i + 3)) % 6 + 1).cast("int"))
+            for i in range(12)
+        ]).alias("text"),
+    )
+    h, r = auto_minhash_banding(homog, "text", "doc_id")
+    assert r == 3 and h == 105
+
+    out = minhash_dedup_pairs(
+        homog, "text", "doc_id", rows_per_band="auto", threshold=0.9,
+        max_bucket_size=50,
+    )
+    for row in out.collect():
+        assert row.jaccard >= 0.9 and row.id1 < row.id2
 
 
 def test_pack_token_sequences(spark):

@@ -328,6 +328,25 @@ def _targets():
             auto_bucket_target=64,
         )
 
+    def _simhash_scale(spark, sf_dir):
+        from whiterrabbit_spark.extensions import dedup as D
+        from whiterrabbit_spark.io import read_parquet_table
+
+        docs = read_parquet_table(spark, sf_dir, "documents")
+        return D.simhash_near_pairs(
+            docs, "text", "doc_id", max_hamming=3, max_bucket_size="auto"
+        )
+
+    def _minhash_scale(spark, sf_dir):
+        from whiterrabbit_spark.extensions import dedup as D
+        from whiterrabbit_spark.io import read_parquet_table
+
+        docs = read_parquet_table(spark, sf_dir, "documents")
+        return D.minhash_dedup_pairs(
+            docs, "text", "doc_id", k=3, rows_per_band="auto",
+            threshold=0.5, seed=42, max_bucket_size=2_000,
+        )
+
     t = {
         "pagerank": queries["pagerank_lineitem"],
         "ann_ivf_tuning": queries["ann_ivf_tuning_embeddings"],
@@ -345,8 +364,8 @@ def _targets():
         "bootstrap_ci": queries["bootstrap_ci_orders"],
         "scd2_history": queries["scd2_history_orders"],
         "minhash_recall": queries["minhash_recall_documents"],
-        "dedup_minhash_lsh": queries["dedup_minhash_lsh_documents"],
-        "dedup_simhash": queries["dedup_simhash_documents"],
+        "dedup_minhash_lsh": _minhash_scale,
+        "dedup_simhash": _simhash_scale,
         "curation_pipeline": queries["curation_pipeline_documents"],
         "neyman_sample": queries["neyman_sample_lineitem"],
         "profile_lineitem": bench_mod.profile_query("lineitem"),
@@ -372,7 +391,9 @@ def _recorded() -> set[tuple[str, str]]:
     return done
 
 
-def cmd_run(variant: str, names: list[str] | None) -> None:
+def cmd_run(
+    variant: str, names: list[str] | None, force: bool = False
+) -> None:
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from plan_audit import audit_plan
 
@@ -384,7 +405,7 @@ def cmd_run(variant: str, names: list[str] | None) -> None:
             print(f"unknown: {unknown}", file=sys.stderr)
             sys.exit(2)
         targets = {n: targets[n] for n in names}
-    done = _recorded()
+    done = set() if force else _recorded()
     spark = _spark(f"scale-run-{variant}")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(SMOKE, exist_ok=True)
@@ -418,7 +439,7 @@ def cmd_run(variant: str, names: list[str] | None) -> None:
 # ------------------------------------------------------------- report
 
 
-def cmd_report() -> None:
+def cmd_report(out_name: str = "SCALE_r7.json") -> None:
     rows: dict[tuple[str, str], dict] = {}
     with open(RESULTS) as fh:
         for line in fh:
@@ -445,6 +466,13 @@ def cmd_report() -> None:
             "at this corpus size; registry entry keeps sf0.1 dials for "
             "oracle stability",
             "embedding_keep_best": "same dials as hyperplane_near_pairs",
+            "dedup_simhash": "operator direct: max_bucket_size='auto' "
+            "(occupancy-relative cap, r8) — the dial a user sets at "
+            "this corpus size; registry entry keeps the fixed inert "
+            "cap for oracle stability",
+            "dedup_minhash_lsh": "operator direct: rows_per_band='auto' "
+            "(corpus-probe banding, r8) + max_bucket_size=2000; "
+            "registry entry keeps (32, 2) for oracle stability",
             "adamic_adar": "registry entry (no max_degree cap — the "
             "co-purchase graph's degrees are bounded by order size; "
             "tools/smoke_graph_powerlaw.py exercises the cap on a "
@@ -490,7 +518,7 @@ def cmd_report() -> None:
         ):
             ent["scan_count_drift"] = True
         out["queries"][q] = ent
-    path = os.path.join(REPO, "SCALE_r7.json")
+    path = os.path.join(REPO, out_name)
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(f"wrote {path} ({len(queries)} queries)")
@@ -501,15 +529,27 @@ def main() -> None:
     ap.add_argument("cmd", choices=["gen", "run", "report"])
     ap.add_argument("--variant", default="base", choices=list(SCALES))
     ap.add_argument("--names", default=None)
+    ap.add_argument(
+        "--force", action="store_true",
+        help="re-run even if (query, variant) is already recorded; the "
+        "new row appends and report's last-write-wins picks it up "
+        "(round-8+ re-measures after plan fixes)",
+    )
+    ap.add_argument(
+        "--out", default="SCALE_r7.json",
+        help="report artifact filename (repo-relative)",
+    )
     args = ap.parse_args()
     if args.cmd == "gen":
         cmd_gen(args.variant)
     elif args.cmd == "run":
         cmd_run(
-            args.variant, args.names.split(",") if args.names else None
+            args.variant,
+            args.names.split(",") if args.names else None,
+            force=args.force,
         )
     else:
-        cmd_report()
+        cmd_report(args.out)
 
 
 if __name__ == "__main__":

@@ -352,13 +352,116 @@ def lsh_candidate_pairs(
     )
 
 
+def auto_minhash_banding(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    recall_target: float = 0.99,
+    candidate_budget_per_doc: float = 20.0,
+    sample_rows: int = 50_000,
+    seed: int = 42,
+    max_hashes: int = 128,
+) -> tuple[int, int]:
+    """Derive ``(num_hashes, rows_per_band)`` from a cheap corpus probe
+    (VERDICT r7 #2 — the J^r·b false-positive law made the fixed
+    (32, 2) dial's candidate volume grow ~n² on shared-vocabulary
+    corpora: SCALE_r7 measured slope ~10 at 4× docs).
+
+    The banding S-curve P(candidate | J) = 1 − (1 − J^r)^b fixes b
+    once r and the recall contract are chosen: b_r =
+    ⌈ln(1−recall) / ln(1−threshold^r)⌉, so recall at J = threshold is
+    ≥ ``recall_target`` for EVERY feasible r — raising r never trades
+    away the pinned recall, it trades HASHES (H = r·b_r grows fast)
+    against background false positives (per-pair FP ≈ b·J_bg^r falls
+    geometrically). The probe measures, rather than guesses, the
+    corpus's background collision mass: signatures with H_max hashes
+    on a deterministic ~``sample_rows`` sample, every feasible
+    banding's buckets carved from the SAME signature table in one
+    explode + one groupBy, and Σ C(bucket, 2) scaled by (n/s)² — the
+    standard proportional-occupancy estimator — projects each r's
+    full-corpus candidate volume. Smallest r whose projection fits
+    ``candidate_budget_per_doc × n`` wins (hashes are linear map-side
+    cost; candidates are shuffle + verify-join cost); if none fits,
+    the largest feasible r is returned and the giant-bucket guard
+    (``max_bucket_size``) is the remaining defense.
+
+    Probe cost: one pass over ~50k docs (tokenize + H_max min-aggs)
+    plus one small groupBy — O(sample), independent of corpus size."""
+    import math
+
+    feasible: list[tuple[int, int]] = []   # (r, b)
+    for r in range(2, 9):
+        p = threshold ** r
+        if p >= 1.0:
+            continue
+        b = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p))
+        if r * b <= max_hashes:
+            feasible.append((r, b))
+    if not feasible:
+        return 32, 2
+    if len(feasible) == 1:
+        (r, b), = feasible
+        return r * b, r
+    h_max = max(r * b for r, b in feasible)
+    n = df.count()
+    if n <= sample_rows:
+        sample = df
+        s = n
+    else:
+        mod = max(1, n // sample_rows)
+        sample = df.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+        )
+        s = sample.count()
+    if s < 2:
+        r, b = feasible[0]
+        return r * b, r
+    sh = _shingle_table(sample, text_col, id_col, k)
+    sigs = minhash_signatures_from_shingles(sh, h_max, seed)
+    band_structs = []
+    for r, b in feasible:
+        for j in range(b):
+            band_structs.append(
+                F.struct(
+                    F.lit(r).alias("r"),
+                    F.lit(j).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"m{j * r + i}") for i in range(r)],
+                    ).alias("key"),
+                )
+            )
+    exploded = sigs.select(
+        F.explode(F.array(*band_structs)).alias("bk")
+    ).select("bk.r", "bk.band", "bk.key")
+    probe = {
+        row["r"]: row["pairs"]
+        for row in exploded.groupBy("r", "band", "key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2.0).alias("pairs")
+        )
+        .collect()
+    }
+    scale_sq = (n / float(s)) ** 2
+    budget = candidate_budget_per_doc * n
+    for r, b in feasible:           # ascending r = ascending hash cost
+        if probe.get(r, 0.0) * scale_sq <= budget:
+            return r * b, r
+    r, b = feasible[-1]
+    return r * b, r
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     k: int = 3,
     num_hashes: int = 32,
-    rows_per_band: int = 2,
+    rows_per_band: int | str = 2,
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket_size: int | None = None,
@@ -377,7 +480,19 @@ def minhash_dedup_pairs(
     pieces manually, and a near-homogeneous corpus NEEDS it: a collapsed
     band bucket of b docs emits b²/2 candidates (measured: a 1M-doc
     synthetic with a 19-word vocabulary filled the work disk with shuffle
-    spill before this passthrough existed)."""
+    spill before this passthrough existed).
+
+    ``rows_per_band="auto"`` derives BOTH (num_hashes, rows_per_band)
+    from :func:`auto_minhash_banding`'s corpus probe (the passed
+    ``num_hashes`` is ignored): the recall contract at ``threshold`` is
+    held fixed while r rises until the projected candidate volume fits
+    the budget — the scale dial VERDICT r7 #2 asked for (the fixed
+    (32, 2) banding's J^r·b false-positive law measured slope ~10 at
+    4× docs on a shared-vocabulary corpus)."""
+    if rows_per_band == "auto":
+        num_hashes, rows_per_band = auto_minhash_banding(
+            df, text_col, id_col, k=k, threshold=threshold, seed=seed
+        )
     sh = _shingle_table(df, text_col, id_col, k).persist()
     sigs = minhash_signatures_from_shingles(sh, num_hashes, seed)
     cands = lsh_candidate_pairs(sigs, num_hashes, rows_per_band,
@@ -427,15 +542,79 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | str | None = None,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
 
     Exact at scale: with 4 bands of 15 bits, Hamming ≤ 3 implies at least
     one band is identical (pigeonhole), so the banded join loses nothing
     versus the quadratic self-join while shuffling only bucket collisions.
+
+    Two scale defenses (VERDICT r7 #1 — SCALE_r7 measured skew_ratio
+    4.71 on a 20k-member near-identical cluster, the same C(n,2)
+    candidate class fixed for minhash and the multimodal Hamming join):
+
+    * **Exact-dup digest pre-collapse** (always on; semantics-exact):
+      docs with IDENTICAL signatures collide in EVERY band no matter
+      the banding, so the banded join is run over one representative
+      per DISTINCT signature; representative pairs expand back to
+      member pairs (same hamming for every member), and
+      signature-identical groups emit their hamming-0 pairs directly —
+      output-linear, with no ×n_bands amplification and no distinct
+      over the quadratic member-pair set.
+    * **Oversized-bucket guard** (``max_bucket_size``; off by default):
+      a band key shared by d DISTINCT signatures still emits C(d,2)
+      candidate rows — the near-identical (not identical) hot cluster
+      shape the pre-collapse cannot absorb. Band buckets above the cap
+      leave candidate generation via a broadcast anti-join of only the
+      oversized keys (the window-count form re-sorts the full band
+      table — measured +260 s at 2M docs in the minhash twin,
+      ``lsh_candidate_pairs``), and signature-identical groups above
+      the cap drop their intra pairs under the same contract: such
+      clusters are near-exact duplicates the linear fingerprint /
+      ``exact_duplicates`` pass already collapses. ``"auto"`` resolves
+      to ``max(256, 4·⌈n/2^15⌉)`` — four times the EXPECTED bucket
+      occupancy (n signatures over 2^15 possible 15-bit band keys):
+      organic background collisions sit at ~n/2^15 per bucket by
+      construction, so a bucket 4× above that is similarity-
+      concentrated, i.e. a hyper-dup cluster. A corpus-independent cap
+      cannot work here — measured on the 2M-doc SCALE skew corpus, the
+      planted 20k cluster spread its 8.4·10⁸ candidate pairs over
+      buckets of 200-2000 while the organic average was 61, so the
+      fixed cap of 2000 removed only 4% of the mass; occupancy-
+      relative capping removes the concentrated tail and restores the
+      base-corpus candidate volume. ``None`` keeps the pigeonhole
+      guarantee exact for oracle runs.
+
+    At n ≫ 2^15·cap the 60-bit/4-band scheme itself saturates (organic
+    candidate volume grows as n²/2^15 regardless of capping) — a
+    property of the sketch width, not of the plan; corpora past ~10⁷
+    docs should shard by a coarse partition key or widen the sketch.
     """
-    sigs = simhash_signatures(df, text_col, id_col)
+    # the signature frame feeds three subplans (rep collapse + both
+    # expansion sides) and reps feeds three more (band table, bucket
+    # guard, self-row emission) — persist BOTH so the tokenize + 60-vote
+    # agg and the collapse shuffle each run once (minhash's
+    # shingle-table pattern; left cached, Spark evicts LRU). Measured:
+    # without these pins ReusedExchange did NOT cover the repeats and
+    # the composed mid-scale run re-executed the signature agg ~4x
+    # (71 s vs 26 s stepwise).
+    sigs = simhash_signatures(df, text_col, id_col).persist()
+    if max_bucket_size == "auto":
+        import math
+
+        n = df.count()
+        max_bucket_size = max(
+            256, 4 * math.ceil(n / float(1 << (SIMHASH_BITS // 4)))
+        )
+    # one representative (min doc_id) per distinct signature
+    reps = sigs.groupBy("simhash").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("__gsz")
+    ).persist()
     n_bands = 4
     width = SIMHASH_BITS // n_bands
     mask = (1 << width) - 1
@@ -448,12 +627,22 @@ def simhash_near_pairs(
             for j in range(n_bands)
         ]
     )
-    bands = sigs.select("doc_id", "simhash", F.explode(band_rows).alias("bk")).select(
-        "doc_id", "simhash", "bk.band", "bk.key"
-    )
+    bands = reps.select(
+        "doc_id", "simhash", F.explode(band_rows).alias("bk")
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        big = (
+            bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .where(F.col("__bsz") > max_bucket_size)
+            .select("band", "key")
+        )
+        bands = bands.join(F.broadcast(big), ["band", "key"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    # distinct signature pairs, hamming-filtered BEFORE expansion so
+    # only true near-pairs ride the member joins
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -461,12 +650,42 @@ def simhash_near_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
+            F.col("a.simhash").alias("__s1"),
+            F.col("b.simhash").alias("__s2"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+    # signature-identical groups ride the SAME expansion join as cross
+    # pairs: a (s, s, 0) self-row per multi-member group expands to the
+    # group's C(k, 2) hamming-0 pairs under the (__d1 < __d2) filter,
+    # so no separate intra self-join stage is needed. Groups above the
+    # cap drop their self-row (the guard contract); cross pairs keep
+    # full-group expansion (output-linear).
+    self_rows = reps.where(F.col("__gsz") >= 2)
+    if max_bucket_size is not None:
+        self_rows = self_rows.where(F.col("__gsz") <= max_bucket_size)
+    aug = sig_pairs.unionByName(
+        self_rows.select(
+            F.col("simhash").alias("__s1"),
+            F.col("simhash").alias("__s2"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    m1 = sigs.select(F.col("simhash").alias("__s1"), F.col("doc_id").alias("__d1"))
+    m2 = sigs.select(F.col("simhash").alias("__s2"), F.col("doc_id").alias("__d2"))
+    return (
+        aug.join(m1, "__s1")
+        .join(m2, "__s2")
+        # disjoint groups: every (m1, m2) combo appears once, normalize
+        # order; same group (self-row): keep the strict lower triangle
+        .where((F.col("__s1") != F.col("__s2")) | (F.col("__d1") < F.col("__d2")))
+        .select(
+            F.least("__d1", "__d2").alias("id1"),
+            F.greatest("__d1", "__d2").alias("id2"),
+            "hamming",
+        )
     )
 
 
