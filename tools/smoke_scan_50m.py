@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Reference-surface CSV scan smoke at 50M rows x 100 columns
+(VERDICT r7 #6): run the ACTUAL ``cli.py`` pipeline — folder discovery
+(S1) -> all-string delimited scan (S3) -> numeric/date inference
+(T1/T2) -> counts/numeric/date stats (A/N/D) -> value frequencies (F1)
+-> TSV sink (K2) — on a single ~13 GB tab-delimited file, and PIN the
+scan-count contract: the inference gate must cost exactly ONE extra
+pass (the row sample), so total input bytes across all stages stay
+~2x the file size (sample pass reads a bounded prefix; the full
+stats/freq pass reads everything once — the wide agg is chunked, NOT
+one-scan-per-column like the reference's R loop, W:309-423).
+
+Column mix (100): 40 numeric (ints, doubles, a hex block), 20 ISO-ish
+dates across the supported separators, 30 low-cardinality strings
+(frequency rows with count >= min_cell_count), 10 mostly-empty.
+
+Usage:
+  python tools/smoke_scan_50m.py gen    # write the TSV (once, ~13 GB)
+  python tools/smoke_scan_50m.py run    # cli scan + scan-count pin
+Results append to PLANS.md by hand; the script prints a JSON line.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SMOKE = os.path.join(REPO, ".smoke", "scan50m")
+IN_DIR = os.path.join(SMOKE, "in")
+OUT_DIR = os.path.join(SMOKE, "out")
+TSV = os.path.join(IN_DIR, "wide50m.tsv")
+N_ROWS = 50_000_000
+
+
+def header() -> str:
+    cols = (
+        [f"num{i:02d}" for i in range(30)]
+        + [f"dbl{i:02d}" for i in range(5)]
+        + [f"hex{i:02d}" for i in range(5)]
+        + [f"dt{i:02d}" for i in range(20)]
+        + [f"cat{i:02d}" for i in range(30)]
+        + [f"emp{i:02d}" for i in range(10)]
+    )
+    assert len(cols) == 100
+    return "\t".join(cols)
+
+
+def cmd_gen() -> None:
+    from pyspark.sql import functions as F
+
+    from whiterrabbit_spark.session import get_spark
+
+    os.makedirs(IN_DIR, exist_ok=True)
+    spark = get_spark(app_name="scan50m-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    i = F.col("id")
+
+    def h(j: int):
+        return F.pmod(F.xxhash64(i, F.lit(j)), 1_000_000)
+
+    cols = []
+    for j in range(30):                      # ints
+        cols.append(h(j).cast("string"))
+    for j in range(30, 35):                  # doubles
+        cols.append(F.concat(h(j).cast("string"), F.lit("."),
+                             F.pmod(h(j + 100), 100).cast("string")))
+    for j in range(35, 40):                  # hex ints (T1 hex parity)
+        cols.append(F.concat(F.lit("0x"), F.hex(F.pmod(h(j), 65536))))
+    for j in range(40, 60):                  # dates, mixed separators
+        day = F.date_add(F.lit("2019-01-01"), F.pmod(h(j), 1500).cast("int"))
+        sep = ("-", "/", ".")[j % 3]
+        s = F.date_format(day, f"yyyy{sep}MM{sep}dd")
+        cols.append(s)
+    for j in range(60, 90):                  # low-cardinality strings
+        cols.append(F.concat(F.lit(f"v{j}_"), F.pmod(h(j), 50).cast("string")))
+    for j in range(90, 100):                 # 99% empty
+        cols.append(
+            F.when(F.pmod(h(j), 100) == 0, F.lit("rare")).otherwise(F.lit(""))
+        )
+    line = F.concat_ws("\t", *cols)
+    parts_dir = os.path.join(SMOKE, "_parts")
+    t0 = time.time()
+    (
+        spark.range(N_ROWS, numPartitions=64)
+        .select(line.alias("value"))
+        .write.mode("overwrite")
+        .text(parts_dir)
+    )
+    print(f"parts written in {time.time() - t0:.0f}s", flush=True)
+    t0 = time.time()
+    with open(TSV, "wb") as out:
+        out.write((header() + "\n").encode())
+        for p in sorted(glob.glob(os.path.join(parts_dir, "part-*"))):
+            with open(p, "rb") as fh:
+                shutil.copyfileobj(fh, out, 1 << 24)
+    shutil.rmtree(parts_dir)
+    print(
+        f"cat -> {TSV} ({os.path.getsize(TSV) / 1e9:.1f} GB) "
+        f"in {time.time() - t0:.0f}s",
+        flush=True,
+    )
+    spark.stop()
+
+
+def _stage_input_bytes() -> int:
+    """Sum inputBytes over all completed stages via the status REST API —
+    the scan-count pin: total input ~= (passes over the file) x size.
+    Reads the UI port from the LIVE session (cli.main leaves it up)."""
+    import urllib.request
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    ui = spark.sparkContext.uiWebUrl  # e.g. http://host:4040
+    base = f"{ui}/api/v1/applications"
+    apps = json.load(urllib.request.urlopen(base, timeout=10))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{base}/{app_id}/stages?status=complete",
+                               timeout=30)
+    )
+    return sum(s.get("inputBytes", 0) for s in stages)
+
+
+def cmd_run() -> None:
+    from whiterrabbit_spark import cli
+
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    size = os.path.getsize(TSV)
+    t0 = time.time()
+    rc = cli.main([
+        "-w", IN_DIR, "-o", OUT_DIR, "-f", "tsv", "-p", "Scan50m",
+        "-m", "-1",
+    ])
+    wall = time.time() - t0
+    read = _stage_input_bytes()
+    rec = {
+        "smoke": "scan50m",
+        "rows": N_ROWS,
+        "cols": 100,
+        "file_gb": round(size / 1e9, 2),
+        "rc": rc,
+        "wall_sec": round(wall, 1),
+        "input_bytes_over_file": round(read / size, 2),
+        "outputs": sorted(os.listdir(OUT_DIR))[:5],
+    }
+    # the pin: sample pass + ONE full pass (+ slack for the bounded
+    # sample read and speculative splits). >3x would mean a per-family
+    # or per-column re-scan crept in.
+    rec["scan_count_ok"] = bool(read / size < 3.0)
+    print(json.dumps(rec), flush=True)
+
+
+def main() -> None:
+    if len(sys.argv) != 2 or sys.argv[1] not in ("gen", "run"):
+        print(__doc__)
+        sys.exit(2)
+    if sys.argv[1] == "gen":
+        cmd_gen()
+    else:
+        cmd_run()
+
+
+if __name__ == "__main__":
+    main()

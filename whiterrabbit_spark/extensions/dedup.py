@@ -495,8 +495,67 @@ def minhash_dedup_pairs(
         )
     sh = _shingle_table(df, text_col, id_col, k).persist()
     sigs = minhash_signatures_from_shingles(sh, num_hashes, seed)
+    # candidates persist + count: the count both materializes the frame
+    # the verify will re-read from cache (so it costs ~nothing extra)
+    # and is the honest input to the verify plan switch below.
     cands = lsh_candidate_pairs(sigs, num_hashes, rows_per_band,
-                                max_bucket_size=max_bucket_size)
+                                max_bucket_size=max_bucket_size).persist()
+    n_cands = cands.count()
+    stats = sh.agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.avg(F.length("shingle")).alias("avg_len"),
+    ).collect()[0]
+    avg_set_bytes = (
+        (stats["n_sh"] / max(stats["n_docs"], 1))
+        * (float(stats["avg_len"] or 0.0) + 20.0)
+    )
+    # ADAPTIVE exact-Jaccard verify (r8 — SCALE measured the explode
+    # form at 206 s of a 282 s base run, 73% of the operator):
+    # * ARRAY-INTERSECT (payload fits): each doc's distinct-shingle
+    #   array rides two narrow joins onto the candidate pairs and the
+    #   intersection is one map-side hash intersect per pair — no
+    #   exploded candidates x shingles SMJ, no candidate-pair-count
+    #   groupBy. Set sizes come free from the same arrays.
+    # * INVERTED-INDEX explode join (above the byte gate): when a
+    #   hyper-dup corpus makes candidates dwarf the corpus, shipping a
+    #   KB-scale array per candidate is the LSH fetch-join anti-pattern
+    #   (~260 GB class); the narrow exploded join is the scale shape.
+    if n_cands * 2 * avg_set_bytes <= scale.MINHASH_VERIFY_FETCH_MAX_BYTES:
+        sets_ = sh.groupBy("doc_id").agg(
+            F.collect_list("shingle").alias("__ss"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        out = (
+            cands.join(
+                sets_.select(
+                    F.col("doc_id").alias("id1"),
+                    F.col("__ss").alias("__ss1"),
+                    F.col("__n").alias("n1"),
+                ),
+                "id1",
+            )
+            .join(
+                sets_.select(
+                    F.col("doc_id").alias("id2"),
+                    F.col("__ss").alias("__ss2"),
+                    F.col("__n").alias("n2"),
+                ),
+                "id2",
+            )
+            .withColumn(
+                "inter", F.size(F.array_intersect("__ss1", "__ss2"))
+            )
+        )
+        return (
+            out.withColumn(
+                "jaccard",
+                F.col("inter")
+                / (F.col("n1") + F.col("n2") - F.col("inter")),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard")
+        )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("id1"), "shingle")
     b = sh.select(F.col("doc_id").alias("id2"), "shingle")
@@ -654,8 +713,14 @@ def simhash_near_pairs(
             F.col("b.simhash").alias("__s2"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # hamming filter BEFORE the distinct: the filter is a map-side
+        # bit_count on the joined row, the distinct is a shuffle — at
+        # the 2M-doc skew corpus the surviving candidate volume is
+        # ~2.5·10⁸ sig pairs, so filtering first keeps the dedup
+        # shuffle at true-pair size (~10⁴) instead of candidate size.
+        # (hamming is a function of the pair, so the sets are equal.)
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     # signature-identical groups ride the SAME expansion join as cross
     # pairs: a (s, s, 0) self-row per multi-member group expands to the

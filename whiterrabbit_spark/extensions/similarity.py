@@ -418,11 +418,18 @@ def hyperplane_near_pairs(
     #   The gate is ESTIMATED BYTES (n x dim x 8), not rows:
     #   the broadcast cost scales with dim, and a row gate forced
     #   ~600 MB broadcasts for 50k x 1536-dim vectors (ADVICE r7).
+    # the bucket table feeds BOTH self-join sides plus the guard's size
+    # count — three subplans with DIFFERENT downstream projections, so
+    # no ReusedExchange covers them and the Arrow bucket-assignment UDF
+    # (the n x n_tables x n_planes sign pass) re-runs per consumer
+    # without a persist. Measured (SCALE r8): embedding_keep_best at 1M
+    # x 64d spent ~2x the standalone near-pair cost for this reason
+    # (VERDICT r7 #7); persisting the assignment is the fix for both.
     if n * dim * 8 <= LSH_FETCH_JOIN_MAX_BYTES:
         buckets = hyperplane_buckets_pandas(
             df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
             include_vec=False,
-        )
+        ).persist()
         if max_bucket_size is not None:
             buckets = _drop_oversized(buckets, max_bucket_size)
         cand = (
@@ -460,7 +467,7 @@ def hyperplane_near_pairs(
     buckets = hyperplane_buckets_pandas(
         df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
         include_vec=True,
-    )
+    ).persist()
     if max_bucket_size is not None:
         buckets = _drop_oversized(buckets, max_bucket_size)
     a = buckets.select(

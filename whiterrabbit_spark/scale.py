@@ -89,3 +89,18 @@ QUANTIZER_TRAIN_PER_LIST: int = 2_048
 # rows while high-dim corpora flip to in-bucket far earlier.
 # Consumers: similarity.hyperplane_near_pairs.
 LSH_FETCH_JOIN_MAX_BYTES: int = 50_000 * 64 * 8
+
+# MinHash verify plan switch (r8): at or below this ESTIMATED aggregate
+# array payload (candidates x 2 sides x avg shingle-set bytes) the
+# exact-Jaccard verify attaches each doc's distinct-shingle ARRAY to
+# the candidate pair and intersects map-side (two narrow joins, no
+# giant exploded SMJ); above it, the inverted-index explode join runs
+# instead (candidates x shingles rows, narrow but massive — the only
+# shape that survives hyper-dup corpora whose candidate count dwarfs
+# the corpus, the ~260 GB fetch-join lesson). Measured at 2M docs /
+# 9.3M candidates (SCALE r8 base corpus): explode verify 206 s; the
+# array form shuffles ~17 GB of set payload instead of a ~450M-row
+# exploded SMJ + a 9.3M-group count agg. The gate is aggregate shuffle
+# volume (spills gracefully), not a single-executor allocation.
+# Consumers: dedup.minhash_dedup_pairs.
+MINHASH_VERIFY_FETCH_MAX_BYTES: int = 64 * (1 << 30)
