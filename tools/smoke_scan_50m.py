@@ -101,6 +101,9 @@ def cmd_gen() -> None:
         for p in sorted(glob.glob(os.path.join(parts_dir, "part-*"))):
             with open(p, "rb") as fh:
                 shutil.copyfileobj(fh, out, 1 << 24)
+            os.unlink(p)  # delete-as-we-go: the ~35 GB of parts plus
+            # the growing single file would otherwise need 2x the
+            # corpus in free disk
     shutil.rmtree(parts_dir)
     print(
         f"cat -> {TSV} ({os.path.getsize(TSV) / 1e9:.1f} GB) "
