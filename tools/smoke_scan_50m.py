@@ -15,9 +15,15 @@ dates across the supported separators, 30 low-cardinality strings
 (frequency rows with count >= min_cell_count), 10 mostly-empty.
 
 Usage:
-  python tools/smoke_scan_50m.py gen    # write the TSV (once, ~13 GB)
+  python tools/smoke_scan_50m.py gen    # write the TSV (once, ~36 GB)
   python tools/smoke_scan_50m.py run    # cli scan + scan-count pin
 Results append to PLANS.md by hand; the script prints a JSON line.
+
+The run step sets SPARK_DRIVER_MEMORY=56g and SPARK_GRAFT_UI=1 before
+the session starts: a 36 GB full-scan profile needs a real heap (the
+local-mode driver IS the executor; a cluster deployment sizes executor
+memory in spark-submit), and the scan-count pin reads per-stage
+inputBytes from the status REST API, which needs the UI server.
 """
 
 from __future__ import annotations
@@ -134,6 +140,9 @@ def _stage_input_bytes() -> int:
 
 
 def cmd_run() -> None:
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "56g")
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")
+
     from whiterrabbit_spark import cli
 
     shutil.rmtree(OUT_DIR, ignore_errors=True)
@@ -156,10 +165,16 @@ def cmd_run() -> None:
         "input_bytes_over_file": round(read / size, 2),
         "outputs": sorted(os.listdir(OUT_DIR))[:5],
     }
-    # the pin: sample pass + ONE full pass (+ slack for the bounded
-    # sample read and speculative splits). >3x would mean a per-family
-    # or per-column re-scan crept in.
-    rec["scan_count_ok"] = bool(read / size < 3.0)
+    # The pin: this pipeline's full-file read floor is THREE passes —
+    # the parse-free line count (reference N_rows quirk), the ONE
+    # inference melt (the "sample + full = 2 scans" inference gate),
+    # and the profile pass that also materializes the typed cache
+    # (frequencies then read the cache, zero raw input) — plus the
+    # bounded inference sample. >3.6x means a per-chunk or per-column
+    # re-scan crept back in (the r8 first run measured 6.34x: the
+    # chunked inference Phase B cost 3 full scans and the
+    # thread-parallel profile chunks raced the unmaterialized persist).
+    rec["scan_count_ok"] = bool(read / size < 3.6)
     print(json.dumps(rec), flush=True)
 
 

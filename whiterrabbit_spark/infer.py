@@ -298,87 +298,58 @@ def infer_types(df: DataFrame, cfg: ScanConfig | None = None) -> InferenceResult
     if not num_candidates and not date_candidates:
         return InferenceResult(decisions)
 
-    # Phase B: full-column pass for all surviving candidates — date
-    # candidates chunk small (codegen limits, see _GATE_COLS_PER_JOB),
-    # numeric-only candidates chunk wide; chunks run thread-parallel.
+    # Phase B: full-column pass for all surviving candidates as ONE
+    # melted job — the r8 50M×100-col CSV smoke caught the old chunked
+    # form (≤16 date candidates per job for codegen limits, chunks
+    # thread-parallel) issuing ceil(candidates/chunk) FULL file scans:
+    # a row-oriented source re-reads every byte per job no matter how
+    # few columns the job projects, so inference cost 3 extra 36 GB
+    # passes and the "sample + one full pass" scan contract read 6.3×
+    # the file. The melt (posexplode of only the candidate columns,
+    # partial-aggregated on __pos map-side) is O(1)-in-width, scans the
+    # file ONCE, and pays the 24-pattern date parse only on
+    # date-candidate positions (codegen And short-circuits, so the
+    # __pos guard skips the parse for numeric-only positions).
     full: dict[str, dict] = {}
     date_probe = sorted(date_candidates)
     num_only = sorted(set(num_candidates) - set(date_candidates))
-
-    if len(date_probe) + len(num_only) > cfg.wide_infer_cols:
-        # Extreme-width path (see _sample_gate): two melt jobs, O(1)-in-width
-        # plans. The date melt pays the 24-pattern parse only for date
-        # candidates; the numeric cast is cheap enough to compute in both.
-        v = F.col("__val")
-        num_exprs = [
+    cand = date_probe + num_only
+    n_date = len(date_probe)
+    v = F.col("__val")
+    pos = F.col("__pos")
+    for r in (
+        _posmelt(df, cand)
+        .groupBy("__pos")
+        .agg(
             F.count(F.lit(1)).alias("total"),
             F.count(F.when(nonempty(v), 1)).alias("ne"),
             F.count(
                 F.when(nonempty(v) & numeric_cast_expr(v).isNull(), 1)
             ).alias("num_fail"),
-        ]
-        if date_probe:
-            for r in (
-                _posmelt(df, date_probe)
-                .groupBy("__pos")
-                .agg(
-                    *num_exprs,
-                    F.count(F.when(date_parse_expr(v).isNotNull(), 1)).alias(
-                        "date_ok"
-                    ),
+            F.count(
+                F.when(
+                    (pos < n_date) & date_parse_expr(v).isNotNull(), 1
                 )
-                .collect()
-            ):
-                d = r.asDict()
-                full[date_probe[d.pop("__pos")]] = d
-        if num_only:
-            for r in _posmelt(df, num_only).groupBy("__pos").agg(*num_exprs).collect():
-                d = r.asDict()
-                d["date_ok"] = None
-                full[num_only[d.pop("__pos")]] = d
-        # an all-empty table melts to zero rows → no entry; mirror the
-        # chunked path's {"total": 0} so the decision loop skips it
-        for c in date_probe + num_only:
-            full.setdefault(c, {"total": 0, "num_fail": None, "ne": None, "date_ok": None})
-        return _decide(string_cols, decisions, full, num_candidates, date_candidates, thr)
-
-    chunks = _chunk(date_probe, _GATE_COLS_PER_JOB) + _chunk(
-        num_only, max(cfg.max_agg_exprs_per_job // 3, 1)
-    )
-
-    def full_chunk(chunk: list[str]) -> dict[str, dict]:
-        exprs = [F.count(F.lit(1)).alias("__total")]
-        for c in chunk:
-            col = F.col(c)
-            if c in num_candidates:
-                exprs.append(
-                    F.count(
-                        F.when(nonempty(col) & numeric_cast_expr(col).isNull(), 1)
-                    ).alias(f"{c}__num_fail")
-                )
-                exprs.append(F.count(F.when(nonempty(col), 1)).alias(f"{c}__ne"))
-            if c in date_candidates:
-                exprs.append(
-                    F.count(F.when(date_parse_expr(col).isNotNull(), 1)).alias(
-                        f"{c}__date_ok"
-                    )
-                )
-        row = df.select(chunk).agg(*exprs).collect()[0].asDict()
-        total = row["__total"]
-        return {
-            c: {
-                "total": total,
-                "num_fail": row.get(f"{c}__num_fail"),
-                "ne": row.get(f"{c}__ne"),
-                "date_ok": row.get(f"{c}__date_ok"),
-            }
-            for c in chunk
-        }
-
-    with ThreadPoolExecutor(max_workers=min(len(chunks), 8) or 1) as pool:
-        for d in pool.map(full_chunk, chunks):
-            full.update(d)
-
+            ).alias("date_ok"),
+        )
+        .collect()
+    ):
+        d = r.asDict()
+        c = cand[d.pop("__pos")]
+        # candidacy masks preserve the pre-r8 per-chunk shape exactly:
+        # counts a column's candidacy never asked for stay None
+        if c not in num_candidates:
+            d["ne"] = None
+            d["num_fail"] = None
+        if c not in date_candidates:
+            d["date_ok"] = None
+        full[c] = d
+    # an all-empty table melts to zero rows → no entry; keep the
+    # {"total": 0} sentinel so the decision loop skips it
+    for c in cand:
+        full.setdefault(
+            c, {"total": 0, "num_fail": None, "ne": None, "date_ok": None}
+        )
     return _decide(string_cols, decisions, full, num_candidates, date_candidates, thr)
 
 

@@ -138,8 +138,13 @@ def scan_file(
         # parse projection would re-evaluate in every downstream job
         # (profile job sets + frequency); pay it once. memory-and-disk,
         # spills; the sampled path (the 100 TB default) caches its ≤
-        # max_rows frame above instead.
+        # max_rows frame above instead. MATERIALIZE eagerly: the profile
+        # submits its chunk jobs thread-parallel, and concurrent jobs
+        # over a lazy persist RACE — each computed (re-read + re-parsed)
+        # the raw file before any cache block existed (the r8 50M smoke
+        # measured 2 extra full-file passes from exactly this).
         typed = typed.persist()
+        typed.count()
 
     summary_all, raw = profile_table(
         typed, cfg, table_name=os.path.basename(path), row_hint=n_rows_checked

@@ -55,7 +55,13 @@ def get_spark(
         # File WRITES are unaffected (always the v1 writer path).
         .config("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (port churn + memory in test runs); the 50M
+        # scan smoke flips it on via env to read per-stage inputBytes
+        # from the status REST API (its scan-count pin).
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # ANSI off: the engine's inference casts rely on NULL-on-failure
         # semantics (we still use try_* functions everywhere it matters).
