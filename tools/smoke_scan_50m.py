@@ -165,16 +165,19 @@ def cmd_run() -> None:
         "input_bytes_over_file": round(read / size, 2),
         "outputs": sorted(os.listdir(OUT_DIR))[:5],
     }
-    # The pin: this pipeline's full-file read floor is THREE passes —
-    # the parse-free line count (reference N_rows quirk), the ONE
-    # inference melt (the "sample + full = 2 scans" inference gate),
-    # and the profile pass that also materializes the typed cache
-    # (frequencies then read the cache, zero raw input) — plus the
-    # bounded inference sample. >3.6x means a per-chunk or per-column
-    # re-scan crept back in (the r8 first run measured 6.34x: the
-    # chunked inference Phase B cost 3 full scans and the
-    # thread-parallel profile chunks raced the unmaterialized persist).
-    rec["scan_count_ok"] = bool(read / size < 3.6)
+    # The pin: stage inputBytes counts BOTH raw-file reads and
+    # cache-served (block manager) reads, so the healthy profile is
+    # ~5x: THREE raw parses — the parse-free line count (reference
+    # N_rows quirk), the ONE inference melt (the "sample + full = 2
+    # scans" inference gate), and the profile-cache materialization —
+    # plus ~2 cache-served passes (profile chunk jobs + frequencies
+    # reading the typed cache instead of re-parsing) and the bounded
+    # inference sample. Measured 4.99x after the r8 fixes; the first
+    # run measured 6.34x because the chunked inference Phase B cost 3
+    # raw scans and the thread-parallel profile chunks raced the
+    # unmaterialized persist (2 more raw parses). >5.6x means a raw
+    # re-scan crept back in.
+    rec["scan_count_ok"] = bool(read / size < 5.6)
     print(json.dumps(rec), flush=True)
 
 
