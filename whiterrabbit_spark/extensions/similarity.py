@@ -364,6 +364,7 @@ def hyperplane_near_pairs(
     seed: int = 42,
     max_bucket_size: int | None = None,
     auto_bucket_target: int = 500,
+    persist_buckets: bool = False,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidate pairs are ids sharing a
     random-hyperplane bucket in ANY of the L tables (one narrow shuffle on
@@ -418,18 +419,24 @@ def hyperplane_near_pairs(
     #   The gate is ESTIMATED BYTES (n x dim x 8), not rows:
     #   the broadcast cost scales with dim, and a row gate forced
     #   ~600 MB broadcasts for 50k x 1536-dim vectors (ADVICE r7).
-    # the bucket table feeds BOTH self-join sides plus the guard's size
-    # count — three subplans with DIFFERENT downstream projections, so
-    # no ReusedExchange covers them and the Arrow bucket-assignment UDF
-    # (the n x n_tables x n_planes sign pass) re-runs per consumer
-    # without a persist. Measured (SCALE r8): embedding_keep_best at 1M
-    # x 64d spent ~2x the standalone near-pair cost for this reason
-    # (VERDICT r7 #7); persisting the assignment is the fix for both.
+    # ``persist_buckets``: the bucket table feeds both self-join sides
+    # plus the guard's size count — three subplans with DIFFERENT
+    # downstream projections, so no ReusedExchange covers them and the
+    # Arrow bucket-assignment UDF re-runs per consumer. Whether to pin
+    # it is a measured TRADE (SCALE r8, 1M x 64d): standalone, the UDF
+    # recompute is cheap and pipelines with each exchange — persisting
+    # the ~4 GB vector-carrying table cost +64% (296 -> 488 s); inside
+    # ``embedding_keep_best``, whose checkpoint boundary re-executed
+    # the whole pairs plan, pinning it cut the composed op 576 -> 318 s
+    # (VERDICT r7 #7). Default False (standalone callers); composed
+    # consumers that re-execute the plan pass True.
     if n * dim * 8 <= LSH_FETCH_JOIN_MAX_BYTES:
         buckets = hyperplane_buckets_pandas(
             df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
             include_vec=False,
-        ).persist()
+        )
+        if persist_buckets:
+            buckets = buckets.persist()
         if max_bucket_size is not None:
             buckets = _drop_oversized(buckets, max_bucket_size)
         cand = (
@@ -467,7 +474,9 @@ def hyperplane_near_pairs(
     buckets = hyperplane_buckets_pandas(
         df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
         include_vec=True,
-    ).persist()
+    )
+    if persist_buckets:
+        buckets = buckets.persist()
     if max_bucket_size is not None:
         buckets = _drop_oversized(buckets, max_bucket_size)
     a = buckets.select(
@@ -544,6 +553,11 @@ def embedding_keep_best(
         df, threshold, dim, vec_col, id_col, n_planes, n_tables, seed,
         max_bucket_size=max_bucket_size,
         auto_bucket_target=auto_bucket_target,
+        # the pairs plan re-executes across this op's checkpoint
+        # boundary — pinning the bucket assignment cut 576 -> 318 s at
+        # 1M vectors (SCALE r8); standalone near-pair calls keep the
+        # cheaper pipelined recompute (persist cost +64% there)
+        persist_buckets=True,
     )
     scored = df.select(
         F.col(id_col), _norm(_to_double(F.col(vec_col))).alias("score")
