@@ -75,7 +75,7 @@ def degree_stats(edges: DataFrame, top_k: int = 10) -> DataFrame:
         F.count(F.lit(1)).alias("degree")
     ).persist()
     total = deg.agg(F.sum("degree").alias("__t"))
-    return (
+    out = (
         deg.join(F.broadcast(total))
         .select(
             "node",
@@ -85,6 +85,13 @@ def degree_stats(edges: DataFrame, top_k: int = 10) -> DataFrame:
         .orderBy(F.col("degree").desc(), "node")
         .limit(top_k)
     )
+    try:
+        # top_k rows: materialize + unpersist (no storage accumulation,
+        # no cross-call cache serving through the CacheManager)
+        rows = out.collect()
+        return edges.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        deg.unpersist()
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -108,7 +115,26 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Returns one row ``(n_nodes, n_edges, n_triangles)``.
     """
-    e = edges.select("src", "dst").distinct().persist()
+    # Canonicalize BEFORE the (single) distinct: least/greatest folds a
+    # symmetrized input (both (u,v) and (v,u) present — the standard
+    # undirected representation, ADVICE r7) onto one row, so the same
+    # shuffle that dedupes duplicate rows also dedupes mirrored ones
+    # and the post-orientation distinct the r8 advice fix added (a
+    # second full-edge-list exchange+agg, measured 1.3 s -> 4.2 s on
+    # the sf0.1 bench) is unnecessary: distinct canonical edges orient
+    # injectively. Degrees halve vs counting both mirror rows, which
+    # preserves the (deg, id) orientation order AND its ties exactly.
+    # null endpoints form no edge (least/greatest would otherwise fold
+    # (null, x) into a spurious (x, x) self-loop)
+    e = (
+        edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
     deg = (
         e.select(F.col("src").alias("n"))
         .unionAll(e.select(F.col("dst").alias("n")))
@@ -132,12 +158,6 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             .alias("o")
         )
         .select("o.a", "o.b")
-        # a symmetrized input (both (u,v) and (v,u) present — the
-        # standard undirected representation) survives e.distinct();
-        # both rows orient to the SAME (a, b), so dedupe AFTER
-        # orientation or every oriented edge doubles and triangles
-        # overcount up to 8x (ADVICE r7). Cheap next to the two-hop.
-        .distinct()
         .persist()
     )
     ab = oriented.select("a", "b")
@@ -250,11 +270,23 @@ def pagerank(
                     break
             else:
                 ranks = ranks.localCheckpoint(eager=False)
-    return (
+    out = (
         ranks.select("node", "rank")
         .orderBy(F.col("rank").desc(), "node")
         .limit(top_k)
     )
+    try:
+        # top_k rows: materialize before unpersist so the returned frame
+        # doesn't recompute the iterations after the caches drop, and so
+        # repeated calls don't accumulate executor storage — and so a
+        # later identical plan can't be served from this call's leaked
+        # cache (the CacheManager matches logical plans across jobs,
+        # which silently turned repeat benchmarks into cache reads)
+        rows = out.collect()
+        return edges.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        nodes.unpersist()
+        both.unpersist()
 
 
 def adamic_adar(
@@ -306,8 +338,16 @@ def adamic_adar(
             F.sum(1.0 / F.log(F.col("deg").cast("double"))), 6
         ).alias("aa_score"),
     )
-    return (
+    out = (
         scored.join(e, ["src", "dst"], "left_anti")
         .orderBy(F.col("aa_score").desc(), "src", "dst")
         .limit(top_k)
     )
+    try:
+        # top_k rows: materialize + unpersist, same contract as
+        # triangle_count/pagerank (no storage accumulation, no
+        # cross-call cache serving through the CacheManager)
+        rows = out.collect()
+        return edges.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        e.unpersist()
