@@ -3550,6 +3550,41 @@ def test_graph_primitives_known_values(spark):
     assert min(pe[1], pe[3]) > max(pe[2], pe[4])
 
 
+def test_pagerank_edges_distinct_and_broadcast_paths_identical(spark):
+    """r8 perf params change the plan, never the numbers: on a
+    distinct-edge graph, edges_distinct=True (skips the symmetrized
+    dedup shuffle) and broadcast_nodes_max=0 (forces the non-broadcast
+    iteration joins) both reproduce the default path's ranks exactly
+    (same recurrence, rounded comparison absorbs summation-order ulps)."""
+    from whiterrabbit_spark.extensions.graph import (cooccurrence_edges,
+                                                     pagerank)
+
+    rows = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 3), (11, 4),
+            (12, 2), (12, 3), (13, 1), (13, 4), (14, 5), (14, 1)]
+    df = spark.createDataFrame(rows, "g long, i long")
+    edges = cooccurrence_edges(df, "g", "i")
+
+    def ranks(**kw):
+        return {
+            r["node"]: round(r["rank"], 9)
+            for r in pagerank(
+                edges, n_iter=10, top_k=10, checkpoint_every=2,
+                tol=1e-3, **kw
+            ).collect()
+        }
+
+    base = ranks()
+    assert ranks(edges_distinct=True) == base
+    assert ranks(edges_distinct=True, broadcast_nodes_max=0) == base
+    # a duplicated-row edge list still dedups on the DEFAULT path
+    dup = edges.unionAll(edges)
+    d = {r["node"]: round(r["rank"], 9)
+         for r in pagerank(dup, n_iter=10, top_k=10).collect()}
+    b10 = {r["node"]: round(r["rank"], 9)
+           for r in pagerank(edges, n_iter=10, top_k=10).collect()}
+    assert d == b10
+
+
 def test_zipf_fit_distinguishes_natural_from_uniform(spark):
     """A Zipf-distributed corpus fits slope ~= -1 with high r2; a
     uniform vocabulary fits slope ~= 0."""

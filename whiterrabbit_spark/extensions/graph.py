@@ -194,6 +194,8 @@ def pagerank(
     top_k: int = 20,
     checkpoint_every: int = 4,
     tol: float = 0.0,
+    edges_distinct: bool = False,
+    broadcast_nodes_max: int = 1_000_000,
 ) -> DataFrame:
     """PageRank over the undirected graph (each edge contributes both
     directions), by power iteration: rank_v = (1−d)/N + d·Σ_u rank_u /
@@ -217,14 +219,41 @@ def pagerank(
     ~``damping`` per step, so Σ|Δ| ≤ tol bounds all remaining movement
     by tol/(1−damping).
 
+    ``edges_distinct=True`` asserts the input is one row per undirected
+    edge (e.g. :func:`cooccurrence_edges` output) and skips the
+    symmetrized list's dedup shuffle. ``broadcast_nodes_max`` gates the
+    per-iteration broadcast of the |nodes|-row rank state (~48 B/node —
+    the default 1M nodes ≈ 50 MB); graphs above it fall back to
+    Catalyst/AQE join selection.
+
     Returns the top-``top_k`` ``(node, rank)`` rows, rank DESC.
     """
     both = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    )
+    if not edges_distinct:
+        # an induced edge list (cooccurrence_edges) is already one row
+        # per (src < dst) pair, so its symmetrization has no dups and
+        # callers pass edges_distinct=True to skip this 2|E| shuffle
+        both = both.distinct()
+    else:
+        # the raw union doubles the upstream partition count; coalesce
+        # (narrow, no shuffle) so the cached edge table keeps
+        # cluster-sized partitions instead of 2x tiny ones whose
+        # per-task overhead every iteration re-pays
+        both = both.coalesce(edges.sparkSession.sparkContext.defaultParallelism)
+    both = both.persist()
     out_deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = out_deg.select(F.col("src").alias("node"), "__deg").persist()
     n_nodes = nodes.count()
+    # per-iteration rank state is |nodes| rows; when that fits a
+    # broadcast (node id + 2 numerics, bytes-gated on the known
+    # n_nodes), ship ranks/contribs to the edge partitions instead of
+    # shuffling the cached 2|E| edge table through a sort-merge join
+    # every iteration (guide §3.1); above the gate Catalyst/AQE decide.
+    bcast = (
+        F.broadcast if n_nodes <= broadcast_nodes_max else (lambda df: df)
+    )
     ranks = nodes.select(
         "node", F.lit(1.0 / n_nodes).alias("rank"), "__deg"
     )
@@ -232,17 +261,17 @@ def pagerank(
     for i in range(n_iter):
         contribs = (
             both.join(
-                ranks.select(
+                bcast(ranks.select(
                     F.col("node").alias("src"),
                     (F.col("rank") / F.col("__deg")).alias("__c"),
-                ),
+                )),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("__c").alias("__in"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes.join(bcast(contribs), "node", "left")
             .select(
                 "node",
                 (

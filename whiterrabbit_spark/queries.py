@@ -8697,6 +8697,9 @@ def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=20,
         checkpoint_every=2,
         tol=1e-3,
+        # cooccurrence_edges emits one row per (src < dst) pair, so the
+        # symmetrized list needs no dedup shuffle (r8)
+        edges_distinct=True,
     )
     return out.select("node", F.round("rank", R).alias("rank"))
 
