@@ -5227,6 +5227,11 @@ def conformal_intervals(
     from whiterrabbit_spark.extensions.splits import hash_bucket_expr
 
     y_e2 = F.round(F.col(target_col) * 100).cast("long")
+    # ONE fact-table scan: the projected (x, y_e2, bucket) frame feeds
+    # every split (train model, calibration residuals, eval coverage)
+    # and the n_train count from cache — the unpersisted form re-read
+    # the fact table once per split materialization PLUS once per
+    # residuals() subplan's embedded model aggregate (~5 scans, r8)
     base = df.where(
         F.col(feature_col).isNotNull()
         & F.col(target_col).isNotNull()
@@ -5235,11 +5240,12 @@ def conformal_intervals(
         F.col(feature_col).alias("x"),
         y_e2.alias("y_e2"),
         (hash_bucket_expr(F.col(id_col), ":conformal", 4)).alias("b"),
-    )
+    ).persist()
     train = base.where(F.col("b") < 2)
+    # |feature groups| rows, read by BOTH residuals() subplans
     model = train.groupBy("x").agg(
         F.sum("y_e2").alias("sy"), F.count(F.lit(1)).alias("ny")
-    )
+    ).persist()
     pred = (F.col("sy") / F.col("ny")).alias("pred_e2")
 
     def residuals(split: DataFrame) -> DataFrame:
@@ -5255,7 +5261,10 @@ def conformal_intervals(
         )
 
     cal = residuals(base.where(F.col("b") == 2)).persist()
-    ev = residuals(base.where(F.col("b") == 3)).persist()
+    # ev is consumed exactly once (the final coverage aggregate) and
+    # its inputs (base, model) are cached — persisting it only added a
+    # cache write for a frame never re-read
+    ev = residuals(base.where(F.col("b") == 3))
     n_cal = cal.where(F.col("r").isNotNull()).count()
     # exact-integer ceil((n+1)(1-alpha)): float ceil((n+1)*0.9) can land
     # one ulp ABOVE an integer and round up where exact rational
