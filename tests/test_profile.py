@@ -1438,6 +1438,37 @@ def test_zorder_layout_prunes_both_probes(spark):
         assert out["by_z"]["scan_fraction"] <= 0.5
 
 
+def test_layout_prune_multi_matches_per_probe_calls(spark):
+    """The fused multi-probe report (one melt, shared grouped prefix)
+    returns EXACTLY the rows of one layout_prune_report call per probe
+    — including when the probes' NULL sets differ, the case where the
+    per-probe histogram counts diverge (r8 optimization)."""
+    from whiterrabbit_spark.profile import (
+        layout_prune_report,
+        layout_prune_report_multi,
+    )
+
+    rows = []
+    for i in range(200):
+        a = float(i % 50) if i % 7 else None      # a NULL every 7th row
+        b = float((i * 37) % 100) if i % 3 else None  # b NULL every 3rd
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    probes = [("a", 10.0, 19.0), ("b", 40.0, 59.0)]
+    layouts = {"by_a": "a", "by_b": "b", "by_id": "id"}
+    fused = layout_prune_report_multi(
+        df, probes, layouts, chunk_rows=16
+    ).collect()
+    assert len(fused) == 6
+    separate = []
+    for vc, lo, hi in probes:
+        for r in layout_prune_report(
+            df, vc, layouts, chunk_rows=16, probe_lo=lo, probe_hi=hi
+        ).collect():
+            separate.append((vc,) + tuple(r))
+    assert sorted(tuple(r) for r in fused) == sorted(separate)
+
+
 def test_woe_encoding_hand_case(spark):
     """Perfectly predictive level gets large |WOE| and dominant IV;
     a 50/50 level sits near WOE 0."""

@@ -52,6 +52,7 @@ Very wide tables: expressions are chunked into multiple agg jobs above
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
@@ -2565,6 +2566,77 @@ def _hist_exclusive_prefix(
     )
 
 
+def _hist_exclusive_prefix_cols(
+    hist: DataFrame,
+    order_col: str,
+    cnt_cols: list[str],
+    n_partitions: int,
+    out_cols: list[str],
+    grp_cols: list[str] | None = None,
+) -> DataFrame:
+    """:func:`_hist_exclusive_prefix` for SEVERAL count columns (and
+    optionally per-group, resetting on ``grp_cols``) in ONE bucketed
+    traversal: all running sums share the same bucket assignment, local
+    Window pass and offset broadcast, so k probe prefixes over m groups
+    cost one pass instead of k·m (r8 — layout_prune_report_multi
+    computes every (probe, layout) position prefix from one melted
+    histogram). Each ``out_cols[i]`` is the exclusive running sum of
+    ``cnt_cols[i]`` in ``order_col`` order."""
+    grp = list(grp_cols or [])
+    oc = F.col(order_col)
+    if grp:
+        bounds = hist.groupBy(*grp).agg(
+            F.min(oc).alias("__lo"), F.max(oc).alias("__hi")
+        )
+    else:
+        bounds = hist.agg(F.min(oc).alias("__lo"), F.max(oc).alias("__hi"))
+    bucket = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.floor(
+                (oc - F.col("__lo"))
+                / ((F.col("__hi") - F.col("__lo")) / n_partitions)
+            ),
+            F.lit(n_partitions - 1),
+        ),
+    ).otherwise(F.lit(0))
+    hist = hist.join(F.broadcast(bounds), grp or None).withColumn(
+        "__pid", bucket.cast("int")
+    )
+    totals = hist.groupBy(*grp, "__pid").agg(
+        *[F.sum(c).alias(f"__ptot_{i}") for i, c in enumerate(cnt_cols)]
+    )
+    w_off = (
+        Window.partitionBy(*grp) if grp else Window
+    ).orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        *grp,
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__ptot_{i}").over(w_off), F.lit(0)).alias(
+                f"__off_{i}"
+            )
+            for i in range(len(cnt_cols))
+        ],
+    )
+    w_loc = Window.partitionBy(*grp, "__pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = hist
+    for i, c in enumerate(cnt_cols):
+        out = out.withColumn(
+            f"__lcum_{i}", F.coalesce(F.sum(c).over(w_loc), F.lit(0))
+        )
+    out = out.join(F.broadcast(offsets), [*grp, "__pid"])
+    for i, name in enumerate(out_cols):
+        out = out.withColumn(name, F.col(f"__off_{i}") + F.col(f"__lcum_{i}"))
+    return out.drop(
+        "__pid", "__lo", "__hi",
+        *[f"__lcum_{i}" for i in range(len(cnt_cols))],
+        *[f"__off_{i}" for i in range(len(cnt_cols))],
+    )
+
+
 def _hist_exclusive_prefix_grouped(
     hist: DataFrame,
     grp_cols: list[str],
@@ -3836,9 +3908,51 @@ def layout_prune_report(
     Returns one row per layout: ``(layout, n_rows, rows_matched,
     n_chunks, n_chunks_scanned, scan_fraction)``.
     """
+    return layout_prune_report_multi(
+        df,
+        [(value_col, probe_lo, probe_hi)],
+        layouts,
+        chunk_rows,
+        n_partitions=n_partitions,
+        materialize=materialize,
+    ).drop("probe_col")
+
+
+def layout_prune_report_multi(
+    df: DataFrame,
+    probes: list[tuple],
+    layouts: dict[str, str],
+    chunk_rows: int,
+    n_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """:func:`layout_prune_report` for SEVERAL range probes over ONE
+    fact-table scan. ``probes`` is ``[(value_col, lo, hi), ...]``; the
+    output gains a leading ``probe_col`` column and holds one
+    :func:`layout_prune_report` row block per probe, probe-major.
+
+    Scale shape: ONE melt serves every (probe, layout) cell. Each
+    probe's value + match flag ride the row as plain columns (they do
+    not depend on the layout), so the explode fan-out stays |layouts|
+    per row — NOT |probes|·|layouts| — and a computed clustering key
+    (the 24-term Morton expression) is evaluated once per row. The
+    fact table is scanned (and the O(Σ distinct) histogram
+    checkpointed) ONCE instead of once per probe (guide §6 — at 100 TB
+    each extra probe was a full extra table scan; r8), and each
+    layout's exclusive prefix is computed once for ALL probes (the
+    per-probe running counts share one Window pass). Per-probe
+    semantics are bit-identical to the single-probe form: the
+    row-level ``v IS NOT NULL`` gate becomes per-probe conditional
+    aggregates (``count(v_p)`` / null-skipped ``sum``), zero-count
+    histogram rows add nothing to the prefix sums and are filtered
+    before the chunk explode, and rows where EVERY probe value is NULL
+    are pre-filtered so the parquet scan still pushes an OR of
+    IsNotNull predicates. (A first cut melted |probes|·|layouts|
+    structs — measured 6x slower per row than this form at sf0.1: the
+    struct-array Generate falls off the fast path and the Morton key
+    was re-evaluated per probe.)"""
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
-    v = F.col(value_col).cast("double")
 
     def _sort_expr(sort_col):
         # a layout may be an existing column (by name) or a computed
@@ -3849,79 +3963,125 @@ def layout_prune_report(
             else sort_col.cast("double")
         )
 
-    match = (v >= probe_lo) & (v <= probe_hi)
+    def _val_expr(vc):
+        return F.col(vc).cast("double") if isinstance(vc, str) else vc.cast("double")
 
-    # ONE scan: melt every layout's sort key out of the same row, then
-    # build all histograms with a single groupBy(layout, k). Shuffle
-    # bytes = Σ per-layout rows — identical to separate hists.
     names = list(layouts.keys())
+    n_probes = len(probes)
+    row_cols = []
+    for p, (vc, lo, hi) in enumerate(probes):
+        v = _val_expr(vc)
+        # __m is NULL when v is NULL so sum() skips exactly the rows
+        # the single-probe form filtered out before its melt
+        row_cols.append(v.alias(f"__v{p}"))
+        row_cols.append(
+            F.when(
+                v.isNotNull(), ((v >= lo) & (v <= hi)).cast("long")
+            ).alias(f"__m{p}")
+        )
+    any_v = functools.reduce(
+        lambda a, b: a | b, [_val_expr(p[0]).isNotNull() for p in probes]
+    )
+    aggs = []
+    for p in range(n_probes):
+        aggs += [
+            F.count(F.col(f"__v{p}")).alias(f"cnt{p}"),
+            F.min(f"__v{p}").alias(f"vmin{p}"),
+            F.max(f"__v{p}").alias(f"vmax{p}"),
+            F.sum(f"__m{p}").alias(f"mcnt{p}"),
+        ]
     melted = (
-        df.where(v.isNotNull())
+        df.where(any_v)
         .select(
-            v.alias("__v"),
-            match.cast("long").alias("__m"),
+            *row_cols,
             F.posexplode(
                 F.array(*[_sort_expr(layouts[n]) for n in names])
             ).alias("__lid", "k"),
         )
         .where(F.col("k").isNotNull())
         .groupBy("__lid", "k")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min("__v").alias("vmin"),
-            F.max("__v").alias("vmax"),
-            F.sum("__m").alias("mcnt"),
-        )
+        .agg(*aggs)
     )
     if materialize:
         # one job scans the fact table once and pins the O(distinct)
         # histogram; every downstream traversal reads these blocks
         melted = melted.localCheckpoint(eager=True)
 
+    # ONE grouped prefix pass (all layouts × all probes share the
+    # bucketed traversal), then per probe: one chunk explode + two
+    # grouped aggregates — the plan is O(1) subtrees in |layouts|, not
+    # a stats+prefix+chunks pipeline per (probe, layout) cell (the
+    # per-cell form paid ~20 tiny bounds/offset/aggregate subplans at
+    # sf0.1; fixed overhead, not data)
+    cum = _hist_exclusive_prefix_cols(
+        melted, "k", [f"cnt{p}" for p in range(n_probes)], n_parts,
+        out_cols=[f"before{p}" for p in range(n_probes)],
+        grp_cols=["__lid"],
+    )
+    # spine keeps the one-row-per-(probe, layout) contract when a
+    # layout has no histogram rows for a probe (all-NULL value column):
+    # the separate-call form emitted n_rows=0 / n_chunks=0 rows there
+    spine = (
+        df.sparkSession.range(len(names))
+        .select(F.col("id").cast("int").alias("__lid"))
+    )
+    layout_name = F.element_at(
+        F.array(*[F.lit(n) for n in names]), F.col("__lid") + 1
+    )
     outs = []
-    for lid, name in enumerate(names):
-        hist = melted.where(F.col("__lid") == lid).drop("__lid")
-        stats = hist.agg(
-            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_rows"),
-            F.coalesce(F.sum("mcnt"), F.lit(0)).alias("rows_matched"),
+    for p in range(n_probes):
+        vc, probe_lo, probe_hi = probes[p]
+        probe_name = vc if isinstance(vc, str) else str(vc)
+        stats = melted.groupBy("__lid").agg(
+            F.sum(f"cnt{p}").alias("__sr"),
+            F.sum(f"mcnt{p}").alias("__sm"),
         )
-        cum = _hist_exclusive_prefix(hist, "k", "cnt", n_parts)
         chunks = (
-            cum.select(
+            cum.where(F.col(f"cnt{p}") > 0)
+            .select(
+                "__lid",
                 F.explode(
                     F.sequence(
-                        F.floor(F.col("before") / chunk_rows),
+                        F.floor(F.col(f"before{p}") / chunk_rows),
                         F.floor(
-                            (F.col("before") + F.col("cnt") - 1) / chunk_rows
+                            (F.col(f"before{p}") + F.col(f"cnt{p}") - 1)
+                            / chunk_rows
                         ),
                     )
                 ).alias("chunk"),
-                "vmin",
-                "vmax",
+                f"vmin{p}",
+                f"vmax{p}",
             )
-            .groupBy("chunk")
-            .agg(F.min("vmin").alias("cmin"), F.max("vmax").alias("cmax"))
+            .groupBy("__lid", "chunk")
+            .agg(
+                F.min(f"vmin{p}").alias("cmin"),
+                F.max(f"vmax{p}").alias("cmax"),
+            )
         )
         scanned = (
             (F.col("cmax") >= probe_lo) & (F.col("cmin") <= probe_hi)
         ).cast("long")
-        per_chunk = chunks.agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(scanned).alias("n_chunks_scanned"),
+        per_chunk = chunks.groupBy("__lid").agg(
+            F.count(F.lit(1)).alias("__nc"),
+            F.sum(scanned).alias("__ns"),
         )
         outs.append(
-            stats.crossJoin(per_chunk).select(
-                F.lit(name).alias("layout"),
-                "n_rows",
-                "rows_matched",
-                "n_chunks",
-                "n_chunks_scanned",
+            spine.join(stats, "__lid", "left")
+            .join(per_chunk, "__lid", "left")
+            .select(
+                F.col("__lid"),
+                F.lit(probe_name).alias("probe_col"),
+                layout_name.alias("layout"),
+                F.coalesce(F.col("__sr"), F.lit(0)).alias("n_rows"),
+                F.coalesce(F.col("__sm"), F.lit(0)).alias("rows_matched"),
+                F.coalesce(F.col("__nc"), F.lit(0)).alias("n_chunks"),
+                F.col("__ns").alias("n_chunks_scanned"),
                 F.round(
-                    F.col("n_chunks_scanned")
-                    / F.col("n_chunks").cast("double"),
-                    6,
+                    F.col("__ns") / F.col("__nc").cast("double"), 6
                 ).alias("scan_fraction"),
             )
+            .orderBy("__lid")
+            .drop("__lid")
         )
     out = outs[0]
     for o in outs[1:]:

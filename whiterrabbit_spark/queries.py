@@ -7095,22 +7095,18 @@ def _zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     a price probe under single-column sorts vs the Morton-interleaved
     key — single-column clustering prunes only its own probes; z-order
     prunes both."""
-    from whiterrabbit_spark.profile import layout_prune_report
+    from whiterrabbit_spark.profile import layout_prune_report_multi
 
     li = read_parquet_table(spark, sf_dir, "lineitem")
     probes = [
         ("l_quantity", 10.0, 15.0),
         ("l_extendedprice", 20000.0, 30000.0),
     ]
-    outs = []
-    for col, lo, hi in probes:
-        outs.append(
-            layout_prune_report(
-                li, col, _zorder_layouts(), chunk_rows=4096,
-                probe_lo=lo, probe_hi=hi,
-            ).select(F.lit(col).alias("probe_col"), "*")
-        )
-    return outs[0].unionByName(outs[1])
+    # ONE fused call: both probes' histograms melt out of a single
+    # fact-table scan + checkpoint instead of one per probe (r8)
+    return layout_prune_report_multi(
+        li, probes, _zorder_layouts(), chunk_rows=4096
+    )
 
 
 def _zorder_key_sql() -> str:
