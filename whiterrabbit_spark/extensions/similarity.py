@@ -1018,11 +1018,17 @@ def ivf_tuning_curve(
     levels — each query ranks every list once (``posexplode`` of the
     full nearest-list array gives a probe_rank per list), candidates
     join on list id carrying that rank, the exact cosine is computed
-    once per (query, candidate), and level p's top-k is a row_number
-    window over the SAME scored frame filtered to probe_rank ≤ p. Five
-    probe levels cost one corpus pass, not five. The scored frame is
-    eagerly pinned (|queries| × |corpus| rows — the eval samples
-    queries at scale) because six consumers read it.
+    once per (query, candidate) — and then ONE Window pass computes
+    every level's candidate rank at once: level p's rank of a row is
+    the running count of ``probe_rank ≤ p`` rows in (cosine DESC, id)
+    order, so a row is in level p's top-k iff ``rank_p ≤ k``, and a
+    recall hit iff additionally its all-candidate rank
+    (= rank at p = n_lists, which scans every list) is ≤ k — a
+    row-local predicate, no level union and no exact-vs-level self-join
+    (the r7 form built a 6-level union of row_number windows and read
+    it twice: 12 window executions + a join, measured ~2/3 of the sf0.1
+    operator; r8). The scored frame is eagerly pinned because the
+    window pass and the final aggregate read it.
 
     Returns one row per probe level: ``(n_probe, n_queries, k,
     recall_at_k, monotone_ok)`` ordered by n_probe.
@@ -1060,48 +1066,58 @@ def ivf_tuning_curve(
         )
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    # ONE window pass for every level: the running count of
+    # probe_rank ≤ p rows in (cosine DESC, id ASC) order IS level p's
+    # candidate rank for the rows belonging to that level — identical
+    # to the per-level filter + row_number by construction (same total
+    # order, the indicator skips non-members). All running sums share
+    # one Window frame, so Spark sorts each query's candidates once.
+    w_run = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    levels = None
-    for p in sorted(set(probes) | {n_lists}):
-        lvl = (
-            scored.where(F.col("probe_rank") <= p)
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select(
-                F.lit(p).cast("long").alias("n_probe"),
-                "query_id",
-                "neighbor_id",
-            )
-        )
-        levels = lvl if levels is None else levels.unionByName(lvl)
-    exact = (
-        levels.where(F.col("n_probe") == n_lists)
-        .select("query_id", F.col("neighbor_id").alias("xn"))
+    lvls = sorted(set(int(x) for x in probes) | {int(n_lists)})
+    ranked = scored.select(
+        "probe_rank",
+        *[
+            F.sum((F.col("probe_rank") <= p).cast("long"))
+            .over(w_run)
+            .alias(f"__rk_{p}")
+            for p in lvls
+        ],
+    )
+    # hit for level p: in level p's top-k AND in the exact top-k (the
+    # p = n_lists rank ranks ALL candidates). Row-local — the level
+    # union and the exact self-join of the r7 form are gone. A
+    # zero-hit level keeps its row (the sums are over the whole frame),
+    # preserving the worst-case curve row the floor gate needs.
+    exact_rk = F.col(f"__rk_{int(n_lists)}")
+    probes_sorted = sorted(set(int(x) for x in probes))
+    hits_row = ranked.agg(
+        *[
+            F.sum(
+                (
+                    (F.col("probe_rank") <= p)
+                    & (F.col(f"__rk_{p}") <= k)
+                    & (exact_rk <= k)
+                ).cast("long")
+            ).alias(f"__h_{p}")
+            for p in probes_sorted
+        ]
     )
     n_q = queries.select(F.countDistinct(query_id_col).alias("nq"))
-    hits = (
-        levels.where(F.col("n_probe").isin([int(x) for x in probes]))
-        .join(
-            exact,
-            (levels["query_id"] == exact["query_id"])
-            & (F.col("neighbor_id") == F.col("xn")),
-        )
-        .groupBy("n_probe")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    # Every requested level must emit a row: a level with ZERO hits
-    # (recall 0.0) groups away entirely, silently vanishing from the
-    # curve — and a vanished worst-case row is exactly the one the
-    # floor gate needs to see. Left-join a literal probe frame.
     spark = corpus.sparkSession
     probe_frame = spark.createDataFrame(
-        [(int(p),) for p in sorted(set(int(x) for x in probes))],
-        "n_probe long",
+        [(int(p),) for p in probes_sorted], "n_probe long"
     )
-    hits = probe_frame.join(hits, "n_probe", "left").select(
-        "n_probe", F.coalesce("n_hits", F.lit(0)).alias("n_hits")
+    n_hits = F.lit(None).cast("long")
+    for p in probes_sorted:
+        n_hits = F.when(
+            F.col("n_probe") == p, F.col(f"__h_{p}")
+        ).otherwise(n_hits)
+    hits = probe_frame.crossJoin(F.broadcast(hits_row)).select(
+        "n_probe", F.coalesce(n_hits, F.lit(0)).alias("n_hits")
     )
     wl = Window.orderBy("n_probe")  # |probes| rows — single-task window
     return (
