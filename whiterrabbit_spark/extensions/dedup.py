@@ -79,9 +79,20 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFra
 
 
 def _pair_intersections(
-    sh: DataFrame, max_candidate_df: int | None
+    sh: DataFrame,
+    max_candidate_df: int | None,
+    persist_intermediates: bool = False,
 ) -> DataFrame:
     """(id1, id2, inter) over a (doc_id, shingle) table, id1 < id2.
+
+    ``persist_intermediates`` (resolved by callers from the document
+    count vs ``scale.PAIR_INDEX_PERSIST_MIN_DOCS``) pins the two
+    multiply-consumed subtrees of the banded plan — the df-annotated
+    postings (4 consumers) and the rare-pair intersections (2
+    consumers) — so the df-count aggregate and the rare self-join each
+    execute once at corpus scale; below the gate they recompute, which
+    keeps the small-corpus plan broadcast-friendly (see the constant's
+    rationale in scale.py).
 
     ``max_candidate_df=None`` — raw inverted-index self-join: every
     shingle shared by d docs emits d²/2 join rows, so ONE boilerplate
@@ -124,6 +135,8 @@ def _pair_intersections(
     annotated = sh.join(
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")), "shingle"
     )
+    if persist_intermediates:
+        annotated = annotated.persist()
     rare = annotated.where(F.col("__df") <= max_candidate_df)
     hot = annotated.where(F.col("__df") > max_candidate_df)
     ra = rare.alias("a")
@@ -137,6 +150,8 @@ def _pair_intersections(
         .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .agg(F.count(F.lit(1)).alias("__inter_r"))
     )
+    if persist_intermediates:
+        inter_rare = inter_rare.persist()
     hot_a = hot.select(F.col("doc_id").alias("id1"), F.col("shingle").alias("__sh"))
     hot_b = hot.select(F.col("doc_id").alias("id2"), F.col("shingle").alias("__sh"))
     inter_hot = (
@@ -172,11 +187,17 @@ def ngram_jaccard_pairs(
     persisted — it feeds the candidate join, the exact verify, and the
     size counts. Default is the corpus-safe banded plan (see
     :func:`_pair_intersections`); ``verify_all_pairs=True`` is the raw
-    all-pairs escape hatch for small verification runs."""
+    all-pairs escape hatch for small verification runs. Above
+    ``scale.PAIR_INDEX_PERSIST_MIN_DOCS`` documents the banded plan's
+    multiply-consumed subtrees persist (see the constant's rationale);
+    the one-job metadata count that resolves the gate is noise next to
+    the operator."""
+    persist_inter = df.count() > scale.PAIR_INDEX_PERSIST_MIN_DOCS
     sh = _shingle_table(df, text_col, id_col, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = _pair_intersections(
-        sh, None if verify_all_pairs else max_candidate_df
+        sh, None if verify_all_pairs else max_candidate_df,
+        persist_intermediates=persist_inter,
     )
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
@@ -1298,12 +1319,16 @@ def containment_pairs(
     Jaccard-low pairs are exactly what signature banding misses), while
     the rare-shingle stage keeps them: an excerpt shares ~all of its
     own shingles with its source. ``verify_all_pairs=True`` restores
-    the raw all-pairs join.
+    the raw all-pairs join. Above
+    ``scale.PAIR_INDEX_PERSIST_MIN_DOCS`` documents the banded plan's
+    multiply-consumed subtrees persist (see the constant's rationale).
     """
+    persist_inter = df.count() > scale.PAIR_INDEX_PERSIST_MIN_DOCS
     sh = _shingle_table(df, text_col, id_col, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = _pair_intersections(
-        sh, None if verify_all_pairs else max_candidate_df
+        sh, None if verify_all_pairs else max_candidate_df,
+        persist_intermediates=persist_inter,
     ).select(
         F.col("id1").alias("ida"), F.col("id2").alias("idb"), "inter"
     )

@@ -104,3 +104,21 @@ LSH_FETCH_JOIN_MAX_BYTES: int = 50_000 * 64 * 8
 # volume (spills gracefully), not a single-executor allocation.
 # Consumers: dedup.minhash_dedup_pairs.
 MINHASH_VERIFY_FETCH_MAX_BYTES: int = 64 * (1 << 30)
+
+# Inverted-index pair scoring (ngram_jaccard_pairs / containment_pairs
+# and their rollups): above this DOCUMENT count the banded candidate
+# plan persists its two multiply-consumed subtrees — the df-annotated
+# postings (read by both sides of the rare self-join and both hot
+# probes; unpersisted, the groupBy(shingle) document-frequency
+# aggregate re-executes 4-6x) and the rare-pair intersections (read by
+# the hot candidate probe AND the final left join; unpersisted, the
+# rare self-join — the operator's dominant exchange — runs twice).
+# Plan-verified duplication; ReusedExchange does not cover it. At or
+# below the gate the subtrees recompute instead: at bench scale the
+# duplicated work is sub-second while caching flips the df-count and
+# hot-probe joins from broadcast to sort-merge (an InMemoryRelation
+# hides its size from the planner until materialized) — measured
+# minhash_recall 8.4 -> 12.6 s at sf0.1 with the persists
+# unconditional. Consumers: dedup._pair_intersections via
+# ngram_jaccard_pairs / containment_pairs / cross_source_dup_matrix.
+PAIR_INDEX_PERSIST_MIN_DOCS: int = 100_000
