@@ -187,6 +187,37 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         e.unpersist()
 
 
+def _pagerank_step(both, nodes, ranks, n_nodes, damping, bcast):
+    """One power-iteration update: contribs join+agg over the edge
+    table, then the rank refresh join against the node spine. Factored
+    out of :func:`pagerank` (identical expressions) so the iteration
+    plan — invisible in pagerank's materialized return value — can be
+    dumped as committed evidence (``tools/explain_pagerank_iter.py``).
+    """
+    contribs = (
+        both.join(
+            bcast(ranks.select(
+                F.col("node").alias("src"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("__c").alias("__in"))
+    )
+    return (
+        nodes.join(bcast(contribs), "node", "left")
+        .select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n_nodes)
+                + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+            ).alias("rank"),
+            "__deg",
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,
@@ -259,28 +290,7 @@ def pagerank(
     )
     prev_ck = ranks
     for i in range(n_iter):
-        contribs = (
-            both.join(
-                bcast(ranks.select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("__deg")).alias("__c"),
-                )),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("__c").alias("__in"))
-        )
-        ranks = (
-            nodes.join(bcast(contribs), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("rank"),
-                "__deg",
-            )
-        )
+        ranks = _pagerank_step(both, nodes, ranks, n_nodes, damping, bcast)
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             if tol > 0:
                 ranks = ranks.localCheckpoint(eager=True)
