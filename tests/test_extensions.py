@@ -5386,3 +5386,23 @@ def test_quantizer_auto_sampling_engages_above_target(spark):
     c1 = fit_spherical_centers(df, "embedding", 4, seed=7)
     c2 = fit_spherical_centers(df, "embedding", 4, seed=7)
     assert len(c1) == 4 and c1 == c2
+
+
+def test_hyperplane_scoring_paths_agree(spark, emb, monkeypatch):
+    """The fetch-join (≤ broadcast-scale) and in-bucket (> broadcast-
+    scale) scoring paths of hyperplane_near_pairs emit the IDENTICAL
+    pair set with identical cosines — pins the r8 norm-hoist (per-vector
+    norm evaluated once per row / broadcast entry instead of per
+    candidate pair) as a pure plan change on both paths: the adaptive
+    gate must never change results, only cost."""
+    fetch = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.hyperplane_near_pairs(emb, 0.4, dim=64).collect()
+    }
+    monkeypatch.setattr(sim, "LSH_FETCH_JOIN_MAX_BYTES", 0)
+    inbucket = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.hyperplane_near_pairs(emb, 0.4, dim=64).collect()
+    }
+    assert fetch, "fixture corpus should contain near pairs at 0.4"
+    assert inbucket == fetch

