@@ -137,6 +137,30 @@ def test_approx_mode_within_tolerance(spark):
                 assert abs(av - ev) / span < tol, f"{c}.{fld}: {ev} vs {av}"
 
 
+def test_approx_chunk_split_is_result_invariant(spark):
+    """The r8 merge-overlap chunking splits the approx agg's COLUMNS
+    across concurrent jobs (never one column's partials), so any chunk
+    width must produce byte-identical summaries: one-column-per-job
+    (max_agg_exprs_per_job=9) == the widest single job (10_000)."""
+    from whiterrabbit_spark.io import read_parquet_table
+    from tests.conftest import SF_DIR
+
+    df = read_parquet_table(spark, SF_DIR, "lineitem")
+    wide, _ = profile_table(
+        df,
+        ScanConfig(max_rows=-1, approx=True, max_agg_exprs_per_job=10_000),
+        table_name="t",
+    )
+    narrow, _ = profile_table(
+        df,
+        ScanConfig(max_rows=-1, approx=True, max_agg_exprs_per_job=9),
+        table_name="t",
+    )
+    assert sorted(map(tuple, wide.collect())) == sorted(
+        map(tuple, narrow.collect())
+    )
+
+
 def test_profile_table_grouped_shapes_and_approx(spark):
     """Grouped profile: long format (groups × value cols), stats match a
     hand computation; approx mode returns the same shape with

@@ -97,6 +97,12 @@ _NUMERIC_TYPES = (
 # as NTZ; in a UTC session it denotes the same instant.
 _DATE_TYPES = (T.DateType, T.TimestampType, T.TimestampNTZType)
 
+# Concurrent profile jobs per table (guide §2.6 — overlap independent
+# jobs): 2-3 in flight fills stage tails; 8 also bounds the fan-out of
+# the approx path's merge-overlap chunking without flooding the
+# scheduler. Thread-local job descriptions keep the UI readable.
+_PROFILE_POOL_WIDTH = 8
+
 
 def _is_numeric(dt: T.DataType) -> bool:
     return isinstance(dt, _NUMERIC_TYPES)
@@ -310,11 +316,28 @@ def profile_table(
         return df.agg(*exprs).collect()[0].asDict()
 
     per_chunk = max(cfg.max_agg_exprs_per_job // 9, 1)
+    if cfg.approx and len(fields) > 1:
+        # A no-groupBy agg final-merges every map partial in ONE task; in
+        # approx mode that task serially merges |cols| percentile/HLL
+        # sketches × |scan partials| (jstack at 50M×100 cols: minutes in
+        # QuantileSummaries.merge), and a compact input (few scan
+        # partitions) additionally leaves the single job's scan
+        # under-parallelized. Sketch partials are not re-mergeable
+        # through the DataFrame API, so OVERLAP instead (guide §2.6):
+        # split the approx agg into up to pool-width column chunks — the
+        # concurrent jobs' merges run side by side and their scans
+        # back-fill idle cores. Exact mode keeps wide chunks (its cost
+        # lives in the separate histogram pass, measured slope 0.50).
+        per_chunk = min(
+            per_chunk, max(1, -(-len(fields) // _PROFILE_POOL_WIDTH))
+        )
     chunks = _chunk(fields, per_chunk)
     # Job set 1 (per chunk) and job set 2 (per-column histograms) are
     # independent — overlap them so the cluster stays busy instead of
     # running serial barriers.
-    with ThreadPoolExecutor(max_workers=min(len(chunks) + 1, 8)) as pool:
+    with ThreadPoolExecutor(
+        max_workers=min(len(chunks) + 1, _PROFILE_POOL_WIDTH)
+    ) as pool:
         fut_chunks = [pool.submit(run_chunk, ch) for ch in chunks]
         hist_fn = (
             _exact_distinct_and_percentiles_melt
