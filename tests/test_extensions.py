@@ -103,6 +103,45 @@ def test_simhash_guard_and_precollapse(spark, docs):
     }  # auto cap scales with corpus size, inert on a tiny one
 
 
+def test_dedup_persists_registered_and_releasable(spark, monkeypatch):
+    """One unpersist contract (VERDICT r8 #2): every frame the dedup
+    module persists is registered in ``_SESSION_CACHES``, and
+    ``release_caches()`` leaves the session with ZERO persisted RDDs —
+    no executor-storage accumulation across calls in a long-running
+    session. The persist gate is monkeypatched low so the
+    ``_pair_intersections`` eager-materialized persists (annotated
+    postings + rare intersections) are exercised too, and the gated
+    plan's results are pinned identical to the ungated plan's."""
+    from whiterrabbit_spark import scale as _scale
+
+    spark.catalog.clearCache()
+    X.release_caches()
+    rows = [
+        (i, f"common body words w{i % 7} w{i % 3} tail{i} end{i * 3 % 11}")
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    ungated = {
+        (r.id1, r.id2, round(r.jaccard, 9))
+        for r in X.ngram_jaccard_pairs(d, "text", "doc_id", 3, 0.2).collect()
+    }
+    n_ungated = X.release_caches()
+    assert n_ungated >= 1  # the shingle table at least
+    monkeypatch.setattr(_scale, "PAIR_INDEX_PERSIST_MIN_DOCS", 10)
+    gated = {
+        (r.id1, r.id2, round(r.jaccard, 9))
+        for r in X.ngram_jaccard_pairs(d, "text", "doc_id", 3, 0.2).collect()
+    }
+    assert gated == ungated and gated
+    X.minhash_dedup_pairs(d, "text", "doc_id").count()
+    X.simhash_near_pairs(d, "text", "doc_id").count()
+    X.containment_pairs(d, "text", "doc_id").count()
+    # gated ngram run registers sh + annotated + inter_rare; minhash
+    # registers sh + cands; simhash sigs + reps; containment sh (+2 gated)
+    assert X.release_caches() >= 9
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
 def test_exact_dedup_counts(spark, docs):
     out = X.exact_duplicates(docs, "text", "doc_id")
     total = out.agg(F.sum("dup_count")).collect()[0][0]
