@@ -641,6 +641,7 @@ def hyperplane_buckets_pandas(
     n_tables: int = 16,
     seed: int = 42,
     include_vec: bool = True,
+    passthrough: tuple[tuple[str, str], ...] = (),
 ) -> DataFrame:
     """(id[, vec], table, bucket) rows — one per hash table — with the
     sign bits computed by one numpy matmul per Arrow batch instead of
@@ -652,7 +653,14 @@ def hyperplane_buckets_pandas(
     Spark cannot prune columns INSIDE a mapInPandas, so a caller that
     only needs (id, table, bucket) — candidate generation in
     ``hyperplane_near_pairs`` — would otherwise pay n_tables Arrow
-    copies of every vector just to drop them."""
+    copies of every vector just to drop them.
+
+    ``passthrough`` — (column, sql_type) pairs computed on the INPUT
+    frame and replicated onto each of the row's n_tables bucket rows.
+    Lets callers evaluate a per-vector expression (e.g. the norm fold)
+    ONCE per vector before bucketing instead of once per bucket row
+    after it (ADVICE r8: the post-bucketing norm ran n_tables× per
+    vector)."""
     import numpy as np
     import pandas as pd
 
@@ -675,12 +683,17 @@ def hyperplane_buckets_pandas(
                 out["v"] = [v for v in pdf[vec_col] for _ in range(n_tables)]
             out["table"] = np.tile(np.arange(n_tables), n)
             out["bucket"] = buckets.reshape(-1)
+            for name, _typ in passthrough:
+                out[name] = np.repeat(pdf[name].to_numpy(), n_tables)
             yield pd.DataFrame(out)
 
     vec_field = "v array<double>, " if include_vec else ""
-    return df.select(id_col, vec_col).mapInPandas(
+    extra_fields = "".join(f", {name} {typ}" for name, typ in passthrough)
+    return df.select(
+        id_col, vec_col, *[name for name, _typ in passthrough]
+    ).mapInPandas(
         assign,
-        f"{out_id} long, {vec_field}table int, bucket long",
+        f"{out_id} long, {vec_field}table int, bucket long{extra_fields}",
     )
 
 
@@ -700,13 +713,18 @@ def random_hyperplane_ann(
     they share a bucket in ANY of the L hash tables; candidates are scored
     exactly and ranked. One narrow shuffle on (table, bucket); per-pair
     dedup before scoring."""
-    # Corpus-vector norms ride the bucket rows (once per row, map-side)
-    # and query norms the broadcast (once per query) — the cosine then
-    # does ONE fold per candidate instead of three (bit-identical
-    # values: same expressions on the same inputs).
+    # Corpus-vector norms are computed ON THE CORPUS FRAME — once per
+    # vector, before the bucket fan-out — and ride the bucket rows as a
+    # passthrough column; query norms ride the broadcast (once per
+    # query). The cosine then does ONE fold per candidate instead of
+    # three. Bit-identical values: the same ``_norm`` fold over the
+    # same doubles (ADVICE r8: computing the norm AFTER
+    # hyperplane_buckets_pandas ran the fold n_tables× per vector).
+    corpus_n = corpus.withColumn("cn", _norm(_to_double(F.col(vec_col))))
     c = hyperplane_buckets_pandas(
-        corpus, dim, "neighbor_id", vec_col, id_col, n_planes, n_tables, seed
-    ).withColumnRenamed("v", "cv").withColumn("cn", _norm(F.col("cv")))
+        corpus_n, dim, "neighbor_id", vec_col, id_col, n_planes, n_tables,
+        seed, passthrough=(("cn", "double"),),
+    ).withColumnRenamed("v", "cv")
     q = hyperplane_buckets_pandas(
         queries, dim, "query_id", vec_col, query_id_col, n_planes, n_tables, seed
     ).withColumnRenamed("v", "qv")

@@ -316,7 +316,7 @@ def profile_table(
         return df.agg(*exprs).collect()[0].asDict()
 
     per_chunk = max(cfg.max_agg_exprs_per_job // 9, 1)
-    if cfg.approx and len(fields) > 1:
+    if cfg.approx and len(fields) > _PROFILE_POOL_WIDTH:
         # A no-groupBy agg final-merges every map partial in ONE task; in
         # approx mode that task serially merges |cols| percentile/HLL
         # sketches × |scan partials| (jstack at 50M×100 cols: minutes in
@@ -328,6 +328,11 @@ def profile_table(
         # concurrent jobs' merges run side by side and their scans
         # back-fill idle cores. Exact mode keeps wide chunks (its cost
         # lives in the separate histogram pass, measured slope 0.50).
+        # Floor (ADVICE r8): tables at or under the pool width keep ONE
+        # chunk — each extra chunk is a full input scan plus a redundant
+        # count(1), and a narrow table's merge task is small enough that
+        # the overlap buys nothing (splitting a 2-col profile doubled
+        # its scans to parallelize a merge that was never the wall).
         per_chunk = min(
             per_chunk, max(1, -(-len(fields) // _PROFILE_POOL_WIDTH))
         )
