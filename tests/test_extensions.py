@@ -5427,6 +5427,47 @@ def test_quantizer_auto_sampling_engages_above_target(spark):
     assert len(c1) == 4 and c1 == c2
 
 
+def test_hyperplane_prescreen_recall_pinned_and_default_off(
+    spark, emb, monkeypatch
+):
+    """The sign-bit Hamming prescreen (r9, opt-in recall dial) may only
+    DROP pairs — never add one, never change a surviving cosine. Recall
+    pins on the fixture corpus at 256 bits / default 3σ margin: every
+    high-confidence pair (cosine ≥ 0.9 — the planted dups) survives,
+    and ≥95% of ALL threshold-passing pairs survive. Both scoring paths
+    agree with the dial on, and prescreen_bits=0 (the registry default)
+    is byte-identical to the unscreened baseline."""
+    base = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.hyperplane_near_pairs(emb, 0.4, dim=64).collect()
+    }
+    off = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.hyperplane_near_pairs(
+            emb, 0.4, dim=64, prescreen_bits=0
+        ).collect()
+    }
+    assert off == base
+    pre = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.hyperplane_near_pairs(
+            emb, 0.4, dim=64, prescreen_bits=256
+        ).collect()
+    }
+    assert set(pre) <= set(base)
+    assert all(base[k] == v for k, v in pre.items())
+    assert {k for k, v in base.items() if v >= 0.9} <= set(pre)
+    assert len(pre) >= 0.95 * len(base)
+    monkeypatch.setattr(sim, "LSH_FETCH_JOIN_MAX_BYTES", 0)
+    pre_inbucket = {
+        (r.id1, r.id2): r.cosine
+        for r in sim.hyperplane_near_pairs(
+            emb, 0.4, dim=64, prescreen_bits=256
+        ).collect()
+    }
+    assert pre_inbucket == pre
+
+
 def test_hyperplane_scoring_paths_agree(spark, emb, monkeypatch):
     """The fetch-join (≤ broadcast-scale) and in-bucket (> broadcast-
     scale) scoring paths of hyperplane_near_pairs emit the IDENTICAL

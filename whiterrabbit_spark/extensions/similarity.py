@@ -375,12 +375,30 @@ def hyperplane_near_pairs(
     max_bucket_size: int | None = None,
     auto_bucket_target: int = 500,
     persist_buckets: bool = False,
+    prescreen_bits: int = 0,
+    prescreen_margin: float = 3.0,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidate pairs are ids sharing a
     random-hyperplane bucket in ANY of the L tables (one narrow shuffle on
     (table, bucket)); candidates are scored exactly and filtered by the
     cosine threshold. Approximate only in recall (a missed bucket collision
     drops a pair); every emitted pair's cosine is exact.
+
+    ``prescreen_bits`` (opt-in RECALL DIAL, default 0 = off, exact
+    candidate scoring unchanged): when set, each vector carries that
+    many extra sign bits (independent seeded hyperplanes, packed 64 per
+    bigint) and a candidate pair is dropped BEFORE the exact dot when
+    its sign-bit Hamming distance exceeds the bound implied by the
+    cosine threshold plus ``prescreen_margin`` binomial standard
+    deviations (see :func:`_prescreen_hmax`). The xor+popcount test is
+    ~an order of magnitude cheaper than the dim-wide dot fold, which is
+    the wall on hot-region corpora where most bucket-cooccurring pairs
+    FAIL the threshold (SCALE r8: 300k-vector hot cluster, skew 2.41).
+    This dial trades a bounded per-pair recall loss for that pruning —
+    a pair exactly at the threshold survives with probability ≈ the
+    one-sided normal tail of ``margin`` (≳99.8% at the default 3σ;
+    recall is pinned by test on the planted-dup corpus). Registry
+    entries keep it off, so their oracle hashes are unchanged.
 
     Scale knobs: ``n_planes`` must grow with the corpus (2^planes
     buckets per table; target ~10²-10³ rows per bucket). The default
@@ -440,10 +458,15 @@ def hyperplane_near_pairs(
     # the whole pairs plan, pinning it cut the composed op 576 -> 318 s
     # (VERDICT r7 #7). Default False (standalone callers); composed
     # consumers that re-execute the plan pass True.
+    h_max = (
+        _prescreen_hmax(prescreen_bits, threshold, prescreen_margin)
+        if prescreen_bits
+        else None
+    )
     if n * dim * 8 <= LSH_FETCH_JOIN_MAX_BYTES:
         buckets = hyperplane_buckets_pandas(
             df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
-            include_vec=False,
+            include_vec=False, prescreen_bits=prescreen_bits,
         )
         if persist_buckets:
             buckets = buckets.persist()
@@ -453,11 +476,16 @@ def hyperplane_near_pairs(
             buckets.alias("a")
             .join(buckets.alias("b"), ["table", "bucket"])
             .where(F.col("a.vid") < F.col("b.vid"))
-            .select(
-                F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2")
-            )
-            .dropDuplicates(["id1", "id2"])
         )
+        if h_max is not None:
+            # prune BEFORE the pair dedup: the dropped pairs never pay
+            # the distinct shuffle either
+            cand = cand.where(
+                _psig_hamming(F.col("a.psig"), F.col("b.psig")) <= h_max
+            )
+        cand = cand.select(
+            F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2")
+        ).dropDuplicates(["id1", "id2"])
         # Per-VECTOR norm computed once here instead of once per candidate
         # PAIR in the cosine expression (candidates >> vectors), and the
         # dot/norm folds unrolled for codegen — bit-identical values
@@ -495,7 +523,7 @@ def hyperplane_near_pairs(
         ).where(F.col("cosine") >= threshold)
     buckets = hyperplane_buckets_pandas(
         df, dim, "vid", vec_col, id_col, n_planes, n_tables, seed,
-        include_vec=True,
+        include_vec=True, prescreen_bits=prescreen_bits,
     )
     # Per-VECTOR norm computed map-side on the bucket rows (one double
     # per row through the shuffle) instead of once per candidate PAIR —
@@ -509,20 +537,27 @@ def hyperplane_near_pairs(
         buckets = buckets.persist()
     if max_bucket_size is not None:
         buckets = _drop_oversized(buckets, max_bucket_size)
+    pre_a = [F.col("psig").alias("pa")] if h_max is not None else []
+    pre_b = [F.col("psig").alias("pb")] if h_max is not None else []
     a = buckets.select(
         "table", "bucket",
         F.col("vid").alias("id1"), F.col("v").alias("va"),
-        F.col("nv").alias("na"),
+        F.col("nv").alias("na"), *pre_a,
     )
     b = buckets.select(
         "table", "bucket",
         F.col("vid").alias("id2"), F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
+        F.col("nv").alias("nb"), *pre_b,
     )
+    pairs = a.join(b, ["table", "bucket"]).where(F.col("id1") < F.col("id2"))
+    if h_max is not None:
+        # in-task prune before the dim-wide dot fold — the candidate
+        # volume from a hot vector-space region is this path's wall
+        pairs = pairs.where(
+            _psig_hamming(F.col("pa"), F.col("pb")) <= h_max
+        )
     return (
-        a.join(b, ["table", "bucket"])
-        .where(F.col("id1") < F.col("id2"))
-        .select(
+        pairs.select(
             "id1",
             "id2",
             (
@@ -560,6 +595,8 @@ def embedding_keep_best(
     seed: int = 42,
     max_bucket_size: int | None = None,
     auto_bucket_target: int = 500,
+    prescreen_bits: int = 0,
+    prescreen_margin: float = 3.0,
 ) -> DataFrame:
     """Exact-oracle semantic dedup: LSH cosine near-pairs above
     ``threshold`` → connected components → keep the HIGHEST-L2-NORM
@@ -585,6 +622,8 @@ def embedding_keep_best(
         df, threshold, dim, vec_col, id_col, n_planes, n_tables, seed,
         max_bucket_size=max_bucket_size,
         auto_bucket_target=auto_bucket_target,
+        prescreen_bits=prescreen_bits,
+        prescreen_margin=prescreen_margin,
         # the pairs plan re-executes across this op's checkpoint
         # boundary — pinning the bucket assignment cut 576 -> 318 s at
         # 1M vectors (SCALE r8); standalone near-pair calls keep the
@@ -595,6 +634,36 @@ def embedding_keep_best(
         F.col(id_col), _norm(_to_double(F.col(vec_col))).alias("score")
     )
     return dedup.keep_best_dedup(scored, pairs, id_col=id_col, score_col="score")
+
+
+# Seed offset for the prescreen planes — far outside the per-table
+# bucket-plane seeds (seed + 1000·t), so the prescreen's sign estimate
+# is independent of every bucket's collision structure.
+_PRESCREEN_SEED_OFFSET = 999_999_937
+
+
+def _prescreen_hmax(bits: int, threshold: float, margin: float) -> int:
+    """Max sign-bit Hamming distance a pair AT the cosine threshold is
+    allowed before the prescreen drops it. E[hamming]/bits = θ/π (the
+    random-hyperplane collision law); ``margin`` binomial standard
+    deviations of slack bound the per-pair false-drop probability (the
+    one-sided normal tail: margin 3 ⇒ ≲0.1% for a pair exactly at the
+    threshold; pairs above it have smaller θ and drop even less)."""
+    import math as _math
+
+    f = _math.acos(min(max(threshold, -1.0), 1.0)) / _math.pi
+    return int(bits * f + margin * _math.sqrt(bits * f * (1.0 - f)))
+
+
+def _psig_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed sign-bit signatures: one
+    xor+popcount per 64-bit word — ~dim/n_words cheaper than the exact
+    dot fold it gates."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -642,6 +711,7 @@ def hyperplane_buckets_pandas(
     seed: int = 42,
     include_vec: bool = True,
     passthrough: tuple[tuple[str, str], ...] = (),
+    prescreen_bits: int = 0,
 ) -> DataFrame:
     """(id[, vec], table, bucket) rows — one per hash table — with the
     sign bits computed by one numpy matmul per Arrow batch instead of
@@ -660,7 +730,13 @@ def hyperplane_buckets_pandas(
     Lets callers evaluate a per-vector expression (e.g. the norm fold)
     ONCE per vector before bucketing instead of once per bucket row
     after it (ADVICE r8: the post-bucketing norm ran n_tables× per
-    vector)."""
+    vector).
+
+    ``prescreen_bits > 0`` additionally emits ``psig array<bigint>`` —
+    the vector's sign bits against that many EXTRA seeded hyperplanes
+    (independent of every table's bucket planes), packed 64 per word.
+    One more matmul column block in the same batch pass; consumed by
+    the opt-in Hamming prescreen in :func:`hyperplane_near_pairs`."""
     import numpy as np
     import pandas as pd
 
@@ -669,6 +745,13 @@ def hyperplane_buckets_pandas(
     )  # (n_tables, n_planes, dim)
     flat = all_planes.reshape(n_tables * n_planes, dim)  # row t*n_planes+i
     weights = (2 ** np.arange(n_planes)).astype(np.int64)
+    pre = (
+        np.array(
+            hyperplanes(dim, prescreen_bits, seed + _PRESCREEN_SEED_OFFSET)
+        )
+        if prescreen_bits
+        else None
+    )
 
     def assign(batches):
         for pdf in batches:
@@ -685,15 +768,31 @@ def hyperplane_buckets_pandas(
             out["bucket"] = buckets.reshape(-1)
             for name, _typ in passthrough:
                 out[name] = np.repeat(pdf[name].to_numpy(), n_tables)
+            if pre is not None:
+                psigns = m @ pre.T >= 0  # (n, bits)
+                n_words = (prescreen_bits + 63) // 64
+                packed = np.zeros((n, n_words), dtype=np.uint64)
+                for wi in range(n_words):
+                    chunk = psigns[:, wi * 64 : (wi + 1) * 64]
+                    wts = np.uint64(1) << np.arange(
+                        chunk.shape[1], dtype=np.uint64
+                    )
+                    packed[:, wi] = (chunk.astype(np.uint64) * wts).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                rows = packed.view(np.int64).tolist()
+                out["psig"] = [r for r in rows for _ in range(n_tables)]
             yield pd.DataFrame(out)
 
     vec_field = "v array<double>, " if include_vec else ""
     extra_fields = "".join(f", {name} {typ}" for name, typ in passthrough)
+    psig_field = ", psig array<bigint>" if prescreen_bits else ""
     return df.select(
         id_col, vec_col, *[name for name, _typ in passthrough]
     ).mapInPandas(
         assign,
-        f"{out_id} long, {vec_field}table int, bucket long{extra_fields}",
+        f"{out_id} long, {vec_field}table int, bucket long"
+        f"{extra_fields}{psig_field}",
     )
 
 
