@@ -318,6 +318,19 @@ def _targets():
             auto_bucket_target=64,
         )
 
+    def _hyperplane_prescreen(spark, sf_dir):
+        # the r9 opt-in sign-bit Hamming prescreen at its documented
+        # dial (256 bits, default 3-sigma margin) — same corpus dials
+        # as _hyperplane_scale so the A/B isolates the prescreen
+        from whiterrabbit_spark.extensions import similarity as sim
+        from whiterrabbit_spark.io import read_parquet_table
+
+        df = read_parquet_table(spark, sf_dir, "embeddings")
+        return sim.hyperplane_near_pairs(
+            df, 0.9, dim=64, n_tables=8, seed=42, max_bucket_size=4000,
+            auto_bucket_target=64, prescreen_bits=256,
+        )
+
     def _keep_best_scale(spark, sf_dir):
         from whiterrabbit_spark.extensions import similarity as sim
         from whiterrabbit_spark.io import read_parquet_table
@@ -354,6 +367,7 @@ def _targets():
         "adamic_adar": queries["adamic_adar_lineitem"],
         "embedding_keep_best": _keep_best_scale,
         "hyperplane_near_pairs": _hyperplane_scale,
+        "hyperplane_near_pairs_prescreen": _hyperplane_prescreen,
         "keep_best_dedup": queries["keep_best_dedup_documents"],
         "cross_source_dups": queries["cross_source_dups_documents"],
         "ab_test": queries["ab_test_orders"],
@@ -456,6 +470,7 @@ def cmd_report(out_name: str = "SCALE_r7.json") -> None:
     )
     vec_fams = (
         "ann_ivf_tuning", "embedding_keep_best", "hyperplane_near_pairs",
+        "hyperplane_near_pairs_prescreen",
     )
     out = {
         "scales": SCALES,

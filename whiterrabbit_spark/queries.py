@@ -5345,8 +5345,20 @@ def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from whiterrabbit_spark.extensions import streaming as st
 
-    src = st.stream_events_from_parquet(spark, sf_dir).unionByName(
+    # props is projected out BEFORE the union+dedup (guide §2.3 —
+    # project before the exchange): the final select never reads it,
+    # yet un-projected it rides the state-store shuffle and the sink
+    # for every row of both stream legs. Duplicate arrivals are
+    # bit-identical, so dropping a never-emitted column cannot change
+    # which (event_id, ts) row survives — r9 STREAM_SCALE A/B measures
+    # the wide vs narrow shapes.
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    src = (
         st.stream_events_from_parquet(spark, sf_dir)
+        .select(*cols)
+        .unionByName(
+            st.stream_events_from_parquet(spark, sf_dir).select(*cols)
+        )
     )
     deduped = st.dedup_stream(src, key_cols=["event_id"])
     name = f"wrs_streamdedup_{uuid.uuid4().hex[:8]}"
