@@ -121,17 +121,28 @@ def _pair_intersections(
     keeps the small-corpus plan broadcast-friendly (see the constant's
     rationale in scale.py).
 
-    Both persisted frames are MATERIALIZED EAGERLY (count()) before any
-    consumer is planned: an unmaterialized InMemoryRelation reports its
-    child's size ESTIMATE, which at mid-corpus sizes blocked the
-    broadcast the planner picks at both smaller and larger corpora
-    (VERDICT r8 #1 — the 500k-doc corpus ran 219.6 s vs 125.5 s at 2M
-    docs because the hot-probe/size joins stayed sort-merge). The
-    counts are not extra passes: each materializes work the first
-    consumer would have triggered anyway, and every later consumer
-    plans against the cached frame's REAL byte size (guide §3.1 —
-    broadcast decisions need honest sizes; §5 — persist only with
-    deliberate materialization order).
+    Both persisted frames are MATERIALIZED EAGERLY (count()), one at a
+    time, before any consumer is planned. Two measured reasons (r9
+    item-1 A/B, OPTIMIZATION_r09.md):
+
+    * honest sizes for join planning (guide §3.1): an unmaterialized
+      InMemoryRelation reports its child's ESTIMATE; with real cached
+      sizes the 2M-doc corpus plans two fewer exchanges and runs ~10%
+      faster (paired A/B: containment 86.2→78.0 s, cross 92.6→81.9 s).
+    * serialized cache fills (guide §5): each count() populates ONE
+      persisted frame to completion before the next job starts. The
+      lazy form fills the postings cache AND the intersections cache
+      concurrently inside the dominant self-join job — measured
+      SparkOutOfMemoryError / heap OOM on the 500k-doc corpus, whose
+      324M-row intersections frame sits at the local heap cliff, when
+      only the second count was eager.
+
+    NOTE the r8 verdict's hypothesis that the mid-size corpus lost a
+    broadcast to hidden cache stats was REFUTED by measurement: the
+    mid corpus's missing broadcast is CORRECT planning (its rare-pair
+    intersections are ~270× larger than the 2M corpus's — the df cap
+    straddles the boilerplate-shingle document frequency; see
+    tools/diag_pair_volume.py and the r9 close-out).
 
     ``max_candidate_df=None`` — raw inverted-index self-join: every
     shingle shared by d docs emits d²/2 join rows, so ONE boilerplate
