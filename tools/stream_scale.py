@@ -112,35 +112,34 @@ def _is_agg(df) -> bool:
 
 
 def _targets():
-    from pyspark.sql import functions as F
-
     from whiterrabbit_spark.extensions import streaming as st
 
-    def dedup_wide(spark, d):
-        src = st.stream_events_from_parquet(spark, d).unionByName(
-            st.stream_events_from_parquet(spark, d)
+    # the generated corpus is a parquet DIRECTORY (16 part files —
+    # realistic file-stream input); point the file source at it with a
+    # leaf-file glob (the registry's default glob names the sf layout's
+    # single file, which matches nothing here)
+    def _src(spark, d):
+        return st.stream_events_from_parquet(
+            spark, os.path.join(d, "events.parquet"), glob="*.parquet"
         )
+
+    def dedup_wide(spark, d):
+        src = _src(spark, d).unionByName(_src(spark, d))
         return st.dedup_stream(src, key_cols=["event_id"])
 
     def dedup_narrow(spark, d):
         cols = ["event_id", "ts", "user_id", "event_type", "value"]
-        src = (
-            st.stream_events_from_parquet(spark, d)
-            .select(*cols)
-            .unionByName(
-                st.stream_events_from_parquet(spark, d).select(*cols)
-            )
+        src = _src(spark, d).select(*cols).unionByName(
+            _src(spark, d).select(*cols)
         )
         return st.dedup_stream(src, key_cols=["event_id"])
 
     def dau(spark, d):
-        return st.streaming_user_days(st.stream_events_from_parquet(spark, d))
+        return st.streaming_user_days(_src(spark, d))
 
     def sliding(spark, d):
         return st.sliding_rate(
-            st.stream_events_from_parquet(spark, d),
-            window="1 hour",
-            slide="30 minutes",
+            _src(spark, d), window="1 hour", slide="30 minutes"
         )
 
     return {
@@ -176,6 +175,21 @@ def cmd_run(names, scales, force: bool = False) -> None:
     spark = _spark("stream-scale-run")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(SMOKE, exist_ok=True)
+    # UNRECORDED warmup drain: the first streaming query in a session
+    # pays ~2-4 s of classloading/codegen/state-store init that
+    # contaminated whichever target ran first (measured: same query
+    # 4.61 s warm-slot vs 8.44 s first-slot at s8). Every recorded row
+    # below is a warm-slot number.
+    warm_ckpt = os.path.join(SMOKE, f"ckpt_warm_{uuid.uuid4().hex[:8]}")
+    try:
+        _drain_noop(
+            _targets()["streaming_sliding_rate"][0](
+                spark, os.path.join(SMOKE, scales[0])
+            ),
+            warm_ckpt,
+        )
+    finally:
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
     for scale in scales:
         d = os.path.join(SMOKE, scale)
         n_rows = spark.read.parquet(os.path.join(d, "events.parquet")).count()
