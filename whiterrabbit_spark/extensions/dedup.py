@@ -543,11 +543,9 @@ def minhash_dedup_pairs(
     path: the quadratic verify join runs only on LSH candidates).
 
     The shingle table feeds four subplans (hashing, two verify sides, size
-    counts); it is persisted (registered in ``_SESSION_CACHES`` —
-    ``release_caches()`` for deterministic release) so the
-    tokenize+shingle pass runs once, not four times. Registered in
-    ``_SESSION_CACHES``; call ``release_caches()`` for deterministic
-    release.
+    counts); it is persisted so the tokenize+shingle pass runs once, not
+    four times — registered in ``_SESSION_CACHES``, call
+    ``release_caches()`` for deterministic release.
 
     ``max_bucket_size`` passes through to the candidate generator — the
     giant-cluster guard was previously reachable only by composing the
